@@ -1,0 +1,44 @@
+"""catenae_stopover_spark — a PySpark-native analytics & stream-processing
+engine with the capabilities of catenae/catenae-stopover.
+
+The reference (/root/reference, studied read-only) is a message-at-a-time
+stream-microservices framework (`Link` class, reference
+src/catenae/catenae.py:66). This package re-expresses that surface on
+Spark Structured Streaming, and adds the declared analytical operator
+surface (SURVEY.md §2 Part B) as idiomatic DataFrame compositions.
+
+Nothing in here is a port: all execution is delegated to Catalyst /
+Tungsten / Structured Streaming.
+"""
+
+from .errors import (
+    EmptyError,
+    InternalError,
+    InvalidParamsError,
+    InvalidRequestError,
+    MethodNotFoundError,
+    ParseError,
+    RPCError,
+    TimeoutError,
+)
+from .link import Link, rpc
+from .session import get_spark
+from . import utils
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Link",
+    "rpc",
+    "get_spark",
+    "utils",
+    "EmptyError",
+    "TimeoutError",
+    "RPCError",
+    "ParseError",
+    "InvalidRequestError",
+    "MethodNotFoundError",
+    "InvalidParamsError",
+    "InternalError",
+    "__version__",
+]

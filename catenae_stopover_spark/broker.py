@@ -1,0 +1,149 @@
+"""File-backed stream broker.
+
+The reference talks to the Stopover broker over HTTP
+(stopover.get/put/commit/knock call sites, reference
+src/catenae/catenae.py:324,440-445,469-470). In production our engine
+uses Kafka (io.sources.kafka_source / io.sinks); for tests and local
+runs this module gives each *stream* a directory of JSON-lines files:
+
+  {root}/{stream}/msg-*.json
+
+Appending a message = writing one small file (atomic rename), so
+``spark.readStream.json(dir)`` sees it on the next micro-batch. Spark's
+checkpoint is the consumer-group offset store for the data plane; the
+driver-side control plane (RPC) uses :class:`GroupCursor`, a tiny
+per-(stream, group) offset tracker mirroring receiver-group semantics
+(different groups independently see the full stream — SURVEY §1.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from dataclasses import dataclass
+
+from . import utils
+
+ENVELOPE_FIELDS = ("msg_id", "ts_ms", "key", "value")
+
+
+def envelope_schema():
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("msg_id", StringType()),
+            StructField("ts_ms", LongType()),
+            StructField("key", StringType()),
+            StructField("value", StringType()),
+        ]
+    )
+
+
+@dataclass
+class Message:
+    """Broker message envelope; ``value`` is the payload (reference
+    unwraps ``message.value`` at catenae.py:487)."""
+
+    value: object
+    key: str | None = None
+    msg_id: str | None = None
+    ts_ms: int | None = None
+    stream: str | None = None
+
+
+class FileBroker:
+    """Directory-of-JSON-files broker. One instance per process is
+    enough; all methods are thread-safe."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self._lock = threading.Lock()
+        self._seq = 0
+        os.makedirs(root, exist_ok=True)
+
+    def stream_dir(self, stream: str) -> str:
+        d = os.path.join(self.root, stream)
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def put(self, payload: object, stream: str, key: str | None = None) -> str:
+        """Append one message (≙ stopover.put, reference catenae.py:324).
+        Atomic via write-to-temp + rename so a concurrent reader never
+        sees a partial file."""
+        d = self.stream_dir(stream)
+        with self._lock:
+            self._seq += 1
+            seq = self._seq
+        msg_id = f"{utils.get_uid()}-{seq}"
+        rec = {
+            "msg_id": msg_id,
+            "ts_ms": utils.get_timestamp_ms(),
+            "key": key,
+            "value": json.dumps(payload, separators=(",", ":"), ensure_ascii=False),
+        }
+        tmp = os.path.join(d, f".tmp-{msg_id}")
+        final = os.path.join(d, f"msg-{time.time_ns()}-{seq}.json")
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(json.dumps(rec, ensure_ascii=False) + "\n")
+        os.replace(tmp, final)
+        return msg_id
+
+    # ---- driver-side (control plane) consumption -------------------
+
+    def read_new(self, stream: str, cursor: "GroupCursor") -> list[Message]:
+        """All messages appended since the cursor's last position, in
+        file order. Used by the RPC consumer thread (≙ stopover.get with
+        group=uid, reference catenae.py:477-480)."""
+        d = self.stream_dir(stream)
+        try:
+            names = sorted(n for n in os.listdir(d) if n.startswith("msg-"))
+        except FileNotFoundError:
+            return []
+        new = names[cursor.position(stream):]
+        out = []
+        for name in new:
+            try:
+                with open(os.path.join(d, name), encoding="utf-8") as f:
+                    rec = json.loads(f.read())
+            except (OSError, json.JSONDecodeError):
+                continue
+            out.append(
+                Message(
+                    value=json.loads(rec["value"]),
+                    key=rec.get("key"),
+                    msg_id=rec.get("msg_id"),
+                    ts_ms=rec.get("ts_ms"),
+                    stream=stream,
+                )
+            )
+        cursor.advance(stream, len(new))
+        return out
+
+
+class GroupCursor:
+    """Per-consumer-group read position, one per stream. Control-plane
+    messages are always committed after dispatch (reference
+    catenae.py:494-495) so advance-on-read is the right semantic."""
+
+    def __init__(self, group: str):
+        self.group = group
+        self._pos: dict[str, int] = {}
+        self._lock = threading.Lock()
+
+    def position(self, stream: str) -> int:
+        with self._lock:
+            return self._pos.get(stream, 0)
+
+    def advance(self, stream: str, n: int) -> None:
+        if n <= 0:
+            return
+        with self._lock:
+            self._pos[stream] = self._pos.get(stream, 0) + n

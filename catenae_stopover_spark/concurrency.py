@@ -1,0 +1,141 @@
+"""Driver-side concurrency helpers (SURVEY A23-A28).
+
+On the data plane Spark's scheduler replaces all of this; these helpers
+exist for the driver-side roles the reference ran as threads (generator
+loop, control-plane consumer, health server) and for API parity with
+reference src/catenae/threading.py + queue.py. Written from scratch on
+condition variables (the reference busy-polled at 0.1 s; observable
+semantics are the same, CPU use is better).
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from collections import deque
+
+from .errors import EmptyError
+
+logger = logging.getLogger(__name__)
+
+
+def should_stop(thread: "StoppableThread | threading.Thread") -> bool:
+    """Cooperative-cancel check for user loop bodies (reference
+    threading.py:9-10)."""
+    return bool(getattr(thread, "will_stop", False))
+
+
+class StoppableThread(threading.Thread):
+    """Thread with a cooperative stop flag (reference threading.py:13-38).
+
+    ``stop()`` only requests; the target must check ``will_stop`` (or
+    call :func:`should_stop`) to actually exit.
+    """
+
+    def __init__(self, target, args=None, kwargs=None, name=None, daemon=True):
+        self._stop_requested = threading.Event()
+        super().__init__(
+            target=target,
+            args=tuple(args or ()),
+            kwargs=dict(kwargs or {}),
+            name=name,
+            daemon=daemon,
+        )
+
+    @property
+    def will_stop(self) -> bool:
+        return self._stop_requested.is_set()
+
+    def stop(self) -> None:
+        self._stop_requested.set()
+
+    def wait(self, timeout: float) -> bool:
+        """Sleep that wakes early on stop; returns True if stopping."""
+        return self._stop_requested.wait(timeout)
+
+
+class ThreadingQueue:
+    """Bounded FIFO with an optional circular mode (reference
+    queue.py:24-85): circular => ``put`` silently drops the oldest
+    element when full ("keep latest N"); bounded non-circular => ``put``
+    blocks (or raises) when full; ``get`` blocks (or raises
+    :class:`EmptyError`) when empty.
+
+    At scale the same semantics are expressed declaratively:
+    backpressure = maxOffsetsPerTrigger / maxFilesPerTrigger; latest-N
+    ring = per-key ``row_number() <= N`` over ``ORDER BY ts DESC``
+    (operators.relational.latest_n).
+    """
+
+    def __init__(self, size: int = 0, circular: bool = False):
+        self.size = size
+        self.circular = circular
+        self._items: deque = deque()
+        self._cond = threading.Condition()
+
+    def __len__(self) -> int:
+        with self._cond:
+            return len(self._items)
+
+    def put(self, item, block: bool = True, timeout: float | None = None) -> None:
+        with self._cond:
+            if self.circular and self.size:
+                self._items.append(item)
+                while len(self._items) > self.size:
+                    self._items.popleft()
+                self._cond.notify()
+                return
+            if self.size:
+                ok = self._cond.wait_for(
+                    lambda: len(self._items) < self.size,
+                    timeout=None if block else 0 if timeout is None else timeout,
+                )
+                if not ok:
+                    raise EmptyError("queue full")
+            self._items.append(item)
+            self._cond.notify()
+
+    def get(self, block: bool = True, timeout: float | None = None):
+        with self._cond:
+            ok = self._cond.wait_for(
+                lambda: len(self._items) > 0,
+                timeout=None if (block and timeout is None) else (timeout if block else 0),
+            )
+            if not ok:
+                raise EmptyError("queue empty")
+            item = self._items.popleft()
+            self._cond.notify()
+            return item
+
+
+class ThreadPool:
+    """Fixed worker pool over a :class:`ThreadingQueue` (reference
+    threading.py:41-89). Workers log-and-continue on task exceptions."""
+
+    def __init__(self, num_threads: int = 1):
+        self._queue = ThreadingQueue()
+        self._workers = [
+            StoppableThread(target=self._work, name=f"pool-{i}")
+            for i in range(num_threads)
+        ]
+        for w in self._workers:
+            w.start()
+
+    def submit(self, target, args=None, kwargs=None) -> None:
+        self._queue.put((target, tuple(args or ()), dict(kwargs or {})))
+
+    def _work(self) -> None:
+        me = threading.current_thread()
+        while not should_stop(me):
+            try:
+                target, args, kwargs = self._queue.get(block=True, timeout=0.2)
+            except EmptyError:
+                continue
+            try:
+                target(*args, **kwargs)
+            except Exception:  # noqa: BLE001 - pool survives task errors
+                logger.exception("thread-pool task failed")
+
+    def stop(self) -> None:
+        for w in self._workers:
+            w.stop()

@@ -1,0 +1,38 @@
+"""Exception taxonomy.
+
+Parity with reference src/catenae/errors.py:5-34 (SURVEY A35): an
+``EmptyError``/``TimeoutError`` pair plus a JSON-RPC-2.0-style RPC error
+subtree. Re-declared from scratch; semantics only.
+"""
+
+
+class EmptyError(Exception):
+    """A non-blocking get found no message (reference errors.py:5)."""
+
+
+class TimeoutError(Exception):  # noqa: A001 - parity with reference name
+    """A blocking operation timed out (reference errors.py:9)."""
+
+
+class RPCError(Exception):
+    """Base class for control-plane errors (reference errors.py:13)."""
+
+
+class ParseError(RPCError):
+    """Invalid JSON was received (JSON-RPC -32700)."""
+
+
+class InvalidRequestError(RPCError):
+    """The call object is not a valid request (JSON-RPC -32600)."""
+
+
+class MethodNotFoundError(RPCError):
+    """The method does not exist / is not rpc-enabled (JSON-RPC -32601)."""
+
+
+class InvalidParamsError(RPCError):
+    """Invalid method parameters (JSON-RPC -32602)."""
+
+
+class InternalError(RPCError):
+    """Internal JSON-RPC error (JSON-RPC -32603)."""

@@ -1,0 +1,11 @@
+from .hashes import blake2b_256_col, blake2b_512_col, sha3_512_col
+from .vectors import cosine_similarity, dot_product, l2_norm
+
+__all__ = [
+    "blake2b_256_col",
+    "blake2b_512_col",
+    "sha3_512_col",
+    "cosine_similarity",
+    "dot_product",
+    "l2_norm",
+]

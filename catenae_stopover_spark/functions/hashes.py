@@ -1,0 +1,59 @@
+"""Column-level hash functions (SURVEY A32-A33 / B35).
+
+Spark ships sha1/sha2/md5/crc32/xxhash64 as JVM built-ins; the
+reference additionally exposes BLAKE2b-256/512 and SHA3-512
+(reference src/catenae/utils.py:42-57). Those have no Catalyst
+expression, so they are the one genuine UDF gap in the scalar-function
+surface — implemented as Arrow-vectorized pandas UDFs (one hashlib call
+per value, batched transfer; never row-at-a-time Python UDFs).
+
+UDF objects are built lazily (pandas_udf registration requires an
+active SparkSession). Byte-exact parity with the driver-side versions
+in ``catenae_stopover_spark.utils`` is pinned by tests.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+from pyspark.sql import Column
+
+
+def _hex_mapper(fn):
+    def mapper(s):
+        return s.map(lambda v: None if v is None else fn(v.encode("utf-8")))
+
+    return mapper
+
+
+@lru_cache(maxsize=None)
+def _udf(kind: str):
+    from pyspark.sql.functions import pandas_udf
+
+    fns = {
+        "blake2b_256": lambda b: hashlib.blake2b(b, digest_size=32).hexdigest(),
+        "blake2b_512": lambda b: hashlib.blake2b(b, digest_size=64).hexdigest(),
+        "sha3_512": lambda b: hashlib.sha3_512(b).hexdigest(),
+    }
+    return pandas_udf(_hex_mapper(fns[kind]), "string")
+
+
+def blake2b_256_col(col) -> Column:
+    return _udf("blake2b_256")(col)
+
+
+def blake2b_512_col(col) -> Column:
+    return _udf("blake2b_512")(col)
+
+
+def sha3_512_col(col) -> Column:
+    return _udf("sha3_512")(col)
+
+
+def uid_col() -> Column:
+    """Random 12-hex-char id column; engine-id analogue of
+    reference utils.py:60-61 expressed as pure Catalyst."""
+    from pyspark.sql import functions as F
+
+    return F.expr("substring(sha2(uuid(), 256), 1, 12)")

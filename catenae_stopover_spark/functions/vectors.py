@@ -1,0 +1,40 @@
+"""Vector math over ARRAY<FLOAT> embedding columns (SURVEY B51/B54).
+
+All pure Catalyst (SQL higher-order functions): zip_with for the
+elementwise product, aggregate for the fold — no Python in the hot
+path, so similarity scans stay inside WholeStageCodegen and scale with
+the cluster, not with the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot_product(a, b) -> Column:
+    """Elementwise products are computed in double (float32 inputs are
+    widened first) so results are reproducible against double-precision
+    oracles."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(
+            a,
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+
+
+def cosine_similarity(a, b) -> Column:
+    """dot(a,b) / (|a| |b|); NULL-safe via Spark's null propagation."""
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))

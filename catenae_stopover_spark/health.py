@@ -1,0 +1,45 @@
+"""Health endpoint (SURVEY A37).
+
+The reference served GET /health → {"status": "available"} via falcon
+(reference src/catenae/health.py:13-27, default port 2094 per
+catenae.py:123). falcon isn't available here; the stdlib server gives
+identical observable behavior in a daemon thread.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def do_GET(self):  # noqa: N802 - stdlib API
+        if self.path.rstrip("/") == "/health" or self.path == "/":
+            body = json.dumps({"status": "available"}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        else:
+            self.send_response(404)
+            self.end_headers()
+
+    def log_message(self, *args):  # silence per-request logging
+        pass
+
+
+class HealthServer:
+    def __init__(self, port: int = 2094, host: str = "0.0.0.0"):
+        self._server = ThreadingHTTPServer((host, port), _Handler)
+        self.port = self._server.server_address[1]
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True, name="health"
+        )
+
+    def start(self) -> None:
+        self._thread.start()
+
+    def shutdown(self) -> None:
+        self._server.shutdown()

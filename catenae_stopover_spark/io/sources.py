@@ -1,0 +1,130 @@
+"""Batch and streaming sources (SURVEY B1-B4).
+
+Batch: parquet scans of the driver-generated star schema (TESTDATA.md).
+Streaming: file-replay of a bounded table as a chunked directory stream
+(deterministic availableNow tests), rate source, and a Kafka source
+gated behind options (no broker in the test container).
+
+Scale notes: `load_table` is a plain `spark.read.parquet` so Catalyst
+gets predicate pushdown / column pruning / partition pruning for free;
+never materialize or cache here.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one testdata table (B1).
+
+    The ``events`` table is written with TIMESTAMP(NANOS) which Spark's
+    parquet reader rejects; we read nanos as long
+    (spark.sql.legacy.parquet.nanosAsLong) and rebuild a microsecond
+    timestamp (the fixture data is µs-aligned, so this is lossless).
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        return df
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """All tables as a dict; also registers each as a temp view so
+    `spark.sql` works against the same names DuckDB uses."""
+    out = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def replay_as_stream(
+    spark: SparkSession,
+    df: DataFrame,
+    stage_dir: str,
+    chunks: int = 8,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Re-write a bounded DataFrame as N chunk files and open them as a
+    file stream (B2). With ``order_col`` the chunks are chronological
+    (rows stay out-of-order *within* a chunk, so watermark/late-data
+    paths are exercised deterministically — FIXTURES.md §2.3).
+
+    ``maxFilesPerTrigger=1`` makes each chunk one micro-batch.
+    """
+    schema = df.schema
+    staged = df
+    if order_col is not None:
+        # ntile over the global order gives chronological chunks of
+        # equal size without a single-partition sort of the full data.
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.orderBy(order_col)
+        staged = df.withColumn("__chunk", F.ntile(chunks).over(w))
+        staged.repartition("__chunk").write.mode("overwrite").partitionBy(
+            "__chunk"
+        ).parquet(stage_dir)
+    else:
+        df.repartition(chunks).write.mode("overwrite").parquet(stage_dir)
+    reader = (
+        spark.readStream.schema(schema if order_col is None else staged.schema)
+        .option("maxFilesPerTrigger", 1)
+    )
+    out = reader.parquet(stage_dir)
+    if order_col is not None:
+        out = out.drop("__chunk")
+    return out
+
+
+def rate_source(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
+    """Synthetic stream source (B2; ≙ reference `generator` hook as a
+    load generator)."""
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka topic(s) as a stream (B2). ≙ reference stream consumption
+    (stopover.get, reference catenae.py:440-445). Untested in this
+    container (no broker) but the canonical production source."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topics)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )

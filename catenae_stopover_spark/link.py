@@ -1,0 +1,528 @@
+"""The `Link` processing node, re-expressed on Spark Structured Streaming.
+
+Reference surface (src/catenae/catenae.py:66-573, SURVEY §2 Part A):
+subclass ``Link``, override ``transform()`` (1-in → 0-or-1-out
+map/filter, catenae.py:456-467) and/or ``generator()`` (source loop,
+catenae.py:289-290), call ``.start()``. The framework runs
+consume → process → produce → commit against named streams, plus a
+control plane (RPC over streams, catenae.py:362-534), health endpoint,
+and fail-fast supervision (suicide, catenae.py:393-422).
+
+Spark realization (SURVEY §3.2):
+
+* data plane   = ONE streaming query: union of per-stream file/Kafka
+  sources → user transform (``transform_df`` stays fully in Catalyst;
+  per-message ``transform`` runs distributed via ``mapInPandas``) →
+  filter-out-None → sink append to the default output stream.
+  Commit-after-process (catenae.py:469-470) becomes the micro-batch
+  checkpoint: a strict at-least-once upgrade.
+* control plane = a driver-side consumer thread over the RPC streams
+  (``catenae_rpc_broadcast`` / ``catenae_rpc_{classname}`` /
+  ``catenae_rpc_{uid}``, catenae.py:124-134) — control messages act on
+  the driver, so they are deliberately NOT a streaming query.
+* generator    = a driver-side loop thread whose ``send()`` appends to
+  the broker (≙ catenae.py:289-290 and examples/falcon_api).
+
+Scale: replicas×receiver-group parallelism in the reference becomes
+partition parallelism inside the query; the per-message HTTP round-trip
+disappears entirely.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import signal
+import sys
+import tempfile
+import threading
+import traceback
+
+from .broker import FileBroker, GroupCursor, envelope_schema
+from .concurrency import StoppableThread
+from .health import HealthServer
+from . import utils
+
+logger = logging.getLogger(__name__)
+
+# Module-global registry of RPC-enabled method names (reference
+# catenae.py:45-52 keeps a module-global set filled by the decorator).
+_rpc_enabled_methods: set[str] = set()
+
+
+def rpc(method):
+    """Decorator marking a method as remotely callable (reference
+    catenae.py:48-52). Registration is by name; dispatch checks the set
+    at call time (catenae.py:512-514)."""
+    _rpc_enabled_methods.add(method.__name__)
+    return method
+
+
+def suicide_on_error(method):
+    """Wrap a driver-side loop body: any exception logs a traceback and
+    fail-fasts the node (reference catenae.py:55-63)."""
+
+    def wrapper(self, *args, **kwargs):
+        try:
+            return method(self, *args, **kwargs)
+        except Exception:  # noqa: BLE001 - fail-fast by design
+            traceback.print_exc()
+            self.suicide(f"Error when executing {method.__name__}", exception=True)
+
+    return wrapper
+
+
+class Response:
+    """Wrapper letting ``transform`` return a value that must be
+    unwrapped before emission (≙ stopover.Response handling, reference
+    catenae.py:457-459)."""
+
+    def __init__(self, value):
+        self.value = value
+
+
+class Link:
+    """One processing node. See module docstring.
+
+    Constructor parameter surface mirrors reference catenae.py:75-159
+    (A3) so a reference user can switch without renaming anything;
+    broker endpoints become a broker *root* (file backend) or Kafka
+    bootstrap servers.
+    """
+
+    DEFAULT_TRIGGER = "500 milliseconds"  # ≙ 0.5 s idle sleep, catenae.py:68,472
+
+    def __init__(
+        self,
+        endpoint: str | None = None,
+        endpoints: list[str] | None = None,
+        input_stream: str | None = None,
+        input_streams: list[str] | None = None,
+        default_output_stream: str | None = None,
+        receiver_group: str | None = None,
+        rpc_enabled: bool = False,
+        rpc_by_uid: bool = False,
+        enable_health: bool = False,
+        health_port: int = 2094,
+        log_level: str = "INFO",
+        progress_without_commit: bool = False,
+        spark=None,
+        **ignored,
+    ):
+        for key in ignored:
+            logger.warning("ignored parameter: %s", key)
+
+        # normalize singular → plural (reference catenae.py:98-106)
+        streams = list(input_streams or ([] if input_stream is None else [input_stream]))
+        eps = list(endpoints or ([] if endpoint is None else [endpoint]))
+        self._config = {
+            "endpoints": eps,
+            "input_streams": streams,
+            "default_output_stream": default_output_stream,
+            # receiver group defaults to the class name (catenae.py:117-120)
+            "receiver_group": receiver_group or type(self).__name__.lower(),
+            "rpc_enabled": rpc_enabled,
+            "rpc_by_uid": rpc_by_uid,
+            "enable_health": enable_health,
+            "health_port": health_port,
+            "log_level": log_level,
+            "progress_without_commit": progress_without_commit,
+            "trigger": self.DEFAULT_TRIGGER,
+        }
+        self._set_uid()
+        self._load_args()
+
+        # RPC topics (reference catenae.py:124-134)
+        self._rpc_topics = [
+            f"catenae_rpc_{type(self).__name__.lower()}",
+            "catenae_rpc_broadcast",
+        ]
+        if self._config["rpc_by_uid"]:
+            self._rpc_topics.append(f"catenae_rpc_{self._uid}")
+
+        root = eps[0] if eps else os.path.join(tempfile.gettempdir(), "csspark-broker")
+        self._broker = FileBroker(root)
+        self._spark = spark
+        self._queries = []
+        self._threads: list[StoppableThread] = []
+        self._health = None
+        self._started = False
+        self._suiciding = threading.Lock()
+        self._dead = False
+        self.rpc_lock = threading.Lock()
+
+    # ---- properties (A4, A5, A7) -----------------------------------
+
+    @property
+    def env(self) -> dict:
+        return dict(os.environ)
+
+    @property
+    def args(self) -> list:
+        return list(self._extra_args)
+
+    @property
+    def uid(self) -> str:
+        return self._uid
+
+    @property
+    def config(self) -> dict:
+        return dict(self._config)
+
+    @property
+    def broker(self) -> FileBroker:
+        return self._broker
+
+    # ---- setup internals -------------------------------------------
+
+    def _set_uid(self) -> None:
+        """uid = $HOSTNAME inside containers, random otherwise
+        (reference catenae.py:429-433, env flag CATENAE_DOCKER)."""
+        if os.environ.get("CATENAE_DOCKER"):
+            self._uid = os.environ.get("HOSTNAME", utils.get_uid())
+        else:
+            self._uid = utils.get_uid()
+
+    def _load_args(self) -> None:
+        """CLI overrides of ctor config; same flag surface as reference
+        catenae.py:169-249 (A6)."""
+        import argparse
+
+        parser = argparse.ArgumentParser(add_help=False)
+        parser.add_argument("-e", "--endpoint", "--endpoints", dest="endpoints")
+        parser.add_argument("-i", "--input", "--input-streams", dest="input_streams")
+        parser.add_argument("-o", "--default-output", dest="default_output_stream")
+        parser.add_argument("-g", "--receiver-group", dest="receiver_group")
+        parser.add_argument("-u", "--uid", action="store_true", dest="rpc_by_uid")
+        parser.add_argument("-r", "--rpc", action="store_true", dest="rpc_enabled")
+        known, self._extra_args = parser.parse_known_args(
+            sys.argv[1:] if not sys.argv[0].endswith("pytest") else []
+        )
+        if known.endpoints:
+            self._config["endpoints"] = known.endpoints.split(",")
+        if known.input_streams:
+            self._config["input_streams"] = known.input_streams.split(",")
+        if known.default_output_stream:
+            self._config["default_output_stream"] = known.default_output_stream
+        if known.receiver_group:
+            self._config["receiver_group"] = known.receiver_group
+        if known.rpc_by_uid:
+            self._config["rpc_by_uid"] = True
+        if known.rpc_enabled:
+            self._config["rpc_enabled"] = True
+
+    # Bound user hooks are shipped to executors via mapInPandas; strip
+    # driver-only state (locks, session, threads) from the pickle.
+    _UNPICKLABLE = (
+        "_spark",
+        "_queries",
+        "_threads",
+        "_health",
+        "_suiciding",
+        "rpc_lock",
+        "_broker",
+    )
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        for k in self._UNPICKLABLE:
+            state.pop(k, None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
+    # ---- user hooks (A8, A10, A38, A39) ----------------------------
+
+    def setup(self, **setup_kwargs) -> None:
+        """User initialization hook, called once before the loops start
+        (reference catenae.py:259-260,285-287)."""
+
+    def stop(self) -> None:
+        """User teardown hook, called during suicide (reference
+        catenae.py:316-317,400)."""
+
+    # transform(message) and/or generator() and/or transform_df(df) are
+    # defined by subclasses; their presence selects the plan (A9).
+
+    # ---- data plane --------------------------------------------------
+
+    def send(self, message, stream: str | None = None, key: str | None = None) -> None:
+        """Produce to ``stream`` or the default output (reference
+        catenae.py:319-324). ValueError when neither is configured."""
+        target = stream or self._config["default_output_stream"]
+        if target is None:
+            raise ValueError("default stream is missing")
+        self._broker.put(message, target, key=key)
+
+    def _build_input_df(self):
+        """Union of one file-stream source per input stream (fan-in ≙
+        round-robin polling, reference catenae.py:437-445; no
+        cross-stream ordering in either system)."""
+        from pyspark.sql import functions as F
+
+        dfs = []
+        for stream in self._config["input_streams"]:
+            d = self._broker.stream_dir(stream)
+            df = (
+                self._spark.readStream.schema(envelope_schema())
+                .option("maxFilesPerTrigger", 1024)
+                .json(d)
+                .withColumn("stream", F.lit(stream))
+            )
+            dfs.append(df)
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
+
+    def _apply_transform(self, df):
+        """Map-or-drop (reference _transform, catenae.py:456-467).
+
+        * ``transform_df`` (Spark-first surface): plain DataFrame →
+          DataFrame, stays in Catalyst — preferred.
+        * ``transform`` (reference parity surface): per-message Python,
+          executed DISTRIBUTED via mapInPandas (Arrow batches); a None
+          result drops the message; a Response is unwrapped
+          (catenae.py:457-459).
+        """
+        if hasattr(self, "transform_df"):
+            return self.transform_df(df)
+
+        transform = self.transform  # bound method; __getstate__ makes it picklable
+        schema = df.schema
+
+        def run(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                out_rows = []
+                for _, row in pdf.iterrows():
+                    payload = json.loads(row["value"]) if row["value"] is not None else None
+                    result = transform(_ExecMessage(payload, row))
+                    if isinstance(result, Response):
+                        result = result.value
+                    if result:
+                        out_rows.append(
+                            {
+                                "msg_id": row["msg_id"],
+                                "ts_ms": row["ts_ms"],
+                                "key": row["key"],
+                                "value": json.dumps(
+                                    result, separators=(",", ":"), ensure_ascii=False
+                                ),
+                                "stream": row["stream"],
+                            }
+                        )
+                if out_rows:
+                    yield pd.DataFrame(out_rows)
+
+        return df.mapInPandas(run, schema=schema)
+
+    def _start_data_plane(self, checkpoint_root: str):
+        out_stream = self._config["default_output_stream"]
+        if out_stream is None:
+            raise ValueError("default stream is missing")  # catenae.py:467
+        broker = self._broker
+        transformed = self._apply_transform(self._build_input_df())
+
+        def write_batch(batch_df, epoch_id):
+            # Emit each produced message to the default output stream.
+            # foreachBatch is the multi-sink escape hatch (A11): the
+            # epoch checkpoint after this returns IS the commit (A16).
+            rows = batch_df.select("value", "key").collect()
+            for r in rows:
+                broker.put(json.loads(r["value"]), out_stream, key=r["key"])
+
+        checkpoint = os.path.join(
+            checkpoint_root,
+            f"{self._config['receiver_group']}",
+        )
+        query = (
+            transformed.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(processingTime=self._config["trigger"])
+            .start()
+        )
+        self._queries.append(query)
+        return query
+
+    # ---- control plane (A1, A14, A19, A20) --------------------------
+
+    def rpc_notify(self, method, args=None, kwargs=None, to="broadcast") -> None:
+        """Invoke ``method`` on remote instances via a control stream
+        (reference catenae.py:362-391). ``to`` ∈ broadcast | class name
+        | uid."""
+        call = {
+            "method": method,
+            "context": {
+                "group": self._config["receiver_group"],
+                "uid": self._uid,
+            },
+            "args": list(args or ()),
+            "kwargs": dict(kwargs or {}),
+        }
+        self.send(call, f"catenae_rpc_{str(to).lower()}")
+
+    def _rpc_consume_once(self) -> int:
+        """One polling pass over all RPC topics; every instance reads
+        with its own uid as the group so all replicas see all control
+        messages (reference catenae.py:477-480). Returns #dispatched."""
+        n = 0
+        for topic in self._rpc_topics:
+            for msg in self._broker.read_new(topic, self._rpc_cursor):
+                call = msg.value
+                ctx = (call or {}).get("context") or {}
+                if ctx.get("uid") == self._uid:
+                    continue  # self-exclusion, catenae.py:490-491
+                self._dispatch_rpc(call)
+                n += 1
+        return n
+
+    def _dispatch_rpc(self, call) -> None:
+        """Dispatch one control message (reference _rpc_notify,
+        catenae.py:500-534): default missing fields, reject
+        non-registered methods, serialize under rpc_lock, never let an
+        error kill the handler."""
+        if not isinstance(call, dict) or "method" not in call:
+            logger.error("invalid RPC call: %s", call)
+            return
+        method = call["method"]
+        args = call.get("args") or []
+        kwargs = call.get("kwargs") or {}
+        context = call.get("context") or {}
+        if method not in _rpc_enabled_methods or not hasattr(self, method):
+            logger.error("method %s is not rpc-enabled", method)
+            return
+        try:
+            with self.rpc_lock:
+                getattr(self, method)(context, *args, **kwargs)
+        except Exception:  # noqa: BLE001 - handler must survive (catenae.py:531-534)
+            logger.exception("RPC dispatch of %s failed", method)
+
+    def _rpc_loop(self) -> None:
+        me = threading.current_thread()
+        while not getattr(me, "will_stop", False):
+            self._rpc_consume_once()
+            if me.wait(0.5):  # idle sleep ≙ catenae.py:497-498
+                return
+
+    # ---- lifecycle (A9, A15) -----------------------------------------
+
+    def start(
+        self,
+        startup_text: str = "",
+        setup_kwargs: dict | None = None,
+        embedded: bool = False,
+        checkpoint_root: str | None = None,
+    ):
+        """Start the node (reference catenae.py:262-314). Idempotent.
+        ``embedded=True`` returns immediately instead of blocking
+        (≙ examples/falcon_api/main.py:48)."""
+        if self._started:
+            return self
+        self._started = True
+        if startup_text:
+            logger.info(startup_text)
+        logger.info("config: %s", self._config)
+
+        self.setup(**(setup_kwargs or {}))
+
+        checkpoint_root = checkpoint_root or tempfile.mkdtemp(prefix="csspark-ckpt-")
+        self._rpc_cursor = GroupCursor(self._uid)
+
+        if hasattr(self, "generator"):
+            t = StoppableThread(target=self._generator_loop, name="generator")
+            t.start()
+            self._threads.append(t)
+        if self._config["rpc_enabled"]:
+            t = StoppableThread(target=self._rpc_loop, name="rpc")
+            t.start()
+            self._threads.append(t)
+        if hasattr(self, "transform") or hasattr(self, "transform_df"):
+            if self._spark is None:
+                from .session import get_spark
+
+                self._spark = get_spark(type(self).__name__)
+            self._start_data_plane(checkpoint_root)
+        if self._config["enable_health"]:
+            self._health = HealthServer(self._config["health_port"])
+            self._health.start()
+
+        if not embedded:
+            self._setup_signals_handler()
+            try:
+                for q in self._queries:
+                    q.awaitTermination()
+                for t in self._threads:
+                    t.join()
+            except KeyboardInterrupt:
+                self.suicide("SIGINT")
+        return self
+
+    @suicide_on_error
+    def _generator_loop(self) -> None:
+        me = threading.current_thread()
+        while not getattr(me, "will_stop", False):
+            self.generator()
+            if me.wait(0.0):
+                return
+
+    def suicide(self, message: str | None = None, exception: bool = False) -> None:
+        """Fail-fast shutdown (reference catenae.py:393-422): once-only,
+        call the user ``stop()`` hook, stop every query and thread, then
+        exit. In embedded/test mode we stop without killing the
+        process."""
+        if not self._suiciding.acquire(blocking=False):
+            return  # once-only, catenae.py:394-397
+        self._dead = True
+        logger.error("[SUICIDE] %s", message or "")
+        try:
+            self.stop()
+        except Exception:  # noqa: BLE001
+            logger.exception("user stop() hook failed")
+        for q in self._queries:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001
+                pass
+        for t in self._threads:
+            t.stop()
+        if self._health is not None:
+            self._health.shutdown()
+        if exception:
+            raise SystemExit(1)
+
+    def commit(self) -> None:
+        """Deferred-commit flush (reference catenae.py:424-427). Under
+        Spark the epoch checkpoint is the commit, so this is an explicit
+        no-op kept for API parity with progress_without_commit mode."""
+
+    def _setup_signals_handler(self) -> None:
+        """SIGINT/SIGTERM/SIGQUIT → suicide (reference catenae.py:563-573)."""
+
+        def handler(signum, frame):  # noqa: ARG001
+            self.suicide(signal.Signals(signum).name)
+
+        for sig in (signal.SIGINT, signal.SIGTERM, signal.SIGQUIT):
+            try:
+                signal.signal(sig, handler)
+            except ValueError:
+                pass  # non-main thread (embedded)
+
+
+class _ExecMessage:
+    """Message view handed to the user ``transform`` hook on executors;
+    exposes ``.value`` like the reference envelope (catenae.py:487)."""
+
+    __slots__ = ("value", "msg_id", "key", "ts_ms", "stream")
+
+    def __init__(self, payload, row):
+        self.value = payload
+        self.msg_id = row["msg_id"]
+        self.key = row["key"]
+        self.ts_ms = row["ts_ms"]
+        self.stream = row["stream"]

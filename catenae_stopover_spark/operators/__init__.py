@@ -1,0 +1,34 @@
+from .relational import asof_join, latest_n, topk_per_group
+from .dedup import (
+    exact_dedup,
+    minhash_lsh_near_dups,
+    ngram_jaccard_near_dups,
+    simhash_near_dups,
+    embedding_near_dups,
+)
+from .similarity import brute_force_topk, lsh_bucketed_topk
+from .text import (
+    detect_language,
+    quality_score,
+    token_count,
+    doc_fingerprint,
+    with_text_stats,
+)
+
+__all__ = [
+    "asof_join",
+    "latest_n",
+    "topk_per_group",
+    "exact_dedup",
+    "minhash_lsh_near_dups",
+    "ngram_jaccard_near_dups",
+    "simhash_near_dups",
+    "embedding_near_dups",
+    "brute_force_topk",
+    "lsh_bucketed_topk",
+    "detect_language",
+    "quality_score",
+    "token_count",
+    "doc_fingerprint",
+    "with_text_stats",
+]

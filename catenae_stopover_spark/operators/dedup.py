@@ -1,0 +1,318 @@
+"""Deduplication family for training-data pipelines (SURVEY B49/B50).
+
+Five strategies, all returning DataFrames (composable, lazily planned):
+
+* exact_dedup        — content hash + keep-min-id (one shuffle).
+* minhash_lsh_near_dups — shingle → minhash → band → bucket self-join.
+* simhash_near_dups  — 64-bit simhash, Hamming-ball grouping via bands.
+* ngram_jaccard_near_dups — exact Jaccard on n-gram sets, candidate
+  pairs from shared n-grams (inverted index join).
+* embedding_near_dups — cosine >= threshold on an embedding column.
+
+Scale notes: every strategy avoids the O(n²) all-pairs comparison by
+generating candidate pairs through an equi-join on a bucket key
+(bands / shared shingles / LSH buckets), which Spark executes as a
+shuffle hash join — the standard way to near-dedup billions of docs.
+The final verification step only touches candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup by content hash (B49): sha2-256 the text, keep the
+    smallest id per digest. Deterministic (unlike dropDuplicates, which
+    keeps an arbitrary row), and a single hash-aggregate — map-side
+    partial agg then one shuffle on the digest."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def _shingles(text_col: str, n: int = 5):
+    """Word n-gram shingles as an array column (lowercased,
+    whitespace-tokenized). Pure Catalyst: split + transform + slice.
+    The filter guard keeps `sequence` ascending (Spark's sequence
+    auto-reverses when start > stop, which would corrupt short docs)."""
+    w = f"split(lower(trim({text_col})), '\\\\s+')"
+    return F.expr(
+        f"""
+        transform(
+            filter(sequence(1, greatest(size({w}), 1)), i -> i <= size({w}) - {n} + 1),
+            i -> array_join(slice({w}, i, {n}), ' ')
+        )
+        """
+    )
+
+
+def minhash_lsh_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs (B50).
+
+    Plan (all JVM-side):
+      1. shingle each doc (word n-grams);
+      2. minhash signature: for 64 hash seeds, min(xxhash64(shingle, seed));
+      3. split the signature into ``bands`` bands of rows; hash each band;
+      4. self-join on (band_index, band_hash) → candidate pairs;
+      5. verify candidates with exact signature agreement ratio
+         (estimates Jaccard).
+
+    Returns pair rows: id_a < id_b, est_jaccard. Docs sharing >= 1 band
+    are candidates — standard banding: P(candidate) ≈ 1-(1-j^r)^b.
+
+    Scale: no all-pairs; candidate generation is an equi-join on band
+    hash. Band-hash hot buckets (boilerplate docs) are the classic skew
+    risk — AQE skew-join handles moderate cases; extreme cases call for
+    dropping buckets above a size cap (`max_bucket` arg could be added).
+    """
+    rows_per_band = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col), _shingles(text_col, shingle_n).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+
+    # signature[k] = min over shingles of xxhash64(shingle, seed=k)
+    sig = shingled.select(
+        id_col,
+        F.expr(
+            f"""
+            transform(
+                sequence(0, {num_hashes - 1}),
+                k -> array_min(transform(shingles, s -> xxhash64(s, k)))
+            )
+            """
+        ).alias("signature"),
+    )
+
+    bands_df = sig.select(
+        id_col,
+        "signature",
+        F.posexplode(
+            F.expr(
+                f"""
+                transform(
+                    sequence(0, {bands - 1}),
+                    b -> xxhash64(array_join(slice(signature, b * {rows_per_band} + 1, {rows_per_band}), ','))
+                )
+                """
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        (
+            F.size(F.expr("filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)"))
+            / F.lit(num_hashes)
+        ).alias("est_jaccard"),
+    )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hamming_max: int = 3,
+    num_bits: int = 64,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit simhash over word hashes, then
+    block-permuted candidate generation (pigeonhole: pairs within
+    Hamming distance d share at least one of d+1 blocks exactly),
+    verified by popcount of the XOR.
+
+    All JVM-side: xxhash64 word hashes, bit tests via shiftright/&,
+    block join, bit_count for the final Hamming check.
+    """
+    words = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    hashed = df.select(F.col(id_col), words.alias("words")).filter(
+        F.size("words") > 0
+    )
+    # simhash bit i = 1 if sum over words of (bit i of xxhash64(word) ? +1 : -1) > 0
+    sim = hashed.select(
+        id_col,
+        F.expr(
+            f"""
+            aggregate(
+                sequence(0, {num_bits - 1}),
+                cast(0 as bigint),
+                (acc, i) -> acc | (case when
+                    aggregate(words, 0,
+                        (s, w) -> s + (case when (shiftright(xxhash64(w), i) & 1) = 1 then 1 else -1 end)
+                    ) > 0 then shiftleft(cast(1 as bigint), i) else cast(0 as bigint) end)
+            )
+            """
+        ).alias("simhash"),
+    )
+    block_bits = num_bits // blocks
+    mask = (1 << block_bits) - 1
+    blocked = sim.select(
+        id_col,
+        "simhash",
+        F.posexplode(
+            F.expr(
+                f"""
+                transform(sequence(0, {blocks - 1}),
+                          b -> shiftright(simhash, b * {block_bits}) & {mask})
+                """
+            )
+        ).alias("block_idx", "block_val"),
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block_idx") == F.col("b.block_idx"))
+            & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"),
+    ).filter(F.col("hamming") <= hamming_max)
+
+
+def ngram_jaccard_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Candidate pairs come from an inverted index (explode n-grams, join
+    on n-gram); intersection size = count of shared n-grams; union via
+    |A| + |B| - inter. Exact — used as the verifier / oracle for the
+    sketch-based strategies at small scale; at 100 TB the explode-join
+    stays tractable only with a document-frequency cap on the n-grams
+    (drop grams appearing in > max_df docs), the standard trick.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.array_distinct(_shingles(text_col, n)).alias("grams"),
+    ).filter(F.size("grams") > 0)
+    sizes = grams.select(id_col, F.size("grams").alias("n_grams"))
+    inv = grams.select(id_col, F.explode("grams").alias("gram"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    lsh_bits: int = 0,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos >= threshold).
+
+    ``lsh_bits=0`` compares all pairs (verifier / small data);
+    ``lsh_bits=k`` first buckets by a k-bit random-hyperplane signature
+    (sign of projection onto deterministic pseudo-random planes built
+    from xxhash64) and only compares within buckets — the scale path.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if lsh_bits > 0:
+        # deterministic "random" hyperplanes: component j of plane p is
+        # a hash-derived value in [-1, 1); sign of the dot product is a
+        # 1-bit LSH — concatenate lsh_bits of them into a bucket key.
+        sig = F.expr(
+            f"""
+            aggregate(
+                sequence(0, {lsh_bits - 1}),
+                cast(0 as bigint),
+                (acc, p) -> acc | (case when
+                    aggregate(
+                        zip_with({vec_col},
+                                 transform(sequence(0, size({vec_col}) - 1),
+                                           j -> cast(xxhash64(p, j) % 1000 as double) / 1000.0),
+                                 (x, h) -> x * h),
+                        cast(0.0 as double), (s, v) -> s + v
+                    ) > 0 then shiftleft(cast(1 as bigint), p) else cast(0 as bigint) end)
+            )
+            """
+        )
+        base = base.withColumn("bucket", sig)
+        join_cond = (F.col("a.bucket") == F.col("b.bucket")) & (
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        )
+    else:
+        join_cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, join_cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,165 @@
+"""Multimodal (image/audio/video) column handling (SURVEY B54).
+
+Design: media payloads are opaque ``BinaryType`` columns travelling
+next to typed metadata (width/height/sample_rate/...). Decode and
+feature extraction run as Arrow-batched ``mapInPandas`` stages so the
+bytes never round-trip through Python row-at-a-time.
+
+The actual codecs (Pillow/torchaudio/ffmpeg) are NOT in this container,
+so the decode kernels are stubbed: ``decode=fake`` produces a
+deterministic fake decode (seeded by the content hash) with the real
+schema/batching/partitioning, ``decode=strict`` raises
+NotImplementedError where the codec call belongs. The Spark-side
+plumbing — schemas, batch iteration, partition sizing — is real and
+tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("meta_json", StringType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def read_binary_dir(spark, path: str, glob: str = "*") -> DataFrame:
+    """Directory of media files → (path, modificationTime, length,
+    content) via Spark's binaryFile source — the standard ingest path
+    for raw media at scale (each file one row, no Python)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
+def _fake_decode(payload: bytes, feat_dim: int) -> tuple[int, int, int, list[float]]:
+    """Deterministic fake decode seeded by the content digest — stands
+    in for the real codec so the distributed plumbing is testable."""
+    digest = hashlib.sha256(payload or b"").digest()
+    width = 16 + digest[0] % 240
+    height = 16 + digest[1] % 240
+    channels = 1 + digest[2] % 3
+    feats = [
+        ((digest[(3 + i) % 32] / 255.0) * 2.0 - 1.0) for i in range(feat_dim)
+    ]
+    return width, height, channels, feats
+
+
+def extract_image_features(
+    media: DataFrame,
+    feat_dim: int = 16,
+    decode: str = "fake",
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Decode + featurize images distributed via mapInPandas.
+
+    ``decode='fake'`` → deterministic stub (no codec libs in this
+    container); ``decode='strict'`` → NotImplementedError at the exact
+    point the Pillow/torchvision call belongs.
+
+    Scale: media rows are large (payload bytes); ``batch_partitions``
+    repartitions before the UDF so each Arrow batch fits executor
+    memory — at 100 TB this is the knob that prevents OOM, together
+    with spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+    if batch_partitions:
+        media = media.repartition(batch_partitions)
+    src = media.filter(F.col("kind") == "image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for _, row in pdf.iterrows():
+                if decode == "strict":
+                    raise NotImplementedError(
+                        "image decode requires Pillow; install and replace "
+                        "_fake_decode with PIL.Image.open(io.BytesIO(payload))"
+                    )
+                w, h, c, feats = _fake_decode(row["payload"], feat_dim)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "width": w,
+                        "height": h,
+                        "n_channels": c,
+                        "features": feats,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def sample_video_frames(
+    media: DataFrame, every_n_seconds: float = 1.0, decode: str = "fake"
+) -> DataFrame:
+    """Frame sampling for video payloads: 1 row in → N frame rows out
+    (mapInPandas as a UDTF-style expander). Stubbed decode; real
+    implementations swap in PyAV/ffmpeg."""
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("frame_ts_sec", FloatType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+    src = media.filter(F.col("kind") == "video")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for _, row in pdf.iterrows():
+                if decode == "strict":
+                    raise NotImplementedError("video decode requires PyAV/ffmpeg")
+                digest = hashlib.sha256(row["payload"] or b"").digest()
+                n_frames = 1 + digest[0] % 8
+                for i in range(n_frames):
+                    out.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": i,
+                            "frame_ts_sec": float(i * every_n_seconds),
+                            "frame": bytes(digest[:16]) + bytes([i]),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=schema)

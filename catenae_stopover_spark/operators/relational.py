@@ -1,0 +1,87 @@
+"""Relational operator compositions Spark lacks as single calls
+(SURVEY B15, B22/B26, A27's latest-N ring).
+
+Everything here is a pure DataFrame composition — Catalyst plans it, so
+pushdown/AQE/broadcast decisions still apply. No UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_by: list[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group (B22+B26): row_number over a per-group
+    window, filtered to <= k.
+
+    Scale: a rank-within-partition is a single shuffle on group_cols;
+    skewed groups are handled by AQE. For global top-k use orderBy +
+    limit instead (Spark does a distributed TakeOrdered).
+    """
+    w = Window.partitionBy(*group_cols).orderBy(*order_by)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def latest_n(df: DataFrame, key_cols: list[str], ts_col: str, n: int) -> DataFrame:
+    """Keep the newest N rows per key — the declarative form of the
+    reference's circular buffer ("drop oldest when full",
+    reference src/catenae/queue.py:34-36; SURVEY A27)."""
+    return topk_per_group(df, key_cols, [F.col(ts_col).desc()], n).drop("rn")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+    tolerance: str | None = None,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """As-of join (B15): for each left row, the single latest right row
+    with ``right_ts <= left_ts`` per key. Spark has no built-in as-of
+    join in SQL, so this is a range join + per-left-row row_number()=1.
+
+    ``tolerance`` (e.g. "INTERVAL 1 DAY") bounds how stale the match may
+    be — essential at scale: an unbounded inequality join degenerates to
+    a per-key cross product; the tolerance keeps the join selective and
+    lets the range-join machinery prune. ``tie_break`` breaks right-side
+    ts ties deterministically.
+
+    Left rows with no match are kept (left outer semantics).
+    """
+    lcols = [F.col(f"l.{c}") for c in left.columns]
+    rsel = right_cols or [c for c in right.columns if c not in on]
+    cond = F.col(f"l.{on[0]}") == F.col(f"r.{on[0]}")
+    for c in on[1:]:
+        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
+    cond = cond & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    if tolerance:
+        cond = cond & (
+            F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(tolerance)
+        )
+    joined = left.alias("l").join(right.alias("r"), cond, "left")
+
+    order = [F.col(f"r.{right_ts}").desc()]
+    if tie_break:
+        order.append(F.col(f"r.{tie_break}").desc())
+    w = Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns]).orderBy(*order)
+    # NOTE: partitioning by all left columns assumes left rows are
+    # distinct; callers with duplicate left rows should add a uid first.
+    out = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(*lcols, *[F.col(f"r.{c}").alias(c) for c in rsel])
+    )
+    return out

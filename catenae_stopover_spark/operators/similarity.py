@@ -1,0 +1,143 @@
+"""Approximate-nearest-neighbor search over embedding columns
+(SURVEY B51).
+
+* brute_force_topk — exact cosine top-k for a query vector. The dot
+  product is pure Catalyst (zip_with/aggregate HOFs), the top-k is a
+  distributed TakeOrdered (orderBy + limit) — no shuffle of the full
+  scores, each partition keeps its local k.
+* ivf_topk — IVF-style two-stage search: assign every vector to its
+  nearest of C centroids once (offline), then probe only the closest
+  n_probe centroid partitions at query time. The scale path: touches
+  ~n_probe/C of the data per query.
+* lsh_bucketed_topk — random-hyperplane LSH bucketing; query probes its
+  own bucket only (recall traded for a full-scan-free lookup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine_similarity
+
+
+def _as_vec_lit(vec) -> "F.Column":
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact cosine top-k. ``round_digits`` makes the ordering
+    reproducible across engines for oracle comparison."""
+    sim = cosine_similarity(F.col(vec_col), _as_vec_lit(query_vec))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        df.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    num_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    max_iter: int = 5,
+) -> tuple[DataFrame, list]:
+    """Offline IVF build: k-means centroids (MLlib) + an assignment
+    column. Returns (assigned_df, centroids). At scale the assigned
+    table is written out partitioned by ``centroid_id`` so a query
+    reads only the probed partitions (partition pruning)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+
+    ml_df = df.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    km = KMeans(k=num_centroids, seed=seed, maxIter=max_iter)
+    model = km.fit(ml_df)
+    assigned = model.transform(ml_df).select(
+        F.col(id_col), F.col(vec_col), F.col("prediction").alias("centroid_id")
+    )
+    centroids = [c.toArray().tolist() for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query an IVF index: rank centroids by cosine to the query on the
+    driver (C is small), scan only the n_probe nearest partitions."""
+    import math
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    ranked = sorted(
+        range(len(centroids)), key=lambda i: -cos(centroids[i], query_vec)
+    )[:n_probe]
+    probed = assigned.filter(F.col("centroid_id").isin(ranked))
+    return brute_force_topk(probed, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def hyperplane_signature(vec_col: str, bits: int) -> "F.Column":
+    """Deterministic random-hyperplane LSH signature (bigint). Plane p,
+    component j gets a hash-derived weight in [-0.5, 0.5); bit p is the
+    sign of the projection. Pure Catalyst."""
+    return F.expr(
+        f"""
+        aggregate(
+            sequence(0, {bits - 1}),
+            cast(0 as bigint),
+            (acc, p) -> acc | (case when
+                aggregate(
+                    zip_with({vec_col},
+                             transform(sequence(0, size({vec_col}) - 1),
+                                       j -> (cast(pmod(xxhash64(p, j), 1000) as double) - 500.0) / 1000.0),
+                             (x, h) -> x * h),
+                    cast(0.0 as double), (s, v) -> s + v
+                ) > 0 then shiftleft(cast(1 as bigint), p) else cast(0 as bigint) end)
+        )
+        """
+    )
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: only the query's LSH bucket is scanned. At
+    scale the table is written bucketed/partitioned by the signature so
+    the probe is a partition-pruned read, not a full scan + filter."""
+    bucketed = df.withColumn("__sig", hyperplane_signature(vec_col, bits))
+    qdf = df.sparkSession.createDataFrame([(list(map(float, query_vec)),)], f"{vec_col}: array<double>")
+    qsig = qdf.select(hyperplane_signature(vec_col, bits).alias("s")).head()[0]
+    return brute_force_topk(
+        bucketed.filter(F.col("__sig") == F.lit(qsig)),
+        query_vec,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+    )

@@ -1,0 +1,135 @@
+"""Text-analysis operators for training-data pipelines
+(SURVEY B52/B53): language ID, quality scoring, token counting,
+document fingerprinting. All pure Catalyst expressions (regex + HOFs),
+no Python in the hot path — these run over every document in a corpus,
+so they must stay inside WholeStageCodegen.
+
+Patterns are applied to lower(text) with lowercase markers so the same
+expressions are reproducible in ANSI-SQL oracles (no engine-specific
+case-insensitivity flags).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny stopword profiles for a stopword-ratio language heuristic.
+# Deliberately small and deterministic — language ID at corpus scale is
+# a cheap scoring pass, not a model inference. Latin scripts use word
+# boundaries; CJK markers match bare (\b is not portable across regex
+# engines for CJK).
+LANG_MARKERS = {
+    "en": r"\b(the|and|of|to|is)\b",
+    "de": r"\b(der|die|und|nicht|das)\b",
+    "es": r"\b(el|la|que|los|una)\b",
+    "fr": r"\b(le|la|les|est|une)\b",
+    "zh": r"(的|是|不|了|在)",
+}
+
+
+def _marker_hits(text_col: str, pattern: str) -> Column:
+    """Count of marker matches on the lowercased text."""
+    return F.regexp_count(F.lower(F.col(text_col)), F.lit(pattern))
+
+
+def detect_language(text_col: str = "text") -> Column:
+    """Best-scoring language by stopword hits; 'und' (undetermined)
+    when nothing matches. Ties break to the lexicographically larger
+    language code (struct max over (hits, lang)) — deterministic."""
+    scores = F.array(
+        *[
+            F.struct(
+                _marker_hits(text_col, pat).cast("long").alias("hits"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, pat in LANG_MARKERS.items()
+        ]
+    )
+    best = F.array_max(scores)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def token_count(text_col: str = "text", mode: str = "whitespace") -> Column:
+    """Token count: ``whitespace`` splits on runs of whitespace;
+    ``bpe_ish`` counts word-piece-like units (letter runs, digit runs,
+    single punctuation) — a deterministic proxy for BPE token counts."""
+    if mode == "whitespace":
+        return F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        )
+    if mode == "bpe_ish":
+        return F.regexp_count(
+            F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+        )
+    raise ValueError(f"unknown mode: {mode}")
+
+
+def quality_score(text_col: str = "text") -> Column:
+    """Heuristic quality score in [0, 1]: mean word length sanity,
+    alphabetic ratio, stopword presence. The standard cheap pre-filter
+    before expensive pipeline stages."""
+    n_chars = F.length(F.col(text_col))
+    n_words = token_count(text_col)
+    mean_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.regexp_count(F.lower(F.col(text_col)), F.lit("[a-z]")) / n_chars,
+    ).otherwise(F.lit(0.0))
+    has_stopword = (_marker_hits(text_col, LANG_MARKERS["en"]) > 0).cast("double")
+    word_len_ok = ((mean_word_len >= 3) & (mean_word_len <= 12)).cast("double")
+    return F.round(0.35 * alpha_ratio + 0.25 * has_stopword + 0.4 * word_len_ok, 6)
+
+
+def doc_fingerprint(text_col: str = "text", window: int = 8) -> Column:
+    """Winnowing-style fingerprint: the minimum xxhash64 over all
+    ``window``-word shingles (falling back to the whole-text hash for
+    short docs) — one stable 64-bit id per document, robust to small
+    edits at the margins."""
+    w = f"split(lower(trim({text_col})), '\\\\s+')"
+    return F.expr(
+        f"""
+        coalesce(
+            array_min(
+                transform(
+                    filter(sequence(1, greatest(size({w}), 1)),
+                           i -> i <= size({w}) - {window} + 1),
+                    i -> xxhash64(array_join(slice({w}, i, {window}), ' '))
+                )
+            ),
+            xxhash64(lower(trim({text_col})))
+        )
+        """
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the standard per-document stat columns in one projection
+    (single pass, no shuffle)."""
+    return df.withColumns(
+        {
+            "n_chars_computed": F.length(F.col(text_col)),
+            "n_tokens": token_count(text_col),
+            "n_tokens_bpe": token_count(text_col, "bpe_ish"),
+            "detected_lang": detect_language(text_col),
+            "quality": quality_score(text_col),
+            "fingerprint": doc_fingerprint(text_col),
+        }
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_chars: int = 50,
+    min_tokens: int = 10,
+    min_quality: float = 0.3,
+) -> DataFrame:
+    """Corpus-scale map-or-drop (≙ reference transform semantics at
+    scale, SURVEY A38 → B53): keep documents passing the cheap
+    heuristics. Pure filter — length predicates push down to the scan."""
+    return df.filter(
+        (F.length(F.col(text_col)) >= min_chars)
+        & (token_count(text_col) >= min_tokens)
+        & (quality_score(text_col) >= min_quality)
+    )

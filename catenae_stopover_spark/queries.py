@@ -1,0 +1,1216 @@
+"""Declared query surface (SURVEY.md §2 Part B) with DuckDB oracles.
+
+Each entry in ``QUERIES`` is ``name -> (spark_fn, oracle_sql | None)``:
+``spark_fn(spark, sf_dir) -> DataFrame`` built with this package's
+operators, and the ANSI-SQL equivalent DuckDB runs on the same parquet
+(None ⇒ not SQL-expressible in DuckDB, e.g. xxhash64/blake2b-based or
+approximate ops — driver records a rows-only check).
+
+Determinism rules shared by both sides:
+* every computed column aliased identically;
+* float aggregates rounded (round(x, 4..6)) AFTER aggregation;
+* regex applied to lower(text) with lowercase patterns (portable
+  across Java-regex and RE2);
+* ties broken by an explicit id column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .io.sources import load_table, load_tables
+from .operators.relational import asof_join, latest_n, topk_per_group
+from .operators.dedup import (
+    exact_dedup,
+    minhash_lsh_near_dups,
+    ngram_jaccard_near_dups,
+    simhash_near_dups,
+    embedding_near_dups,
+)
+from .operators.similarity import brute_force_topk, lsh_bucketed_topk
+from .operators.text import (
+    LANG_MARKERS,
+    detect_language,
+    doc_fingerprint,
+    quality_score,
+    token_count,
+    with_text_stats,
+)
+from .functions.hashes import blake2b_256_col, sha3_512_col
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------
+# B5/B6/B17/B25 — pricing summary (TPC-H Q1 analogue)
+# --------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                4,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --------------------------------------------------------------------
+# B10/B13/B17 — 5-way FK join with broadcast dims
+# --------------------------------------------------------------------
+
+def q02_revenue_by_nation(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+Q02_SQL = """
+SELECT n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC
+"""
+
+
+# --------------------------------------------------------------------
+# B22/B26 — top-k per group
+# --------------------------------------------------------------------
+
+def q03_top3_orders_per_priority(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return topk_per_group(
+        o,
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+
+
+Q03_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice, rn
+FROM (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+# --------------------------------------------------------------------
+# B19 — rollup / cube / grouping sets
+# --------------------------------------------------------------------
+
+def q04_rollup_qty(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+Q04_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q05_cube_count(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+Q05_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 4) AS total
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q06_grouping_sets(spark, sf_dir):
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n, ROUND(AVG(l_discount), 6) AS avg_disc
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+Q06_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n, ROUND(AVG(l_discount), 6) AS avg_disc
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+# --------------------------------------------------------------------
+# B17/B18 — distinct aggregates, stddev/variance
+# --------------------------------------------------------------------
+
+def q07_distinct_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.round(F.stddev("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+    )
+
+
+Q07_SQL = """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       ROUND(STDDEV_SAMP(l_extendedprice), 4) AS sd_price,
+       ROUND(VAR_SAMP(l_quantity), 4) AS var_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------
+# B11 — outer join (customers with zero orders kept)
+# --------------------------------------------------------------------
+
+def q08_orders_per_customer_hist(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+Q08_SQL = """
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+GROUP BY n_orders
+"""
+
+
+# --------------------------------------------------------------------
+# B12 — semi / anti joins
+# --------------------------------------------------------------------
+
+def q09_semi_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count("*").alias("with_orders")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count("*").alias("without_orders")
+    )
+    return semi.crossJoin(anti)
+
+
+Q09_SQL = """
+SELECT
+  (SELECT COUNT(*) FROM customer c WHERE EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS with_orders,
+  (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+     (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)) AS without_orders
+"""
+
+
+# --------------------------------------------------------------------
+# B14 — theta (inequality) join
+# --------------------------------------------------------------------
+
+def q10_theta_acctbal(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(
+            c,
+            (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+Q10_SQL = """
+SELECT n_name, COUNT(*) AS n_pairs
+FROM supplier JOIN customer
+  ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------
+# B16 — cross join
+# --------------------------------------------------------------------
+
+def q11_cross_region_nation(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+Q11_SQL = "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+
+# --------------------------------------------------------------------
+# B15 — as-of join (latest click before each purchase, per user)
+# --------------------------------------------------------------------
+
+def q12_asof_purchase_click(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("value").alias("click_value"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="cts",
+        right_cols=["click_id", "click_value"],
+        tie_break="click_id",
+    ).select("event_id", "user_id", "click_id", "click_value")
+
+
+Q12_SQL = """
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT event_id AS click_id, user_id, ts AS cts, value AS click_value
+           FROM events WHERE event_type = 'click'),
+     j AS (SELECT p.event_id, p.user_id, c.click_id, c.click_value,
+                  ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                     ORDER BY c.cts DESC, c.click_id DESC) AS rn
+           FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.cts <= p.ts)
+SELECT event_id, user_id, click_id, click_value FROM j WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------
+# A27 analogue — latest-N ring buffer, declaratively
+# --------------------------------------------------------------------
+
+def q13_latest2_events_per_user(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "event_id", "event_type", "rn")
+    )
+
+
+Q13_SQL = """
+SELECT user_id, event_id, event_type, rn
+FROM (
+    SELECT user_id, event_id, event_type,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE user_id < 30
+)
+WHERE rn <= 2
+"""
+
+
+# --------------------------------------------------------------------
+# B20 — collect_set (as a sorted joined string, engine-portable)
+# --------------------------------------------------------------------
+
+def q14_segments_per_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("c_mktsegment")), ",").alias(
+                "segments"
+            ),
+            F.count("*").alias("n_customers"),
+        )
+    )
+
+
+Q14_SQL = """
+SELECT n_name,
+       STRING_AGG(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments,
+       COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------
+# B21 — pivot
+# --------------------------------------------------------------------
+
+def q15_pivot_status(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return (
+        joined.groupBy("n_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "n_name",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+Q15_SQL = """
+SELECT n_name,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# --------------------------------------------------------------------
+# B24 — window frames: running total
+# --------------------------------------------------------------------
+
+def q16_running_total(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+    )
+
+
+Q16_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+FROM orders WHERE o_custkey < 300
+"""
+
+
+# --------------------------------------------------------------------
+# B23 — lag / lead
+# --------------------------------------------------------------------
+
+def q17_lag_delta(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(
+            F.col("value") - F.lag("value").over(w), 4
+        ).alias("delta_prev"),
+        F.round(
+            F.lead("value").over(w) - F.col("value"), 4
+        ).alias("delta_next"),
+    )
+
+
+Q17_SQL = """
+SELECT user_id, event_id,
+       ROUND(value - LAG(value) OVER w, 4) AS delta_prev,
+       ROUND(LEAD(value) OVER w - value, 4) AS delta_next
+FROM events WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --------------------------------------------------------------------
+# B24 — moving average frame
+# --------------------------------------------------------------------
+
+def q18_moving_avg(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("mavg3"),
+    )
+
+
+Q18_SQL = """
+SELECT user_id, event_id,
+       ROUND(AVG(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3
+FROM events WHERE user_id < 20
+"""
+
+
+# --------------------------------------------------------------------
+# B28 — set operations
+# --------------------------------------------------------------------
+
+def q19_setops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    asia_n = (
+        _t(spark, sf_dir, "nation")
+        .join(
+            _t(spark, sf_dir, "region"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(F.col("r_name") == "ASIA")
+        .select("n_nationkey")
+    )
+    asia_segs = (
+        c.join(asia_n, c.c_nationkey == asia_n.n_nationkey)
+        .select("c_mktsegment")
+    )
+    all_segs = c.select("c_mktsegment")
+    inter = asia_segs.intersect(all_segs).withColumn("op", F.lit("intersect"))
+    diff = all_segs.exceptAll(asia_segs).dropDuplicates().withColumn(
+        "op", F.lit("except_seen")
+    )
+    return inter.unionByName(diff).groupBy("op").agg(
+        F.count("*").alias("n_segments")
+    )
+
+
+Q19_SQL = """
+WITH asia AS (
+  SELECT c_mktsegment FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+),
+inter AS (
+  SELECT c_mktsegment FROM customer INTERSECT SELECT c_mktsegment FROM asia
+),
+diff AS (
+  SELECT DISTINCT c_mktsegment FROM
+  (SELECT c_mktsegment FROM customer EXCEPT ALL SELECT c_mktsegment FROM asia)
+)
+SELECT 'intersect' AS op, COUNT(*) AS n_segments FROM inter
+UNION ALL
+SELECT 'except_seen' AS op, COUNT(*) AS n_segments FROM diff
+"""
+
+
+# --------------------------------------------------------------------
+# B29 — string functions
+# --------------------------------------------------------------------
+
+def q20_string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_head"),
+        F.length("p_name").alias("name_len"),
+        F.regexp_extract(F.col("p_type"), r"^(\w+)", 1).alias("type_first"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace(F.col("p_name"), r"\s+", "_").alias("name_snake"),
+        (F.col("p_name").like("%a%")).cast("int").alias("has_a"),
+    )
+
+
+Q20_SQL = r"""
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       SUBSTRING(p_name, 1, 5) AS name_head,
+       LENGTH(p_name) AS name_len,
+       REGEXP_EXTRACT(p_type, '^(\w+)', 1) AS type_first,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       REGEXP_REPLACE(p_name, '\s+', '_', 'g') AS name_snake,
+       CAST(p_name LIKE '%a%' AS INT) AS has_a
+FROM part WHERE p_partkey < 200
+"""
+
+
+# --------------------------------------------------------------------
+# B30 — date/time functions
+# --------------------------------------------------------------------
+
+def q21_date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(
+            F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_2002"),
+        F.unix_millis(F.col("o_orderdate").cast("timestamp")).alias("epoch_ms"),
+    )
+
+
+Q21_SQL = """
+SELECT o_orderkey,
+       YEAR(o_orderdate) AS y,
+       MONTH(o_orderdate) AS m,
+       DAYOFMONTH(o_orderdate) AS d,
+       DATE_TRUNC('month', o_orderdate) AS month_start,
+       DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       EPOCH_MS(o_orderdate) AS epoch_ms
+FROM orders WHERE o_orderkey < 500
+"""
+
+
+# --------------------------------------------------------------------
+# B31 — math functions
+# --------------------------------------------------------------------
+
+def q22_math_funcs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("ln_price"),
+        F.pmod(F.col("l_orderkey") * 7 - 3, F.lit(5)).alias("pm5"),
+    )
+
+
+Q22_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice, 1) AS price_r1,
+       ABS(l_discount - 0.05) AS disc_dev,
+       CEIL(l_quantity) AS qty_ceil,
+       FLOOR(l_quantity) AS qty_floor,
+       ROUND(POW(l_tax + 1, 2), 6) AS tax_sq,
+       ROUND(LN(l_extendedprice + 1), 6) AS ln_price,
+       ((l_orderkey * 7 - 3) % 5 + 5) % 5 AS pm5
+FROM lineitem WHERE l_orderkey < 100
+"""
+
+
+# --------------------------------------------------------------------
+# B32 — array higher-order functions on embeddings
+# --------------------------------------------------------------------
+
+def q23_array_funcs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1), 6).alias("first_val"),
+        F.round(
+            F.aggregate(
+                F.slice("embedding", 1, 8),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("head8_sum"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x), 4
+        ).alias("sq_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+    )
+
+
+Q23_SQL = """
+SELECT vec_id,
+       LEN(embedding) AS dim,
+       ROUND(embedding[1], 6) AS first_val,
+       ROUND(LIST_AGGREGATE(
+           LIST_TRANSFORM(embedding[1:8], x -> CAST(x AS DOUBLE)), 'sum'), 4) AS head8_sum,
+       ROUND(LIST_AGGREGATE(
+           LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS sq_norm,
+       LEN(LIST_FILTER(embedding, x -> x > 0)) AS n_pos
+FROM embeddings WHERE vec_id < 100
+"""
+
+
+# --------------------------------------------------------------------
+# B4/B34 — JSON extraction
+# --------------------------------------------------------------------
+
+def q24_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+Q24_SQL = """
+SELECT CAST(JSON_EXTRACT_STRING(props, '$.k') AS INT) AS k, COUNT(*) AS n
+FROM events GROUP BY k
+"""
+
+
+# --------------------------------------------------------------------
+# B8 — explode / flatten
+# --------------------------------------------------------------------
+
+def q25_explode_words(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+Q25_SQL = r"""
+SELECT word, COUNT(*) AS n
+FROM (
+    SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+')) AS word
+    FROM documents
+)
+GROUP BY word ORDER BY n DESC, word LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------
+# B27 — union fan-in (≙ reference multi-input round-robin)
+# --------------------------------------------------------------------
+
+def q26_union_types(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("event_id", "event_type")
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "event_type"
+    )
+    c = ev.filter(F.col("event_type") == "error").select("event_id", "event_type")
+    return (
+        a.unionByName(b)
+        .unionByName(c)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+Q26_SQL = """
+SELECT event_type, COUNT(*) AS n FROM (
+    SELECT event_id, event_type FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, event_type FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, event_type FROM events WHERE event_type = 'error'
+)
+GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------
+# B49 — exact dedup by content hash
+# --------------------------------------------------------------------
+
+def q27_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id")
+
+
+Q27_SQL = """
+SELECT SHA256(text) AS content_hash,
+       MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY SHA256(text)
+"""
+
+
+# --------------------------------------------------------------------
+# B50-adjacent — exact n-gram Jaccard near-dup pairs (the verifier for
+# the sketch strategies; itself oracle-checkable)
+# --------------------------------------------------------------------
+
+def q28_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_near_dups(d, "text", "doc_id", n=3, threshold=0.08).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+Q28_SQL = r"""
+WITH words AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                           i -> i <= LEN(w) - 3 + 1),
+               i -> ARRAY_TO_STRING(w[i:i+2], ' '))) AS g
+    FROM words
+), sizes AS (
+    SELECT doc_id, LEN(g) AS n FROM grams WHERE LEN(g) > 0
+), inv AS (
+    SELECT doc_id, UNNEST(g) AS gram FROM grams WHERE LEN(g) > 0
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b,
+       ROUND(inter / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE inter / (sa.n + sb.n - inter) >= 0.08
+"""
+
+
+# --------------------------------------------------------------------
+# B51 — cosine top-k similarity search (brute force, exact)
+# --------------------------------------------------------------------
+
+def q29_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = (
+        e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    )
+    return brute_force_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=10, round_digits=6
+    )
+
+
+Q29_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(LIST_COSINE_SIMILARITY(embedding::DOUBLE[], qv), 6) AS cosine
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------
+# B51/B54 — embedding near-dup pairs above a cosine threshold
+# --------------------------------------------------------------------
+
+def q30_embedding_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(e, "embedding", "vec_id", threshold=0.4).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+Q30_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+"""
+
+
+# --------------------------------------------------------------------
+# B52 — text stats (chars / tokens / bpe-ish tokens)
+# --------------------------------------------------------------------
+
+def q31_text_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_computed"),
+        token_count("text").alias("n_tokens"),
+        token_count("text", "bpe_ish").alias("n_tokens_bpe"),
+    )
+
+
+Q31_SQL = r"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars_computed,
+       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_tokens,
+       LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens_bpe
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------
+# B52 — language detection (stopword heuristic)
+# --------------------------------------------------------------------
+
+def q32_lang_detect(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(detect_language("text").alias("detected_lang"))
+        .groupBy("detected_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+def _lang_score_sql() -> str:
+    structs = ", ".join(
+        "{'hits': CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '%s')) AS BIGINT), 'lang': '%s'}"
+        % (pat.replace("'", "''"), lang)
+        for lang, pat in LANG_MARKERS.items()
+    )
+    return f"(LIST_SORT([{structs}]))[-1]"
+
+
+Q32_SQL = f"""
+SELECT detected_lang, COUNT(*) AS n_docs FROM (
+    SELECT CASE WHEN best.hits > 0 THEN best.lang ELSE 'und' END AS detected_lang
+    FROM (SELECT {_lang_score_sql()} AS best FROM documents)
+)
+GROUP BY detected_lang
+"""
+
+
+# --------------------------------------------------------------------
+# B53 — quality filter (corpus-scale map-or-drop)
+# --------------------------------------------------------------------
+
+def q33_quality_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", quality_score("text").alias("quality")
+    ).filter((F.length("text") >= 100) & (token_count("text") >= 20))
+
+
+Q33_SQL = r"""
+WITH stats AS (
+    SELECT doc_id, text,
+           LENGTH(text) AS n_chars,
+           CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_words,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]')) AS n_alpha,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|and|of|to|is)\b')) AS stop_hits
+    FROM documents
+)
+SELECT doc_id,
+       ROUND(
+         0.35 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+       + 0.25 * (CASE WHEN stop_hits > 0 THEN 1.0 ELSE 0.0 END)
+       + 0.4 * (CASE WHEN n_words > 0
+                      AND n_chars / n_words >= 3
+                      AND n_chars / n_words <= 12 THEN 1.0 ELSE 0.0 END), 6) AS quality
+FROM stats
+WHERE n_chars >= 100 AND n_words >= 20
+"""
+
+
+# --------------------------------------------------------------------
+# B36 analogue in batch — tumbling hourly aggregate over events
+# --------------------------------------------------------------------
+
+def q34_tumbling_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("hour_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+Q34_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------
+# B38 analogue in batch — sessionization (30-min gap) via windows
+# --------------------------------------------------------------------
+
+def q35_sessionize(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = 30 * 60 * 1000
+    sessions = (
+        ev.withColumn("prev_ms", F.lag(F.unix_millis("ts")).over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ms").isNull()
+                | ((F.unix_millis("ts") - F.col("prev_ms")) > gap_ms)
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.max("n_events").alias("max_session_events"),
+        )
+    )
+
+
+Q35_SQL = """
+WITH marked AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN LAG(EPOCH_MS(ts)) OVER w IS NULL
+                  OR EPOCH_MS(ts) - LAG(EPOCH_MS(ts)) OVER w > 1800000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM marked
+), per_session AS (
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------
+# B17/B18 — exact percentiles
+# --------------------------------------------------------------------
+
+def q36_median_quantity(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+Q36_SQL = """
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_quantity, 0.5), 6) AS median_qty,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 4) AS p90_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------
+# Rows-only queries (no DuckDB-expressible oracle): sketch-based
+# dedup, xxhash64 fingerprints, blake2b/sha3 parity, approximate ops.
+# --------------------------------------------------------------------
+
+def q37_minhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_near_dups(d, "text", "doc_id", num_hashes=64, bands=16)
+
+
+def q38_simhash_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dups(d, "text", "doc_id", hamming_max=8)
+
+
+def q39_fingerprints(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+def q40_approx_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.round(F.expr("percentile_approx(l_extendedprice, 0.5)"), 4).alias(
+            "approx_median_price"
+        ),
+    )
+
+
+def q41_crypto_hashes(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        blake2b_256_col(F.col("text")).alias("b2b256"),
+        sha3_512_col(F.col("text")).alias("sha3"),
+        F.sha2(F.col("text"), 256).alias("sha256"),
+        F.xxhash64(F.col("text")).alias("xx64"),
+    )
+
+
+def q42_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return lsh_bucketed_topk(e.filter(F.col("vec_id") != 0), qvec, k=10, bits=4)
+
+
+def q43_text_stats_full(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return with_text_stats(d).select(
+        "doc_id", "n_tokens", "detected_lang", "quality", "fingerprint"
+    )
+
+
+# --------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q02_revenue_by_nation": (q02_revenue_by_nation, Q02_SQL),
+    "q03_top3_orders_per_priority": (q03_top3_orders_per_priority, Q03_SQL),
+    "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),
+    "q05_cube_count": (q05_cube_count, Q05_SQL),
+    "q06_grouping_sets": (q06_grouping_sets, Q06_SQL),
+    "q07_distinct_stats": (q07_distinct_stats, Q07_SQL),
+    "q08_orders_per_customer_hist": (q08_orders_per_customer_hist, Q08_SQL),
+    "q09_semi_anti": (q09_semi_anti, Q09_SQL),
+    "q10_theta_acctbal": (q10_theta_acctbal, Q10_SQL),
+    "q11_cross_region_nation": (q11_cross_region_nation, Q11_SQL),
+    "q12_asof_purchase_click": (q12_asof_purchase_click, Q12_SQL),
+    "q13_latest2_events_per_user": (q13_latest2_events_per_user, Q13_SQL),
+    "q14_segments_per_nation": (q14_segments_per_nation, Q14_SQL),
+    "q15_pivot_status": (q15_pivot_status, Q15_SQL),
+    "q16_running_total": (q16_running_total, Q16_SQL),
+    "q17_lag_delta": (q17_lag_delta, Q17_SQL),
+    "q18_moving_avg": (q18_moving_avg, Q18_SQL),
+    "q19_setops": (q19_setops, Q19_SQL),
+    "q20_string_funcs": (q20_string_funcs, Q20_SQL),
+    "q21_date_funcs": (q21_date_funcs, Q21_SQL),
+    "q22_math_funcs": (q22_math_funcs, Q22_SQL),
+    "q23_array_funcs": (q23_array_funcs, Q23_SQL),
+    "q24_json_extract": (q24_json_extract, Q24_SQL),
+    "q25_explode_words": (q25_explode_words, Q25_SQL),
+    "q26_union_types": (q26_union_types, Q26_SQL),
+    "q27_exact_dedup": (q27_exact_dedup, Q27_SQL),
+    "q28_ngram_jaccard": (q28_ngram_jaccard, Q28_SQL),
+    "q29_cosine_topk": (q29_cosine_topk, Q29_SQL),
+    "q30_embedding_pairs": (q30_embedding_pairs, Q30_SQL),
+    "q31_text_stats": (q31_text_stats, Q31_SQL),
+    "q32_lang_detect": (q32_lang_detect, Q32_SQL),
+    "q33_quality_filter": (q33_quality_filter, Q33_SQL),
+    "q34_tumbling_hourly": (q34_tumbling_hourly, Q34_SQL),
+    "q35_sessionize": (q35_sessionize, Q35_SQL),
+    "q36_median_quantity": (q36_median_quantity, Q36_SQL),
+    # rows-only (not SQL-expressible in DuckDB: xxhash64 sketches,
+    # blake2b/sha3, approximate algorithms, LSH probing)
+    "q37_minhash_pairs": (q37_minhash_pairs, None),
+    "q38_simhash_pairs": (q38_simhash_pairs, None),
+    "q39_fingerprints": (q39_fingerprints, None),
+    "q40_approx_distinct": (q40_approx_distinct, None),
+    "q41_crypto_hashes": (q41_crypto_hashes, None),
+    "q42_lsh_topk": (q42_lsh_topk, None),
+    "q43_text_stats_full": (q43_text_stats_full, None),
+}
+
+
+def spark_queries():
+    return {name: fn for name, (fn, _sql) in QUERIES.items()}
+
+
+def oracle_queries():
+    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}

@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+One place to own the knobs that matter at the 100 TB design point:
+AQE (runtime re-planning, skew-join splitting, partition coalescing),
+broadcast-join threshold, Arrow for the pandas-UDF paths, and a UTC
+session timezone so timestamp semantics are stable across engines.
+
+Locally we run ``local[$SPARK_GRAFT_CPUS]``; on a real cluster the same
+builder is used with master/resources supplied by spark-submit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for the local[32] harness; on a 1000-executor cluster
+# shuffle.partitions should be ~2-3x total cores (or left to AQE's
+# coalescing with a high initial value) — exposed via env/kwargs.
+_DEFAULTS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    ),
+}
+
+
+def get_spark(
+    app_name: str = "catenae-stopover-spark",
+    master: str | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32) so tests and
+    bench share one code path; pass an explicit master or rely on
+    spark-submit on a cluster.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name).master(
+        master or f"local[{cpus}]"
+    )
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

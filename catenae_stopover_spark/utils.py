@@ -1,0 +1,64 @@
+"""Driver-side utility functions.
+
+Parity surface with reference src/catenae/utils.py:11-61 (SURVEY
+A29-A34): epoch timestamps, ordered-JSON round-trip, BLAKE2b / SHA3-512
+digests, and the 12-hex-char uid. All implemented from scratch on the
+stdlib; byte-exact behavior is pinned by tests/test_utils_hashes.py.
+
+Distributed (column-level) versions of the hash functions live in
+``catenae_stopover_spark.functions.hashes`` as pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import time
+import uuid
+from collections import OrderedDict
+
+
+def get_timestamp() -> int:
+    """Unix epoch seconds (reference utils.py:11-12)."""
+    return int(time.time())
+
+
+def get_timestamp_ms() -> int:
+    """Unix epoch milliseconds (reference utils.py:15-16)."""
+    return int(round(time.time() * 1000))
+
+
+def dump_dict_pretty(dict_object: dict) -> str:
+    """Pretty JSON (4-space indent, non-ascii preserved; utils.py:19-25)."""
+    return json.dumps(dict_object, indent=4, ensure_ascii=False)
+
+
+def dump_dict(dict_object: dict) -> str:
+    """Compact JSON with ``(',', ':')`` separators (utils.py:28-32)."""
+    return json.dumps(dict_object, separators=(",", ":"), ensure_ascii=False)
+
+
+def load_dict(json_string: str) -> OrderedDict:
+    """JSON decode preserving key order (utils.py:35-39)."""
+    return json.loads(json_string, object_pairs_hook=OrderedDict)
+
+
+def blake2b_256(text: str) -> str:
+    """Hex BLAKE2b digest, 32-byte (utils.py:42-47)."""
+    return hashlib.blake2b(text.encode("utf-8"), digest_size=32).hexdigest()
+
+
+def blake2b_512(text: str) -> str:
+    """Hex BLAKE2b digest, 64-byte (utils.py:50-53)."""
+    return hashlib.blake2b(text.encode("utf-8"), digest_size=64).hexdigest()
+
+
+def sha3_512(text: str) -> str:
+    """Hex SHA3-512 digest (utils.py:56-57)."""
+    return hashlib.sha3_512(text.encode("utf-8")).hexdigest()
+
+
+def get_uid() -> str:
+    """Random 12-hex-char id: blake2b_256 of a uuid4, truncated
+    (utils.py:60-61)."""
+    return blake2b_256(str(uuid.uuid4()))[:12]

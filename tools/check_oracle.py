@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate: run every
+__spark_entry__.queries() entry and its oracle_sql() through DuckDB on
+the same parquet, canonicalize (sort columns by name, sort rows, round
+floats, ISO timestamps) and diff.
+
+Usage: python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ONLY = set(sys.argv[2:])
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(9)
+        elif pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+        else:
+            try:
+                if df[c].map(lambda v: isinstance(v, (list, tuple))).any():
+                    df[c] = df[c].map(lambda v: str(list(v)) if v is not None else None)
+            except Exception:
+                pass
+    df = df.sort_values(by=list(df.columns), ignore_index=True, na_position="last")
+    return df
+
+
+def main() -> int:
+    from catenae_stopover_spark.session import get_spark
+    import __spark_entry__ as ent
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs = ent.queries()
+    oracles = ent.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {type(e).__name__}: {e}")
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s) [no oracle]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {e}")
+            continue
+        s, o = canon(sdf), canon(odf)
+        if list(s.columns) != list(o.columns):
+            failures.append(name)
+            print(f"FAIL  {name}: columns {list(s.columns)} vs {list(o.columns)}")
+            continue
+        if len(s) != len(o):
+            failures.append(name)
+            print(f"FAIL  {name}: rows {len(s)} vs {len(o)}")
+            continue
+        mism = []
+        for c in s.columns:
+            a, b = s[c], o[c]
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                aa = pd.to_numeric(a, errors="coerce")
+                bb = pd.to_numeric(b, errors="coerce")
+                bad = ~(
+                    (aa.isna() & bb.isna())
+                    | ((aa - bb).abs() <= 1e-9 + 1e-9 * bb.abs())
+                )
+            else:
+                bad = ~((a.isna() & b.isna()) | (a.astype(str) == b.astype(str)))
+            if bad.any():
+                i = bad.idxmax()
+                mism.append(f"{c}[{i}]: {a[i]!r} vs {b[i]!r} ({int(bad.sum())} bad)")
+        if mism:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(mism[:3])}")
+        else:
+            print(f"OK    {name}: {len(s)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
