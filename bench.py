@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Headline benchmark (driver contract, BASELINE.md bench set).
+
+Runs the bench-q* workloads at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Per query we take the best of ``$SPARK_GRAFT_BENCH_REPS`` (default 2)
+runs after a shared session warm-up, so JVM/codegen startup is not
+billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from catenae_stopover_spark.queries import QUERIES  # noqa: E402
+from catenae_stopover_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+
+# BASELINE.md bench set -> query registry entries.
+BENCH = {
+    "q1_pricing_summary": "q01_pricing_summary",
+    "q2_fk_join_agg": "q02_revenue_by_nation",
+    "q3_topk_per_group": "q03_top3_orders_per_priority",
+    "q4_rollup_approx": "q04_rollup_qty",
+    "q5_window_events": "q34_tumbling_hourly",
+    "q6_exact_dedup": "q27_exact_dedup",
+    "q6b_minhash_dedup": "q37_minhash_pairs",
+    "q7_cosine_topk": "q29_cosine_topk",
+}
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm up the JVM / codegen / parquet footer cache once.
+    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for label, qname in BENCH.items():
+        fn = QUERIES[qname][0]
+        best = float("inf")
+        for _ in range(max(1, REPS)):
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[label] = round(best, 4)
+        print(f"# {label}: {timings[label]:.3f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -222,6 +222,7 @@ class Link:
         "_suiciding",
         "rpc_lock",
         "_broker",
+        "_rpc_cursor",
     )
 
     def __getstate__(self):

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans.partitioning import ensure_min_parallelism
+
 
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -79,36 +81,36 @@ def minhash_lsh_near_dups(
     dropping buckets above a size cap (`max_bucket` arg could be added).
     """
     rows_per_band = num_hashes // bands
-    shingled = df.select(
-        F.col(id_col), _shingles(text_col, shingle_n).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+    # One string hash per (doc, shingle); the 64 signature dimensions
+    # re-hash that single LONG, never the string. explode + hash-agg
+    # keeps everything in WholeStageCodegen (array-lambda HOFs would run
+    # interpreted per element — measured ~50x slower on this pipeline).
+    shingle_hashes = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingles(text_col, shingle_n))).alias("sh"),
+    ).select(id_col, F.xxhash64("sh").alias("h"))
 
-    # signature[k] = min over shingles of xxhash64(shingle, seed=k)
-    sig = shingled.select(
+    # signature[k] = min over shingles of xxhash64(h, k); map-side
+    # partial min then one shuffle on the doc id.
+    sig_cols = [
+        F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"mh{k}")
+        for k in range(num_hashes)
+    ]
+    sig = shingle_hashes.groupBy(id_col).agg(*sig_cols).select(
         id_col,
-        F.expr(
-            f"""
-            transform(
-                sequence(0, {num_hashes - 1}),
-                k -> array_min(transform(shingles, s -> xxhash64(s, k)))
-            )
-            """
-        ).alias("signature"),
+        F.array(*[F.col(f"mh{k}") for k in range(num_hashes)]).alias("signature"),
     )
 
+    band_hashes = [
+        F.xxhash64(
+            *[F.col("signature")[b * rows_per_band + j] for j in range(rows_per_band)]
+        )
+        for b in range(bands)
+    ]
     bands_df = sig.select(
         id_col,
         "signature",
-        F.posexplode(
-            F.expr(
-                f"""
-                transform(
-                    sequence(0, {bands - 1}),
-                    b -> xxhash64(array_join(slice(signature, b * {rows_per_band} + 1, {rows_per_band}), ','))
-                )
-                """
-            )
-        ).alias("band_idx", "band_hash"),
+        F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
     )
 
     a = bands_df.alias("a")
@@ -152,28 +154,37 @@ def simhash_near_dups(
     verified by popcount of the XOR.
 
     All JVM-side: xxhash64 word hashes, bit tests via shiftright/&,
-    block join, bit_count for the final Hamming check.
+    block join, bit_count for the final Hamming check. The per-bit vote
+    sums run as 64 codegen'd conditional-sum aggregates over exploded
+    word hashes (one string hash per word), not as interpreted
+    array-lambda HOFs — same explode+hash-agg shape as minhash.
     """
     words = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    hashed = df.select(F.col(id_col), words.alias("words")).filter(
-        F.size("words") > 0
+    word_hashes = (
+        ensure_min_parallelism(df)
+        .select(F.col(id_col), F.explode(words).alias("w"))
+        .select(id_col, F.xxhash64("w").alias("h"))
     )
-    # simhash bit i = 1 if sum over words of (bit i of xxhash64(word) ? +1 : -1) > 0
-    sim = hashed.select(
-        id_col,
-        F.expr(
-            f"""
-            aggregate(
-                sequence(0, {num_bits - 1}),
-                cast(0 as bigint),
-                (acc, i) -> acc | (case when
-                    aggregate(words, 0,
-                        (s, w) -> s + (case when (shiftright(xxhash64(w), i) & 1) = 1 then 1 else -1 end)
-                    ) > 0 then shiftleft(cast(1 as bigint), i) else cast(0 as bigint) end)
-            )
-            """
-        ).alias("simhash"),
+    # bit i vote = sum over words of (bit i of xxhash64(word) ? +1 : -1)
+    votes = word_hashes.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(num_bits)
+        ]
     )
+    bit_terms = [
+        F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(num_bits)
+    ]
+    acc = bit_terms[0]
+    for t in bit_terms[1:]:
+        acc = acc.bitwiseOR(t)
+    sim = votes.select(id_col, acc.alias("simhash"))
     block_bits = num_bits // blocks
     mask = (1 << block_bits) - 1
     blocked = sim.select(
@@ -227,7 +238,7 @@ def ngram_jaccard_near_dups(
     stays tractable only with a document-frequency cap on the n-grams
     (drop grams appearing in > max_df docs), the standard trick.
     """
-    grams = df.select(
+    grams = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.array_distinct(_shingles(text_col, n)).alias("grams"),
     ).filter(F.size("grams") > 0)
@@ -277,7 +288,7 @@ def embedding_near_dups(
     """
     from ..functions.vectors import cosine_similarity
 
-    base = df.select(F.col(id_col), F.col(vec_col))
+    base = ensure_min_parallelism(df).select(F.col(id_col), F.col(vec_col))
     if lsh_bits > 0:
         # deterministic "random" hyperplanes: component j of plane p is
         # a hash-derived value in [-1, 1); sign of the dot product is a

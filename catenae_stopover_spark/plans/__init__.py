@@ -1,0 +1,3 @@
+from .partitioning import ensure_min_parallelism, explain_str
+
+__all__ = ["ensure_min_parallelism", "explain_str"]

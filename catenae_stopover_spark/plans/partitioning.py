@@ -1,0 +1,37 @@
+"""Partitioning / plan-shape helpers.
+
+Catalyst owns join selection, pushdown, and AQE re-planning; the one
+decision it can't make for us is *input* parallelism when a small file
+count feeds a CPU-heavy per-row stage (shingling, hashing, vector math).
+A 100 TB table arrives as thousands of splits, but a 100 MB dimension or
+a locally-staged corpus can arrive as ONE split — and then a heavy map
+stage runs on one core regardless of cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the current plan has fewer partitions
+    than ``min_partitions`` (default: the cluster's defaultParallelism).
+
+    Use before CPU-heavy narrow stages (per-row hashing / shingling /
+    vector arithmetic). No-op on well-split inputs, so it is safe to
+    leave in place for the 100 TB case — the repartition only ever
+    *adds* parallelism, never collapses it.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (for tests asserting plan shape:
+    pushed filters, broadcast joins, codegen spans)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )

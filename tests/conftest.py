@@ -1,0 +1,39 @@
+"""Shared fixtures: one SparkSession per test run (local mode), plus
+paths to the driver-generated testdata (TESTDATA.md — never modified)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import pytest
+
+_TESTS = os.path.dirname(os.path.abspath(__file__))
+_ROOT = os.path.dirname(_TESTS)
+sys.path.insert(0, _ROOT)
+
+# Executor python workers are spawned by the JVM with PYTHONPATH from the
+# environment; include the repo and tests dirs so classes defined in test
+# modules (e.g. Link subclasses shipped via mapInPandas) import there too.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (_ROOT, _TESTS, os.environ.get("PYTHONPATH")) if p
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from catenae_stopover_spark.session import get_spark
+
+    # Small shuffle-partition count keeps tiny-data tests fast; the
+    # production default (32 / AQE) is exercised by bench.py.
+    s = get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "4"})
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir() -> str:
+    return SF_SMOKE

@@ -1,0 +1,47 @@
+"""FileBroker: append/read ordering, receiver-group independence
+(SURVEY §1.1 — different groups independently see the full stream)."""
+
+from catenae_stopover_spark.broker import FileBroker, GroupCursor
+
+
+def test_put_then_read_roundtrip(tmp_path):
+    b = FileBroker(str(tmp_path))
+    b.put({"n": 1}, "s0")
+    b.put("plain string", "s0", key="k1")
+    b.put([1, 2, 3], "s0")
+
+    msgs = b.read_new("s0", GroupCursor("g1"))
+    assert [m.value for m in msgs] == [{"n": 1}, "plain string", [1, 2, 3]]
+    assert msgs[1].key == "k1"
+    assert all(m.msg_id for m in msgs)
+    assert all(m.stream == "s0" for m in msgs)
+
+
+def test_cursor_sees_only_new_messages(tmp_path):
+    b = FileBroker(str(tmp_path))
+    cur = GroupCursor("g")
+    b.put(1, "s")
+    assert [m.value for m in b.read_new("s", cur)] == [1]
+    assert b.read_new("s", cur) == []
+    b.put(2, "s")
+    b.put(3, "s")
+    assert [m.value for m in b.read_new("s", cur)] == [2, 3]
+
+
+def test_groups_are_independent(tmp_path):
+    b = FileBroker(str(tmp_path))
+    for i in range(3):
+        b.put(i, "s")
+    g1, g2 = GroupCursor("g1"), GroupCursor("g2")
+    assert [m.value for m in b.read_new("s", g1)] == [0, 1, 2]
+    # g2 starts from the beginning regardless of g1's progress
+    assert [m.value for m in b.read_new("s", g2)] == [0, 1, 2]
+
+
+def test_streams_are_independent(tmp_path):
+    b = FileBroker(str(tmp_path))
+    cur = GroupCursor("g")
+    b.put("a", "s1")
+    b.put("b", "s2")
+    assert [m.value for m in b.read_new("s1", cur)] == ["a"]
+    assert [m.value for m in b.read_new("s2", cur)] == ["b"]

@@ -1,0 +1,102 @@
+"""Driver-side concurrency helpers (SURVEY A23-A28): circular-queue
+latest-N semantics, bounded blocking, pool error-survival."""
+
+import threading
+import time
+
+import pytest
+
+from catenae_stopover_spark.concurrency import (
+    StoppableThread,
+    ThreadPool,
+    ThreadingQueue,
+    should_stop,
+)
+from catenae_stopover_spark.errors import EmptyError
+
+
+def test_queue_fifo_order():
+    q = ThreadingQueue()
+    for i in range(5):
+        q.put(i)
+    assert [q.get(block=False) for _ in range(5)] == [0, 1, 2, 3, 4]
+
+
+def test_queue_empty_raises_nonblocking():
+    q = ThreadingQueue()
+    with pytest.raises(EmptyError):
+        q.get(block=False)
+
+
+def test_queue_get_timeout():
+    q = ThreadingQueue()
+    t0 = time.monotonic()
+    with pytest.raises(EmptyError):
+        q.get(block=True, timeout=0.1)
+    assert time.monotonic() - t0 < 2.0
+
+
+def test_circular_queue_drops_oldest():
+    # Reference queue.py:34-36 (_truncate): ring buffer keeps latest N.
+    q = ThreadingQueue(size=3, circular=True)
+    for i in range(10):
+        q.put(i)
+    assert len(q) == 3
+    assert [q.get(block=False) for _ in range(3)] == [7, 8, 9]
+
+
+def test_queue_blocking_put_get_across_threads():
+    q = ThreadingQueue(size=2)
+    seen = []
+
+    def consumer():
+        for _ in range(4):
+            seen.append(q.get(block=True, timeout=5))
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    for i in range(4):
+        q.put(i)
+    t.join(timeout=5)
+    assert seen == [0, 1, 2, 3]
+
+
+def test_stoppable_thread_cooperative_stop():
+    hits = []
+
+    def body():
+        me = threading.current_thread()
+        while not should_stop(me):
+            hits.append(1)
+            me.wait(0.01)
+
+    t = StoppableThread(target=body)
+    t.start()
+    time.sleep(0.05)
+    t.stop()
+    t.join(timeout=2)
+    assert not t.is_alive()
+    assert hits
+
+
+def test_pool_runs_tasks_and_survives_errors():
+    # Reference threading.py:85-89: workers log-and-continue on errors.
+    pool = ThreadPool(num_threads=2)
+    done = []
+    lock = threading.Lock()
+
+    def boom():
+        raise RuntimeError("task error")
+
+    def ok(i):
+        with lock:
+            done.append(i)
+
+    pool.submit(boom)
+    for i in range(10):
+        pool.submit(ok, args=(i,))
+    deadline = time.monotonic() + 5
+    while len(done) < 10 and time.monotonic() < deadline:
+        time.sleep(0.02)
+    pool.stop()
+    assert sorted(done) == list(range(10))

@@ -1,0 +1,29 @@
+"""The driver contract: entry() runs and returns rows with a stable
+schema; queries() and oracle_sql() are consistent registries."""
+
+import __spark_entry__ as ent
+
+
+def test_registries_consistent():
+    qs = ent.queries()
+    oracles = ent.oracle_sql()
+    assert len(qs) >= 40
+    assert set(oracles) <= set(qs)
+    # the vast majority must be oracle-checked (rows-only is the exception)
+    assert len(oracles) >= 30
+    for name, fn in qs.items():
+        assert callable(fn), name
+
+
+def test_entry_smoke(spark):
+    df = ent.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"l_returnflag", "sum_qty", "count_order"} <= set(df.columns)
+
+
+def test_sample_queries_run_at_smoke_sf(spark):
+    qs = ent.queries()
+    for name in ["q02_revenue_by_nation", "q13_latest2_events_per_user",
+                 "q27_exact_dedup", "q31_text_stats"]:
+        assert qs[name](spark, "/root/testdata/sf0.001").count() >= 0, name

@@ -1,0 +1,225 @@
+"""Link node semantics (SURVEY Part A): RPC registry/dispatch with
+self-exclusion and method gating, send() default-stream rules, config
+normalization, suicide idempotence, and the loop_filter example ported
+end-to-end through a real streaming query (reference
+examples/loop_filter/main.py)."""
+
+import json
+import os
+import time
+
+import pytest
+
+from catenae_stopover_spark.broker import GroupCursor
+from catenae_stopover_spark.link import Link, Response, rpc
+
+
+class RpcNode(Link):
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self.calls = []
+
+    @rpc
+    def ping(self, context, *args, **kwargs):
+        self.calls.append((context, args, kwargs))
+
+    def not_registered(self, context):  # pragma: no cover - must never run
+        raise AssertionError("dispatched a non-rpc method")
+
+
+def _wire(node):
+    """Give a non-started node a control-plane cursor (start() does this)."""
+    node._rpc_cursor = GroupCursor(node.uid)
+    return node
+
+
+def test_rpc_roundtrip_between_instances(tmp_path):
+    a = _wire(RpcNode(endpoint=str(tmp_path), rpc_enabled=True))
+    b = _wire(RpcNode(endpoint=str(tmp_path), rpc_enabled=True))
+
+    a.rpc_notify("ping", args=[1, 2], kwargs={"x": 3}, to="broadcast")
+    assert b._rpc_consume_once() == 1
+    (context, args, kwargs) = b.calls[0]
+    assert context["uid"] == a.uid
+    assert context["group"] == "rpcnode"  # class-name receiver group
+    assert args == (1, 2) and kwargs == {"x": 3}
+
+
+def test_rpc_self_exclusion(tmp_path):
+    # reference catenae.py:490-491: a node ignores its own broadcasts
+    a = _wire(RpcNode(endpoint=str(tmp_path), rpc_enabled=True))
+    a.rpc_notify("ping", to="broadcast")
+    assert a._rpc_consume_once() == 0
+    assert a.calls == []
+
+
+def test_rpc_rejects_unregistered_method(tmp_path):
+    a = _wire(RpcNode(endpoint=str(tmp_path), rpc_enabled=True))
+    b = _wire(RpcNode(endpoint=str(tmp_path), rpc_enabled=True))
+    a.rpc_notify("not_registered", to="broadcast")
+    b._rpc_consume_once()  # must log-and-skip, not raise/dispatch
+    assert b.calls == []
+
+
+def test_rpc_targeted_by_class_name(tmp_path):
+    a = _wire(RpcNode(endpoint=str(tmp_path), rpc_enabled=True))
+    b = _wire(RpcNode(endpoint=str(tmp_path), rpc_enabled=True))
+    a.rpc_notify("ping", to="RpcNode")  # topic name is lowercased
+    assert b._rpc_consume_once() == 1
+
+
+def test_rpc_dispatch_survives_handler_error(tmp_path):
+    class Bad(RpcNode):
+        @rpc
+        def explode(self, context):
+            raise RuntimeError("handler bug")
+
+    a = _wire(Bad(endpoint=str(tmp_path), rpc_enabled=True))
+    b = _wire(Bad(endpoint=str(tmp_path), rpc_enabled=True))
+    a.rpc_notify("explode", to="broadcast")
+    b._rpc_consume_once()  # reference catenae.py:531-534: never crashes
+    a.rpc_notify("ping", to="broadcast")
+    assert b._rpc_consume_once() == 1
+
+
+def test_send_requires_default_stream(tmp_path):
+    node = Link(endpoint=str(tmp_path))
+    with pytest.raises(ValueError, match="default stream is missing"):
+        node.send({"x": 1})
+
+
+def test_send_explicit_and_default_stream(tmp_path):
+    node = Link(endpoint=str(tmp_path), default_output_stream="out")
+    node.send({"a": 1})
+    node.send({"b": 2}, stream="other")
+    cur = GroupCursor("t")
+    assert [m.value for m in node.broker.read_new("out", cur)] == [{"a": 1}]
+    assert [m.value for m in node.broker.read_new("other", cur)] == [{"b": 2}]
+
+
+def test_config_normalization_singular_to_plural(tmp_path):
+    node = Link(
+        endpoint=str(tmp_path),
+        input_stream="s0",
+        default_output_stream="s1",
+        receiver_group="custom",
+    )
+    cfg = node.config
+    assert cfg["input_streams"] == ["s0"]
+    assert cfg["endpoints"] == [str(tmp_path)]
+    assert cfg["receiver_group"] == "custom"
+
+
+def test_receiver_group_defaults_to_class_name(tmp_path):
+    class MyWorker(Link):
+        pass
+
+    assert MyWorker(endpoint=str(tmp_path)).config["receiver_group"] == "myworker"
+
+
+def test_uid_is_12_hex(tmp_path):
+    u = Link(endpoint=str(tmp_path)).uid
+    assert len(u) == 12
+    int(u, 16)
+
+
+def test_suicide_is_once_only_and_calls_stop_hook(tmp_path):
+    stops = []
+
+    class N(Link):
+        def stop(self):
+            stops.append(1)
+
+    n = N(endpoint=str(tmp_path))
+    n.suicide("first")
+    n.suicide("second")  # must be a no-op (catenae.py:394-397)
+    assert stops == [1]
+
+
+def test_response_unwrap():
+    r = Response({"v": 1})
+    assert r.value == {"v": 1}
+
+
+# ---------------------------------------------------------------------
+# End-to-end: the loop_filter example as a real streaming query
+# (map-or-drop semantics, reference catenae.py:456-467 + the example).
+# ---------------------------------------------------------------------
+
+class UpperCaser(Link):
+    """Pass even numbers through uppercased; drop odd ones (None) —
+    exercises map + filter-by-None + Response unwrap in one node."""
+
+    def transform(self, message):
+        v = message.value
+        if v["n"] % 2:
+            return None  # dropped (catenae.py:461-467)
+        return Response({"n": v["n"], "text": v["text"].upper()})
+
+
+@pytest.mark.slow
+def test_link_end_to_end_stream(tmp_path, spark):
+    node = UpperCaser(
+        endpoint=str(tmp_path / "broker"),
+        input_stream="in",
+        default_output_stream="out",
+        spark=spark,
+    )
+    for i in range(6):
+        node.broker.put({"n": i, "text": f"msg{i}"}, "in")
+
+    node.start(embedded=True, checkpoint_root=str(tmp_path / "ckpt"))
+    try:
+        cur = GroupCursor("test-observer")
+        got = []
+        deadline = time.monotonic() + 90
+        while len(got) < 3 and time.monotonic() < deadline:
+            got.extend(m.value for m in node.broker.read_new("out", cur))
+            time.sleep(0.5)
+    finally:
+        node.suicide("test done")
+
+    assert sorted(got, key=lambda m: m["n"]) == [
+        {"n": 0, "text": "MSG0"},
+        {"n": 2, "text": "MSG2"},
+        {"n": 4, "text": "MSG4"},
+    ]
+
+
+class SqlDoubler(Link):
+    """Spark-first surface: transform_df stays entirely in Catalyst."""
+
+    def transform_df(self, df):
+        from pyspark.sql import functions as F
+
+        return df.withColumn(
+            "value",
+            F.to_json(
+                F.struct(
+                    (F.get_json_object("value", "$.n").cast("long") * 2).alias("n2")
+                )
+            ),
+        )
+
+
+@pytest.mark.slow
+def test_link_transform_df_end_to_end(tmp_path, spark):
+    node = SqlDoubler(
+        endpoint=str(tmp_path / "broker"),
+        input_stream="in",
+        default_output_stream="out",
+        spark=spark,
+    )
+    for i in range(3):
+        node.broker.put({"n": i}, "in")
+    node.start(embedded=True, checkpoint_root=str(tmp_path / "ckpt"))
+    try:
+        cur = GroupCursor("obs")
+        got = []
+        deadline = time.monotonic() + 90
+        while len(got) < 3 and time.monotonic() < deadline:
+            got.extend(m.value for m in node.broker.read_new("out", cur))
+            time.sleep(0.5)
+    finally:
+        node.suicide("test done")
+    assert sorted(m["n2"] for m in got) == [0, 2, 4]

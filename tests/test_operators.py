@@ -1,0 +1,227 @@
+"""Operator-library semantics on small hand-built frames plus the
+sf0.001 testdata: relational compositions (as-of join, top-k, latest-N),
+dedup family, similarity search, text analysis, hash-column parity."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark import utils
+from catenae_stopover_spark.functions.hashes import (
+    blake2b_256_col,
+    blake2b_512_col,
+    sha3_512_col,
+)
+from catenae_stopover_spark.functions.vectors import cosine_similarity
+from catenae_stopover_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_lsh_near_dups,
+    ngram_jaccard_near_dups,
+    simhash_near_dups,
+)
+from catenae_stopover_spark.operators.relational import (
+    asof_join,
+    latest_n,
+    topk_per_group,
+)
+from catenae_stopover_spark.operators.similarity import brute_force_topk
+from catenae_stopover_spark.operators.text import (
+    detect_language,
+    quality_filter,
+    token_count,
+)
+
+
+# ---- relational ------------------------------------------------------
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 3), ("a", 2), ("b", 9), ("b", 8)], ["g", "v"]
+    )
+    out = topk_per_group(df, ["g"], [F.col("v").desc()], k=2)
+    got = {(r.g, r.v, r.rn) for r in out.collect()}
+    assert got == {("a", 3, 1), ("a", 2, 2), ("b", 9, 1), ("b", 8, 2)}
+
+
+def test_latest_n_ring_semantics(spark):
+    # ≙ circular-queue "keep latest N" (reference queue.py:34-36)
+    df = spark.createDataFrame(
+        [("k", i, f"v{i}") for i in range(10)], ["key", "ts", "val"]
+    )
+    out = latest_n(df, ["key"], "ts", n=3)
+    assert sorted(r.ts for r in out.collect()) == [7, 8, 9]
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = spark.createDataFrame([(1, 10), (1, 25), (2, 5)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 8, "r8"), (1, 10, "r10"), (1, 20, "r20"), (2, 9, "r9")],
+        ["k", "rt", "tag"],
+    )
+    out = asof_join(left, right, on=["k"], left_ts="t", right_ts="rt")
+    got = {(r.k, r.t, r.tag) for r in out.collect()}
+    # k=1,t=10 → rt=10 (<=, not <); k=1,t=25 → rt=20; k=2,t=5 → no match (left kept)
+    assert got == {(1, 10, "r10"), (1, 25, "r20"), (2, 5, None)}
+
+
+def test_asof_join_tolerance_bounds_staleness(spark):
+    left = spark.createDataFrame([(1, 100)], ["k", "t"])
+    right = spark.createDataFrame([(1, 10, "old")], ["k", "rt", "tag"])
+    out = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="rt", tolerance="5"
+    )
+    assert out.collect()[0].tag is None  # match older than tolerance dropped
+
+
+# ---- dedup family ----------------------------------------------------
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the calm river "
+    "flows past the old stone bridge and the tall green trees sway gently "
+    "in the warm summer wind near the quiet village"
+)
+DOCS = [
+    (0, _BASE),
+    (1, _BASE),  # exact dup of 0
+    (2, _BASE.replace("dog", "cat")),  # near dup of 0 (1 of 36 words)
+    (3, "completely different content about spark structured streaming engines"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups_identical_texts(spark, docs_df):
+    out = {r.keep_id: r.dup_count for r in exact_dedup(docs_df).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse, min id kept
+    assert out[2] == 1 and out[3] == 1
+    # parity with hashlib sha256
+    row = exact_dedup(docs_df).filter(F.col("keep_id") == 3).collect()[0]
+    assert row.content_hash == hashlib.sha256(DOCS[3][1].encode()).hexdigest()
+
+
+def test_minhash_finds_near_dups(spark, docs_df):
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_near_dups(docs_df, num_hashes=64, bands=16).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs: all signatures agree
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+    assert all(b != 3 for (_, b) in pairs)  # unrelated doc never paired
+
+
+def test_simhash_finds_near_dups(spark, docs_df):
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(docs_df).collect()}
+    assert pairs[(0, 1)] == 0
+    assert all(3 not in p for p in pairs)
+
+
+def test_ngram_jaccard_exact_values(spark, docs_df):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_near_dups(docs_df, n=3, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    # doc2 differs in 1 of 12 words → 3-gram sets overlap substantially
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+    assert all(3 not in p for p in pairs)
+
+
+def test_embedding_near_dups_cosine(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.999, 0.01, 0.0]),
+            (2, [0.0, 1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    pairs = {(r.id_a, r.id_b) for r in embedding_near_dups(df, threshold=0.95).collect()}
+    assert pairs == {(0, 1)}
+
+
+# ---- similarity search ----------------------------------------------
+
+def test_brute_force_topk_orders_by_cosine(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = brute_force_topk(df, [1.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in out] == [1, 2]
+    assert out[0].cosine == pytest.approx(1.0)
+
+
+def test_cosine_similarity_column(spark):
+    df = spark.createDataFrame([([3.0, 4.0], [4.0, 3.0])], ["a", "b"])
+    val = df.select(cosine_similarity(F.col("a"), F.col("b")).alias("c")).head().c
+    assert val == pytest.approx(24 / 25)
+
+
+# ---- text analysis ---------------------------------------------------
+
+def test_token_count_modes(spark):
+    df = spark.createDataFrame(
+        [("hello world  foo",), ("",), ("   ",), ("a1b, c!",)], ["text"]
+    )
+    rows = df.select(
+        token_count("text").alias("ws"), token_count("text", "bpe_ish").alias("bpe")
+    ).collect()
+    assert [r.ws for r in rows] == [3, 0, 0, 2]
+    # "a1b, c!" → a,1,b,",",c,"!" = 6 bpe-ish units
+    assert rows[3].bpe == 6
+
+
+def test_detect_language(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog went to the house of friends",),
+            ("der hund und die katze sind nicht da",),
+            ("el perro y la casa que los amigos",),
+            ("xyzzy qwerty 12345",),
+        ],
+        ["text"],
+    )
+    langs = [r[0] for r in df.select(detect_language("text")).collect()]
+    assert langs == ["en", "de", "es", "und"]
+
+
+def test_quality_filter_drops_junk(spark):
+    good = "the quality of this document is good and it has many proper words " * 3
+    junk = "@@@@ #### !!!! 1234"
+    df = spark.createDataFrame([(1, good), (2, junk)], ["doc_id", "text"])
+    kept = [r.doc_id for r in quality_filter(df).collect()]
+    assert kept == [1]
+
+
+# ---- hash columns (parity with driver-side utils) --------------------
+
+def test_hash_columns_match_utils(spark):
+    texts = ["", "hello", "héllo wörld", "日本語"]
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    rows = df.select(
+        "t",
+        blake2b_256_col(F.col("t")).alias("b256"),
+        blake2b_512_col(F.col("t")).alias("b512"),
+        sha3_512_col(F.col("t")).alias("s3"),
+    ).collect()
+    for r in rows:
+        assert r.b256 == utils.blake2b_256(r.t)
+        assert r.b512 == utils.blake2b_512(r.t)
+        assert r.s3 == utils.sha3_512(r.t)
+
+
+def test_hash_columns_null_safe(spark):
+    df = spark.createDataFrame([(None,), ("x",)], "t: string")
+    rows = df.select(blake2b_256_col(F.col("t")).alias("h")).collect()
+    assert {r.h for r in rows} == {None, utils.blake2b_256("x")}

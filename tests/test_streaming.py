@@ -1,0 +1,120 @@
+"""Structured Streaming surface (SURVEY B36-B44): windowed aggregation
+with watermark over a chronological file replay of the events table,
+streaming dedup, and stream-static join — each checked against the
+batch computation of the same semantics (availableNow → memory sink)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.io.sources import load_table, replay_as_stream
+
+pytestmark = pytest.mark.slow
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_to_memory(sdf, name, output_mode):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF, "events")
+
+
+def test_tumbling_window_agg_matches_batch(spark, events, tmp_path_factory):
+    stage = str(tmp_path_factory.mktemp("replay"))
+    stream = replay_as_stream(spark, events, stage, chunks=4, order_col="ts")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    _run_to_memory(agg, "tumbling", "append")
+    got = {
+        (r.w.start, r.event_type): r.n
+        for r in spark.sql("select * from tumbling").collect()
+    }
+    expected = {
+        (r.hs, r.event_type): r.n
+        for r in events.groupBy(
+            F.date_trunc("hour", "ts").alias("hs"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    # Append mode only emits windows the watermark has closed; the
+    # trailing windows (within the 1h delay of the max event time) stay
+    # in state at end-of-stream. Everything emitted must match batch
+    # exactly, and only trailing windows may be missing.
+    assert got.items() <= expected.items()
+    max_ts = events.agg(F.max("ts")).head()[0]
+    missing = set(expected) - set(got)
+    for window_start, _etype in missing:
+        # window end (start + 1h) must be within watermark delay (1h)
+        # of the max event time, i.e. start >= max_ts - 2h
+        assert (max_ts - window_start).total_seconds() <= 2 * 3600, (
+            window_start,
+            max_ts,
+        )
+
+
+def test_streaming_dedup_by_event_id(spark, events, tmp_path_factory):
+    stage = str(tmp_path_factory.mktemp("replay_dup"))
+    doubled = events.unionByName(events)  # every event twice
+    stream = replay_as_stream(spark, doubled, stage, chunks=4)
+    dedup = stream.withWatermark("ts", "24 hours").dropDuplicates(["event_id"])
+    _run_to_memory(dedup.groupBy().count(), "dedup_count", "complete")
+    n = spark.sql("select * from dedup_count").head()[0]
+    assert n == events.count()
+
+
+def test_stream_static_join(spark, events, tmp_path_factory):
+    stage = str(tmp_path_factory.mktemp("replay_join"))
+    stream = replay_as_stream(spark, events, stage, chunks=2)
+    customers = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    joined = stream.join(F.broadcast(customers), "user_id").groupBy(
+        "c_mktsegment"
+    ).agg(F.count("*").alias("n"))
+    _run_to_memory(joined, "sjoin", "complete")
+    got = {
+        r.c_mktsegment: r.n for r in spark.sql("select * from sjoin").collect()
+    }
+    expected = {
+        r.c_mktsegment: r.n
+        for r in events.join(customers, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
+def test_sliding_window(spark, events, tmp_path_factory):
+    stage = str(tmp_path_factory.mktemp("replay_slide"))
+    stream = replay_as_stream(spark, events, stage, chunks=2, order_col="ts")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    _run_to_memory(agg, "sliding", "append")
+    got = sum(r.n for r in spark.sql("select * from sliding").collect())
+    # every event lands in exactly 2 sliding windows; the trailing
+    # (unclosed-at-watermark) windows may withhold a few events
+    n = events.count()
+    trailing = events.filter(
+        F.col("ts")
+        >= events.agg(F.max("ts")).head()[0] - F.expr("INTERVAL 4 HOURS")
+    ).count()
+    assert 2 * n - 2 * trailing <= got <= 2 * n

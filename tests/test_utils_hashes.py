@@ -1,0 +1,66 @@
+"""Byte-exact parity of the utility surface with the reference
+semantics (SURVEY A29-A34): digests vs hashlib, uid shape, ordered-JSON
+round-trip. Pure Python — no Spark."""
+
+import hashlib
+import json
+from collections import OrderedDict
+
+from catenae_stopover_spark import utils
+
+
+VECTORS = ["", "hello", "héllo wörld", "a" * 10_000, "日本語テキスト"]
+
+
+def test_blake2b_256_matches_hashlib():
+    for v in VECTORS:
+        expected = hashlib.blake2b(v.encode("utf-8"), digest_size=32).hexdigest()
+        assert utils.blake2b_256(v) == expected
+        assert len(utils.blake2b_256(v)) == 64
+
+
+def test_blake2b_512_matches_hashlib():
+    for v in VECTORS:
+        expected = hashlib.blake2b(v.encode("utf-8"), digest_size=64).hexdigest()
+        assert utils.blake2b_512(v) == expected
+        assert len(utils.blake2b_512(v)) == 128
+
+
+def test_sha3_512_matches_hashlib():
+    for v in VECTORS:
+        assert utils.sha3_512(v) == hashlib.sha3_512(v.encode("utf-8")).hexdigest()
+
+
+def test_get_uid_shape_and_uniqueness():
+    uids = {utils.get_uid() for _ in range(200)}
+    assert len(uids) == 200
+    for u in uids:
+        assert len(u) == 12
+        int(u, 16)  # valid hex
+
+
+def test_dump_dict_compact_separators():
+    assert utils.dump_dict({"a": 1, "b": [2, 3]}) == '{"a":1,"b":[2,3]}'
+
+
+def test_dump_dict_non_ascii_preserved():
+    assert utils.dump_dict({"k": "ñ"}) == '{"k":"ñ"}'
+    assert "ñ" in utils.dump_dict_pretty({"k": "ñ"})
+
+
+def test_load_dict_preserves_key_order():
+    s = '{"z": 1, "a": 2, "m": 3}'
+    d = utils.load_dict(s)
+    assert isinstance(d, OrderedDict)
+    assert list(d.keys()) == ["z", "a", "m"]
+
+
+def test_dump_load_roundtrip():
+    obj = {"nested": {"x": [1, 2.5, None, True]}, "s": "täxt"}
+    assert utils.load_dict(utils.dump_dict(obj)) == obj
+    assert json.loads(utils.dump_dict_pretty(obj)) == obj
+
+
+def test_timestamps_units():
+    s, ms = utils.get_timestamp(), utils.get_timestamp_ms()
+    assert abs(ms / 1000 - s) < 2  # same instant, different units
