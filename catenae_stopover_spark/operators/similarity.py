@@ -58,17 +58,26 @@ def build_ivf_index(
     table is written out partitioned by ``centroid_id`` so a query
     reads only the probed partitions (partition pruning)."""
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
+    from pyspark.ml.functions import array_to_vector
 
+    from ..functions.vectors import l2_norm
+
+    # L2-normalize before clustering: k-means on the unit sphere makes
+    # euclidean assignment equivalent to cosine assignment (spherical
+    # k-means), so centroid ranking at query time agrees with the
+    # cosine scoring used for the final top-k.
+    unit = F.transform(
+        F.col(vec_col), lambda x: x.cast("double") / l2_norm(F.col(vec_col))
+    )
     ml_df = df.select(
-        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("features")
+        F.col(id_col), F.col(vec_col), array_to_vector(unit).alias("features")
     )
     km = KMeans(k=num_centroids, seed=seed, maxIter=max_iter)
     model = km.fit(ml_df)
     assigned = model.transform(ml_df).select(
         F.col(id_col), F.col(vec_col), F.col("prediction").alias("centroid_id")
     )
-    centroids = [c.toArray().tolist() for c in model.clusterCenters()]
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
     return assigned, centroids
 
 

@@ -1102,6 +1102,137 @@ FROM lineitem GROUP BY l_returnflag
 
 
 # --------------------------------------------------------------------
+# B36/B38/B40/B41/B44 — genuinely streaming-executed queries: bounded
+# chunked replay of `events` through Structured Streaming (availableNow,
+# several micro-batches), drained to a memory sink. Complete/update
+# output modes make the final result equal the batch computation, so
+# these ARE oracle-checkable.
+# --------------------------------------------------------------------
+
+def _replay_events(spark, sf_dir, chunks=4, order_col=None):
+    import tempfile
+
+    from .io.sources import replay_as_stream
+
+    ev = _t(spark, sf_dir, "events")
+    stage = tempfile.mkdtemp(prefix="csspark-replay-")
+    return replay_as_stream(spark, ev, stage, chunks=chunks, order_col=order_col)
+
+
+def q44_stream_tumbling_hourly(spark, sf_dir):
+    from .streaming import run_available_now, tumbling_agg
+
+    stream = _replay_events(spark, sf_dir)
+    agg = tumbling_agg(
+        stream,
+        "ts",
+        "1 hour",
+        aggs={
+            "n": F.count("*"),
+            "total_value": F.round(F.sum("value"), 4),
+        },
+        keys=["event_type"],
+    )
+    return run_available_now(agg, output_mode="complete").select(
+        F.col("window_start").alias("hour_start"), "event_type", "n", "total_value"
+    )
+
+
+Q44_SQL = """
+SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q45_stream_sessionize(spark, sf_dir):
+    from .streaming import run_available_now, session_agg
+
+    stream = _replay_events(spark, sf_dir, order_col="ts")
+    sessions = session_agg(
+        stream,
+        "ts",
+        "30 minutes",
+        aggs={"n_events": F.count("*")},
+        keys=["user_id"],
+        watermark="24 hours",
+    )
+    per_session = run_available_now(sessions, output_mode="complete")
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+# Spark session windows are half-open [start, last_ts + gap): an event at
+# EXACTLY gap distance starts a new session, hence >= in the oracle.
+Q45_SQL = """
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(EPOCH_MS(ts)) OVER w IS NULL
+                  OR EPOCH_MS(ts) - LAG(EPOCH_MS(ts)) OVER w >= 1800000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+    FROM marked
+), per_session AS (
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events
+FROM per_session GROUP BY user_id
+"""
+
+
+def q46_stream_stateful_counts(spark, sf_dir):
+    from .streaming import run_available_now
+    from .streaming.stateful import running_counts
+
+    stream = _replay_events(spark, sf_dir)
+    updates = running_counts(stream, "user_id", "value")
+    drained = run_available_now(updates, output_mode="update")
+    # update mode emits one row per key per micro-batch; the final
+    # (max) cumulative value is the total over the whole stream.
+    return drained.groupBy(F.col("key").alias("user_id")).agg(
+        F.max("n_events").alias("n_events"),
+        F.round(F.max("total"), 4).alias("total_value"),
+    )
+
+
+Q46_SQL = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+def q47_stream_dedup(spark, sf_dir):
+    from .streaming import run_available_now, streaming_dedup
+
+    ev = _t(spark, sf_dir, "events")
+    doubled = ev.unionByName(ev)
+    import tempfile
+
+    from .io.sources import replay_as_stream
+
+    stage = tempfile.mkdtemp(prefix="csspark-replay-")
+    stream = replay_as_stream(spark, doubled, stage, chunks=4)
+    deduped = streaming_dedup(stream, ["event_id"], ts_col="ts", watermark="24 hours")
+    counted = deduped.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+    return run_available_now(counted, output_mode="complete")
+
+
+Q47_SQL = """
+SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------
 # Rows-only queries (no DuckDB-expressible oracle): sketch-based
 # dedup, xxhash64 fingerprints, blake2b/sha3 parity, approximate ops.
 # --------------------------------------------------------------------
@@ -1196,6 +1327,12 @@ QUERIES: dict[str, tuple] = {
     "q34_tumbling_hourly": (q34_tumbling_hourly, Q34_SQL),
     "q35_sessionize": (q35_sessionize, Q35_SQL),
     "q36_median_quantity": (q36_median_quantity, Q36_SQL),
+    # genuinely streaming-executed (Structured Streaming replay) with
+    # SQL oracles — complete/update mode makes results batch-equal
+    "q44_stream_tumbling_hourly": (q44_stream_tumbling_hourly, Q44_SQL),
+    "q45_stream_sessionize": (q45_stream_sessionize, Q45_SQL),
+    "q46_stream_stateful_counts": (q46_stream_stateful_counts, Q46_SQL),
+    "q47_stream_dedup": (q47_stream_dedup, Q47_SQL),
     # rows-only (not SQL-expressible in DuckDB: xxhash64 sketches,
     # blake2b/sha3, approximate algorithms, LSH probing)
     "q37_minhash_pairs": (q37_minhash_pairs, None),

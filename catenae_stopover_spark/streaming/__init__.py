@@ -1,0 +1,13 @@
+from .windows import session_agg, sliding_agg, streaming_dedup, tumbling_agg
+from .runner import run_available_now, start_stream
+from .stateful import running_counts
+
+__all__ = [
+    "tumbling_agg",
+    "sliding_agg",
+    "session_agg",
+    "streaming_dedup",
+    "run_available_now",
+    "start_stream",
+    "running_counts",
+]

@@ -1,0 +1,71 @@
+"""Query runners: output modes, triggers, sinks (SURVEY B44, A13).
+
+``start_stream`` is the thin writeStream wrapper (sink format, output
+mode, trigger — processing-time interval ≙ the reference loop interval,
+reference src/catenae/catenae.py:550-561; availableNow ≙ drain-and-stop).
+
+``run_available_now`` is the bounded-replay harness used by tests, the
+oracle gate, and bench: run a streaming plan to completion with the
+availableNow trigger into a memory sink and hand back the result as a
+batch DataFrame.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def start_stream(
+    df: DataFrame,
+    format: str = "memory",
+    output_mode: str = "append",
+    query_name: str | None = None,
+    trigger_interval: str | None = None,
+    available_now: bool = False,
+    checkpoint: str | None = None,
+    **options,
+) -> StreamingQuery:
+    """writeStream with the common knobs in one call (B44)."""
+    w = df.writeStream.format(format).outputMode(output_mode)
+    if query_name:
+        w = w.queryName(query_name)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    for k, v in options.items():
+        w = w.option(k, v)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_interval:
+        w = w.trigger(processingTime=trigger_interval)
+    return w.start()
+
+
+def run_available_now(
+    df: DataFrame,
+    output_mode: str = "complete",
+    timeout_s: int = 600,
+) -> DataFrame:
+    """Drain a bounded stream to completion; return the sink contents.
+
+    ``complete`` mode outputs every aggregate group at the end, so for a
+    bounded replay the result equals the batch computation exactly —
+    which is what makes streaming plans oracle-checkable. ``append``
+    gives only watermark-closed windows (trailing windows withheld).
+    """
+    name = f"ran_{uuid.uuid4().hex[:12]}"
+    q = start_stream(
+        df,
+        format="memory",
+        output_mode=output_mode,
+        query_name=name,
+        available_now=True,
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    return df.sparkSession.table(name)

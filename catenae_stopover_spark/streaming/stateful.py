@@ -1,0 +1,51 @@
+"""Custom stateful per-key stream processing (SURVEY B41).
+
+The reference's only state is driver-local Python attributes mutated in
+``transform`` (e.g. examples/falcon_api staging dict) — single-process,
+lost on restart. The Spark realization is ``applyInPandasWithState``:
+state is partitioned by key across executors, checkpointed with the
+query, and restored on restart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_counts(
+    df: DataFrame,
+    key_col: str,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Per-key running count (and sum of ``value_col`` if given),
+    emitted once per key per micro-batch — the canonical stateful
+    operator: state = (count, total), update = add the batch's rows.
+
+    Output schema: key, n_events (cumulative), total (cumulative sum).
+    """
+    import pandas as pd
+
+    value = value_col
+
+    def update(key, pdfs, state: GroupState):
+        (k,) = key
+        count, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            count += len(pdf)
+            if value is not None:
+                total += float(pdf[value].sum())
+        state.update((count, total))
+        yield pd.DataFrame(
+            {"key": [k], "n_events": [count], "total": [total]}
+        )
+
+    out_schema = "key long, n_events long, total double"
+    state_schema = "count long, total double"
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

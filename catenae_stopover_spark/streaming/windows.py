@@ -1,0 +1,105 @@
+"""Event-time windowed aggregation over streams (SURVEY B36-B40).
+
+The reference has no event-time semantics at all (its only clock is the
+0.5 s poll loop, reference src/catenae/catenae.py:472-473); these are
+the gap-fill operators Structured Streaming provides natively. All
+functions accept either a streaming or a batch DataFrame — the same
+plan runs both ways, which is how the oracle checks them.
+
+Scale notes: windowed aggregation state is partitioned by (key, window)
+— set a watermark so state is evicted; without one, a 100 TB stream
+accumulates state forever. Sliding windows multiply state by
+window/slide; session windows merge adjacent state entries per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _with_watermark(df: DataFrame, ts_col: str, watermark: str | None) -> DataFrame:
+    if watermark and df.isStreaming:
+        return df.withWatermark(ts_col, watermark)
+    return df
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    aggs: dict[str, Column],
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time window aggregate (B36 + B39). Output carries
+    ``window_start`` / ``window_end`` timestamp columns."""
+    df = _with_watermark(df, ts_col, watermark)
+    grouped = df.groupBy(F.window(ts_col, duration).alias("__w"), *(keys or []))
+    return grouped.agg(*[c.alias(n) for n, c in aggs.items()]).select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *(keys or []),
+        *aggs.keys(),
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    aggs: dict[str, Column],
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding event-time window aggregate (B37): each event contributes
+    to duration/slide overlapping windows."""
+    df = _with_watermark(df, ts_col, watermark)
+    grouped = df.groupBy(
+        F.window(ts_col, duration, slide).alias("__w"), *(keys or [])
+    )
+    return grouped.agg(*[c.alias(n) for n, c in aggs.items()]).select(
+        F.col("__w.start").alias("window_start"),
+        F.col("__w.end").alias("window_end"),
+        *(keys or []),
+        *aggs.keys(),
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    aggs: dict[str, Column],
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session window aggregate (B38): per-key sessions close after
+    ``gap`` of event-time inactivity. Adjacent state entries merge as
+    late rows arrive — Spark handles the merge; the equivalent batch
+    computation is the lag/cumsum sessionization (queries.q35)."""
+    df = _with_watermark(df, ts_col, watermark)
+    grouped = df.groupBy(
+        F.session_window(ts_col, gap).alias("__w"), *(keys or [])
+    )
+    return grouped.agg(*[c.alias(n) for n, c in aggs.items()]).select(
+        F.col("__w.start").alias("session_start"),
+        F.col("__w.end").alias("session_end"),
+        *(keys or []),
+        *aggs.keys(),
+    )
+
+
+def streaming_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup by key (B40): state holds one entry per
+    seen key; the watermark bounds how long a key is remembered (without
+    it, dedup state grows with the full key cardinality of the stream)."""
+    if ts_col and watermark and df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+    return df.dropDuplicates(keys)

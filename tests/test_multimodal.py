@@ -1,0 +1,64 @@
+"""Multimodal column plumbing (SURVEY B54): binary payloads + typed
+metadata through Arrow-batched mapInPandas. Decode kernels are stubbed
+(no codec libs in this container) but schema, batching, determinism and
+the strict-mode NotImplementedError gate are real."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_image_features,
+    read_binary_dir,
+    sample_video_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"fake-png-bytes-1", "image/png", "{}"),
+        (2, "image", b"fake-png-bytes-2", "image/png", "{}"),
+        (3, "video", b"fake-mp4-bytes", "video/mp4", "{}"),
+        (4, "audio", b"fake-wav-bytes", "audio/wav", "{}"),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_features_schema_and_determinism(spark, media):
+    out = extract_image_features(media, feat_dim=8)
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == {1, 2}  # only images
+    for r in rows.values():
+        assert 16 <= r.width < 256 and 16 <= r.height < 256
+        assert 1 <= r.n_channels <= 3
+        assert len(r.features) == 8
+        assert all(-1.0 <= f <= 1.0 for f in r.features)
+    # deterministic: same payload → same features
+    again = {r.media_id: r for r in extract_image_features(media, feat_dim=8).collect()}
+    assert again[1].features == rows[1].features
+
+
+def test_strict_mode_raises_where_codec_belongs(spark, media):
+    from pyspark.errors import PythonException
+
+    with pytest.raises(PythonException, match="NotImplementedError"):
+        extract_image_features(media, decode="strict").collect()
+
+
+def test_video_frame_sampling_expands_rows(spark, media):
+    frames = sample_video_frames(media, every_n_seconds=0.5).collect()
+    assert len(frames) >= 1
+    assert all(r.media_id == 3 for r in frames)
+    assert [r.frame_idx for r in frames] == list(range(len(frames)))
+    assert frames[0].frame_ts_sec == 0.0
+    assert all(isinstance(bytes(r.frame), bytes) for r in frames)
+
+
+def test_read_binary_dir(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"payload-a")
+    (tmp_path / "b.bin").write_bytes(b"payload-bb")
+    df = read_binary_dir(spark, str(tmp_path), glob="*.bin")
+    rows = sorted(df.select("path", "length", "content").collect(), key=lambda r: r.path)
+    assert [r.length for r in rows] == [9, 10]
+    assert bytes(rows[0].content) == b"payload-a"

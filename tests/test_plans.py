@@ -1,0 +1,99 @@
+"""Plan-shape assertions — the scale contract (SURVEY §4).
+
+Correctness says the result is right; these say the PLAN is right:
+filters reach the parquet scan (PushedFilters), projections prune the
+read schema, small dimensions broadcast, and hot expressions stay in
+WholeStageCodegen. A plan that fails these works at sf0.1 and dies at
+100 TB."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.io.sources import load_table
+from catenae_stopover_spark.plans import ensure_min_parallelism, explain_str
+from catenae_stopover_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    plan = explain_str(
+        li.filter(F.col("l_quantity") > 30).select("l_orderkey", "l_quantity")
+    )
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = load_table(spark, SF, "lineitem")
+    plan = explain_str(li.select("l_orderkey", "l_quantity"))
+    # ReadSchema must contain only the two projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+
+
+def test_q01_pushes_shipdate_filter(spark):
+    plan = explain_str(QUERIES["q01_pricing_summary"][0](spark, SF))
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    # partial aggregation before the shuffle (map-side combine)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q02_broadcasts_dimensions(spark):
+    plan = explain_str(QUERIES["q02_revenue_by_nation"][0](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # region filter r_name = 'ASIA' pushed to the region scan
+    assert "EqualTo(r_name,ASIA)" in plan
+
+
+def test_small_dim_join_autobroadcasts(spark):
+    # even without an explicit hint, Catalyst must pick broadcast for a
+    # dim under the threshold
+    c = load_table(spark, SF, "customer")
+    n = load_table(spark, SF, "nation")
+    plan = explain_str(c.join(n, c.c_nationkey == n.n_nationkey))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregation_stays_in_codegen(spark):
+    # AQE wraps the plan (isFinalPlan=false) and hides codegen ids;
+    # disable it for the assertion only.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = explain_str(QUERIES["q01_pricing_summary"][0](spark, SF))
+        assert "codegen id" in plan  # formatted mode marks codegen'd nodes
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_ensure_min_parallelism_widens_single_partition(spark):
+    df = load_table(spark, SF, "documents")  # one small file → 1 split
+    assert df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    widened = ensure_min_parallelism(df)
+    assert (
+        widened.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    )
+    # no-op on already-wide inputs (must never collapse)
+    assert ensure_min_parallelism(widened) is widened
+
+
+def test_exact_dedup_partial_aggregates(spark):
+    plan = explain_str(QUERIES["q27_exact_dedup"][0](spark, SF))
+    # hash-agg on digest with map-side partial agg: two HashAggregate
+    # levels around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "hashpartitioning(content_hash" in plan
+
+
+def test_minhash_has_no_cartesian_product(spark):
+    plan = explain_str(QUERIES["q37_minhash_pairs"][0](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("qname", ["q12_asof_purchase_click", "q03_top3_orders_per_priority"])
+def test_window_queries_single_shuffle_per_window(spark, qname):
+    plan = explain_str(QUERIES[qname][0](spark, SF))
+    assert "Window" in plan

@@ -1,0 +1,67 @@
+"""IVF and LSH similarity-search paths (SURVEY B51 scale path): the
+approximate indexes must agree with brute force on easy queries and
+scan strictly less data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.io.sources import load_table
+from catenae_stopover_spark.operators.similarity import (
+    brute_force_topk,
+    build_ivf_index,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+
+
+def test_ivf_recall_grows_with_n_probe_and_is_exact_at_full(spark, emb, qvec):
+    # the fixture embeddings are near-random (best cosine ≈ 0.33), so
+    # low-probe recall is inherently data-dependent; the guarantees to
+    # pin are (a) monotone recall in n_probe and (b) full probe == brute
+    # force exactly.
+    base = emb.filter(F.col("vec_id") != 0)
+    assigned, centroids = build_ivf_index(base, num_centroids=4)
+    exact = [r.vec_id for r in brute_force_topk(base, qvec, k=5).collect()]
+    recalls = []
+    for p in (1, 2, 4):
+        approx = [
+            r.vec_id
+            for r in ivf_topk(assigned, centroids, qvec, k=5, n_probe=p).collect()
+        ]
+        recalls.append(len(set(exact) & set(approx)))
+    assert recalls == sorted(recalls)  # monotone
+    assert recalls[-1] == 5  # probing every centroid == brute force
+
+
+def test_ivf_probes_subset(spark, emb, qvec):
+    base = emb.filter(F.col("vec_id") != 0)
+    assigned, centroids = build_ivf_index(base, num_centroids=4)
+    probed = assigned.filter(F.col("centroid_id").isin([0, 1]))
+    assert probed.count() < base.count()
+
+
+def test_lsh_bucket_recall_vs_brute_force(spark, emb, qvec):
+    base = emb.filter(F.col("vec_id") != 0)
+    exact_top1 = brute_force_topk(base, qvec, k=1).head().vec_id
+    got = lsh_bucketed_topk(base, qvec, k=10, bits=2).collect()
+    # the bucket containing the query's signature must not be empty and
+    # results are valid ids with cosines in [-1, 1]
+    assert got
+    assert all(-1.0 <= r.cosine <= 1.0 for r in got)
+    # with only 2 bits (4 buckets), the true top-1 usually shares the
+    # query's bucket on this data; assert the sanity version: top-1 of
+    # the bucket is among brute-force top-20 overall
+    exact20 = {r.vec_id for r in brute_force_topk(base, qvec, k=20).collect()}
+    assert got[0].vec_id in exact20 or got[0].vec_id == exact_top1
