@@ -50,38 +50,66 @@ def asof_join(
     tie_break: str | None = None,
 ) -> DataFrame:
     """As-of join (B15): for each left row, the single latest right row
-    with ``right_ts <= left_ts`` per key. Spark has no built-in as-of
-    join in SQL, so this is a range join + per-left-row row_number()=1.
+    with ``right_ts <= left_ts`` per key. Left rows with no match are
+    kept (left outer semantics). Spark SQL has no built-in as-of join;
+    this is the union-merge plan:
 
-    ``tolerance`` (e.g. "INTERVAL 1 DAY") bounds how stale the match may
-    be — essential at scale: an unbounded inequality join degenerates to
-    a per-key cross product; the tolerance keeps the join selective and
-    lets the range-join machinery prune. ``tie_break`` breaks right-side
-    ts ties deterministically.
+      tag both sides → union → ONE shuffle on the key → sort within
+      partitions by (ts, side, tie_break) → running ``last(right-struct,
+      ignorenulls)`` → keep left rows.
 
-    Left rows with no match are kept (left outer semantics).
+    Cost is a single hash partition + per-partition sort, linear in
+    |L|+|R| — unlike a range join, which degenerates to a per-key cross
+    product (|L|·|R| pairs per key) before its row_number prune. Right
+    rows sort before left rows at equal ts, giving inclusive (<=)
+    semantics; ties among right rows resolve to the largest
+    ``tie_break``. The right columns travel packed in one struct so a
+    NULL value inside a newer right row can't leak an older row's value.
+
+    ``tolerance`` (e.g. "INTERVAL 1 DAY") nulls matches staler than
+    left_ts - tolerance after the merge (and, at scale, lets callers
+    pre-filter the right side by time range before calling).
     """
-    lcols = [F.col(f"l.{c}") for c in left.columns]
     rsel = right_cols or [c for c in right.columns if c not in on]
-    cond = F.col(f"l.{on[0]}") == F.col(f"r.{on[0]}")
-    for c in on[1:]:
-        cond = cond & (F.col(f"l.{c}") == F.col(f"r.{c}"))
-    cond = cond & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
-    if tolerance:
-        cond = cond & (
-            F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}") - F.expr(tolerance)
-        )
-    joined = left.alias("l").join(right.alias("r"), cond, "left")
+    overlap = (set(left.columns) & {*rsel, right_ts}) - set(on)
+    if overlap:
+        raise ValueError(f"rename overlapping non-key columns: {sorted(overlap)}")
 
-    order = [F.col(f"r.{right_ts}").desc()]
-    if tie_break:
-        order.append(F.col(f"r.{tie_break}").desc())
-    w = Window.partitionBy(*[F.col(f"l.{c}") for c in left.columns]).orderBy(*order)
-    # NOTE: partitioning by all left columns assumes left rows are
-    # distinct; callers with duplicate left rows should add a uid first.
-    out = (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*lcols, *[F.col(f"r.{c}").alias(c) for c in rsel])
+    packed = F.struct(
+        F.col(right_ts), *[F.col(c) for c in rsel if c != right_ts]
+    ).alias("__r")
+    tagged_r = right.select(
+        *on,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *([F.col(tie_break).alias("__tie")] if tie_break else [F.lit(0).alias("__tie")]),
+        packed,
     )
-    return out
+    tagged_l = left.select(
+        *left.columns,
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).alias("__tie"),
+        F.lit(None).cast(tagged_r.schema["__r"].dataType).alias("__r"),
+    )
+    unioned = tagged_r.unionByName(tagged_l, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__t"), F.col("__is_left"), F.col("__tie"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = unioned.withColumn(
+        "__match", F.last("__r", ignorenulls=True).over(w)
+    ).filter(F.col("__is_left") == 1)
+
+    match = F.col("__match")
+    if tolerance:
+        match = F.when(
+            F.col("__match")[right_ts] >= F.col("__t") - F.expr(tolerance),
+            F.col("__match"),
+        )
+    return merged.select(
+        *left.columns,
+        *[match[c].alias(c) for c in rsel],
+    )

@@ -16,6 +16,8 @@ Determinism rules shared by both sides:
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 - resolves pandas_udf type hints
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1233,6 +1235,146 @@ FROM events GROUP BY event_type
 
 
 # --------------------------------------------------------------------
+# B45-B48 — Python UDF surface: grouped-map (applyInPandas), co-grouped
+# merge, vectorized UDAF (pandas_udf GROUPED_AGG), and UDTF. The Python
+# stages run Arrow-batched; the rest of each plan stays in Catalyst.
+# --------------------------------------------------------------------
+
+def q48_grouped_map_zscore(spark, sf_dir):
+    """Per-nation z-score of customer account balances via grouped-map
+    applyInPandas (B46): one Arrow batch per group, vectorized pandas
+    math inside."""
+    import pandas as pd  # noqa: F401
+
+    c = _t(spark, sf_dir, "customer")
+
+    def zscore(pdf):
+        import pandas as pd
+
+        m = pdf["c_acctbal"].mean()
+        s = pdf["c_acctbal"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "zscore": ((pdf["c_acctbal"] - m) / s).round(6),
+            }
+        )
+
+    return c.groupBy("c_nationkey").applyInPandas(
+        zscore, "c_custkey long, zscore double"
+    )
+
+
+Q48_SQL = """
+SELECT c_custkey,
+       ROUND((c_acctbal - AVG(c_acctbal) OVER w) / STDDEV_SAMP(c_acctbal) OVER w,
+             6) AS zscore
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey)
+"""
+
+
+def q49_udaf_weighted_avg(spark, sf_dir):
+    """Quantity-weighted average price per return flag via a vectorized
+    GROUPED_AGG pandas UDF (B48)."""
+    from pyspark.sql.functions import pandas_udf
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    return li.groupBy("l_returnflag").agg(
+        F.round(wavg("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
+    )
+
+
+Q49_SQL = """
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q50_udtf_split_words(spark, sf_dir):
+    """UDTF (B47): one part-name row expands to one row per word with
+    its position — the table-function counterpart of explode, for logic
+    too imperative for HOFs."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                yield w, i
+
+    load_tables(spark, sf_dir)
+    spark.udtf.register("split_words", SplitWords)
+    return spark.sql(
+        """
+        SELECT p_partkey, t.word, t.pos
+        FROM part, LATERAL split_words(p_name) t
+        WHERE p_partkey < 100
+        """
+    )
+
+
+Q50_SQL = """
+WITH s AS (
+  SELECT p_partkey, STRING_SPLIT(p_name, ' ') AS arr
+  FROM part WHERE p_partkey < 100
+)
+SELECT p_partkey, arr[i] AS word, CAST(i - 1 AS INT) AS pos
+FROM s, UNNEST(GENERATE_SERIES(1, LEN(arr))) AS t(i)
+"""
+
+
+def q51_cogroup_asof(spark, sf_dir):
+    """As-of join realized a second way (B46 co-grouped applyInPandas +
+    pandas merge_asof per user) — the per-key imperative escape hatch
+    when composition (operators.relational.asof_join) doesn't fit."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+    )
+
+    def merge(left, right):
+        import pandas as pd
+
+        left = left.sort_values("ts")
+        right = right.drop(columns=["user_id"]).sort_values(["cts", "click_id"])
+        out = pd.merge_asof(
+            left, right, left_on="ts", right_on="cts", direction="backward"
+        )
+        return out[["user_id", "event_id", "click_value"]]
+
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(merge, "user_id long, event_id long, click_value double")
+    )
+
+
+Q51_SQL = """
+WITH p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts AS cts, event_id AS click_id, value AS click_value
+           FROM events WHERE event_type = 'click'),
+     j AS (SELECT p.user_id, p.event_id, c.click_value,
+                  ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                     ORDER BY c.cts DESC, c.click_id DESC) AS rn
+           FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.cts <= p.ts)
+SELECT user_id, event_id, click_value FROM j WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------
 # Rows-only queries (no DuckDB-expressible oracle): sketch-based
 # dedup, xxhash64 fingerprints, blake2b/sha3 parity, approximate ops.
 # --------------------------------------------------------------------
@@ -1333,6 +1475,11 @@ QUERIES: dict[str, tuple] = {
     "q45_stream_sessionize": (q45_stream_sessionize, Q45_SQL),
     "q46_stream_stateful_counts": (q46_stream_stateful_counts, Q46_SQL),
     "q47_stream_dedup": (q47_stream_dedup, Q47_SQL),
+    # Python UDF surface (Arrow-batched; B45-B48)
+    "q48_grouped_map_zscore": (q48_grouped_map_zscore, Q48_SQL),
+    "q49_udaf_weighted_avg": (q49_udaf_weighted_avg, Q49_SQL),
+    "q50_udtf_split_words": (q50_udtf_split_words, Q50_SQL),
+    "q51_cogroup_asof": (q51_cogroup_asof, Q51_SQL),
     # rows-only (not SQL-expressible in DuckDB: xxhash64 sketches,
     # blake2b/sha3, approximate algorithms, LSH probing)
     "q37_minhash_pairs": (q37_minhash_pairs, None),

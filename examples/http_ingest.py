@@ -1,0 +1,52 @@
+"""Port of the reference's falcon_api example (acceptance test #2,
+reference src/examples/falcon_api/main.py:1-52): generator mode +
+embedded start. An HTTP GET /{message} stages a message under a lock;
+the generator loop drains staged messages to the output stream; the
+node runs embedded (start() returns immediately) next to the web
+server.
+
+Run: python examples/http_ingest.py   then: curl localhost:9999/hello
+"""
+
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from catenae_stopover_spark import Link
+
+
+class HttpIngest(Link):
+    def setup(self, **kwargs):
+        self.lock = threading.Lock()
+        self.staged = []
+
+    def generator(self):
+        # drain staged messages (reference falcon_api main.py:13-19)
+        with self.lock:
+            pending, self.staged = self.staged, []
+        for item in pending:
+            self.send(item)
+
+    def stage(self, message: str) -> None:
+        # ≙ the falcon resource on_get (reference falcon_api main.py:26-41)
+        with self.lock:
+            self.staged.append(message)
+
+
+if __name__ == "__main__":
+    link = HttpIngest(default_output_stream="stream0")
+    link.start(embedded=True)  # non-blocking (reference main.py:48)
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):  # noqa: N802
+            link.stage(self.path.lstrip("/"))
+            self.send_response(200)
+            self.end_headers()
+            self.wfile.write(b"staged\n")
+
+        def log_message(self, *args):
+            pass
+
+    ThreadingHTTPServer(("0.0.0.0", 9999), Handler).serve_forever()

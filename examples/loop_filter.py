@@ -1,0 +1,32 @@
+"""Port of the reference's loop_filter example (acceptance test #1,
+reference src/examples/loop_filter/main.py:1-18): a node wired to
+itself (stream0 → stream0); setup seeds one message and transform
+re-emits it, so the seed cycles forever through consume → process →
+produce → commit.
+
+Run: python examples/loop_filter.py   (Ctrl-C to stop)
+"""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from catenae_stopover_spark import Link
+
+
+class LoopFilter(Link):
+    def setup(self, **kwargs):
+        # seed one message (reference loop_filter main.py:6)
+        self.send("Hello World!", "stream0")
+
+    def transform(self, message):
+        # log and re-emit (reference loop_filter main.py:8-10)
+        print(f"transform: {message.value!r}", flush=True)
+        return message.value
+
+
+if __name__ == "__main__":
+    LoopFilter(
+        input_stream="stream0",
+        default_output_stream="stream0",
+    ).start()

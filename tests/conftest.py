@@ -16,7 +16,14 @@ sys.path.insert(0, _ROOT)
 # environment; include the repo and tests dirs so classes defined in test
 # modules (e.g. Link subclasses shipped via mapInPandas) import there too.
 os.environ["PYTHONPATH"] = os.pathsep.join(
-    p for p in (_ROOT, _TESTS, os.environ.get("PYTHONPATH")) if p
+    p
+    for p in (
+        _ROOT,
+        _TESTS,
+        os.path.join(_ROOT, "examples"),
+        os.environ.get("PYTHONPATH"),
+    )
+    if p
 )
 
 SF_SMOKE = "/root/testdata/sf0.001"

@@ -1,0 +1,84 @@
+"""The two reference examples as acceptance tests (SURVEY §5: the only
+executable validation artifacts the reference ships are these examples;
+§7 Phase 2 makes them our acceptance gate).
+
+* loop_filter: self-loop echo — one seeded message must cycle through
+  consume → transform → produce repeatedly (validates produce, consume,
+  checkpoint-commit, transform plumbing).
+* http_ingest (falcon_api port): generator mode + embedded start —
+  externally staged messages are pumped to the output stream by the
+  generator loop.
+"""
+
+import sys
+import threading
+import time
+
+import pytest
+
+from catenae_stopover_spark.broker import GroupCursor
+from catenae_stopover_spark.link import Link
+
+sys.path.insert(0, "/root/repo/examples")
+
+pytestmark = pytest.mark.slow
+
+
+def test_loop_filter_self_loop_cycles(tmp_path, spark):
+    from loop_filter import LoopFilter
+
+    node = LoopFilter(
+        endpoint=str(tmp_path / "broker"),
+        input_stream="stream0",
+        default_output_stream="stream0",
+        spark=spark,
+    )
+    node.start(embedded=True, checkpoint_root=str(tmp_path / "ckpt"))
+    try:
+        cur = GroupCursor("observer")
+        seen = []
+        deadline = time.monotonic() + 90
+        # the seed must pass through transform at least twice (self-loop)
+        while len(seen) < 3 and time.monotonic() < deadline:
+            seen.extend(m.value for m in node.broker.read_new("stream0", cur))
+            time.sleep(0.5)
+    finally:
+        node.suicide("test done")
+    assert len(seen) >= 3
+    assert set(seen) == {"Hello World!"}
+
+
+def test_generator_mode_pumps_staged_messages(tmp_path, spark):
+    from http_ingest import HttpIngest
+
+    node = HttpIngest(
+        endpoint=str(tmp_path / "broker"),
+        default_output_stream="stream0",
+        spark=spark,
+    )
+    node.start(embedded=True, checkpoint_root=str(tmp_path / "ckpt"))
+    try:
+        for i in range(5):
+            node.stage(f"msg-{i}")
+        cur = GroupCursor("observer")
+        got = []
+        deadline = time.monotonic() + 30
+        while len(got) < 5 and time.monotonic() < deadline:
+            got.extend(m.value for m in node.broker.read_new("stream0", cur))
+            time.sleep(0.2)
+    finally:
+        node.suicide("test done")
+    assert sorted(got) == [f"msg-{i}" for i in range(5)]
+
+
+def test_embedded_start_is_nonblocking_and_idempotent(tmp_path):
+    class Passive(Link):
+        def generator(self):
+            time.sleep(0.05)
+
+    node = Passive(endpoint=str(tmp_path), default_output_stream="out")
+    t0 = time.monotonic()
+    node.start(embedded=True)
+    assert time.monotonic() - t0 < 5  # returned immediately
+    assert node.start(embedded=True) is node  # idempotent (catenae.py:269-271)
+    node.suicide("done")
