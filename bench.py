@@ -6,11 +6,21 @@ Runs the bench-q* workloads at ``$SPARK_GRAFT_SF_DIR`` (default
 JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+     "queries": {"q1": sec, ...}, "sf": 0.1,
+     "duckdb": {...}, "rows": {...}, "config": {...}}
+
+``queries`` is the driver-consumed field; ``duckdb`` carries the same
+workloads on the single-node comparison engine (identical parquet, the
+oracle SQL), ``rows``/``config`` document result sizes and the Spark
+knobs, per BASELINE.md's reporting requirements.
 
 Per query we take the best of ``$SPARK_GRAFT_BENCH_REPS`` (default 2)
 runs after a shared session warm-up, so JVM/codegen startup is not
 billed to the first query.
+
+bench-t1 is the loop_filter-equivalent message throughput: 200k JSON
+envelopes through the Link data plane's map-or-drop stage (Arrow-batched
+mapInPandas transform, ~1/8 of messages dropped), counted end-to-end.
 """
 
 from __future__ import annotations
@@ -27,6 +37,7 @@ from catenae_stopover_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+T1_MESSAGES = int(os.environ.get("SPARK_GRAFT_T1_MESSAGES", "200000"))
 
 # BASELINE.md bench set -> query registry entries.
 BENCH = {
@@ -40,6 +51,11 @@ BENCH = {
     "q7_cosine_topk": "q29_cosine_topk",
 }
 
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
 
 def _sf_from_dir(d: str) -> float:
     base = os.path.basename(d.rstrip("/"))
@@ -47,6 +63,77 @@ def _sf_from_dir(d: str) -> float:
         return float(base.replace("sf", ""))
     except ValueError:
         return -1.0
+
+
+def bench_t1_link_throughput(spark) -> tuple[float, int]:
+    """loop_filter-equivalent throughput: JSON envelopes through the
+    map-or-drop transform stage (the Link data plane without the file
+    broker): decode → user python → filter-None → re-encode."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    envelopes = spark.range(T1_MESSAGES).select(
+        F.col("id").cast("string").alias("msg_id"),
+        F.to_json(F.struct(F.col("id").alias("n"))).alias("value"),
+    )
+
+    def map_or_drop(batches):
+        for pdf in batches:
+            payloads = pdf["value"].map(json.loads)
+            keep = payloads.map(lambda p: p["n"] % 8 != 0)  # drop 1/8
+            out = pdf[keep]
+            yield pd.DataFrame(
+                {
+                    "msg_id": out["msg_id"],
+                    "value": payloads[keep].map(
+                        lambda p: json.dumps({"n": p["n"], "echo": True})
+                    ),
+                }
+            )
+
+    # Spawn the Python worker pool before timing (32 workers × ~0.3s
+    # fork+Arrow init would otherwise dominate the measurement; a real
+    # deployment pays it once per executor lifetime).
+    spark.range(1000).mapInPandas(map_or_drop_warm, "id long").count()
+
+    t0 = time.perf_counter()
+    n = envelopes.mapInPandas(map_or_drop, "msg_id string, value string").count()
+    return time.perf_counter() - t0, n
+
+
+def map_or_drop_warm(batches):
+    for pdf in batches:
+        yield pdf
+
+
+def bench_duckdb() -> dict[str, float]:
+    """The same workloads on the single-node comparison engine
+    (BASELINE.md: 'duckdb as the comparison engine on identical
+    parquet'). Uses each query's oracle SQL; sketch queries without an
+    oracle are skipped."""
+    try:
+        import duckdb
+    except ImportError:
+        return {}
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    out: dict[str, float] = {}
+    for label, qname in BENCH.items():
+        sql = QUERIES[qname][1]
+        if sql is None:
+            continue
+        best = float("inf")
+        for _ in range(max(1, REPS)):
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[label] = round(best, 4)
+    return out
 
 
 def main() -> None:
@@ -57,6 +144,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     for label, qname in BENCH.items():
         fn = QUERIES[qname][0]
         best = float("inf")
@@ -66,7 +154,19 @@ def main() -> None:
             n = df.count()
             best = min(best, time.perf_counter() - t0)
         timings[label] = round(best, 4)
+        rows[label] = n
         print(f"# {label}: {timings[label]:.3f}s rows={n}", file=sys.stderr)
+
+    t1_sec, t1_rows = bench_t1_link_throughput(spark)
+    timings["t1_link_throughput"] = round(t1_sec, 4)
+    rows["t1_link_throughput"] = t1_rows
+    print(
+        f"# t1_link_throughput: {t1_sec:.3f}s "
+        f"({T1_MESSAGES / t1_sec:,.0f} msgs/s in, {t1_rows} out)",
+        file=sys.stderr,
+    )
+
+    duck = bench_duckdb()
 
     total = round(sum(timings.values()), 4)
     print(
@@ -77,6 +177,16 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
+                "rows": rows,
+                "duckdb": duck,
+                "config": {
+                    "master": spark.sparkContext.master,
+                    "shuffle_partitions": spark.conf.get(
+                        "spark.sql.shuffle.partitions"
+                    ),
+                    "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+                    "reps": REPS,
+                },
             }
         )
     )
