@@ -1,0 +1,93 @@
+"""Sinks (SURVEY B3, A11): parquet / memory / Kafka / foreachBatch.
+
+The reference's only sink is ``stopover.put(message, stream)``
+(reference src/catenae/catenae.py:324); ``send()`` to an explicit
+stream from inside ``transform`` is the multi-sink case — in Spark that
+is exactly ``foreachBatch`` writing the same micro-batch to several
+destinations (each write transactional per epoch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    trigger_interval: str | None = None,
+    available_now: bool = False,
+    partition_by: list[str] | None = None,
+) -> StreamingQuery:
+    """Append stream to parquet files (exactly-once via the checkpoint +
+    file-manifest commit protocol). ``partition_by`` keys become
+    directory partitions — choose low-cardinality, commonly-filtered
+    columns (date, type) so downstream scans prune."""
+    w = df.writeStream.format("parquet").option("path", path).option(
+        "checkpointLocation", checkpoint
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_interval:
+        w = w.trigger(processingTime=trigger_interval)
+    return w.start()
+
+
+def kafka_sink(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+    trigger_interval: str | None = None,
+) -> StreamingQuery:
+    """Write a stream to a Kafka topic (at-least-once; the canonical
+    production sink, ≙ stopover.put). Expects ``key``/``value`` columns
+    (binary or string). Untested in this container (no broker)."""
+    w = (
+        df.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+    )
+    if trigger_interval:
+        w = w.trigger(processingTime=trigger_interval)
+    return w.start()
+
+
+def multi_sink(
+    df: DataFrame,
+    routes: dict[str, "callable"],
+    checkpoint: str,
+    route_col: str = "stream",
+    trigger_interval: str | None = None,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Route each micro-batch to several destinations by a column value
+    (≙ explicit-stream ``send()`` from inside transform, SURVEY A11).
+
+    ``routes`` maps a ``route_col`` value to ``fn(batch_df, epoch_id)``.
+    The batch is persisted once, each route filters its slice, and the
+    epoch checkpoint commits after every route succeeded — so a failed
+    route replays the whole epoch (at-least-once per destination).
+    """
+
+    def write_batch(batch_df, epoch_id):
+        batch_df.persist()
+        try:
+            for value, fn in routes.items():
+                fn(batch_df.filter(batch_df[route_col] == value), epoch_id)
+        finally:
+            batch_df.unpersist()
+
+    w = df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_interval:
+        w = w.trigger(processingTime=trigger_interval)
+    return w.start()

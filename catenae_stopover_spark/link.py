@@ -133,6 +133,17 @@ class Link:
         self._set_uid()
         self._load_args()
 
+        # structured JSON logger with the reference's context fields
+        # (instance=uid, microservice=classname; reference logger.py:21-32)
+        from .logging_utils import get_logger
+
+        self.logger = get_logger(
+            f"{type(self).__name__}.{self._uid}",
+            instance=self._uid,
+            microservice=type(self).__name__,
+            level=self._config["log_level"],
+        )
+
         # RPC topics (reference catenae.py:124-134)
         self._rpc_topics = [
             f"catenae_rpc_{type(self).__name__.lower()}",
@@ -223,6 +234,7 @@ class Link:
         "rpc_lock",
         "_broker",
         "_rpc_cursor",
+        "logger",
     )
 
     def __getstate__(self):
@@ -233,6 +245,16 @@ class Link:
 
     def __setstate__(self, state):
         self.__dict__.update(state)
+        # recreate a logger executor-side so user transform code may
+        # call self.logger there too
+        from .logging_utils import get_logger
+
+        self.logger = get_logger(
+            f"{type(self).__name__}.{self._uid}",
+            instance=self._uid,
+            microservice=type(self).__name__,
+            level=self._config.get("log_level", "INFO"),
+        )
 
     # ---- user hooks (A8, A10, A38, A39) ----------------------------
 
@@ -350,6 +372,48 @@ class Link:
         )
         self._queries.append(query)
         return query
+
+    # ---- driver-side helper threads (A12, A13, A21) ------------------
+
+    def launch_thread(self, target, args=None, kwargs=None, safe_stop=False):
+        """Spawn a daemon thread for driver-side side work (reference
+        catenae.py:326-339). ``safe_stop=True`` tracks it so suicide
+        stops it cooperatively. Data-plane work belongs in
+        transform/transform_df, never here."""
+        t = StoppableThread(target=target, args=args, kwargs=kwargs)
+        t.start()
+        if safe_stop:
+            self._threads.append(t)
+        return t
+
+    def loop(self, target, args=None, kwargs=None, interval=0, wait=False,
+             safe_stop=True):
+        """Run ``target`` periodically in a driver thread (reference
+        catenae.py:341-360 + _loop_task catenae.py:536-561): optional
+        initial wait, then run-sleep cycles until stopped; any exception
+        fail-fasts the node (suicide_on_error semantics)."""
+        args = tuple(args or ())
+        kwargs = dict(kwargs or {})
+
+        def body():
+            me = threading.current_thread()
+            if wait and me.wait(interval):
+                return
+            while not getattr(me, "will_stop", False):
+                try:
+                    target(*args, **kwargs)
+                except Exception:  # noqa: BLE001 - fail-fast (catenae.py:536)
+                    traceback.print_exc()
+                    self.suicide(f"Error when executing {getattr(target, '__name__', target)}")
+                    return
+                if me.wait(interval):
+                    return
+
+        t = StoppableThread(target=body, name=f"loop-{getattr(target, '__name__', 'fn')}")
+        t.start()
+        if safe_stop:
+            self._threads.append(t)
+        return t
 
     # ---- control plane (A1, A14, A19, A20) --------------------------
 

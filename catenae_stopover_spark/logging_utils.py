@@ -1,0 +1,53 @@
+"""Structured JSON logging (SURVEY A36).
+
+The reference logs JSON lines via Binnakle with ``instance=uid`` and
+``microservice=classname`` context fields (reference
+src/catenae/logger.py:21-32). Same observable output on stdlib logging:
+one JSON object per line carrying level, message, timestamp, and the
+two context fields.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import sys
+import time
+
+
+class JsonFormatter(logging.Formatter):
+    def __init__(self, instance: str = "", microservice: str = ""):
+        super().__init__()
+        self.instance = instance
+        self.microservice = microservice
+
+    def format(self, record: logging.LogRecord) -> str:
+        out = {
+            "timestamp": round(record.created, 3),
+            "level": record.levelname,
+            "message": record.getMessage(),
+            "instance": self.instance,
+            "microservice": self.microservice,
+        }
+        if record.exc_info:
+            out["exception"] = self.formatException(record.exc_info)
+        return json.dumps(out, ensure_ascii=False)
+
+
+def get_logger(
+    name: str,
+    instance: str = "",
+    microservice: str = "",
+    level: str = "INFO",
+    stream=None,
+) -> logging.Logger:
+    """Logger emitting one JSON line per record with the reference's
+    context fields. Idempotent per name."""
+    logger = logging.getLogger(name)
+    logger.setLevel(level.upper())
+    if not any(isinstance(h.formatter, JsonFormatter) for h in logger.handlers):
+        h = logging.StreamHandler(stream or sys.stderr)
+        h.setFormatter(JsonFormatter(instance=instance, microservice=microservice))
+        logger.addHandler(h)
+        logger.propagate = False
+    return logger

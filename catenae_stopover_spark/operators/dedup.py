@@ -228,15 +228,21 @@ def ngram_jaccard_near_dups(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
     Candidate pairs come from an inverted index (explode n-grams, join
     on n-gram); intersection size = count of shared n-grams; union via
     |A| + |B| - inter. Exact — used as the verifier / oracle for the
-    sketch-based strategies at small scale; at 100 TB the explode-join
-    stays tractable only with a document-frequency cap on the n-grams
-    (drop grams appearing in > max_df docs), the standard trick.
+    sketch-based strategies at small scale.
+
+    ``max_df`` drops n-grams appearing in more than that many documents
+    from CANDIDATE GENERATION only (|A|/|B| stay exact, so Jaccard
+    values are exact; some high-boilerplate pairs may be missed). At
+    100 TB this cap is mandatory: a gram shared by k docs produces
+    k(k-1)/2 join rows, so boilerplate grams otherwise dominate the
+    shuffle quadratically.
     """
     grams = ensure_min_parallelism(df).select(
         F.col(id_col),
@@ -244,6 +250,12 @@ def ngram_jaccard_near_dups(
     ).filter(F.size("grams") > 0)
     sizes = grams.select(id_col, F.size("grams").alias("n_grams"))
     inv = grams.select(id_col, F.explode("grams").alias("gram"))
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        inv = inv.withColumn(
+            "__df", F.count("*").over(Window.partitionBy("gram"))
+        ).filter(F.col("__df") <= max_df).drop("__df")
     a, b = inv.alias("a"), inv.alias("b")
     inter = (
         a.join(
@@ -278,6 +290,7 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     threshold: float = 0.95,
     lsh_bits: int = 0,
+    kernel: str = "sql",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold).
 
@@ -285,7 +298,23 @@ def embedding_near_dups(
     ``lsh_bits=k`` first buckets by a k-bit random-hyperplane signature
     (sign of projection onto deterministic pseudo-random planes built
     from xxhash64) and only compares within buckets — the scale path.
+
+    ``kernel='numpy'`` (requires ``lsh_bits>0``) computes each bucket's
+    pairwise cosines with one BLAS gram-matrix product via
+    applyInPandas instead of a per-element SQL join — the throughput
+    path for wide embeddings. Pick ``lsh_bits`` so buckets stay small
+    (the gram matrix is O(bucket²) memory); hot buckets are the same
+    skew risk as any LSH banding.
     """
+    if kernel == "numpy":
+        if lsh_bits <= 0:
+            raise ValueError("kernel='numpy' requires lsh_bits > 0")
+        from ..operators.similarity import hyperplane_signature
+
+        bucketed = ensure_min_parallelism(df).select(
+            F.col(id_col), F.col(vec_col)
+        ).withColumn("bucket", hyperplane_signature(vec_col, lsh_bits))
+        return _bucket_pairs_numpy(bucketed, vec_col, id_col, threshold)
     from ..functions.vectors import cosine_similarity
 
     base = ensure_min_parallelism(df).select(F.col(id_col), F.col(vec_col))
@@ -326,4 +355,34 @@ def embedding_near_dups(
             ),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _bucket_pairs_numpy(
+    bucketed: DataFrame, vec_col: str, id_col: str, threshold: float
+) -> DataFrame:
+    """All intra-bucket pairs with cosine >= threshold via one
+    float64 gram-matrix product per bucket (grouped applyInPandas)."""
+
+    def pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        order = pdf[id_col].to_numpy().argsort()
+        ids = pdf[id_col].to_numpy()[order]
+        m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)[order]
+        norms = np.linalg.norm(m, axis=1)
+        sim = (m @ m.T) / np.outer(norms, norms)
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = sim[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": sim[ia, ib][keep]}
+        )
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        pairs, "id_a long, id_b long, cosine double"
     )

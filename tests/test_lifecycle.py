@@ -1,0 +1,112 @@
+"""Driver-side lifecycle helpers: Link.loop / launch_thread (SURVEY
+A12/A13/A21), the health endpoint (A37), CLI argument surface (A6), and
+the error taxonomy (A35)."""
+
+import json
+import threading
+import time
+import urllib.request
+
+import pytest
+
+from catenae_stopover_spark import errors
+from catenae_stopover_spark.health import HealthServer
+from catenae_stopover_spark.link import Link
+
+
+def test_loop_runs_periodically_and_stops(tmp_path):
+    node = Link(endpoint=str(tmp_path))
+    hits = []
+    t = node.loop(lambda: hits.append(time.monotonic()), interval=0.02)
+    time.sleep(0.2)
+    t.stop()
+    t.join(timeout=2)
+    assert len(hits) >= 3
+
+
+def test_loop_error_triggers_suicide(tmp_path):
+    stops = []
+
+    class N(Link):
+        def stop(self):
+            stops.append(1)
+
+    node = N(endpoint=str(tmp_path))
+
+    def boom():
+        raise RuntimeError("loop body failed")
+
+    t = node.loop(boom, interval=0.01)
+    t.join(timeout=5)
+    assert stops == [1]  # suicide ran the user stop() hook exactly once
+
+
+def test_loop_initial_wait(tmp_path):
+    node = Link(endpoint=str(tmp_path))
+    hits = []
+    node.loop(lambda: hits.append(1), interval=0.3, wait=True)
+    time.sleep(0.1)
+    assert hits == []  # still in the initial wait
+
+
+def test_launch_thread_safe_stop_tracked(tmp_path):
+    node = Link(endpoint=str(tmp_path))
+
+    def body():
+        me = threading.current_thread()
+        while not getattr(me, "will_stop", False):
+            me.wait(0.02)
+
+    t = node.launch_thread(body, safe_stop=True)
+    assert t.is_alive()
+    node.suicide("done")
+    t.join(timeout=2)
+    assert not t.is_alive()
+
+
+def test_health_endpoint_available():
+    srv = HealthServer(port=0)  # ephemeral port
+    srv.start()
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/health") as r:
+            assert r.status == 200
+            assert json.loads(r.read()) == {"status": "available"}
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/nope")
+    finally:
+        srv.shutdown()
+
+
+def test_cli_args_override_ctor(tmp_path, monkeypatch):
+    # reference catenae.py:169-249: CLI flags override ctor values,
+    # comma-split lists; unrecognized args exposed via .args
+    monkeypatch.setattr(
+        "sys.argv",
+        [
+            "prog",
+            "-i", "s1,s2",
+            "-o", "outX",
+            "-g", "groupX",
+            "--custom-flag", "7",
+        ],
+    )
+    node = Link(endpoint=str(tmp_path), input_stream="ignored")
+    cfg = node.config
+    assert cfg["input_streams"] == ["s1", "s2"]
+    assert cfg["default_output_stream"] == "outX"
+    assert cfg["receiver_group"] == "groupX"
+    assert node.args == ["--custom-flag", "7"]
+
+
+def test_error_taxonomy():
+    # JSON-RPC subtree under RPCError (reference errors.py:13-34)
+    for cls in (
+        errors.ParseError,
+        errors.InvalidRequestError,
+        errors.MethodNotFoundError,
+        errors.InvalidParamsError,
+        errors.InternalError,
+    ):
+        assert issubclass(cls, errors.RPCError)
+    assert issubclass(errors.EmptyError, Exception)
+    assert not issubclass(errors.EmptyError, errors.RPCError)

@@ -1,0 +1,52 @@
+"""The numpy (BLAS) kernels must agree with the exact SQL kernels —
+same math in float64, different summation order, equal after rounding."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.io.sources import load_table
+from catenae_stopover_spark.operators.dedup import embedding_near_dups
+from catenae_stopover_spark.operators.similarity import brute_force_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def test_brute_force_kernels_agree(spark, emb):
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+    sql_res = [(r.vec_id, r.cosine) for r in brute_force_topk(base, qvec, k=10).collect()]
+    np_res = [
+        (r.vec_id, r.cosine)
+        for r in brute_force_topk(base, qvec, k=10, kernel="numpy").collect()
+    ]
+    assert sql_res == np_res
+
+
+def test_embedding_near_dups_numpy_bucketed_subset_of_exact(spark, emb):
+    # bucketed-numpy pairs must be a subset of the exact all-pairs set
+    # (LSH can only MISS pairs, never invent them) and every cosine must
+    # match the exact kernel's value for the same pair.
+    exact = {
+        (r.id_a, r.id_b): round(r.cosine, 6)
+        for r in embedding_near_dups(emb, threshold=0.3).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b): round(r.cosine, 6)
+        for r in embedding_near_dups(
+            emb, threshold=0.3, lsh_bits=2, kernel="numpy"
+        ).collect()
+    }
+    assert bucketed  # something found at this loose threshold
+    assert set(bucketed) <= set(exact)
+    for pair, cos in bucketed.items():
+        assert abs(cos - exact[pair]) < 1e-6
+
+
+def test_numpy_kernel_requires_buckets(spark, emb):
+    with pytest.raises(ValueError, match="lsh_bits"):
+        embedding_near_dups(emb, kernel="numpy", lsh_bits=0)

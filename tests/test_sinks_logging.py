@@ -1,0 +1,155 @@
+"""Sinks (SURVEY B3/A11 multi-sink routing), structured JSON logging
+(A36), ngram max_df candidate cap, and the stream-stream join (B43)."""
+
+import io
+import json
+import logging
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.io.sinks import multi_sink, parquet_sink
+from catenae_stopover_spark.io.sources import load_table, replay_as_stream
+from catenae_stopover_spark.logging_utils import get_logger
+from catenae_stopover_spark.operators.dedup import ngram_jaccard_near_dups
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.mark.slow
+def test_parquet_sink_appends_stream(spark, tmp_path):
+    ev = load_table(spark, SF, "events").limit(200)
+    stream = replay_as_stream(spark, ev, str(tmp_path / "stage"), chunks=2)
+    q = parquet_sink(
+        stream.select("event_id", "event_type"),
+        path=str(tmp_path / "out"),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 200
+    assert set(got.columns) == {"event_id", "event_type"}
+
+
+@pytest.mark.slow
+def test_multi_sink_routes_by_column(spark, tmp_path):
+    ev = load_table(spark, SF, "events").limit(300)
+    stream = replay_as_stream(spark, ev, str(tmp_path / "stage"), chunks=2)
+    received: dict[str, int] = {"click": 0, "purchase": 0}
+
+    def make_route(name):
+        def route(batch_df, epoch_id):
+            received[name] += batch_df.count()
+
+        return route
+
+    q = multi_sink(
+        stream,
+        routes={"click": make_route("click"), "purchase": make_route("purchase")},
+        checkpoint=str(tmp_path / "ckpt"),
+        route_col="event_type",
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    expected = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert received["click"] == expected.get("click", 0)
+    assert received["purchase"] == expected.get("purchase", 0)
+
+
+@pytest.mark.slow
+def test_stream_stream_join_time_bounded(spark, tmp_path):
+    """B43: purchases ⋈ clicks within a time bound, both sides streams
+    with watermarks — checked against the equivalent batch join."""
+    ev = load_table(spark, SF, "events")
+    p_stream = replay_as_stream(
+        spark,
+        ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"), F.col("user_id"), F.col("ts").alias("pts")
+        ),
+        str(tmp_path / "p"),
+        chunks=2,
+    ).withWatermark("pts", "2 hours")
+    c_stream = replay_as_stream(
+        spark,
+        ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("c_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("cts"),
+        ),
+        str(tmp_path / "c"),
+        chunks=2,
+    ).withWatermark("cts", "2 hours")
+
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = p_stream.join(c_stream, cond, "inner").select("p_id", "c_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("select count(*) from ssjoin").head()[0]
+
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    expected = p.join(c, cond, "inner").count()
+    assert got == expected
+
+
+def test_ngram_max_df_caps_candidates(spark):
+    docs = [(i, "common boilerplate header text for every single page here") for i in range(5)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # all 5 docs identical: without cap, 10 pairs at jaccard 1.0
+    assert ngram_jaccard_near_dups(df, threshold=0.9).count() == 10
+    # every gram appears in 5 docs > max_df=2 → no candidates generated
+    assert ngram_jaccard_near_dups(df, threshold=0.9, max_df=2).count() == 0
+
+
+def test_json_logger_format_and_context():
+    buf = io.StringIO()
+    log = get_logger("t.fmt", instance="abc123", microservice="MyLink", stream=buf)
+    log.info("hello %s", "world")
+    rec = json.loads(buf.getvalue().strip())
+    assert rec["message"] == "hello world"
+    assert rec["level"] == "INFO"
+    assert rec["instance"] == "abc123"
+    assert rec["microservice"] == "MyLink"
+    assert isinstance(rec["timestamp"], float)
+
+
+def test_json_logger_exception_field():
+    buf = io.StringIO()
+    log = get_logger("t.exc", stream=buf)
+    try:
+        raise ValueError("boom")
+    except ValueError:
+        log.exception("failed")
+    rec = json.loads(buf.getvalue().strip())
+    assert rec["level"] == "ERROR"
+    assert "ValueError: boom" in rec["exception"]
+
+
+def test_link_has_context_logger(tmp_path):
+    from catenae_stopover_spark.link import Link
+
+    node = Link(endpoint=str(tmp_path))
+    assert isinstance(node.logger, logging.Logger)
+    fmt = node.logger.handlers[0].formatter
+    assert fmt.instance == node.uid
+    assert fmt.microservice == "Link"
