@@ -1,0 +1,34 @@
+"""Bucketed tables — co-located joins without a shuffle.
+
+At 100 TB the dominant cost of a fact-fact join is shuffling both sides
+on the key. Writing both tables bucketed (and sorted) by that key makes
+the join a zero-exchange sort-merge: each task reads matching buckets.
+This is the storage-layout half of the partitioning story
+(plans.partitioning owns the in-flight half).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    format: str = "parquet",
+) -> None:
+    """Persist as a bucketed (+ sorted) managed table. Joins and
+    aggregations on ``bucket_cols`` between tables with the same bucket
+    count then plan without an Exchange."""
+    w = df.write.format(format).mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)

@@ -1375,6 +1375,53 @@ SELECT user_id, event_id, click_value FROM j WHERE rn = 1
 
 
 # --------------------------------------------------------------------
+# B54 — multimodal columns: binary payloads + typed metadata through
+# Arrow-batched mapInPandas. The decode kernel is the deterministic
+# stub (no codec libs in this container; digest-seeded), which makes
+# even this path oracle-checkable: DuckDB recomputes the metadata from
+# the same SHA-256 bytes.
+# --------------------------------------------------------------------
+
+def q52_multimodal_features(spark, sf_dir):
+    from .operators.multimodal import extract_image_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/png").alias("mime"),
+        F.lit("{}").alias("meta_json"),
+    )
+    return extract_image_features(media, feat_dim=4).select(
+        "media_id", "width", "height", "n_channels"
+    )
+
+
+Q52_SQL = """
+WITH m AS (SELECT doc_id AS media_id, SHA256(text) AS h FROM documents)
+SELECT media_id,
+       16 + (('0x' || SUBSTR(h, 1, 2))::INT % 240) AS width,
+       16 + (('0x' || SUBSTR(h, 3, 2))::INT % 240) AS height,
+       1  + (('0x' || SUBSTR(h, 5, 2))::INT % 3)  AS n_channels
+FROM m
+"""
+
+
+def q53_ivf_topk(spark, sf_dir):
+    """IVF two-stage ANN (B51 scale path): offline k-means partition,
+    online n_probe-pruned scan. KMeans(seed=42) is deterministic, but
+    centroid geometry is not SQL — rows-only check."""
+    from .operators.similarity import build_ivf_index, ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    base = e.filter(F.col("vec_id") != 0)
+    assigned, centroids = build_ivf_index(base, num_centroids=8)
+    return ivf_topk(assigned, centroids, qvec, k=10, n_probe=4)
+
+
+# --------------------------------------------------------------------
 # Rows-only queries (no DuckDB-expressible oracle): sketch-based
 # dedup, xxhash64 fingerprints, blake2b/sha3 parity, approximate ops.
 # --------------------------------------------------------------------
@@ -1480,6 +1527,8 @@ QUERIES: dict[str, tuple] = {
     "q49_udaf_weighted_avg": (q49_udaf_weighted_avg, Q49_SQL),
     "q50_udtf_split_words": (q50_udtf_split_words, Q50_SQL),
     "q51_cogroup_asof": (q51_cogroup_asof, Q51_SQL),
+    "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
+    "q53_ivf_topk": (q53_ivf_topk, None),
     # rows-only (not SQL-expressible in DuckDB: xxhash64 sketches,
     # blake2b/sha3, approximate algorithms, LSH probing)
     "q37_minhash_pairs": (q37_minhash_pairs, None),

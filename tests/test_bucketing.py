@@ -1,0 +1,62 @@
+"""Bucketed-table co-located joins (storage-layout partitioning): a
+join between two tables bucketed on the key by the same count must plan
+WITHOUT a shuffle exchange on either side."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.io.bucketing import read_table, write_bucketed
+from catenae_stopover_spark.io.sources import load_table
+from catenae_stopover_spark.plans import explain_str
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_orderdate")
+    write_bucketed(li, "t_lineitem_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(o, "t_orders_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    yield "t_lineitem_b", "t_orders_b"
+    spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+    spark.sql("DROP TABLE IF EXISTS t_orders_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    li_t, o_t = bucketed_tables
+    # force SMJ so the bucketed layout (not a broadcast) carries the join
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, li_t).join(
+            read_table(spark, o_t),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = explain_str(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        # correctness unchanged
+        expected = (
+            load_table(spark, SF, "lineitem")
+            .join(
+                load_table(spark, SF, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, bucketed_tables):
+    li_t, _ = bucketed_tables
+    agg = read_table(spark, li_t).groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    plan = explain_str(agg)
+    assert "Exchange hashpartitioning" not in plan

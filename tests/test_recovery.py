@@ -1,0 +1,92 @@
+"""Checkpoint recovery — the consumer-group/commit semantics (SURVEY
+§1.3): a restarted node with the SAME receiver group + checkpoint must
+resume where it left off (no reprocessing); a DIFFERENT group sees the
+full stream from the beginning."""
+
+import time
+
+import pytest
+
+from catenae_stopover_spark.broker import GroupCursor
+from catenae_stopover_spark.link import Link
+
+pytestmark = pytest.mark.slow
+
+
+class Echo(Link):
+    def transform(self, message):
+        return message.value
+
+
+def _drain(node, stream, cur, want, timeout=90):
+    got = []
+    deadline = time.monotonic() + timeout
+    while len(got) < want and time.monotonic() < deadline:
+        got.extend(m.value for m in node.broker.read_new(stream, cur))
+        time.sleep(0.5)
+    return got
+
+
+def test_restart_resumes_from_checkpoint(tmp_path, spark):
+    broker_root = str(tmp_path / "broker")
+    ckpt = str(tmp_path / "ckpt")
+
+    node1 = Echo(
+        endpoint=broker_root, input_stream="in", default_output_stream="out",
+        receiver_group="echo-g", spark=spark,
+    )
+    for i in range(3):
+        node1.broker.put({"n": i}, "in")
+    node1.start(embedded=True, checkpoint_root=ckpt)
+    obs = GroupCursor("observer")
+    try:
+        first = _drain(node1, "out", obs, want=3)
+    finally:
+        node1.suicide("restart simulation")
+    assert sorted(m["n"] for m in first) == [0, 1, 2]
+
+    # new instance, same group + checkpoint: only NEW messages flow
+    node2 = Echo(
+        endpoint=broker_root, input_stream="in", default_output_stream="out",
+        receiver_group="echo-g", spark=spark,
+    )
+    for i in range(3, 5):
+        node2.broker.put({"n": i}, "in")
+    node2.start(embedded=True, checkpoint_root=ckpt)
+    try:
+        second = _drain(node2, "out", obs, want=2)
+        # allow a couple of extra polls to catch would-be duplicates
+        time.sleep(2)
+        second.extend(m.value for m in node2.broker.read_new("out", obs))
+    finally:
+        node2.suicide("done")
+    assert sorted(m["n"] for m in second) == [3, 4]  # no reprocessing
+
+
+def test_fresh_group_sees_full_stream(tmp_path, spark):
+    broker_root = str(tmp_path / "broker")
+    node1 = Echo(
+        endpoint=broker_root, input_stream="in", default_output_stream="out",
+        receiver_group="g1", spark=spark,
+    )
+    for i in range(3):
+        node1.broker.put({"n": i}, "in")
+    node1.start(embedded=True, checkpoint_root=str(tmp_path / "ckpt-g1"))
+    obs = GroupCursor("observer")
+    try:
+        assert len(_drain(node1, "out", obs, want=3)) == 3
+    finally:
+        node1.suicide("done")
+
+    # different receiver group, fresh checkpoint: full replay
+    node2 = Echo(
+        endpoint=broker_root, input_stream="in", default_output_stream="out2",
+        receiver_group="g2", spark=spark,
+    )
+    node2.start(embedded=True, checkpoint_root=str(tmp_path / "ckpt-g2"))
+    obs2 = GroupCursor("observer2")
+    try:
+        replay = _drain(node2, "out2", obs2, want=3)
+    finally:
+        node2.suicide("done")
+    assert sorted(m["n"] for m in replay) == [0, 1, 2]
