@@ -21,7 +21,7 @@ from .errors import (
     RPCError,
     TimeoutError,
 )
-from .link import Link, rpc
+from .link import Link, Response, rpc, suicide_on_error
 from .session import get_spark
 from . import utils
 
@@ -29,7 +29,9 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Link",
+    "Response",
     "rpc",
+    "suicide_on_error",
     "get_spark",
     "utils",
     "EmptyError",

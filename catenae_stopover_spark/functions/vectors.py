@@ -1,9 +1,13 @@
 """Vector math over ARRAY<FLOAT> embedding columns (SURVEY B51/B54).
 
 All pure Catalyst (SQL higher-order functions): zip_with for the
-elementwise product, aggregate for the fold — no Python in the hot
-path, so similarity scans stay inside WholeStageCodegen and scale with
-the cluster, not with the driver.
+elementwise product, aggregate for the fold — no Python, no
+serialization, scales with the cluster. Note HOF lambda bodies are
+evaluated interpreted (not whole-stage-codegen'd), so for full-corpus
+scoring of wide embeddings prefer the BLAS kernels
+(operators.similarity kernel='numpy'), which beat interpreted
+per-element evaluation ~10-50x; these column expressions remain the
+exact/oracle path and the right choice inside filters on few rows.
 """
 
 from __future__ import annotations

@@ -1,3 +1,8 @@
-from .partitioning import ensure_min_parallelism, explain_str
+from .partitioning import (
+    ensure_min_parallelism,
+    explain_str,
+    salted_agg,
+    salted_join,
+)
 
-__all__ = ["ensure_min_parallelism", "explain_str"]
+__all__ = ["ensure_min_parallelism", "explain_str", "salted_agg", "salted_join"]

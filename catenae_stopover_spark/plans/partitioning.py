@@ -29,6 +29,70 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     return df
 
 
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: partial-aggregate on
+    (keys, random salt) — splitting a hot key across ``salt`` reducers —
+    then final-aggregate on the keys alone.
+
+    ``aggs`` maps output name -> (input column, fn) with fn in
+    {sum, count, min, max}: the re-aggregable functions (count re-sums;
+    avg callers compose sum/count). AQE's skew handling covers joins;
+    this covers the aggregation side, where a single hot group otherwise
+    lands on one reducer no matter how many executors exist.
+    """
+    from pyspark.sql import functions as F
+
+    refn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    partial = df.withColumn("__salt", (F.rand(seed=42) * salt).cast("int")).groupBy(
+        *keys, "__salt"
+    )
+    partial_aggs = []
+    for name, (col, fn) in aggs.items():
+        if fn == "count":
+            partial_aggs.append(F.count(col).alias(name))
+        else:
+            partial_aggs.append(getattr(F, fn)(col).alias(name))
+    partialed = partial.agg(*partial_aggs)
+    return partialed.groupBy(*keys).agg(
+        *[refn[fn](name).alias(name) for name, (_c, fn) in aggs.items()]
+    )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (large, skewed) left side with a
+    random 0..salt-1 column and explode the (smaller) right side into
+    all ``salt`` replicas, then join on (keys, salt). A hot key's rows
+    spread over ``salt`` tasks instead of one straggler.
+
+    Cost: right side is shuffled salt× — use when one side is modest
+    but too big to broadcast and the other is skewed. (With AQE's
+    skew-join enabled this is only needed for extreme, persistent skew
+    or non-AQE engines/stages.)
+    """
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        # right/full outer would emit `salt` copies of unmatched right rows
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    l_salted = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = l_salted.join(r_salted, [*on, "__salt"], how)
+    return out.drop("__salt")
+
+
 def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     """The explain output as a string (for tests asserting plan shape:
     pushed filters, broadcast joins, codegen spans)."""

@@ -34,7 +34,7 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
             read_table(spark, o_t),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        plan = explain_str(joined)
+        plan = explain_str(joined, "simple")
         assert "SortMergeJoin" in plan
         assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
         # correctness unchanged
@@ -58,5 +58,5 @@ def test_bucketed_aggregation_has_no_exchange(spark, bucketed_tables):
     agg = read_table(spark, li_t).groupBy("l_orderkey").agg(
         F.sum("l_quantity").alias("q")
     )
-    plan = explain_str(agg)
+    plan = explain_str(agg, "simple")
     assert "Exchange hashpartitioning" not in plan
