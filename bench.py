@@ -118,10 +118,13 @@ def bench_duckdb() -> dict[str, float]:
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(path):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
-            )
+        if os.path.isdir(path):  # Spark writes parquet as a directory
+            path = os.path.join(path, "*.parquet")
+        elif not os.path.exists(path):
+            continue
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+        )
     out: dict[str, float] = {}
     for label, qname in BENCH.items():
         sql = QUERIES[qname][1]

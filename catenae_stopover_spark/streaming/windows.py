@@ -96,10 +96,23 @@ def streaming_dedup(
     keys: list[str],
     ts_col: str | None = None,
     watermark: str | None = None,
+    within_watermark: bool = False,
 ) -> DataFrame:
-    """Streaming exact dedup by key (B40): state holds one entry per
-    seen key; the watermark bounds how long a key is remembered (without
-    it, dedup state grows with the full key cardinality of the stream)."""
+    """Streaming exact dedup by key (B40).
+
+    Default form: state holds one entry per seen key forever — exact
+    across the whole stream, but state grows with key cardinality even
+    with a watermark set (the event-time column would have to be part
+    of ``keys`` for eviction).
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark``:
+    duplicates are only suppressed while the key is within the watermark
+    delay, and state IS evicted — the form that survives unbounded
+    streams, for sources whose duplicates arrive close together
+    (retries, at-least-once replays)."""
     if ts_col and watermark and df.isStreaming:
-        return df.withWatermark(ts_col, watermark).dropDuplicates(keys)
+        wm = df.withWatermark(ts_col, watermark)
+        if within_watermark:
+            return wm.dropDuplicatesWithinWatermark(keys)
+        return wm.dropDuplicates(keys)
     return df.dropDuplicates(keys)

@@ -77,6 +77,24 @@ def test_streaming_dedup_by_event_id(spark, events, tmp_path_factory):
     assert n == events.count()
 
 
+def test_streaming_dedup_within_watermark(spark, events, tmp_path_factory):
+    from catenae_stopover_spark.streaming import streaming_dedup
+
+    stage = str(tmp_path_factory.mktemp("replay_wwm"))
+    doubled = events.unionByName(events)
+    stream = replay_as_stream(spark, doubled, stage, chunks=4)
+    # watermark must cover the whole (randomly-chunked) replay span:
+    # with a shorter delay, chunks arriving out of time order would be
+    # dropped as late data — correct streaming semantics, wrong test.
+    dedup = streaming_dedup(
+        stream, ["event_id"], ts_col="ts", watermark="8760 hours",
+        within_watermark=True,
+    )
+    _run_to_memory(dedup.groupBy().count(), "dedup_wwm_count", "complete")
+    n = spark.sql("select * from dedup_wwm_count").head()[0]
+    assert n == events.count()
+
+
 def test_stream_static_join(spark, events, tmp_path_factory):
     stage = str(tmp_path_factory.mktemp("replay_join"))
     stream = replay_as_stream(spark, events, stage, chunks=2)

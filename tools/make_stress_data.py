@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Build a scaled-up stress dataset from the driver testdata by
+replicating fact tables REPLICAS times with key shifts that preserve FK
+semantics (each replica's lineitem joins its own orders/customers), so
+bench queries behave as they would on genuinely larger data.
+
+The driver testdata itself is never modified; output goes to /tmp.
+
+Usage:
+    python tools/make_stress_data.py [replicas] [src_sf_dir] [out_dir]
+    SPARK_GRAFT_SF_DIR=<out_dir> python bench.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.io.sources import load_table
+from catenae_stopover_spark.session import get_spark
+
+REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+OUT = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/stress-x{REPLICAS}"
+
+# fact table -> columns to shift (kept FK-consistent across tables)
+SHIFTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY = ["region", "nation", "supplier", "part"]  # dims stay
+
+
+def main() -> None:
+    spark = get_spark("stress-data")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(OUT, exist_ok=True)
+
+    # one shift unit per keyed column family, derived from global maxes
+    li = load_table(spark, SRC, "lineitem")
+    o = load_table(spark, SRC, "orders")
+    c = load_table(spark, SRC, "customer")
+    unit = {
+        "l_orderkey": o.agg(F.max("o_orderkey")).head()[0] + 1,
+        "o_orderkey": o.agg(F.max("o_orderkey")).head()[0] + 1,
+        "o_custkey": c.agg(F.max("c_custkey")).head()[0] + 1,
+        "c_custkey": c.agg(F.max("c_custkey")).head()[0] + 1,
+        "event_id": None,
+        "doc_id": None,
+        "vec_id": None,
+    }
+
+    for name in COPY:
+        load_table(spark, SRC, name).write.mode("overwrite").parquet(
+            os.path.join(OUT, f"{name}.parquet")
+        )
+        print(f"copied {name}")
+
+    replicas = spark.range(REPLICAS).withColumnRenamed("id", "__r")
+    for name, keys in SHIFTS.items():
+        df = load_table(spark, SRC, name)
+        for k in keys:
+            if unit[k] is None:
+                unit[k] = df.agg(F.max(k)).head()[0] + 1
+        out = df.crossJoin(F.broadcast(replicas))
+        for k in keys:
+            out = out.withColumn(k, F.col(k) + F.col("__r") * F.lit(unit[k]))
+        out.drop("__r").write.mode("overwrite").parquet(
+            os.path.join(OUT, f"{name}.parquet")
+        )
+        print(f"replicated {name} x{REPLICAS}")
+
+    print(f"stress data at {OUT}")
+
+
+if __name__ == "__main__":
+    main()
