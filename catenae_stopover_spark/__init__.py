@@ -21,7 +21,7 @@ from .errors import (
     RPCError,
     TimeoutError,
 )
-from .link import Link, Response, rpc, suicide_on_error
+from .link import Emit, Link, Response, rpc, suicide_on_error
 from .session import get_spark
 from . import utils
 
@@ -29,6 +29,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Link",
+    "Emit",
     "Response",
     "rpc",
     "suicide_on_error",

@@ -82,6 +82,22 @@ class Response:
         self.value = value
 
 
+class Emit:
+    """Explicit-stream emission from ``transform`` (≙ calling
+    ``self.send(value, stream)`` inside the reference's transform,
+    catenae.py:319-324). transform may return one Emit or a list of
+    them; ``stream=None`` targets the default output. Executor-side
+    code can't touch the broker directly, so emissions travel back as
+    routed rows and the driver's epoch write fans them out."""
+
+    __slots__ = ("value", "stream", "key")
+
+    def __init__(self, value, stream: str | None = None, key: str | None = None):
+        self.value = value
+        self.stream = stream
+        self.key = key
+
+
 class Link:
     """One processing node. See module docstring.
 
@@ -328,16 +344,30 @@ class Link:
                     result = transform(_ExecMessage(payload, row))
                     if isinstance(result, Response):
                         result = result.value
-                    if result:
+                    emits = (
+                        result
+                        if isinstance(result, list)
+                        and all(isinstance(e, Emit) for e in result)
+                        else [result]
+                    )
+                    for e in emits:
+                        value = e.value if isinstance(e, Emit) else e
+                        if not value:
+                            continue  # map-or-drop (catenae.py:461-467)
                         out_rows.append(
                             {
                                 "msg_id": row["msg_id"],
                                 "ts_ms": row["ts_ms"],
-                                "key": row["key"],
+                                "key": (e.key if isinstance(e, Emit) else None)
+                                or row["key"],
                                 "value": json.dumps(
-                                    result, separators=(",", ":"), ensure_ascii=False
+                                    value, separators=(",", ":"), ensure_ascii=False
                                 ),
-                                "stream": row["stream"],
+                                # __default__ routes to default_output_stream
+                                "stream": (
+                                    e.stream if isinstance(e, Emit) else None
+                                )
+                                or "__default__",
                             }
                         )
                 if out_rows:
@@ -351,14 +381,21 @@ class Link:
             raise ValueError("default stream is missing")  # catenae.py:467
         broker = self._broker
         transformed = self._apply_transform(self._build_input_df())
+        # per-message routing (Emit) only exists on the transform path;
+        # transform_df outputs carry the INPUT stream tag, never a target
+        routed = not hasattr(self, "transform_df")
 
         def write_batch(batch_df, epoch_id):
-            # Emit each produced message to the default output stream.
+            # Emit each produced message to its target stream (default
+            # unless transform returned Emit(..., stream=...)).
             # foreachBatch is the multi-sink escape hatch (A11): the
             # epoch checkpoint after this returns IS the commit (A16).
-            rows = batch_df.select("value", "key").collect()
-            for r in rows:
-                broker.put(json.loads(r["value"]), out_stream, key=r["key"])
+            cols = ["value", "key"] + (["stream"] if routed else [])
+            for r in batch_df.select(*cols).collect():
+                target = out_stream
+                if routed and r["stream"] and r["stream"] != "__default__":
+                    target = r["stream"]
+                broker.put(json.loads(r["value"]), target, key=r["key"])
 
         checkpoint = os.path.join(
             checkpoint_root,

@@ -186,6 +186,53 @@ def test_link_end_to_end_stream(tmp_path, spark):
     ]
 
 
+class Router(Link):
+    """Multi-stream emission from transform (A11: explicit-stream send):
+    evens to the default output, odds to 'odd_stream', multiples of 4
+    additionally to 'audit'."""
+
+    def transform(self, message):
+        from catenae_stopover_spark.link import Emit
+
+        n = message.value["n"]
+        out = []
+        if n % 2 == 0:
+            out.append(Emit({"n": n}))  # default stream
+            if n % 4 == 0:
+                out.append(Emit({"n": n}, stream="audit"))
+        else:
+            out.append(Emit({"n": n}, stream="odd_stream"))
+        return out
+
+
+@pytest.mark.slow
+def test_link_emit_routes_multiple_streams(tmp_path, spark):
+    node = Router(
+        endpoint=str(tmp_path / "broker"),
+        input_stream="in",
+        default_output_stream="out",
+        spark=spark,
+    )
+    for i in range(8):
+        node.broker.put({"n": i}, "in")
+    node.start(embedded=True, checkpoint_root=str(tmp_path / "ckpt"))
+    try:
+        cur = GroupCursor("obs")
+        got = {"out": [], "odd_stream": [], "audit": []}
+        deadline = time.monotonic() + 90
+        while (
+            len(got["out"]) < 4 or len(got["odd_stream"]) < 4 or len(got["audit"]) < 2
+        ) and time.monotonic() < deadline:
+            for s in got:
+                got[s].extend(m.value["n"] for m in node.broker.read_new(s, cur))
+            time.sleep(0.5)
+    finally:
+        node.suicide("test done")
+    assert sorted(got["out"]) == [0, 2, 4, 6]
+    assert sorted(got["odd_stream"]) == [1, 3, 5, 7]
+    assert sorted(got["audit"]) == [0, 4]
+
+
 class SqlDoubler(Link):
     """Spark-first surface: transform_df stays entirely in Catalyst."""
 
