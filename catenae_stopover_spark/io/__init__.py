@@ -1,3 +1,24 @@
-from .sources import load_table, load_tables, TABLES
+from .sources import (
+    TABLES,
+    kafka_source,
+    load_table,
+    load_tables,
+    rate_source,
+    replay_as_stream,
+)
+from .sinks import kafka_sink, multi_sink, parquet_sink
+from .bucketing import read_table, write_bucketed
 
-__all__ = ["load_table", "load_tables", "TABLES"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "load_tables",
+    "replay_as_stream",
+    "rate_source",
+    "kafka_source",
+    "parquet_sink",
+    "kafka_sink",
+    "multi_sink",
+    "write_bucketed",
+    "read_table",
+]

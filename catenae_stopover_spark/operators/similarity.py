@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
+from ..plans.partitioning import ensure_min_parallelism
 
 
 def _as_vec_lit(vec) -> "F.Column":
@@ -44,6 +45,7 @@ def brute_force_topk(
     scans. Both feed the same distributed TakeOrdered (orderBy+limit:
     each partition keeps its local k, no full-score shuffle).
     """
+    df = ensure_min_parallelism(df)  # single-file inputs → one core otherwise
     if kernel == "numpy":
         scored = _numpy_query_scores(df, query_vec, vec_col, id_col)
         sim = F.col("cosine")

@@ -1,0 +1,16 @@
+#!/usr/bin/env bash
+# Full local gate: unit+e2e tests, DuckDB oracle, plan audit, bench.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== pytest =="
+python -m pytest tests/ -q
+
+echo "== oracle gate (sf0.01) =="
+python tools/check_oracle.py /root/testdata/sf0.01
+
+echo "== plan audit =="
+python tools/audit_plans.py
+
+echo "== bench (sf0.1) =="
+python bench.py
