@@ -105,7 +105,11 @@ def doc_fingerprint(text_col: str = "text", window: int = 8) -> Column:
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard per-document stat columns in one projection
-    (single pass, no shuffle)."""
+    (single pass; the only possible shuffle is the widening repartition
+    on under-split local inputs — a no-op on well-split tables)."""
+    from ..plans.partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     return df.withColumns(
         {
             "n_chars_computed": F.length(F.col(text_col)),

@@ -1,0 +1,140 @@
+"""Property-based tests (SURVEY §5.4): operator semantics checked
+against INDEPENDENT implementations (pandas) on hypothesis-generated
+inputs — the generative complement of the fixed DuckDB oracles."""
+
+import json
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark import utils
+from catenae_stopover_spark.operators.relational import asof_join, topk_per_group
+
+SLOW_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=3)
+times = st.integers(min_value=0, max_value=40)
+
+
+@settings(**SLOW_SETTINGS)
+@given(
+    left=st.lists(st.tuples(keys, times), min_size=1, max_size=15, unique=True),
+    right=st.lists(st.tuples(keys, times), min_size=0, max_size=15, unique=True),
+)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    ldf = spark.createDataFrame(left, ["k", "t"])
+    rdf = spark.createDataFrame(
+        [(k, t, f"v{k}_{t}") for k, t in right], ["k", "rt", "val"]
+    ) if right else spark.createDataFrame([], "k int, rt int, val string")
+
+    got = {
+        (r.k, r.t): r.val
+        for r in asof_join(ldf, rdf, on=["k"], left_ts="t", right_ts="rt").collect()
+    }
+
+    lp = pd.DataFrame(left, columns=["k", "t"]).sort_values("t")
+    rp = pd.DataFrame(
+        [(k, t, f"v{k}_{t}") for k, t in right], columns=["k", "rt", "val"]
+    ).sort_values("rt")
+    if rp.empty:
+        expected = {(r.k, r.t): None for r in lp.itertuples()}
+    else:
+        m = pd.merge_asof(
+            lp, rp, left_on="t", right_on="rt", by="k", direction="backward"
+        )
+        expected = {
+            (r.k, r.t): (None if pd.isna(r.val) else r.val) for r in m.itertuples()
+        }
+    assert got == expected
+
+
+@settings(**SLOW_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(keys, st.integers(0, 100), st.integers(0, 10**6)),
+        min_size=1,
+        max_size=30,
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_topk_per_group_matches_pandas(spark, rows, k):
+    # unique tiebreaker id (third element may repeat values of v)
+    rows = [(g, v, i) for i, (g, v, _)
+            in enumerate(rows)]
+    df = spark.createDataFrame(rows, ["g", "v", "id"])
+    got = sorted(
+        (r.g, r.v, r.id)
+        for r in topk_per_group(
+            df, ["g"], [F.col("v").desc(), F.col("id")], k=k
+        ).collect()
+    )
+    pdf = pd.DataFrame(rows, columns=["g", "v", "id"])
+    expected = sorted(
+        pdf.sort_values(["v", "id"], ascending=[False, True])
+        .groupby("g")
+        .head(k)
+        .itertuples(index=False, name=None)
+    )
+    assert got == expected
+
+
+@settings(**SLOW_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_exact_dedup_matches_pandas(spark, texts):
+    from catenae_stopover_spark.operators.dedup import exact_dedup
+
+    rows = list(enumerate(texts))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.content_hash: (r.keep_id, r.dup_count)
+        for r in exact_dedup(df).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    grouped = pdf.groupby("text")["doc_id"].agg(["min", "count"])
+    assert len(got) == len(grouped)
+    assert sorted(v for v, _ in got.values()) == sorted(grouped["min"])
+    assert sorted(c for _, c in got.values()) == sorted(grouped["count"])
+
+
+@given(
+    obj=st.recursive(
+        st.none()
+        | st.booleans()
+        | st.integers(min_value=-(2**53), max_value=2**53)
+        | st.text(max_size=20),
+        lambda children: st.lists(children, max_size=4)
+        | st.dictionaries(st.text(max_size=8), children, max_size=4),
+        max_leaves=10,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_json_roundtrip_property(obj):
+    assert json.loads(utils.dump_dict(obj)) == obj
+    if isinstance(obj, dict):
+        assert dict(utils.load_dict(utils.dump_dict(obj))) == obj
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_hash_parity_property(text):
+    import hashlib
+
+    assert utils.blake2b_256(text) == hashlib.blake2b(
+        text.encode("utf-8"), digest_size=32
+    ).hexdigest()
+    assert utils.sha3_512(text) == hashlib.sha3_512(text.encode("utf-8")).hexdigest()
