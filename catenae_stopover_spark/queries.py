@@ -1382,6 +1382,33 @@ SELECT user_id, event_id, click_value FROM j WHERE rn = 1
 # the same SHA-256 bytes.
 # --------------------------------------------------------------------
 
+def q54_map_funcs(spark, sf_dir):
+    """B33 — MAP column construction, key/value access, explode of MAP."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    m = p.select(
+        "p_partkey",
+        F.create_map(
+            F.lit("brand"), F.col("p_brand"), F.lit("type"), F.col("p_type")
+        ).alias("m"),
+    )
+    return m.select(
+        "p_partkey",
+        F.size("m").alias("n_entries"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
+        F.explode("m").alias("k", "v"),
+    )
+
+
+Q54_SQL = """
+SELECT p_partkey, 2 AS n_entries, 'brand,type' AS keys_sorted,
+       'brand' AS k, p_brand AS v
+FROM part WHERE p_partkey < 100
+UNION ALL
+SELECT p_partkey, 2, 'brand,type', 'type', p_type
+FROM part WHERE p_partkey < 100
+"""
+
+
 def q52_multimodal_features(spark, sf_dir):
     from .operators.multimodal import extract_image_features
 
@@ -1529,6 +1556,7 @@ QUERIES: dict[str, tuple] = {
     "q51_cogroup_asof": (q51_cogroup_asof, Q51_SQL),
     "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
     "q53_ivf_topk": (q53_ivf_topk, None),
+    "q54_map_funcs": (q54_map_funcs, Q54_SQL),
     # rows-only (not SQL-expressible in DuckDB: xxhash64 sketches,
     # blake2b/sha3, approximate algorithms, LSH probing)
     "q37_minhash_pairs": (q37_minhash_pairs, None),

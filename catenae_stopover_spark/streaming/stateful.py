@@ -5,6 +5,11 @@ The reference's only state is driver-local Python attributes mutated in
 lost on restart. The Spark realization is ``applyInPandasWithState``:
 state is partitioned by key across executors, checkpointed with the
 query, and restored on restart.
+
+(The newer ``transformWithStateInPandas`` API exists in this Spark but
+its state-server protocol needs ``google.protobuf``, absent from this
+environment — verified to crash the streaming python runner on init —
+so applyInPandasWithState is the supported stateful surface here.)
 """
 
 from __future__ import annotations

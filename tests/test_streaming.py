@@ -118,6 +118,33 @@ def test_stream_static_join(spark, events, tmp_path_factory):
     assert got == expected
 
 
+def test_rate_source_produces_rows(spark):
+    """B2: the synthetic rate source (≙ the reference `generator` hook
+    as a load generator) delivers (timestamp, value) rows."""
+    import time
+
+    from catenae_stopover_spark.io.sources import rate_source
+
+    df = rate_source(spark, rows_per_second=500)
+    assert df.isStreaming
+    assert set(df.columns) == {"timestamp", "value"}
+    q = (
+        df.writeStream.format("memory")
+        .queryName("rate_probe")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        n = 0
+        while n == 0 and time.monotonic() < deadline:
+            time.sleep(0.5)
+            n = spark.sql("select count(*) from rate_probe").head()[0]
+    finally:
+        q.stop()
+    assert n > 0
+
+
 def test_sliding_window(spark, events, tmp_path_factory):
     stage = str(tmp_path_factory.mktemp("replay_slide"))
     stream = replay_as_stream(spark, events, stage, chunks=2, order_col="ts")
