@@ -96,9 +96,20 @@ def minhash_lsh_near_dups(
         F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"mh{k}")
         for k in range(num_hashes)
     ]
-    sig = shingle_hashes.groupBy(id_col).agg(*sig_cols).select(
-        id_col,
-        F.array(*[F.col(f"mh{k}") for k in range(num_hashes)]).alias("signature"),
+    # Persisted: the signature table feeds BOTH band-join sides and both
+    # verification re-joins — without it the whole shingle+agg pipeline
+    # runs 4x. One row per doc (64 longs ≈ 0.5 KB/doc), spills to disk
+    # if it outgrows executor memory.
+    sig = (
+        shingle_hashes.groupBy(id_col)
+        .agg(*sig_cols)
+        .select(
+            id_col,
+            F.array(*[F.col(f"mh{k}") for k in range(num_hashes)]).alias(
+                "signature"
+            ),
+        )
+        .persist()
     )
 
     band_hashes = [
@@ -107,9 +118,13 @@ def minhash_lsh_near_dups(
         )
         for b in range(bands)
     ]
+    # Candidate generation carries ONLY ids: the 64-long signatures
+    # would otherwise ride through the band self-join and the pair
+    # dedup shuffle (x16 band duplicates). They are re-attached to the
+    # deduplicated pairs for verification — two cheap equi-joins against
+    # the (small, one-row-per-doc) signature table.
     bands_df = sig.select(
         id_col,
-        "signature",
         F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
     )
 
@@ -125,18 +140,24 @@ def minhash_lsh_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.signature").alias("sig_a"),
-            F.col("b.signature").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        (
-            F.size(F.expr("filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)"))
-            / F.lit(num_hashes)
-        ).alias("est_jaccard"),
+    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.expr("filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)")
+                )
+                / F.lit(num_hashes)
+            ).alias("est_jaccard"),
+        )
     )
 
 
