@@ -103,6 +103,45 @@ def doc_fingerprint(text_col: str = "text", window: int = 8) -> Column:
     )
 
 
+def repetition_stats(text_col: str = "text", gram_n: int = 3) -> dict[str, Column]:
+    """Repetition-based quality signals (the Gopher-style filters that
+    apply to unstructured text): unique-word ratio and distinct-n-gram
+    ratio. Low values mark boilerplate/spam — the standard cheap
+    pre-filter before sketch dedup. Pure Catalyst; returns named
+    columns to attach with ``withColumns``."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n_words = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
+        F.size(words)
+    )
+    uniq_ratio = F.when(
+        n_words > 0, F.size(F.array_distinct(words)) / n_words
+    ).otherwise(F.lit(0.0))
+
+    grams = _ngrams(text_col, gram_n)
+    n_grams = F.size(grams)
+    gram_ratio = F.when(
+        n_grams > 0, F.size(F.array_distinct(grams)) / n_grams
+    ).otherwise(F.lit(1.0))
+    return {
+        "unique_word_ratio": F.round(uniq_ratio, 6),
+        f"distinct_{gram_n}gram_ratio": F.round(gram_ratio, 6),
+    }
+
+
+def _ngrams(text_col: str, n: int) -> Column:
+    """Word n-grams (with repeats — repetition measurement needs the
+    multiset, unlike dedup shingling which distincts them)."""
+    w = f"split(lower(trim({text_col})), '\\\\s+')"
+    return F.expr(
+        f"""
+        transform(
+            filter(sequence(1, greatest(size({w}), 1)), i -> i <= size({w}) - {n} + 1),
+            i -> array_join(slice({w}, i, {n}), ' ')
+        )
+        """
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard per-document stat columns in one projection
     (single pass; the only possible shuffle is the widening repartition

@@ -1382,6 +1382,41 @@ SELECT user_id, event_id, click_value FROM j WHERE rn = 1
 # the same SHA-256 bytes.
 # --------------------------------------------------------------------
 
+def q55_repetition_stats(spark, sf_dir):
+    """B53 — repetition-based quality signals (unique-word ratio,
+    distinct-3-gram ratio): the boilerplate/spam pre-filter."""
+    from .operators.text import repetition_stats
+
+    d = _t(spark, sf_dir, "documents")
+    stats = repetition_stats("text")
+    return d.select("doc_id", *[v.alias(k) for k, v in stats.items()])
+
+
+Q55_SQL = r"""
+WITH w AS (
+    SELECT doc_id,
+           REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS words,
+           LENGTH(TRIM(text)) AS trimmed_len
+    FROM documents
+), g AS (
+    SELECT doc_id, words, trimmed_len,
+           LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(words), 1)),
+                           i -> i <= LEN(words) - 3 + 1),
+               i -> ARRAY_TO_STRING(words[i:i+2], ' ')) AS grams
+    FROM w
+)
+SELECT doc_id,
+       ROUND(CASE WHEN trimmed_len = 0 THEN 0.0
+                  ELSE LEN(LIST_DISTINCT(words)) * 1.0 / LEN(words) END, 6)
+           AS unique_word_ratio,
+       ROUND(CASE WHEN LEN(grams) = 0 THEN 1.0
+                  ELSE LEN(LIST_DISTINCT(grams)) * 1.0 / LEN(grams) END, 6)
+           AS distinct_3gram_ratio
+FROM g
+"""
+
+
 def q54_map_funcs(spark, sf_dir):
     """B33 — MAP column construction, key/value access, explode of MAP."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
@@ -1557,6 +1592,7 @@ QUERIES: dict[str, tuple] = {
     "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
     "q53_ivf_topk": (q53_ivf_topk, None),
     "q54_map_funcs": (q54_map_funcs, Q54_SQL),
+    "q55_repetition_stats": (q55_repetition_stats, Q55_SQL),
     # rows-only (not SQL-expressible in DuckDB: xxhash64 sketches,
     # blake2b/sha3, approximate algorithms, LSH probing)
     "q37_minhash_pairs": (q37_minhash_pairs, None),

@@ -1,0 +1,42 @@
+"""Repetition-based quality signals: hand-computable cases."""
+
+from catenae_stopover_spark.operators.text import repetition_stats
+
+
+def test_repetition_stats_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),            # all unique
+            (2, "spam spam spam spam"),  # one word repeated
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    stats = repetition_stats("text", gram_n=2)
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in stats.items()]
+        ).collect()
+    }
+    assert rows[1].unique_word_ratio == 1.0
+    assert rows[1].distinct_2gram_ratio == 1.0  # 'a b','b c','c d' unique
+    assert rows[2].unique_word_ratio == 0.25
+    assert rows[2].distinct_2gram_ratio == round(1 / 3, 6)  # 3 identical grams
+    assert rows[3].unique_word_ratio == 0.0
+    assert rows[3].distinct_2gram_ratio == 1.0  # vacuous
+
+
+def test_repetition_flags_boilerplate(spark):
+    good = " ".join(f"word{i}" for i in range(50))
+    spammy = " ".join(["buy now best price"] * 15)
+    df = spark.createDataFrame([(1, good), (2, spammy)], ["doc_id", "text"])
+    stats = repetition_stats("text")
+    rows = {
+        r.doc_id: r.unique_word_ratio
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in stats.items()]
+        ).collect()
+    }
+    assert rows[1] == 1.0
+    assert rows[2] < 0.1

@@ -48,7 +48,14 @@ def main() -> int:
     from catenae_stopover_spark.session import get_spark
     import __spark_entry__ as ent
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("SPARK_ORACLE_VANILLA"):
+        # replicate the driver's harness exactly: an untuned session
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
