@@ -154,6 +154,19 @@ def ivf_topk(
     return brute_force_topk(probed, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 
 
+def persist_ivf_index(assigned: DataFrame, path: str) -> None:
+    """Write an IVF index partitioned by centroid: each centroid's
+    vectors land in their own directory, so a query's n_probe scan is a
+    PARTITION-PRUNED read (verified by tests asserting PartitionFilters
+    in the scan) — the index touches ~n_probe/C of the bytes instead of
+    filtering after a full scan."""
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def load_ivf_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
 def hyperplane_signature(vec_col: str, bits: int) -> "F.Column":
     """Deterministic random-hyperplane LSH signature (bigint). Plane p,
     component j gets a hash-derived weight in [-0.5, 0.5); bit p is the

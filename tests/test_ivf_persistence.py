@@ -1,0 +1,42 @@
+"""Persisted IVF index: the n_probe query must be a partition-pruned
+scan (PartitionFilters on centroid_id), not scan-then-filter."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.io.sources import load_table
+from catenae_stopover_spark.operators.similarity import (
+    brute_force_topk,
+    build_ivf_index,
+    load_ivf_index,
+    persist_ivf_index,
+)
+from catenae_stopover_spark.plans import explain_str
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_persisted_ivf_probe_is_partition_pruned(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    base = emb.filter(F.col("vec_id") != 0)
+
+    assigned, centroids = build_ivf_index(base, num_centroids=4)
+    path = str(tmp_path / "ivf")
+    persist_ivf_index(assigned, path)
+
+    index = load_ivf_index(spark, path)
+    probed = index.filter(F.col("centroid_id").isin([0, 2]))
+    plan = explain_str(probed)
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    # the probe reads only the two partitions' rows
+    by_centroid = {
+        r.centroid_id: r["count"]
+        for r in index.groupBy("centroid_id").count().collect()
+    }
+    assert probed.count() == by_centroid.get(0, 0) + by_centroid.get(2, 0)
+
+    # end-to-end: probing every partition equals brute force
+    full = brute_force_topk(index, qvec, k=5)
+    exact = brute_force_topk(base, qvec, k=5)
+    assert [r.vec_id for r in full.collect()] == [r.vec_id for r in exact.collect()]
