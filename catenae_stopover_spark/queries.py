@@ -1382,6 +1382,54 @@ SELECT user_id, event_id, click_value FROM j WHERE rn = 1
 # the same SHA-256 bytes.
 # --------------------------------------------------------------------
 
+def q56_nulls_ordering(spark, sf_dir):
+    """B25 — multi-key sort with explicit NULLS FIRST/LAST: each user's
+    first event has a NULL lag delta; order them deliberately."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    deltas = ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
+    )
+    return (
+        deltas.orderBy(
+            F.col("delta").desc_nulls_last(),
+            F.col("user_id").asc_nulls_first(),
+            F.col("event_id"),
+        )
+        .limit(50)
+        # rank instead of raw order: the hash compare is order-insensitive,
+        # so expose the ordering as data
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("delta").desc_nulls_last(),
+                    F.col("user_id").asc_nulls_first(),
+                    F.col("event_id"),
+                )
+            ),
+        )
+    )
+
+
+Q56_SQL = """
+WITH deltas AS (
+    SELECT user_id, event_id,
+           ROUND(value - LAG(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id), 4) AS delta
+    FROM events WHERE user_id < 10
+), ordered AS (
+    SELECT user_id, event_id, delta,
+           ROW_NUMBER() OVER (ORDER BY delta DESC NULLS LAST,
+                              user_id ASC NULLS FIRST, event_id) AS pos
+    FROM deltas
+)
+SELECT * FROM ordered ORDER BY pos LIMIT 50
+"""
+
+
 def q55_repetition_stats(spark, sf_dir):
     """B53 — repetition-based quality signals (unique-word ratio,
     distinct-3-gram ratio): the boilerplate/spam pre-filter."""
@@ -1593,6 +1641,7 @@ QUERIES: dict[str, tuple] = {
     "q53_ivf_topk": (q53_ivf_topk, None),
     "q54_map_funcs": (q54_map_funcs, Q54_SQL),
     "q55_repetition_stats": (q55_repetition_stats, Q55_SQL),
+    "q56_nulls_ordering": (q56_nulls_ordering, Q56_SQL),
     # rows-only (not SQL-expressible in DuckDB: xxhash64 sketches,
     # blake2b/sha3, approximate algorithms, LSH probing)
     "q37_minhash_pairs": (q37_minhash_pairs, None),
