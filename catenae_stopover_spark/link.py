@@ -168,8 +168,23 @@ class Link:
         if self._config["rpc_by_uid"]:
             self._rpc_topics.append(f"catenae_rpc_{self._uid}")
 
-        root = eps[0] if eps else os.path.join(tempfile.gettempdir(), "csspark-broker")
-        self._broker = FileBroker(root)
+        # Endpoint scheme selects the backend: kafka://host:port[,host2]
+        # is the production broker (≙ the reference's Stopover endpoint,
+        # catenae.py:143-149); anything else is a file-broker root for
+        # local runs and tests. Kafka needs the spark-sql-kafka
+        # connector on the classpath (absent in this container, so the
+        # kafka paths are construction-only here — see io.sources).
+        self._kafka_bootstrap = None
+        if eps and eps[0].startswith("kafka://"):
+            self._kafka_bootstrap = ",".join(
+                e.removeprefix("kafka://") for e in eps
+            )
+            self._broker = None
+        else:
+            root = eps[0] if eps else os.path.join(
+                tempfile.gettempdir(), "csspark-broker"
+            )
+            self._broker = FileBroker(root)
         self._spark = spark
         self._queries = []
         self._threads: list[StoppableThread] = []
@@ -293,13 +308,56 @@ class Link:
         target = stream or self._config["default_output_stream"]
         if target is None:
             raise ValueError("default stream is missing")
+        if self._broker is None:
+            self._kafka_produce(message, target, key)
+            return
         self._broker.put(message, target, key=key)
+
+    def _kafka_produce(self, message, topic: str, key: str | None) -> None:
+        """Driver-side produce to Kafka via Spark's batch kafka writer
+        (needs the spark-sql-kafka connector on the classpath)."""
+        if self._spark is None:
+            from .session import get_spark
+
+            self._spark = get_spark(type(self).__name__)
+        payload = json.dumps(message, separators=(",", ":"), ensure_ascii=False)
+        (
+            self._spark.createDataFrame([(key, payload)], "key string, value string")
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", self._kafka_bootstrap)
+            .option("topic", topic)
+            .save()
+        )
 
     def _build_input_df(self):
         """Union of one file-stream source per input stream (fan-in ≙
         round-robin polling, reference catenae.py:437-445; no
-        cross-stream ordering in either system)."""
+        cross-stream ordering in either system). Kafka backend:
+        multi-topic subscribe mapped onto the same envelope columns."""
         from pyspark.sql import functions as F
+
+        if self._broker is None:
+            from .io.sources import kafka_source
+
+            raw = kafka_source(
+                self._spark,
+                self._kafka_bootstrap,
+                ",".join(self._config["input_streams"]),
+                starting_offsets="earliest",
+            )
+            return raw.select(
+                F.concat(
+                    F.col("topic"),
+                    F.lit("-"),
+                    F.col("partition"),
+                    F.lit("-"),
+                    F.col("offset"),
+                ).alias("msg_id"),
+                F.unix_millis("timestamp").alias("ts_ms"),
+                F.col("key").cast("string").alias("key"),
+                F.col("value").cast("string").alias("value"),
+                F.col("topic").alias("stream"),
+            )
 
         dfs = []
         for stream in self._config["input_streams"]:
@@ -385,17 +443,42 @@ class Link:
         # transform_df outputs carry the INPUT stream tag, never a target
         routed = not hasattr(self, "transform_df")
 
-        def write_batch(batch_df, epoch_id):
-            # Emit each produced message to its target stream (default
-            # unless transform returned Emit(..., stream=...)).
-            # foreachBatch is the multi-sink escape hatch (A11): the
-            # epoch checkpoint after this returns IS the commit (A16).
-            cols = ["value", "key"] + (["stream"] if routed else [])
-            for r in batch_df.select(*cols).collect():
-                target = out_stream
-                if routed and r["stream"] and r["stream"] != "__default__":
-                    target = r["stream"]
-                broker.put(json.loads(r["value"]), target, key=r["key"])
+        if broker is None:
+            bootstrap = self._kafka_bootstrap
+
+            def write_batch(batch_df, epoch_id):
+                from pyspark.sql import functions as F
+
+                topic = F.lit(out_stream)
+                if routed:
+                    topic = F.coalesce(
+                        F.when(F.col("stream") != "__default__", F.col("stream")),
+                        F.lit(out_stream),
+                    )
+                (
+                    batch_df.select(
+                        F.col("key").cast("string").alias("key"),
+                        F.col("value").cast("string").alias("value"),
+                        topic.alias("topic"),
+                    )
+                    .write.format("kafka")
+                    .option("kafka.bootstrap.servers", bootstrap)
+                    .save()
+                )
+
+        else:
+
+            def write_batch(batch_df, epoch_id):
+                # Emit each produced message to its target stream
+                # (default unless transform returned Emit(..., stream=)).
+                # foreachBatch is the multi-sink escape hatch (A11): the
+                # epoch checkpoint after this returns IS the commit (A16).
+                cols = ["value", "key"] + (["stream"] if routed else [])
+                for r in batch_df.select(*cols).collect():
+                    target = out_stream
+                    if routed and r["stream"] and r["stream"] != "__default__":
+                        target = r["stream"]
+                    broker.put(json.loads(r["value"]), target, key=r["key"])
 
         checkpoint = os.path.join(
             checkpoint_root,
@@ -541,6 +624,12 @@ class Link:
             t.start()
             self._threads.append(t)
         if self._config["rpc_enabled"]:
+            if self._broker is None:
+                raise NotImplementedError(
+                    "RPC over the Kafka backend needs a driver-side Kafka "
+                    "consumer (no Kafka client in this environment); use "
+                    "the file broker or disable rpc_enabled"
+                )
             t = StoppableThread(target=self._rpc_loop, name="rpc")
             t.start()
             self._threads.append(t)
@@ -589,6 +678,7 @@ class Link:
         for q in self._queries:
             try:
                 q.stop()
+                q.awaitTermination(30)  # fully released before restart
             except Exception:  # noqa: BLE001
                 pass
         for t in self._threads:

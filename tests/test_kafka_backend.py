@@ -1,0 +1,30 @@
+"""Kafka backend selection (production broker path). No Kafka broker or
+connector exists in this container, so these tests pin the wiring —
+endpoint parsing, backend choice, and the honest failure modes — not a
+round-trip."""
+
+import pytest
+
+from catenae_stopover_spark.link import Link
+
+
+def test_kafka_scheme_selects_kafka_backend():
+    node = Link(endpoints=["kafka://broker1:9092", "kafka://broker2:9092"])
+    assert node.broker is None
+    assert node._kafka_bootstrap == "broker1:9092,broker2:9092"
+
+
+def test_plain_endpoint_selects_file_broker(tmp_path):
+    node = Link(endpoint=str(tmp_path))
+    assert node.broker is not None
+    assert node._kafka_bootstrap is None
+
+
+def test_rpc_over_kafka_fails_loud(tmp_path):
+    node = Link(
+        endpoint="kafka://broker:9092",
+        default_output_stream="out",
+        rpc_enabled=True,
+    )
+    with pytest.raises(NotImplementedError, match="Kafka"):
+        node.start(embedded=True, checkpoint_root=str(tmp_path))

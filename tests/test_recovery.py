@@ -18,7 +18,7 @@ class Echo(Link):
         return message.value
 
 
-def _drain(node, stream, cur, want, timeout=90):
+def _drain(node, stream, cur, want, timeout=180):
     got = []
     deadline = time.monotonic() + timeout
     while len(got) < want and time.monotonic() < deadline:
