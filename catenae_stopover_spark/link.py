@@ -187,6 +187,8 @@ class Link:
             self._broker = FileBroker(root)
         self._spark = spark
         self._queries = []
+        self._query_ids = set()
+        self._listener = None
         self._threads: list[StoppableThread] = []
         self._health = None
         self._started = False
@@ -266,6 +268,8 @@ class Link:
         "_broker",
         "_rpc_cursor",
         "logger",
+        "_listener",
+        "_query_ids",
     )
 
     def __getstate__(self):
@@ -491,6 +495,7 @@ class Link:
             .start()
         )
         self._queries.append(query)
+        self._query_ids.add(str(query.id))
         return query
 
     # ---- driver-side helper threads (A12, A13, A21) ------------------
@@ -595,6 +600,41 @@ class Link:
             if me.wait(0.5):  # idle sleep ≙ catenae.py:497-498
                 return
 
+    # ---- supervision & heartbeat (A2, A15, knock ≙ listener) ---------
+
+    def _register_listener(self) -> None:
+        """StreamingQueryListener wired to this node: progress events
+        are the liveness heartbeat (≙ stopover.knock every 5 s,
+        reference catenae.py:299-305); a query terminating WITH an
+        exception fail-fasts the node (≙ suicide_on_error around the
+        data loop, catenae.py:55-63,536-537)."""
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        node = self
+
+        class _Supervisor(StreamingQueryListener):
+            def onQueryStarted(self, event):
+                pass
+
+            def onQueryProgress(self, event):
+                # ids arrive as uuid objects; the registry stores strings
+                if str(event.progress.id) in node._query_ids:
+                    node.logger.debug(
+                        "heartbeat: batch=%s rows/s=%s",
+                        event.progress.batchId,
+                        event.progress.processedRowsPerSecond,
+                    )
+
+            def onQueryIdle(self, event):
+                pass
+
+            def onQueryTerminated(self, event):
+                if str(event.id) in node._query_ids and event.exception:
+                    node.suicide(f"query failed: {event.exception}")
+
+        self._listener = _Supervisor()
+        self._spark.streams.addListener(self._listener)
+
     # ---- lifecycle (A9, A15) -----------------------------------------
 
     def start(
@@ -638,6 +678,7 @@ class Link:
                 from .session import get_spark
 
                 self._spark = get_spark(type(self).__name__)
+            self._register_listener()
             self._start_data_plane(checkpoint_root)
         if self._config["enable_health"]:
             self._health = HealthServer(self._config["health_port"])
@@ -675,6 +716,12 @@ class Link:
             self.stop()
         except Exception:  # noqa: BLE001
             logger.exception("user stop() hook failed")
+        if self._listener is not None and self._spark is not None:
+            try:
+                self._spark.streams.removeListener(self._listener)
+            except Exception:  # noqa: BLE001
+                pass
+            self._listener = None
         for q in self._queries:
             try:
                 q.stop()

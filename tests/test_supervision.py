@@ -1,0 +1,63 @@
+"""Fail-fast supervision of the DATA plane (SURVEY A2/A15): an error
+inside the user transform terminates the streaming query, the listener
+notices, and the node suicides — running the user stop() hook — exactly
+like suicide_on_error around the reference's consume loop."""
+
+import time
+
+import pytest
+
+from catenae_stopover_spark.link import Link
+
+pytestmark = pytest.mark.slow
+
+
+class Exploder(Link):
+    def __init__(self, **kw):
+        super().__init__(**kw)
+        self.stopped = []
+
+    def transform(self, message):
+        raise ValueError("poison message")
+
+    def stop(self):
+        self.stopped.append(1)
+
+
+def test_transform_error_failfasts_node(tmp_path, spark):
+    node = Exploder(
+        endpoint=str(tmp_path / "broker"),
+        input_stream="in",
+        default_output_stream="out",
+        spark=spark,
+    )
+    node.broker.put({"n": 1}, "in")
+    node.start(embedded=True, checkpoint_root=str(tmp_path / "ckpt"))
+    deadline = time.monotonic() + 120
+    while not node._dead and time.monotonic() < deadline:
+        time.sleep(0.5)
+    assert node._dead  # suicide ran (fail-fast, catenae.py:55-63)
+    assert node.stopped == [1]  # user stop() hook called exactly once
+
+
+def test_healthy_node_not_killed_by_listener(tmp_path, spark):
+    class Echo(Link):
+        def transform(self, message):
+            return message.value
+
+    node = Echo(
+        endpoint=str(tmp_path / "broker"),
+        input_stream="in",
+        default_output_stream="out",
+        spark=spark,
+    )
+    node.broker.put({"n": 1}, "in")
+    node.start(embedded=True, checkpoint_root=str(tmp_path / "ckpt"))
+    try:
+        time.sleep(5)
+        assert not node._dead
+        assert node._queries[0].isActive
+    finally:
+        node.suicide("test done")
+    # clean suicide must not be treated as a failure (no double kill)
+    assert node._dead
