@@ -141,6 +141,27 @@ def test_response_unwrap():
     assert r.value == {"v": 1}
 
 
+@pytest.mark.slow
+def test_rpc_live_roundtrip_between_started_nodes(tmp_path):
+    """Two RUNNING nodes (rpc loop threads active): a broadcast from A
+    reaches B's handler within the polling interval — the live control
+    plane, not just the dispatch internals."""
+    a = RpcNode(endpoint=str(tmp_path), rpc_enabled=True)
+    b = RpcNode(endpoint=str(tmp_path), rpc_enabled=True)
+    a.start(embedded=True)
+    b.start(embedded=True)
+    try:
+        a.rpc_notify("ping", args=["live"], to="broadcast")
+        deadline = time.monotonic() + 30
+        while not b.calls and time.monotonic() < deadline:
+            time.sleep(0.2)
+        assert b.calls and b.calls[0][1] == ("live",)
+        assert a.calls == []  # self-exclusion holds live too
+    finally:
+        a.suicide("done")
+        b.suicide("done")
+
+
 # ---------------------------------------------------------------------
 # End-to-end: the loop_filter example as a real streaming query
 # (map-or-drop semantics, reference catenae.py:456-467 + the example).
