@@ -56,16 +56,26 @@ def run_available_now(
     gives only watermark-closed windows (trailing windows withheld).
     """
     name = f"ran_{uuid.uuid4().hex[:12]}"
-    q = start_stream(
-        df,
-        format="memory",
-        output_mode=output_mode,
-        query_name=name,
-        available_now=True,
-    )
+    sess = df.sparkSession
+    # A bounded replay doesn't need the session's (often 200) shuffle
+    # partitions for its state stores — the partition count is baked
+    # into the fresh checkpoint at first run, so scope it down here and
+    # restore after. Real deployments size this to the cluster.
+    old = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", "32")
     try:
-        q.awaitTermination(timeout_s)
+        q = start_stream(
+            df,
+            format="memory",
+            output_mode=output_mode,
+            query_name=name,
+            available_now=True,
+        )
+        try:
+            q.awaitTermination(timeout_s)
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
-    return df.sparkSession.table(name)
+        sess.conf.set("spark.sql.shuffle.partitions", old)
+    return sess.table(name)
