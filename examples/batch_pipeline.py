@@ -1,0 +1,66 @@
+"""A complete training-data batch pipeline on the engine's operator
+library: load a corpus → quality filter → exact + near dedup → text
+stats → embedding similarity — the LLM-data-pipeline story end-to-end
+on the driver testdata.
+
+Run: python examples/batch_pipeline.py [sf_dir]
+"""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.io.sources import load_table
+from catenae_stopover_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_near_dups,
+)
+from catenae_stopover_spark.operators.similarity import brute_force_topk
+from catenae_stopover_spark.operators.text import quality_filter, with_text_stats
+from catenae_stopover_spark.session import get_spark
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    spark = get_spark("batch-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = load_table(spark, sf_dir, "documents")
+    print(f"corpus: {docs.count()} documents")
+
+    # 1. cheap quality pre-filter (pure Catalyst, pushdown-friendly)
+    kept = quality_filter(docs, min_chars=50, min_tokens=10, min_quality=0.3)
+    print(f"after quality filter: {kept.count()}")
+
+    # 2. exact dedup by content hash
+    groups = exact_dedup(kept)
+    survivors = kept.join(
+        groups.select(F.col("keep_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    print(f"after exact dedup: {survivors.count()}")
+
+    # 3. near-dup candidates via MinHash-LSH banding
+    pairs = minhash_lsh_near_dups(survivors, num_hashes=64, bands=16)
+    near_dups = pairs.filter(F.col("est_jaccard") >= 0.8)
+    drop_ids = near_dups.select(F.col("id_b").alias("doc_id")).distinct()
+    final = survivors.join(drop_ids, "doc_id", "left_anti")
+    print(f"after near dedup (est_jaccard>=0.8): {final.count()}")
+
+    # 4. per-document stats for downstream sampling decisions
+    stats = with_text_stats(final)
+    stats.groupBy("detected_lang").agg(
+        F.count("*").alias("docs"),
+        F.round(F.avg("quality"), 3).alias("avg_quality"),
+        F.sum("n_tokens").alias("tokens"),
+    ).show()
+
+    # 5. similarity search over the embedding table
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.limit(1).select("embedding").head()[0]
+    print("nearest neighbours of vec 0:")
+    brute_force_topk(emb, qvec, k=5, kernel="numpy").show()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")

@@ -1,0 +1,53 @@
+"""A22: SIGTERM/SIGINT route to suicide in non-embedded mode — tested
+in a real subprocess so actual signal delivery and the blocking start()
+path are exercised."""
+
+import os
+import signal
+import subprocess
+import sys
+import time
+
+SCRIPT = r"""
+import sys, time
+sys.path.insert(0, {root!r})
+from catenae_stopover_spark.link import Link
+
+class Idle(Link):
+    def generator(self):
+        time.sleep(0.1)
+
+node = Idle(endpoint={broker!r}, default_output_stream="out")
+print("READY", flush=True)
+node.start()          # non-embedded: installs signal handlers, joins threads
+print("EXITED-CLEANLY", flush=True)
+"""
+
+
+def test_sigterm_triggers_suicide(tmp_path):
+    script = SCRIPT.format(
+        root=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        broker=str(tmp_path / "broker"),
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        # wait for the node to be up
+        line = ""
+        deadline = time.monotonic() + 30
+        while "READY" not in line and time.monotonic() < deadline:
+            line = proc.stdout.readline()
+        assert "READY" in line
+        time.sleep(0.5)
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    assert "[SUICIDE] SIGTERM" in out
+    assert "EXITED-CLEANLY" in out
+    assert proc.returncode == 0
