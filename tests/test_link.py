@@ -254,6 +254,50 @@ def test_link_emit_routes_multiple_streams(tmp_path, spark):
     assert sorted(got["audit"]) == [0, 4]
 
 
+class Stage1Upper(Link):
+    def transform(self, message):
+        return {"n": message.value["n"], "text": message.value["text"].upper()}
+
+
+class Stage2OnlyEven(Link):
+    def transform(self, message):
+        return message.value if message.value["n"] % 2 == 0 else None
+
+
+@pytest.mark.slow
+def test_two_links_chained_through_a_stream(tmp_path, spark):
+    """Microservice composition (the reference's deployment model): the
+    first node's output stream is the second node's input stream; both
+    run concurrently against the same broker."""
+    broker_root = str(tmp_path / "broker")
+    s1 = Stage1Upper(
+        endpoint=broker_root, input_stream="raw", default_output_stream="mid",
+        spark=spark,
+    )
+    s2 = Stage2OnlyEven(
+        endpoint=broker_root, input_stream="mid", default_output_stream="final",
+        spark=spark,
+    )
+    for i in range(4):
+        s1.broker.put({"n": i, "text": f"m{i}"}, "raw")
+    s1.start(embedded=True, checkpoint_root=str(tmp_path / "c1"))
+    s2.start(embedded=True, checkpoint_root=str(tmp_path / "c2"))
+    try:
+        cur = GroupCursor("obs")
+        got = []
+        deadline = time.monotonic() + 120
+        while len(got) < 2 and time.monotonic() < deadline:
+            got.extend(m.value for m in s2.broker.read_new("final", cur))
+            time.sleep(0.5)
+    finally:
+        s1.suicide("done")
+        s2.suicide("done")
+    assert sorted(got, key=lambda m: m["n"]) == [
+        {"n": 0, "text": "M0"},
+        {"n": 2, "text": "M2"},
+    ]
+
+
 class SqlDoubler(Link):
     """Spark-first surface: transform_df stays entirely in Catalyst."""
 
