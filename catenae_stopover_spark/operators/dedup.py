@@ -61,6 +61,7 @@ def minhash_lsh_near_dups(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 5,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs (B50).
 
@@ -77,8 +78,11 @@ def minhash_lsh_near_dups(
 
     Scale: no all-pairs; candidate generation is an equi-join on band
     hash. Band-hash hot buckets (boilerplate docs) are the classic skew
-    risk — AQE skew-join handles moderate cases; extreme cases call for
-    dropping buckets above a size cap (`max_bucket` arg could be added).
+    risk — AQE skew-join handles moderate cases; ``max_bucket`` drops
+    band buckets larger than the cap from candidate generation (a
+    bucket of k docs yields k(k-1)/2 join rows, so one boilerplate
+    bucket can dominate the whole shuffle quadratically). Pairs inside
+    a dropped bucket can still surface via their other bands.
     """
     rows_per_band = num_hashes // bands
     # One string hash per (doc, shingle); the 64 signature dimensions
@@ -127,6 +131,17 @@ def minhash_lsh_near_dups(
         id_col,
         F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        bands_df = (
+            bands_df.withColumn(
+                "__sz",
+                F.count("*").over(Window.partitionBy("band_idx", "band_hash")),
+            )
+            .filter(F.col("__sz") <= max_bucket)
+            .drop("__sz")
+        )
 
     a = bands_df.alias("a")
     b = bands_df.alias("b")

@@ -115,6 +115,18 @@ def test_minhash_finds_near_dups(spark, docs_df):
     assert all(b != 3 for (_, b) in pairs)  # unrelated doc never paired
 
 
+def test_minhash_max_bucket_caps_hot_buckets(spark):
+    # 12 identical docs: every band bucket has all 12 -> C(12,2)=66 pairs
+    df = spark.createDataFrame(
+        [(i, _BASE) for i in range(12)], ["doc_id", "text"]
+    )
+    full = minhash_lsh_near_dups(df).count()
+    assert full == 66
+    # cap below the bucket size: every bucket dropped -> no candidates
+    capped = minhash_lsh_near_dups(df, max_bucket=8).count()
+    assert capped == 0
+
+
 def test_simhash_finds_near_dups(spark, docs_df):
     pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(docs_df).collect()}
     assert pairs[(0, 1)] == 0
