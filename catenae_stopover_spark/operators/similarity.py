@@ -196,15 +196,26 @@ def lsh_bucketed_topk(
     bits: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: only the query's LSH bucket is scanned. At
     scale the table is written bucketed/partitioned by the signature so
-    the probe is a partition-pruned read, not a full scan + filter."""
+    the probe is a partition-pruned read, not a full scan + filter.
+
+    ``probe_hamming=1`` additionally probes every bucket one bit-flip
+    away from the query's signature (multi-probe LSH): recall rises
+    from one bucket's worth to bits+1 buckets' worth while still
+    scanning only (bits+1)/2^bits of the data."""
     bucketed = df.withColumn("__sig", hyperplane_signature(vec_col, bits))
-    qdf = df.sparkSession.createDataFrame([(list(map(float, query_vec)),)], f"{vec_col}: array<double>")
+    qdf = df.sparkSession.createDataFrame(
+        [(list(map(float, query_vec)),)], f"{vec_col}: array<double>"
+    )
     qsig = qdf.select(hyperplane_signature(vec_col, bits).alias("s")).head()[0]
+    probes = [qsig]
+    if probe_hamming >= 1:
+        probes += [qsig ^ (1 << b) for b in range(bits)]
     return brute_force_topk(
-        bucketed.filter(F.col("__sig") == F.lit(qsig)),
+        bucketed.filter(F.col("__sig").isin(probes)),
         query_vec,
         k=k,
         vec_col=vec_col,

@@ -52,6 +52,23 @@ def test_ivf_probes_subset(spark, emb, qvec):
     assert probed.count() < base.count()
 
 
+def test_multiprobe_lsh_recall_dominates_single_bucket(spark, emb, qvec):
+    base = emb.filter(F.col("vec_id") != 0)
+    exact = {r.vec_id for r in brute_force_topk(base, qvec, k=10).collect()}
+    single = {
+        r.vec_id for r in lsh_bucketed_topk(base, qvec, k=10, bits=3).collect()
+    }
+    multi = {
+        r.vec_id
+        for r in lsh_bucketed_topk(
+            base, qvec, k=10, bits=3, probe_hamming=1
+        ).collect()
+    }
+    # probing hamming-1 neighbours scans a superset of the single bucket
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi) >= len(single)
+
+
 def test_lsh_bucket_recall_vs_brute_force(spark, emb, qvec):
     base = emb.filter(F.col("vec_id") != 0)
     exact_top1 = brute_force_topk(base, qvec, k=1).head().vec_id
