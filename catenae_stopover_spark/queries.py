@@ -1430,6 +1430,55 @@ SELECT * FROM ordered ORDER BY pos LIMIT 50
 """
 
 
+def q57_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation (plans.salted_agg): hot keys
+    split across 16 salt reducers, re-aggregated on the key — result
+    must equal the plain GROUP BY."""
+    from .plans import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {"sum_qty": ("l_quantity", "sum"), "n": ("l_quantity", "count"),
+         "max_qty": ("l_quantity", "max")},
+        salt=16,
+    )
+    return out.select(
+        "l_returnflag", F.round("sum_qty", 4).alias("sum_qty"), "n", "max_qty"
+    )
+
+
+Q57_SQL = """
+SELECT l_returnflag, ROUND(SUM(l_quantity), 4) AS sum_qty,
+       COUNT(l_quantity) AS n, MAX(l_quantity) AS max_qty
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q58_salted_join(spark, sf_dir):
+    """Skew-safe equi-join (plans.salted_join): salted fact x exploded
+    dim replicas — result must equal the plain join."""
+    from .plans import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    joined = salted_join(li.select("l_partkey", "l_quantity"),
+                         p.withColumnRenamed("p_partkey", "l_partkey"),
+                         ["l_partkey"], salt=8)
+    return joined.groupBy("p_brand").agg(
+        F.round(F.sum("l_quantity"), 4).alias("qty"),
+        F.count("*").alias("n"),
+    )
+
+
+Q58_SQL = """
+SELECT p_brand, ROUND(SUM(l_quantity), 4) AS qty, COUNT(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 def q55_repetition_stats(spark, sf_dir):
     """B53 — repetition-based quality signals (unique-word ratio,
     distinct-3-gram ratio): the boilerplate/spam pre-filter."""
@@ -1642,6 +1691,8 @@ QUERIES: dict[str, tuple] = {
     "q54_map_funcs": (q54_map_funcs, Q54_SQL),
     "q55_repetition_stats": (q55_repetition_stats, Q55_SQL),
     "q56_nulls_ordering": (q56_nulls_ordering, Q56_SQL),
+    "q57_salted_agg": (q57_salted_agg, Q57_SQL),
+    "q58_salted_join": (q58_salted_join, Q58_SQL),
     # rows-only (not SQL-expressible in DuckDB: xxhash64 sketches,
     # blake2b/sha3, approximate algorithms, LSH probing)
     "q37_minhash_pairs": (q37_minhash_pairs, None),
