@@ -142,6 +142,53 @@ def _ngrams(text_col: str, n: int) -> Column:
     )
 
 
+# Portable (lowercase, no engine-specific flags) redaction patterns.
+PII_PATTERNS = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def normalize_text(text_col: str = "text") -> Column:
+    """Canonical text form: lowercase, collapse whitespace runs, trim —
+    the cheap normalization applied before hashing/dedup so trivially
+    different encodings collapse."""
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def redact_pii(
+    text_col: str = "text",
+    kinds: tuple = ("email", "url", "phone"),
+    token: str = "[REDACTED]",
+) -> Column:
+    """Replace PII-shaped substrings with ``token`` (B53-adjacent: the
+    standard scrub before corpus publication). Pure regexp_replace
+    chain — one pass per pattern, all JVM-side."""
+    col = F.col(text_col)
+    for kind in kinds:
+        col = F.regexp_replace(col, PII_PATTERNS[kind], token)
+    return col
+
+
+def split_by_hash(
+    df: DataFrame,
+    key_col: str,
+    test_pct: int = 10,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/test assignment by content hash: a row's
+    split never changes across runs/machines/engines (unlike
+    randomSplit), and joins/filters on the split column stay pushdown-
+    friendly. Buckets by the first 8 hex chars of sha2-256 mod 100."""
+    bucket = F.conv(F.substring(F.sha2(F.col(key_col).cast("string"), 256), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return df.withColumn(
+        split_col, F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train"))
+    )
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Attach the standard per-document stat columns in one projection
     (single pass; the only possible shuffle is the widening repartition

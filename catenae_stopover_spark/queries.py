@@ -1430,6 +1430,79 @@ SELECT * FROM ordered ORDER BY pos LIMIT 50
 """
 
 
+def q59_pii_redaction(spark, sf_dir):
+    """PII scrub: emails/urls are synthesized into the corpus (the
+    fixture text has none), then redacted; both engines count tokens."""
+    from .operators.text import redact_pii
+
+    d = _t(spark, sf_dir, "documents")
+    with_pii = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via https://ex.com/d"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    scrubbed = with_pii.select(
+        "doc_id", redact_pii("text").alias("clean")
+    )
+    return scrubbed.select(
+        "doc_id",
+        F.size(F.split("clean", r"\[REDACTED\]")).alias("n_parts"),
+        (F.instr("clean", "@") > 0).cast("int").alias("has_at"),
+        (F.instr("clean", "http") > 0).cast("int").alias("has_url"),
+    )
+
+
+Q59_SQL = r"""
+WITH with_pii AS (
+    SELECT doc_id,
+           text || ' contact: user' || doc_id || '@example.com via https://ex.com/d' || doc_id AS text
+    FROM documents
+), scrubbed AS (
+    SELECT doc_id,
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[REDACTED]', 'g'),
+               'https?://[^\s]+', '[REDACTED]', 'g'),
+             '\+?[0-9][0-9()\-\s]{7,}[0-9]', '[REDACTED]', 'g') AS clean
+    FROM with_pii
+)
+SELECT doc_id,
+       LEN(STRING_SPLIT(clean, '[REDACTED]')) AS n_parts,
+       CAST(POSITION('@' IN clean) > 0 AS INT) AS has_at,
+       CAST(POSITION('http' IN clean) > 0 AS INT) AS has_url
+FROM scrubbed
+"""
+
+
+def q60_hash_split(spark, sf_dir):
+    """Deterministic train/test split by content hash: assignment is
+    engine-independent, so DuckDB recomputes the identical buckets."""
+    from .operators.text import split_by_hash
+
+    d = _t(spark, sf_dir, "documents")
+    return split_by_hash(d, "doc_id", test_pct=10).groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+Q60_SQL = """
+WITH assigned AS (
+    SELECT CASE WHEN ('0x' || SUBSTR(SHA256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 10
+                THEN 'test' ELSE 'train' END AS split,
+           LENGTH(text) AS n_chars
+    FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, ROUND(AVG(n_chars), 4) AS avg_chars
+FROM assigned GROUP BY split
+"""
+
+
 def q57_salted_agg(spark, sf_dir):
     """Skew-safe two-phase aggregation (plans.salted_agg): hot keys
     split across 16 salt reducers, re-aggregated on the key — result
@@ -1693,6 +1766,8 @@ QUERIES: dict[str, tuple] = {
     "q56_nulls_ordering": (q56_nulls_ordering, Q56_SQL),
     "q57_salted_agg": (q57_salted_agg, Q57_SQL),
     "q58_salted_join": (q58_salted_join, Q58_SQL),
+    "q59_pii_redaction": (q59_pii_redaction, Q59_SQL),
+    "q60_hash_split": (q60_hash_split, Q60_SQL),
     # rows-only (not SQL-expressible in DuckDB: xxhash64 sketches,
     # blake2b/sha3, approximate algorithms, LSH probing)
     "q37_minhash_pairs": (q37_minhash_pairs, None),

@@ -1,0 +1,44 @@
+"""Normalization, PII redaction, and deterministic hash-splitting —
+the remaining standard training-data pipeline text operators."""
+
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.operators.text import (
+    normalize_text,
+    redact_pii,
+    split_by_hash,
+)
+
+
+def test_normalize_text(spark):
+    df = spark.createDataFrame([("  HeLLo\t\n  World  ",)], ["text"])
+    assert df.select(normalize_text().alias("t")).head().t == "hello world"
+
+
+def test_redact_pii_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            ("mail me at jane.doe+x@corp.example.org today",),
+            ("see https://example.com/a?b=1 for details",),
+            ("call +1 (555) 123-4567 now",),
+            ("nothing sensitive here",),
+        ],
+        ["text"],
+    )
+    rows = [r.t for r in df.select(redact_pii().alias("t")).collect()]
+    assert rows[0] == "mail me at [REDACTED] today"
+    assert rows[1] == "see [REDACTED] for details"
+    assert "[REDACTED]" in rows[2] and "555" not in rows[2]
+    assert rows[3] == "nothing sensitive here"
+
+
+def test_split_by_hash_deterministic_and_disjoint(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in split_by_hash(df, "doc_id", 10).collect()}
+    b = {r.doc_id: r.split for r in split_by_hash(df, "doc_id", 10).collect()}
+    assert a == b  # deterministic across runs
+    frac = sum(1 for v in a.values() if v == "test") / len(a)
+    assert 0.05 < frac < 0.15  # ~10%
+    # monotone: growing the test pct only moves rows train -> test
+    c = {r.doc_id: r.split for r in split_by_hash(df, "doc_id", 20).collect()}
+    assert all(c[k] == "test" for k, v in a.items() if v == "test")
