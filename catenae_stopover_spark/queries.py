@@ -1234,6 +1234,82 @@ FROM events GROUP BY event_type
 """
 
 
+def q61_stream_stream_join(spark, sf_dir):
+    """B43 — stream-stream inner join with event-time bounds, both
+    sides real streams with watermarks. Chronological replay + a
+    span-covering watermark retains all needed state, so the bounded
+    result equals the batch join exactly."""
+    import tempfile
+
+    from .io.sources import replay_as_stream
+    from .streaming import run_available_now
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    p_stream = replay_as_stream(
+        spark, p, tempfile.mkdtemp(prefix="csspark-ss-p-"), chunks=3, order_col="pts"
+    ).withWatermark("pts", "8760 hours")
+    c_stream = replay_as_stream(
+        spark, c, tempfile.mkdtemp(prefix="csspark-ss-c-"), chunks=3, order_col="cts"
+    ).withWatermark("cts", "8760 hours")
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = p_stream.join(c_stream, cond, "inner").select("p_id", "c_id")
+    pairs = run_available_now(joined, output_mode="append")
+    return pairs.groupBy().agg(
+        F.count("*").alias("n_pairs"),
+        F.countDistinct("p_id").alias("n_purchases_matched"),
+    )
+
+
+Q61_SQL = """
+WITH p AS (SELECT event_id AS p_id, user_id, ts AS pts FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT event_id AS c_id, user_id AS c_user, ts AS cts FROM events
+           WHERE event_type = 'click')
+SELECT COUNT(*) AS n_pairs, COUNT(DISTINCT p_id) AS n_purchases_matched
+FROM p JOIN c ON user_id = c_user
+              AND cts <= pts AND cts >= pts - INTERVAL 1 HOUR
+"""
+
+
+def q62_stream_static_join(spark, sf_dir):
+    """B42 — streaming events joined to the static customer dimension
+    (broadcast), aggregated per market segment in complete mode."""
+    from .streaming import run_available_now
+
+    stream = _replay_events(spark, sf_dir)
+    customers = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        stream.join(F.broadcast(customers), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+Q62_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
 # --------------------------------------------------------------------
 # B45-B48 — Python UDF surface: grouped-map (applyInPandas), co-grouped
 # merge, vectorized UDAF (pandas_udf GROUPED_AGG), and UDTF. The Python
@@ -1768,6 +1844,8 @@ QUERIES: dict[str, tuple] = {
     "q58_salted_join": (q58_salted_join, Q58_SQL),
     "q59_pii_redaction": (q59_pii_redaction, Q59_SQL),
     "q60_hash_split": (q60_hash_split, Q60_SQL),
+    "q61_stream_stream_join": (q61_stream_stream_join, Q61_SQL),
+    "q62_stream_static_join": (q62_stream_static_join, Q62_SQL),
     # rows-only (not SQL-expressible in DuckDB: xxhash64 sketches,
     # blake2b/sha3, approximate algorithms, LSH probing)
     "q37_minhash_pairs": (q37_minhash_pairs, None),
