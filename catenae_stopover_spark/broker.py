@@ -99,15 +99,22 @@ class FileBroker:
     # ---- driver-side (control plane) consumption -------------------
 
     def read_new(self, stream: str, cursor: "GroupCursor") -> list[Message]:
-        """All messages appended since the cursor's last position, in
-        file order. Used by the RPC consumer thread (≙ stopover.get with
-        group=uid, reference catenae.py:477-480)."""
+        """All messages not yet consumed by this cursor, in file order.
+        Used by the RPC consumer thread (≙ stopover.get with group=uid,
+        reference catenae.py:477-480).
+
+        Consumption is tracked **by filename**, not by a positional
+        count over the sorted listing: with multiple producer processes
+        (each with its own clock and seq counter) a file can become
+        visible *after* a later-sorting name was already read, and a
+        count-based cursor would then both re-dispatch the last message
+        and permanently skip the late one."""
         d = self.stream_dir(stream)
         try:
             names = sorted(n for n in os.listdir(d) if n.startswith("msg-"))
         except FileNotFoundError:
             return []
-        new = names[cursor.position(stream):]
+        new = cursor.unconsumed(stream, names)
         out = []
         for name in new:
             try:
@@ -124,26 +131,61 @@ class FileBroker:
                     stream=stream,
                 )
             )
-        cursor.advance(stream, len(new))
+        cursor.mark_consumed(stream, new)
         return out
+
+
+# Filenames are msg-{time_ns}-{seq}.json; a file's name-time precedes
+# its visibility by at most the write+rename latency. Names this far
+# (ns) below the newest consumed name-time are settled: their entries
+# can be pruned from the seen-set, bounding cursor memory to the
+# messages of the last few seconds.
+_SETTLE_GRACE_NS = 10_000_000_000  # 10 s
+
+
+def _name_time_ns(name: str) -> int:
+    try:
+        return int(name.split("-")[1])
+    except (IndexError, ValueError):
+        return 0
 
 
 class GroupCursor:
     """Per-consumer-group read position, one per stream. Control-plane
     messages are always committed after dispatch (reference
-    catenae.py:494-495) so advance-on-read is the right semantic."""
+    catenae.py:494-495) so consume-on-read is the right semantic.
+
+    Tracks a seen-set of consumed filenames plus a settle watermark:
+    anything older than (newest consumed − grace) is pruned from the
+    set and treated as consumed unless it was never listed — late
+    arrivals within the grace window are dispatched exactly once."""
 
     def __init__(self, group: str):
         self.group = group
-        self._pos: dict[str, int] = {}
+        self._seen: dict[str, set[str]] = {}
+        self._settled_ns: dict[str, int] = {}
         self._lock = threading.Lock()
 
-    def position(self, stream: str) -> int:
+    def unconsumed(self, stream: str, names: list[str]) -> list[str]:
         with self._lock:
-            return self._pos.get(stream, 0)
+            seen = self._seen.get(stream, set())
+            settled = self._settled_ns.get(stream, 0)
+            return [
+                n
+                for n in names
+                if n not in seen and _name_time_ns(n) >= settled
+            ]
 
-    def advance(self, stream: str, n: int) -> None:
-        if n <= 0:
+    def mark_consumed(self, stream: str, names: list[str]) -> None:
+        if not names:
             return
         with self._lock:
-            self._pos[stream] = self._pos.get(stream, 0) + n
+            seen = self._seen.setdefault(stream, set())
+            seen.update(names)
+            newest = max(_name_time_ns(n) for n in seen)
+            settle = newest - _SETTLE_GRACE_NS
+            if settle > self._settled_ns.get(stream, 0):
+                self._settled_ns[stream] = settle
+                self._seen[stream] = {
+                    n for n in seen if _name_time_ns(n) >= settle
+                }

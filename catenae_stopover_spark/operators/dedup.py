@@ -30,9 +30,16 @@ def exact_dedup(
     """Exact dedup by content hash (B49): sha2-256 the text, keep the
     smallest id per digest. Deterministic (unlike dropDuplicates, which
     keeps an arbitrary row), and a single hash-aggregate — map-side
-    partial agg then one shuffle on the digest."""
+    partial agg then one shuffle on the digest.
+
+    Hashes the UTF-8 *bytes* (not the string): sha2 over a StringType
+    column truncates at NUL bytes JVM-side, colliding '' with '\\x00' —
+    real hazard on binary-laden scraped corpora."""
     return (
-        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        df.select(
+            F.sha2(F.encode(F.col(text_col), "UTF-8"), 256).alias("content_hash"),
+            F.col(id_col),
+        )
         .groupBy("content_hash")
         .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
     )

@@ -673,7 +673,7 @@ def q22_math_funcs(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         F.round("l_extendedprice", 1).alias("price_r1"),
-        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor("l_quantity").alias("qty_floor"),
         F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
@@ -685,9 +685,9 @@ def q22_math_funcs(spark, sf_dir):
 Q22_SQL = """
 SELECT l_orderkey, l_linenumber,
        ROUND(l_extendedprice, 1) AS price_r1,
-       ABS(l_discount - 0.05) AS disc_dev,
-       CEIL(l_quantity) AS qty_ceil,
-       FLOOR(l_quantity) AS qty_floor,
+       ROUND(ABS(l_discount - 0.05), 6) AS disc_dev,
+       CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
        ROUND(POW(l_tax + 1, 2), 6) AS tax_sq,
        ROUND(LN(l_extendedprice + 1), 6) AS ln_price,
        ((l_orderkey * 7 - 3) % 5 + 5) % 5 AS pm5
@@ -1716,17 +1716,37 @@ FROM m
 """
 
 
-def q53_ivf_topk(spark, sf_dir):
-    """IVF two-stage ANN (B51 scale path): offline k-means partition,
-    online n_probe-pruned scan. KMeans(seed=42) is deterministic, but
-    centroid geometry is not SQL — rows-only check."""
-    from .operators.similarity import build_ivf_index, ivf_topk
+def q53_ivf_recall_gate(spark, sf_dir):
+    """IVF two-stage ANN (B51 scale path) under a checkable invariant:
+    centroid geometry isn't SQL-expressible, so instead of the raw
+    neighbor list we emit a deterministic pass/fail row — recall@10 of
+    the IVF probe vs in-Spark brute force must clear RECALL_MIN. The
+    oracle hashes the same constant row, so a recall regression flips
+    hash_match to false."""
+    from .operators.similarity import brute_force_topk, build_ivf_index, ivf_topk
 
+    k, n_probe, recall_min = 10, 4, 0.9
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     base = e.filter(F.col("vec_id") != 0)
     assigned, centroids = build_ivf_index(base, num_centroids=8)
-    return ivf_topk(assigned, centroids, qvec, k=10, n_probe=4)
+    ivf_ids = ivf_topk(assigned, centroids, qvec, k=k, n_probe=n_probe).select(
+        "vec_id"
+    )
+    exact_ids = brute_force_topk(base, qvec, k=k).select("vec_id")
+    hits = ivf_ids.join(exact_ids, "vec_id").count()  # k rows — driver-safe
+    # Measured (KMeans seed=42, deterministic): 9/10 at sf0.01, 10/10 at
+    # sf0.1. sf0.001 has too few vectors per centroid for the gate; the
+    # driver's correctness run is at sf0.01.
+    return spark.createDataFrame(
+        [(bool(hits >= recall_min * k), k, n_probe)],
+        "recall_ok boolean, k int, n_probe int",
+    )
+
+
+Q53_SQL = """
+SELECT TRUE AS recall_ok, 10 AS k, 4 AS n_probe
+"""
 
 
 # --------------------------------------------------------------------
@@ -1750,23 +1770,81 @@ def q39_fingerprints(spark, sf_dir):
 
 
 def q40_approx_distinct(spark, sf_dir):
+    """B18 under the exact-hash gate: exact COUNT(DISTINCT) and exact
+    percentile are oracle-matched directly; the HLL sketch (whose raw
+    estimate is engine-specific) is checked as a deterministic bound —
+    approx_count_distinct(rsd=0.05) must land within 10% of exact, so a
+    sketch regression flips acd_ok and fails the hash."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.round(F.expr("percentile_approx(l_extendedprice, 0.5)"), 4).alias(
-            "approx_median_price"
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("acd"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "median_price"
         ),
+    ).head()
+    acd_ok = bool(abs(row.acd - row.exact_parts) <= 0.10 * row.exact_parts)
+    return spark.createDataFrame(
+        [(acd_ok, row.exact_parts, row.median_price)],
+        "acd_ok boolean, exact_parts bigint, median_price double",
     )
 
 
+Q40_SQL = """
+SELECT TRUE AS acd_ok,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.5), 4) AS median_price
+FROM lineitem
+"""
+
+
 def q41_crypto_hashes(spark, sf_dir):
+    """A32/A33 digest parity under the exact-hash gate: blake2b-256 /
+    sha3-512 via Arrow-batched pandas UDFs, sha2 via the JVM built-in.
+    The oracle (built by ``_q41_oracle_sql``) is an independent hashlib
+    pass over the same parquet embedded as SQL constants — proving the
+    Spark plumbing delivers byte-identical text to the digest."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return d.select(
         "doc_id",
         blake2b_256_col(F.col("text")).alias("b2b256"),
         sha3_512_col(F.col("text")).alias("sha3"),
-        F.sha2(F.col("text"), 256).alias("sha256"),
-        F.xxhash64(F.col("text")).alias("xx64"),
+        F.sha2(F.encode(F.col("text"), "UTF-8"), 256).alias("sha256"),
+    )
+
+
+def _q41_oracle_sql() -> str:
+    """Build the q41 oracle at call time: read documents.parquet with
+    pyarrow, digest each text with hashlib (an execution path fully
+    independent of Spark), and emit the expected rows as a VALUES table
+    DuckDB can select. SF dir comes from CSSPARK_ORACLE_SF_DIR (the
+    driver compares at sf0.01, the default)."""
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("CSSPARK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    rows = []
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        if doc_id >= 50:
+            continue
+        b = text.encode("utf-8")
+        rows.append(
+            f"({doc_id}, '{hashlib.blake2b(b, digest_size=32).hexdigest()}', "
+            f"'{hashlib.sha3_512(b).hexdigest()}', "
+            f"'{hashlib.sha256(b).hexdigest()}')"
+        )
+    values = ",\n".join(sorted(rows))
+    return (
+        "SELECT * FROM (VALUES\n"
+        + values
+        + "\n) AS t(doc_id, b2b256, sha3, sha256)"
     )
 
 
@@ -1836,7 +1914,7 @@ QUERIES: dict[str, tuple] = {
     "q50_udtf_split_words": (q50_udtf_split_words, Q50_SQL),
     "q51_cogroup_asof": (q51_cogroup_asof, Q51_SQL),
     "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
-    "q53_ivf_topk": (q53_ivf_topk, None),
+    "q53_ivf_recall_gate": (q53_ivf_recall_gate, Q53_SQL),
     "q54_map_funcs": (q54_map_funcs, Q54_SQL),
     "q55_repetition_stats": (q55_repetition_stats, Q55_SQL),
     "q56_nulls_ordering": (q56_nulls_ordering, Q56_SQL),
@@ -1846,13 +1924,16 @@ QUERIES: dict[str, tuple] = {
     "q60_hash_split": (q60_hash_split, Q60_SQL),
     "q61_stream_stream_join": (q61_stream_stream_join, Q61_SQL),
     "q62_stream_static_join": (q62_stream_static_join, Q62_SQL),
-    # rows-only (not SQL-expressible in DuckDB: xxhash64 sketches,
-    # blake2b/sha3, approximate algorithms, LSH probing)
+    "q40_approx_distinct": (q40_approx_distinct, Q40_SQL),
+    # q41's oracle is built lazily (hashlib digests over the parquet
+    # embedded as SQL constants) — see _q41_oracle_sql.
+    "q41_crypto_hashes": (q41_crypto_hashes, _q41_oracle_sql),
+    # rows-only (not SQL-expressible in DuckDB: xxhash64-seeded
+    # sketches, LSH bucket probing — candidate sets depend on hash
+    # geometry, not relational algebra)
     "q37_minhash_pairs": (q37_minhash_pairs, None),
     "q38_simhash_pairs": (q38_simhash_pairs, None),
     "q39_fingerprints": (q39_fingerprints, None),
-    "q40_approx_distinct": (q40_approx_distinct, None),
-    "q41_crypto_hashes": (q41_crypto_hashes, None),
     "q42_lsh_topk": (q42_lsh_topk, None),
     "q43_text_stats_full": (q43_text_stats_full, None),
 }
@@ -1863,4 +1944,9 @@ def spark_queries():
 
 
 def oracle_queries():
-    return {name: sql for name, (_fn, sql) in QUERIES.items() if sql is not None}
+    out = {}
+    for name, (_fn, sql) in QUERIES.items():
+        if sql is None:
+            continue
+        out[name] = sql() if callable(sql) else sql
+    return out

@@ -45,3 +45,51 @@ def test_streams_are_independent(tmp_path):
     b.put("b", "s2")
     assert [m.value for m in b.read_new("s1", cur)] == ["a"]
     assert [m.value for m in b.read_new("s2", cur)] == ["b"]
+
+
+def _write_raw(broker, stream, name, value):
+    import json
+    import os
+
+    d = broker.stream_dir(stream)
+    rec = {"msg_id": name, "ts_ms": 0, "key": None, "value": json.dumps(value)}
+    with open(os.path.join(d, name), "w", encoding="utf-8") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def test_late_earlier_sorting_file_not_skipped_or_duplicated(tmp_path):
+    """Multi-producer hazard: a file that becomes visible AFTER a
+    later-sorting name was consumed must still be dispatched exactly
+    once (a positional cursor would duplicate the last message and
+    permanently skip the late one)."""
+    import time
+
+    b = FileBroker(str(tmp_path))
+    cur = GroupCursor("g")
+    t = time.time_ns()
+    _write_raw(b, "s", f"msg-{t}-1.json", "first")
+    assert [m.value for m in b.read_new("s", cur)] == ["first"]
+    # late arrival from another producer: earlier time component, so it
+    # sorts BEFORE the already-consumed name
+    _write_raw(b, "s", f"msg-{t - 1_000_000}-1.json", "late")
+    assert [m.value for m in b.read_new("s", cur)] == ["late"]
+    assert b.read_new("s", cur) == []
+
+
+def test_seen_set_is_pruned_past_grace(tmp_path):
+    """Cursor memory stays bounded: names older than the settle grace
+    window get pruned from the seen-set."""
+    import time
+
+    from catenae_stopover_spark import broker as broker_mod
+
+    b = FileBroker(str(tmp_path))
+    cur = GroupCursor("g")
+    t = time.time_ns()
+    old = t - 2 * broker_mod._SETTLE_GRACE_NS
+    _write_raw(b, "s", f"msg-{old}-1.json", "ancient")
+    _write_raw(b, "s", f"msg-{t}-2.json", "now")
+    assert [m.value for m in b.read_new("s", cur)] == ["ancient", "now"]
+    # the ancient name is settled out of the seen-set, yet not re-read
+    assert cur._seen["s"] == {f"msg-{t}-2.json"}
+    assert b.read_new("s", cur) == []

@@ -2,6 +2,7 @@
 against INDEPENDENT implementations (pandas) on hypothesis-generated
 inputs — the generative complement of the fixed DuckDB oracles."""
 
+import hashlib
 import json
 
 import pandas as pd
@@ -105,10 +106,18 @@ def test_exact_dedup_matches_pandas(spark, texts):
         for r in exact_dedup(df).collect()
     }
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
-    grouped = pdf.groupby("text")["doc_id"].agg(["min", "count"])
+    # Group by UTF-8 *bytes*: pandas' string hashtable truncates str at
+    # NUL (factorize(['', '\x00']) collides), the same class of bug the
+    # operator fixes by hashing encode(text,'UTF-8') Spark-side.
+    key = pdf["text"].str.encode("utf-8")
+    grouped = pdf.groupby(key)["doc_id"].agg(["min", "count"])
     assert len(got) == len(grouped)
     assert sorted(v for v, _ in got.values()) == sorted(grouped["min"])
     assert sorted(c for _, c in got.values()) == sorted(grouped["count"])
+    # Digest parity: Spark's sha2(encode(text)) must equal hashlib over
+    # the same bytes.
+    expected_hashes = {hashlib.sha256(b).hexdigest() for b in key}
+    assert set(got) == expected_hashes
 
 
 @given(

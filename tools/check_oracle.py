@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
+# Oracles built from the parquet itself (q41 digest constants) must
+# read the same SF dir we compare at.
+os.environ["CSSPARK_ORACLE_SF_DIR"] = SF_DIR
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
