@@ -14,7 +14,7 @@ import logging
 import threading
 from collections import deque
 
-from .errors import EmptyError
+from .errors import EmptyError, FullError
 
 logger = logging.getLogger(__name__)
 
@@ -88,10 +88,10 @@ class ThreadingQueue:
             if self.size:
                 ok = self._cond.wait_for(
                     lambda: len(self._items) < self.size,
-                    timeout=None if block else 0 if timeout is None else timeout,
+                    timeout=None if (block and timeout is None) else (timeout if block else 0),
                 )
                 if not ok:
-                    raise EmptyError("queue full")
+                    raise FullError("queue full")
             self._items.append(item)
             self._cond.notify()
 

@@ -10,6 +10,11 @@ class EmptyError(Exception):
     """A non-blocking get found no message (reference errors.py:5)."""
 
 
+class FullError(Exception):
+    """A put found the queue full (bounded non-circular mode); distinct
+    from EmptyError so producers and consumers can catch separately."""
+
+
 class TimeoutError(Exception):  # noqa: A001 - parity with reference name
     """A blocking operation timed out (reference errors.py:9)."""
 

@@ -37,12 +37,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     parquet reader rejects; we read nanos as long
     (spark.sql.legacy.parquet.nanosAsLong) and rebuild a microsecond
     timestamp (the fixture data is µs-aligned, so this is lossless).
+
+    The flag is a deliberate session-wide setting (declared in
+    session._DEFAULTS; set here only for vanilla sessions that lack it,
+    and left in place): it is consulted at execution time, so restoring
+    it after this lazy read would break later actions on the returned
+    DataFrame. Its only observable effect is on nanos-timestamp parquet,
+    of which ``events`` is the sole instance in the fixture set; any
+    other nanos file would otherwise fail the read outright.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(

@@ -189,12 +189,18 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     hamming_max: int = 3,
     num_bits: int = 64,
-    blocks: int = 4,
+    blocks: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit simhash over word hashes, then
     block-permuted candidate generation (pigeonhole: pairs within
     Hamming distance d share at least one of d+1 blocks exactly),
     verified by popcount of the XOR.
+
+    ``blocks`` defaults to ``hamming_max + 1`` — the minimum that makes
+    the pigeonhole guarantee hold; passing fewer raises (pairs whose
+    differing bits land in every block would be silently missed). When
+    ``num_bits`` doesn't divide evenly, the remainder bits are spread
+    one-per-block so every bit is covered by exactly one block.
 
     All JVM-side: xxhash64 word hashes, bit tests via shiftright/&,
     block join, bit_count for the final Hamming check. The per-bit vote
@@ -228,19 +234,34 @@ def simhash_near_dups(
     for t in bit_terms[1:]:
         acc = acc.bitwiseOR(t)
     sim = votes.select(id_col, acc.alias("simhash"))
-    block_bits = num_bits // blocks
-    mask = (1 << block_bits) - 1
+    if blocks is None:
+        blocks = hamming_max + 1
+    if blocks <= hamming_max:
+        raise ValueError(
+            f"blocks={blocks} <= hamming_max={hamming_max}: pigeonhole "
+            "candidate generation only covers distance <= blocks-1"
+        )
+    blocks = min(blocks, num_bits)  # zero-width blocks are degenerate
+    # Variable-width blocks covering all num_bits (remainder spread
+    # one-per-block); arithmetic shiftright's sign extension is masked.
+    base, rem = divmod(num_bits, blocks)
+    widths = [base + (1 if i < rem else 0) for i in range(blocks)]
+    offsets, off = [], 0
+    for w in widths:
+        offsets.append(off)
+        off += w
+    block_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+                F.lit((1 << widths[i]) - 1)
+            )
+            for i in range(blocks)
+        ]
+    )
     blocked = sim.select(
         id_col,
         "simhash",
-        F.posexplode(
-            F.expr(
-                f"""
-                transform(sequence(0, {blocks - 1}),
-                          b -> shiftright(simhash, b * {block_bits}) & {mask})
-                """
-            )
-        ).alias("block_idx", "block_val"),
+        F.posexplode(block_vals).alias("block_idx", "block_val"),
     )
     a, b = blocked.alias("a"), blocked.alias("b")
     cand = (

@@ -1760,8 +1760,11 @@ def q37_minhash_pairs(spark, sf_dir):
 
 
 def q38_simhash_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return simhash_near_dups(d, "text", "doc_id", hamming_max=8)
+    # blocks derives from hamming_max (9 blocks) so the pigeonhole
+    # guarantee covers the full distance-8 radius.
+    return simhash_near_dups(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", hamming_max=8
+    )
 
 
 def q39_fingerprints(spark, sf_dir):

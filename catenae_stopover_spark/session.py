@@ -32,6 +32,12 @@ _DEFAULTS = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.sql.warehouse.dir": "/tmp/csspark-warehouse",
+    # events.parquet is TIMESTAMP(NANOS), which Spark's reader rejects;
+    # read nanos as long session-wide (io.sources.load_table rebuilds a
+    # µs timestamp). Declared here — not mutated per-read — because the
+    # flag is consulted at execution time, so a save/restore around the
+    # lazy read would break later actions on the returned DataFrame.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),

@@ -100,3 +100,36 @@ def test_pool_runs_tasks_and_survives_errors():
         time.sleep(0.02)
     pool.stop()
     assert sorted(done) == list(range(10))
+
+
+def test_put_full_queue_nonblocking_raises_fullerror():
+    from catenae_stopover_spark.errors import FullError
+
+    q = ThreadingQueue(size=1)
+    q.put(1)
+    with pytest.raises(FullError):
+        q.put(2, block=False)
+
+
+def test_put_full_queue_honors_timeout():
+    import time
+
+    from catenae_stopover_spark.errors import FullError
+
+    q = ThreadingQueue(size=1)
+    q.put(1)
+    t0 = time.monotonic()
+    with pytest.raises(FullError):
+        q.put(2, block=True, timeout=0.2)
+    elapsed = time.monotonic() - t0
+    assert 0.1 < elapsed < 2.0  # waited ~timeout, not forever / not zero
+
+
+def test_put_unblocks_when_consumer_drains():
+    import threading
+
+    q = ThreadingQueue(size=1)
+    q.put(1)
+    threading.Timer(0.1, q.get).start()
+    q.put(2, block=True, timeout=5)  # must not raise
+    assert q.get(block=False) == 2

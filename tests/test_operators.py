@@ -237,3 +237,36 @@ def test_hash_columns_null_safe(spark):
     df = spark.createDataFrame([(None,), ("x",)], "t: string")
     rows = df.select(blake2b_256_col(F.col("t")).alias("h")).collect()
     assert {r.h for r in rows} == {None, utils.blake2b_256("x")}
+
+
+def test_simhash_pigeonhole_completeness(spark):
+    """blocks=hamming_max+1 candidate generation must find exactly the
+    pairs that 1-bit blocks (= all-pairs ground truth) find: the
+    pigeonhole guarantee covers the full radius, including distances
+    past the old default of blocks-1."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = [
+        (i, " ".join(rng.sample(vocab, 30))) for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dups(df, hamming_max=8).collect()
+    }
+    # 64 one-bit blocks: any pair within distance 8 shares >= 56 block
+    # values -> candidate set is exhaustive = ground truth
+    truth = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_near_dups(df, hamming_max=8, blocks=64).collect()
+    }
+    assert got == truth
+
+
+def test_simhash_rejects_insufficient_blocks(spark, docs_df):
+    import pytest
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dups(docs_df, hamming_max=8, blocks=4)
