@@ -74,6 +74,63 @@ class FileBroker:
         os.makedirs(d, exist_ok=True)
         return d
 
+    def put_batch(
+        self,
+        batch_df,
+        default_stream: str,
+        routed: bool = False,
+        epoch_id: int = 0,
+    ) -> None:
+        """Write a micro-batch of envelope rows (msg_id, ts_ms, key,
+        value[, stream]) partition-side — the data-plane fast path for
+        ``foreachBatch``. Executors write JSON-lines via Spark's JVM
+        writer (one job, ``partitionBy(stream)``); the driver then does
+        O(files) renames into the per-stream dirs — never a
+        per-row ``collect()``, so batch size is bounded by executor
+        memory, not driver memory.
+
+        Staging lives under the broker root so the final moves are
+        same-filesystem atomic renames: a concurrent reader never sees
+        a partial file."""
+        import glob
+        import shutil
+        import tempfile
+        from urllib.parse import unquote
+
+        from pyspark.sql import functions as F
+
+        stream_col = F.lit(default_stream)
+        if routed:
+            stream_col = F.coalesce(
+                F.when(F.col("stream") != "__default__", F.col("stream")),
+                F.lit(default_stream),
+            )
+        staging = tempfile.mkdtemp(prefix=".staging-", dir=self.root)
+        try:
+            (
+                batch_df.select(
+                    "msg_id", "ts_ms", "key", "value", stream_col.alias("stream")
+                )
+                .write.mode("overwrite")
+                .partitionBy("stream")
+                .json(staging)
+            )
+            for entry in os.listdir(staging):
+                if not entry.startswith("stream="):
+                    continue
+                stream = unquote(entry.split("=", 1)[1])
+                target_dir = self.stream_dir(stream)
+                parts = sorted(
+                    glob.glob(os.path.join(staging, entry, "part-*.json"))
+                )
+                for i, pf in enumerate(parts):
+                    if os.path.getsize(pf) == 0:
+                        continue
+                    name = f"msg-{time.time_ns()}-e{epoch_id}p{i}.json"
+                    os.replace(pf, os.path.join(target_dir, name))
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
     def put(self, payload: object, stream: str, key: str | None = None) -> str:
         """Append one message (≙ stopover.put, reference catenae.py:324).
         Atomic via write-to-temp + rename so a concurrent reader never
@@ -119,18 +176,27 @@ class FileBroker:
         for name in new:
             try:
                 with open(os.path.join(d, name), encoding="utf-8") as f:
-                    rec = json.loads(f.read())
-            except (OSError, json.JSONDecodeError):
+                    lines = f.read().splitlines()
+            except OSError:
                 continue
-            out.append(
-                Message(
-                    value=json.loads(rec["value"]),
-                    key=rec.get("key"),
-                    msg_id=rec.get("msg_id"),
-                    ts_ms=rec.get("ts_ms"),
-                    stream=stream,
+            # JSON-lines: put() writes one record per file, put_batch()
+            # many records per part-file — both parse here.
+            for line in lines:
+                if not line.strip():
+                    continue
+                try:
+                    rec = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                out.append(
+                    Message(
+                        value=json.loads(rec["value"]),
+                        key=rec.get("key"),
+                        msg_id=rec.get("msg_id"),
+                        ts_ms=rec.get("ts_ms"),
+                        stream=stream,
+                    )
                 )
-            )
         cursor.mark_consumed(stream, new)
         return out
 

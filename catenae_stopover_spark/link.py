@@ -477,12 +477,16 @@ class Link:
                 # (default unless transform returned Emit(..., stream=)).
                 # foreachBatch is the multi-sink escape hatch (A11): the
                 # epoch checkpoint after this returns IS the commit (A16).
-                cols = ["value", "key"] + (["stream"] if routed else [])
-                for r in batch_df.select(*cols).collect():
-                    target = out_stream
-                    if routed and r["stream"] and r["stream"] != "__default__":
-                        target = r["stream"]
-                    broker.put(json.loads(r["value"]), target, key=r["key"])
+                # Writes happen partition-side (broker.put_batch: one
+                # Spark JSON-write job + O(files) driver renames) — no
+                # per-row collect(), so a large batch never OOMs the
+                # driver. Mirrors the Kafka branch's shape.
+                broker.put_batch(
+                    batch_df,
+                    out_stream,
+                    routed=routed,
+                    epoch_id=epoch_id,
+                )
 
         checkpoint = os.path.join(
             checkpoint_root,
