@@ -48,6 +48,9 @@ BENCH = {
     "q5_window_events": "q34_tumbling_hourly",
     "q6_exact_dedup": "q27_exact_dedup",
     "q6b_minhash_dedup": "q37_minhash_pairs",
+    # kernel='auto' (q29 default): codegen HOFs below the ~10 MiB
+    # crossover, zero-copy Arrow+BLAS above it — measured in SCALING.md.
+    # q63 (forced numpy kernel) stays in the oracle gate as parity proof.
     "q7_cosine_topk": "q29_cosine_topk",
 }
 

@@ -111,6 +111,43 @@ def replay_as_stream(
     return out
 
 
+def replay_two_phase(
+    spark: SparkSession,
+    first_df: DataFrame,
+    second_df: DataFrame,
+    stage_dir: str,
+) -> DataFrame:
+    """Adversarial late-data replay (B39 fixture): exactly two
+    micro-batches with exact membership — every ``first_df`` row in
+    batch 1, every ``second_df`` row in batch 2.
+
+    Unlike :func:`replay_as_stream`'s random/chronological chunks, this
+    gives engineered out-of-order tests full control: put the
+    watermark-advancing rows in batch 1 and a known late set in batch 2,
+    and the drop set is deterministic. Batch order is pinned by file
+    mtime (FileStreamSource orders by timestamp, then path; we set
+    both consistently)."""
+    import glob
+    import shutil
+
+    schema = first_df.schema
+    os.makedirs(stage_dir, exist_ok=True)
+    for i, df in enumerate((first_df, second_df)):
+        tmp = os.path.join(stage_dir, f".stage-{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        final = os.path.join(stage_dir, f"chunk-{i:03d}.parquet")
+        os.replace(part, final)
+        shutil.rmtree(tmp, ignore_errors=True)
+        base = 1_700_000_000 + i * 100  # distinct, ordered mtimes
+        os.utime(final, (base, base))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+    )
+
+
 def rate_source(spark: SparkSession, rows_per_second: int = 1000) -> DataFrame:
     """Synthetic stream source (B2; ≙ reference `generator` hook as a
     load generator)."""

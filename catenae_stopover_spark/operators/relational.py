@@ -113,3 +113,65 @@ def asof_join(
         *left.columns,
         *[match[c].alias(c) for c in rsel],
     )
+
+
+def hierarchical_rollup(
+    df: DataFrame,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+) -> DataFrame:
+    """ROLLUP(keys) without Spark's Expand (B19 scale form).
+
+    ``df.rollup(...)`` plans an Expand that replicates every input row
+    once per grouping level — len(keys)+1 copies through the shuffle,
+    the bandwidth bottleneck on wide rollups at scale. This form scans
+    once: the finest level is a plain groupBy, and every coarser level
+    re-aggregates the (tiny) previous level, so the fact table crosses
+    the wire exactly once.
+
+    ``aggs`` is a list of (source_col, fn, alias) with fn in
+    {sum, count, min, max} — the decomposable aggregates (count
+    re-aggregates as sum of partial counts). Non-decomposable
+    aggregates (distinct counts, percentiles) need the Expand form;
+    use df.rollup for those. Output schema and rows match
+    GROUP BY ROLLUP exactly: coarser levels carry typed NULL keys.
+    """
+    allowed = {"sum", "count", "min", "max"}
+    for _src, fn, _alias in aggs:
+        if fn not in allowed:
+            raise ValueError(f"non-decomposable aggregate: {fn}")
+
+    def first_level():
+        exprs = []
+        for src, fn, alias in aggs:
+            col = F.count("*") if fn == "count" else getattr(F, fn)(src)
+            exprs.append(col.alias(alias))
+        return df.groupBy(*keys).agg(*exprs)
+
+    def reaggregate(prev: DataFrame, level_keys: list[str]):
+        exprs = []
+        for _src, fn, alias in aggs:
+            refn = "sum" if fn == "count" else fn
+            exprs.append(getattr(F, refn)(alias).alias(alias))
+        return prev.groupBy(*level_keys).agg(*exprs)
+
+    finest = first_level()
+    key_types = dict(df.select(*keys).dtypes)
+    levels = [finest]
+    prev = finest
+    for i in range(len(keys) - 1, -1, -1):
+        prev = reaggregate(prev, keys[:i])
+        # pad dropped keys with typed NULLs so the union lines up
+        padded = prev.select(
+            *[F.col(k) for k in keys[:i]],
+            *[
+                F.lit(None).cast(key_types[k]).alias(k)
+                for k in keys[i:]
+            ],
+            *[F.col(alias) for _s, _f, alias in aggs],
+        )
+        levels.append(padded)
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out

@@ -168,13 +168,24 @@ WHERE rn <= 3
 # --------------------------------------------------------------------
 
 def q04_rollup_qty(spark, sf_dir):
+    """B19 via hierarchical re-aggregation (operators.relational.
+    hierarchical_rollup): one scan + tiny per-level re-aggs instead of
+    Expand's (levels+1)x row replication through the shuffle — the
+    100x-scale bottleneck of df.rollup. Rounding happens once, after
+    the union, so re-aggregated sums don't drift."""
+    from .operators.relational import hierarchical_rollup
+
     li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.count("*").alias("n"),
-        )
+    out = hierarchical_rollup(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        [("l_quantity", "sum", "sum_qty"), ("*", "count", "n")],
+    )
+    return out.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("sum_qty", 4).alias("sum_qty"),
+        "n",
     )
 
 
@@ -873,11 +884,28 @@ WHERE inter / (sa.n + sb.n - inter) >= 0.08
 # B51 — cosine top-k similarity search (brute force, exact)
 # --------------------------------------------------------------------
 
-def q29_cosine_topk(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    qvec = (
-        e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+def _query_vec(sf_dir, vec_id=0):
+    """Fetch one query vector driver-side with a row-group-pruned
+    pyarrow point lookup — no Spark job. The right move at any scale:
+    a k-NN query's input vector is client-supplied; spending a
+    cluster job (~0.3 s scheduling floor) to read one row by id is
+    pure overhead, while parquet min/max stats make the driver-side
+    lookup touch only the row groups that can contain the id."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["embedding"],
+        filters=[("vec_id", "==", vec_id)],
     )
+    return tbl.column("embedding").to_pylist()[0]
+
+
+def q29_cosine_topk(spark, sf_dir):
+    qvec = _query_vec(sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
     return brute_force_topk(
         e.filter(F.col("vec_id") != 0), qvec, k=10, round_digits=6
     )
@@ -892,6 +920,76 @@ WHERE vec_id <> 0
 ORDER BY cosine DESC, vec_id
 LIMIT 10
 """
+
+
+def q65_stream_late_drop(spark, sf_dir):
+    """B39 pinned against the oracle: an engineered out-of-order replay
+    whose drop set is known exactly. Batch 1 carries every on-time row
+    (including the stream's max event time, which advances the
+    watermark to max_ts - 2h); batch 2 carries a designated late set —
+    rows with ts < max_ts - 4h and event_id % 7 == 3, all of which sit
+    entirely below the watermark (window_end <= ts + 1h < max_ts - 3h).
+
+    Spark's built-in streaming aggregation does NOT guarantee dropping
+    those rows (measured: it resurrects evicted windows and merges
+    them), so the strict semantics live in our own stateful operator,
+    strict_tumbling_agg: late rows dropped always, each window emitted
+    exactly once when the watermark passes it. The oracle therefore
+    excludes (a) exactly the late set and (b) the trailing windows the
+    final watermark (max_ts - 2h) never closed; dropping too much or
+    too little breaks the hash."""
+    import tempfile
+
+    from .io.sources import load_table, replay_two_phase
+    from .streaming.stateful import strict_tumbling_agg
+
+    from .streaming import run_available_now
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).head()[0]
+    late_pred = (
+        F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 4 HOURS")
+    ) & (F.col("event_id") % 7 == 3)
+    stream = replay_two_phase(
+        spark,
+        ev.filter(~late_pred),
+        ev.filter(late_pred),
+        tempfile.mkdtemp(prefix="csspark-late-"),
+    )
+    agg = strict_tumbling_agg(
+        stream, "ts", "event_type", duration_ms=3_600_000, watermark="2 hours",
+        value_col="value",
+    )
+    return run_available_now(agg, output_mode="append").select(
+        F.col("window_start").alias("hour_start"),
+        F.col("key").alias("event_type"),
+        "n",
+        F.round("total", 4).alias("sum_value"),
+    )
+
+
+Q65_SQL = """
+WITH mx AS (SELECT MAX(ts) AS m FROM events)
+SELECT DATE_TRUNC('hour', ts) AS hour_start, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events, mx
+WHERE NOT (ts < m - INTERVAL 4 HOUR AND event_id % 7 = 3)
+  AND DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR <= m - INTERVAL 2 HOUR
+GROUP BY 1, 2
+"""
+
+
+def q63_cosine_topk_numpy(spark, sf_dir):
+    """B51 fast path under the oracle gate: same exact top-k as q29 but
+    scored with the BLAS matrix-vector kernel (one numpy gemv per Arrow
+    batch via mapInPandas) — the kernel a full-corpus scan should use.
+    Same oracle as q29 proves kernel parity."""
+    qvec = _query_vec(sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=10, round_digits=6,
+        kernel="numpy",
+    )
 
 
 # --------------------------------------------------------------------
@@ -1234,11 +1332,17 @@ FROM events GROUP BY event_type
 """
 
 
-def q61_stream_stream_join(spark, sf_dir):
+def _stream_stream_join(spark, sf_dir, watermark: str):
     """B43 — stream-stream inner join with event-time bounds, both
-    sides real streams with watermarks. Chronological replay + a
-    span-covering watermark retains all needed state, so the bounded
-    result equals the batch join exactly."""
+    sides real streams with watermarks; chronological replay makes the
+    bounded result equal the batch join exactly.
+
+    ``watermark`` sizes the join state: each side retains rows with
+    event time within (watermark delay + 1h join tolerance) of the
+    stream's max event time. q61 runs the span-covering form (state =
+    whole replay — only sane for bounded backfills); q64 runs a 2-hour
+    watermark, the 100 TB form — at a steady 1M events/hour/side that
+    bounds state to ~3M rows per side instead of unbounded."""
     import tempfile
 
     from .io.sources import replay_as_stream
@@ -1255,10 +1359,10 @@ def q61_stream_stream_join(spark, sf_dir):
     )
     p_stream = replay_as_stream(
         spark, p, tempfile.mkdtemp(prefix="csspark-ss-p-"), chunks=3, order_col="pts"
-    ).withWatermark("pts", "8760 hours")
+    ).withWatermark("pts", watermark)
     c_stream = replay_as_stream(
         spark, c, tempfile.mkdtemp(prefix="csspark-ss-c-"), chunks=3, order_col="cts"
-    ).withWatermark("cts", "8760 hours")
+    ).withWatermark("cts", watermark)
     cond = (
         (F.col("user_id") == F.col("c_user"))
         & (F.col("cts") <= F.col("pts"))
@@ -1270,6 +1374,25 @@ def q61_stream_stream_join(spark, sf_dir):
         F.count("*").alias("n_pairs"),
         F.countDistinct("p_id").alias("n_purchases_matched"),
     )
+
+
+def q61_stream_stream_join(spark, sf_dir):
+    """Span-covering watermark: exact over any replay order, state =
+    the whole stream — the bounded-backfill form (see
+    _stream_stream_join for state sizing)."""
+    return _stream_stream_join(spark, sf_dir, "8760 hours")
+
+
+def q64_stream_stream_join_tight(spark, sf_dir):
+    """Tight 2-hour watermark — the unbounded-stream form with bounded
+    state. Exactness argument: chunks are chronological (ntile over
+    global pts/cts order), so batch k+1's min event time >= batch k's
+    max; a purchase needs clicks with cts >= pts - 1h, and click state
+    is retained while cts >= purchase-watermark - 1h; watermark also
+    lags one batch. Hence no needed row is ever evicted and the result
+    equals the batch join — while state stays O(events within 3h of the
+    stream head) per side instead of O(stream)."""
+    return _stream_stream_join(spark, sf_dir, "2 hours")
 
 
 Q61_SQL = """
@@ -1726,8 +1849,8 @@ def q53_ivf_recall_gate(spark, sf_dir):
     from .operators.similarity import brute_force_topk, build_ivf_index, ivf_topk
 
     k, n_probe, recall_min = 10, 4, 0.9
+    qvec = _query_vec(sf_dir)
     e = _t(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     base = e.filter(F.col("vec_id") != 0)
     assigned, centroids = build_ivf_index(base, num_centroids=8)
     ivf_ids = ivf_topk(assigned, centroids, qvec, k=k, n_probe=n_probe).select(
@@ -1852,8 +1975,8 @@ def _q41_oracle_sql() -> str:
 
 
 def q42_lsh_topk(spark, sf_dir):
+    qvec = _query_vec(sf_dir)
     e = _t(spark, sf_dir, "embeddings")
-    qvec = e.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return lsh_bucketed_topk(e.filter(F.col("vec_id") != 0), qvec, k=10, bits=4)
 
 
@@ -1927,6 +2050,9 @@ QUERIES: dict[str, tuple] = {
     "q60_hash_split": (q60_hash_split, Q60_SQL),
     "q61_stream_stream_join": (q61_stream_stream_join, Q61_SQL),
     "q62_stream_static_join": (q62_stream_static_join, Q62_SQL),
+    "q63_cosine_topk_numpy": (q63_cosine_topk_numpy, Q29_SQL),
+    "q64_stream_stream_join_tight": (q64_stream_stream_join_tight, Q61_SQL),
+    "q65_stream_late_drop": (q65_stream_late_drop, Q65_SQL),
     "q40_approx_distinct": (q40_approx_distinct, Q40_SQL),
     # q41's oracle is built lazily (hashlib digests over the parquet
     # embedded as SQL constants) — see _q41_oracle_sql.

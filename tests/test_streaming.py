@@ -163,3 +163,40 @@ def test_sliding_window(spark, events, tmp_path_factory):
         >= events.agg(F.max("ts")).head()[0] - F.expr("INTERVAL 4 HOURS")
     ).count()
     assert 2 * n - 2 * trailing <= got <= 2 * n
+
+
+def test_strict_tumbling_agg_drop_timeout_exactly_once(spark, tmp_path_factory):
+    """strict_tumbling_agg (B39+B41): late rows below the watermark are
+    ALWAYS dropped (the built-in agg only best-efforts this), idle keys
+    finalize via event-time timeout, each window emits exactly once."""
+    from pyspark.sql import functions as F
+
+    from catenae_stopover_spark.io.sources import replay_two_phase
+    from catenae_stopover_spark.streaming.stateful import strict_tumbling_agg
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ts string, k string").select(
+            F.col("ts").cast("timestamp").alias("ts"), "k"
+        )
+
+    # batch 0: key A at 00:10 and 01:10; key B at 05:00 (stream max).
+    # after batch 0 the watermark is 05:00 - 2h = 03:00.
+    b0 = mk([("2024-01-01 00:10:00", "A"), ("2024-01-01 01:10:00", "A"),
+             ("2024-01-01 05:00:00", "B")])
+    # batch 1: B's late row (window end 01:00 <= wm 03:00) must drop;
+    # A gets no data, so its windows finalize via timeout.
+    b1 = mk([("2024-01-01 00:30:00", "B")])
+    stage = str(tmp_path_factory.mktemp("strict_late"))
+    stream = replay_two_phase(spark, b0, b1, stage)
+    agg = strict_tumbling_agg(stream, "ts", "k", watermark="2 hours")
+    _run_to_memory(agg, "strict_late", "append")
+    got = {
+        (str(r.window_start), r.key): r.n
+        for r in spark.sql("select * from strict_late").collect()
+    }
+    assert got == {
+        ("2024-01-01 00:00:00", "A"): 1,  # closed by wm, emitted once
+        ("2024-01-01 01:00:00", "A"): 1,  # closed by wm (timeout path)
+        # no ("2024-01-01 00:00:00","B"): late row dropped
+        # no ("2024-01-01 05:00:00","B"): trailing window never closed
+    }
