@@ -223,3 +223,91 @@ def quality_filter(
         & (token_count(text_col) >= min_tokens)
         & (quality_score(text_col) >= min_quality)
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: dict,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the data-mixing
+    primitive of a training pipeline ("keep 10% of commoncrawl, 100%
+    of wikipedia"). A row is kept iff
+    ``hash_bucket(key) < rate(stratum) * 10000`` with the same
+    engine-independent sha2-bucket as :func:`split_by_hash`, so:
+
+    * reproducible across runs, engines, and cluster sizes (no RNG
+      state, unlike ``df.sampleBy``);
+    * membership is stable under re-runs — a row either is or isn't in
+      the sample forever (incremental pipelines can re-derive it);
+    * pure Catalyst row-local filter: no shuffle, pushes past column
+      pruning, and composes with partition pruning.
+
+    ``rates`` maps stratum value -> keep fraction in [0, 1].
+    """
+    bucket = (
+        F.conv(
+            F.substring(F.sha2(F.col(key_col).cast("string"), 256), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 10000
+    )
+    rate = F.lit(float(default_rate))
+    for value, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == value, float(r)).otherwise(rate)
+    return df.filter(bucket < (rate * 10000).cast("bigint"))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_df: int | None = 10_000,
+) -> DataFrame:
+    """Benchmark decontamination (the n-gram overlap test applied to
+    training corpora before release): flag every corpus document that
+    shares at least one n-token shingle with any benchmark document.
+
+    Shape is the scale-safe inverted-index equi-join (same as
+    dedup.ngram_jaccard_near_dups): distinct shingles per side, join on
+    the shingle string, aggregate to per-corpus-doc match counts. No
+    all-pairs comparison anywhere; the benchmark side is typically tiny
+    (test sets), so AQE broadcasts it. ``max_df`` drops shingles that
+    occur in more than that many corpus docs (boilerplate caps the
+    candidate blow-up the same way it does for near-dup mining).
+
+    Returns (id_col, n_shared_shingles) for contaminated docs only.
+    """
+    words = f"split(lower(trim({text_col})), '\\\\s+')"
+
+    def shingles(df):
+        g = F.expr(
+            f"""
+            array_distinct(transform(
+              filter(sequence(1, greatest(size({words}), 1)),
+                     i -> i <= size({words}) - {n} + 1),
+              i -> array_join(slice({words}, i, {n}), ' ')))
+            """
+        )
+        return df.select(F.col(id_col), F.explode(g).alias("shingle"))
+
+    corpus_sh = shingles(corpus)
+    if max_df is not None:
+        common = (
+            corpus_sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") > max_df)
+            .select("shingle")
+        )
+        corpus_sh = corpus_sh.join(common, "shingle", "left_anti")
+    bench_sh = shingles(benchmark).select("shingle").distinct()
+    return (
+        corpus_sh.join(bench_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
+    )

@@ -979,6 +979,81 @@ GROUP BY 1, 2
 """
 
 
+def q66_stratified_sample(spark, sf_dir):
+    """Deterministic per-stratum downsampling (data-mixing): documents
+    stratified by language marker, different keep rates per stratum,
+    membership decided by an engine-independent sha2 bucket — DuckDB
+    recomputes the identical sample, which is the whole point (rerun
+    = same training set)."""
+    from .operators.text import detect_language, stratified_hash_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "lang", detect_language("text")
+    )
+    sampled = stratified_hash_sample(
+        d, "lang", "doc_id", rates={"en": 0.25, "de": 0.5}, default_rate=1.0
+    )
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.length("text")), 4).alias("avg_chars"),
+    )
+
+
+def _q66_oracle_sql() -> str:
+    # lazy: shares q32's language-score SQL, defined later in the module
+    return f"""
+WITH scored AS (
+    SELECT doc_id, text, {_lang_score_sql()} AS b FROM documents
+), langs AS (
+    SELECT doc_id, text,
+           CASE WHEN b.hits > 0 THEN b.lang ELSE 'und' END AS lang
+    FROM scored
+), sampled AS (
+    SELECT lang, text FROM langs
+    WHERE ('0x' || SUBSTR(SHA256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
+          < CAST(CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5 ELSE 1.0 END * 10000 AS BIGINT)
+)
+SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(LENGTH(text)), 4) AS avg_chars
+FROM sampled GROUP BY lang
+"""
+
+
+def q67_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs (doc_id >= 100) sharing
+    any 8-token shingle with the 'benchmark' slice (doc_id < 100).
+    Inverted-index equi-join — never all-pairs."""
+    from .operators.text import decontaminate
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") >= 100),
+        d.filter(F.col("doc_id") < 100),
+        n=8,
+    )
+
+
+Q67_SQL = r"""
+WITH words AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                           i -> i <= LEN(w) - 8 + 1),
+               i -> ARRAY_TO_STRING(w[i:i+7], ' '))) AS g
+    FROM words
+), corpus AS (
+    SELECT doc_id, UNNEST(g) AS shingle FROM grams WHERE doc_id >= 100
+), bench AS (
+    SELECT DISTINCT UNNEST(g) AS shingle FROM grams WHERE doc_id < 100
+)
+SELECT c.doc_id, COUNT(DISTINCT c.shingle) AS n_shared_shingles
+FROM corpus c JOIN bench b ON c.shingle = b.shingle
+GROUP BY c.doc_id
+"""
+
+
 def q63_cosine_topk_numpy(spark, sf_dir):
     """B51 fast path under the oracle gate: same exact top-k as q29 but
     scored with the BLAS matrix-vector kernel (one numpy gemv per Arrow
@@ -2053,6 +2128,8 @@ QUERIES: dict[str, tuple] = {
     "q63_cosine_topk_numpy": (q63_cosine_topk_numpy, Q29_SQL),
     "q64_stream_stream_join_tight": (q64_stream_stream_join_tight, Q61_SQL),
     "q65_stream_late_drop": (q65_stream_late_drop, Q65_SQL),
+    "q66_stratified_sample": (q66_stratified_sample, _q66_oracle_sql),
+    "q67_decontaminate": (q67_decontaminate, Q67_SQL),
     "q40_approx_distinct": (q40_approx_distinct, Q40_SQL),
     # q41's oracle is built lazily (hashlib digests over the parquet
     # embedded as SQL constants) — see _q41_oracle_sql.

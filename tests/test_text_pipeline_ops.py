@@ -42,3 +42,58 @@ def test_split_by_hash_deterministic_and_disjoint(spark):
     # monotone: growing the test pct only moves rows train -> test
     c = {r.doc_id: r.split for r in split_by_hash(df, "doc_id", 20).collect()}
     assert all(c[k] == "test" for k, v in a.items() if v == "test")
+
+
+def test_stratified_hash_sample_deterministic_and_rated(spark):
+    import hashlib
+
+    from catenae_stopover_spark.operators.text import stratified_hash_sample
+
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    out1 = {
+        r.doc_id
+        for r in stratified_hash_sample(
+            df, "lang", "doc_id", {"en": 0.3, "de": 0.0}
+        ).collect()
+    }
+    out2 = {
+        r.doc_id
+        for r in stratified_hash_sample(
+            df, "lang", "doc_id", {"en": 0.3, "de": 0.0}
+        ).collect()
+    }
+    assert out1 == out2  # rerun-stable, no RNG
+    assert all(i % 2 == 0 for i in out1)  # de rate 0 -> nothing kept
+    # membership matches an independent hashlib recomputation
+    expected = {
+        i
+        for i, lang in rows
+        if lang == "en"
+        and int(hashlib.sha256(str(i).encode()).hexdigest()[:8], 16) % 10000
+        < 3000
+    }
+    assert out1 == expected
+    # keep-everything stratum passes through untouched
+    full = stratified_hash_sample(df, "lang", "doc_id", {}, default_rate=1.0)
+    assert full.count() == 400
+
+
+def test_decontaminate_flags_shared_shingles(spark):
+    from catenae_stopover_spark.operators.text import decontaminate
+
+    phrase = "one two three four five six seven eight"
+    corpus = spark.createDataFrame(
+        [
+            (100, f"prefix words {phrase} suffix words"),   # contaminated
+            (101, "totally different content with no overlap at all here"),
+            (102, phrase),                                   # exact benchmark hit
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(0, f"intro {phrase} outro closing")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.n_shared_shingles for r in decontaminate(corpus, bench).collect()}
+    assert set(got) == {100, 102}
+    assert got[102] == 1  # exactly the one 8-token shingle

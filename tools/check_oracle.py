@@ -34,7 +34,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(9)
+            # Near-exact: queries round their float outputs explicitly,
+            # so both engines must produce the same double up to 1 ulp.
+            # round(12) only forgives representation noise — a q22-style
+            # type/rounding mismatch (the r1 escape) fails here now.
+            df[c] = df[c].round(12) + 0.0  # +0.0 folds -0.0 into 0.0
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
         else:
