@@ -450,3 +450,82 @@ def _bucket_pairs_numpy(
     return bucketed.groupBy("bucket").applyInPandas(
         pairs, "id_a long, id_b long, cosine double"
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph — the step that
+    turns pairwise `*_near_dups` output into dedup CLUSTERS (every doc
+    labeled with its component's minimum id).
+
+    Alternating large-star/small-star style min-label propagation
+    expressed as DataFrame joins: each iteration every node adopts the
+    smallest label among itself and its neighbors' labels; converged
+    when no label changes. Iterations are O(diameter) — near-dup
+    graphs are overwhelmingly tiny cliques/chains, so 3-5 rounds
+    converge in practice (100 TB note: each round is one shuffle on
+    the edge list; labels are localCheckpointed per round to truncate
+    the growing lineage, the classic iterative-Spark failure mode).
+
+    Returns (node, component) with component = min node id reachable.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # smallest neighbor label per node, via one join on the edges
+        neighbor_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(sym["a"].alias("node"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Near-dup pairs -> deduplicated corpus: cluster via
+    connected_components, keep the minimum-id document of every
+    cluster (and every unpaired document). The end-to-end form a
+    training pipeline actually runs after MinHash/SimHash mining."""
+    comp = connected_components(pairs, src_col, dst_col)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -193,6 +193,78 @@ def ivf_topk(
     return brute_force_topk(probed, query_vec, k=k, vec_col=vec_col, id_col=id_col)
 
 
+def ivf_topk_batch(
+    assigned: DataFrame,
+    centroids: list,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Batch IVF search: a whole DataFrame of queries against the index
+    in ONE distributed plan (the serving shape — per-query driver
+    round-trips don't amortize).
+
+    Plan: rank centroids per query via a broadcast of the (tiny, C-row)
+    centroid table — a query×centroid broadcast nested loop is C rows
+    per query, never data×data — keep each query's n_probe nearest,
+    then one equi-join on centroid_id fans each query out to exactly
+    its probed partitions; score with the Catalyst cosine kernel and
+    take row_number() <= k per query. Shuffles: one (the probe join,
+    keyed on centroid_id) + the per-query top-k window on query_id.
+
+    Returns (query_id, vec_id, cosine), k rows per query.
+    """
+    from ..functions.vectors import cosine_similarity
+
+    spark = assigned.sparkSession
+    cent = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "centroid_id int, centroid array<double>",
+    )
+    q_cent = (
+        queries.select(query_id_col, vec_col)
+        .join(F.broadcast(cent))
+        .select(
+            query_id_col,
+            vec_col,
+            "centroid_id",
+            cosine_similarity(F.col(vec_col), F.col("centroid")).alias("__cc"),
+        )
+    )
+    from pyspark.sql import Window
+
+    probes = (
+        q_cent.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy(query_id_col).orderBy(
+                    F.col("__cc").desc(), "centroid_id"
+                )
+            ),
+        )
+        .filter(F.col("__rn") <= n_probe)
+        .select(query_id_col, F.col(vec_col).alias("__qv"), "centroid_id")
+    )
+    scored = probes.join(assigned, "centroid_id").select(
+        query_id_col,
+        F.col(id_col),
+        cosine_similarity(F.col(vec_col), F.col("__qv")).alias("cosine"),
+    )
+    topk = F.row_number().over(
+        Window.partitionBy(query_id_col).orderBy(
+            F.col("cosine").desc(), F.col(id_col)
+        )
+    )
+    return (
+        scored.withColumn("__rn", topk)
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def persist_ivf_index(assigned: DataFrame, path: str) -> None:
     """Write an IVF index partitioned by centroid: each centroid's
     vectors land in their own directory, so a query's n_probe scan is a

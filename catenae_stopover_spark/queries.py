@@ -979,6 +979,135 @@ GROUP BY 1, 2
 """
 
 
+def q69_minhash_recall_gate(spark, sf_dir):
+    """B50 under a checkable invariant (like q53 for IVF): MinHash-LSH
+    banding (64 hashes, 16 bands) must recover >= 90% of the TRUE
+    near-dup pairs (exact n-gram Jaccard >= 0.7, the regime banding is
+    tuned for: P(candidate | j=0.7) ~ 0.99). Deterministic — xxhash64
+    seeds are fixed — so the oracle hashes a constant row; a banding
+    regression flips recall_ok. Measured 28/28 (sf0.001), 25/25
+    (sf0.01)."""
+    from .operators.dedup import minhash_lsh_near_dups, ngram_jaccard_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    true_pairs = ngram_jaccard_near_dups(d, n=5, threshold=0.7).select(
+        "id_a", "id_b"
+    )
+    cand = minhash_lsh_near_dups(d).select("id_a", "id_b")
+    n_true = true_pairs.count()
+    hits = true_pairs.join(cand, ["id_a", "id_b"]).count()
+    ok = bool(n_true > 0 and hits >= 0.9 * n_true)
+    return spark.createDataFrame(
+        [(ok, 64, 16)], "recall_ok boolean, num_hashes int, bands int"
+    )
+
+
+Q69_SQL = """
+SELECT TRUE AS recall_ok, 64 AS num_hashes, 16 AS bands
+"""
+
+
+def q70_lsh_probe_gate(spark, sf_dir):
+    """Hyperplane LSH under its actual guarantee: the returned top-k
+    IS the exact cosine top-k restricted to the probed buckets, and
+    the probe touches a strict subset of the data. (A raw recall@10
+    gate would be dishonest here — the fixture's embeddings are
+    near-random, so ANY bucketing recalls poorly; recall-vs-probes
+    monotonicity is pinned in pytest instead.)"""
+    from .operators.similarity import (
+        brute_force_topk,
+        hyperplane_signature,
+        lsh_bucketed_topk,
+    )
+
+    bits, probe = 4, 1
+    qvec = _query_vec(sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") != 0)
+    lsh_ids = {
+        r.vec_id
+        for r in lsh_bucketed_topk(
+            base, qvec, k=10, bits=bits, probe_hamming=probe
+        ).collect()
+    }
+    sig = base.withColumn("__sig", hyperplane_signature("embedding", bits))
+    qsig = (
+        spark.createDataFrame([(list(map(float, qvec)),)], "embedding: array<double>")
+        .select(hyperplane_signature("embedding", bits).alias("s"))
+        .head()[0]
+    )
+    probe_sigs = [qsig] + [qsig ^ (1 << i) for i in range(bits)]
+    probed = sig.filter(F.col("__sig").isin(probe_sigs))
+    exact_in_probed = {
+        r.vec_id for r in brute_force_topk(probed, qvec, k=10).collect()
+    }
+    subset_ok = bool(probed.count() < base.count())
+    return spark.createDataFrame(
+        [(bool(lsh_ids == exact_in_probed), subset_ok, bits, probe)],
+        "topk_of_probed_ok boolean, probed_strict_subset boolean, "
+        "bits int, probe_hamming int",
+    )
+
+
+Q70_SQL = """
+SELECT TRUE AS topk_of_probed_ok, TRUE AS probed_strict_subset,
+       4 AS bits, 1 AS probe_hamming
+"""
+
+
+def q68_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> clusters (B49/B50 end-to-end): exact n-gram
+    Jaccard pairs (same graph as q28) fed through distributed
+    min-label-propagation connected components; every clustered doc
+    labeled with its component's min id. Oracle: DuckDB recursive-CTE
+    transitive closure + min over reachable ids — exact same labeling,
+    derived a completely different way."""
+    from .operators.dedup import connected_components, ngram_jaccard_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_near_dups(d, n=3, threshold=0.08)
+    return connected_components(pairs.select("id_a", "id_b"))
+
+
+Q68_SQL = r"""
+WITH RECURSIVE words AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                           i -> i <= LEN(w) - 3 + 1),
+               i -> ARRAY_TO_STRING(w[i:i+2], ' '))) AS g
+    FROM words
+), sizes AS (
+    SELECT doc_id, LEN(g) AS n FROM grams WHERE LEN(g) > 0
+), inv AS (
+    SELECT doc_id, UNNEST(g) AS gram FROM grams WHERE LEN(g) > 0
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), edges0 AS (
+    SELECT id_a, id_b
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.n + sb.n - inter) >= 0.08
+), edges AS (
+    SELECT id_a AS a, id_b AS b FROM edges0
+    UNION
+    SELECT id_b, id_a FROM edges0
+), reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS node, LEAST(a, MIN(b)) AS component
+FROM reach GROUP BY a
+"""
+
+
 def q66_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum downsampling (data-mixing): documents
     stratified by language marker, different keep rates per stratum,
@@ -2130,6 +2259,9 @@ QUERIES: dict[str, tuple] = {
     "q65_stream_late_drop": (q65_stream_late_drop, Q65_SQL),
     "q66_stratified_sample": (q66_stratified_sample, _q66_oracle_sql),
     "q67_decontaminate": (q67_decontaminate, Q67_SQL),
+    "q68_dedup_clusters": (q68_dedup_clusters, Q68_SQL),
+    "q69_minhash_recall_gate": (q69_minhash_recall_gate, Q69_SQL),
+    "q70_lsh_probe_gate": (q70_lsh_probe_gate, Q70_SQL),
     "q40_approx_distinct": (q40_approx_distinct, Q40_SQL),
     # q41's oracle is built lazily (hashlib digests over the parquet
     # embedded as SQL constants) — see _q41_oracle_sql.

@@ -270,3 +270,31 @@ def test_simhash_rejects_insufficient_blocks(spark, docs_df):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_dups(docs_df, hamming_max=8, blocks=4)
+
+
+def test_connected_components_chain_and_clique(spark):
+    from catenae_stopover_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # clique 10-11-12, isolated edge 20-21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_representatives_keeps_min_and_unpaired(spark):
+    from catenae_stopover_spark.operators.dedup import dedup_representatives
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 7, 9)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    kept = sorted(
+        r.doc_id for r in dedup_representatives(df, pairs).collect()
+    )
+    assert kept == [1, 7, 9]  # cluster {1,2,3} -> 1; unpaired stay

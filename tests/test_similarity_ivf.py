@@ -82,3 +82,42 @@ def test_lsh_bucket_recall_vs_brute_force(spark, emb, qvec):
     # the bucket is among brute-force top-20 overall
     exact20 = {r.vec_id for r in brute_force_topk(base, qvec, k=20).collect()}
     assert got[0].vec_id in exact20 or got[0].vec_id == exact_top1
+
+
+def test_ivf_topk_batch_matches_single_query(spark, emb, qvec):
+    from pyspark.sql import functions as F
+
+    from catenae_stopover_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_batch,
+    )
+
+    base = emb.filter(F.col("vec_id") != 0)
+    assigned, centroids = build_ivf_index(base, num_centroids=4)
+    # three queries: the fixture's query vector + two corpus vectors
+    extra = [
+        r.embedding
+        for r in base.orderBy("vec_id").limit(2).collect()
+    ]
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate([qvec, *extra])],
+        "query_id int, embedding array<double>",
+    )
+    batch = ivf_topk_batch(assigned, centroids, queries, k=5, n_probe=2)
+    got = {
+        qid: [r.vec_id for r in rows]
+        for qid, rows in (
+            (q, sorted(
+                [r for r in batch.collect() if r.query_id == q],
+                key=lambda r: (-r.cosine, r.vec_id),
+            ))
+            for q in (0, 1, 2)
+        )
+    }
+    for qid, vec in enumerate([qvec, *extra]):
+        single = [
+            r.vec_id
+            for r in ivf_topk(assigned, centroids, vec, k=5, n_probe=2).collect()
+        ]
+        assert got[qid] == single, f"query {qid}"
