@@ -54,9 +54,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-            )
+            # Integer division, NOT `/`: ns-since-epoch (~1.7e18) exceeds
+            # double's 53-bit mantissa, so float division rounds ~3% of
+            # values off by 1µs (caught by q72's exact session bounds).
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
         return df
     return spark.read.parquet(path)
 

@@ -163,3 +163,113 @@ def sample_video_frames(
             yield pd.DataFrame(out)
 
     return src.mapInPandas(run, schema=schema)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_sec", FloatType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_audio_features(
+    media: DataFrame,
+    feat_dim: int = 16,
+    decode: str = "fake",
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Decode + featurize audio payloads (MFCC-shaped output) via
+    mapInPandas — same plumbing contract as extract_image_features:
+    ``decode='fake'`` is a deterministic content-hash stub,
+    ``decode='strict'`` raises where the torchaudio/librosa call
+    belongs. Scale knob: ``batch_partitions`` bounds Arrow batch bytes."""
+    if batch_partitions:
+        media = media.repartition(batch_partitions)
+    src = media.filter(F.col("kind") == "audio")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for _, row in pdf.iterrows():
+                if decode == "strict":
+                    raise NotImplementedError(
+                        "audio decode requires torchaudio/librosa; replace "
+                        "the stub with torchaudio.load(io.BytesIO(payload))"
+                    )
+                digest = hashlib.sha256(row["payload"] or b"").digest()
+                sr = (8000, 16000, 22050, 44100)[digest[0] % 4]
+                n_samples = 1000 + int.from_bytes(digest[1:4], "big") % 100_000
+                feats = [
+                    ((digest[(4 + i) % 32] / 255.0) * 2.0 - 1.0)
+                    for i in range(feat_dim)
+                ]
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "sample_rate": sr,
+                        "n_samples": n_samples,
+                        "duration_sec": float(n_samples / sr),
+                        "features": feats,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    target: tuple = (224, 224),
+    decode: str = "fake",
+    batch_partitions: int | None = None,
+) -> DataFrame:
+    """Resize-to-target plumbing (the preprocessing step before any
+    vision encoder): 1 row in → 1 row out with the resized payload.
+    Stub emits a deterministic digest-derived payload of bounded size;
+    real implementations swap in PIL.Image.resize. The output contract
+    (fixed target dims, payload bytes re-emitted) is what downstream
+    batch-inference stages key on."""
+    if batch_partitions:
+        media = media.repartition(batch_partitions)
+    src = media.filter(F.col("kind") == "image")
+    tw, th = int(target[0]), int(target[1])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for _, row in pdf.iterrows():
+                if decode == "strict":
+                    raise NotImplementedError(
+                        "image resize requires Pillow; replace the stub with "
+                        "PIL.Image.open(...).resize((tw, th)).tobytes()"
+                    )
+                digest = hashlib.sha256(row["payload"] or b"").digest()
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "width": tw,
+                        "height": th,
+                        "payload": digest + tw.to_bytes(2, "big") + th.to_bytes(2, "big"),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(run, schema=RESIZED_SCHEMA)

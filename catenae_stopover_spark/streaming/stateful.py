@@ -147,3 +147,99 @@ def strict_tumbling_agg(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def strict_session_agg(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    gap_ms: int = 1_800_000,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows with STRICT late-data semantics — the B38
+    analogue of :func:`strict_tumbling_agg`, for the same reason: the
+    built-in session_window merges resurrected state when late rows
+    slip past the (best-effort) watermark filter.
+
+    Semantics, all exact and engine-checkable:
+
+    * a row with event time < watermark is DROPPED, always;
+    * sessions are maximal runs of per-key events where consecutive
+      gaps are <= gap_ms (identical to the batch lag/cumsum
+      sessionization, q35), tracked in µs so boundaries equal the raw
+      event times;
+    * a session is EMITTED exactly once, when
+      session_end + gap < watermark — at that point no surviving
+      future row (ts >= watermark) can extend it; idle keys finalize
+      via event-time timeout;
+    * state per key = open sessions only (bounded by watermark delay).
+
+    Output: key, session_start, session_end, n_events.
+    """
+    import json as _json
+
+    import pandas as pd
+
+    def proc(key, pdfs, state: GroupState):
+        (k,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        gap_us = gap_ms * 1000
+        sessions: list = (
+            _json.loads(state.get[0]) if state.exists else []
+        )  # [start_us, end_us, n]
+        pts = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                ts_us = pdf[ts_col].astype("int64") // 1_000
+                on_time = ts_us.values >= wm_us  # strict drop
+                pts.extend(int(t) for t in ts_us.values[on_time])
+        if pts:
+            ivals = sessions + [[t, t, 1] for t in pts]
+            ivals.sort(key=lambda s: (s[0], s[1]))
+            merged = [ivals[0][:]]
+            for s in ivals[1:]:
+                if s[0] - merged[-1][1] <= gap_us:
+                    merged[-1][1] = max(merged[-1][1], s[1])
+                    merged[-1][2] += s[2]
+                else:
+                    merged.append(s[:])
+            sessions = merged
+        out = [s for s in sessions if s[1] + gap_us < wm_us]
+        sessions = [s for s in sessions if s[1] + gap_us >= wm_us]
+        if sessions:
+            state.update((_json.dumps(sessions),))
+            nxt_ms = min(s[1] + gap_us for s in sessions) // 1000 + 1
+            state.setTimeoutTimestamp(max(nxt_ms, state.getCurrentWatermarkMs() + 1))
+        elif state.exists:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                [
+                    (
+                        k,
+                        pd.Timestamp(s[0], unit="us"),
+                        pd.Timestamp(s[1], unit="us"),
+                        s[2],
+                    )
+                    for s in out
+                ],
+                columns=["key", "session_start", "session_end", "n_events"],
+            )
+
+    out_schema = (
+        "key long, session_start timestamp, session_end timestamp, "
+        "n_events long"
+    )
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            proc,
+            outputStructType=out_schema,
+            stateStructType="sessions string",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

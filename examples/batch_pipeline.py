@@ -14,11 +14,18 @@ from pyspark.sql import functions as F
 
 from catenae_stopover_spark.io.sources import load_table
 from catenae_stopover_spark.operators.dedup import (
+    dedup_representatives,
     exact_dedup,
     minhash_lsh_near_dups,
 )
 from catenae_stopover_spark.operators.similarity import brute_force_topk
-from catenae_stopover_spark.operators.text import quality_filter, with_text_stats
+from catenae_stopover_spark.operators.text import (
+    decontaminate,
+    quality_filter,
+    split_by_hash,
+    stratified_hash_sample,
+    with_text_stats,
+)
 from catenae_stopover_spark.session import get_spark
 
 
@@ -40,14 +47,25 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     )
     print(f"after exact dedup: {survivors.count()}")
 
-    # 3. near-dup candidates via MinHash-LSH banding
+    # 3. near-dup mining -> clusters -> one representative per cluster
+    #    (connected components, not naive id_b-dropping: chains A~B~C
+    #    must collapse to ONE doc even when A~C never paired directly)
     pairs = minhash_lsh_near_dups(survivors, num_hashes=64, bands=16)
     near_dups = pairs.filter(F.col("est_jaccard") >= 0.8)
-    drop_ids = near_dups.select(F.col("id_b").alias("doc_id")).distinct()
-    final = survivors.join(drop_ids, "doc_id", "left_anti")
-    print(f"after near dedup (est_jaccard>=0.8): {final.count()}")
+    final = dedup_representatives(survivors, near_dups)
+    print(f"after near dedup (est_jaccard>=0.8, clustered): {final.count()}")
 
-    # 4. per-document stats for downstream sampling decisions
+    # 4. benchmark decontamination: drop docs overlapping the eval set
+    #    (here: the first 100 doc_ids stand in for a benchmark)
+    contaminated = decontaminate(
+        final.filter(F.col("doc_id") >= 100),
+        final.filter(F.col("doc_id") < 100),
+        n=8,
+    )
+    final = final.join(contaminated.select("doc_id"), "doc_id", "left_anti")
+    print(f"after decontamination: {final.count()}")
+
+    # 5. per-document stats for downstream sampling decisions
     stats = with_text_stats(final)
     stats.groupBy("detected_lang").agg(
         F.count("*").alias("docs"),
@@ -55,11 +73,20 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
         F.sum("n_tokens").alias("tokens"),
     ).show()
 
-    # 5. similarity search over the embedding table
+    # 6. deterministic data mixing + train/test split (rerun-stable:
+    #    membership is a pure function of doc_id)
+    mixed = stratified_hash_sample(
+        stats, "detected_lang", "doc_id", rates={"en": 0.5}, default_rate=1.0
+    )
+    splits = split_by_hash(mixed, "doc_id", test_pct=10)
+    splits.groupBy("split").count().show()
+
+    # 7. similarity search over the embedding table (kernel picked by
+    #    input size: codegen small, Arrow+BLAS large)
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.limit(1).select("embedding").head()[0]
     print("nearest neighbours of vec 0:")
-    brute_force_topk(emb, qvec, k=5, kernel="numpy").show()
+    brute_force_topk(emb, qvec, k=5).show()
 
 
 if __name__ == "__main__":

@@ -82,3 +82,22 @@ def test_embedded_start_is_nonblocking_and_idempotent(tmp_path):
     assert time.monotonic() - t0 < 5  # returned immediately
     assert node.start(embedded=True) is node  # idempotent (catenae.py:269-271)
     node.suicide("done")
+
+
+def test_batch_pipeline_example_runs(spark):
+    """The end-to-end corpus-curation example (quality filter -> exact
+    dedup -> clustered near-dedup -> decontamination -> stats ->
+    deterministic mixing/split -> ANN) must run clean at sf0.001."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "examples/batch_pipeline.py", "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=__file__.rsplit("/", 2)[0],
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "after decontamination" in proc.stdout
+    assert "nearest neighbours" in proc.stdout

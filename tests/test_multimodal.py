@@ -62,3 +62,37 @@ def test_read_binary_dir(spark, tmp_path):
     rows = sorted(df.select("path", "length", "content").collect(), key=lambda r: r.path)
     assert [r.length for r in rows] == [9, 10]
     assert bytes(rows[0].content) == b"payload-a"
+
+
+def test_audio_features_schema_and_determinism(spark, media):
+    from catenae_stopover_spark.operators.multimodal import extract_audio_features
+
+    out = extract_audio_features(media, feat_dim=4)
+    rows = {r.media_id: r for r in out.collect()}
+    again = {r.media_id: r for r in extract_audio_features(media, feat_dim=4).collect()}
+    assert rows.keys() == again.keys() and len(rows) > 0
+    for mid, r in rows.items():
+        assert r.sample_rate in (8000, 16000, 22050, 44100)
+        assert abs(r.duration_sec - r.n_samples / r.sample_rate) < 1e-4
+        assert len(r.features) == 4
+        assert again[mid].features == r.features  # content-hash seeded
+
+
+def test_audio_strict_raises(spark, media):
+    import pytest
+    from pyspark.errors import PythonException
+
+    from catenae_stopover_spark.operators.multimodal import extract_audio_features
+
+    with pytest.raises(PythonException, match="torchaudio"):
+        extract_audio_features(media, decode="strict").collect()
+
+
+def test_resize_images_contract(spark, media):
+    from catenae_stopover_spark.operators.multimodal import resize_images
+
+    out = resize_images(media, target=(64, 48)).collect()
+    assert len(out) > 0
+    for r in out:
+        assert (r.width, r.height) == (64, 48)
+        assert isinstance(r.payload, (bytes, bytearray)) and len(r.payload) == 36

@@ -200,3 +200,39 @@ def test_strict_tumbling_agg_drop_timeout_exactly_once(spark, tmp_path_factory):
         # no ("2024-01-01 00:00:00","B"): late row dropped
         # no ("2024-01-01 05:00:00","B"): trailing window never closed
     }
+
+
+def test_strict_session_agg_merge_drop_timeout(spark, tmp_path_factory):
+    """strict_session_agg: gap-merge matches batch sessionization, late
+    rows below watermark always drop, idle keys finalize via timeout,
+    trailing (unclosed) sessions are withheld."""
+    from pyspark.sql import functions as F
+
+    from catenae_stopover_spark.io.sources import replay_two_phase
+    from catenae_stopover_spark.streaming.stateful import strict_session_agg
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "ts string, k long").select(
+            F.col("ts").cast("timestamp").alias("ts"), "k"
+        )
+
+    # key 1: two sessions (00:00-00:10, then 02:00); key 2: max at 05:00
+    # -> watermark after batch 0 = 03:00
+    b0 = mk([
+        ("2024-01-01 00:00:00", 1), ("2024-01-01 00:10:00", 1),
+        ("2024-01-01 02:00:00", 1), ("2024-01-01 05:00:00", 2),
+    ])
+    b1 = mk([("2024-01-01 00:05:00", 2)])  # late: below wm, must drop
+    stage = str(tmp_path_factory.mktemp("strict_sess"))
+    stream = replay_two_phase(spark, b0, b1, stage)
+    agg = strict_session_agg(stream, "ts", "k", gap_ms=1_800_000, watermark="2 hours")
+    _run_to_memory(agg, "strict_sess", "append")
+    got = {
+        (r.key, str(r.session_start), str(r.session_end)): r.n_events
+        for r in spark.sql("select * from strict_sess").collect()
+    }
+    assert got == {
+        (1, "2024-01-01 00:00:00", "2024-01-01 00:10:00"): 2,  # merged pair
+        (1, "2024-01-01 02:00:00", "2024-01-01 02:00:00"): 1,  # timeout path
+        # key 2: 05:00 session trailing (unclosed), late 00:05 dropped
+    }
