@@ -80,6 +80,7 @@ class FileBroker:
         default_stream: str,
         routed: bool = False,
         epoch_id: int = 0,
+        producer: str | None = None,
     ) -> None:
         """Write a micro-batch of envelope rows (msg_id, ts_ms, key,
         value[, stream]) partition-side — the data-plane fast path for
@@ -91,13 +92,30 @@ class FileBroker:
 
         Staging lives under the broker root so the final moves are
         same-filesystem atomic renames: a concurrent reader never sees
-        a partial file."""
+        a partial file.
+
+        Epoch idempotence: after a failure Spark re-runs the last
+        uncommitted epoch with the same epoch_id; when ``producer`` is
+        given (Link passes its receiver_group, which is stable across
+        restarts), a fully-published epoch leaves a marker and the
+        retry becomes a no-op — exactly-once for the epoch-retry case.
+        A crash mid-publish still re-delivers that epoch's earlier
+        files (at-least-once), matching the reference's commit-after-
+        processing semantics (catenae.py:494-495)."""
         import glob
         import shutil
         import tempfile
         from urllib.parse import unquote
 
         from pyspark.sql import functions as F
+
+        marker = None
+        if producer is not None:
+            marker_dir = os.path.join(self.root, ".epochs")
+            os.makedirs(marker_dir, exist_ok=True)
+            marker = os.path.join(marker_dir, f"{producer}-{epoch_id}")
+            if os.path.exists(marker):
+                return
 
         stream_col = F.lit(default_stream)
         if routed:
@@ -128,6 +146,9 @@ class FileBroker:
                         continue
                     name = f"msg-{time.time_ns()}-e{epoch_id}p{i}.json"
                     os.replace(pf, os.path.join(target_dir, name))
+            if marker is not None:
+                with open(marker, "w", encoding="utf-8"):
+                    pass
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 

@@ -486,6 +486,9 @@ class Link:
                     out_stream,
                     routed=routed,
                     epoch_id=epoch_id,
+                    # receiver_group is restart-stable (it keys the
+                    # checkpoint dir), so epoch retries no-op
+                    producer=str(self._config["receiver_group"]),
                 )
 
         checkpoint = os.path.join(

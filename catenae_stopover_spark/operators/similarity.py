@@ -66,7 +66,12 @@ def brute_force_topk(
     partition keeps its local k, no full-score shuffle).
     """
     if kernel == "auto":
-        kernel = "numpy" if _estimated_bytes(df) >= 32 * 2**20 else "sql"
+        # Threshold is on POST-COMPRESSION parquet bytes (all we can
+        # know without a scan); float-array columns compress ~10-20x,
+        # so 2 MiB on disk ~ tens of MiB in flight — already past the
+        # kernel crossover (sf0.1's 0.8 MiB stays codegen, the 100x
+        # replica's 2.9 MiB/200k rows goes BLAS: 5.6s -> ~1s measured).
+        kernel = "numpy" if _estimated_bytes(df) >= 2 * 2**20 else "sql"
     df = ensure_min_parallelism(df)  # single-file inputs → one core otherwise
     if kernel == "numpy":
         scored = _numpy_query_scores(df, query_vec, vec_col, id_col)

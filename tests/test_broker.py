@@ -93,3 +93,23 @@ def test_seen_set_is_pruned_past_grace(tmp_path):
     # the ancient name is settled out of the seen-set, yet not re-read
     assert cur._seen["s"] == {f"msg-{t}-2.json"}
     assert b.read_new("s", cur) == []
+
+
+def test_put_batch_epoch_retry_is_idempotent(tmp_path):
+    """A re-run of a fully-published epoch (Spark's post-failure epoch
+    retry) must not duplicate messages when a producer key is given."""
+    from catenae_stopover_spark.session import get_spark
+
+    spark = get_spark()
+    b = FileBroker(str(tmp_path))
+    batch = spark.createDataFrame(
+        [("m1", 1, None, '{"n": 1}'), ("m2", 2, None, '{"n": 2}')],
+        "msg_id string, ts_ms long, key string, value string",
+    )
+    b.put_batch(batch, "out", epoch_id=7, producer="g1")
+    b.put_batch(batch, "out", epoch_id=7, producer="g1")  # retry: no-op
+    cur = GroupCursor("obs")
+    assert sorted(m.value["n"] for m in b.read_new("out", cur)) == [1, 2]
+    # a NEW epoch from the same producer still publishes
+    b.put_batch(batch, "out", epoch_id=8, producer="g1")
+    assert sorted(m.value["n"] for m in b.read_new("out", cur)) == [1, 2]
