@@ -91,3 +91,36 @@ def multi_sink(
     elif trigger_interval:
         w = w.trigger(processingTime=trigger_interval)
     return w.start()
+
+
+def export_dataset(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = 500_000,
+    sort_within_partitions: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Batch export of a curated corpus — the write path a training
+    pipeline ends with, tuned for how the data is READ back:
+
+    * ``partition_by`` low-cardinality keys (split, lang, date) become
+      directory partitions -> downstream scans partition-prune;
+    * ``sort_within_partitions`` clusters rows inside each file so
+      min/max row-group stats are tight -> predicate pushdown skips
+      row groups (e.g. sort by doc_id for id-range reads);
+    * ``max_records_per_file`` bounds file size — many ~100-500 MB
+      files parallelize on a 1000-executor read; a few 10 GB files
+      don't, and millions of 1 MB files choke the driver's listing.
+
+    One shuffle at most (the optional sortWithinPartitions); the write
+    itself is executor-parallel.
+    """
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
+    w = df.write.mode(mode)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)

@@ -1,15 +1,26 @@
-from .relational import asof_join, latest_n, topk_per_group
+from .relational import asof_join, hierarchical_rollup, latest_n, topk_per_group
 from .dedup import (
+    connected_components,
+    dedup_representatives,
     exact_dedup,
     minhash_lsh_near_dups,
     ngram_jaccard_near_dups,
     simhash_near_dups,
     embedding_near_dups,
 )
-from .similarity import brute_force_topk, lsh_bucketed_topk
+from .similarity import (
+    brute_force_topk,
+    build_ivf_index,
+    ivf_topk,
+    ivf_topk_batch,
+    lsh_bucketed_topk,
+)
 from .text import (
+    decontaminate,
     detect_language,
     quality_score,
+    split_by_hash,
+    stratified_hash_sample,
     token_count,
     doc_fingerprint,
     with_text_stats,
@@ -17,6 +28,15 @@ from .text import (
 
 __all__ = [
     "asof_join",
+    "hierarchical_rollup",
+    "connected_components",
+    "dedup_representatives",
+    "build_ivf_index",
+    "ivf_topk",
+    "ivf_topk_batch",
+    "decontaminate",
+    "split_by_hash",
+    "stratified_hash_sample",
     "latest_n",
     "topk_per_group",
     "exact_dedup",

@@ -153,3 +153,41 @@ def test_link_has_context_logger(tmp_path):
     fmt = node.logger.handlers[0].formatter
     assert fmt.instance == node.uid
     assert fmt.microservice == "Link"
+
+
+def test_export_dataset_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from catenae_stopover_spark.io.sinks import export_dataset
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 1, "test").otherwise("train").alias("split"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    out = str(tmp_path / "corpus")
+    export_dataset(
+        df,
+        out,
+        partition_by=["split"],
+        max_records_per_file=200,
+        sort_within_partitions=["doc_id"],
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    # directory partitioning in place
+    import os
+
+    assert sorted(
+        d for d in os.listdir(out) if d.startswith("split=")
+    ) == ["split=test", "split=train"]
+    # maxRecordsPerFile respected (900 train rows -> >= 5 files)
+    train_files = [
+        f
+        for f in os.listdir(os.path.join(out, "split=train"))
+        if f.endswith(".parquet")
+    ]
+    assert len(train_files) >= 5
+    # partition-pruned read only touches one directory
+    plan = back.filter(F.col("split") == "test")._jdf.queryExecution().executedPlan().toString()
+    assert "split=test" in plan or "PartitionFilters" in plan
