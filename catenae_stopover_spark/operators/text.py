@@ -311,3 +311,47 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split long documents into token-bounded overlapping chunks —
+    the context-window preprocessing step (1 doc row -> N chunk rows).
+
+    Chunk i covers tokens [i*stride, i*stride + max_tokens) with
+    stride = max_tokens - overlap; the last chunk may be short; docs
+    with <= max_tokens tokens yield exactly one chunk. Pure Catalyst
+    (split + sequence + slice + posexplode): row-local, no shuffle,
+    no Python — at 100 TB the chunker is a free map stage fused into
+    the scan.
+
+    Output: id_col, chunk_idx, chunk_text, n_chunk_tokens.
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be < max_tokens")
+    stride = max_tokens - overlap
+    w = f"split(trim({text_col}), '\\\\s+')"
+    n_chunks = f"greatest(cast(ceil((size({w}) - {overlap}) / {stride}.0) as int), 1)"
+    chunks = F.expr(
+        f"""
+        transform(sequence(0, {n_chunks} - 1),
+                  i -> slice({w}, i * {stride} + 1, {max_tokens}))
+        """
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_idx", "toks"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.array_join("toks", " ").alias("chunk_text"),
+            F.size("toks").alias("n_chunk_tokens"),
+        )
+    )

@@ -1171,6 +1171,36 @@ WHERE session_end + INTERVAL 30 MINUTE < m - INTERVAL 2 HOUR
 """
 
 
+def q73_chunk_documents(spark, sf_dir):
+    """Context-window chunking (1 doc -> N overlapping token chunks),
+    the row-local preprocessing step before packing/tokenization. Pure
+    Catalyst explode — the oracle recomputes identical chunk boundaries
+    with DuckDB list slicing."""
+    from .operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_documents(d, max_tokens=64, overlap=8)
+
+
+Q73_SQL = r"""
+WITH words AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+') AS w
+    FROM documents
+), nch AS (
+    SELECT doc_id, w,
+           GREATEST(CAST(CEIL((LEN(w) - 8) / 56.0) AS INT), 1) AS n
+    FROM words
+), chunks AS (
+    SELECT doc_id, i - 1 AS chunk_idx,
+           w[(i - 1) * 56 + 1 : (i - 1) * 56 + 64] AS toks
+    FROM nch, UNNEST(GENERATE_SERIES(1, n)) AS t(i)
+)
+SELECT doc_id, chunk_idx, ARRAY_TO_STRING(toks, ' ') AS chunk_text,
+       LEN(toks) AS n_chunk_tokens
+FROM chunks
+"""
+
+
 def q66_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum downsampling (data-mixing): documents
     stratified by language marker, different keep rates per stratum,
@@ -2363,6 +2393,7 @@ QUERIES: dict[str, tuple] = {
     "q70_lsh_probe_gate": (q70_lsh_probe_gate, Q70_SQL),
     "q71_audio_features": (q71_audio_features, Q71_SQL),
     "q72_stream_session_strict": (q72_stream_session_strict, Q72_SQL),
+    "q73_chunk_documents": (q73_chunk_documents, Q73_SQL),
     "q40_approx_distinct": (q40_approx_distinct, Q40_SQL),
     # q41's oracle is built lazily (hashlib digests over the parquet
     # embedded as SQL constants) — see _q41_oracle_sql.

@@ -97,3 +97,38 @@ def test_decontaminate_flags_shared_shingles(spark):
     got = {r.doc_id: r.n_shared_shingles for r in decontaminate(corpus, bench).collect()}
     assert set(got) == {100, 102}
     assert got[102] == 1  # exactly the one 8-token shingle
+
+
+def test_chunk_documents_boundaries(spark):
+    from catenae_stopover_spark.operators.text import chunk_documents
+
+    long_doc = " ".join(f"w{i}" for i in range(100))   # 100 tokens
+    short_doc = "just five little words here"
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, short_doc), (3, "")], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, max_tokens=40, overlap=10)
+    rows = {(r.doc_id, r.chunk_idx): r for r in out.collect()}
+    # 100 tokens, stride 30 -> ceil((100-10)/30) = 3 chunks
+    assert {k for k in rows if k[0] == 1} == {(1, 0), (1, 1), (1, 2)}
+    assert rows[(1, 0)].n_chunk_tokens == 40
+    assert rows[(1, 0)].chunk_text.startswith("w0 ") 
+    assert rows[(1, 1)].chunk_text.startswith("w30 ")  # overlap of 10
+    assert rows[(1, 2)].n_chunk_tokens == 40  # tokens 60..99
+    # short + empty docs -> exactly one chunk each
+    assert rows[(2, 0)].n_chunk_tokens == 5
+    assert (3, 0) in rows and len({k for k in rows if k[0] == 3}) == 1
+    # consecutive chunks overlap by exactly `overlap` tokens
+    c0 = rows[(1, 0)].chunk_text.split()
+    c1 = rows[(1, 1)].chunk_text.split()
+    assert c0[-10:] == c1[:10]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from catenae_stopover_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(df, max_tokens=8, overlap=8)
