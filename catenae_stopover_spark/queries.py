@@ -1212,8 +1212,10 @@ def q66_stratified_sample(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").withColumn(
         "lang", detect_language("text")
     )
+    # fixture languages are en/und — both get non-trivial rates so the
+    # per-stratum branch is actually exercised by the oracle
     sampled = stratified_hash_sample(
-        d, "lang", "doc_id", rates={"en": 0.25, "de": 0.5}, default_rate=1.0
+        d, "lang", "doc_id", rates={"en": 0.25, "und": 0.5}, default_rate=1.0
     )
     return sampled.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -1233,7 +1235,7 @@ WITH scored AS (
 ), sampled AS (
     SELECT lang, text FROM langs
     WHERE ('0x' || SUBSTR(SHA256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000
-          < CAST(CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5 ELSE 1.0 END * 10000 AS BIGINT)
+          < CAST(CASE lang WHEN 'en' THEN 0.25 WHEN 'und' THEN 0.5 ELSE 1.0 END * 10000 AS BIGINT)
 )
 SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(LENGTH(text)), 4) AS avg_chars
 FROM sampled GROUP BY lang
