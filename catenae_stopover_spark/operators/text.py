@@ -355,3 +355,57 @@ def chunk_documents(
             F.size("toks").alias("n_chunk_tokens"),
         )
     )
+
+
+def pack_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_budget: int = 2048,
+    num_shards: int = 1024,
+) -> DataFrame:
+    """Deterministic sequential packing: assign each document to a
+    (shard, pack_id) so every pack holds consecutive docs whose
+    cumulative token count fits ~token_budget — the step that turns a
+    curated corpus into fixed-size training sequences.
+
+    Scale shape: packing is a running sum, which is inherently
+    sequential — so it runs PER SHARD (deterministic hash of the id),
+    one window per shard, all shards in parallel. A single global
+    ORDER BY window would serialize the corpus through one partition;
+    sharded packing is what a 1000-executor run needs, and shard
+    membership stays reproducible across runs/engines.
+
+    pack_id = floor((cumsum(tokens) - tokens) / token_budget): a doc
+    starts a new pack when the budget would overflow mid-doc — packs
+    can exceed budget by at most one doc's tail (standard sequential
+    packing; oversized single docs should be chunked first with
+    chunk_documents).
+
+    Output: id_col, shard, pack_id, n_tokens.
+    """
+    from pyspark.sql import Window
+
+    toks = token_count(text_col)
+    # same engine-independent sha2 bucket as split_by_hash, so packs
+    # are reproducible across engines (xxhash64 would be Spark-only)
+    shard = (
+        F.conv(
+            F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % num_shards
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    return (
+        df.select(F.col(id_col), shard.alias("shard"), toks.alias("n_tokens"))
+        .withColumn(
+            "pack_id",
+            F.floor(
+                (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+                / F.lit(token_budget)
+            ),
+        )
+        .select(id_col, "shard", "pack_id", "n_tokens")
+    )

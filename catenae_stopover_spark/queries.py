@@ -1201,6 +1201,41 @@ FROM chunks
 """
 
 
+def q74_pack_documents(spark, sf_dir):
+    """Deterministic shard-parallel sequence packing: per-shard running
+    token sums assign each doc a (shard, pack_id); summarized per pack
+    so the oracle checks both assignment and budget accounting."""
+    from .operators.text import pack_documents
+
+    d = _t(spark, sf_dir, "documents")
+    packed = pack_documents(d, token_budget=512, num_shards=16)
+    return packed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+Q74_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           ('0x' || SUBSTR(SHA256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
+           CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_tokens
+    FROM documents
+), packed AS (
+    SELECT doc_id, shard, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                           ROWS UNBOUNDED PRECEDING) - n_tokens)
+                      / 512.0) AS BIGINT) AS pack_id
+    FROM toks
+)
+SELECT shard, pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens,
+       MIN(doc_id) AS first_doc
+FROM packed GROUP BY shard, pack_id
+"""
+
+
 def q66_stratified_sample(spark, sf_dir):
     """Deterministic per-stratum downsampling (data-mixing): documents
     stratified by language marker, different keep rates per stratum,
@@ -2396,6 +2431,7 @@ QUERIES: dict[str, tuple] = {
     "q71_audio_features": (q71_audio_features, Q71_SQL),
     "q72_stream_session_strict": (q72_stream_session_strict, Q72_SQL),
     "q73_chunk_documents": (q73_chunk_documents, Q73_SQL),
+    "q74_pack_documents": (q74_pack_documents, Q74_SQL),
     "q40_approx_distinct": (q40_approx_distinct, Q40_SQL),
     # q41's oracle is built lazily (hashlib digests over the parquet
     # embedded as SQL constants) — see _q41_oracle_sql.

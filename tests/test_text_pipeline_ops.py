@@ -132,3 +132,27 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         chunk_documents(df, max_tokens=8, overlap=8)
+
+
+def test_pack_documents_budget_and_determinism(spark):
+    from catenae_stopover_spark.operators.text import pack_documents
+
+    docs = [(i, " ".join(["w"] * (20 + i % 30))) for i in range(200)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    packed = pack_documents(df, token_budget=100, num_shards=4).collect()
+    assert len(packed) == 200  # every doc assigned exactly once
+    again = pack_documents(df, token_budget=100, num_shards=4).collect()
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
+    # within each (shard, pack): cumulative tokens start under budget
+    # (sequential packing may overflow by at most the last doc's tail)
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in packed:
+        groups[(r.shard, r.pack_id)].append(r)
+    for rows in groups.values():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert cum < 100  # doc started while budget remained
+            cum += r.n_tokens
