@@ -2361,60 +2361,14 @@ def q43_text_stats_full(spark, sf_dir):
 # Registry
 # --------------------------------------------------------------------
 
+# Registry ORDER is load-bearing: the correctness driver materializes
+# exactly the FIRST 50 entries each round.  Policy (round 3): queries
+# that have never had a driver CORRECTNESS row — plus anything new this
+# round — go first; long-stable queries (two consecutive green rounds)
+# rotate past the window.  Every entry remains runnable locally via
+# tools/check_oracle.py regardless of position.
 QUERIES: dict[str, tuple] = {
-    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
-    "q02_revenue_by_nation": (q02_revenue_by_nation, Q02_SQL),
-    "q03_top3_orders_per_priority": (q03_top3_orders_per_priority, Q03_SQL),
-    "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),
-    "q05_cube_count": (q05_cube_count, Q05_SQL),
-    "q06_grouping_sets": (q06_grouping_sets, Q06_SQL),
-    "q07_distinct_stats": (q07_distinct_stats, Q07_SQL),
-    "q08_orders_per_customer_hist": (q08_orders_per_customer_hist, Q08_SQL),
-    "q09_semi_anti": (q09_semi_anti, Q09_SQL),
-    "q10_theta_acctbal": (q10_theta_acctbal, Q10_SQL),
-    "q11_cross_region_nation": (q11_cross_region_nation, Q11_SQL),
-    "q12_asof_purchase_click": (q12_asof_purchase_click, Q12_SQL),
-    "q13_latest2_events_per_user": (q13_latest2_events_per_user, Q13_SQL),
-    "q14_segments_per_nation": (q14_segments_per_nation, Q14_SQL),
-    "q15_pivot_status": (q15_pivot_status, Q15_SQL),
-    "q16_running_total": (q16_running_total, Q16_SQL),
-    "q17_lag_delta": (q17_lag_delta, Q17_SQL),
-    "q18_moving_avg": (q18_moving_avg, Q18_SQL),
-    "q19_setops": (q19_setops, Q19_SQL),
-    "q20_string_funcs": (q20_string_funcs, Q20_SQL),
-    "q21_date_funcs": (q21_date_funcs, Q21_SQL),
-    "q22_math_funcs": (q22_math_funcs, Q22_SQL),
-    "q23_array_funcs": (q23_array_funcs, Q23_SQL),
-    "q24_json_extract": (q24_json_extract, Q24_SQL),
-    "q25_explode_words": (q25_explode_words, Q25_SQL),
-    "q26_union_types": (q26_union_types, Q26_SQL),
-    "q27_exact_dedup": (q27_exact_dedup, Q27_SQL),
-    "q28_ngram_jaccard": (q28_ngram_jaccard, Q28_SQL),
-    "q29_cosine_topk": (q29_cosine_topk, Q29_SQL),
-    "q30_embedding_pairs": (q30_embedding_pairs, Q30_SQL),
-    "q31_text_stats": (q31_text_stats, Q31_SQL),
-    "q32_lang_detect": (q32_lang_detect, Q32_SQL),
-    "q33_quality_filter": (q33_quality_filter, Q33_SQL),
-    "q34_tumbling_hourly": (q34_tumbling_hourly, Q34_SQL),
-    "q35_sessionize": (q35_sessionize, Q35_SQL),
-    "q36_median_quantity": (q36_median_quantity, Q36_SQL),
-    # genuinely streaming-executed (Structured Streaming replay) with
-    # SQL oracles — complete/update mode makes results batch-equal
-    "q44_stream_tumbling_hourly": (q44_stream_tumbling_hourly, Q44_SQL),
-    "q45_stream_sessionize": (q45_stream_sessionize, Q45_SQL),
-    "q46_stream_stateful_counts": (q46_stream_stateful_counts, Q46_SQL),
-    "q47_stream_dedup": (q47_stream_dedup, Q47_SQL),
-    # Python UDF surface (Arrow-batched; B45-B48)
-    "q48_grouped_map_zscore": (q48_grouped_map_zscore, Q48_SQL),
-    "q49_udaf_weighted_avg": (q49_udaf_weighted_avg, Q49_SQL),
-    "q50_udtf_split_words": (q50_udtf_split_words, Q50_SQL),
-    "q51_cogroup_asof": (q51_cogroup_asof, Q51_SQL),
-    "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
-    "q53_ivf_recall_gate": (q53_ivf_recall_gate, Q53_SQL),
-    "q54_map_funcs": (q54_map_funcs, Q54_SQL),
-    "q55_repetition_stats": (q55_repetition_stats, Q55_SQL),
-    "q56_nulls_ordering": (q56_nulls_ordering, Q56_SQL),
-    "q57_salted_agg": (q57_salted_agg, Q57_SQL),
+    # --- never driver-checked before r3 (r2 window was q01-q36 + q44-q57) ---
     "q58_salted_join": (q58_salted_join, Q58_SQL),
     "q59_pii_redaction": (q59_pii_redaction, Q59_SQL),
     "q60_hash_split": (q60_hash_split, Q60_SQL),
@@ -2444,6 +2398,63 @@ QUERIES: dict[str, tuple] = {
     "q39_fingerprints": (q39_fingerprints, None),
     "q42_lsh_topk": (q42_lsh_topk, None),
     "q43_text_stats_full": (q43_text_stats_full, None),
+    # --- rotations: one representative per operator family that has
+    # --- only single-round or fix-bearing history, still in-window ---
+    "q22_math_funcs": (q22_math_funcs, Q22_SQL),           # r1 FAIL, fixed r2
+    "q27_exact_dedup": (q27_exact_dedup, Q27_SQL),         # r1 FAIL, fixed r2
+    # genuinely streaming-executed (Structured Streaming replay) with
+    # SQL oracles — complete/update mode makes results batch-equal
+    "q44_stream_tumbling_hourly": (q44_stream_tumbling_hourly, Q44_SQL),
+    "q45_stream_sessionize": (q45_stream_sessionize, Q45_SQL),
+    "q46_stream_stateful_counts": (q46_stream_stateful_counts, Q46_SQL),
+    "q47_stream_dedup": (q47_stream_dedup, Q47_SQL),
+    # Python UDF surface (Arrow-batched; B45-B48)
+    "q48_grouped_map_zscore": (q48_grouped_map_zscore, Q48_SQL),
+    "q49_udaf_weighted_avg": (q49_udaf_weighted_avg, Q49_SQL),
+    "q50_udtf_split_words": (q50_udtf_split_words, Q50_SQL),
+    "q51_cogroup_asof": (q51_cogroup_asof, Q51_SQL),
+    "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
+    "q53_ivf_recall_gate": (q53_ivf_recall_gate, Q53_SQL),
+    "q54_map_funcs": (q54_map_funcs, Q54_SQL),
+    "q55_repetition_stats": (q55_repetition_stats, Q55_SQL),
+    "q56_nulls_ordering": (q56_nulls_ordering, Q56_SQL),
+    "q57_salted_agg": (q57_salted_agg, Q57_SQL),
+    "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
+    "q02_revenue_by_nation": (q02_revenue_by_nation, Q02_SQL),
+    "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),
+    "q12_asof_purchase_click": (q12_asof_purchase_click, Q12_SQL),
+    "q29_cosine_topk": (q29_cosine_topk, Q29_SQL),
+    "q36_median_quantity": (q36_median_quantity, Q36_SQL),
+    # --- past the driver window: green in BOTH r1 and r2, rotated out;
+    # --- still covered every round by tools/check_oracle.py locally ---
+    "q03_top3_orders_per_priority": (q03_top3_orders_per_priority, Q03_SQL),
+    "q05_cube_count": (q05_cube_count, Q05_SQL),
+    "q06_grouping_sets": (q06_grouping_sets, Q06_SQL),
+    "q07_distinct_stats": (q07_distinct_stats, Q07_SQL),
+    "q08_orders_per_customer_hist": (q08_orders_per_customer_hist, Q08_SQL),
+    "q09_semi_anti": (q09_semi_anti, Q09_SQL),
+    "q10_theta_acctbal": (q10_theta_acctbal, Q10_SQL),
+    "q11_cross_region_nation": (q11_cross_region_nation, Q11_SQL),
+    "q13_latest2_events_per_user": (q13_latest2_events_per_user, Q13_SQL),
+    "q14_segments_per_nation": (q14_segments_per_nation, Q14_SQL),
+    "q15_pivot_status": (q15_pivot_status, Q15_SQL),
+    "q16_running_total": (q16_running_total, Q16_SQL),
+    "q17_lag_delta": (q17_lag_delta, Q17_SQL),
+    "q18_moving_avg": (q18_moving_avg, Q18_SQL),
+    "q19_setops": (q19_setops, Q19_SQL),
+    "q20_string_funcs": (q20_string_funcs, Q20_SQL),
+    "q21_date_funcs": (q21_date_funcs, Q21_SQL),
+    "q23_array_funcs": (q23_array_funcs, Q23_SQL),
+    "q24_json_extract": (q24_json_extract, Q24_SQL),
+    "q25_explode_words": (q25_explode_words, Q25_SQL),
+    "q26_union_types": (q26_union_types, Q26_SQL),
+    "q28_ngram_jaccard": (q28_ngram_jaccard, Q28_SQL),
+    "q30_embedding_pairs": (q30_embedding_pairs, Q30_SQL),
+    "q31_text_stats": (q31_text_stats, Q31_SQL),
+    "q32_lang_detect": (q32_lang_detect, Q32_SQL),
+    "q33_quality_filter": (q33_quality_filter, Q33_SQL),
+    "q34_tumbling_hourly": (q34_tumbling_hourly, Q34_SQL),
+    "q35_sessionize": (q35_sessionize, Q35_SQL),
 }
 
 
