@@ -47,6 +47,29 @@ def envelope_schema():
     )
 
 
+def checkpoint_identity(checkpoint_location: str) -> str:
+    """Stable identity of a Structured Streaming checkpoint: the query
+    id Spark writes to ``{checkpoint}/metadata`` before the first batch.
+    It survives every restart of the same checkpoint but is fresh for a
+    new checkpoint directory — even one recreated at the same path — so
+    epoch markers keyed by it can never match a previous incarnation's
+    epochs (whose epoch_ids restart at 0). Falls back to a hash of the
+    absolute path if the metadata file is unreadable (pre-start probe)."""
+    import hashlib
+
+    meta = os.path.join(checkpoint_location, "metadata")
+    try:
+        with open(meta, encoding="utf-8") as f:
+            qid = json.load(f).get("id")
+        if qid:
+            return str(qid)
+    except (OSError, ValueError):
+        pass
+    return hashlib.sha256(
+        os.path.abspath(checkpoint_location).encode("utf-8")
+    ).hexdigest()[:16]
+
+
 @dataclass
 class Message:
     """Broker message envelope; ``value`` is the payload (reference
@@ -63,8 +86,13 @@ class FileBroker:
     """Directory-of-JSON-files broker. One instance per process is
     enough; all methods are thread-safe."""
 
-    def __init__(self, root: str):
+    def __init__(self, root: str, settle_grace_ns: int | None = None):
         self.root = root
+        # default settle grace for cursors attached to this broker;
+        # raise above worst-case producer clock skew (see GroupCursor)
+        self.settle_grace_ns = (
+            _SETTLE_GRACE_NS if settle_grace_ns is None else settle_grace_ns
+        )
         self._lock = threading.Lock()
         self._seq = 0
         os.makedirs(root, exist_ok=True)
@@ -96,12 +124,25 @@ class FileBroker:
 
         Epoch idempotence: after a failure Spark re-runs the last
         uncommitted epoch with the same epoch_id; when ``producer`` is
-        given (Link passes its receiver_group, which is stable across
-        restarts), a fully-published epoch leaves a marker and the
-        retry becomes a no-op — exactly-once for the epoch-retry case.
-        A crash mid-publish still re-delivers that epoch's earlier
-        files (at-least-once), matching the reference's commit-after-
-        processing semantics (catenae.py:494-495)."""
+        given, a fully-published epoch records its id in a single
+        per-producer marker file and the retry becomes a no-op —
+        exactly-once for the epoch-retry case. A crash mid-publish
+        still re-delivers that epoch's earlier files (at-least-once),
+        matching the reference's commit-after-processing semantics
+        (catenae.py:494-495).
+
+        ``producer`` MUST be keyed by *checkpoint identity*, not just
+        the receiver group: epoch ids restart at 0 whenever a query
+        starts with a fresh checkpoint, so a group-keyed marker left on
+        a persistent broker root would silently swallow the new run's
+        first epochs. Link derives it as
+        ``{receiver_group}-{checkpoint_identity(checkpoint)}``; the
+        query id inside the checkpoint is stable across resumes and
+        unique per checkpoint incarnation. Marker state is one file per
+        producer identity holding the last fully-published epoch id
+        (epoch ids are strictly increasing within one query
+        incarnation), so marker storage is O(producers), not
+        O(epochs)."""
         import glob
         import shutil
         import tempfile
@@ -113,9 +154,13 @@ class FileBroker:
         if producer is not None:
             marker_dir = os.path.join(self.root, ".epochs")
             os.makedirs(marker_dir, exist_ok=True)
-            marker = os.path.join(marker_dir, f"{producer}-{epoch_id}")
-            if os.path.exists(marker):
-                return
+            marker = os.path.join(marker_dir, producer)
+            try:
+                with open(marker, encoding="utf-8") as f:
+                    if int(f.read().strip()) >= epoch_id:
+                        return
+            except (OSError, ValueError):
+                pass
 
         stream_col = F.lit(default_stream)
         if routed:
@@ -147,8 +192,11 @@ class FileBroker:
                     name = f"msg-{time.time_ns()}-e{epoch_id}p{i}.json"
                     os.replace(pf, os.path.join(target_dir, name))
             if marker is not None:
-                with open(marker, "w", encoding="utf-8"):
-                    pass
+                # atomic publish of the new high-water epoch
+                tmp = marker + ".tmp"
+                with open(tmp, "w", encoding="utf-8") as f:
+                    f.write(str(epoch_id))
+                os.replace(tmp, marker)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
 
@@ -226,7 +274,9 @@ class FileBroker:
 # its visibility by at most the write+rename latency. Names this far
 # (ns) below the newest consumed name-time are settled: their entries
 # can be pruned from the seen-set, bounding cursor memory to the
-# messages of the last few seconds.
+# messages of the last few seconds. Default only — see
+# GroupCursor(settle_grace_ns=) / FileBroker(settle_grace_ns=) for
+# deployments where producer clocks can lag consumers by more.
 _SETTLE_GRACE_NS = 10_000_000_000  # 10 s
 
 
@@ -245,18 +295,60 @@ class GroupCursor:
     Tracks a seen-set of consumed filenames plus a settle watermark:
     anything older than (newest consumed − grace) is pruned from the
     set and treated as consumed unless it was never listed — late
-    arrivals within the grace window are dispatched exactly once."""
+    arrivals within the grace window are dispatched exactly once.
 
-    def __init__(self, group: str):
+    Loss mode, made observable: a producer whose clock lags this
+    consumer's by more than the grace window writes names that are
+    already below the settle cutoff when they first appear; those are
+    never dispatched. Such names are detected exactly — a name is a
+    skew victim iff it is below the cutoff AND absent from the
+    *previous* listing (files are never deleted, so a below-cutoff name
+    not seen in the prior listing must be a fresh late arrival, not a
+    pruned already-consumed one) — counted in ``skipped_by_settle`` and
+    logged once each. Keeping the previous listing costs O(files in
+    dir), the same order as the listing ``read_new`` already
+    materializes per call. Raise ``settle_grace_ns`` (or pass
+    ``FileBroker(settle_grace_ns=...)``) above the worst expected
+    producer clock skew to eliminate the mode."""
+
+    def __init__(self, group: str, settle_grace_ns: int | None = None):
         self.group = group
+        self.settle_grace_ns = (
+            _SETTLE_GRACE_NS if settle_grace_ns is None else settle_grace_ns
+        )
+        self.skipped_by_settle: dict[str, int] = {}
         self._seen: dict[str, set[str]] = {}
         self._settled_ns: dict[str, int] = {}
+        self._prev_listing: dict[str, frozenset] = {}
         self._lock = threading.Lock()
 
     def unconsumed(self, stream: str, names: list[str]) -> list[str]:
         with self._lock:
             seen = self._seen.get(stream, set())
             settled = self._settled_ns.get(stream, 0)
+            prev = self._prev_listing.get(stream, frozenset())
+            skipped = [
+                n
+                for n in names
+                if _name_time_ns(n) < settled
+                and n not in seen
+                and n not in prev
+            ]
+            if skipped:
+                self.skipped_by_settle[stream] = self.skipped_by_settle.get(
+                    stream, 0
+                ) + len(skipped)
+                from .logging_utils import get_logger
+
+                get_logger("broker", instance=self.group).warning(
+                    "settle cutoff skipped %d late name(s) on stream %r "
+                    "(producer clock skew > %.1fs grace?): %s",
+                    len(skipped),
+                    stream,
+                    self.settle_grace_ns / 1e9,
+                    skipped[:5],
+                )
+            self._prev_listing[stream] = frozenset(names)
             return [
                 n
                 for n in names
@@ -270,7 +362,7 @@ class GroupCursor:
             seen = self._seen.setdefault(stream, set())
             seen.update(names)
             newest = max(_name_time_ns(n) for n in seen)
-            settle = newest - _SETTLE_GRACE_NS
+            settle = newest - self.settle_grace_ns
             if settle > self._settled_ns.get(stream, 0):
                 self._settled_ns[stream] = settle
                 self._seen[stream] = {

@@ -470,7 +470,21 @@ class Link:
                     .save()
                 )
 
-        else:
+        checkpoint = os.path.join(
+            checkpoint_root,
+            f"{self._config['receiver_group']}",
+        )
+
+        if broker is not None:
+            # Epoch markers must be scoped to THIS checkpoint
+            # incarnation: epoch ids restart at 0 with a fresh
+            # checkpoint, and receiver_group alone would match stale
+            # markers on a persistent broker root and silently drop the
+            # new run's first epochs. The query id inside the
+            # checkpoint (read lazily — Spark writes it at query start,
+            # before the first batch) is stable across resumes of the
+            # same checkpoint and fresh otherwise.
+            _producer_cell: list[str] = []
 
             def write_batch(batch_df, epoch_id):
                 # Emit each produced message to its target stream
@@ -481,20 +495,20 @@ class Link:
                 # Spark JSON-write job + O(files) driver renames) — no
                 # per-row collect(), so a large batch never OOMs the
                 # driver. Mirrors the Kafka branch's shape.
+                if not _producer_cell:
+                    from .broker import checkpoint_identity
+
+                    _producer_cell.append(
+                        f"{self._config['receiver_group']}"
+                        f"-{checkpoint_identity(checkpoint)}"
+                    )
                 broker.put_batch(
                     batch_df,
                     out_stream,
                     routed=routed,
                     epoch_id=epoch_id,
-                    # receiver_group is restart-stable (it keys the
-                    # checkpoint dir), so epoch retries no-op
-                    producer=str(self._config["receiver_group"]),
+                    producer=_producer_cell[0],
                 )
-
-        checkpoint = os.path.join(
-            checkpoint_root,
-            f"{self._config['receiver_group']}",
-        )
         query = (
             transformed.writeStream.foreachBatch(write_batch)
             .option("checkpointLocation", checkpoint)
@@ -664,7 +678,12 @@ class Link:
         self.setup(**(setup_kwargs or {}))
 
         checkpoint_root = checkpoint_root or tempfile.mkdtemp(prefix="csspark-ckpt-")
-        self._rpc_cursor = GroupCursor(self._uid)
+        self._rpc_cursor = GroupCursor(
+            self._uid,
+            settle_grace_ns=(
+                self._broker.settle_grace_ns if self._broker else None
+            ),
+        )
 
         if hasattr(self, "generator"):
             t = StoppableThread(target=self._generator_loop, name="generator")

@@ -113,3 +113,89 @@ def test_put_batch_epoch_retry_is_idempotent(tmp_path):
     # a NEW epoch from the same producer still publishes
     b.put_batch(batch, "out", epoch_id=8, producer="g1")
     assert sorted(m.value["n"] for m in b.read_new("out", cur)) == [1, 2]
+
+
+def test_fresh_checkpoint_epochs_not_swallowed_by_stale_markers(tmp_path):
+    """Restart hazard: with a persistent broker root, a NEW query
+    incarnation restarts epoch ids at 0. Markers are keyed by producer
+    identity (receiver_group + checkpoint identity), so the new
+    incarnation's epoch 0 must publish even though the old incarnation
+    already published epochs 0..N under the same receiver group."""
+    from catenae_stopover_spark.session import get_spark
+
+    spark = get_spark()
+    b = FileBroker(str(tmp_path))
+    batch = spark.createDataFrame(
+        [("m1", 1, None, '{"n": 1}')],
+        "msg_id string, ts_ms long, key string, value string",
+    )
+    cur = GroupCursor("obs")
+    # old incarnation publishes epochs 0 and 1
+    b.put_batch(batch, "out", epoch_id=0, producer="g1-ckptA")
+    b.put_batch(batch, "out", epoch_id=1, producer="g1-ckptA")
+    assert len(b.read_new("out", cur)) == 2
+    # fresh checkpoint => new identity => epoch 0 publishes again
+    b.put_batch(batch, "out", epoch_id=0, producer="g1-ckptB")
+    assert len(b.read_new("out", cur)) == 1
+
+
+def test_checkpoint_identity_stable_and_fresh(tmp_path):
+    """checkpoint_identity = the query id in {ckpt}/metadata: stable
+    across resumes, different for a different checkpoint, path-hash
+    fallback before the query has started."""
+    import json
+    import os
+
+    from catenae_stopover_spark.broker import checkpoint_identity
+
+    ck = tmp_path / "ckpt"
+    ck.mkdir()
+    pre = checkpoint_identity(str(ck))  # no metadata yet: path hash
+    (ck / "metadata").write_text(json.dumps({"id": "uuid-1"}))
+    assert checkpoint_identity(str(ck)) == "uuid-1"
+    assert checkpoint_identity(str(ck)) == "uuid-1"  # resume-stable
+    assert pre != "uuid-1"
+    ck2 = tmp_path / "ckpt2"
+    ck2.mkdir()
+    (ck2 / "metadata").write_text(json.dumps({"id": "uuid-2"}))
+    assert checkpoint_identity(str(ck2)) == "uuid-2"
+
+
+def test_settle_grace_is_configurable_and_skips_are_counted(tmp_path):
+    """A producer clock lagging past the grace window loses its names —
+    that loss must be counted/logged, and the window must be tunable."""
+    import time
+
+    b = FileBroker(str(tmp_path), settle_grace_ns=1_000_000)  # 1 ms
+    assert b.settle_grace_ns == 1_000_000
+    cur = GroupCursor("g", settle_grace_ns=b.settle_grace_ns)
+    t = time.time_ns()
+    _write_raw(b, "s", f"msg-{t}-1.json", "now")
+    assert [m.value for m in b.read_new("s", cur)] == ["now"]
+    # skewed producer: name-time far below the (tiny) grace cutoff
+    _write_raw(b, "s", f"msg-{t - 1_000_000_000}-1.json", "skewed")
+    assert b.read_new("s", cur) == []  # the loss mode...
+    assert cur.skipped_by_settle.get("s") == 1  # ...is observable
+    # and counted exactly once despite repeated listings
+    assert b.read_new("s", cur) == []
+    assert cur.skipped_by_settle.get("s") == 1
+
+
+def test_pruned_consumed_names_are_not_miscounted_as_skipped(tmp_path):
+    """Consumed names that age below the settle cutoff keep appearing
+    in directory listings forever; they must NOT inflate the skew-skip
+    counter (only first-appearance-below-cutoff names are victims)."""
+    import time
+
+    b = FileBroker(str(tmp_path), settle_grace_ns=1_000_000)
+    cur = GroupCursor("g", settle_grace_ns=b.settle_grace_ns)
+    t = time.time_ns()
+    _write_raw(b, "s", f"msg-{t - 500_000_000}-1.json", "old")
+    assert [m.value for m in b.read_new("s", cur)] == ["old"]
+    _write_raw(b, "s", f"msg-{t}-2.json", "new")
+    assert [m.value for m in b.read_new("s", cur)] == ["new"]
+    # "old" is now below cutoff and pruned from the seen-set, but it
+    # was consumed — repeated listings must not count it as skipped
+    assert b.read_new("s", cur) == []
+    assert b.read_new("s", cur) == []
+    assert cur.skipped_by_settle.get("s", 0) == 0
