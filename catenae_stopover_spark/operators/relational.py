@@ -135,6 +135,14 @@ def hierarchical_rollup(
     aggregates (distinct counts, percentiles) need the Expand form;
     use df.rollup for those. Output schema and rows match
     GROUP BY ROLLUP exactly: coarser levels carry typed NULL keys.
+
+    Floating-point caveat: coarser levels re-aggregate the finer
+    level's partial sums, which is bit-identical to single-pass ROLLUP
+    only when the sums are exactly representable (integers, decimals,
+    or small floats like q04's l_quantity). Wide double sums can drift
+    in the last ulp versus a single-pass plan — if results feed an
+    exact-hash comparison (e.g. the round(12) oracle canon), cast float
+    sources to DECIMAL before summing, or accept the Expand form.
     """
     allowed = {"sum", "count", "min", "max"}
     for _src, fn, _alias in aggs:

@@ -171,6 +171,30 @@ def redact_pii(
     return col
 
 
+def _hash_bucket(key_col: str, mod: int):
+    """Engine-independent bucket in [0, mod): first 8 hex chars of
+    sha2-256 of the key as a string, mod ``mod``. NULL keys coalesce to
+    a sentinel (sha2 of NULL is NULL — a NULL bucket silently fails
+    every comparison, which would DROP the row in filter contexts)."""
+    return (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.coalesce(
+                        F.col(key_col).cast("string"), F.lit("\x00null\x00")
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % mod
+    )
+
+
 def split_by_hash(
     df: DataFrame,
     key_col: str,
@@ -180,10 +204,10 @@ def split_by_hash(
     """Deterministic train/test assignment by content hash: a row's
     split never changes across runs/machines/engines (unlike
     randomSplit), and joins/filters on the split column stay pushdown-
-    friendly. Buckets by the first 8 hex chars of sha2-256 mod 100."""
-    bucket = F.conv(F.substring(F.sha2(F.col(key_col).cast("string"), 256), 1, 8), 16, 10).cast(
-        "bigint"
-    ) % 100
+    friendly. Buckets by the first 8 hex chars of sha2-256 mod 100.
+    NULL keys bucket via a sentinel (deterministically, same as
+    :func:`stratified_hash_sample`)."""
+    bucket = _hash_bucket(key_col, 100)
     return df.withColumn(
         split_col, F.when(bucket < test_pct, F.lit("test")).otherwise(F.lit("train"))
     )
@@ -246,15 +270,13 @@ def stratified_hash_sample(
       pruning, and composes with partition pruning.
 
     ``rates`` maps stratum value -> keep fraction in [0, 1].
+
+    NULL keys hash via a sentinel (sha2 of NULL is NULL, whose bucket
+    would fail every filter) — all NULL-key rows of a stratum therefore
+    share one bucket and are kept or dropped together; strata with
+    rate 1.0 really keep everything.
     """
-    bucket = (
-        F.conv(
-            F.substring(F.sha2(F.col(key_col).cast("string"), 256), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % 10000
-    )
+    bucket = _hash_bucket(key_col, 10000)
     rate = F.lit(float(default_rate))
     for value, r in sorted(rates.items()):
         rate = F.when(F.col(strata_col) == value, float(r)).otherwise(rate)
@@ -388,15 +410,10 @@ def pack_documents(
 
     toks = token_count(text_col)
     # same engine-independent sha2 bucket as split_by_hash, so packs
-    # are reproducible across engines (xxhash64 would be Spark-only)
-    shard = (
-        F.conv(
-            F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 8),
-            16,
-            10,
-        ).cast("bigint")
-        % num_shards
-    )
+    # are reproducible across engines (xxhash64 would be Spark-only);
+    # NULL ids coalesce to a sentinel so such rows land in a real shard
+    # instead of silently vanishing through a NULL hash
+    shard = _hash_bucket(id_col, num_shards)
     w = Window.partitionBy("shard").orderBy(id_col)
     return (
         df.select(F.col(id_col), shard.alias("shard"), toks.alias("n_tokens"))

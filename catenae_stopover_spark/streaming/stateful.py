@@ -16,6 +16,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def _key_field(df: DataFrame, key_col: str) -> StructField:
+    """``key`` output field with the SAME type as the grouping column —
+    the key round-trips through Arrow, so hardcoding e.g. ``key
+    string`` would coerce or crash for non-string key types."""
+    return StructField("key", df.schema[key_col].dataType)
 
 
 def running_counts(
@@ -45,7 +59,13 @@ def running_counts(
             {"key": [k], "n_events": [count], "total": [total]}
         )
 
-    out_schema = "key long, n_events long, total double"
+    out_schema = StructType(
+        [
+            _key_field(df, key_col),
+            StructField("n_events", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
     state_schema = "count long, total double"
     return df.groupBy(key_col).applyInPandasWithState(
         update,
@@ -135,7 +155,14 @@ def strict_tumbling_agg(
                 rows, columns=["window_start", "key", "n", "total"]
             )
 
-    out_schema = "window_start timestamp, key string, n long, total double"
+    out_schema = StructType(
+        [
+            StructField("window_start", TimestampType()),
+            _key_field(df, key_col),
+            StructField("n", LongType()),
+            StructField("total", DoubleType()),
+        ]
+    )
     return (
         df.withWatermark(ts_col, watermark)
         .groupBy(key_col)
@@ -228,9 +255,13 @@ def strict_session_agg(
                 columns=["key", "session_start", "session_end", "n_events"],
             )
 
-    out_schema = (
-        "key long, session_start timestamp, session_end timestamp, "
-        "n_events long"
+    out_schema = StructType(
+        [
+            _key_field(df, key_col),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
     )
     return (
         df.withWatermark(ts_col, watermark)

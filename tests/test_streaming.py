@@ -202,6 +202,44 @@ def test_strict_tumbling_agg_drop_timeout_exactly_once(spark, tmp_path_factory):
     }
 
 
+def test_stateful_output_key_type_follows_grouping_column(spark):
+    """The key field of the stateful operators' output schema derives
+    from the grouping column's actual type — long keys stay long,
+    string keys stay string (previously hardcoded, coercing or
+    crashing at Arrow conversion for other key types)."""
+    from pyspark.sql.types import LongType, StringType
+
+    from catenae_stopover_spark.streaming.stateful import (
+        running_counts,
+        strict_session_agg,
+        strict_tumbling_agg,
+    )
+
+    rate = spark.readStream.format("rate").load()  # ts timestamp, value long
+    with_str = rate.select(
+        F.col("timestamp").alias("ts"),
+        F.col("value"),
+        F.col("value").cast("string").alias("skey"),
+    )
+    # schema is resolved without starting the query
+    assert (
+        strict_tumbling_agg(with_str, "ts", "value").schema["key"].dataType
+        == LongType()
+    )
+    assert (
+        strict_tumbling_agg(with_str, "ts", "skey").schema["key"].dataType
+        == StringType()
+    )
+    assert (
+        strict_session_agg(with_str, "ts", "skey").schema["key"].dataType
+        == StringType()
+    )
+    assert (
+        running_counts(with_str, "skey", "value").schema["key"].dataType
+        == StringType()
+    )
+
+
 def test_strict_session_agg_merge_drop_timeout(spark, tmp_path_factory):
     """strict_session_agg: gap-merge matches batch sessionization, late
     rows below watermark always drop, idle keys finalize via timeout,

@@ -79,6 +79,32 @@ def test_stratified_hash_sample_deterministic_and_rated(spark):
     assert full.count() == 400
 
 
+def test_hash_ops_keep_null_keys(spark):
+    """NULL keys hash via a sentinel instead of a NULL bucket: a
+    rate-1.0 stratum keeps its NULL-key rows, split_by_hash still
+    assigns them a split, and pack_documents shards them."""
+    from catenae_stopover_spark.operators.text import (
+        pack_documents,
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "en"), (None, "en"), (None, "de"), ("b", "de")],
+        ["doc_id", "lang"],
+    )
+    kept = stratified_hash_sample(
+        df, "lang", "doc_id", {"en": 1.0, "de": 1.0}
+    ).count()
+    assert kept == 4  # rate 1.0 really keeps everything, NULLs included
+    splits = split_by_hash(df, "doc_id", 10).collect()
+    assert all(r.split in ("train", "test") for r in splits)
+    docs = spark.createDataFrame(
+        [("x", "one two"), (None, "three four five")], ["doc_id", "text"]
+    )
+    packed = pack_documents(docs, token_budget=10, num_shards=4).collect()
+    assert len(packed) == 2 and all(r.shard is not None for r in packed)
+
+
 def test_decontaminate_flags_shared_shingles(spark):
     from catenae_stopover_spark.operators.text import decontaminate
 
