@@ -2357,6 +2357,42 @@ def q43_text_stats_full(spark, sf_dir):
     )
 
 
+def q75_stream_sliding_2h(spark, sf_dir):
+    """B37 sliding window, oracle-checked: 2-hour windows sliding every
+    hour over the replayed events stream — each event lands in exactly
+    duration/slide = 2 overlapping windows. Complete mode makes the
+    bounded replay equal the batch computation, which DuckDB expresses
+    as a cross join with the two window offsets (generate_series)."""
+    from .streaming import run_available_now, sliding_agg
+
+    stream = _replay_events(spark, sf_dir)
+    agg = sliding_agg(
+        stream,
+        "ts",
+        "2 hours",
+        "1 hour",
+        aggs={
+            "n": F.count("*"),
+            "total_value": F.round(F.sum("value"), 4),
+        },
+        keys=["event_type"],
+    )
+    return run_available_now(agg, output_mode="complete").select(
+        "window_start", "event_type", "n", "total_value"
+    )
+
+
+# Spark aligns sliding windows to the epoch: an event at ts belongs to
+# the windows starting at trunc_hour(ts) and trunc_hour(ts) - 1h.
+Q75_SQL = """
+SELECT DATE_TRUNC('hour', ts) - g.i * INTERVAL 1 HOUR AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+FROM events
+CROSS JOIN (SELECT UNNEST(generate_series(0, 1)) AS i) g
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -2398,6 +2434,8 @@ QUERIES: dict[str, tuple] = {
     "q39_fingerprints": (q39_fingerprints, None),
     "q42_lsh_topk": (q42_lsh_topk, None),
     "q43_text_stats_full": (q43_text_stats_full, None),
+    # --- new in round 3 ---
+    "q75_stream_sliding_2h": (q75_stream_sliding_2h, Q75_SQL),
     # --- rotations: one representative per operator family that has
     # --- only single-round or fix-bearing history, still in-window ---
     "q22_math_funcs": (q22_math_funcs, Q22_SQL),           # r1 FAIL, fixed r2
