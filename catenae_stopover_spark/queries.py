@@ -946,6 +946,9 @@ def q65_stream_late_drop(spark, sf_dir):
     from .streaming import run_available_now
 
     ev = load_table(spark, sf_dir, "events")
+    # deliberate driver-side scalar: one max(ts) to BUILD the late-replay
+    # TEST FIXTURE (which rows count as "late"), not part of the operator
+    # itself — do not copy this pattern into a hot path
     max_ts = ev.agg(F.max("ts")).head()[0]
     late_pred = (
         F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 4 HOURS")
@@ -994,11 +997,25 @@ def q69_minhash_recall_gate(spark, sf_dir):
         "id_a", "id_b"
     )
     cand = minhash_lsh_near_dups(d).select("id_a", "id_b")
-    n_true = true_pairs.count()
-    hits = true_pairs.join(cand, ["id_a", "id_b"]).count()
-    ok = bool(n_true > 0 and hits >= 0.9 * n_true)
-    return spark.createDataFrame(
-        [(ok, 64, 16)], "recall_ok boolean, num_hashes int, bands int"
+    # single distributed plan, no driver-side sets/counts: left-join the
+    # truth onto the candidates, aggregate recall, emit the gate row —
+    # safe to point at inputs of any size
+    return (
+        true_pairs.join(
+            cand.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        .agg(
+            F.count("*").alias("__n_true"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("__hits"),
+        )
+        .select(
+            (
+                (F.col("__n_true") > 0)
+                & (F.col("__hits") >= 0.9 * F.col("__n_true"))
+            ).alias("recall_ok"),
+            F.lit(64).alias("num_hashes"),
+            F.lit(16).alias("bands"),
+        )
     )
 
 
@@ -1024,13 +1041,10 @@ def q70_lsh_probe_gate(spark, sf_dir):
     qvec = _query_vec(sf_dir)
     e = _t(spark, sf_dir, "embeddings")
     base = e.filter(F.col("vec_id") != 0)
-    lsh_ids = {
-        r.vec_id
-        for r in lsh_bucketed_topk(
-            base, qvec, k=10, bits=bits, probe_hamming=probe
-        ).collect()
-    }
     sig = base.withColumn("__sig", hyperplane_signature("embedding", bits))
+    # the ONLY driver-side fetch: the query vector's own signature — an
+    # O(1) scalar over the single probe vector, independent of data
+    # size (lsh_bucketed_topk performs the same fetch internally)
     qsig = (
         spark.createDataFrame([(list(map(float, qvec)),)], "embedding: array<double>")
         .select(hyperplane_signature("embedding", bits).alias("s"))
@@ -1038,14 +1052,37 @@ def q70_lsh_probe_gate(spark, sf_dir):
     )
     probe_sigs = [qsig] + [qsig ^ (1 << i) for i in range(bits)]
     probed = sig.filter(F.col("__sig").isin(probe_sigs))
-    exact_in_probed = {
-        r.vec_id for r in brute_force_topk(probed, qvec, k=10).collect()
-    }
-    subset_ok = bool(probed.count() < base.count())
-    return spark.createDataFrame(
-        [(bool(lsh_ids == exact_in_probed), subset_ok, bits, probe)],
-        "topk_of_probed_ok boolean, probed_strict_subset boolean, "
-        "bits int, probe_hamming int",
+    # set equality + strict-subset checks as distributed aggregates —
+    # no .collect()ed id sets on the driver
+    lsh_ids = lsh_bucketed_topk(
+        base, qvec, k=10, bits=bits, probe_hamming=probe
+    ).select("vec_id")
+    exact_ids = brute_force_topk(probed, qvec, k=10).select("vec_id")
+    sets_equal = (
+        lsh_ids.withColumn("__l", F.lit(1))
+        .join(exact_ids.withColumn("__r", F.lit(1)), "vec_id", "full_outer")
+        .agg(
+            (
+                F.count(
+                    F.when(F.col("__l").isNull() | F.col("__r").isNull(), 1)
+                )
+                == 0
+            ).alias("topk_of_probed_ok")
+        )
+    )
+    subset = sig.agg(
+        (
+            F.sum(
+                F.when(F.col("__sig").isin(probe_sigs), 1).otherwise(0)
+            )
+            < F.count("*")
+        ).alias("probed_strict_subset")
+    )
+    return sets_equal.crossJoin(subset).select(
+        "topk_of_probed_ok",
+        "probed_strict_subset",
+        F.lit(bits).alias("bits"),
+        F.lit(probe).alias("probe_hamming"),
     )
 
 
@@ -1122,6 +1159,9 @@ def q72_stream_session_strict(spark, sf_dir):
     from .streaming.stateful import strict_session_agg
 
     ev = load_table(spark, sf_dir, "events")
+    # deliberate driver-side scalar: one max(ts) to BUILD the late-replay
+    # TEST FIXTURE (which rows count as "late"), not part of the operator
+    # itself — do not copy this pattern into a hot path
     max_ts = ev.agg(F.max("ts")).head()[0]
     late_pred = (
         F.col("ts") < F.lit(max_ts) - F.expr("INTERVAL 4 HOURS")
@@ -2227,13 +2267,16 @@ def q53_ivf_recall_gate(spark, sf_dir):
         "vec_id"
     )
     exact_ids = brute_force_topk(base, qvec, k=k).select("vec_id")
-    hits = ivf_ids.join(exact_ids, "vec_id").count()  # k rows — driver-safe
     # Measured (KMeans seed=42, deterministic): 9/10 at sf0.01, 10/10 at
     # sf0.1. sf0.001 has too few vectors per centroid for the gate; the
-    # driver's correctness run is at sf0.01.
-    return spark.createDataFrame(
-        [(bool(hits >= recall_min * k), k, n_probe)],
-        "recall_ok boolean, k int, n_probe int",
+    # driver's correctness run is at sf0.01. Gate emitted by the plan
+    # itself — no driver-side counts.
+    return (
+        ivf_ids.join(exact_ids, "vec_id")
+        .agg((F.count("*") >= recall_min * k).alias("recall_ok"))
+        .select(
+            "recall_ok", F.lit(k).alias("k"), F.lit(n_probe).alias("n_probe")
+        )
     )
 
 
@@ -2272,17 +2315,22 @@ def q40_approx_distinct(spark, sf_dir):
     approx_count_distinct(rsd=0.05) must land within 10% of exact, so a
     sketch regression flips acd_ok and fails the hash."""
     li = _t(spark, sf_dir, "lineitem")
-    row = li.agg(
-        F.approx_count_distinct("l_partkey", rsd=0.05).alias("acd"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
-            "median_price"
-        ),
-    ).head()
-    acd_ok = bool(abs(row.acd - row.exact_parts) <= 0.10 * row.exact_parts)
-    return spark.createDataFrame(
-        [(acd_ok, row.exact_parts, row.median_price)],
-        "acd_ok boolean, exact_parts bigint, median_price double",
+    return (
+        li.agg(
+            F.approx_count_distinct("l_partkey", rsd=0.05).alias("acd"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+                "median_price"
+            ),
+        )
+        .select(
+            (
+                F.abs(F.col("acd") - F.col("exact_parts"))
+                <= 0.10 * F.col("exact_parts")
+            ).alias("acd_ok"),
+            "exact_parts",
+            "median_price",
+        )
     )
 
 
