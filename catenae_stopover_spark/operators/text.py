@@ -404,6 +404,20 @@ def pack_documents(
     packing; oversized single docs should be chunked first with
     chunk_documents).
 
+    ORDER CONTRACT: within a shard, documents pack in ``id_col``
+    order — NOT corpus/file order. The assignment is therefore a pure
+    function of (id, token count, token_budget, num_shards): identical
+    across engines, runs, and cluster layouts (pinned by a cross-engine
+    test at two shard counts), but a pack mixes documents from across
+    the corpus rather than neighbors.
+
+    Choosing num_shards: parallelism is capped by shards, so use >=
+    executor-core count (the 1024 default feeds a 1000-core cluster);
+    more shards also mean smaller per-window sorts but more partially
+    filled final packs (<= 1 per shard) and less intra-pack locality.
+    Lowering num_shards toward 1 recovers global id-order packing at
+    the cost of serializing through few partitions.
+
     Output: id_col, shard, pack_id, n_tokens.
     """
     from pyspark.sql import Window

@@ -202,6 +202,61 @@ def test_strict_tumbling_agg_drop_timeout_exactly_once(spark, tmp_path_factory):
     }
 
 
+def test_strict_tumbling_state_stays_bounded_over_long_replay(
+    spark, tmp_path_factory
+):
+    """strict_tumbling_agg claims state = open windows only. The 100 TB
+    failure mode is state GROWTH, not wrong answers: pin that the state
+    store's row count stays under a constant ceiling (the key count)
+    across a long multi-batch replay, while the consumed input keeps
+    growing — finalized windows must leave state, idle keys must be
+    removed."""
+    import pandas as pd
+
+    from catenae_stopover_spark.io.sources import replay_as_stream
+    from catenae_stopover_spark.streaming.runner import start_stream
+    from catenae_stopover_spark.streaming.stateful import strict_tumbling_agg
+
+    n_keys, hours = 5, 60
+    rows = [
+        (
+            (
+                pd.Timestamp("2024-01-01")
+                + pd.Timedelta(hours=h, minutes=10 * k)
+            ).to_pydatetime(),
+            k,
+        )
+        for h in range(hours)
+        for k in range(n_keys)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, k long")
+    stage = str(tmp_path_factory.mktemp("state_bound"))
+    stream = replay_as_stream(spark, df, stage, chunks=12, order_col="ts")
+    agg = strict_tumbling_agg(stream, "ts", "k", watermark="2 hours")
+    q = start_stream(
+        agg,
+        format="memory",
+        output_mode="append",
+        query_name="state_bound",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    progress = [p for p in q.recentProgress if p["stateOperators"]]
+    batches = [p for p in progress if p["numInputRows"] > 0]
+    assert len(batches) >= 10  # a long replay, one chunk per batch
+    ceilings = [
+        p["stateOperators"][0]["numRowsTotal"] for p in progress
+    ]
+    # constant ceiling: one state row per key with open windows, never
+    # proportional to input consumed (300 rows across 60 event-hours)
+    assert max(ceilings) <= n_keys
+    # and windows actually finalized along the way (state is not merely
+    # empty because nothing was emitted)
+    emitted = spark.sql("select * from state_bound").count()
+    # all but the trailing (watermark-open) windows emitted exactly once
+    assert emitted >= n_keys * (hours - 4)
+
+
 def test_stateful_output_key_type_follows_grouping_column(spark):
     """The key field of the stateful operators' output schema derives
     from the grouping column's actual type — long keys stay long,

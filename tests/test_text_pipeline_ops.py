@@ -182,3 +182,40 @@ def test_pack_documents_budget_and_determinism(spark):
         for r in rows:
             assert cum < 100  # doc started while budget remained
             cum += r.n_tokens
+
+
+def test_pack_documents_cross_engine_contract_second_shard_count(spark):
+    """Pin the doc_id-order packing CONTRACT at a second num_shards: an
+    independent stdlib recomputation (hashlib shard, per-shard doc_id
+    order, running-sum pack assignment) must reproduce Spark's output
+    exactly. Guards both the sha2 shard function and the within-shard
+    ordering — packs follow doc_id order inside a shard, NOT corpus
+    order, and that must hold for every shard count."""
+    import hashlib
+    from collections import defaultdict
+
+    from catenae_stopover_spark.operators.text import pack_documents
+
+    docs = [(i, " ".join(["w"] * (20 + (i * 7) % 30))) for i in range(200)]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for num_shards in (7, 64):
+        got = {
+            r.doc_id: (r.shard, r.pack_id, r.n_tokens)
+            for r in pack_documents(
+                df, token_budget=100, num_shards=num_shards
+            ).collect()
+        }
+        by_shard = defaultdict(list)
+        for i, text in docs:
+            shard = (
+                int(hashlib.sha256(str(i).encode()).hexdigest()[:8], 16)
+                % num_shards
+            )
+            by_shard[shard].append((i, len(text.split())))
+        expected = {}
+        for shard, members in by_shard.items():
+            cum = 0
+            for i, n_tok in sorted(members):
+                expected[i] = (shard, cum // 100, n_tok)
+                cum += n_tok
+        assert got == expected
