@@ -52,6 +52,18 @@ BENCH = {
     # crossover, zero-copy Arrow+BLAS above it — measured in SCALING.md.
     # q63 (forced numpy kernel) stays in the oracle gate as parity proof.
     "q7_cosine_topk": "q29_cosine_topk",
+    # the SERVING shape for the same workload: partition-pruned probe
+    # of the persisted IVF index (built offline before timing, like any
+    # database index). Recall gated by q53.
+    "q7b_ivf_topk_serve": "q76_ivf_topk_serve",
+}
+
+# DuckDB comparison SQL for bench entries whose registry oracle is None
+# but whose WORKLOAD has an exact single-node equivalent: q7b answers
+# the q29 question (top-10 neighbors of the query vector), so the
+# honest comparison is DuckDB's exact top-k on the same parquet.
+DUCK_SQL_FALLBACK = {
+    "q7b_ivf_topk_serve": "q29_cosine_topk",
 }
 
 TABLES = (
@@ -130,7 +142,7 @@ def bench_duckdb() -> dict[str, float]:
         )
     out: dict[str, float] = {}
     for label, qname in BENCH.items():
-        sql = QUERIES[qname][1]
+        sql = QUERIES[DUCK_SQL_FALLBACK.get(label, qname)][1]
         if sql is None:
             continue
         best = float("inf")
@@ -148,6 +160,13 @@ def main() -> None:
 
     # Warm up the JVM / codegen / parquet footer cache once.
     spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+
+    # Offline index build (cached across runs) — q7b times the SERVING
+    # path; building an index before benchmarking reads is the same
+    # contract as CREATE INDEX before timing SELECTs.
+    from catenae_stopover_spark.queries import ensure_ivf_index
+
+    ensure_ivf_index(spark, SF_DIR)
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

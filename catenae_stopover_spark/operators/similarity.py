@@ -72,7 +72,14 @@ def brute_force_topk(
         # kernel crossover (sf0.1's 0.8 MiB stays codegen, the 100x
         # replica's 2.9 MiB/200k rows goes BLAS: 5.6s -> ~1s measured).
         kernel = "numpy" if _estimated_bytes(df) >= 2 * 2**20 else "sql"
-    df = ensure_min_parallelism(df)  # single-file inputs → one core otherwise
+    # Single-file inputs otherwise scan on one core (the 38s q7
+    # regression at 100x) — but for provably-small file-backed input
+    # (e.g. a partition-pruned IVF probe) the repartition is a whole
+    # extra shuffle stage serving latency can't afford, and a few MiB
+    # scores fine on the splits it has. Unknown (0) stays conservative.
+    est = _estimated_bytes(df)
+    if not (0 < est < 8 * 2**20):
+        df = ensure_min_parallelism(df)
     if kernel == "numpy":
         scored = _numpy_query_scores(df, query_vec, vec_col, id_col)
         sim = F.col("cosine")

@@ -16,6 +16,8 @@ Determinism rules shared by both sides:
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd  # noqa: F401 - resolves pandas_udf type hints
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -2441,6 +2443,75 @@ GROUP BY 1, 2
 """
 
 
+def ensure_ivf_index(spark, sf_dir, num_centroids=8):
+    """Build-once IVF serving index over the embeddings table — the
+    offline step of ANN serving (think CREATE INDEX): spherical k-means
+    centroids in a JSON sidecar + the assigned vectors persisted
+    PARTITIONED BY centroid_id, so a query's n_probe scan is a
+    partition-pruned read touching ~n_probe/C of the bytes.
+
+    Cached under /tmp keyed by the embeddings file's path + mtime +
+    centroid count (a regenerated fixture invalidates the cache); the
+    sidecar is written last, atomically, as the completeness marker.
+    The opened DataFrame + centroids are additionally memoized per
+    process — a serving deployment keeps its index open, it doesn't
+    re-list parquet footers per query. Returns (assigned_df, centroids).
+    """
+    import hashlib
+    import json as _json
+    import tempfile
+
+    from .operators.similarity import build_ivf_index, persist_ivf_index
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{num_centroids}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "csspark-ivf", key)
+    cached = _IVF_OPEN.get(root)
+    if cached is not None:
+        return cached
+    sidecar = os.path.join(root, "centroids.json")
+    index_path = os.path.join(root, "index")
+    if not os.path.exists(sidecar):
+        base = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+        assigned, centroids = build_ivf_index(
+            base, num_centroids=num_centroids
+        )
+        persist_ivf_index(assigned, index_path)
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            _json.dump(centroids, f)
+        os.replace(tmp, sidecar)
+    with open(sidecar, encoding="utf-8") as f:
+        centroids = _json.load(f)
+    _IVF_OPEN[root] = (spark.read.parquet(index_path), centroids)
+    return _IVF_OPEN[root]
+
+
+_IVF_OPEN: dict[str, tuple] = {}
+
+
+def q76_ivf_topk_serve(spark, sf_dir):
+    """B51 SERVING path (bench q7b): the q29 workload answered through
+    the persisted IVF index instead of a full brute-force scan. The
+    index build is offline and amortized across queries (ensure_ivf_
+    index caches it); the per-query work is centroid ranking over C=8
+    driver-side floats plus a partition-pruned scan of the n_probe=4
+    nearest centroids' vectors — the shape that stays fast when the
+    corpus is 100-1000x larger, where every brute-force serve pays a
+    full scan. Same (C, n_probe) geometry as the q53 recall gate.
+    Rows-only in the oracle gate (centroid geometry isn't
+    SQL-expressible); recall is gated by q53, and bench.py compares
+    wall-time against DuckDB's exact top-k on the same question."""
+    from .operators.similarity import ivf_topk
+
+    assigned, centroids = ensure_ivf_index(spark, sf_dir)
+    qvec = _query_vec(sf_dir)
+    return ivf_topk(assigned, centroids, qvec, k=10, n_probe=4)
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -2484,6 +2555,9 @@ QUERIES: dict[str, tuple] = {
     "q43_text_stats_full": (q43_text_stats_full, None),
     # --- new in round 3 ---
     "q75_stream_sliding_2h": (q75_stream_sliding_2h, Q75_SQL),
+    # rows-only: IVF centroid geometry isn't SQL-expressible; recall is
+    # gated by q53 and the bench compares against DuckDB exact top-k
+    "q76_ivf_topk_serve": (q76_ivf_topk_serve, None),
     # --- rotations: one representative per operator family that has
     # --- only single-round or fix-bearing history, still in-window ---
     "q22_math_funcs": (q22_math_funcs, Q22_SQL),           # r1 FAIL, fixed r2
