@@ -65,17 +65,16 @@ def read_binary_dir(spark, path: str, glob: str = "*") -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes, feat_dim: int) -> tuple[int, int, int, list[float]]:
-    """Deterministic fake decode seeded by the content digest — stands
-    in for the real codec so the distributed plumbing is testable."""
-    digest = hashlib.sha256(payload or b"").digest()
-    width = 16 + digest[0] % 240
-    height = 16 + digest[1] % 240
-    channels = 1 + digest[2] % 3
-    feats = [
-        ((digest[(3 + i) % 32] / 255.0) * 2.0 - 1.0) for i in range(feat_dim)
-    ]
-    return width, height, channels, feats
+def _digest_matrix(payloads) -> "object":
+    """(N, 32) uint8 matrix of per-payload SHA-256 digests. The digest
+    loop is the stand-in for the per-item codec call (inherently
+    per-row); everything derived FROM it is vectorized numpy so the
+    stub's batch cost is one C pass + column math, not a Python dict
+    per row."""
+    import numpy as np
+
+    raw = b"".join(hashlib.sha256(p or b"").digest() for p in payloads)
+    return np.frombuffer(raw, dtype=np.uint8).reshape(-1, 32)
 
 
 def extract_image_features(
@@ -103,24 +102,23 @@ def extract_image_features(
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = []
-            for _, row in pdf.iterrows():
-                if decode == "strict":
-                    raise NotImplementedError(
-                        "image decode requires Pillow; install and replace "
-                        "_fake_decode with PIL.Image.open(io.BytesIO(payload))"
-                    )
-                w, h, c, feats = _fake_decode(row["payload"], feat_dim)
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "width": w,
-                        "height": h,
-                        "n_channels": c,
-                        "features": feats,
-                    }
+            if decode == "strict":
+                raise NotImplementedError(
+                    "image decode requires Pillow; install and replace "
+                    "_digest_matrix with PIL.Image.open(io.BytesIO(payload))"
                 )
-            yield pd.DataFrame(out)
+            d = _digest_matrix(pdf["payload"].values)
+            cols = [(3 + i) % 32 for i in range(feat_dim)]
+            feats = (d[:, cols].astype("float64") / 255.0) * 2.0 - 1.0
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": 16 + d[:, 0] % 240,
+                    "height": 16 + d[:, 1] % 240,
+                    "n_channels": 1 + d[:, 2] % 3,
+                    "features": list(feats),
+                }
+            )
 
     return src.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
@@ -142,25 +140,29 @@ def sample_video_frames(
     src = media.filter(F.col("kind") == "video")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = []
-            for _, row in pdf.iterrows():
-                if decode == "strict":
-                    raise NotImplementedError("video decode requires PyAV/ffmpeg")
-                digest = hashlib.sha256(row["payload"] or b"").digest()
-                n_frames = 1 + digest[0] % 8
-                for i in range(n_frames):
-                    out.append(
-                        {
-                            "media_id": row["media_id"],
-                            "frame_idx": i,
-                            "frame_ts_sec": float(i * every_n_seconds),
-                            "frame": bytes(digest[:16]) + bytes([i]),
-                        }
-                    )
-            yield pd.DataFrame(out)
+            if decode == "strict":
+                raise NotImplementedError("video decode requires PyAV/ffmpeg")
+            d = _digest_matrix(pdf["payload"].values)
+            n_frames = 1 + d[:, 0] % 8
+            # 1 row -> n_frames rows: vectorized repeat for ids/indices;
+            # the frame payloads themselves are per-frame bytes objects
+            # (as any real codec's output would be).
+            rep = np.repeat(np.arange(len(pdf)), n_frames)
+            idx = np.concatenate([np.arange(n) for n in n_frames])
+            heads = [bytes(row[:16]) for row in d]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values[rep],
+                    "frame_idx": idx.astype("int32"),
+                    "frame_ts_sec": idx * float(every_n_seconds),
+                    "frame": [heads[r] + bytes([i]) for r, i in zip(rep, idx)],
+                }
+            )
 
     return src.mapInPandas(run, schema=schema)
 
@@ -192,33 +194,30 @@ def extract_audio_features(
     src = media.filter(F.col("kind") == "audio")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = []
-            for _, row in pdf.iterrows():
-                if decode == "strict":
-                    raise NotImplementedError(
-                        "audio decode requires torchaudio/librosa; replace "
-                        "the stub with torchaudio.load(io.BytesIO(payload))"
-                    )
-                digest = hashlib.sha256(row["payload"] or b"").digest()
-                sr = (8000, 16000, 22050, 44100)[digest[0] % 4]
-                n_samples = 1000 + int.from_bytes(digest[1:4], "big") % 100_000
-                feats = [
-                    ((digest[(4 + i) % 32] / 255.0) * 2.0 - 1.0)
-                    for i in range(feat_dim)
-                ]
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "sample_rate": sr,
-                        "n_samples": n_samples,
-                        "duration_sec": float(n_samples / sr),
-                        "features": feats,
-                    }
+            if decode == "strict":
+                raise NotImplementedError(
+                    "audio decode requires torchaudio/librosa; replace "
+                    "the stub with torchaudio.load(io.BytesIO(payload))"
                 )
-            yield pd.DataFrame(out)
+            d = _digest_matrix(pdf["payload"].values).astype("int64")
+            sr = np.asarray([8000, 16000, 22050, 44100])[d[:, 0] % 4]
+            n_samples = 1000 + (d[:, 1] * 65536 + d[:, 2] * 256 + d[:, 3]) % 100_000
+            cols = [(4 + i) % 32 for i in range(feat_dim)]
+            feats = (d[:, cols].astype("float64") / 255.0) * 2.0 - 1.0
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "sample_rate": sr.astype("int32"),
+                    "n_samples": n_samples,
+                    "duration_sec": n_samples / sr,
+                    "features": list(feats),
+                }
+            )
 
     return src.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
@@ -254,22 +253,20 @@ def resize_images(
         for pdf in batches:
             if pdf.empty:
                 continue
-            out = []
-            for _, row in pdf.iterrows():
-                if decode == "strict":
-                    raise NotImplementedError(
-                        "image resize requires Pillow; replace the stub with "
-                        "PIL.Image.open(...).resize((tw, th)).tobytes()"
-                    )
-                digest = hashlib.sha256(row["payload"] or b"").digest()
-                out.append(
-                    {
-                        "media_id": row["media_id"],
-                        "width": tw,
-                        "height": th,
-                        "payload": digest + tw.to_bytes(2, "big") + th.to_bytes(2, "big"),
-                    }
+            if decode == "strict":
+                raise NotImplementedError(
+                    "image resize requires Pillow; replace the stub with "
+                    "PIL.Image.open(...).resize((tw, th)).tobytes()"
                 )
-            yield pd.DataFrame(out)
+            suffix = tw.to_bytes(2, "big") + th.to_bytes(2, "big")
+            d = _digest_matrix(pdf["payload"].values)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": tw,
+                    "height": th,
+                    "payload": [bytes(row) + suffix for row in d],
+                }
+            )
 
     return src.mapInPandas(run, schema=RESIZED_SCHEMA)
