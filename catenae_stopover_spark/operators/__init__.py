@@ -15,6 +15,11 @@ from .similarity import (
     ivf_topk_batch,
     lsh_bucketed_topk,
 )
+from .quantization import (
+    pq_encode,
+    pq_topk,
+    train_pq_codebooks,
+)
 from .text import (
     decontaminate,
     detect_language,
@@ -46,6 +51,9 @@ __all__ = [
     "embedding_near_dups",
     "brute_force_topk",
     "lsh_bucketed_topk",
+    "pq_encode",
+    "pq_topk",
+    "train_pq_codebooks",
     "detect_language",
     "quality_score",
     "token_count",

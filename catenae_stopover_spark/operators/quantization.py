@@ -1,0 +1,288 @@
+"""Product-quantization (PQ) vector compression + ADC serving
+(SURVEY B51 — the memory-side scale path for similarity search).
+
+Reference scope: the reference engine ships no vector search at all
+(its data plane is the message loop, /root/reference/src/catenae/
+catenae.py); this module is part of the mandated LLM-pipeline surface
+on top, alongside operators/similarity.py (brute force, IVF, LSH).
+
+Why PQ at 100 TB: a dim-64 float64 embedding is 512 bytes; its PQ code
+at m=8 subspaces x 4 bits is 8 bytes — 64x smaller, so a corpus whose
+raw vectors need a cluster's worth of RAM fits a single executor tier,
+and candidate generation becomes a cache-friendly table scan of codes
+(asymmetric-distance lookup tables), with only a small refine set ever
+touching the raw vectors. This is the standard IVF-PQ serving recipe
+(Jégou et al., "Product Quantization for Nearest Neighbor Search",
+TPAMI 2011; same layout FAISS uses).
+
+Design notes:
+- Codebooks are trained driver-side on a BOUNDED uniform sample
+  (``sample_limit`` rows) with plain Lloyd's iterations in numpy —
+  codebooks are tiny (m*k*sub_dim doubles; 8 KiB at the defaults) and
+  PQ training is sample-based by construction, so a driver fit over
+  <=100k sampled vectors is the right shape even when the corpus is
+  100 TB. The sample is taken with df.sample (uniform, seeded), never
+  a head()/limit() of the first partitions.
+- Encoding and ADC scoring are zero-copy mapInArrow kernels (one
+  argmin / one lookup-table gather per Arrow batch) — the same kernel
+  style as similarity._numpy_query_scores, measured there to beat both
+  row-at-a-time Python and pandas-route UDFs.
+- Vectors are L2-normalized before training and encoding, so the ADC
+  inner product approximates cosine similarity and ranks compatibly
+  with brute_force_topk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    vec_col: str = "embedding",
+    sample_limit: int = 100_000,
+    seed: int = 42,
+    iters: int = 10,
+):
+    """Train per-subspace codebooks on a bounded uniform sample.
+
+    Returns a list of m numpy arrays, each (2**nbits, dim//m) float64.
+    ``dim`` must be divisible by ``m``.
+    """
+    import numpy as np
+
+    k = 1 << nbits
+    n = df.count()
+    if n == 0:
+        raise ValueError("cannot train PQ codebooks on an empty frame")
+    frac = min(1.0, (sample_limit * 1.1) / n)
+    sample = (
+        df.select(vec_col).sample(False, frac, seed).limit(sample_limit)
+    ).toPandas()
+    x = np.asarray([list(v) for v in sample[vec_col]], dtype=np.float64)
+    dim = x.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    x = x / norms
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for s in range(m):
+        xs = x[:, s * sub : (s + 1) * sub]
+        cb = xs[rng.choice(len(xs), size=k, replace=len(xs) < k)].copy()
+        for _ in range(iters):
+            # (n, k) squared distances -> assignment -> mean update
+            d2 = ((xs[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cb[c] = xs[mask].mean(0)
+                else:  # re-seed empty clusters deterministically
+                    cb[c] = xs[rng.randint(len(xs))]
+        books.append(cb)
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Encode vectors to m-byte PQ codes: (id_col, code binary).
+
+    One mapInArrow pass; per batch the work is m vectorized argmins
+    against the (broadcast-by-closure, ~KiB) codebooks. 1 byte per
+    subspace code keeps the gather kernel simple; at nbits=4 a packed
+    layout would halve it again — the 64x vs 128x distinction doesn't
+    change the architecture.
+    """
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    def encode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            flat = np.asarray(b.column(vec_col).flatten(), dtype=np.float64)
+            x = flat.reshape(b.num_rows, -1)
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            x = x / norms
+            codes = np.empty((b.num_rows, m), dtype=np.uint8)
+            for s in range(m):
+                xs = x[:, s * sub : (s + 1) * sub]
+                d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d2.argmin(1)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(id_col), pa.array([row.tobytes() for row in codes])],
+                [id_col, "code"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        encode, f"{id_col} long, code binary"
+    )
+
+
+def pq_adc_scores(
+    codes: DataFrame,
+    codebooks,
+    query_vec,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance scores: per row, sum over subspaces of
+    lut[s][code[s]], where lut[s][c] = <q_sub[s], codebook[s][c]> and q
+    is the L2-normalized query — a (m, k) table gather per Arrow batch,
+    no per-row Python."""
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    q = np.asarray([float(v) for v in query_vec], dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn:
+        q = q / qn
+    sub = books[0].shape[1]
+    lut = np.stack(
+        [books[s] @ q[s * sub : (s + 1) * sub] for s in range(m)]
+    )  # (m, k)
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        rows = np.arange(m)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            col = b.column("code")
+            # zero-copy view of the BinaryArray: slice the offsets
+            # buffer by the array's own offset, then reshape the value
+            # bytes — every code is exactly m bytes by construction
+            off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+                col.offset : col.offset + b.num_rows + 1
+            ]
+            if not (np.diff(off) == m).all():
+                raise ValueError(
+                    f"PQ codes must be exactly {m} bytes (got ragged codes); "
+                    "was this frame encoded with a different m?"
+                )
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            raw = data[off[0] : off[-1]].reshape(b.num_rows, m)
+            adc = lut[rows[None, :], raw].sum(1)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(id_col), pa.array(adc)], [id_col, "adc"]
+            )
+
+    return codes.select(id_col, "code").mapInArrow(
+        score, f"{id_col} long, adc double"
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebooks,
+    query_vec,
+    k: int = 10,
+    refine: int | None = 50,
+    source: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Top-k by ADC score over the compressed codes; with ``refine``,
+    the top ``refine`` ADC candidates are re-scored EXACTLY against the
+    raw vectors in ``source`` (the standard two-stage PQ serve: scan
+    8-byte codes for candidates, touch raw vectors only for the refine
+    set). Returns (id_col, cosine) like brute_force_topk when refining,
+    else (id_col, adc).
+
+    The refine join broadcasts the candidate ids (<= ``refine`` rows) —
+    never a shuffle of the corpus — and the exact rescoring runs the
+    Catalyst cosine kernel inline (a <= ``refine``-row frame is far
+    below the measured BLAS crossover, and adding a repartition stage
+    would only cost serving latency).
+    """
+    from ..functions.vectors import cosine_similarity
+
+    scored = pq_adc_scores(codes, codebooks, query_vec, id_col=id_col)
+    if not refine:
+        out = scored.orderBy(F.col("adc").desc(), F.col(id_col)).limit(k)
+        if round_digits is not None:
+            out = out.select(id_col, F.round("adc", round_digits).alias("adc"))
+        return out
+    if source is None:
+        raise ValueError("refine requires the raw-vector source frame")
+    cand = scored.orderBy(F.col("adc").desc(), F.col(id_col)).limit(refine)
+    probe = source.join(F.broadcast(cand.select(id_col)), id_col, "inner")
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col(vec_col), qlit)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        probe.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def pq_reconstruction_error(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-row squared reconstruction error ||x_unit - x̂||² of the PQ
+    quantizer, computed in ONE mapInArrow pass (encode + reconstruct
+    inline, no join back to the codes). Since inputs are L2-normalized
+    (||x_unit||² = 1), the error is directly interpretable as the
+    fraction of vector energy the codebooks fail to capture — the gate
+    metric for quantizer quality that does not depend on the corpus
+    having meaningful nearest neighbors."""
+    import numpy as np
+
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+
+    def run(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            flat = np.asarray(b.column(vec_col).flatten(), dtype=np.float64)
+            x = flat.reshape(b.num_rows, -1)
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            norms[norms == 0.0] = 1.0
+            x = x / norms
+            err = np.zeros(b.num_rows)
+            for s in range(m):
+                xs = x[:, s * sub : (s + 1) * sub]
+                d2 = ((xs[:, None, :] - books[s][None, :, :]) ** 2).sum(-1)
+                err += d2.min(1)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(id_col), pa.array(err)], [id_col, "err2"]
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        run, f"{id_col} long, err2 double"
+    )
+
+
+def compression_ratio(dim: int, m: int, value_bytes: int = 8) -> float:
+    """Raw bytes per vector / PQ bytes per vector (1 byte per code)."""
+    return (dim * value_bytes) / float(m)

@@ -2512,6 +2512,66 @@ def q76_ivf_topk_serve(spark, sf_dir):
     return ivf_topk(assigned, centroids, qvec, k=10, n_probe=4)
 
 
+def q77_pq_recall_gate(spark, sf_dir):
+    """B51 memory-side scale path (operators/quantization.py): product
+    quantization at m=8 x 4 bits = 8-byte codes, 64x smaller than the
+    raw dim-64 float64 vectors, under three checkable invariants in one
+    distributed plan (q69/q70 gate style — no driver-side sets):
+
+    * recall_ok — the two-stage serve (ADC candidate scan over the
+      8-byte codes, exact rescoring of the top-100 refine set) recovers
+      >= 7 of the exact cosine top-10. The fixture's embeddings are
+      near-random — the hardest case for any quantizer, since true
+      neighbors are barely closer than the bulk — so 0.7 is the
+      conservative deterministic bound (measured 0.9 at sf0.01).
+    * mse_ok — mean squared reconstruction error of the quantizer on
+      L2-normalized inputs < 0.65, i.e. the 8-byte codes capture >= 35%
+      of unit vector energy on incompressible random data (measured
+      0.54 at sf0.01; real embedding corpora compress far better).
+    * compression_x — the 64x memory factor, the point of the exercise.
+
+    Deterministic end-to-end (seeded sample, seeded Lloyd's, fixed
+    query vector), so the oracle hashes a constant row; a codebook or
+    ADC regression flips a boolean. Refine-set exactness and
+    monotonicity are pinned in tests/test_quantization.py."""
+    from .operators.quantization import (
+        pq_encode,
+        pq_reconstruction_error,
+        pq_topk,
+        train_pq_codebooks,
+    )
+    from .operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qvec = _query_vec(sf_dir)
+    books = train_pq_codebooks(e, m=8, nbits=4)
+    codes = pq_encode(e, books)
+    exact = brute_force_topk(e, qvec, k=10).select("vec_id")
+    approx = pq_topk(
+        codes, books, qvec, k=10, refine=100, source=e
+    ).select("vec_id")
+    hits = exact.join(
+        approx.withColumn("__hit", F.lit(1)), "vec_id", "left"
+    ).agg(
+        F.count("*").alias("__n"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).alias("__h"),
+    )
+    mse = pq_reconstruction_error(e, books).agg(
+        F.mean("err2").alias("__mean_err2")
+    )
+    # two 1-row aggregates — the cross join is 1x1
+    return hits.crossJoin(mse).select(
+        (F.col("__h") >= 7).alias("recall_ok"),
+        (F.col("__mean_err2") < 0.65).alias("mse_ok"),
+        F.lit(64).alias("compression_x"),
+    )
+
+
+Q77_SQL = """
+SELECT TRUE AS recall_ok, TRUE AS mse_ok, 64 AS compression_x
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -2558,6 +2618,9 @@ QUERIES: dict[str, tuple] = {
     # rows-only: IVF centroid geometry isn't SQL-expressible; recall is
     # gated by q53 and the bench compares against DuckDB exact top-k
     "q76_ivf_topk_serve": (q76_ivf_topk_serve, None),
+    # gate booleans computed in one distributed plan; DuckDB hashes the
+    # constant expectation (q69/q70 pattern — see q77 docstring)
+    "q77_pq_recall_gate": (q77_pq_recall_gate, Q77_SQL),
     # --- rotations: one representative per operator family that has
     # --- only single-round or fix-bearing history, still in-window ---
     "q22_math_funcs": (q22_math_funcs, Q22_SQL),           # r1 FAIL, fixed r2

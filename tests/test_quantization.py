@@ -1,0 +1,141 @@
+"""Product-quantization operator (operators/quantization.py, B51 scale
+path): encode determinism, ADC scoring parity with explicit
+reconstruction, refine exactness/monotonicity, and the compression
+contract."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.operators.quantization import (
+    compression_ratio,
+    pq_adc_scores,
+    pq_encode,
+    pq_reconstruction_error,
+    pq_topk,
+    train_pq_codebooks,
+)
+from catenae_stopover_spark.operators.similarity import brute_force_topk
+
+from conftest import SF_SMOKE
+
+M, NBITS = 8, 4
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return (
+        spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .filter(F.col("vec_id") != 0)
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def books(emb):
+    return train_pq_codebooks(emb, m=M, nbits=NBITS)
+
+
+def test_codebook_shapes_and_determinism(emb, books):
+    assert len(books) == M
+    for b in books:
+        assert b.shape == (1 << NBITS, 64 // M)
+    again = train_pq_codebooks(emb, m=M, nbits=NBITS)
+    for a, b in zip(books, again):
+        assert np.allclose(a, b)
+
+
+def test_encode_is_m_bytes_and_deterministic(emb, books):
+    codes = pq_encode(emb, books).orderBy("vec_id").collect()
+    assert all(len(r.code) == M for r in codes)
+    again = pq_encode(emb, books).orderBy("vec_id").collect()
+    assert [r.code for r in codes] == [r.code for r in again]
+
+
+def test_adc_matches_explicit_reconstruction(emb, books):
+    """The lookup-table gather must equal dot(q_unit, reconstruction):
+    ADC's whole trick is that the sum of per-subspace LUT entries IS
+    the inner product with the decoded vector."""
+    qvec = [float(np.cos(i * 0.37)) for i in range(64)]
+    codes_df = pq_encode(emb, books)
+    adc = {
+        r.vec_id: r.adc
+        for r in pq_adc_scores(codes_df, books, qvec).collect()
+    }
+    q = np.asarray(qvec)
+    q = q / np.linalg.norm(q)
+    sub = 64 // M
+    for r in codes_df.collect():
+        code = np.frombuffer(r.code, dtype=np.uint8)
+        recon = np.concatenate([books[s][code[s]] for s in range(M)])
+        assert adc[r.vec_id] == pytest.approx(float(recon @ q), abs=1e-9)
+
+
+def test_refine_returns_exact_topk_of_candidates(spark, emb, books):
+    """Two-stage serve contract: the refined output is EXACTLY the
+    brute-force top-k restricted to the ADC candidate set."""
+    qvec = [float(np.sin(i * 0.21) + 0.1) for i in range(64)]
+    codes_df = pq_encode(emb, books)
+    refine = 30
+    cand = (
+        pq_adc_scores(codes_df, books, qvec)
+        .orderBy(F.col("adc").desc(), "vec_id")
+        .limit(refine)
+        .select("vec_id")
+    )
+    subset = emb.join(cand, "vec_id")
+    expect = brute_force_topk(subset, qvec, k=10, kernel="sql").collect()
+    got = pq_topk(
+        codes_df, books, qvec, k=10, refine=refine, source=emb
+    ).collect()
+    assert [(r.vec_id, r.cosine) for r in got] == [
+        (r.vec_id, r.cosine) for r in expect
+    ]
+
+
+def test_refine_monotonicity(emb, books):
+    """More refine candidates can only improve recall vs exact top-k."""
+    qvec = [1.0] * 64
+    codes_df = pq_encode(emb, books).cache()
+    exact = {r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()}
+    recalls = []
+    for refine in (10, 50, 200):
+        got = {
+            r.vec_id
+            for r in pq_topk(
+                codes_df, books, qvec, k=10, refine=refine, source=emb
+            ).collect()
+        }
+        recalls.append(len(exact & got))
+    assert recalls == sorted(recalls)
+    assert recalls[-1] >= 7  # near-exhaustive refine ~ exact
+
+
+def test_reconstruction_error_bounded(emb, books):
+    """Unit-energy inputs: err2 is in [0, 2] pointwise and the mean
+    must beat the 'codebooks learned nothing' regime (uniform-random
+    unit vectors score ~1.0 against unrelated centroids)."""
+    stats = (
+        pq_reconstruction_error(emb, books)
+        .agg(F.mean("err2").alias("m"), F.max("err2").alias("mx"))
+        .collect()[0]
+    )
+    assert 0.0 < stats.m < 0.75
+    assert stats.mx <= 2.0
+
+
+def test_ragged_codes_rejected(spark, emb, books):
+    bad = spark.createDataFrame(
+        [(1, bytearray(b"\x00" * (M - 1)))], "vec_id long, code binary"
+    )
+    from pyspark.errors import PythonException
+
+    with pytest.raises(PythonException, match="ragged|exactly"):
+        pq_adc_scores(bad, books, [1.0] * 64).collect()
+
+
+def test_compression_ratio():
+    assert compression_ratio(64, M) == 64.0
+    assert compression_ratio(768, 96) == 64.0

@@ -36,6 +36,10 @@ ACCEPTED = {
     # the EXACT all-pairs verifier for the sketch strategies; the scale
     # path is embedding_near_dups(lsh_bits>0[, kernel='numpy'])
     "q30_embedding_pairs": "exact all-pairs verifier (scale path = LSH buckets)",
+    # gate queries emitting one row from crosses of 1-row aggregates
+    # (the de-collected q69/q70 pattern): every cross side is a scalar
+    "q70_lsh_probe_gate": "cross of 1-row gate aggregates",
+    "q77_pq_recall_gate": "cross of two 1-row aggregates (recall x mse)",
 }
 
 
