@@ -529,3 +529,89 @@ def dedup_representatives(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def dedup_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "paragraph",
+    window_words: int = 10,
+    sep: str = " ",
+) -> DataFrame:
+    """Segment-level exact dedup with in-order reassembly — the
+    C4/CCNet "remove duplicated paragraphs corpus-wide" stage, which
+    document-level dedup can't express (two distinct documents sharing
+    one boilerplate paragraph keep their unique text, lose the shared
+    block's repeats).
+
+    ``mode='paragraph'`` splits on blank lines (real corpora);
+    ``mode='words'`` segments into fixed ``window_words`` windows (for
+    text without structural delimiters). Keep-first: among identical
+    segments the (id, position)-minimal occurrence survives, making the
+    result deterministic and engine-independent.
+
+    Returns (id_col, dedup_text, n_segments, n_kept) for every input
+    document (fully-deduplicated documents keep an empty dedup_text).
+
+    Scale shape: segments are generated by a zero-shuffle HOF +
+    posexplode map stage; the keep-first decision is ONE window over
+    the segment key (shuffle ~corpus bytes, grouped by xxhash64 of the
+    segment, so skew concentrates only on truly-identical text, capped
+    by the dedup itself); reassembly is ONE groupBy on the document id.
+    Two shuffles total — the floor for a corpus-global positional
+    dedup. At 100 TB, both shuffles are of compressed text columns, and
+    AQE handles the (self-limiting) identical-segment skew.
+    """
+    from pyspark.sql import Window
+
+    if mode == "paragraph":
+        segs = F.expr(
+            f"filter(split({text_col}, '\\\\n{{2,}}'), s -> length(trim(s)) > 0)"
+        )
+    elif mode == "words":
+        words = f"split({text_col}, '{sep}')"
+        segs = F.expr(
+            f"transform(sequence(0, cast(ceil(size({words}) / {window_words}.0) "
+            f"as int) - 1), i -> array_join(slice({words}, "
+            f"i * {window_words} + 1, {window_words}), '{sep}'))"
+        )
+    else:
+        raise ValueError(f"unknown segment mode: {mode}")
+
+    exploded = df.select(
+        F.col(id_col), F.posexplode(segs).alias("__i", "__seg")
+    )
+    # rank duplicates on the SEGMENT; xxhash64 pre-bucketing keeps the
+    # shuffle key fixed-width (the full text rides along, compared only
+    # within a hash bucket)
+    w = Window.partitionBy(F.xxhash64("__seg"), "__seg").orderBy(
+        id_col, "__i"
+    )
+    kept = (
+        exploded.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__i", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+            sep,
+        ).alias("dedup_text"),
+        F.count("*").alias("n_kept"),
+    )
+    totals = df.select(
+        F.col(id_col), F.size(segs).alias("n_segments")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("dedup_text", F.lit("")).alias("dedup_text"),
+            "n_segments",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -128,6 +128,30 @@ def repetition_stats(text_col: str = "text", gram_n: int = 3) -> dict[str, Colum
     }
 
 
+def char_entropy(text_col: str = "text") -> Column:
+    """Shannon entropy of the character distribution, in bits/char —
+    the classic cheap noise/boilerplate signal (low = repeated chars or
+    templated spam, implausibly high = random bytes). Zero-shuffle
+    Catalyst HOFs: probabilities via one filter() count per DISTINCT
+    character (O(len x alphabet) per row, alphabet is small for real
+    text), then one aggregate — at 100 TB this stays a free map stage,
+    where the explode + groupBy formulation would shuffle one row per
+    CHARACTER of the corpus."""
+    chars = f"split({text_col}, '')"
+    probs = (
+        f"transform(array_distinct({chars}), "
+        f"ch -> size(filter({chars}, x -> x = ch)) "
+        f"/ cast(size({chars}) as double))"
+    )
+    return F.expr(
+        # empty text: split('','') is [''] in Spark (one empty element),
+        # which would read as a 1-symbol alphabet; define H('') = 0
+        f"CASE WHEN length({text_col}) = 0 THEN cast(0.0 as double) "
+        f"ELSE -aggregate(transform({probs}, p -> p * log2(p)), "
+        f"cast(0.0 as double), (acc, x) -> acc + x) END"
+    )
+
+
 def _ngrams(text_col: str, n: int) -> Column:
     """Word n-grams (with repeats — repetition measurement needs the
     multiset, unlike dedup shingling which distincts them)."""

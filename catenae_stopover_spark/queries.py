@@ -2572,6 +2572,87 @@ SELECT TRUE AS recall_ok, TRUE AS mse_ok, 64 AS compression_x
 """
 
 
+def q78_char_entropy(spark, sf_dir):
+    """B52 text analysis: per-document character-entropy quality signal
+    (operators/text.char_entropy) with a banding decision, against a
+    full independent DuckDB recompute (explode + window, the formulation
+    the zero-shuffle HOF form replaces). `+ 0.0` folds the -0.0 a
+    single-symbol document would produce on both engines; the band
+    compares the ROUNDED value so both sides classify identically."""
+    from .operators.text import char_entropy
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.round(char_entropy("text"), 6) + F.lit(0.0)
+    return d.select(
+        "doc_id",
+        h.alias("char_entropy"),
+        F.when(h < 3.5, "low")
+        .when(h < 4.5, "mid")
+        .otherwise("high")
+        .alias("entropy_band"),
+    )
+
+
+Q78_SQL = """
+WITH chars AS (
+  SELECT doc_id, UNNEST(string_split(text, '')) AS ch FROM documents
+  WHERE LENGTH(text) > 0
+), dist AS (
+  SELECT doc_id, COUNT(*)::DOUBLE AS n FROM chars GROUP BY doc_id, ch
+), probs AS (
+  SELECT doc_id, n / SUM(n) OVER (PARTITION BY doc_id) AS p FROM dist
+), ent AS (
+  SELECT doc_id, ROUND(-SUM(p * LOG2(p)), 6) + 0.0 AS char_entropy
+  FROM probs GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(e.char_entropy, 0.0) AS char_entropy,
+       CASE WHEN COALESCE(e.char_entropy, 0.0) < 3.5 THEN 'low'
+            WHEN COALESCE(e.char_entropy, 0.0) < 4.5 THEN 'mid'
+            ELSE 'high' END AS entropy_band
+FROM documents d LEFT JOIN ent e USING (doc_id)
+"""
+
+
+def q79_segment_dedup(spark, sf_dir):
+    """B49/B50 at sub-document granularity (operators/dedup.
+    dedup_segments): corpus-wide exact segment dedup with keep-first
+    semantics and in-order reassembly — the C4/CCNet duplicated-
+    paragraph removal stage. The fixture's documents have no paragraph
+    breaks, so segments are fixed 10-word windows (mode='words'); the
+    oracle recomputes the whole pipeline independently in DuckDB
+    (lateral range unnest + ROW_NUMBER keep-first + ordered
+    STRING_AGG)."""
+    from .operators.dedup import dedup_segments
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_segments(d, mode="words", window_words=10)
+
+
+Q79_SQL = """
+WITH src AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), segs AS (
+  SELECT doc_id, CAST(t.i AS INT) AS i,
+         array_to_string(words[CAST(t.i*10+1 AS BIGINT) : CAST(t.i*10+10 AS BIGINT)], ' ') AS seg
+  FROM src, UNNEST(range(CAST(CEIL(LEN(words)/10.0) AS BIGINT))) AS t(i)
+), kept AS (
+  SELECT doc_id, i, seg,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, i) AS rn
+  FROM segs
+), rebuilt AS (
+  SELECT doc_id, STRING_AGG(seg, ' ' ORDER BY i) AS dedup_text,
+         COUNT(*) AS n_kept
+  FROM kept WHERE rn = 1 GROUP BY doc_id
+), totals AS (
+  SELECT doc_id, CAST(CEIL(LEN(words)/10.0) AS INT) AS n_segments FROM src
+)
+SELECT t.doc_id, COALESCE(r.dedup_text, '') AS dedup_text,
+       t.n_segments, COALESCE(r.n_kept, 0) AS n_kept
+FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -2621,6 +2702,8 @@ QUERIES: dict[str, tuple] = {
     # gate booleans computed in one distributed plan; DuckDB hashes the
     # constant expectation (q69/q70 pattern — see q77 docstring)
     "q77_pq_recall_gate": (q77_pq_recall_gate, Q77_SQL),
+    "q78_char_entropy": (q78_char_entropy, Q78_SQL),
+    "q79_segment_dedup": (q79_segment_dedup, Q79_SQL),
     # --- rotations: one representative per operator family that has
     # --- only single-round or fix-bearing history, still in-window ---
     "q22_math_funcs": (q22_math_funcs, Q22_SQL),           # r1 FAIL, fixed r2

@@ -298,3 +298,45 @@ def test_dedup_representatives_keeps_min_and_unpaired(spark):
         r.doc_id for r in dedup_representatives(df, pairs).collect()
     )
     assert kept == [1, 7, 9]  # cluster {1,2,3} -> 1; unpaired stay
+
+
+def test_dedup_segments_paragraph_mode(spark):
+    from catenae_stopover_spark.operators.dedup import dedup_segments
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta\n\nSHARED BLOCK\n\ngamma"),
+            (2, "SHARED BLOCK\n\ndelta"),
+            (3, "SHARED BLOCK"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_segments(docs, mode="paragraph").collect()
+    }
+    # keep-first: doc 1 (lowest id) keeps the shared paragraph
+    assert out[1].dedup_text == "alpha beta SHARED BLOCK gamma"
+    assert (out[1].n_segments, out[1].n_kept) == (3, 3)
+    assert out[2].dedup_text == "delta"
+    assert (out[2].n_segments, out[2].n_kept) == (2, 1)
+    # fully-duplicated document survives as a row with empty text
+    assert out[3].dedup_text == ""
+    assert (out[3].n_segments, out[3].n_kept) == (1, 0)
+
+
+def test_dedup_segments_word_windows_preserve_order(spark):
+    from catenae_stopover_spark.operators.dedup import dedup_segments
+
+    text = " ".join(f"w{i}" for i in range(25))
+    docs = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_segments(docs, mode="words", window_words=10).collect()
+    }
+    # doc 1 keeps everything, in original order (3 windows: 10+10+5)
+    assert out[1].dedup_text == text
+    assert (out[1].n_segments, out[1].n_kept) == (3, 3)
+    assert (out[2].n_segments, out[2].n_kept) == (3, 0)
