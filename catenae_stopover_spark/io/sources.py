@@ -62,6 +62,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema,
+    header: bool = True,
+    **options,
+) -> DataFrame:
+    """CSV scan with a DECLARED schema (B1 format breadth). Schema
+    inference is refused by design: it costs an extra full pass over
+    the data and silently changes types between runs — at 100 TB both
+    are production incidents. Column pruning still reaches the scan
+    (Spark's CSV reader parses only projected columns); predicate
+    pushdown is format-limited, which is exactly why the parquet path
+    is the default and CSV is an ingest/interchange format here."""
+    if schema is None:
+        raise ValueError("read_csv requires an explicit schema")
+    return (
+        spark.read.format("csv")
+        .option("header", str(header).lower())
+        .options(**options)
+        .schema(schema)
+        .load(path)
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (B1 format breadth): columnar with embedded schema and
+    min/max stripe statistics, so predicate pushdown and column pruning
+    work like parquet's."""
+    return spark.read.orc(path)
+
+
+def read_json_lines(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan (B4); pass a schema to skip inference for the
+    same reasons as read_csv (the broker's JSON-lines reader in
+    broker.py declares its schema this way)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """All tables as a dict; also registers each as a temp view so
     `spark.sql` works against the same names DuckDB uses."""

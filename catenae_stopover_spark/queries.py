@@ -2653,6 +2653,85 @@ FROM totals t LEFT JOIN rebuilt r USING (doc_id)
 """
 
 
+def _format_fixture(spark, sf_dir):
+    """CSV/ORC copies of three dimension tables, written once per
+    (source path, mtime) — TEST SCAFFOLDING for q80's format
+    round-trip (the product surface it exercises is io.sources
+    read_csv/read_orc). The _READY marker is written last so a killed
+    half-materialization never serves."""
+    import hashlib
+    import tempfile
+
+    stamps = []
+    for t in ("nation", "region", "supplier"):
+        st = os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        stamps.append(f"{t}:{st.st_mtime_ns}")
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{'|'.join(stamps)}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "csspark-formats", key)
+    marker = os.path.join(root, "_READY")
+    if not os.path.exists(marker):
+        for t in ("nation", "region"):
+            _t(spark, sf_dir, t).write.mode("overwrite").option(
+                "header", "true"
+            ).csv(os.path.join(root, f"{t}_csv"))
+        _t(spark, sf_dir, "supplier").write.mode("overwrite").orc(
+            os.path.join(root, "supplier_orc")
+        )
+        with open(marker + ".tmp", "w", encoding="utf-8") as f:
+            f.write("ok")
+        os.replace(marker + ".tmp", marker)
+    return root
+
+
+def q80_csv_orc_roundtrip(spark, sf_dir):
+    """B1 format breadth: the same star-join aggregate computed from a
+    CSV copy of nation/region (schema-declared, header'd) and an ORC
+    copy of supplier — proving the non-parquet read paths are
+    schema-faithful, including double round-trips through CSV text.
+    The oracle runs the identical aggregate on the original parquet, so
+    any type coercion or quoting loss in the CSV/ORC paths breaks the
+    value hash. Conversion happens once per fixture (cached by source
+    mtime); the dims broadcast into the supplier join as usual."""
+    from .io.sources import read_csv, read_orc
+
+    root = _format_fixture(spark, sf_dir)
+    nation = read_csv(
+        spark,
+        os.path.join(root, "nation_csv"),
+        _t(spark, sf_dir, "nation").schema,
+    )
+    region = read_csv(
+        spark,
+        os.path.join(root, "region_csv"),
+        _t(spark, sf_dir, "region").schema,
+    )
+    supplier = read_orc(spark, os.path.join(root, "supplier_orc"))
+    return (
+        supplier.join(
+            F.broadcast(nation),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("sum_acctbal"),
+        )
+    )
+
+
+Q80_SQL = """
+SELECT r_name, COUNT(*) AS n_suppliers,
+       ROUND(SUM(s_acctbal), 2) AS sum_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -2704,6 +2783,7 @@ QUERIES: dict[str, tuple] = {
     "q77_pq_recall_gate": (q77_pq_recall_gate, Q77_SQL),
     "q78_char_entropy": (q78_char_entropy, Q78_SQL),
     "q79_segment_dedup": (q79_segment_dedup, Q79_SQL),
+    "q80_csv_orc_roundtrip": (q80_csv_orc_roundtrip, Q80_SQL),
     # --- rotations: one representative per operator family that has
     # --- only single-round or fix-bearing history, still in-window ---
     "q22_math_funcs": (q22_math_funcs, Q22_SQL),           # r1 FAIL, fixed r2

@@ -1,0 +1,41 @@
+"""CSV/ORC/JSON-lines source paths (io/sources.py, B1/B4 breadth)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.io.sources import read_csv, read_json_lines, read_orc
+
+from conftest import SF_SMOKE
+
+
+def test_read_csv_requires_schema(spark):
+    with pytest.raises(ValueError, match="schema"):
+        read_csv(spark, "/tmp/nowhere", None)
+
+
+def test_csv_and_orc_round_trip_exact(spark, tmp_path):
+    src = spark.read.parquet(f"{SF_SMOKE}/supplier.parquet")
+    src.write.mode("overwrite").option("header", "true").csv(
+        str(tmp_path / "csv")
+    )
+    src.write.mode("overwrite").orc(str(tmp_path / "orc"))
+    via_csv = read_csv(spark, str(tmp_path / "csv"), src.schema)
+    via_orc = read_orc(spark, str(tmp_path / "orc"))
+    # exact: same rows, same types, doubles bit-faithful through CSV text
+    assert via_csv.schema == src.schema
+    assert via_orc.schema == src.schema
+    for got in (via_csv, via_orc):
+        assert got.exceptAll(src).count() == 0
+        assert src.exceptAll(got).count() == 0
+
+
+def test_json_lines_with_schema(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a,b\"c"), (2, None)], "id long, s string"
+    )
+    df.write.mode("overwrite").json(str(tmp_path / "j"))
+    back = read_json_lines(spark, str(tmp_path / "j"), df.schema)
+    assert back.schema == df.schema
+    assert {(r.id, r.s) for r in back.collect()} == {(1, 'a,b"c'), (2, None)}
