@@ -1,0 +1,92 @@
+"""Mergeable-sketch aggregates (SURVEY B18 extended): HLL distinct
+rollups, KLL quantile sketches, theta distinct sketches — the Apache
+DataSketches family Spark 4 exposes as built-in JVM aggregates.
+
+Why sketches at 100 TB: exact COUNT DISTINCT and exact percentiles are
+NOT re-aggregable — a per-hour exact distinct can't produce the per-day
+distinct without rescanning the raw data. Sketches are: a day's HLL is
+the union of its hours' HLLs, a fleet's KLL is the merge of its
+executors' KLLs. That makes cube/rollup materializations additive and
+incremental, which is the only affordable shape for distinct/quantile
+metrics over a 100 TB corpus. All functions here are JVM-side
+aggregates (no Python in the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_distinct_rollup(
+    df: DataFrame,
+    fine_keys: list,
+    coarse_keys: list,
+    col: str,
+    lg_k: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level distinct-count rollup from ONE scan: per-fine-group
+    HLL sketches, then the coarse level by MERGING the fine sketches
+    (hll_union_agg) — never re-reading the input. ``coarse_keys`` must
+    be a prefix-compatible subset of ``fine_keys`` (the hierarchy).
+
+    Returns (fine_df, coarse_df); both carry ``distinct_est``. The
+    estimate is deterministic (register-max updates are order- and
+    partition-insensitive) and exact below the sketch's dense-mode
+    threshold.
+    """
+    agg = (
+        F.hll_sketch_agg(col, lg_k) if lg_k is not None else F.hll_sketch_agg(col)
+    )
+    fine = df.groupBy(*fine_keys).agg(agg.alias("__sk"))
+    fine_out = fine.select(
+        *fine_keys, F.hll_sketch_estimate("__sk").alias("distinct_est")
+    )
+    coarse_out = (
+        fine.groupBy(*coarse_keys)
+        .agg(F.hll_union_agg("__sk").alias("__sk"))
+        .select(
+            *coarse_keys, F.hll_sketch_estimate("__sk").alias("distinct_est")
+        )
+    )
+    return fine_out, coarse_out
+
+
+def kll_quantiles(
+    df: DataFrame,
+    col: str,
+    fractions: list,
+    k: int | None = None,
+) -> DataFrame:
+    """One-row frame with the KLL-sketch quantile estimates of ``col``
+    (cast to double) at ``fractions`` — mergeable (unlike exact
+    percentile), with a priori normalized-rank-error bounds (~1.65% at
+    the default k=200). Column ``quantile_est`` is the estimates array.
+    """
+    c = F.col(col).cast("double")
+    agg = (
+        F.kll_sketch_agg_double(c, F.lit(k))
+        if k is not None
+        else F.kll_sketch_agg_double(c)
+    )
+    fr = ", ".join(f"{float(f)!r}D" for f in fractions)
+    return df.agg(agg.alias("__sk")).select(
+        F.expr(f"kll_sketch_get_quantile_double(__sk, array({fr}))").alias(
+            "quantile_est"
+        )
+    )
+
+
+def theta_distinct(df: DataFrame, col: str, *group_keys: str) -> DataFrame:
+    """Theta-sketch distinct estimate per group (empty ``group_keys``
+    = global). Theta sketches additionally support set INTERSECTION
+    and DIFFERENCE estimates across sketches, which HLL cannot."""
+    if group_keys:
+        return df.groupBy(*group_keys).agg(
+            F.theta_sketch_estimate(F.theta_sketch_agg(col)).alias(
+                "distinct_est"
+            )
+        )
+    return df.agg(
+        F.theta_sketch_estimate(F.theta_sketch_agg(col)).alias("distinct_est")
+    )

@@ -2732,6 +2732,131 @@ GROUP BY r_name
 """
 
 
+def q81_hll_rollup_gate(spark, sf_dir):
+    """B18 extended — MERGEABLE distinct-count rollups (functions/
+    sketches.hll_distinct_rollup): per-(region, nation) HLL sketches
+    from one scan, region totals built by UNIONING the nation sketches
+    (hll_union_agg), never rescanning — the only affordable shape for
+    distinct metrics in an incremental cube at 100 TB (exact COUNT
+    DISTINCT is not re-aggregable). Emits per-region rows whose
+    exact_customers column the oracle independently recomputes, plus
+    two gate booleans: every nation-level estimate and every
+    region-level MERGED estimate within max(3, 3%) of exact. HLL
+    register-max updates are order/partition-insensitive, so the
+    estimates — and the booleans — are deterministic."""
+    from .functions.sketches import hll_distinct_rollup
+
+    cu = _t(spark, sf_dir, "customer")
+    na = _t(spark, sf_dir, "nation")
+    j = cu.join(
+        F.broadcast(na), cu.c_nationkey == na.n_nationkey
+    ).select("n_regionkey", "c_nationkey", "c_custkey")
+    fine, coarse = hll_distinct_rollup(
+        j, ["n_regionkey", "c_nationkey"], ["n_regionkey"], "c_custkey"
+    )
+    exact_fine = j.groupBy("n_regionkey", "c_nationkey").agg(
+        F.countDistinct("c_custkey").alias("exact")
+    )
+    exact_coarse = j.groupBy("n_regionkey").agg(
+        F.countDistinct("c_custkey").alias("exact")
+    )
+    tol = lambda e: F.greatest(F.lit(3.0), 0.03 * e)  # noqa: E731
+    fine_ok = (
+        fine.join(exact_fine, ["n_regionkey", "c_nationkey"])
+        .agg(
+            F.min(
+                F.abs(F.col("distinct_est") - F.col("exact")) <= tol(F.col("exact"))
+            ).alias("fine_ok")
+        )
+    )
+    return (
+        coarse.join(exact_coarse, "n_regionkey")
+        .crossJoin(fine_ok)  # 5 x 1
+        .select(
+            "n_regionkey",
+            F.col("exact").alias("exact_customers"),
+            (
+                F.abs(F.col("distinct_est") - F.col("exact"))
+                <= tol(F.col("exact"))
+            ).alias("merged_ok"),
+            "fine_ok",
+        )
+    )
+
+
+Q81_SQL = """
+SELECT n_regionkey, COUNT(DISTINCT c_custkey) AS exact_customers,
+       TRUE AS merged_ok, TRUE AS fine_ok
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_regionkey
+"""
+
+
+def q82_kll_quantile_gate(spark, sf_dir):
+    """B18 extended — KLL quantile sketches (functions/sketches.
+    kll_quantiles): mergeable quantiles with a priori rank-error
+    bounds, vs exact interpolated percentiles the oracle recomputes
+    (DuckDB quantile_cont == Spark percentile). The sketch's
+    compaction is randomized, so the gate checks what KLL actually
+    guarantees: the TRUE rank of each estimate is within 3% of the
+    target fraction (k=200 bounds normalized rank error at ~1.65%),
+    computed distributed via one broadcast of the 3-row estimate
+    table. exact_value is a REAL oracle column; rank_ok is the gate."""
+    from .functions.sketches import kll_quantiles
+
+    fractions = [0.5, 0.9, 0.99]
+    li = _t(spark, sf_dir, "lineitem")
+    est = kll_quantiles(li, "l_extendedprice", fractions)
+    fr = ", ".join(f"{f!r}D" for f in fractions)
+    both = (
+        li.agg(
+            F.expr(
+                f"percentile(l_extendedprice, array({fr}))"
+            ).alias("__exact")
+        )
+        .crossJoin(est)  # 1 x 1
+        .select(
+            F.posexplode(F.arrays_zip("quantile_est", "__exact")).alias(
+                "__i", "__z"
+            )
+        )
+        .select(
+            "__i",
+            F.col("__z.quantile_est").alias("__est"),
+            F.col("__z.__exact").alias("__exact"),
+        )
+    )
+    ranked = (
+        li.crossJoin(F.broadcast(both))  # 3 x |lineitem|, map-side
+        .groupBy("__i", "__est", "__exact")
+        .agg(
+            F.avg(
+                (F.col("l_extendedprice") <= F.col("__est")).cast("double")
+            ).alias("__rank")
+        )
+    )
+    target = F.element_at(
+        F.array(*[F.lit(f) for f in fractions]), F.col("__i") + 1
+    )
+    return ranked.select(
+        target.alias("fraction"),
+        F.round("__exact", 4).alias("exact_value"),
+        (F.abs(F.col("__rank") - target) <= 0.03).alias("rank_ok"),
+    )
+
+
+Q82_SQL = """
+SELECT 0.5 AS fraction,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS exact_value,
+       TRUE AS rank_ok
+FROM lineitem
+UNION ALL
+SELECT 0.9, ROUND(quantile_cont(l_extendedprice, 0.9), 4), TRUE FROM lineitem
+UNION ALL
+SELECT 0.99, ROUND(quantile_cont(l_extendedprice, 0.99), 4), TRUE FROM lineitem
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -2784,6 +2909,8 @@ QUERIES: dict[str, tuple] = {
     "q78_char_entropy": (q78_char_entropy, Q78_SQL),
     "q79_segment_dedup": (q79_segment_dedup, Q79_SQL),
     "q80_csv_orc_roundtrip": (q80_csv_orc_roundtrip, Q80_SQL),
+    "q81_hll_rollup_gate": (q81_hll_rollup_gate, Q81_SQL),
+    "q82_kll_quantile_gate": (q82_kll_quantile_gate, Q82_SQL),
     # --- rotations: one representative per operator family that has
     # --- only single-round or fix-bearing history, still in-window ---
     "q22_math_funcs": (q22_math_funcs, Q22_SQL),           # r1 FAIL, fixed r2

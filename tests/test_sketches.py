@@ -1,0 +1,92 @@
+"""Mergeable-sketch aggregates (functions/sketches.py, B18 extended):
+merge-vs-rescan equivalence, determinism, and error bounds."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.functions.sketches import (
+    hll_distinct_rollup,
+    kll_quantiles,
+    theta_distinct,
+)
+
+from conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def cust(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/customer.parquet").cache()
+
+
+def test_hll_merge_equals_direct_sketch(spark, cust):
+    """The rollup's MERGED coarse estimate must equal sketching the
+    coarse level directly from raw data — mergeability is the entire
+    point, and HLL's register-max semantics make it exact, not
+    approximate."""
+    fine, coarse = hll_distinct_rollup(
+        cust, ["c_nationkey"], [], "c_custkey"
+    )
+    direct = cust.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey")).alias(
+            "distinct_est"
+        )
+    )
+    assert (
+        coarse.collect()[0].distinct_est == direct.collect()[0].distinct_est
+    )
+
+
+def test_hll_estimates_near_exact(cust):
+    fine, _ = hll_distinct_rollup(cust, ["c_nationkey"], [], "c_custkey")
+    exact = cust.groupBy("c_nationkey").agg(
+        F.countDistinct("c_custkey").alias("exact")
+    )
+    rows = fine.join(exact, "c_nationkey").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.distinct_est - r.exact) <= max(3, 0.03 * r.exact)
+
+
+def test_hll_deterministic_across_runs(cust):
+    a = {
+        r.c_nationkey: r.distinct_est
+        for r in hll_distinct_rollup(cust, ["c_nationkey"], [], "c_custkey")[
+            0
+        ].collect()
+    }
+    b = {
+        r.c_nationkey: r.distinct_est
+        for r in hll_distinct_rollup(
+            cust.repartition(7), ["c_nationkey"], [], "c_custkey"
+        )[0].collect()
+    }
+    assert a == b  # partition- and order-insensitive
+
+
+def test_kll_quantiles_rank_bounds(spark):
+    li = spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet")
+    fractions = [0.1, 0.5, 0.9]
+    est = kll_quantiles(li, "l_extendedprice", fractions).collect()[0][0]
+    n = li.count()
+    for p, v in zip(fractions, est):
+        rank = li.filter(F.col("l_extendedprice") <= v).count() / n
+        assert abs(rank - p) <= 0.04  # k=200 bounds ~1.65%
+
+
+def test_theta_distinct_grouped_and_global(cust):
+    per_nation = {
+        r.c_nationkey: r.distinct_est
+        for r in theta_distinct(cust, "c_custkey", "c_nationkey").collect()
+    }
+    exact = {
+        r.c_nationkey: r.exact
+        for r in cust.groupBy("c_nationkey")
+        .agg(F.countDistinct("c_custkey").alias("exact"))
+        .collect()
+    }
+    for k, v in exact.items():
+        assert abs(per_nation[k] - v) <= max(3, 0.03 * v)
+    total = theta_distinct(cust, "c_custkey").collect()[0].distinct_est
+    assert abs(total - sum(exact.values())) <= 0.03 * sum(exact.values())

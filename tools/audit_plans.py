@@ -40,6 +40,8 @@ ACCEPTED = {
     # (the de-collected q69/q70 pattern): every cross side is a scalar
     "q70_lsh_probe_gate": "cross of 1-row gate aggregates",
     "q77_pq_recall_gate": "cross of two 1-row aggregates (recall x mse)",
+    "q81_hll_rollup_gate": "5-row coarse level x 1-row fine_ok gate",
+    "q82_kll_quantile_gate": "3-row estimate table broadcast for rank check",
 }
 
 
