@@ -38,37 +38,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def train_pq_codebooks(
-    df: DataFrame,
-    m: int = 8,
-    nbits: int = 4,
-    vec_col: str = "embedding",
-    sample_limit: int = 100_000,
-    seed: int = 42,
-    iters: int = 10,
+def _sample_vectors(
+    df: DataFrame, vec_col: str, sample_limit: int, seed: int
 ):
-    """Train per-subspace codebooks on a bounded uniform sample.
-
-    Returns a list of m numpy arrays, each (2**nbits, dim//m) float64.
-    ``dim`` must be divisible by ``m``.
-    """
+    """Bounded UNIFORM sample of a vector column as an (n, dim) float64
+    matrix (df.sample, never a head()/limit() of the first partitions),
+    rows L2-normalized."""
     import numpy as np
 
-    k = 1 << nbits
     n = df.count()
     if n == 0:
-        raise ValueError("cannot train PQ codebooks on an empty frame")
+        raise ValueError("cannot train codebooks on an empty frame")
     frac = min(1.0, (sample_limit * 1.1) / n)
     sample = (
         df.select(vec_col).sample(False, frac, seed).limit(sample_limit)
     ).toPandas()
     x = np.asarray([list(v) for v in sample[vec_col]], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return x / norms
+
+
+def _lloyd_codebooks(x, m: int, nbits: int, seed: int, iters: int):
+    """Plain per-subspace Lloyd's over an in-memory sample matrix —
+    deterministic (seeded init, deterministic empty-cluster reseed)."""
+    import numpy as np
+
+    k = 1 << nbits
     dim = x.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")
-    norms = np.linalg.norm(x, axis=1, keepdims=True)
-    norms[norms == 0.0] = 1.0
-    x = x / norms
     sub = dim // m
     rng = np.random.RandomState(seed)
     books = []
@@ -87,6 +86,24 @@ def train_pq_codebooks(
                     cb[c] = xs[rng.randint(len(xs))]
         books.append(cb)
     return books
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    nbits: int = 4,
+    vec_col: str = "embedding",
+    sample_limit: int = 100_000,
+    seed: int = 42,
+    iters: int = 10,
+):
+    """Train per-subspace codebooks on a bounded uniform sample.
+
+    Returns a list of m numpy arrays, each (2**nbits, dim//m) float64.
+    ``dim`` must be divisible by ``m``.
+    """
+    x = _sample_vectors(df, vec_col, sample_limit, seed)
+    return _lloyd_codebooks(x, m, nbits, seed, iters)
 
 
 def pq_encode(
@@ -286,3 +303,182 @@ def pq_reconstruction_error(
 def compression_ratio(dim: int, m: int, value_bytes: int = 8) -> float:
     """Raw bytes per vector / PQ bytes per vector (1 byte per code)."""
     return (dim * value_bytes) / float(m)
+
+
+def build_ivfpq_index(
+    df: DataFrame,
+    num_centroids: int = 8,
+    m: int = 8,
+    nbits: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_limit: int = 100_000,
+    seed: int = 42,
+):
+    """IVF-PQ: the canonical billion-scale ANN layout (FAISS IVFPQ;
+    Jégou et al. 2011) composed from this repo's two halves — the IVF
+    coarse quantizer (operators/similarity.build_ivf_index) prunes
+    WHICH cells a query reads, and PQ codes of the RESIDUALS (x_unit -
+    centroid[cell]) shrink WHAT each cell stores to m bytes/vector.
+    Residual encoding matters: residuals are centered near zero with
+    far less spread than raw vectors, so the same codebook budget
+    quantizes them with much lower error.
+
+    Returns (encoded_df(id, centroid_id, code), centroids, codebooks).
+    At scale the encoded frame is persisted PARTITIONED BY centroid_id
+    (persist_ivf_index), making a probe a partition-pruned scan of
+    m-byte codes — bytes read per query ~ (n_probe/C) * (m/dim*8) of
+    the raw corpus.
+    """
+    import numpy as np
+
+    from .similarity import build_ivf_index
+
+    assigned, centroids = build_ivf_index(
+        df,
+        num_centroids=num_centroids,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+    )
+    cents = np.asarray(centroids, dtype=np.float64)
+
+    # codebooks train on RESIDUAL samples (unit vector minus its cell
+    # centroid) — bounded driver-side sample like train_pq_codebooks
+    n = assigned.count()
+    frac = min(1.0, (sample_limit * 1.1) / max(n, 1))
+    pdf = (
+        assigned.select(vec_col, "centroid_id")
+        .sample(False, frac, seed)
+        .limit(sample_limit)
+        .toPandas()
+    )
+    x = np.asarray([list(v) for v in pdf[vec_col]], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    resid = x / norms - cents[pdf["centroid_id"].values]
+    books = _lloyd_codebooks(resid, m, nbits, seed, iters=10)
+
+    sub = cents.shape[1] // m
+    books_arr = [np.asarray(b) for b in books]
+
+    def encode(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            flat = np.asarray(b.column(vec_col).flatten(), dtype=np.float64)
+            xm = flat.reshape(b.num_rows, -1)
+            nn = np.linalg.norm(xm, axis=1, keepdims=True)
+            nn[nn == 0.0] = 1.0
+            cid = np.asarray(b.column("centroid_id"), dtype=np.int64)
+            r = xm / nn - cents[cid]
+            codes = np.empty((b.num_rows, m), dtype=np.uint8)
+            for s in range(m):
+                rs = r[:, s * sub : (s + 1) * sub]
+                d2 = ((rs[:, None, :] - books_arr[s][None, :, :]) ** 2).sum(-1)
+                codes[:, s] = d2.argmin(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(id_col),
+                    b.column("centroid_id"),
+                    pa.array([row.tobytes() for row in codes]),
+                ],
+                [id_col, "centroid_id", "code"],
+            )
+
+    encoded = assigned.select(id_col, vec_col, "centroid_id").mapInArrow(
+        encode, f"{id_col} long, centroid_id int, code binary"
+    )
+    return encoded, centroids, books
+
+
+def ivfpq_topk(
+    encoded: DataFrame,
+    centroids,
+    codebooks,
+    query_vec,
+    k: int = 10,
+    n_probe: int = 4,
+    refine: int | None = 50,
+    source: DataFrame | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Query an IVF-PQ index. Per query: rank C centroids on the driver
+    (C scalars), scan only the n_probe nearest cells' m-byte codes, and
+    score each row as <q, centroid[cell]> + LUT-gather over the
+    residual code — exact decomposition <q, c + r̂> with the only
+    approximation being the residual quantization. Because codebooks
+    are shared across cells, ONE (m, 2^nbits) lookup table serves every
+    probed cell; the per-cell <q, c> term is a C-entry array lookup.
+    Optional ``refine``: exact rescore of the top candidates against
+    ``source`` raw vectors (broadcast of <= refine ids).
+    """
+    import numpy as np
+
+    from ..functions.vectors import cosine_similarity
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(books)
+    sub = books[0].shape[1]
+    q = np.asarray([float(v) for v in query_vec], dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn:
+        q = q / qn
+    qc = cents @ q  # <q, centroid> per cell
+    ranked = [int(i) for i in np.argsort(-qc)[:n_probe]]
+    lut = np.stack([books[s] @ q[s * sub : (s + 1) * sub] for s in range(m)])
+
+    probed = encoded.filter(F.col("centroid_id").isin(ranked))
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        rows = np.arange(m)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            col = b.column("code")
+            off = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+                col.offset : col.offset + b.num_rows + 1
+            ]
+            if not (np.diff(off) == m).all():
+                raise ValueError(f"IVF-PQ codes must be exactly {m} bytes")
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            raw = data[off[0] : off[-1]].reshape(b.num_rows, m)
+            cid = np.asarray(b.column("centroid_id"), dtype=np.int64)
+            adc = qc[cid] + lut[rows[None, :], raw].sum(1)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(id_col), pa.array(adc)], [id_col, "adc"]
+            )
+
+    scored = probed.select(id_col, "centroid_id", "code").mapInArrow(
+        score, f"{id_col} long, adc double"
+    )
+    cand = scored.orderBy(F.col("adc").desc(), F.col(id_col)).limit(
+        refine or k
+    )
+    if not refine:
+        if round_digits is not None:
+            cand = cand.select(
+                id_col, F.round("adc", round_digits).alias("adc")
+            )
+        return cand
+    if source is None:
+        raise ValueError("refine requires the raw-vector source frame")
+    probe = source.join(F.broadcast(cand.select(id_col)), id_col, "inner")
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine_similarity(F.col(vec_col), qlit)
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        probe.select(F.col(id_col), sim.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -2857,6 +2857,48 @@ SELECT 0.99, ROUND(quantile_cont(l_extendedprice, 0.99), 4), TRUE FROM lineitem
 """
 
 
+def q83_ivfpq_recall_gate(spark, sf_dir):
+    """B51 composed end-to-end — IVF-PQ (operators/quantization.
+    build_ivfpq_index / ivfpq_topk), the canonical billion-scale ANN
+    layout: the IVF coarse quantizer prunes WHICH cells a query reads
+    (n_probe/C of the rows), PQ residual codes shrink WHAT a cell
+    stores (m bytes/vector, 64x here). Gate: the full serve path —
+    probe 4 of 8 cells, ADC-scan their 8-byte codes, exact-rescore the
+    top 100 — recovers >= 7 of the exact cosine top-10 (measured 0.9 at
+    sf0.01 on the near-random fixture, the quantizer's hardest case).
+    Deterministic end-to-end (seeded k-means both levels, fixed query).
+    Residual-beats-flat-PQ and probe monotonicity are pinned in
+    tests/test_quantization.py."""
+    from .operators.quantization import build_ivfpq_index, ivfpq_topk
+    from .operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    qvec = _query_vec(sf_dir)
+    enc, cents, books = build_ivfpq_index(e, num_centroids=8, m=8, nbits=4)
+    exact = brute_force_topk(e, qvec, k=10).select("vec_id")
+    approx = ivfpq_topk(
+        enc, cents, books, qvec, k=10, n_probe=4, refine=100, source=e
+    ).select("vec_id")
+    return (
+        exact.join(approx.withColumn("__hit", F.lit(1)), "vec_id", "left")
+        .agg(
+            F.count("*").alias("__n"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("__h"),
+        )
+        .select(
+            (F.col("__h") >= 7).alias("recall_ok"),
+            F.lit(4).alias("n_probe"),
+            F.lit(8).alias("n_cells"),
+            F.lit(64).alias("compression_x"),
+        )
+    )
+
+
+Q83_SQL = """
+SELECT TRUE AS recall_ok, 4 AS n_probe, 8 AS n_cells, 64 AS compression_x
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -2911,10 +2953,12 @@ QUERIES: dict[str, tuple] = {
     "q80_csv_orc_roundtrip": (q80_csv_orc_roundtrip, Q80_SQL),
     "q81_hll_rollup_gate": (q81_hll_rollup_gate, Q81_SQL),
     "q82_kll_quantile_gate": (q82_kll_quantile_gate, Q82_SQL),
+    "q83_ivfpq_recall_gate": (q83_ivfpq_recall_gate, Q83_SQL),
     # --- rotations: one representative per operator family that has
     # --- only single-round or fix-bearing history, still in-window ---
     "q22_math_funcs": (q22_math_funcs, Q22_SQL),           # r1 FAIL, fixed r2
     "q27_exact_dedup": (q27_exact_dedup, Q27_SQL),         # r1 FAIL, fixed r2
+    "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),     # reimplemented r2 (hierarchical_rollup)
     # genuinely streaming-executed (Structured Streaming replay) with
     # SQL oracles — complete/update mode makes results batch-equal
     "q44_stream_tumbling_hourly": (q44_stream_tumbling_hourly, Q44_SQL),
@@ -2934,7 +2978,6 @@ QUERIES: dict[str, tuple] = {
     "q57_salted_agg": (q57_salted_agg, Q57_SQL),
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_revenue_by_nation": (q02_revenue_by_nation, Q02_SQL),
-    "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),
     "q12_asof_purchase_click": (q12_asof_purchase_click, Q12_SQL),
     "q29_cosine_topk": (q29_cosine_topk, Q29_SQL),
     "q36_median_quantity": (q36_median_quantity, Q36_SQL),
