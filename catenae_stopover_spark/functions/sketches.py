@@ -14,7 +14,7 @@ aggregates (no Python in the plan).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -74,6 +74,76 @@ def kll_quantiles(
         F.expr(f"kll_sketch_get_quantile_double(__sk, array({fr}))").alias(
             "quantile_est"
         )
+    )
+
+
+def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
+    """Exact phi-heavy-hitters: every item whose count strictly exceeds
+    N/k (N = number of non-null values), with its EXACT count — in two
+    passes whose memory and shuffle volume are bounded by k, not by the
+    number of distinct items.
+
+    Pass 1 streams each partition through a Misra-Gries summary with k
+    counters (mergeable-summaries guarantee: an item with global count
+    > N/k must exceed n_p/k in some partition and therefore survives
+    that partition's summary), so the candidate union — at most
+    k x partitions ids — is a superset of the true heavy hitters and
+    broadcasts. Pass 2 recounts ONLY the candidates with a broadcast
+    left join + groupBy: the long tail collapses into the single
+    null-candidate group and never shuffles per-item. The exact recount
+    + threshold makes the answer independent of partitioning and batch
+    order, which is what lets a plain SQL engine oracle-check a
+    sketch-shaped plan (contrast HLL/KLL, which are gate-checked).
+
+    The per-batch merge is vectorized (pandas value_counts per Arrow
+    batch, then one dict merge + MG compaction), not per-row; string
+    values are counted as UTF-8 bytes inside the summary because the
+    pandas object hashtable truncates str keys at NUL bytes.
+    """
+    dtype = df.schema[col].dataType.simpleString()
+    is_str = dtype == "string"
+    name = col
+
+    def mg_candidates(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            s = pdf[name].dropna()
+            if is_str:
+                s = s.str.encode("utf-8", "surrogatepass")
+            for v, c in s.value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                # MG merge-compact: subtract the (k+1)-th largest
+                # count from all counters, drop the non-positive —
+                # total decrement <= n_p/(k+1) per partition.
+                m = sorted(counters.values(), reverse=True)[k]
+                counters = {v: c - m for v, c in counters.items() if c > m}
+        items = list(counters)
+        if is_str:
+            items = [b.decode("utf-8", "surrogatepass") for b in items]
+        if items:
+            yield pd.DataFrame(
+                {"item": pd.Series(items, dtype="object" if is_str else None)}
+            )
+
+    src = df.select(F.col(col)).filter(F.col(col).isNotNull())
+    cand = src.mapInPandas(mg_candidates, schema=f"item {dtype}").distinct()
+    grouped = (
+        src.join(F.broadcast(cand), F.col(col) == F.col("item"), "left")
+        .groupBy("item")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # grouped is <= k*partitions + 1 rows; the empty-frame window only
+    # ever sees that reduced set, so the global sum is cheap and keeps
+    # everything in ONE plan (no driver-side scalar fetch).
+    w = Window.partitionBy()
+    return (
+        grouped.withColumn("n_total", F.sum("cnt").over(w))
+        .filter(F.col("item").isNotNull())
+        .filter(F.col("cnt") * F.lit(k) > F.col("n_total"))
+        .select("item", "cnt")
     )
 
 

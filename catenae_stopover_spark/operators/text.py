@@ -11,7 +11,7 @@ case-insensitivity flags).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny stopword profiles for a stopword-ratio language heuristic.
@@ -329,20 +329,7 @@ def decontaminate(
 
     Returns (id_col, n_shared_shingles) for contaminated docs only.
     """
-    words = f"split(lower(trim({text_col})), '\\\\s+')"
-
-    def shingles(df):
-        g = F.expr(
-            f"""
-            array_distinct(transform(
-              filter(sequence(1, greatest(size({words}), 1)),
-                     i -> i <= size({words}) - {n} + 1),
-              i -> array_join(slice({words}, i, {n}), ' ')))
-            """
-        )
-        return df.select(F.col(id_col), F.explode(g).alias("shingle"))
-
-    corpus_sh = shingles(corpus)
+    corpus_sh = _doc_shingles(corpus, text_col, id_col, n)
     if max_df is not None:
         common = (
             corpus_sh.groupBy("shingle")
@@ -351,11 +338,162 @@ def decontaminate(
             .select("shingle")
         )
         corpus_sh = corpus_sh.join(common, "shingle", "left_anti")
-    bench_sh = shingles(benchmark).select("shingle").distinct()
+    bench_sh = (
+        _doc_shingles(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
     return (
         corpus_sh.join(bench_sh, "shingle")
         .groupBy(id_col)
         .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
+    )
+
+
+def _doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(id, shingle) pairs: distinct n-token shingles per document."""
+    words = f"split(lower(trim({text_col})), '\\\\s+')"
+    g = F.expr(
+        f"""
+        array_distinct(transform(
+          filter(sequence(1, greatest(size({words}), 1)),
+                 i -> i <= size({words}) - {n} + 1),
+          i -> array_join(slice({words}, i, {n}), ' ')))
+        """
+    )
+    return df.select(F.col(id_col), F.explode(g).alias("shingle"))
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_df: int | None = 10_000,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """`decontaminate` with a Bloom-filter pre-filter: same ANSWER
+    (zero false negatives by construction — every true overlap sets all
+    its bits), different SCALE SHAPE. When the benchmark shingle set is
+    too large to broadcast as strings (a full eval-suite sweep is
+    billions of n-grams), its Bloom bitmap still fits: the filter here
+    is a table of SET BIT POSITIONS (longs, at most m_bits rows —
+    deduplicated, so dense filters stay m_bits no matter how many
+    shingles), probed with a broadcast equi-join. Corpus shingles that
+    fail any of the ``n_hashes`` probes never reach the string
+    shuffle/join, so the expensive wide-row exchange sees only the
+    Bloom-positive sliver; survivors are exactly verified against the
+    true shingle set, which removes the false positives.
+
+    Everything is Catalyst (xxhash64 + pmod + explode + joins): no
+    Python, no driver-side bitmap. Equality with `decontaminate` is
+    pinned by q86 (same oracle as q67) and tests/test_text_pipeline_ops
+    (including a deliberately tiny ``m_bits`` forcing false positives).
+    """
+    corpus_sh = _doc_shingles(corpus, text_col, id_col, n)
+    if max_df is not None:
+        common = (
+            corpus_sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") > max_df)
+            .select("shingle")
+        )
+        corpus_sh = corpus_sh.join(common, "shingle", "left_anti")
+    bench_sh = (
+        _doc_shingles(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+
+    def positions(col):
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(col, F.lit(j)), F.lit(m_bits))
+                for j in range(n_hashes)
+            ]
+        )
+
+    set_bits = (
+        bench_sh.select(F.explode(positions(F.col("shingle"))).alias("bit"))
+        .distinct()
+    )
+    probe = corpus_sh.select(
+        id_col,
+        "shingle",
+        F.explode(positions(F.col("shingle"))).alias("bit"),
+    )
+    # a shingle survives iff every probed position is set: each of the
+    # n_hashes exploded rows must find its bit (duplicate positions
+    # within one shingle match independently, so the count is exact).
+    survivors = (
+        probe.join(F.broadcast(set_bits), "bit")
+        .groupBy(id_col, "shingle")
+        .agg(F.count("*").alias("__hits"))
+        .filter(F.col("__hits") == n_hashes)
+        .select(id_col, "shingle")
+    )
+    return (
+        survivors.join(bench_sh, "shingle")
+        .groupBy(id_col)
+        .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Unigram language-model quality score: each document's mean
+    log-probability of its tokens under the corpus's OWN unigram
+    distribution (self-scoring — the cheap stand-in for the KenLM-style
+    perplexity filters used on web corpora; very low scores flag
+    gibberish/rare-token documents, very high scores flag boilerplate).
+
+    Train and score in one declarative plan: explode words, count per
+    word (one shuffle keyed by word, map-side combined), join the
+    scores back onto the exploded words (equi-join on word; the vocab
+    side is an aggregate that AQE broadcasts when small), re-aggregate
+    per document. No Python anywhere, so the whole thing stays in
+    whole-stage codegen; at 100 TB the vocab table is millions of rows
+    against trillions of tokens — still broadcast-range.
+
+    Returns (id_col, n_tokens, avg_logprob) with avg_logprob rounded to
+    ``round_to`` (engine-independent within a double ulp).
+    """
+    words = df.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
+        ).alias("__w"),
+    )
+    # N folds into the vocab table via a global window over the
+    # aggregate (vocab-sized, not corpus-sized), so each word carries
+    # its final log-prob into the join — one aggregate scan, no
+    # 1-row-total nested-loop cross join in the plan.
+    vocab = (
+        words.groupBy("__w")
+        .agg(F.count("*").alias("__wc"))
+        .withColumn(
+            "__lp",
+            F.log(
+                F.col("__wc") / F.sum("__wc").over(Window.partitionBy())
+            ),
+        )
+        .select("__w", "__lp")
+    )
+    return (
+        words.join(vocab, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("__lp"), round_to).alias("avg_logprob"),
+        )
     )
 
 

@@ -2899,6 +2899,96 @@ SELECT TRUE AS recall_ok, 4 AS n_probe, 8 AS n_cells, 64 AS compression_x
 """
 
 
+def q84_heavy_hitters(spark, sf_dir):
+    """B18 depth: exact phi-heavy-hitters over document 2-grams via
+    partition-local Misra-Gries candidates + exact recount
+    (`functions/sketches.heavy_hitters`). The answer is EXACTLY the
+    2-grams occurring in more than N/640 of the N total 2-grams, so a
+    plain GROUP BY/HAVING recompute oracles a sketch-shaped plan whose
+    shuffle volume is bounded by k, not by the vocabulary."""
+    from .functions.sketches import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents")
+    words = "split(lower(trim(text)), '\\\\s+')"
+    grams = d.select(
+        F.explode(
+            F.expr(
+                f"""
+            transform(
+              filter(sequence(1, greatest(size({words}), 1)),
+                     i -> i <= size({words}) - 1),
+              i -> concat_ws(' ', slice({words}, i, 2)))
+            """
+            )
+        ).alias("gram")
+    )
+    return heavy_hitters(grams, "gram", k=640)
+
+
+Q84_SQL = r"""
+WITH words AS (
+    SELECT REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT UNNEST(LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                           i -> i <= LEN(w) - 1),
+               i -> ARRAY_TO_STRING(w[i:i+1], ' '))) AS gram
+    FROM words
+), tot AS (SELECT COUNT(gram) AS n FROM grams)
+SELECT gram AS item, COUNT(*) AS cnt
+FROM grams, tot
+GROUP BY gram, n
+HAVING COUNT(*) * 640 > n
+"""
+
+
+def q85_unigram_logprob(spark, sf_dir):
+    """B53 depth: corpus-trained unigram LM score per document
+    (`operators/text.unigram_logprob`) — the cheap perplexity stand-in
+    for quality filtering. Train + score in one Catalyst plan; the
+    oracle recomputes the identical model in SQL."""
+    from .operators.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+Q85_SQL = r"""
+WITH words AS (
+    SELECT doc_id,
+           UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS w
+    FROM documents
+), vocab AS (
+    SELECT w, COUNT(*) AS wc FROM words GROUP BY w
+), tot AS (SELECT COUNT(*) AS n FROM words)
+SELECT doc_id,
+       COUNT(*) AS n_tokens,
+       ROUND(AVG(LN(wc / n)), 6) AS avg_logprob
+FROM words JOIN vocab USING (w), tot
+GROUP BY doc_id
+"""
+
+
+def q86_decontaminate_bloom(spark, sf_dir):
+    """B52/B53 scale path: q67's decontamination computed through the
+    Bloom-filter pre-filter (`text.decontaminate_bloom`) — bit-position
+    broadcast equi-join, exact verify of Bloom-positives. Same oracle
+    as q67: the Bloom path must give the identical answer (zero false
+    negatives; false positives removed by the verify join). m_bits is
+    deliberately small here so false positives actually occur and the
+    verify stage is load-bearing."""
+    from .operators.text import decontaminate_bloom
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate_bloom(
+        d.filter(F.col("doc_id") >= 100),
+        d.filter(F.col("doc_id") < 100),
+        n=8,
+        m_bits=1 << 16,
+        n_hashes=3,
+    )
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -2954,6 +3044,9 @@ QUERIES: dict[str, tuple] = {
     "q81_hll_rollup_gate": (q81_hll_rollup_gate, Q81_SQL),
     "q82_kll_quantile_gate": (q82_kll_quantile_gate, Q82_SQL),
     "q83_ivfpq_recall_gate": (q83_ivfpq_recall_gate, Q83_SQL),
+    "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
+    "q85_unigram_logprob": (q85_unigram_logprob, Q85_SQL),
+    "q86_decontaminate_bloom": (q86_decontaminate_bloom, Q67_SQL),
     # --- rotations: one representative per operator family that has
     # --- only single-round or fix-bearing history, still in-window ---
     "q22_math_funcs": (q22_math_funcs, Q22_SQL),           # r1 FAIL, fixed r2
@@ -2973,6 +3066,9 @@ QUERIES: dict[str, tuple] = {
     "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
     "q53_ivf_recall_gate": (q53_ivf_recall_gate, Q53_SQL),
     "q54_map_funcs": (q54_map_funcs, Q54_SQL),
+    # --- past the driver window: green in BOTH r1 and r2 (q55-q57
+    # --- rotated out late-r3 to make room for q84-q86), rotated out;
+    # --- still covered every round by tools/check_oracle.py locally ---
     "q55_repetition_stats": (q55_repetition_stats, Q55_SQL),
     "q56_nulls_ordering": (q56_nulls_ordering, Q56_SQL),
     "q57_salted_agg": (q57_salted_agg, Q57_SQL),
@@ -2981,8 +3077,6 @@ QUERIES: dict[str, tuple] = {
     "q12_asof_purchase_click": (q12_asof_purchase_click, Q12_SQL),
     "q29_cosine_topk": (q29_cosine_topk, Q29_SQL),
     "q36_median_quantity": (q36_median_quantity, Q36_SQL),
-    # --- past the driver window: green in BOTH r1 and r2, rotated out;
-    # --- still covered every round by tools/check_oracle.py locally ---
     "q03_top3_orders_per_priority": (q03_top3_orders_per_priority, Q03_SQL),
     "q05_cube_count": (q05_cube_count, Q05_SQL),
     "q06_grouping_sets": (q06_grouping_sets, Q06_SQL),

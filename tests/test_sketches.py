@@ -90,3 +90,68 @@ def test_theta_distinct_grouped_and_global(cust):
         assert abs(per_nation[k] - v) <= max(3, 0.03 * v)
     total = theta_distinct(cust, "c_custkey").collect()[0].distinct_est
     assert abs(total - sum(exact.values())) <= 0.03 * sum(exact.values())
+
+
+def _exact_hitters(df, col, k):
+    from pyspark.sql import functions as F
+
+    return sorted(
+        tuple(r)
+        for r in df.groupBy(col)
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(df.agg(F.count(col).alias("n")))
+        .filter(F.col("cnt") * k > F.col("n"))
+        .select(col, "cnt")
+        .collect()
+    )
+
+
+def test_heavy_hitters_exact_and_partition_independent(spark):
+    """heavy_hitters must return EXACTLY {item: cnt*k > N} with exact
+    counts, for any partitioning of the input — the MG candidate pass
+    is partition-dependent, the recount + threshold must erase that."""
+    from catenae_stopover_spark.functions.sketches import heavy_hitters
+
+    df = spark.range(0, 20000).select(
+        F.concat(
+            F.lit("v"), F.floor(F.sqrt("id")).cast("string")
+        ).alias("s")
+    )
+    expected = _exact_hitters(df, "s", 200)
+    assert len(expected) > 10  # fixture really has hitters
+    for parts in (1, 7, 32):
+        got = sorted(
+            tuple(r)
+            for r in heavy_hitters(df.repartition(parts), "s", k=200).collect()
+        )
+        assert got == expected
+
+
+def test_heavy_hitters_nul_bytes_and_nulls(spark):
+    """NUL-byte strings must count as themselves (the pandas object
+    hashtable truncates str at NUL — the summary counts UTF-8 bytes),
+    and NULL values must not contribute to N or the result."""
+    from catenae_stopover_spark.functions.sketches import heavy_hitters
+
+    rows = (
+        [("a\x00b",)] * 400
+        + [("",)] * 300
+        + [("rare%d" % i,) for i in range(300)]
+        + [(None,)] * 500
+    )
+    df = spark.createDataFrame(rows, ["s"]).repartition(5)
+    got = {r.item: r.cnt for r in heavy_hitters(df, "s", k=3).collect()}
+    # N = 1000 non-null; threshold N/3 = 333.3 -> only 'a\x00b'
+    assert got == {"a\x00b": 400}
+
+
+def test_heavy_hitters_numeric_column(spark):
+    from catenae_stopover_spark.functions.sketches import heavy_hitters
+
+    df = spark.range(0, 20000).select(F.floor(F.sqrt("id")).alias("v"))
+    expected = _exact_hitters(df, "v", 120)
+    got = sorted(
+        tuple(r)
+        for r in heavy_hitters(df.repartition(9), "v", k=120).collect()
+    )
+    assert got == expected and len(got) > 5

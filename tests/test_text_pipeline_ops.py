@@ -9,6 +9,8 @@ from catenae_stopover_spark.operators.text import (
     split_by_hash,
 )
 
+from conftest import SF_SMOKE
+
 
 def test_normalize_text(spark):
     df = spark.createDataFrame([("  HeLLo\t\n  World  ",)], ["text"])
@@ -219,3 +221,48 @@ def test_pack_documents_cross_engine_contract_second_shard_count(spark):
                 expected[i] = (shard, cum // 100, n_tok)
                 cum += n_tok
         assert got == expected
+
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    import math
+
+    from catenae_stopover_spark.operators.text import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    # corpus: a=2, b=2, c=1, N=5
+    got = {
+        r.doc_id: (r.n_tokens, r.avg_logprob)
+        for r in unigram_logprob(docs).collect()
+    }
+    lp = {w: math.log(c / 5) for w, c in {"a": 2, "b": 2, "c": 1}.items()}
+    exp1 = round((2 * lp["a"] + lp["b"]) / 3, 6)
+    exp2 = round((lp["b"] + lp["c"]) / 2, 6)
+    assert got == {1: (3, exp1), 2: (2, exp2)}
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    """The Bloom pre-filter must never change the answer: tiny m_bits
+    forces real false positives (verify stage load-bearing), and any
+    partitioning of the corpus must give the exact path's result."""
+    from catenae_stopover_spark.operators.text import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    corpus = docs.filter("doc_id >= 20").repartition(7)
+    bench = docs.filter("doc_id < 20")
+    exact = sorted(
+        tuple(r) for r in decontaminate(corpus, bench, n=4).collect()
+    )
+    assert exact  # fixture really overlaps
+    for m_bits in (1 << 8, 1 << 14):
+        got = sorted(
+            tuple(r)
+            for r in decontaminate_bloom(
+                corpus, bench, n=4, m_bits=m_bits, n_hashes=3
+            ).collect()
+        )
+        assert got == exact
