@@ -1,0 +1,134 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for
+min/max file skipping.
+
+Why this exists at 100 TB: parquet scans prune files and row groups by
+min/max statistics, but a table sorted by ONE column only prunes
+predicates on that column — a `user_id` filter over a time-sorted
+events table reads every file. Interleaving the bits of several
+normalized columns into one Morton code and range-partitioning + sorting
+by it gives every participating column locality, so rectangle
+predicates (the common slice-of-users-in-a-time-window shape) skip most
+files on EVERY dimension — the layout trick behind Delta's OPTIMIZE
+ZORDER and ClickHouse's mortonEncode, built here from public Spark
+primitives only.
+
+The Morton code is pure Catalyst bit arithmetic (shift/and/or — stays
+in whole-stage codegen); the write is `repartitionByRange` on the code
+(Spark samples range boundaries, so output files are balanced even for
+skewed inputs) + `sortWithinPartitions` so row groups inside each file
+are tight too. No Python, no driver-side data movement; the only
+driver-side values are the per-column min/max planning scalars, fetched
+once before the rewrite job like any OPTIMIZE-style planner.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_code(
+    cols: list[str],
+    mins: list[float],
+    maxs: list[float],
+    bits: int = 16,
+) -> Column:
+    """Morton code Column interleaving ``bits`` bits of each column,
+    min/max-normalized to [0, 2^bits). ``len(cols) * bits`` must fit a
+    long (<= 63). NULL in any dimension yields NULL (callers sort NULLs
+    to one end, which is exactly where a NULL belongs for skipping)."""
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a long")
+    top = (1 << bits) - 1
+    quantized = []
+    for c, mn, mx in zip(cols, mins, maxs):
+        span = float(mx) - float(mn)
+        if span <= 0:
+            quantized.append(F.lit(0).cast("long"))
+            continue
+        scaled = (F.col(c).cast("double") - float(mn)) / span * top
+        quantized.append(
+            F.least(F.lit(top), F.greatest(F.lit(0), scaled.cast("long")))
+        )
+    parts = [
+        F.shiftleft(
+            F.shiftright(q, b).bitwiseAND(F.lit(1)), b * n + i
+        )
+        for i, q in enumerate(quantized)
+        for b in range(bits)
+    ]
+    return reduce(lambda a, x: a.bitwiseOR(x), parts).alias("__z")
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    by: list[str],
+    num_files: int = 32,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Rewrite ``df`` as parquet clustered by the Z-order of ``by``.
+
+    One planning aggregate (min/max per clustering column — the
+    documented driver-side scalar fetch every OPTIMIZE-style layout job
+    performs) then one ranged, sorted write. Rows with NULL in a
+    clustering column sort last, concentrating them in the tail files.
+    """
+    aggs = []
+    for c in by:
+        aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
+    stats = df.agg(*aggs).collect()[0]  # 2*len(by) planning scalars
+    mins = [stats[2 * i] for i in range(len(by))]
+    maxs = [stats[2 * i + 1] for i in range(len(by))]
+    z = zorder_code(by, mins, maxs, bits=bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, F.col("__z").asc_nulls_last())
+        .sortWithinPartitions(F.col("__z").asc_nulls_last())
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
+def file_minmax_prune_count(
+    path: str, predicates: dict[str, tuple[float, float]]
+) -> tuple[int, int]:
+    """(files_that_could_match, total_files) by parquet FOOTER min/max —
+    the skipping an engine's scan planner gets for free from this
+    layout. A file could match iff for EVERY predicated column its
+    [min, max] intersects the closed interval. Test/inspection helper
+    (driver-side, reads only footers, never data pages)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    ]
+    could = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        hit = True
+        for col, (lo, hi) in predicates.items():
+            cmin, cmax = None, None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[col]).statistics
+                if st is None or not st.has_min_max:
+                    cmin = None
+                    break
+                mn, mx = float(st.min), float(st.max)
+                cmin = mn if cmin is None else min(cmin, mn)
+                cmax = mx if cmax is None else max(cmax, mx)
+            if cmin is not None and (cmax < lo or cmin > hi):
+                hit = False
+                break
+        could += hit
+    return could, len(files)

@@ -2989,6 +2989,71 @@ def q86_decontaminate_bloom(spark, sf_dir):
     )
 
 
+def _zorder_fixture(spark, sf_dir):
+    """Events rewritten Z-ordered by (user_id, ts) — TEST SCAFFOLDING
+    for q87 (the product surface is plans/layout.write_zordered); one
+    rewrite per (source path, mtime), _READY marker written last."""
+    import hashlib
+    import tempfile
+
+    from .plans.layout import write_zordered
+
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = hashlib.md5(
+        f"zorder|{os.path.abspath(sf_dir)}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    root = os.path.join(tempfile.gettempdir(), "csspark-zorder", key)
+    marker = os.path.join(root, "_READY")
+    path = os.path.join(root, "events_z")
+    if not os.path.exists(marker):
+        write_zordered(
+            _t(spark, sf_dir, "events"),
+            path,
+            by=["user_id", "ts"],
+            num_files=16,
+        )
+        with open(marker + ".tmp", "w", encoding="utf-8") as f:
+            f.write("ok")
+        os.replace(marker + ".tmp", marker)
+    return path
+
+
+def q87_zorder_rectangle(spark, sf_dir):
+    """B1/B3 layout depth: a rectangle predicate (user slice x time
+    window — the shape single-column sorting cannot skip on) answered
+    from the Z-ordered rewrite of events (`plans/layout.write_zordered`,
+    Morton-code clustering). The oracle computes the same aggregate
+    from the ORIGINAL parquet, so any row lost/duplicated/reordered by
+    the layout rewrite breaks the value hash; the file-skipping win
+    itself is pinned by tests/test_layout.py footer-stats assertions."""
+    path = _zorder_fixture(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    return (
+        ev.filter(
+            F.col("user_id").between(40, 80)
+            & (F.col("ts") >= F.lit("2024-01-08 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15 00:00:00").cast("timestamp"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
+Q87_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+WHERE user_id BETWEEN 40 AND 80
+  AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -3047,6 +3112,7 @@ QUERIES: dict[str, tuple] = {
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
     "q85_unigram_logprob": (q85_unigram_logprob, Q85_SQL),
     "q86_decontaminate_bloom": (q86_decontaminate_bloom, Q67_SQL),
+    "q87_zorder_rectangle": (q87_zorder_rectangle, Q87_SQL),
     # --- rotations: one representative per operator family that has
     # --- only single-round or fix-bearing history, still in-window ---
     "q22_math_funcs": (q22_math_funcs, Q22_SQL),           # r1 FAIL, fixed r2
@@ -3065,10 +3131,10 @@ QUERIES: dict[str, tuple] = {
     "q51_cogroup_asof": (q51_cogroup_asof, Q51_SQL),
     "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
     "q53_ivf_recall_gate": (q53_ivf_recall_gate, Q53_SQL),
-    "q54_map_funcs": (q54_map_funcs, Q54_SQL),
-    # --- past the driver window: green in BOTH r1 and r2 (q55-q57
-    # --- rotated out late-r3 to make room for q84-q86), rotated out;
+    # --- past the driver window: green in BOTH r1 and r2 (q54-q57
+    # --- rotated out late-r3 to make room for q84-q87), rotated out;
     # --- still covered every round by tools/check_oracle.py locally ---
+    "q54_map_funcs": (q54_map_funcs, Q54_SQL),
     "q55_repetition_stats": (q55_repetition_stats, Q55_SQL),
     "q56_nulls_ordering": (q56_nulls_ordering, Q56_SQL),
     "q57_salted_agg": (q57_salted_agg, Q57_SQL),

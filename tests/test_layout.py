@@ -1,0 +1,110 @@
+"""Z-order layout (plans/layout.py): Morton-code correctness, write
+round-trip, and the actual point — multi-dimensional min/max file
+skipping that a single-column sort cannot give."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.plans.layout import (
+    file_minmax_prune_count,
+    write_zordered,
+    zorder_code,
+)
+
+
+def test_zorder_code_interleaves_bits(spark):
+    # 2 cols x 2 bits, ranges [0,3]: (x,y)=(3,0) -> bits x0,x1 at
+    # positions 0,2 -> 0b0101 = 5; (0,3) -> positions 1,3 -> 0b1010 = 10
+    df = spark.createDataFrame([(3, 0), (0, 3), (3, 3)], ["x", "y"])
+    z = df.select(
+        zorder_code(["x", "y"], [0, 0], [3, 3], bits=2).alias("z"), "x", "y"
+    )
+    got = {(r.x, r.y): r.z for r in z.collect()}
+    assert got == {(3, 0): 5, (0, 3): 10, (3, 3): 15}
+
+
+def test_zorder_locality_beats_lexicographic(spark):
+    """Neighbors in (x, y) space must be near in z — pin the classic
+    2x2 block structure of the Morton curve."""
+    df = spark.range(0, 256).select(
+        (F.col("id") % 16).alias("x"), (F.col("id") / 16).cast("long").alias("y")
+    )
+    rows = df.select(
+        "x", "y", zorder_code(["x", "y"], [0, 0], [15, 15], bits=4).alias("z")
+    ).collect()
+    z = {(r.x, r.y): r.z for r in rows}
+    assert sorted(z.values()) == list(range(256))  # bijection on the grid
+    # any 2x2 aligned block occupies 4 consecutive z values
+    for bx, by in ((0, 0), (4, 2), (14, 8)):
+        block = [z[(bx + dx, by + dy)] for dx in (0, 1) for dy in (0, 1)]
+        assert max(block) - min(block) == 3
+
+
+def test_write_zordered_roundtrip_and_pruning(spark, tmp_path):
+    ev = spark.range(0, 20000).select(
+        (F.col("id") % 150).alias("user_id"),
+        (F.col("id") * 7919 % 100000).alias("t"),
+        F.col("id").alias("event_id"),
+    )
+    linear = str(tmp_path / "linear")
+    zpath = str(tmp_path / "zorder")
+    # the single-sort baseline an events table usually has: time-sorted
+    ev.repartitionByRange(16, "t").sortWithinPartitions("t").write.parquet(
+        linear
+    )
+    write_zordered(ev, zpath, by=["user_id", "t"], num_files=16)
+
+    # row multiset survives the rewrite
+    back = spark.read.parquet(zpath)
+    assert back.count() == 20000
+    assert (
+        back.selectExpr("sum(event_id)", "sum(user_id)").collect()
+        == ev.selectExpr("sum(event_id)", "sum(user_id)").collect()
+    )
+
+    # a user-slice predicate: time-sorted layout cannot skip anything,
+    # z-order must skip most files on the SECOND dimension too
+    user_pred = {"user_id": (40.0, 49.0)}
+    z_hit, z_total = file_minmax_prune_count(zpath, user_pred)
+    l_hit, l_total = file_minmax_prune_count(linear, user_pred)
+    assert z_total == 16 and l_total == 16
+    assert l_hit == 16  # baseline reads everything
+    assert z_hit <= z_total // 2  # layout actually skips
+
+    # rectangle on both dims prunes at least as hard
+    rect = {"user_id": (40.0, 49.0), "t": (0.0, 20000.0)}
+    zr_hit, _ = file_minmax_prune_count(zpath, rect)
+    assert zr_hit <= z_hit
+
+
+def test_zorder_null_dimension_rows_sort_last(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(None, 5)] * 50 + [(i % 20, i % 40) for i in range(2000)],
+        ["a", "b"],
+    )
+    path = str(tmp_path / "z")
+    write_zordered(df, path, by=["a", "b"], num_files=8)
+    back = spark.read.parquet(path)
+    assert back.count() == 2050
+    assert back.filter("a IS NULL").count() == 50
+    # NULL-a rows are concentrated, not smeared across every file
+    null_files = (
+        back.filter("a IS NULL")
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    assert null_files <= 2
+
+
+def test_file_minmax_prune_count_files(spark, tmp_path):
+    p = str(tmp_path / "plain")
+    spark.range(0, 1000).select(F.col("id").alias("v")).repartitionByRange(
+        4, "v"
+    ).write.parquet(p)
+    hit, total = file_minmax_prune_count(p, {"v": (0.0, 10.0)})
+    assert total == 4 and hit == 1
+    assert len([f for f in os.listdir(p) if f.endswith(".parquet")]) == 4
