@@ -45,6 +45,9 @@ def zorder_code(
     top = (1 << bits) - 1
     quantized = []
     for c, mn, mx in zip(cols, mins, maxs):
+        if mn is None or mx is None:  # all-NULL dimension: no spread
+            quantized.append(F.lit(0).cast("long"))
+            continue
         span = float(mx) - float(mn)
         if span <= 0:
             quantized.append(F.lit(0).cast("long"))
@@ -63,6 +66,21 @@ def zorder_code(
     return reduce(lambda a, x: a.bitwiseOR(x), parts).alias("__z")
 
 
+def _dimension_expr(df: DataFrame, col: str) -> Column:
+    """Numeric projection of a clustering column. Timestamps become
+    epoch microseconds and dates become epoch days (both preserve
+    order, which is all Morton quantization needs); everything else
+    casts to double directly."""
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(F.col(col).cast("timestamp")).cast("double")
+    if isinstance(dtype, DateType):
+        return F.datediff(F.col(col), F.lit("1970-01-01")).cast("double")
+    return F.col(col).cast("double")
+
+
 def write_zordered(
     df: DataFrame,
     path: str,
@@ -77,19 +95,26 @@ def write_zordered(
     documented driver-side scalar fetch every OPTIMIZE-style layout job
     performs) then one ranged, sorted write. Rows with NULL in a
     clustering column sort last, concentrating them in the tail files.
+    Timestamp/date clustering columns are projected to epoch
+    micros/days first (order-preserving), so `by=["user_id", "ts"]`
+    works on real event tables.
     """
+    dims = [f"__zd{i}" for i in range(len(by))]
+    projected = df.select(
+        "*", *[_dimension_expr(df, c).alias(d) for c, d in zip(by, dims)]
+    )
     aggs = []
-    for c in by:
-        aggs += [F.min(F.col(c).cast("double")), F.max(F.col(c).cast("double"))]
-    stats = df.agg(*aggs).collect()[0]  # 2*len(by) planning scalars
+    for d in dims:
+        aggs += [F.min(d), F.max(d)]
+    stats = projected.agg(*aggs).collect()[0]  # 2*len(by) planning scalars
     mins = [stats[2 * i] for i in range(len(by))]
     maxs = [stats[2 * i + 1] for i in range(len(by))]
-    z = zorder_code(by, mins, maxs, bits=bits)
+    z = zorder_code(dims, mins, maxs, bits=bits)
     (
-        df.withColumn("__z", z)
+        projected.withColumn("__z", z)
         .repartitionByRange(num_files, F.col("__z").asc_nulls_last())
         .sortWithinPartitions(F.col("__z").asc_nulls_last())
-        .drop("__z")
+        .drop("__z", *dims)
         .write.mode(mode)
         .parquet(path)
     )
