@@ -58,6 +58,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # double's 53-bit mantissa, so float division rounds ~3% of
             # values off by 1µs (caught by q72's exact session bounds).
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # µs-precision fixture variant: TIMESTAMP(MICROS,
+            # isAdjustedToUTC=false) reads as TIMESTAMP_NTZ, which
+            # Spark's epoch functions (unix_millis/unix_micros) and
+            # streaming watermarks refuse. Normalize to the session
+            # TIMESTAMP type — identical wall-clock values in a UTC
+            # session, and the type every downstream operator expects.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 

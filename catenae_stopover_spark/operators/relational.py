@@ -115,6 +115,109 @@ def asof_join(
     )
 
 
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bin_width_s: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join (point-in-interval) as a bin-bucketed EQUI-join.
+
+    ``points BETWEEN start AND end`` written naively is a pure theta
+    join — Spark plans BroadcastNestedLoopJoin (or a cartesian), which
+    is |P|·|I| work and the classic 100 TB cliff. This operator is the
+    standard binning rewrite (the same trick behind Databricks' range
+    join optimization and interval joins in genomics engines, built
+    from public DataFrame primitives):
+
+      * every interval is exploded to the epoch bins it covers
+        (``sequence(floor(start/W), floor(end/W))`` — Catalyst HOF,
+        no Python);
+      * every point maps to exactly ONE bin (``floor(ts/W)``);
+      * equi-join on the bin key, then the exact ``start <= ts <= end``
+        filter.
+
+    Because a point lives in exactly one bin, each qualifying
+    (point, interval) pair is produced exactly once — no dedup pass.
+    Cost: one shuffle on the bin key; interval replication is
+    ``span/W + 1`` rows, so pick ``bin_width_s`` near the median
+    interval span. Skewed bins (rush hour) split under AQE skew-join.
+
+    ``how='left'`` keeps unmatched points with NULL interval columns
+    (anti-bin pairs can't exist, so the left join on bin + pair filter
+    is done with a post-filter + distinct-free union of unmatched).
+    Inclusive on both ends. Column names must be disjoint.
+    """
+    overlap = set(points.columns) & set(intervals.columns)
+    if overlap:
+        raise ValueError(f"rename overlapping columns: {sorted(overlap)}")
+    if bin_width_s <= 0:
+        raise ValueError("bin_width_s must be positive")
+    width_us = F.lit(int(bin_width_s) * 1_000_000)
+
+    def _us(c: str) -> Column:  # NTZ-tolerant epoch micros
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    p_bin = F.floor(_us(point_ts) / width_us)
+    i_lo = F.floor(_us(start_ts) / width_us)
+    i_hi = F.floor(_us(end_ts) / width_us)
+
+    pts = points.withColumn("__bin", p_bin)
+    ivs = intervals.withColumn(
+        "__bin", F.explode(F.sequence(i_lo, i_hi))
+    )
+    joined = pts.join(ivs, on="__bin", how="inner").filter(
+        (F.col(point_ts) >= F.col(start_ts))
+        & (F.col(point_ts) <= F.col(end_ts))
+    )
+    if how == "inner":
+        return joined.drop("__bin")
+    if how == "left":
+        matched_keys = joined.select(*points.columns).distinct()
+        unmatched = points.join(
+            matched_keys, on=points.columns, how="left_anti"
+        )
+        null_iv = [
+            F.lit(None).cast(intervals.schema[c].dataType).alias(c)
+            for c in intervals.columns
+        ]
+        return joined.drop("__bin").unionByName(
+            unmatched.select(*points.columns, *null_iv)
+        )
+    raise ValueError(f"how must be inner|left, got {how!r}")
+
+
+def compact_changelog(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[Column],
+    delete_when: Column | None = None,
+) -> DataFrame:
+    """CDC changelog compaction (latest-wins upsert, the batch form of
+    a MERGE INTO target): keep each key's newest row by ``seq_cols``,
+    then drop keys whose final row matches ``delete_when`` (tombstone).
+
+    This is how a 100 TB pipeline materializes a snapshot from an
+    append-only change stream: ONE shuffle on the key (row_number over
+    a per-key window), no join against the previous snapshot. The
+    window sort is per-key; skew is bounded by the busiest key's change
+    count (use salted pre-aggregation upstream if a single key's
+    history itself doesn't fit a partition).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*[c.desc() for c in seq_cols])
+    latest = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if delete_when is not None:
+        latest = latest.filter(~F.coalesce(delete_when, F.lit(False)))
+    return latest
+
+
 def hierarchical_rollup(
     df: DataFrame,
     keys: list[str],

@@ -1,0 +1,92 @@
+"""Time-series regularization: resample to a fixed grid, fill gaps,
+forward-fill values (the hypertable "time_bucket + gapfill + locf"
+family, re-expressed as Catalyst plans).
+
+Why it matters at 100 TB: training pipelines and feature stores need
+per-entity series on a REGULAR grid (models consume fixed-rate
+windows), but raw event tables are irregular and gappy. Doing this
+with a driver-side loop or per-row UDF is the classic scale mistake;
+here the grid itself is generated distributedly (``sequence`` +
+``explode`` — a Catalyst HOF that runs inside codegen, one output row
+per grid cell, no Python), and fill is a per-key window function.
+
+Shuffle budget: one shuffle for the bucket aggregation, one for the
+per-key grid join, one window sort for the fill — all on the same key,
+so AQE/exchange reuse collapses what it can. Per-key grid size is
+``(max-min)/step``; keys with absurd spans produce proportional rows,
+which is visible (row counts), not a hidden blow-up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    agg_exprs: list[Column],
+    step_s: int,
+    fill_cols: list[str] | None = None,
+) -> DataFrame:
+    """Resample ``df`` onto a fixed ``step_s``-second grid per key and
+    forward-fill gaps.
+
+    * bucket = ``floor(epoch_us(ts) / step)`` rendered back as a
+      timestamp column ``bucket_ts`` (grid-aligned, µs-exact);
+    * ``agg_exprs`` aggregate rows within each (key, bucket) — e.g.
+      ``F.avg("value").alias("avg_value")``;
+    * every key's grid spans its own [min bucket, max bucket] — gaps
+      appear as rows with NULL aggregates and ``is_gap = true``;
+    * ``fill_cols`` (default: every aggregate column) are
+      forward-filled with ``last(col, ignorenulls)`` over the per-key
+      bucket order — the LOCF fill.
+
+    Rows with NULL ``ts_col`` are dropped (no grid position). Output:
+    key_cols + bucket_ts + aggregates (+ ``is_gap``).
+    """
+    if step_s <= 0:
+        raise ValueError("step_s must be positive")
+    step_us = int(step_s) * 1_000_000
+    bucket = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(step_us)
+    )
+
+    bucketed = (
+        df.filter(F.col(ts_col).isNotNull())
+        .withColumn("__bucket", bucket)
+        .groupBy(*key_cols, "__bucket")
+        .agg(*agg_exprs)
+    )
+    agg_cols = [c for c in bucketed.columns if c not in (*key_cols, "__bucket")]
+    fill = fill_cols if fill_cols is not None else agg_cols
+
+    # Distributed grid: one row per (key, bucket) over each key's span.
+    grid = (
+        bucketed.groupBy(*key_cols)
+        .agg(F.min("__bucket").alias("__lo"), F.max("__bucket").alias("__hi"))
+        .select(
+            *key_cols,
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"))).alias("__bucket"),
+        )
+    )
+    full = grid.join(bucketed, on=[*key_cols, "__bucket"], how="left")
+
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = full.withColumn(
+        "is_gap", F.col(agg_cols[0]).isNull() if agg_cols else F.lit(False)
+    )
+    for c in fill:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.select(
+        *key_cols,
+        F.timestamp_micros(F.col("__bucket") * F.lit(step_us)).alias("bucket_ts"),
+        *agg_cols,
+        "is_gap",
+    )

@@ -3054,6 +3054,227 @@ GROUP BY event_type
 """
 
 
+def _session_intervals(spark, sf_dir):
+    """Per-user session intervals (q35's sessionization grouped to
+    [start, end] bounds) — shared fixture for the range-join query."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = 30 * 60 * 1000
+    return (
+        ev.withColumn("prev_ms", F.lag(F.unix_millis("ts")).over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ms").isNull()
+                | ((F.unix_millis("ts") - F.col("prev_ms")) > gap_ms)
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(F.col("user_id").alias("s_user"), "session_no")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+
+
+def q88_range_join_sessions(spark, sf_dir):
+    """B14 scale form — point-in-interval RANGE JOIN via bin bucketing
+    (`operators/relational.interval_point_join`): for every purchase
+    event, how many sessions (any user) were active at that instant.
+    Written naively (`ts BETWEEN s_start AND s_end` with no equi-key)
+    Spark plans a BroadcastNestedLoopJoin; the operator rewrites it as
+    an equi-join on covering epoch bins, so the same query survives
+    100x. The oracle runs the naive BETWEEN join in DuckDB."""
+    from .operators.relational import interval_point_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    sessions = _session_intervals(spark, sf_dir)
+    joined = interval_point_join(
+        purchases, sessions, "p_ts", "s_start", "s_end", bin_width_s=3600
+    )
+    return joined.groupBy("purchase_id").agg(
+        F.count("*").alias("n_active_sessions")
+    )
+
+
+Q88_SQL = """
+WITH marked AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN LAG(EPOCH_MS(ts)) OVER w IS NULL
+                  OR EPOCH_MS(ts) - LAG(EPOCH_MS(ts)) OVER w > 1800000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+    FROM marked
+), sessions AS (
+    SELECT user_id, session_no, MIN(ts) AS s_start, MAX(ts) AS s_end
+    FROM numbered GROUP BY user_id, session_no
+)
+SELECT e.event_id AS purchase_id, COUNT(*) AS n_active_sessions
+FROM events e JOIN sessions s
+  ON e.ts BETWEEN s.s_start AND s.s_end
+WHERE e.event_type = 'purchase'
+GROUP BY e.event_id
+"""
+
+
+def q89_resample_ffill(spark, sf_dir):
+    """Hypertable-style resample + gapfill + LOCF
+    (`operators/timeseries.resample_ffill`): per-user DAILY average
+    event value on a regular grid spanning each user's own range,
+    missing days forward-filled and flagged. The grid is generated
+    distributedly (sequence+explode per key); the oracle rebuilds it
+    with generate_series."""
+    from .operators.timeseries import resample_ffill
+
+    ev = _t(spark, sf_dir, "events")
+    return resample_ffill(
+        ev,
+        ["user_id"],
+        "ts",
+        [F.round(F.avg("value"), 4).alias("avg_value")],
+        step_s=86400,
+    )
+
+
+Q89_SQL = """
+WITH b AS (
+    SELECT user_id,
+           CAST(FLOOR(EPOCH_US(ts) / 86400000000) AS BIGINT) AS bucket,
+           ROUND(AVG(value), 4) AS avg_value
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY user_id, bucket
+), spans AS (
+    SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY user_id
+), grid AS (
+    SELECT user_id, UNNEST(GENERATE_SERIES(lo, hi)) AS bucket FROM spans
+)
+SELECT g.user_id,
+       MAKE_TIMESTAMP(g.bucket * 86400000000) AS bucket_ts,
+       LAST_VALUE(b.avg_value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+       b.avg_value IS NULL AS is_gap
+FROM grid g LEFT JOIN b ON g.user_id = b.user_id AND g.bucket = b.bucket
+"""
+
+
+def q90_tfidf_keywords(spark, sf_dir):
+    """B52 depth — per-document top-3 TF-IDF keywords
+    (`operators/text.tfidf_top_terms`). Scores are rounded BEFORE
+    ranking so the order is engine-independent (tf-idf genuinely
+    ties); ties break on the term. The oracle recomputes the full
+    model in SQL."""
+    from .operators.text import tfidf_top_terms
+
+    return tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), k=3, round_to=6
+    )
+
+
+Q90_SQL = r"""
+WITH words AS (
+    SELECT doc_id,
+           UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+    SELECT COUNT(DISTINCT doc_id) AS n FROM tf
+)
+SELECT doc_id, term, tf,
+       ROUND(tf * LN(n / df), 6) AS score,
+       ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY ROUND(tf * LN(n / df), 6) DESC, term ASC) AS term_rank
+FROM tf JOIN dfreq USING (term), n
+QUALIFY term_rank <= 3
+"""
+
+
+def q91_cdc_compaction(spark, sf_dir):
+    """CDC changelog compaction / latest-wins MERGE
+    (`operators/relational.compact_changelog`): events replayed as a
+    per-user change stream — keep each user's newest row by
+    (ts, event_id), drop users whose final event is a tombstone
+    (event_type = 'error'). One shuffle, no join against a previous
+    snapshot. The oracle is the ROW_NUMBER() = 1 form."""
+    from .operators.relational import compact_changelog
+
+    ev = _t(spark, sf_dir, "events")
+    snap = compact_changelog(
+        ev,
+        ["user_id"],
+        [F.col("ts"), F.col("event_id")],
+        delete_when=F.col("event_type") == "error",
+    )
+    return snap.select(
+        "user_id",
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 4).alias("last_value"),
+    )
+
+
+Q91_SQL = """
+WITH ranked AS (
+    SELECT user_id, ts, event_id, event_type, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id,
+       ts AS last_ts,
+       event_type AS last_type,
+       ROUND(value, 4) AS last_value
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def q92_analytic_battery(spark, sf_dir):
+    """B22/B24 depth — the remaining analytic window functions in one
+    query: ntile quartiles, percent_rank, cume_dist over customers
+    ranked by account balance within market segment. Rounded to 6
+    (both are exact rationals of row counts, so rounding is belt and
+    braces for the double division)."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+Q92_SQL = """
+SELECT c_custkey, c_mktsegment,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -3113,27 +3334,31 @@ QUERIES: dict[str, tuple] = {
     "q85_unigram_logprob": (q85_unigram_logprob, Q85_SQL),
     "q86_decontaminate_bloom": (q86_decontaminate_bloom, Q67_SQL),
     "q87_zorder_rectangle": (q87_zorder_rectangle, Q87_SQL),
+    "q88_range_join_sessions": (q88_range_join_sessions, Q88_SQL),
+    "q89_resample_ffill": (q89_resample_ffill, Q89_SQL),
+    "q90_tfidf_keywords": (q90_tfidf_keywords, Q90_SQL),
+    "q91_cdc_compaction": (q91_cdc_compaction, Q91_SQL),
+    "q92_analytic_battery": (q92_analytic_battery, Q92_SQL),
     # --- rotations: one representative per operator family that has
     # --- only single-round or fix-bearing history, still in-window ---
     "q22_math_funcs": (q22_math_funcs, Q22_SQL),           # r1 FAIL, fixed r2
     "q27_exact_dedup": (q27_exact_dedup, Q27_SQL),         # r1 FAIL, fixed r2
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),     # reimplemented r2 (hierarchical_rollup)
-    # genuinely streaming-executed (Structured Streaming replay) with
-    # SQL oracles — complete/update mode makes results batch-equal
-    "q44_stream_tumbling_hourly": (q44_stream_tumbling_hourly, Q44_SQL),
-    "q45_stream_sessionize": (q45_stream_sessionize, Q45_SQL),
-    "q46_stream_stateful_counts": (q46_stream_stateful_counts, Q46_SQL),
-    "q47_stream_dedup": (q47_stream_dedup, Q47_SQL),
     # Python UDF surface (Arrow-batched; B45-B48)
-    "q48_grouped_map_zscore": (q48_grouped_map_zscore, Q48_SQL),
     "q49_udaf_weighted_avg": (q49_udaf_weighted_avg, Q49_SQL),
     "q50_udtf_split_words": (q50_udtf_split_words, Q50_SQL),
     "q51_cogroup_asof": (q51_cogroup_asof, Q51_SQL),
     "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
     "q53_ivf_recall_gate": (q53_ivf_recall_gate, Q53_SQL),
     # --- past the driver window: green in BOTH r1 and r2 (q54-q57
-    # --- rotated out late-r3 to make room for q84-q87), rotated out;
+    # --- rotated out late-r3 to make room for q84-q87; q44-q48 for
+    # --- q88-q92), rotated out;
     # --- still covered every round by tools/check_oracle.py locally ---
+    "q44_stream_tumbling_hourly": (q44_stream_tumbling_hourly, Q44_SQL),
+    "q45_stream_sessionize": (q45_stream_sessionize, Q45_SQL),
+    "q46_stream_stateful_counts": (q46_stream_stateful_counts, Q46_SQL),
+    "q47_stream_dedup": (q47_stream_dedup, Q47_SQL),
+    "q48_grouped_map_zscore": (q48_grouped_map_zscore, Q48_SQL),
     "q54_map_funcs": (q54_map_funcs, Q54_SQL),
     "q55_repetition_stats": (q55_repetition_stats, Q55_SQL),
     "q56_nulls_ordering": (q56_nulls_ordering, Q56_SQL),

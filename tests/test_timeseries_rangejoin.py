@@ -1,0 +1,205 @@
+"""Tests for interval_point_join (bin-bucketed range join),
+resample_ffill (grid + LOCF), compact_changelog (CDC latest-wins),
+and tfidf_top_terms — the round-3 relational/timeseries additions."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.operators.relational import (
+    compact_changelog,
+    interval_point_join,
+)
+from catenae_stopover_spark.operators.timeseries import resample_ffill
+
+
+def _ts(s: str):
+    return dt.datetime.fromisoformat(s)
+
+
+# ------------------------------------------------------------------
+# interval_point_join
+# ------------------------------------------------------------------
+
+@pytest.fixture()
+def pts_ivs(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 00:30:00")),  # inside A
+            (2, _ts("2024-01-01 02:00:00")),  # boundary end of A (inclusive)
+            (3, _ts("2024-01-01 05:00:00")),  # inside B only
+            (4, _ts("2024-01-02 00:00:00")),  # matches nothing
+            (5, _ts("2024-01-01 00:00:00")),  # boundary start of A
+        ],
+        "p_id int, p_ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            ("A", _ts("2024-01-01 00:00:00"), _ts("2024-01-01 02:00:00")),
+            ("B", _ts("2024-01-01 01:30:00"), _ts("2024-01-01 06:00:00")),
+            ("C", _ts("2024-01-03 00:00:00"), _ts("2024-01-03 01:00:00")),
+        ],
+        "iv_id string, s timestamp, e timestamp",
+    )
+    return points, intervals
+
+
+def test_interval_point_join_inner(spark, pts_ivs):
+    points, intervals = pts_ivs
+    got = {
+        (r.p_id, r.iv_id)
+        for r in interval_point_join(
+            points, intervals, "p_ts", "s", "e", bin_width_s=3600
+        ).collect()
+    }
+    # Inclusive both ends; intervals spanning multiple bins matched
+    # exactly once per qualifying point.
+    assert got == {(1, "A"), (2, "A"), (2, "B"), (3, "B"), (5, "A")}
+
+
+def test_interval_point_join_no_duplicate_pairs(spark, pts_ivs):
+    points, intervals = pts_ivs
+    # A tiny bin width forces every interval across MANY bins — pairs
+    # must still be unique because a point owns exactly one bin.
+    out = interval_point_join(
+        points, intervals, "p_ts", "s", "e", bin_width_s=60
+    )
+    n, distinct_n = out.count(), out.distinct().count()
+    assert n == distinct_n == 5
+
+
+def test_interval_point_join_left_keeps_unmatched(spark, pts_ivs):
+    points, intervals = pts_ivs
+    out = interval_point_join(
+        points, intervals, "p_ts", "s", "e", bin_width_s=3600, how="left"
+    )
+    rows = {(r.p_id, r.iv_id) for r in out.collect()}
+    assert (4, None) in rows
+    assert len(rows) == 6  # 5 matches + 1 null-extended
+
+
+def test_interval_point_join_equi_plan_no_nested_loop(spark, pts_ivs):
+    points, intervals = pts_ivs
+    plan = interval_point_join(
+        points, intervals, "p_ts", "s", "e", bin_width_s=3600
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_point_join_rejects_overlapping_columns(spark, pts_ivs):
+    points, _ = pts_ivs
+    with pytest.raises(ValueError, match="overlapping"):
+        interval_point_join(points, points, "p_ts", "p_ts", "p_ts")
+
+
+# ------------------------------------------------------------------
+# resample_ffill
+# ------------------------------------------------------------------
+
+def test_resample_ffill_fills_gaps_locf(spark):
+    df = spark.createDataFrame(
+        [
+            ("a", _ts("2024-01-01 00:10:00"), 1.0),
+            ("a", _ts("2024-01-01 00:20:00"), 3.0),
+            # 01:xx missing entirely -> gap bucket
+            ("a", _ts("2024-01-01 02:05:00"), 5.0),
+            ("b", _ts("2024-01-01 00:00:00"), 7.0),
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = resample_ffill(
+        df, ["k"], "ts", [F.avg("v").alias("avg_v")], step_s=3600
+    )
+    rows = {
+        (r.k, r.bucket_ts.isoformat(), r.avg_v, r.is_gap)
+        for r in out.collect()
+    }
+    assert rows == {
+        ("a", "2024-01-01T00:00:00", 2.0, False),
+        ("a", "2024-01-01T01:00:00", 2.0, True),   # gap, LOCF from 00:00
+        ("a", "2024-01-01T02:00:00", 5.0, False),
+        ("b", "2024-01-01T00:00:00", 7.0, False),
+    }
+
+
+def test_resample_ffill_drops_null_ts_and_single_bucket_key(spark):
+    df = spark.createDataFrame(
+        [("a", None, 9.0), ("a", _ts("2024-01-01 00:00:30"), 4.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = resample_ffill(
+        df, ["k"], "ts", [F.avg("v").alias("avg_v")], step_s=60
+    ).collect()
+    assert len(out) == 1 and out[0].avg_v == 4.0 and not out[0].is_gap
+
+
+# ------------------------------------------------------------------
+# compact_changelog
+# ------------------------------------------------------------------
+
+def test_compact_changelog_latest_wins_and_tombstones(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10, "upsert", 1.0),
+            (1, 20, "upsert", 2.0),   # final for key 1
+            (2, 10, "upsert", 3.0),
+            (2, 30, "delete", 0.0),   # final for key 2 -> dropped
+            (3, 5, "delete", 0.0),
+            (3, 6, "upsert", 9.0),    # delete then re-insert -> kept
+        ],
+        "k int, seq int, op string, v double",
+    )
+    out = compact_changelog(
+        df, ["k"], [F.col("seq")], delete_when=F.col("op") == "delete"
+    )
+    rows = {(r.k, r.seq, r.v) for r in out.collect()}
+    assert rows == {(1, 20, 2.0), (3, 6, 9.0)}
+
+
+def test_compact_changelog_tie_break_by_second_seq(spark):
+    df = spark.createDataFrame(
+        [(1, 10, 1, "x"), (1, 10, 2, "y")], "k int, seq int, sub int, v string"
+    )
+    out = compact_changelog(df, ["k"], [F.col("seq"), F.col("sub")])
+    assert [r.v for r in out.collect()] == ["y"]
+
+
+# ------------------------------------------------------------------
+# tfidf_top_terms
+# ------------------------------------------------------------------
+
+def test_tfidf_prefers_rare_terms(spark):
+    from catenae_stopover_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 common"),
+            (2, "common rare2"),
+            (3, "common common"),
+        ],
+        "doc_id int, text string",
+    )
+    out = tfidf_top_terms(docs, k=1)
+    top = {r.doc_id: r.term for r in out.collect()}
+    # 'common' appears in every doc -> idf 0; the rare term wins.
+    assert top[1] == "rare1" and top[2] == "rare2"
+    # doc 3 has only idf-0 terms; deterministic tie-break still yields a row
+    assert top[3] == "common"
+
+
+def test_tfidf_rank_is_dense_per_doc(spark):
+    from catenae_stopover_spark.operators.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a a b")], "doc_id int, text string"
+    )
+    out = tfidf_top_terms(docs, k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.term_rank)
+    for ranks in by_doc.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))

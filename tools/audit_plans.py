@@ -42,6 +42,8 @@ ACCEPTED = {
     "q77_pq_recall_gate": "cross of two 1-row aggregates (recall x mse)",
     "q81_hll_rollup_gate": "5-row coarse level x 1-row fine_ok gate",
     "q82_kll_quantile_gate": "3-row estimate table broadcast for rank check",
+    # N (document count) attached as a broadcast 1-row scalar
+    "q90_tfidf_keywords": "broadcast of a 1-row doc-count scalar onto tf",
 }
 
 
