@@ -1,4 +1,13 @@
 from .hashes import blake2b_256_col, blake2b_512_col, sha3_512_col
+from .sketches import (
+    cms_build,
+    cms_merge,
+    cms_point_estimates,
+    heavy_hitters,
+    hll_distinct_rollup,
+    kll_quantiles,
+    theta_distinct,
+)
 from .vectors import cosine_similarity, dot_product, l2_norm
 
 __all__ = [
@@ -8,4 +17,11 @@ __all__ = [
     "cosine_similarity",
     "dot_product",
     "l2_norm",
+    "cms_build",
+    "cms_merge",
+    "cms_point_estimates",
+    "heavy_hitters",
+    "hll_distinct_rollup",
+    "kll_quantiles",
+    "theta_distinct",
 ]

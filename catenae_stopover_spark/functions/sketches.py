@@ -147,6 +147,91 @@ def heavy_hitters(df: DataFrame, col: str, k: int = 100) -> DataFrame:
     )
 
 
+def _cms_hash_pairs(col: str, width: int, depth: int, seed: int):
+    """(row, bucket) probe pairs for one value: depth independent
+    xxhash64 draws (salted by row index), each reduced mod width."""
+    return [
+        F.struct(
+            F.lit(i).alias("row"),
+            F.pmod(
+                F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(width)
+            ).alias("bucket"),
+        )
+        for i in range(depth)
+    ]
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-min sketch of ``col``'s frequency distribution, stored as
+    a (row, bucket, cnt) TABLE of at most depth x width rows.
+
+    The table form is what makes the sketch distribution-native:
+    building it is one explode (depth rows per input value — pure
+    Catalyst) + one groupBy whose output is bounded by depth x width
+    regardless of input size, and MERGING two sketches is
+    ``union -> groupBy -> sum`` (:func:`cms_merge`) — the mergeability
+    that lets per-partition / per-day sketches roll up without
+    re-reading raw data, same as the HLL/KLL/theta family above.
+
+    Standard guarantees (Cormode & Muthukrishnan): every point
+    estimate >= the true count (deterministic, collisions only ever
+    add), and <= true + (e/width) * N with probability
+    1 - (1/e)^depth per item. NULLs are excluded.
+    """
+    probes = df.filter(F.col(col).isNotNull()).select(
+        F.explode(F.array(*_cms_hash_pairs(col, width, depth, seed))).alias(
+            "__p"
+        )
+    )
+    return (
+        probes.select("__p.row", "__p.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS tables built with the SAME (width, depth, seed):
+    cellwise sum. Shuffle volume is bounded by depth x width per
+    input sketch, never by the data the sketches summarize."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_point_estimates(
+    sketch: DataFrame,
+    items: DataFrame,
+    col: str,
+    width: int = 2048,
+    depth: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Point-query a CMS table for every row of ``items[col]``:
+    min over the item's depth cells (absent cell = 0). The sketch side
+    is <= depth x width rows, so the probe join broadcasts — querying
+    a million items is one map-side join, no shuffle of the sketch."""
+    probes = items.select(
+        F.col(col),
+        F.explode(F.array(*_cms_hash_pairs(col, width, depth, seed))).alias(
+            "__p"
+        ),
+    ).select(col, "__p.row", "__p.bucket")
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
+        .withColumn("cnt", F.coalesce("cnt", F.lit(0)))
+        .groupBy(col)
+        .agg(F.min("cnt").alias("est"))
+    )
+
+
 def theta_distinct(df: DataFrame, col: str, *group_keys: str) -> DataFrame:
     """Theta-sketch distinct estimate per group (empty ``group_keys``
     = global). Theta sketches additionally support set INTERSECTION

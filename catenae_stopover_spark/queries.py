@@ -3275,6 +3275,55 @@ WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
 """
 
 
+def q93_cms_bound_gate(spark, sf_dir):
+    """B18 extended — count-min sketch (`functions/sketches.cms_build`
+    / `cms_point_estimates`): table-backed mergeable frequency sketch.
+    width=256 over ~2000 part keys forces real collisions, so the gate
+    exercises what CMS actually guarantees: every estimate >= the true
+    count (deterministic — collisions only add), and the (e/width)*N
+    overestimate bound holds for >= 98% of keys (per-key failure prob
+    is (1/e)^depth ~ 0.7%). n_items / n_total are REAL oracle columns
+    recomputed by DuckDB; the booleans are the gate. Merge-vs-direct
+    equality is pinned by tests/test_sketches.py."""
+    import math
+
+    from .functions.sketches import cms_build, cms_point_estimates
+
+    W, D = 256, 5
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_partkey").isNotNull())
+    sketch = cms_build(li, "l_partkey", width=W, depth=D)
+    items = li.select("l_partkey").distinct()
+    est = cms_point_estimates(sketch, items, "l_partkey", width=W, depth=D)
+    exact = li.groupBy("l_partkey").agg(F.count("*").alias("__exact"))
+    joined = est.join(exact, "l_partkey").withColumn(
+        "__n", F.sum("__exact").over(Window.partitionBy())
+    )
+    slack = F.ceil(F.lit(math.e / W) * F.col("__n"))
+    return joined.agg(
+        F.count("*").alias("n_items"),
+        F.max("__n").alias("n_total"),
+        F.bool_and(F.col("est") >= F.col("__exact")).alias(
+            "all_overestimate"
+        ),
+        (
+            F.avg(
+                (F.col("est") <= F.col("__exact") + slack).cast("double")
+            )
+            >= 0.98
+        ).alias("bound_ok"),
+    )
+
+
+Q93_SQL = """
+SELECT COUNT(DISTINCT l_partkey) AS n_items,
+       COUNT(*) AS n_total,
+       TRUE AS all_overestimate,
+       TRUE AS bound_ok
+FROM lineitem
+WHERE l_partkey IS NOT NULL
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -3339,13 +3388,12 @@ QUERIES: dict[str, tuple] = {
     "q90_tfidf_keywords": (q90_tfidf_keywords, Q90_SQL),
     "q91_cdc_compaction": (q91_cdc_compaction, Q91_SQL),
     "q92_analytic_battery": (q92_analytic_battery, Q92_SQL),
+    "q93_cms_bound_gate": (q93_cms_bound_gate, Q93_SQL),
     # --- rotations: one representative per operator family that has
     # --- only single-round or fix-bearing history, still in-window ---
     "q22_math_funcs": (q22_math_funcs, Q22_SQL),           # r1 FAIL, fixed r2
     "q27_exact_dedup": (q27_exact_dedup, Q27_SQL),         # r1 FAIL, fixed r2
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),     # reimplemented r2 (hierarchical_rollup)
-    # Python UDF surface (Arrow-batched; B45-B48)
-    "q49_udaf_weighted_avg": (q49_udaf_weighted_avg, Q49_SQL),
     "q50_udtf_split_words": (q50_udtf_split_words, Q50_SQL),
     "q51_cogroup_asof": (q51_cogroup_asof, Q51_SQL),
     "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
@@ -3359,6 +3407,7 @@ QUERIES: dict[str, tuple] = {
     "q46_stream_stateful_counts": (q46_stream_stateful_counts, Q46_SQL),
     "q47_stream_dedup": (q47_stream_dedup, Q47_SQL),
     "q48_grouped_map_zscore": (q48_grouped_map_zscore, Q48_SQL),
+    "q49_udaf_weighted_avg": (q49_udaf_weighted_avg, Q49_SQL),
     "q54_map_funcs": (q54_map_funcs, Q54_SQL),
     "q55_repetition_stats": (q55_repetition_stats, Q55_SQL),
     "q56_nulls_ordering": (q56_nulls_ordering, Q56_SQL),

@@ -155,3 +155,58 @@ def test_heavy_hitters_numeric_column(spark):
         for r in heavy_hitters(df.repartition(9), "v", k=120).collect()
     )
     assert got == expected and len(got) > 5
+
+
+# ------------------------------------------------------------------
+# count-min sketch
+# ------------------------------------------------------------------
+
+def test_cms_merge_equals_direct_build(spark):
+    """The mergeability contract: sketching two halves and merging
+    must produce the IDENTICAL cell table as sketching the whole
+    (counts are exact sums; the hash layout is deterministic)."""
+    from catenae_stopover_spark.functions.sketches import cms_build, cms_merge
+
+    whole = spark.range(0, 5000).select((F.col("id") % 97).alias("v"))
+    a = spark.range(0, 2500).select((F.col("id") % 97).alias("v"))
+    b = spark.range(2500, 5000).select((F.col("id") % 97).alias("v"))
+    W, D = 64, 4
+    direct = cms_build(whole, "v", width=W, depth=D)
+    merged = cms_merge(
+        cms_build(a, "v", width=W, depth=D), cms_build(b, "v", width=W, depth=D)
+    )
+    as_set = lambda df: {(r.row, r.bucket, r.cnt) for r in df.collect()}
+    assert as_set(direct) == as_set(merged)
+
+
+def test_cms_estimates_never_undercount(spark):
+    from catenae_stopover_spark.functions.sketches import (
+        cms_build,
+        cms_point_estimates,
+    )
+
+    df = spark.range(0, 30000).select(
+        F.floor(F.pow(F.col("id") % 100, 1.5)).alias("v")  # skewed counts
+    )
+    W, D = 32, 4  # tiny width -> heavy collisions
+    sk = cms_build(df, "v", width=W, depth=D)
+    assert sk.count() <= W * D
+    items = df.select("v").distinct()
+    est = cms_point_estimates(sk, items, "v", width=W, depth=D)
+    exact = df.groupBy("v").agg(F.count("*").alias("c"))
+    bad = est.join(exact, "v").filter(F.col("est") < F.col("c")).count()
+    assert bad == 0  # overestimate-only is deterministic
+
+
+def test_cms_exact_when_no_collisions(spark):
+    from catenae_stopover_spark.functions.sketches import (
+        cms_build,
+        cms_point_estimates,
+    )
+
+    df = spark.range(0, 1000).select((F.col("id") % 7).alias("v"))
+    sk = cms_build(df, "v", width=4096, depth=5)
+    est = cms_point_estimates(sk, df.select("v").distinct(), "v", width=4096, depth=5)
+    exact = {r.v: r.c for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    for r in est.collect():
+        assert r.est == exact[r.v]
