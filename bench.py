@@ -56,6 +56,9 @@ BENCH = {
     # of the persisted IVF index (built offline before timing, like any
     # database index). Recall gated by q53.
     "q7b_ivf_topk_serve": "q76_ivf_topk_serve",
+    # bin-bucketed range join (purchases x active session intervals) vs
+    # DuckDB's IEJoin on the naive BETWEEN form (same oracle SQL).
+    "q8_range_join": "q88_range_join_sessions",
 }
 
 # DuckDB comparison SQL for bench entries whose registry oracle is None

@@ -21,9 +21,17 @@ def topk_per_group(
     """Top-k rows per group (B22+B26): row_number over a per-group
     window, filtered to <= k.
 
-    Scale: a rank-within-partition is a single shuffle on group_cols;
-    skewed groups are handled by AQE. For global top-k use orderBy +
-    limit instead (Spark does a distributed TakeOrdered).
+    Scale: this LOOKS like it serializes onto |groups| reducers when
+    the group count is tiny (5 priority groups over 15M rows at 100x),
+    but Spark 4's optimizer inserts a Partial ``WindowGroupLimit``
+    below the exchange — every input partition locally keeps only the
+    k best rows per group, so the shuffle carries <= k x |groups| rows
+    per map partition and the reducer sort is trivial. A hand-salted
+    two-phase pre-pass (window over (group, hash % N)) was measured at
+    100x and is a 6x PESSIMIZATION here (42s vs 7.4s: it defeats the
+    single-pass group-limit pushdown and pays a second full window) —
+    don't re-add it; see SCALING.md round 3. For global top-k use
+    orderBy + limit instead (a distributed TakeOrdered).
     """
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
     return (
