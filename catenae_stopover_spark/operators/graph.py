@@ -1,0 +1,83 @@
+"""Iterative graph algorithms as declarative join plans (the family
+`dedup.connected_components` opened: fixed-point computations where
+each round is a Catalyst-planned shuffle, not a driver loop over
+collected data).
+
+PageRank here is the power-iteration form every distributed engine
+uses (GraphX, Pregel-style systems): rank mass flows along out-edges
+each round. Re-expressed as DataFrame joins it inherits Spark's
+machinery for free — AQE picks broadcast vs shuffle per round as the
+rank table shrinks or grows, and `localCheckpoint` truncates the
+growing lineage exactly as in connected_components.
+
+At 100 TB the per-round cost is one equi-join of edges against ranks
+(shuffle keyed by src, the natural edge partitioning) plus one
+aggregation keyed by dst — both linear in |E|; rounds are fixed and
+small. No driver-side collection anywhere: even |V| travels as a
+broadcast 1-row aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 5,
+    checkpoint_every: int = 3,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    ``pr_{t+1}(v) = (1-d)/N + d * sum_{u->v} pr_t(u) / outdeg(u)``
+
+    The simple variant (no dangling-mass redistribution): nodes
+    without out-edges absorb rank. Callers whose graphs are
+    symmetric — e.g. near-duplicate pair graphs, where every edge is
+    mirrored — have no dangling nodes and lose nothing. N is attached
+    as a broadcast 1-row aggregate so the whole computation stays
+    collect-free; every ``checkpoint_every`` rounds the rank table is
+    localCheckpoint-ed to truncate lineage (same rationale as
+    connected_components' per-round checkpoint).
+
+    Returns (node, pr). Deterministic up to floating-point summation
+    order; round before hashing across engines.
+    """
+    out_deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    n_df = nodes.agg(F.count("*").alias("__n"))
+
+    ranks = nodes.join(F.broadcast(n_df)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("pr")
+    )
+    for it in range(iterations):
+        contrib = (
+            edges.join(
+                ranks.select(F.col("node").alias(src), "pr"), src
+            )
+            .join(out_deg, src)
+            .groupBy(F.col(dst).alias("node"))
+            .agg(F.sum(F.col("pr") / F.col("__deg")).alias("__in"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(n_df))
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping) / F.col("__n")
+                    + F.lit(damping) * F.coalesce("__in", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks

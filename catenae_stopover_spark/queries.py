@@ -3324,6 +3324,96 @@ WHERE l_partkey IS NOT NULL
 """
 
 
+def q94_pagerank_dedup_graph(spark, sf_dir):
+    """Iterative-algorithm surface (`operators/graph.pagerank`,
+    sibling of `dedup.connected_components`): 5 power iterations of
+    PageRank over the symmetrized trigram-Jaccard near-dup graph
+    (q28's pairs) — the centrality signal a dedup pipeline uses to
+    pick cluster representatives. Every round is one edges-vs-ranks
+    equi-join + one dst-keyed aggregation; no driver-side collection
+    (|V| rides a broadcast 1-row aggregate). The oracle replays the
+    identical recurrence as five chained CTEs."""
+    from .operators.dedup import ngram_jaccard_near_dups
+    from .operators.graph import pagerank
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_near_dups(
+        d, "text", "doc_id", n=3, threshold=0.08
+    ).select("id_a", "id_b")
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    pr = pagerank(edges, damping=0.85, iterations=5)
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("pr", 8).alias("pr")
+    )
+
+
+def _build_q94_sql() -> str:
+    """Q94 oracle: q28's pair CTEs -> symmetrized edges -> five chained
+    PageRank iterations (r0..r5), each the exact recurrence
+    (1-d)/N + d * sum(pr/deg) over in-edges."""
+    head = r"""
+WITH words AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                           i -> i <= LEN(w) - 3 + 1),
+               i -> ARRAY_TO_STRING(w[i:i+2], ' '))) AS g
+    FROM words
+), sizes AS (
+    SELECT doc_id, LEN(g) AS n FROM grams WHERE LEN(g) > 0
+), inv AS (
+    SELECT doc_id, UNNEST(g) AS gram FROM grams WHERE LEN(g) > 0
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT id_a, id_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.n + sb.n - inter) >= 0.08
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+), deg AS (
+    SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+), nodes AS (
+    SELECT src AS node FROM edges UNION SELECT dst AS node FROM edges
+), nn AS (
+    SELECT COUNT(*) AS n FROM nodes
+), r0 AS (
+    SELECT node, 1.0 / nn.n AS pr FROM nodes, nn
+)"""
+    steps = []
+    for i in range(1, 6):
+        steps.append(f""", r{i} AS (
+    SELECT nodes.node,
+           0.15000000000000002 / nn.n + 0.85 * COALESCE(c.s, 0) AS pr
+    FROM nodes CROSS JOIN nn
+    LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.pr / deg.d) AS s
+        FROM edges e
+        JOIN r{i - 1} r ON r.node = e.src
+        JOIN deg ON deg.src = e.src
+        GROUP BY e.dst
+    ) c ON c.node = nodes.node
+)""")
+    tail = "\nSELECT node AS doc_id, ROUND(pr, 8) AS pr FROM r5\n"
+    return head + "".join(steps) + tail
+
+
+Q94_SQL = _build_q94_sql()
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -3389,12 +3479,12 @@ QUERIES: dict[str, tuple] = {
     "q91_cdc_compaction": (q91_cdc_compaction, Q91_SQL),
     "q92_analytic_battery": (q92_analytic_battery, Q92_SQL),
     "q93_cms_bound_gate": (q93_cms_bound_gate, Q93_SQL),
+    "q94_pagerank_dedup_graph": (q94_pagerank_dedup_graph, Q94_SQL),
     # --- rotations: one representative per operator family that has
     # --- only single-round or fix-bearing history, still in-window ---
     "q22_math_funcs": (q22_math_funcs, Q22_SQL),           # r1 FAIL, fixed r2
     "q27_exact_dedup": (q27_exact_dedup, Q27_SQL),         # r1 FAIL, fixed r2
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),     # reimplemented r2 (hierarchical_rollup)
-    "q50_udtf_split_words": (q50_udtf_split_words, Q50_SQL),
     "q51_cogroup_asof": (q51_cogroup_asof, Q51_SQL),
     "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
     "q53_ivf_recall_gate": (q53_ivf_recall_gate, Q53_SQL),
@@ -3408,6 +3498,7 @@ QUERIES: dict[str, tuple] = {
     "q47_stream_dedup": (q47_stream_dedup, Q47_SQL),
     "q48_grouped_map_zscore": (q48_grouped_map_zscore, Q48_SQL),
     "q49_udaf_weighted_avg": (q49_udaf_weighted_avg, Q49_SQL),
+    "q50_udtf_split_words": (q50_udtf_split_words, Q50_SQL),
     "q54_map_funcs": (q54_map_funcs, Q54_SQL),
     "q55_repetition_stats": (q55_repetition_stats, Q55_SQL),
     "q56_nulls_ordering": (q56_nulls_ordering, Q56_SQL),

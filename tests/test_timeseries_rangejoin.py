@@ -203,3 +203,45 @@ def test_tfidf_rank_is_dense_per_doc(spark):
         by_doc.setdefault(r.doc_id, []).append(r.term_rank)
     for ranks in by_doc.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+# ------------------------------------------------------------------
+# pagerank
+# ------------------------------------------------------------------
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    from catenae_stopover_spark.operators.graph import pagerank
+
+    # star + tail: hub 1 <-> {2,3,4}, chain 4 -> 5
+    raw = [(1, 2), (1, 3), (1, 4), (4, 5)]
+    sym = raw + [(b, a) for a, b in raw]
+    edges = spark.createDataFrame(sym, "src int, dst int")
+    got = {r.node: r.pr for r in pagerank(edges, iterations=5).collect()}
+
+    # reference power iteration over plain dicts, same recurrence
+    from collections import defaultdict
+    deg = defaultdict(int)
+    for s, _d in sym:
+        deg[s] += 1
+    nodes = sorted({n for e in sym for n in e})
+    pr = {n: 1.0 / len(nodes) for n in nodes}
+    for _ in range(5):
+        inc = defaultdict(float)
+        for s, d in sym:
+            inc[d] += pr[s] / deg[s]
+        pr = {n: (1.0 - 0.85) / len(nodes) + 0.85 * inc[n] for n in nodes}
+    assert set(got) == set(pr)
+    for n in pr:
+        assert abs(got[n] - pr[n]) < 1e-12, n
+    # hub outranks leaves
+    assert got[1] == max(got.values())
+
+
+def test_pagerank_mass_conserved_on_symmetric_graph(spark):
+    from catenae_stopover_spark.operators.graph import pagerank
+
+    raw = [(i, (i + 1) % 8) for i in range(8)]  # directed ring
+    edges = spark.createDataFrame(raw, "src int, dst int")
+    prs = [r.pr for r in pagerank(edges, iterations=4).collect()]
+    assert abs(sum(prs) - 1.0) < 1e-9  # no dangling nodes -> mass 1
+    assert max(prs) - min(prs) < 1e-12  # ring is symmetric -> uniform

@@ -44,6 +44,8 @@ ACCEPTED = {
     "q82_kll_quantile_gate": "3-row estimate table broadcast for rank check",
     # N (document count) attached as a broadcast 1-row scalar
     "q90_tfidf_keywords": "broadcast of a 1-row doc-count scalar onto tf",
+    # |V| attached as a broadcast 1-row scalar, once per iteration
+    "q94_pagerank_dedup_graph": "broadcast of a 1-row node-count scalar",
 }
 
 
