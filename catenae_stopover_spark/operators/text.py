@@ -509,12 +509,18 @@ def tfidf_top_terms(
 
     * ``tf``: explode words (same split convention as the rest of the
       text family), count per (doc, word) — one shuffle, map-side
-      combined;
-    * ``df``: distinct-doc count per word — an aggregate OF the tf
-      table (vocab-sized, no second corpus scan);
-    * ``idf = ln(N / df)`` with N = number of documents carrying at
-      least one token, attached as a broadcast 1-row scalar (the one
-      sanctioned nested-loop shape: a literal-sized build side);
+      combined. PERSISTED: tf feeds both the document-frequency
+      aggregate and the scoring join, and Spark does not reuse the
+      exchange across the two branches (per-branch column pruning
+      de-canonicalizes the subtrees — measured: 3 full corpus scans
+      without the persist). Disk-spilling, one row per (doc, term);
+    * ``df``: distinct-doc count per word — an aggregate OF the
+      persisted tf table (vocab-sized, no second corpus scan);
+    * ``idf = ln(N / df)`` with N = the document count (every document
+      contributes at least one token — ``split`` of an empty string is
+      ``['']``), read as a parquet-metadata count of the input,
+      attached as a broadcast 1-row scalar (the one sanctioned
+      nested-loop shape: a literal-sized build side);
     * rank per doc by the ROUNDED score desc, word asc — rounding
       before ranking makes the order engine-independent (raw double
       products can differ in the last ulp across libm
@@ -522,9 +528,9 @@ def tfidf_top_terms(
       e.g. tf=2 against df=N/10 vs tf=1 against df=N/100).
 
     Output: (id_col, term, tf, score, term_rank), ``term_rank <= k``.
-    At 100 TB: tf is token-count-sized (the dominant shuffle), df and
-    the join back to tf are vocab-sized — the same broadcast-range
-    shape as :func:`unigram_logprob`.
+    At 100 TB: ONE corpus scan; tf is token-count-sized (the dominant
+    shuffle), df and the join back to tf are vocab-sized — the same
+    broadcast-range shape as :func:`unigram_logprob`.
     """
     words = df.select(
         F.col(id_col),
@@ -532,11 +538,9 @@ def tfidf_top_terms(
             F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
         ).alias("term"),
     )
-    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
-    ndocs = tf.select(id_col).distinct().agg(
-        F.count("*").alias("__n")
-    )
+    ndocs = df.agg(F.count("*").alias("__n"))
     scored = (
         tf.join(dfreq, "term")
         .join(F.broadcast(ndocs))
