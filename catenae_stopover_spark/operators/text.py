@@ -455,13 +455,17 @@ def unigram_logprob(
     perplexity filters used on web corpora; very low scores flag
     gibberish/rare-token documents, very high scores flag boilerplate).
 
-    Train and score in one declarative plan: explode words, count per
-    word (one shuffle keyed by word, map-side combined), join the
-    scores back onto the exploded words (equi-join on word; the vocab
-    side is an aggregate that AQE broadcasts when small), re-aggregate
-    per document. No Python anywhere, so the whole thing stays in
-    whole-stage codegen; at 100 TB the vocab table is millions of rows
-    against trillions of tokens — still broadcast-range.
+    Train and score in one declarative plan over ONE corpus scan:
+    explode words, reduce immediately to the per-(doc, word) tf table
+    (one shuffle keyed by (doc, word), map-side combined; PERSISTED —
+    it feeds both the vocab aggregate and the scoring join, and Spark
+    does not reuse the exchange across branches), derive vocab counts
+    as SUM(tf) per word, join the log-probs back onto tf (the vocab
+    side is an aggregate that AQE broadcasts when small), and score
+    each document as the tf-WEIGHTED mean — identical real value to
+    the per-token average, one scan instead of two. No Python
+    anywhere; at 100 TB the vocab table is millions of rows against
+    trillions of tokens — still broadcast-range.
 
     Returns (id_col, n_tokens, avg_logprob) with avg_logprob rounded to
     ``round_to`` (engine-independent within a double ulp).
@@ -472,13 +476,18 @@ def unigram_logprob(
             F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
         ).alias("__w"),
     )
+    tf = (
+        words.groupBy(id_col, "__w")
+        .agg(F.count("*").alias("__tf"))
+        .persist()
+    )
     # N folds into the vocab table via a global window over the
     # aggregate (vocab-sized, not corpus-sized), so each word carries
     # its final log-prob into the join — one aggregate scan, no
     # 1-row-total nested-loop cross join in the plan.
     vocab = (
-        words.groupBy("__w")
-        .agg(F.count("*").alias("__wc"))
+        tf.groupBy("__w")
+        .agg(F.sum("__tf").alias("__wc"))
         .withColumn(
             "__lp",
             F.log(
@@ -488,11 +497,14 @@ def unigram_logprob(
         .select("__w", "__lp")
     )
     return (
-        words.join(vocab, "__w")
+        tf.join(vocab, "__w")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_tokens"),
-            F.round(F.avg("__lp"), round_to).alias("avg_logprob"),
+            F.sum("__tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("__tf") * F.col("__lp")) / F.sum("__tf"),
+                round_to,
+            ).alias("avg_logprob"),
         )
     )
 
