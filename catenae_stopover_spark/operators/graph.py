@@ -47,11 +47,19 @@ def pagerank(
     Returns (node, pr). Deterministic up to floating-point summation
     order; round before hashing across engines.
     """
+    # Persisted: the edge list is consumed by out_deg, nodes, and every
+    # iteration's contribution join — without this, whatever pipeline
+    # PRODUCED the edges (e.g. the full n-gram Jaccard pair computation
+    # in q94) re-executes once per round. Iterative operators must pin
+    # their loop-invariant inputs; same rationale as
+    # connected_components' per-round localCheckpoint.
+    edges = edges.persist()
     out_deg = edges.groupBy(src).agg(F.count("*").alias("__deg"))
     nodes = (
         edges.select(F.col(src).alias("node"))
         .unionByName(edges.select(F.col(dst).alias("node")))
         .distinct()
+        .persist()
     )
     n_df = nodes.agg(F.count("*").alias("__n"))
 

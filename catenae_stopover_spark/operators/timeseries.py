@@ -54,11 +54,17 @@ def resample_ffill(
         F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(step_us)
     )
 
+    # Persisted: feeds both the span aggregate (grid bounds) and the
+    # grid join, and Spark won't reuse the exchange across branches —
+    # without it the input is scanned and bucket-aggregated twice.
+    # Bucket-level (one row per key x occupied step), far smaller than
+    # the input; spills to disk if not.
     bucketed = (
         df.filter(F.col(ts_col).isNotNull())
         .withColumn("__bucket", bucket)
         .groupBy(*key_cols, "__bucket")
         .agg(*agg_exprs)
+        .persist()
     )
     agg_cols = [c for c in bucketed.columns if c not in (*key_cols, "__bucket")]
     fill = fill_cols if fill_cols is not None else agg_cols
