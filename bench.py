@@ -185,7 +185,13 @@ def main() -> None:
         rows[label] = n
         print(f"# {label}: {timings[label]:.3f}s rows={n}", file=sys.stderr)
 
+    # best-of-REPS like every other workload: the first t1 run pays
+    # lingering GC/session effects from the query sweep above, which
+    # showed up as 2-3x run-to-run variance in the recorded number.
     t1_sec, t1_rows = bench_t1_link_throughput(spark)
+    for _ in range(max(1, REPS) - 1):
+        s2, _ = bench_t1_link_throughput(spark)
+        t1_sec = min(t1_sec, s2)
     timings["t1_link_throughput"] = round(t1_sec, 4)
     rows["t1_link_throughput"] = t1_rows
     print(
