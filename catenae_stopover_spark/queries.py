@@ -3414,6 +3414,33 @@ WITH words AS (
 Q94_SQL = _build_q94_sql()
 
 
+def q95_stream_range_join(spark, sf_dir):
+    """B42+B14 — the bin-bucketed range join under Structured
+    Streaming: purchase events REPLAYED as a stream, matched against
+    the static session-interval table through
+    `relational.interval_point_join` (the stream side only gains a
+    computed bin column, so the whole thing stays a stateless
+    stream-static equi-join — no watermark state), aggregated per
+    purchase in complete mode. Same oracle as q88: streaming execution
+    must not change the answer."""
+    from .streaming import run_available_now
+
+    stream = _replay_events(spark, sf_dir)
+    purchases = stream.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    from .operators.relational import interval_point_join
+
+    sessions = _session_intervals(spark, sf_dir)
+    joined = interval_point_join(
+        purchases, sessions, "p_ts", "s_start", "s_end", bin_width_s=3600
+    )
+    agg = joined.groupBy("purchase_id").agg(
+        F.count("*").alias("n_active_sessions")
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -3480,12 +3507,13 @@ QUERIES: dict[str, tuple] = {
     "q92_analytic_battery": (q92_analytic_battery, Q92_SQL),
     "q93_cms_bound_gate": (q93_cms_bound_gate, Q93_SQL),
     "q94_pagerank_dedup_graph": (q94_pagerank_dedup_graph, Q94_SQL),
+    # streaming execution of the range join — same oracle as q88
+    "q95_stream_range_join": (q95_stream_range_join, Q88_SQL),
     # --- rotations: one representative per operator family that has
     # --- only single-round or fix-bearing history, still in-window ---
     "q22_math_funcs": (q22_math_funcs, Q22_SQL),           # r1 FAIL, fixed r2
     "q27_exact_dedup": (q27_exact_dedup, Q27_SQL),         # r1 FAIL, fixed r2
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),     # reimplemented r2 (hierarchical_rollup)
-    "q51_cogroup_asof": (q51_cogroup_asof, Q51_SQL),
     "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
     "q53_ivf_recall_gate": (q53_ivf_recall_gate, Q53_SQL),
     # --- past the driver window: green in BOTH r1 and r2 (q54-q57
@@ -3499,6 +3527,7 @@ QUERIES: dict[str, tuple] = {
     "q48_grouped_map_zscore": (q48_grouped_map_zscore, Q48_SQL),
     "q49_udaf_weighted_avg": (q49_udaf_weighted_avg, Q49_SQL),
     "q50_udtf_split_words": (q50_udtf_split_words, Q50_SQL),
+    "q51_cogroup_asof": (q51_cogroup_asof, Q51_SQL),
     "q54_map_funcs": (q54_map_funcs, Q54_SQL),
     "q55_repetition_stats": (q55_repetition_stats, Q55_SQL),
     "q56_nulls_ordering": (q56_nulls_ordering, Q56_SQL),
