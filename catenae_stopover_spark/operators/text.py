@@ -53,11 +53,17 @@ def detect_language(text_col: str = "text") -> Column:
 def token_count(text_col: str = "text", mode: str = "whitespace") -> Column:
     """Token count: ``whitespace`` splits on runs of whitespace;
     ``bpe_ish`` counts word-piece-like units (letter runs, digit runs,
-    single punctuation) — a deterministic proxy for BPE token counts."""
+    single punctuation) — a deterministic proxy for BPE token counts.
+
+    The whitespace class is the EXPLICIT ASCII set ``[ \\t\\n\\x0B\\f\\r]``
+    rather than regex ``\\s``: Java regex (Spark) includes ``\\x0B`` in
+    ``\\s`` while RE2 (DuckDB & friends) does not, so counting maximal
+    runs of the complement of an explicit class is the only definition
+    that is identical across engines. Counting non-whitespace runs also
+    makes empty / all-whitespace / NULL inputs fall out naturally
+    (0 matches) with no trim special-case."""
     if mode == "whitespace":
-        return F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
-            F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
-        )
+        return F.regexp_count(F.col(text_col), F.lit(r"[^ \t\n\x0B\f\r]+"))
     if mode == "bpe_ish":
         return F.regexp_count(
             F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]")

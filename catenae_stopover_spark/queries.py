@@ -1258,12 +1258,19 @@ def q74_pack_documents(spark, sf_dir):
     )
 
 
+# Engine-proofing (round 4, after a driver-side-only hash mismatch in r3):
+# (1) tokens = maximal runs of the complement of the EXPLICIT class
+#     [ \t\n\x0B\f\r] — regex \s differs between Java (Spark, includes
+#     \x0B) and RE2 (DuckDB, excludes \x0B), so \s must not appear in a
+#     cross-engine token definition;
+# (2) SUM(BIGINT) yields HUGEINT (int128) in DuckDB — the only oracle in
+#     the registry that emitted one — so it is cast back to BIGINT to
+#     keep the driver's canonicalization identical to Spark's bigint.
 Q74_SQL = r"""
 WITH toks AS (
     SELECT doc_id,
            ('0x' || SUBSTR(SHA256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 16 AS shard,
-           CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_tokens
+           LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')) AS n_tokens
     FROM documents
 ), packed AS (
     SELECT doc_id, shard, n_tokens,
@@ -1272,7 +1279,8 @@ WITH toks AS (
                       / 512.0) AS BIGINT) AS pack_id
     FROM toks
 )
-SELECT shard, pack_id, COUNT(*) AS n_docs, SUM(n_tokens) AS pack_tokens,
+SELECT shard, pack_id, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
        MIN(doc_id) AS first_doc
 FROM packed GROUP BY shard, pack_id
 """
@@ -1404,8 +1412,7 @@ def q31_text_stats(spark, sf_dir):
 Q31_SQL = r"""
 SELECT doc_id,
        LENGTH(text) AS n_chars_computed,
-       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-            ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_tokens,
+       LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')) AS n_tokens,
        LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_tokens_bpe
 FROM documents
 """
@@ -1457,8 +1464,7 @@ Q33_SQL = r"""
 WITH stats AS (
     SELECT doc_id, text,
            LENGTH(text) AS n_chars,
-           CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
-                ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_words,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')) AS n_words,
            LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]')) AS n_alpha,
            LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|and|of|to|is)\b')) AS stop_hits
     FROM documents
