@@ -88,4 +88,12 @@ def pagerank(
         )
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
+    # Eagerly checkpoint the final ranks (the loop already materializes
+    # every checkpoint_every rounds, so this adds at most one partial
+    # round of work), then release the loop-invariant caches — in a
+    # long-lived session running many queries, leaked persisted blocks
+    # accumulate until LRU eviction and pressure storage memory.
+    ranks = ranks.localCheckpoint()
+    edges.unpersist()
+    nodes.unpersist()
     return ranks

@@ -7,6 +7,9 @@ pushdown/AQE/broadcast decisions still apply. No UDFs.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import and_
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -174,9 +177,14 @@ def interval_point_join(
     i_hi = F.floor(_us(end_ts) / width_us)
 
     pts = points.withColumn("__bin", p_bin)
-    ivs = intervals.withColumn(
-        "__bin", F.explode(F.sequence(i_lo, i_hi))
-    )
+    # Reversed intervals (end < start) can never satisfy the exact
+    # post-filter, but Spark's sequence(a, b) silently REVERSES when
+    # a > b, so without this guard a corrupt wide-reversed interval
+    # still explodes into |hi..lo| spurious bin rows — unbounded hidden
+    # work even though the output stays correct. Drop them up front.
+    ivs = intervals.filter(
+        F.col(start_ts) <= F.col(end_ts)
+    ).withColumn("__bin", F.explode(F.sequence(i_lo, i_hi)))
     joined = pts.join(ivs, on="__bin", how="inner").filter(
         (F.col(point_ts) >= F.col(start_ts))
         & (F.col(point_ts) <= F.col(end_ts))
@@ -184,10 +192,16 @@ def interval_point_join(
     if how == "inner":
         return joined.drop("__bin")
     if how == "left":
+        # Null-SAFE anti-join: plain `on=cols` equality never matches a
+        # row with a NULL attribute back to itself, so a matched point
+        # carrying a NULL would be emitted twice (joined + null-extended).
+        # eqNullSafe (<=>) per column makes the row identity exact.
         matched_keys = joined.select(*points.columns).distinct()
-        unmatched = points.join(
-            matched_keys, on=points.columns, how="left_anti"
+        anti_cond = reduce(
+            and_,
+            [points[c].eqNullSafe(matched_keys[c]) for c in points.columns],
         )
+        unmatched = points.join(matched_keys, on=anti_cond, how="left_anti")
         null_iv = [
             F.lit(None).cast(intervals.schema[c].dataType).alias(c)
             for c in intervals.columns

@@ -534,11 +534,14 @@ def tfidf_top_terms(
       without the persist). Disk-spilling, one row per (doc, term);
     * ``df``: distinct-doc count per word — an aggregate OF the
       persisted tf table (vocab-sized, no second corpus scan);
-    * ``idf = ln(N / df)`` with N = the document count (every document
-      contributes at least one token — ``split`` of an empty string is
-      ``['']``), read as a parquet-metadata count of the input,
-      attached as a broadcast 1-row scalar (the one sanctioned
-      nested-loop shape: a literal-sized build side);
+    * ``idf = ln(N / df)`` with N = the number of TOKEN-CONTRIBUTING
+      documents, computed as ``countDistinct(id_col)`` over the
+      persisted tf table (a vocab-free second use of the same cache).
+      Counting input rows instead would silently inflate N — and skew
+      every idf — for NULL-text rows (``explode(split(NULL))`` drops
+      them before tf) or duplicated ids. Attached as a broadcast 1-row
+      scalar (the one sanctioned nested-loop shape: a literal-sized
+      build side);
     * rank per doc by the ROUNDED score desc, word asc — rounding
       before ranking makes the order engine-independent (raw double
       products can differ in the last ulp across libm
@@ -558,7 +561,7 @@ def tfidf_top_terms(
     )
     tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
-    ndocs = df.agg(F.count("*").alias("__n"))
+    ndocs = tf.agg(F.countDistinct(id_col).alias("__n"))
     scored = (
         tf.join(dfreq, "term")
         .join(F.broadcast(ndocs))

@@ -96,6 +96,48 @@ def test_interval_point_join_rejects_overlapping_columns(spark, pts_ivs):
         interval_point_join(points, points, "p_ts", "p_ts", "p_ts")
 
 
+def test_interval_point_join_left_null_attrs_not_duplicated(spark, pts_ivs):
+    # r3 ADVICE regression: a matched point carrying a NULL attribute
+    # must appear exactly once — a null-UNSAFE anti-join on all point
+    # columns never matches such a row back to itself, so it used to be
+    # emitted twice (joined + null-extended).
+    _, intervals = pts_ivs
+    points = spark.createDataFrame(
+        [
+            (None, _ts("2024-01-01 00:30:00")),  # NULL attr, inside A
+            (4, _ts("2024-01-02 00:00:00")),     # matches nothing
+            (None, _ts("2024-01-02 00:00:00")),  # NULL attr, no match
+        ],
+        "p_id int, p_ts timestamp",
+    )
+    out = interval_point_join(
+        points, intervals, "p_ts", "s", "e", bin_width_s=3600, how="left"
+    ).collect()
+    assert len(out) == 3
+    matched = [r for r in out if r.iv_id is not None]
+    assert len(matched) == 1 and matched[0].p_id is None
+    assert {r.p_id for r in out if r.iv_id is None} == {4, None}
+
+
+def test_interval_point_join_guards_reversed_intervals(spark, pts_ivs):
+    # sequence(a, b) silently reverses when a > b: a corrupt reversed
+    # interval must be dropped BEFORE the explode, not exploded into
+    # |hi..lo| spurious bin rows that the post-filter then discards.
+    points, _ = pts_ivs
+    reversed_ivs = spark.createDataFrame(
+        [("R", _ts("2024-06-01 00:00:00"), _ts("2024-01-01 00:00:00"))],
+        "iv_id string, s timestamp, e timestamp",
+    )
+    out = interval_point_join(
+        points, reversed_ivs, "p_ts", "s", "e", bin_width_s=3600
+    )
+    assert out.count() == 0
+    # the exploded interval side must contain zero bin rows (the guard
+    # filters the interval before sequence/explode can fabricate bins)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "(s#" in plan or "<=" in plan  # pushed start<=end filter present
+
+
 # ------------------------------------------------------------------
 # resample_ffill
 # ------------------------------------------------------------------
