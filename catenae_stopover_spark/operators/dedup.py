@@ -355,6 +355,7 @@ def embedding_near_dups(
     threshold: float = 0.95,
     lsh_bits: int = 0,
     kernel: str = "sql",
+    lsh_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold).
 
@@ -363,13 +364,31 @@ def embedding_near_dups(
     (sign of projection onto deterministic pseudo-random planes built
     from xxhash64) and only compares within buckets — the scale path.
 
-    ``kernel='numpy'`` (requires ``lsh_bits>0``) computes each bucket's
-    pairwise cosines with one BLAS gram-matrix product via
-    applyInPandas instead of a per-element SQL join — the throughput
-    path for wide embeddings. Pick ``lsh_bits`` so buckets stay small
-    (the gram matrix is O(bucket²) memory); hot buckets are the same
-    skew risk as any LSH banding.
+    ``lsh_tables=T`` (with ``lsh_bits>0``) buckets by T INDEPENDENT
+    signatures (per-table hash seeds) and unions the candidates — the
+    standard multi-table LSH recall knob: one k-bit table finds a pair
+    with P ~ (1-θ/π)^k, T tables with 1-(1-p)^T, so recall is tunable
+    without coarsening the buckets. Candidates travel as id-pairs only
+    (distinct-deduped across tables, one shuffle), vectors join back by
+    id for the exact-cosine refine — emitted pairs are always a SUBSET
+    of the exact-threshold answer (precision 1 by construction), missed
+    pairs are the tunable tail (gated by q96).
+
+    ``kernel='numpy'`` (requires ``lsh_bits>0``, single-table) computes
+    each bucket's pairwise cosines with one BLAS gram-matrix product
+    via applyInPandas instead of a per-element SQL join — the
+    throughput path for wide embeddings. Pick ``lsh_bits`` so buckets
+    stay small (the gram matrix is O(bucket²) memory); hot buckets are
+    the same skew risk as any LSH banding.
     """
+    if lsh_tables > 1:
+        if lsh_bits <= 0:
+            raise ValueError("lsh_tables > 1 requires lsh_bits > 0")
+        if kernel != "sql":
+            raise ValueError("multi-table LSH supports kernel='sql' only")
+        return _multi_table_lsh_pairs(
+            df, vec_col, id_col, threshold, lsh_bits, lsh_tables
+        )
     if kernel == "numpy":
         if lsh_bits <= 0:
             raise ValueError("kernel='numpy' requires lsh_bits > 0")
@@ -417,6 +436,82 @@ def embedding_near_dups(
             cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias(
                 "cosine"
             ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _seeded_signature(vec_col: str, bits: int, table_col: str = "__t"):
+    """Per-table random-hyperplane signature: identical construction to
+    ``similarity.hyperplane_signature`` but the plane weights hash
+    (table, plane, component) so each table's planes are independent.
+    Pure Catalyst — no Python in the hot path."""
+    return F.expr(
+        f"""
+        aggregate(
+            sequence(0, {bits - 1}),
+            cast(0 as bigint),
+            (acc, p) -> acc | (case when
+                aggregate(
+                    zip_with({vec_col},
+                             transform(sequence(0, size({vec_col}) - 1),
+                                       j -> (cast(pmod(xxhash64({table_col}, p, j), 1000) as double) - 500.0) / 1000.0),
+                             (x, h) -> x * h),
+                    cast(0.0 as double), (s, v) -> s + v
+                ) > 0 then shiftleft(cast(1 as bigint), p) else cast(0 as bigint) end)
+        )
+        """
+    )
+
+
+def _multi_table_lsh_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    bits: int,
+    tables: int,
+) -> DataFrame:
+    """Multi-table LSH candidate generation + exact refine. Candidate
+    join is an equi-join on (table, signature); pairs dedup across
+    tables BEFORE vectors are fetched, so the expensive refine runs
+    once per unique candidate pair."""
+    from ..functions.vectors import cosine_similarity
+
+    base = ensure_min_parallelism(df).select(F.col(id_col), F.col(vec_col))
+    sigs = (
+        base.withColumn(
+            "__t", F.explode(F.array(*[F.lit(t) for t in range(tables)]))
+        )
+        .select(
+            F.col(id_col),
+            "__t",
+            _seeded_signature(vec_col, bits).alias("__sig"),
+        )
+    )
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__t") == F.col("b.__t"))
+            & (F.col("a.__sig") == F.col("b.__sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("__va"), F.col("__vb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -88,11 +88,24 @@ def quality_score(text_col: str = "text") -> Column:
 
 
 def doc_fingerprint(text_col: str = "text", window: int = 8) -> Column:
-    """Winnowing-style fingerprint: the minimum xxhash64 over all
-    ``window``-word shingles (falling back to the whole-text hash for
-    short docs) — one stable 64-bit id per document, robust to small
-    edits at the margins."""
+    """Winnowing-style fingerprint: the minimum 60-bit shingle hash over
+    all ``window``-word shingles (falling back to the whole-text hash
+    for short docs) — one stable id per document, robust to small edits
+    at the margins.
+
+    The shingle hash is ENGINE-INDEPENDENT: the first 15 hex chars of
+    sha2-256 parsed as a 60-bit integer (fits signed int64 in every
+    engine), not xxhash64, whose seed/implementation is Spark-specific.
+    Fingerprints persist across systems in a real pipeline — the dedup
+    store, the serving side, and the audit queries must all be able to
+    recompute them — and it makes the whole operator oracle-checkable
+    (DuckDB recomputes identical values; q39/q43). Still pure Catalyst
+    codegen, one map stage, no shuffle."""
     w = f"split(lower(trim({text_col})), '\\\\s+')"
+
+    def _h60(s: str) -> str:
+        return f"cast(conv(substr(sha2(encode({s}, 'utf-8'), 256), 1, 15), 16, 10) as bigint)"
+
     return F.expr(
         f"""
         coalesce(
@@ -100,10 +113,10 @@ def doc_fingerprint(text_col: str = "text", window: int = 8) -> Column:
                 transform(
                     filter(sequence(1, greatest(size({w}), 1)),
                            i -> i <= size({w}) - {window} + 1),
-                    i -> xxhash64(array_join(slice({w}, i, {window}), ' '))
+                    i -> {_h60(f"array_join(slice({w}, i, {window}), ' ')")}
                 )
             ),
-            xxhash64(lower(trim({text_col})))
+            {_h60(f'lower(trim({text_col}))')}
         )
         """
     )

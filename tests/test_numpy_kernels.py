@@ -50,3 +50,62 @@ def test_embedding_near_dups_numpy_bucketed_subset_of_exact(spark, emb):
 def test_numpy_kernel_requires_buckets(spark, emb):
     with pytest.raises(ValueError, match="lsh_bits"):
         embedding_near_dups(emb, kernel="numpy", lsh_bits=0)
+
+
+# ------------------------------------------------------------------
+# multi-table LSH (r4): the recall knob
+# ------------------------------------------------------------------
+
+def test_multi_table_lsh_recalls_planted_near_dups(spark):
+    # Planted high-cosine pairs (clone + tiny perturbation on one
+    # component): in the cos>=0.99 regime a 4-bit table catches a pair
+    # with p ~ 0.97^4, so 8 tables must find essentially all of them —
+    # and every emitted pair must carry the exact cosine (subset +
+    # value-parity vs the all-pairs verifier).
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(40):
+        v = [rng.uniform(-1, 1) for _ in range(16)]
+        w = list(v)
+        w[0] += 0.01
+        rows.append((2 * i, v))
+        rows.append((2 * i + 1, w))  # near-dup of 2*i
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.id_a, r.id_b): round(r.cosine, 6)
+        for r in embedding_near_dups(df, threshold=0.99).collect()
+    }
+    multi = {
+        (r.id_a, r.id_b): round(r.cosine, 6)
+        for r in embedding_near_dups(
+            df, threshold=0.99, lsh_bits=4, lsh_tables=8
+        ).collect()
+    }
+    assert set(multi) <= set(exact)
+    assert len(multi) >= 0.9 * len(exact) > 0
+    for pair, cos in multi.items():
+        assert abs(cos - exact[pair]) < 1e-6
+
+
+def test_multi_table_lsh_beats_single_table_recall(spark):
+    # The whole point of the table knob: T tables recall at least as
+    # many TRUE pairs as any single one of them (candidates are a
+    # union), strictly more on a fixture where one table provably
+    # misses pairs.
+    emb = load_table(spark, SF, "embeddings")
+    single = embedding_near_dups(
+        emb, threshold=0.4, lsh_bits=4, lsh_tables=1
+    ).count()
+    multi = embedding_near_dups(
+        emb, threshold=0.4, lsh_bits=4, lsh_tables=24
+    ).count()
+    exact = embedding_near_dups(emb, threshold=0.4).count()
+    assert single <= multi <= exact
+    assert multi >= 0.9 * exact
+
+
+def test_multi_table_lsh_requires_bits(spark, emb):
+    with pytest.raises(ValueError, match="lsh_bits"):
+        embedding_near_dups(emb, lsh_tables=4)
