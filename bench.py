@@ -16,7 +16,11 @@ knobs, per BASELINE.md's reporting requirements.
 
 Per query we take the best of ``$SPARK_GRAFT_BENCH_REPS`` (default 2)
 runs after a shared session warm-up, so JVM/codegen startup is not
-billed to the first query.
+billed to the first query. Sub-second queries escalate to best-of-5
+(r3 postmortem: with 2 reps, one noisy machine window manufactured a
+5x phantom regression on q1), and the output carries a per-query
+``ratios`` map (spark/duckdb) — the machine-noise-invariant signal,
+since a slow window slows both engines together.
 
 bench-t1 is the loop_filter-equivalent message throughput: 200k JSON
 envelopes through the Link data plane's map-or-drop stage (Arrow-batched
@@ -37,7 +41,26 @@ from catenae_stopover_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+# Queries whose best time is under this escalate to best-of-SUBSEC_REPS:
+# sub-second measurements are the ones machine noise can multiply.
+SUBSEC_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_REPS", "5"))
 T1_MESSAGES = int(os.environ.get("SPARK_GRAFT_T1_MESSAGES", "200000"))
+Q7C_QUERIES = 100  # batch-serving fan-in (bench-q7c)
+
+
+def best_of(run, min_reps: int = None) -> tuple[float, object]:
+    """Best wall time over adaptive reps: at least REPS runs, escalating
+    to SUBSEC_REPS when the best lands under 1 s."""
+    best, result, runs = float("inf"), None, 0
+    while True:
+        t0 = time.perf_counter()
+        result = run()
+        best = min(best, time.perf_counter() - t0)
+        runs += 1
+        floor = min_reps if min_reps is not None else max(1, REPS)
+        target = max(floor, SUBSEC_REPS) if best < 1.0 else floor
+        if runs >= target:
+            return best, result
 
 # BASELINE.md bench set -> query registry entries.
 BENCH = {
@@ -148,11 +171,9 @@ def bench_duckdb() -> dict[str, float]:
         sql = QUERIES[DUCK_SQL_FALLBACK.get(label, qname)][1]
         if sql is None:
             continue
-        best = float("inf")
-        for _ in range(max(1, REPS)):
-            t0 = time.perf_counter()
-            con.execute(sql).fetchall()
-            best = min(best, time.perf_counter() - t0)
+        if callable(sql):
+            sql = sql()
+        best, _ = best_of(lambda: con.execute(sql).fetchall())
         out[label] = round(best, 4)
     return out
 
@@ -175,21 +196,44 @@ def main() -> None:
     rows: dict[str, int] = {}
     for label, qname in BENCH.items():
         fn = QUERIES[qname][0]
-        best = float("inf")
-        for _ in range(max(1, REPS)):
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            best = min(best, time.perf_counter() - t0)
+        best, n = best_of(lambda: fn(spark, SF_DIR).count())
         timings[label] = round(best, 4)
         rows[label] = n
         print(f"# {label}: {timings[label]:.3f}s rows={n}", file=sys.stderr)
 
-    # best-of-REPS like every other workload: the first t1 run pays
-    # lingering GC/session effects from the query sweep above, which
-    # showed up as 2-3x run-to-run variance in the recorded number.
+    # q7c: BATCH serving — Q7C_QUERIES query vectors through the IVF
+    # index in ONE plan (ivf_topk_batch). The number that matters is the
+    # amortized per-query time: q7b pays the fixed centroid-ranking +
+    # probe-setup cost per query, the batch plan pays it once.
+    from pyspark.sql import functions as F
+
+    from catenae_stopover_spark.operators.similarity import ivf_topk_batch
+    from catenae_stopover_spark.queries import _t
+
+    assigned, centroids = ensure_ivf_index(spark, SF_DIR)
+    qset = (
+        _t(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") < Q7C_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    best, n = best_of(
+        lambda: ivf_topk_batch(assigned, centroids, qset, k=10, n_probe=4).count()
+    )
+    timings["q7c_ivf_topk_batch"] = round(best, 4)
+    rows["q7c_ivf_topk_batch"] = n
+    print(
+        f"# q7c_ivf_topk_batch: {best:.3f}s rows={n} "
+        f"({best / Q7C_QUERIES * 1000:.1f} ms/query over {Q7C_QUERIES})",
+        file=sys.stderr,
+    )
+
+    # best-of-N, N>=3 (r3 showed 329k->261k msgs/s round-over-round
+    # variance on identical code): the first t1 run pays lingering
+    # GC/session effects from the query sweep above. t1 times itself
+    # internally (its worker-pool warm-up must stay unbilled), so this
+    # loops rather than using best_of.
     t1_sec, t1_rows = bench_t1_link_throughput(spark)
-    for _ in range(max(1, REPS) - 1):
+    for _ in range(max(REPS, 3) - 1):
         s2, _ = bench_t1_link_throughput(spark)
         t1_sec = min(t1_sec, s2)
     timings["t1_link_throughput"] = round(t1_sec, 4)
@@ -201,6 +245,13 @@ def main() -> None:
     )
 
     duck = bench_duckdb()
+    # Machine-noise-invariant per-query signal: a noisy window slows
+    # both engines, the ratio survives it.
+    ratios = {
+        k: round(timings[k] / duck[k], 2)
+        for k in duck
+        if k in timings and duck[k] > 0
+    }
 
     total = round(sum(timings.values()), 4)
     print(
@@ -213,6 +264,8 @@ def main() -> None:
                 "sf": _sf_from_dir(SF_DIR),
                 "rows": rows,
                 "duckdb": duck,
+                "ratios": ratios,
+                "t1_msgs_per_sec": round(T1_MESSAGES / t1_sec),
                 "config": {
                     "master": spark.sparkContext.master,
                     "shuffle_partitions": spark.conf.get(
@@ -220,6 +273,7 @@ def main() -> None:
                     ),
                     "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
                     "reps": REPS,
+                    "subsec_reps": SUBSEC_REPS,
                 },
             }
         )
