@@ -3497,6 +3497,11 @@ def q95_stream_range_join(spark, sf_dir):
     agg = joined.groupBy("purchase_id").agg(
         F.count("*").alias("n_active_sessions")
     )
+    # SCAFFOLD BOUNDARY: complete mode + memory sink is the bounded-
+    # replay ORACLE harness only (holds the whole aggregate in the
+    # sink). A production deployment pairs the same stateless bin
+    # equi-join with update/append mode + a watermark — proven by
+    # tests/test_streaming.py::test_stream_range_join_update_mode.
     return run_available_now(agg, output_mode="complete")
 
 

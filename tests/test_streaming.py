@@ -118,6 +118,61 @@ def test_stream_static_join(spark, events, tmp_path_factory):
     assert got == expected
 
 
+def test_stream_range_join_update_mode(spark, events, tmp_path_factory):
+    """The q95 DEPLOYMENT shape (q95 itself runs complete mode + memory
+    sink as its bounded-replay oracle scaffold): the bin-bucketed range
+    join under UPDATE mode with a watermark. Two properties:
+
+    * statelessness — interval_point_join against a static interval
+      table must add NO stateful operator; the only state in the query
+      is the downstream aggregation (stateOperators length 1);
+    * correctness — the final update-mode value per key equals the
+      batch computation of the same join+aggregate.
+    """
+    from catenae_stopover_spark.operators.relational import (
+        interval_point_join,
+    )
+    from catenae_stopover_spark.queries import _session_intervals
+
+    stage = str(tmp_path_factory.mktemp("replay_rj"))
+    stream = replay_as_stream(spark, events, stage, chunks=3, order_col="ts")
+    purchases = (
+        stream.withWatermark("ts", "1 hour")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts"))
+    )
+    sessions = _session_intervals(spark, SF)
+    joined = interval_point_join(
+        purchases, sessions, "p_ts", "s_start", "s_end", bin_width_s=3600
+    )
+    agg = joined.groupBy("purchase_id").agg(F.count("*").alias("n"))
+    q = _run_to_memory(agg, "rj_update", "update")
+    state_ops = (q.lastProgress or {}).get("stateOperators", [])
+    assert len(state_ops) == 1, state_ops  # the agg — the join adds none
+
+    # update mode re-emits a key each batch its count changes; counts
+    # only grow, so the final value per key is the max emitted
+    got = {
+        r.purchase_id: r.n
+        for r in spark.sql(
+            "select purchase_id, max(n) as n from rj_update group by purchase_id"
+        ).collect()
+    }
+    batch_purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    expected = {
+        r.purchase_id: r.n
+        for r in interval_point_join(
+            batch_purchases, sessions, "p_ts", "s_start", "s_end", bin_width_s=3600
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_rate_source_produces_rows(spark):
     """B2: the synthetic rate source (≙ the reference `generator` hook
     as a load generator) delivers (timestamp, value) rows."""
