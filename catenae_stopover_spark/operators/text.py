@@ -488,6 +488,12 @@ def unigram_logprob(
 
     Returns (id_col, n_tokens, avg_logprob) with avg_logprob rounded to
     ``round_to`` (engine-independent within a double ulp).
+
+    CACHE OWNERSHIP: the persisted tf table backs the RETURNED lazy
+    plan, so this operator cannot unpersist it (contrast pagerank,
+    which materializes eagerly and releases its caches). It stays until
+    LRU eviction; sessions running many queries should
+    ``spark.catalog.clearCache()`` between batches.
     """
     words = df.select(
         F.col(id_col),
@@ -564,7 +570,10 @@ def tfidf_top_terms(
     Output: (id_col, term, tf, score, term_rank), ``term_rank <= k``.
     At 100 TB: ONE corpus scan; tf is token-count-sized (the dominant
     shuffle), df and the join back to tf are vocab-sized — the same
-    broadcast-range shape as :func:`unigram_logprob`.
+    broadcast-range shape as :func:`unigram_logprob`. Cache ownership:
+    same caveat as :func:`unigram_logprob` — the persisted tf backs the
+    returned plan and is released only by session cache eviction or an
+    explicit ``spark.catalog.clearCache()``.
     """
     words = df.select(
         F.col(id_col),

@@ -46,6 +46,11 @@ def resample_ffill(
 
     Rows with NULL ``ts_col`` are dropped (no grid position). Output:
     key_cols + bucket_ts + aggregates (+ ``is_gap``).
+
+    Cache ownership: the persisted bucket table backs the returned lazy
+    plan, so it cannot be unpersisted here; it is bucket-level (small)
+    and lives until session cache eviction or an explicit
+    ``spark.catalog.clearCache()``.
     """
     if step_s <= 0:
         raise ValueError("step_s must be positive")

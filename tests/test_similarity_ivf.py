@@ -121,3 +121,34 @@ def test_ivf_topk_batch_matches_single_query(spark, emb, qvec):
             for r in ivf_topk(assigned, centroids, vec, k=5, n_probe=2).collect()
         ]
         assert got[qid] == single, f"query {qid}"
+
+
+def test_ivf_topk_batch_kernels_agree(spark, emb, qvec):
+    # r4: the cogroup-BLAS cell kernel (the 100x serving path — the SQL
+    # HOF kernel measured 188s there) must return the same (query, id)
+    # rows with the same cosines (round 6 forgives summation-order ulps)
+    from pyspark.sql import functions as F
+
+    from catenae_stopover_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk_batch,
+    )
+
+    base = emb.filter(F.col("vec_id") != 0)
+    assigned, centroids = build_ivf_index(base, num_centroids=4)
+    queries = base.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+
+    def rows(kernel):
+        return {
+            (r.query_id, r.vec_id, round(r.cosine, 6))
+            for r in ivf_topk_batch(
+                assigned, centroids, queries, k=5, n_probe=2, kernel=kernel
+            ).collect()
+        }
+
+    sql_rows, np_rows = rows("sql"), rows("numpy")
+    assert sql_rows == np_rows
+    assert len(np_rows) == 19 * 5  # k rows per query
