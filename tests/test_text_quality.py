@@ -1,6 +1,29 @@
 """Repetition-based quality signals: hand-computable cases."""
 
-from catenae_stopover_spark.operators.text import repetition_stats
+from catenae_stopover_spark.operators.text import repetition_stats, token_count
+
+
+def test_token_count_explicit_class_edge_cases(spark):
+    # r4 pin: the explicit-class definition ([^ \t\n\x0B\f\r]+ runs)
+    # must keep the old trim/split semantics on every edge — empty,
+    # whitespace-only, NULL, leading/trailing runs — and must count
+    # \x0B as whitespace (Java \s does; RE2 \s does NOT, which is the
+    # whole reason the class is explicit).
+    rows = [
+        (1, "a b c"),
+        (2, ""),
+        (3, "   "),
+        (4, "  padded  words  "),
+        (5, "a\x0bb"),          # vertical tab separates tokens
+        (6, "one\t two\nthree"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    got = {
+        r.id: r.n
+        for r in df.select("id", token_count("text").alias("n")).collect()
+    }
+    assert got == {1: 3, 2: 0, 3: 0, 4: 2, 5: 2, 6: 3, 7: None}
 
 
 def test_repetition_stats_values(spark):
