@@ -238,6 +238,60 @@ def _hash_bucket(key_col: str, mod: int):
     )
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_shards: int = 1024,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering: every
+    row gets a pseudorandom 60-bit sort key derived from (seed, id), a
+    shard, and its position within the shard — the reproducible
+    "shuffle each epoch by changing the seed" primitive a resumable
+    training pipeline needs (restart from step N = filter pos >= N,
+    identical order on every engine and cluster layout).
+
+    Mechanics: sort key = first 15 hex chars of sha2-256(seed ':' id)
+    (engine-independent, same trick as :func:`doc_fingerprint`); shard
+    = an INDEPENDENT 8-hex substring of the same digest mod
+    ``num_shards`` (uncorrelated with the sort key, so shards stay
+    balanced); position = row_number within the shard ordered by
+    (sort key, id). One shuffle on the shard key, per-shard sorts run
+    in parallel — a single global ORDER BY would serialize the corpus
+    through one partition, the same scale argument as
+    :func:`pack_documents`.
+
+    Output: id_col, shard, pos (0-based within shard).
+    """
+    from pyspark.sql import Window
+
+    digest = F.sha2(
+        F.concat_ws(
+            ":",
+            F.lit(str(seed)),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null\x00")),
+        ),
+        256,
+    )
+    sort_key = F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint")
+    shard = (
+        F.conv(F.substring(digest, 17, 8), 16, 10).cast("bigint") % num_shards
+    )
+    w = Window.partitionBy("shard").orderBy("__key", id_col)
+    return (
+        df.select(
+            F.col(id_col), shard.alias("shard"), sort_key.alias("__key")
+        )
+        .withColumn(
+            # bigint for cross-engine schema parity (DuckDB ROW_NUMBER
+            # is BIGINT; Spark row_number is int)
+            "pos",
+            (F.row_number().over(w) - F.lit(1)).cast("bigint"),
+        )
+        .select(id_col, "shard", "pos")
+    )
+
+
 def split_by_hash(
     df: DataFrame,
     key_col: str,

@@ -3505,6 +3505,34 @@ def q95_stream_range_join(spark, sf_dir):
     return run_available_now(agg, output_mode="complete")
 
 
+def q98_epoch_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle (new r4,
+    `operators/text.epoch_shuffle`): every document gets a (shard, pos)
+    from an engine-independent sha2 permutation keyed by (seed, id) —
+    the reproducible per-epoch shuffle a resumable trainer needs.
+    DuckDB recomputes the identical permutation."""
+    from .operators.text import epoch_shuffle
+
+    d = _t(spark, sf_dir, "documents")
+    return epoch_shuffle(d, seed=1, num_shards=8)
+
+
+Q98_SQL = r"""
+WITH keyed AS (
+    SELECT doc_id,
+           ('0x' || SUBSTR(d, 1, 15))::BIGINT AS k,
+           ('0x' || SUBSTR(d, 17, 8))::BIGINT % 8 AS shard
+    FROM (
+        SELECT doc_id, SHA256('1:' || CAST(doc_id AS VARCHAR)) AS d
+        FROM documents
+    )
+)
+SELECT doc_id, shard,
+       ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS pos
+FROM keyed
+"""
+
+
 def q96_embedding_lsh_neardup_gate(spark, sf_dir):
     """B50/B51 scale path for embedding-cosine near-dup (new r4): the
     exact all-pairs form (q30) is the 100 TB cliff, so the deployable
@@ -3661,6 +3689,9 @@ QUERIES: dict[str, tuple] = {
     "q56_nulls_ordering": (q56_nulls_ordering, Q56_SQL),
     "q57_salted_agg": (q57_salted_agg, Q57_SQL),
     # ---------------- end of the 50-row driver window ----------------
+    # --- new in r4 past the window (the window is exactly full): first
+    # --- in line for the r5 rotation, locally oracle-verified meanwhile
+    "q98_epoch_shuffle": (q98_epoch_shuffle, Q98_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

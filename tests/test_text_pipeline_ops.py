@@ -266,3 +266,27 @@ def test_decontaminate_bloom_equals_exact(spark):
             ).collect()
         )
         assert got == exact
+
+
+def test_epoch_shuffle_deterministic_contiguous_and_seed_sensitive(spark):
+    from catenae_stopover_spark.io.sources import load_table
+    from catenae_stopover_spark.operators.text import epoch_shuffle
+
+    d = load_table(spark, SF_SMOKE, "documents")
+    a = epoch_shuffle(d, seed=1, num_shards=8)
+    b = epoch_shuffle(d, seed=1, num_shards=8)
+    rows_a = {(r.doc_id, r.shard, r.pos) for r in a.collect()}
+    rows_b = {(r.doc_id, r.shard, r.pos) for r in b.collect()}
+    assert rows_a == rows_b  # rerun-stable: same seed = same order
+    assert len(rows_a) == d.count()
+
+    # positions are a 0-based contiguous range within every shard
+    per_shard = {}
+    for _id, s, p in rows_a:
+        per_shard.setdefault(s, []).append(p)
+    for s, ps in per_shard.items():
+        assert sorted(ps) == list(range(len(ps))), f"shard {s}"
+
+    # a different seed is a different permutation (overwhelmingly)
+    c = {(r.doc_id, r.shard, r.pos) for r in epoch_shuffle(d, seed=2, num_shards=8).collect()}
+    assert c != rows_a
