@@ -239,9 +239,12 @@ def ivf_topk_batch(
       (<= n_probe*k candidate rows per query ever leave the kernel —
       the classic partial top-k merge). Measured 188 s -> ~2 s on the
       same 100x workload.
-    * ``'auto'`` (default) — numpy when the assigned table's backing
-      files pass the same ~2 MiB post-compression threshold
-      brute_force_topk uses, else sql.
+    * ``'auto'`` (default) — numpy for any file-backed index: the batch
+      workload pays the per-pair kernel cost TIMES the query count, so
+      the single-query ~2 MiB crossover does not apply (measured: the
+      0.5 MiB sf0.1 index x 100 queries is already 2.2x faster in
+      BLAS). Unknown-size in-memory frames (tests, tiny indexes) keep
+      the codegen path.
 
     Returns (query_id, vec_id, cosine), k rows per query — identical
     rows from both kernels (float64 math; summation-order ulps only).
@@ -278,7 +281,7 @@ def ivf_topk_batch(
         .select(query_id_col, F.col(vec_col).alias("__qv"), "centroid_id")
     )
     if kernel == "auto":
-        kernel = "numpy" if _estimated_bytes(assigned) >= 2 * 2**20 else "sql"
+        kernel = "numpy" if _estimated_bytes(assigned) > 0 else "sql"
     if kernel == "numpy":
         scored = _cell_topk_numpy(
             assigned, probes, k, vec_col, id_col, query_id_col

@@ -46,6 +46,12 @@ ACCEPTED = {
     "q90_tfidf_keywords": "broadcast of a 1-row doc-count scalar onto tf",
     # |V| attached as a broadcast 1-row scalar, once per iteration
     "q94_pagerank_dedup_graph": "broadcast of a 1-row node-count scalar",
+    # the gate's TRUTH side is the exact all-pairs verifier (same
+    # rationale as q30); the operator under test is the multi-table
+    # LSH path, whose candidate join is an equi-join on (table, sig)
+    "q96_embedding_lsh_neardup_gate":
+        "exact all-pairs truth side of the recall gate (scale path = "
+        "multi-table LSH equi-join)",
 }
 
 
