@@ -102,17 +102,45 @@ ORDER BY l_returnflag, l_linestatus
 # --------------------------------------------------------------------
 
 def q02_revenue_by_nation(spark, sf_dir):
+    """5-way FK join, written star-schema-first (r4 rewrite, measured
+    at the 100x stress scale — the naive chain was 23 s there):
+
+    * SEMI-JOIN REDUCTION: the ASIA predicate folds into the
+      customer⋈nation⋈region dim chain, which then broadcast-joins
+      onto ORDERS before the expensive fact join — the fact join's
+      build side shrinks ~5x (region selectivity) before it shuffles;
+    * SHUFFLE-HASH hint on that reduced build side: with a 60M-row
+      probe, sort-merge pays two full sorts for nothing (the output
+      feeds a 5-key aggregate, order is useless). AQE still handles
+      skew (skew-join covers SHJ in Spark 3.2+);
+    * the final aggregate's partial (map-side) phase collapses to 5
+      nation keys, so the post-join shuffle is bytes, not rows.
+
+    Alternatives measured at 100x and rejected: naive SMJ chain 23 s;
+    eager per-orderkey pre-aggregation 14.5 s (the 15M-key hash
+    aggregate costs more than it saves — partial agg wants FEW keys);
+    this shape 8.1 s vs DuckDB's 5.5 s on the same box. Identical
+    result to the naive form (the oracle is that form)."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region")
-    return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    asia_cust = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
         .filter(F.col("r_name") == "ASIA")
+        .select("c_custkey", "n_name")
+    )
+    o_asia = o.select("o_orderkey", "o_custkey").join(
+        F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return (
+        li.select("l_orderkey", "l_extendedprice", "l_discount")
+        .join(
+            o_asia.hint("shuffle_hash"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .groupBy("n_name")
         .agg(
             F.round(

@@ -27,7 +27,14 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
-    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    # 16 MiB (not the 128 MiB default): local fixtures arrive as 1-3
+    # snappy files, so split size IS the scan parallelism — at 128 MiB
+    # the 336 MiB/60M-row stress lineitem scanned on ~3 of 32 cores
+    # (r4 finding: q2's eager-agg rewrite was scan-bound, 23 s -> 8 s
+    # from this knob alone). Parquet row-group boundaries make small
+    # splits free; a real cluster with thousands of files would set
+    # this back up to amortize task overhead.
+    "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
