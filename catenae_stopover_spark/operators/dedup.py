@@ -710,3 +710,92 @@ def dedup_segments(
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    num_clusters: int = 16,
+    seed: int = 42,
+    kernel: str = "sql",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (public recipe: Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): cluster the embedding space with
+    spherical k-means, mine exact-cosine near-dup pairs WITHIN each
+    cluster only, and keep one representative (the minimum id) per
+    connected near-dup group.
+
+    Scale shape — the whole point of the cluster stage: pairwise work
+    drops from O(N²) to Σ|cell|² ≈ N²/C, and each cell's comparisons
+    are generated by an equi-join on the cluster id (or one BLAS gram
+    product per cell with ``kernel='numpy'``), never a cross join. C
+    grows with the corpus, so cells stay bounded; the k-means fit
+    itself trains on a bounded uniform sample (MLlib) and assignment
+    is one map pass. Emitted prune decisions are exact-verified
+    (precision 1 by construction); recall is bounded by the clustering
+    — a near-dup pair split across cluster boundaries is missed, the
+    documented SemDeDup trade (mitigated by raising C's quality, not
+    by all-pairs search).
+
+    Returns (id_col, cluster_id, keep) for EVERY input row — keep =
+    true for unpaired rows and each group's minimum id. Deterministic
+    for a fixed seed.
+
+    CACHE OWNERSHIP: the cluster-assigned table is persisted (it feeds
+    both sides of the pair join and the output); it stays cached until
+    LRU eviction — batch sessions should clearCache() between jobs.
+    """
+    from .similarity import build_ivf_index
+
+    from ..functions.vectors import cosine_similarity
+
+    assigned, _centroids = build_ivf_index(
+        df,
+        num_centroids=num_clusters,
+        vec_col=vec_col,
+        id_col=id_col,
+        seed=seed,
+    )
+    assigned = assigned.persist()
+    if kernel == "numpy":
+        pairs = _bucket_pairs_numpy(
+            assigned.select(
+                F.col(id_col), F.col(vec_col), F.col("centroid_id").alias("bucket")
+            ),
+            vec_col,
+            id_col,
+            threshold,
+        )
+    else:
+        a, b = assigned.alias("a"), assigned.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.centroid_id") == F.col("b.centroid_id"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                cosine_similarity(
+                    F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")
+                ).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+    comp = connected_components(pairs)
+    return (
+        assigned.select(F.col(id_col), F.col("centroid_id").alias("cluster_id"))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            id_col,
+            "cluster_id",
+            (
+                F.col("component").isNull()
+                | (F.col("component") == F.col(id_col))
+            ).alias("keep"),
+        )
+    )

@@ -763,3 +763,129 @@ def pack_documents(
         )
         .select(id_col, "shard", "pack_id", "n_tokens")
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 20,
+) -> DataFrame:
+    """One iteration of the BPE vocabulary-induction inner loop:
+    frequency of every adjacent character pair, weighted by word
+    frequency — the argmax of this table is the next BPE merge.
+
+    Scale shape (the reason real BPE trainers do it this way): pair
+    counting runs over the WORD-FREQUENCY VOCABULARY, not the token
+    stream. The corpus reduces to (word, count) first — one shuffle
+    keyed by word with map-side combine, after which a trillion-token
+    corpus is a few million vocab rows — and the per-word character
+    pairs explode from that tiny table. The second shuffle (pair key)
+    therefore moves vocab-bounded data regardless of corpus size.
+
+    Pairs are substring(word, i, 2) for i in 1..len-1 (character-based
+    in both Spark and ANSI SQL, so the oracle reproduces it exactly);
+    single-character words contribute no pairs. Output: the ``top_n``
+    (pair, pair_count) rows, count-desc with a deterministic tiebreak
+    on the pair string — a distributed TakeOrdered, never a global
+    sort.
+    """
+    words = (
+        df.select(
+            F.explode(
+                F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
+            ).alias("__w")
+        )
+        .filter(F.col("__w") != "")
+    )
+    vocab = words.groupBy("__w").agg(F.count("*").alias("__wc"))
+    pairs = (
+        vocab.filter(F.length("__w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, char_length(__w) - 1),"
+                    " i -> substring(__w, i, 2))"
+                )
+            ).alias("pair"),
+            F.col("__wc"),
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("__wc").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(top_n)
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Bigram language-model quality score: each document's mean
+    log-probability of its word transitions under the corpus's own
+    MLE bigram model, ln(c(w1,w2) / c(w1,*)) — one conditioning step
+    beyond `unigram_logprob`, and the shape of the KenLM-style
+    perplexity filters used on web corpora (low scores flag
+    incoherent word salad that unigram statistics cannot see).
+
+    Same one-scan discipline as unigram_logprob: explode bigrams once,
+    reduce immediately to the per-(doc, w1, w2) tf table (PERSISTED —
+    it feeds the c(w1,w2) aggregate, the c(w1,*) aggregate, and the
+    scoring join; Spark does not reuse exchanges across branches), and
+    score as the tf-weighted mean. Self-trained MLE needs no smoothing:
+    every scored bigram was observed, so probabilities are finite.
+    At 100 TB the bigram model is vocab²-bounded in principle but
+    Zipf-small in practice (~100M rows); the scoring join shuffles on
+    (w1, w2) — the same key the model aggregate just produced.
+
+    Documents with fewer than two tokens have no transitions and are
+    absent from the output (identical semantics in the SQL oracle).
+    Returns (id_col, n_bigrams, avg_logprob) rounded to ``round_to``.
+
+    CACHE OWNERSHIP: as in unigram_logprob, the persisted tf table
+    backs the returned lazy plan and stays until LRU eviction.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.expr(f"split(lower(trim({text_col})), '\\\\s+')").alias("__ws"),
+    )
+    bg = (
+        toks.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(slice(__ws, 1, greatest(size(__ws) - 1, 0)),"
+                    " (x, i) -> struct(x AS w1, element_at(__ws, i + 2) AS w2))"
+                )
+            ).alias("__bg"),
+        )
+        .select(
+            id_col,
+            F.col("__bg.w1").alias("__w1"),
+            F.col("__bg.w2").alias("__w2"),
+        )
+    )
+    tf = (
+        bg.groupBy(id_col, "__w1", "__w2")
+        .agg(F.count("*").alias("__tf"))
+        .persist()
+    )
+    c2 = tf.groupBy("__w1", "__w2").agg(F.sum("__tf").alias("__c2"))
+    c1 = tf.groupBy("__w1").agg(F.sum("__tf").alias("__c1"))
+    model = c2.join(c1, "__w1").select(
+        "__w1", "__w2", F.log(F.col("__c2") / F.col("__c1")).alias("__lp")
+    )
+    return (
+        tf.join(model, ["__w1", "__w2"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("__tf").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("__tf") * F.col("__lp")) / F.sum("__tf"),
+                round_to,
+            ).alias("avg_logprob"),
+        )
+    )

@@ -3644,6 +3644,210 @@ LIMIT 10
 """
 
 
+def q99_video_frame_sample(spark, sf_dir):
+    """B54 video path under the oracle gate — completes the q52/q71
+    image/audio pair: 1 payload row → N frame rows through
+    `multimodal.sample_video_frames` (mapInPandas as a UDTF-style
+    expander). The content-hash decode stub is engine-reproducible, so
+    DuckDB recomputes frame COUNTS, timestamps AND the frame payload
+    bytes (first-16-digest-bytes + frame index) from the same SHA-256 —
+    proving the Arrow plumbing delivers byte-identical payloads through
+    a 1→N row expansion, not just 1→1 maps."""
+    from .operators.multimodal import sample_video_frames
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("video/mp4").alias("mime"),
+        F.lit("{}").alias("meta_json"),
+    )
+    frames = sample_video_frames(media, every_n_seconds=0.5)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_ts_sec").cast("double").alias("frame_ts"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    )
+
+
+Q99_SQL = """
+WITH m AS (SELECT doc_id AS media_id, SHA256(text) AS h FROM documents),
+n AS (SELECT media_id, h,
+             1 + ('0x' || SUBSTR(h, 1, 2))::INT % 8 AS n_frames
+      FROM m)
+SELECT media_id,
+       i AS frame_idx,
+       i::DOUBLE * 0.5 AS frame_ts,
+       SUBSTR(h, 1, 32) || PRINTF('%02x', i) AS frame_hex
+FROM n, UNNEST(GENERATE_SERIES(0, n_frames - 1)) AS t(i)
+"""
+
+
+def q100_bpe_pair_stats(spark, sf_dir):
+    """B52 depth (new r4): one iteration of the BPE vocabulary-
+    induction inner loop — corpus-weighted adjacent character-pair
+    frequencies computed over the word-frequency VOCAB
+    (`text.bpe_pair_counts`), top-20 with a deterministic tiebreak.
+    The argmax row is the next BPE merge; a tokenizer trainer is this
+    query in a loop over a shrinking vocab table. Exact oracle: DuckDB
+    recomputes the identical pair table from the same substring
+    semantics."""
+    from .operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_n=20)
+
+
+Q100_SQL = r"""
+WITH toks AS (
+    SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+    FROM documents
+), vocab AS (
+    SELECT tok, COUNT(*) AS wc FROM toks WHERE tok <> '' GROUP BY tok
+), pairs AS (
+    SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(tok) - 1),
+                                 i -> SUBSTR(tok, i, 2))) AS pair,
+           wc
+    FROM vocab WHERE LENGTH(tok) >= 2
+)
+SELECT pair, SUM(wc)::BIGINT AS pair_count
+FROM pairs GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 20
+"""
+
+
+def q101_bigram_logprob(spark, sf_dir):
+    """B53 depth (new r4): bigram-LM quality score
+    (`text.bigram_logprob`) — mean ln P(w2|w1) per document under the
+    corpus's own MLE bigram model, the KenLM-style perplexity filter
+    shape one conditioning step beyond q85's unigram. Single corpus
+    scan (persisted bigram-tf table feeds model + scoring); the oracle
+    recomputes the identical model in SQL."""
+    from .operators.text import bigram_logprob
+
+    return bigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+Q101_SQL = r"""
+WITH w AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS ws
+    FROM documents
+), bg AS (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(ws), 1)),
+                           i -> i <= LEN(ws) - 1),
+               i -> [ws[i], ws[i + 1]])) AS p
+    FROM w
+), pairs AS (
+    SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg
+), c2 AS (
+    SELECT w1, w2, COUNT(*) AS n2 FROM pairs GROUP BY w1, w2
+), c1 AS (
+    SELECT w1, COUNT(*) AS n1 FROM pairs GROUP BY w1
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_bigrams,
+       ROUND(AVG(LN(n2 * 1.0 / n1)), 6) AS avg_logprob
+FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+GROUP BY doc_id
+"""
+
+
+def q102_semdedup_gate(spark, sf_dir):
+    """B50/B51 composition (new r4): SemDeDup — cluster-then-prune
+    semantic dedup (`dedup.semantic_dedup`: spherical k-means cells,
+    within-cell exact-cosine pairs, keep-min-id per connected group)
+    under clustering-INVARIANT exactly-checkable gates, one
+    distributed plan (q69/q53 pattern, no driver-side sets).
+
+    The raw fixture has no pairs above 0.9 (max pairwise cos ≈ 0.51),
+    so the query plants 10 deterministic near-dup copies in-query
+    (+0.05 on component 0 → cos ≈ 0.9998 with the original, while
+    cos to every OTHER vector stays ≤ ~0.52 — the planted pairs are
+    exactly the near-dup truth at τ=0.9). Gates:
+    * pruned_partner_ok — every pruned id has an exact corpus-wide
+      partner (cos ≥ τ): prune decisions are real dups, never
+      clustering artifacts (precision invariant);
+    * kept_maximal_ok — no two kept ids in one cluster are near-dups:
+      the keep-min-id rule collapsed every within-cluster group;
+    * prune_fired — ≥1 prune happened (non-vacuous: with 10 planted
+      near-identical pairs, any sane clustering co-locates most).
+    All three hold for ANY k-means outcome, so the gate is stable
+    across session/partitioning differences; the oracle hashes the
+    constant expectation."""
+    from .operators.dedup import embedding_near_dups, semantic_dedup
+
+    tau = 0.9
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = e.filter(F.col("vec_id") % 50 == 7).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, j) -> CASE WHEN j = 0"
+            " THEN cast(x + 0.05 as float) ELSE x END)"
+        ).alias("embedding"),
+    )
+    corpus = e.unionByName(planted)
+    decisions = semantic_dedup(
+        corpus, threshold=tau, num_clusters=8, seed=42
+    )
+    # exact all-pairs truth: verifier-scale only (the operator itself
+    # never does this; the gate does, to have ground truth)
+    exact = embedding_near_dups(corpus, threshold=tau)
+    dup_nodes = (
+        exact.select(F.col("id_a").alias("vec_id"))
+        .union(exact.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    missing = (
+        decisions.filter(~F.col("keep"))
+        .select("vec_id")
+        .join(dup_nodes, "vec_id", "left_anti")
+        .agg(F.count("*").alias("__miss"))
+    )
+    kept = decisions.filter(F.col("keep")).select(
+        F.col("vec_id"), F.col("cluster_id")
+    )
+    bad = (
+        exact.join(
+            kept.select(
+                F.col("vec_id").alias("id_a"), F.col("cluster_id").alias("__ca")
+            ),
+            "id_a",
+        )
+        .join(
+            kept.select(
+                F.col("vec_id").alias("id_b"), F.col("cluster_id").alias("__cb")
+            ),
+            "id_b",
+        )
+        .filter(F.col("__ca") == F.col("__cb"))
+        .agg(F.count("*").alias("__bad"))
+    )
+    totals = decisions.agg(
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("__np")
+    )
+    # documented 1-row gate crossJoins (three single-row aggregates)
+    return (
+        totals.crossJoin(missing)
+        .crossJoin(bad)
+        .select(
+            (F.col("__miss") == 0).alias("pruned_partner_ok"),
+            (F.col("__bad") == 0).alias("kept_maximal_ok"),
+            (F.col("__np") >= 1).alias("prune_fired"),
+            F.lit(8).alias("n_clusters"),
+        )
+    )
+
+
+Q102_SQL = """
+SELECT TRUE AS pruned_partner_ok, TRUE AS kept_maximal_ok,
+       TRUE AS prune_fired, 8 AS n_clusters
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -3720,6 +3924,10 @@ QUERIES: dict[str, tuple] = {
     # --- new in r4 past the window (the window is exactly full): first
     # --- in line for the r5 rotation, locally oracle-verified meanwhile
     "q98_epoch_shuffle": (q98_epoch_shuffle, Q98_SQL),
+    "q99_video_frame_sample": (q99_video_frame_sample, Q99_SQL),
+    "q100_bpe_pair_stats": (q100_bpe_pair_stats, Q100_SQL),
+    "q101_bigram_logprob": (q101_bigram_logprob, Q101_SQL),
+    "q102_semdedup_gate": (q102_semdedup_gate, Q102_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

@@ -340,3 +340,65 @@ def test_dedup_segments_word_windows_preserve_order(spark):
     assert out[1].dedup_text == text
     assert (out[1].n_segments, out[1].n_kept) == (3, 3)
     assert (out[2].n_segments, out[2].n_kept) == (3, 0)
+
+
+def test_semantic_dedup_prunes_planted_pairs(spark):
+    from catenae_stopover_spark.operators.dedup import semantic_dedup
+
+    # two tight near-dup groups on distinct axes + two singletons; the
+    # perturbation keeps cosine ~0.999 within a group, ~0 across
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 1.0, 0.01, 0.0]),
+        (5, [0.0, 0.0, 0.0, 1.0]),
+        (6, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = {
+        r.vec_id: (r.cluster_id, r.keep)
+        for r in semantic_dedup(
+            df, threshold=0.99, num_clusters=3, seed=7
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3, 4, 5, 6}
+    # exactly the higher id of each planted pair is pruned (keep-min),
+    # IF the pair shares a cluster — with near-identical vectors and
+    # k=3 spherical k-means they always do on this fixture
+    assert out[1][1] and not out[2][1]
+    assert out[3][1] and not out[4][1]
+    assert out[5][1] and out[6][1]
+    # pruned rows share their survivor's cluster
+    assert out[1][0] == out[2][0]
+    assert out[3][0] == out[4][0]
+
+
+def test_semantic_dedup_numpy_kernel_parity(spark):
+    from catenae_stopover_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (i, [float(i % 3 == 0), float(i % 3 == 1), float(i % 3 == 2), 0.1])
+        for i in range(1, 13)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    sql_out = sorted(
+        (r.vec_id, r.keep)
+        for r in semantic_dedup(
+            df, threshold=0.95, num_clusters=3, seed=7, kernel="sql"
+        ).collect()
+    )
+    np_out = sorted(
+        (r.vec_id, r.keep)
+        for r in semantic_dedup(
+            df, threshold=0.95, num_clusters=3, seed=7, kernel="numpy"
+        ).collect()
+    )
+    assert sql_out == np_out
+    # the three exact-duplicate groups each keep exactly their min id
+    kept = {v for v, k in sql_out if k}
+    assert kept == {1, 2, 3}

@@ -290,3 +290,39 @@ def test_epoch_shuffle_deterministic_contiguous_and_seed_sensitive(spark):
     # a different seed is a different permutation (overwhelmingly)
     c = {(r.doc_id, r.shard, r.pos) for r in epoch_shuffle(d, seed=2, num_shards=8).collect()}
     assert c != rows_a
+
+
+def test_bpe_pair_counts_hand_computation(spark):
+    from catenae_stopover_spark.operators.text import bpe_pair_counts
+
+    # vocab: "ab" x2, "cd" x1, "abc" x1, "x" x1 (no pairs), "" dropped
+    docs = spark.createDataFrame(
+        [(1, "ab ab cd"), (2, "abc x"), (3, "   ")], ["doc_id", "text"]
+    )
+    got = [(r.pair, r.pair_count) for r in bpe_pair_counts(docs).collect()]
+    # pairs: ab->"ab"(wc 2), abc->"ab","bc"(wc 1 each), cd->"cd"(wc 1)
+    assert got == [("ab", 3), ("bc", 1), ("cd", 1)]
+
+
+def test_bigram_logprob_hand_computation(spark):
+    import math
+
+    from catenae_stopover_spark.operators.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "a b b"), (4, "x")],
+        ["doc_id", "text"],
+    )
+    # bigrams: (a,b) x2, (a,c) x1, (b,b) x1; predecessors: a=3, b=1.
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logprob)
+        for r in bigram_logprob(docs).collect()
+    }
+    lp_ab = math.log(2 / 3)
+    lp_ac = math.log(1 / 3)
+    assert got == {
+        1: (1, round(lp_ab, 6)),
+        2: (1, round(lp_ac, 6)),
+        3: (2, round((lp_ab + 0.0) / 2, 6)),
+        # doc 4 has one token -> no transitions -> absent
+    }

@@ -52,6 +52,13 @@ ACCEPTED = {
     "q96_embedding_lsh_neardup_gate":
         "exact all-pairs truth side of the recall gate (scale path = "
         "multi-table LSH equi-join)",
+    # the gate's TRUTH side is the exact all-pairs verifier (q30/q96
+    # rationale) + crosses of 1-row gate aggregates; the operator under
+    # test (semantic_dedup) generates pairs via the cluster-id
+    # equi-join / per-cell BLAS kernel only
+    "q102_semdedup_gate":
+        "exact all-pairs truth side + 1-row gate crosses (operator's "
+        "own pair join is the cluster-id equi-join)",
 }
 
 
