@@ -719,7 +719,7 @@ def semantic_dedup(
     threshold: float = 0.9,
     num_clusters: int = 16,
     seed: int = 42,
-    kernel: str = "sql",
+    kernel: str = "auto",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (public recipe: Abbas et
     al. 2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -744,13 +744,25 @@ def semantic_dedup(
     true for unpaired rows and each group's minimum id. Deterministic
     for a fixed seed.
 
+    ``kernel='auto'`` (default) picks the within-cell scorer by
+    estimated input bytes, same 2 MiB post-compression threshold as
+    `similarity.brute_force_topk`: above it, one BLAS gram product per
+    cell (applyInPandas); below it, the codegen SQL cosine join.
+    Measured at 10x sf0.1 (20k x dim-64, 64 cells, 18k true dups):
+    SQL-kernel 394.7 s vs BLAS cell kernel 25.8 s — the same
+    interpreted-HOF-per-pair cliff the batch IVF server hit; Σ|cell|²
+    pair evaluations must be batched, not expression-evaluated.
+
     CACHE OWNERSHIP: the cluster-assigned table is persisted (it feeds
     both sides of the pair join and the output); it stays cached until
     LRU eviction — batch sessions should clearCache() between jobs.
     """
-    from .similarity import build_ivf_index
+    from .similarity import _estimated_bytes, build_ivf_index
 
     from ..functions.vectors import cosine_similarity
+
+    if kernel == "auto":
+        kernel = "numpy" if _estimated_bytes(df) >= 2 * 2**20 else "sql"
 
     assigned, _centroids = build_ivf_index(
         df,
