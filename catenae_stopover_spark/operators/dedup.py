@@ -356,6 +356,7 @@ def embedding_near_dups(
     lsh_bits: int = 0,
     kernel: str = "sql",
     lsh_tables: int = 1,
+    probes: int = 0,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold).
 
@@ -381,13 +382,15 @@ def embedding_near_dups(
     stay small (the gram matrix is O(bucket²) memory); hot buckets are
     the same skew risk as any LSH banding.
     """
-    if lsh_tables > 1:
+    if lsh_tables > 1 or probes:
         if lsh_bits <= 0:
-            raise ValueError("lsh_tables > 1 requires lsh_bits > 0")
+            raise ValueError("lsh_tables > 1 / probes require lsh_bits > 0")
         if kernel != "sql":
-            raise ValueError("multi-table LSH supports kernel='sql' only")
+            raise ValueError("multi-table/multi-probe LSH supports kernel='sql' only")
+        if probes not in (0, 1):
+            raise ValueError("probes must be 0 (exact bucket) or 1 (hamming-1)")
         return _multi_table_lsh_pairs(
-            df, vec_col, id_col, threshold, lsh_bits, lsh_tables
+            df, vec_col, id_col, threshold, lsh_bits, lsh_tables, probes
         )
     if kernel == "numpy":
         if lsh_bits <= 0:
@@ -471,11 +474,25 @@ def _multi_table_lsh_pairs(
     threshold: float,
     bits: int,
     tables: int,
+    probes: int = 0,
 ) -> DataFrame:
     """Multi-table LSH candidate generation + exact refine. Candidate
     join is an equi-join on (table, signature); pairs dedup across
     tables BEFORE vectors are fetched, so the expensive refine runs
-    once per unique candidate pair."""
+    once per unique candidate pair.
+
+    ``probes=1`` turns on multi-probe (hamming-1): ONE side of the
+    self-join additionally probes every signature one bit-flip away,
+    so a pair is a candidate when its signatures differ by <= 1 bit in
+    ANY table. Per-table hit probability at bit-agreement q rises from
+    q^k to q^k + k*q^(k-1)*(1-q) (e.g. k=4 at cos 0.4: 0.16 -> 0.53),
+    so the SAME recall needs ~3x fewer tables — the classic
+    multi-probe trade (public: Lv et al., VLDB'07): probe fan-out
+    (k+1 rows on one join side) is bought with compute local to the
+    map stage, while table count multiplies the SHUFFLED signature
+    volume and the index footprint. At 100 TB fewer-tables-more-probes
+    is strictly better until probe fan-out itself dominates the
+    shuffle."""
     from ..functions.vectors import cosine_similarity
 
     base = ensure_min_parallelism(df).select(F.col(id_col), F.col(vec_col))
@@ -489,7 +506,24 @@ def _multi_table_lsh_pairs(
             _seeded_signature(vec_col, bits).alias("__sig"),
         )
     )
-    a, b = sigs.alias("a"), sigs.alias("b")
+    if probes:
+        # probe side: own signature plus its `bits` hamming-1 flips
+        probe_sigs = sigs.select(
+            F.col(id_col),
+            "__t",
+            F.explode(
+                F.concat(
+                    F.array(F.col("__sig")),
+                    F.expr(
+                        f"transform(sequence(0, {bits - 1}),"
+                        " b -> __sig ^ shiftleft(cast(1 as bigint), b))"
+                    ),
+                )
+            ).alias("__sig"),
+        )
+    else:
+        probe_sigs = sigs
+    a, b = probe_sigs.alias("a"), sigs.alias("b")
     cand = (
         a.join(
             b,

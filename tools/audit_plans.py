@@ -59,6 +59,11 @@ ACCEPTED = {
     "q102_semdedup_gate":
         "exact all-pairs truth side + 1-row gate crosses (operator's "
         "own pair join is the cluster-id equi-join)",
+    # same: the truth side is exact all-pairs; the operator under test
+    # (multi-probe LSH) joins on (table, signature) only
+    "q103_multiprobe_lsh_gate":
+        "exact all-pairs truth side + 1-row gate cross (operator's "
+        "own candidate join is the (table, signature) equi-join)",
 }
 
 
