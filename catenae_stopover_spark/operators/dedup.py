@@ -845,3 +845,43 @@ def semantic_dedup(
             ).alias("keep"),
         )
     )
+
+
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of a NEW batch against an EXISTING corpus — the
+    production shape: dedup today's crawl without reprocessing the
+    accumulated corpus. Two stages, both hash-equi:
+    (1) within-batch keep-min-id on the content digest (one shuffle of
+    the new batch only); (2) anti-join the survivors against the
+    corpus digests.
+
+    Returns one row per surviving new document:
+    (id_col, content_hash, batch_dup_count).
+
+    100 TB shape: the corpus side is its HASH INDEX (32-byte sha2
+    digests, not text — ~1/1000 of corpus bytes), maintained by
+    appending each accepted batch's survivor digests. Stored bucketed
+    by digest, the anti-join is co-located and reshuffles neither
+    side; the new batch is the only text scanned. Digests hash the
+    UTF-8 bytes (NUL-safe, same as exact_dedup).
+    """
+    digest = F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)
+    batch = (
+        new_df.select(digest.alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("batch_dup_count"),
+        )
+    )
+    corpus_hashes = corpus_df.select(
+        digest.alias("content_hash")
+    ).distinct()
+    return batch.join(corpus_hashes, "content_hash", "left_anti").select(
+        id_col, "content_hash", "batch_dup_count"
+    )

@@ -889,3 +889,56 @@ def bigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def mix_corpus(
+    df: DataFrame,
+    by: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_mod: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic corpus mixing to equal TOKEN shares per class —
+    the "data mixture" stage that rebalances a crawl before training
+    (e.g. equal tokens per language, or per source, against a corpus
+    where one class dominates).
+
+    Math (the standard feasibility-scaled mixture): with equal target
+    shares s = 1/N over the N observed classes, the largest achievable
+    mixed corpus is T = min_c tokens_c / s (every class can fill its
+    share); each class then samples at rate_c = s·T / tokens_c — the
+    scarcest class keeps everything (rate 1.0), dominant classes are
+    downsampled. Selection is the engine-independent sha2 bucket of
+    the id against rate·bucket_mod, so the sample is reproducible
+    across runs AND engines, and rerunning with a grown corpus keeps
+    previously-selected documents selected where rates allow
+    (hash-sampling's stability property, same as split_by_hash).
+
+    Scale shape: the per-class token aggregate is N rows (broadcast
+    back onto the corpus), selection is a map-side filter — one
+    shuffle on the class key for the aggregate, zero for the filter.
+    Returns the SELECTED docs as (id_col, by, n_tokens, rate).
+    """
+    base = df.select(
+        F.col(id_col), F.col(by), token_count(text_col).alias("n_tokens")
+    )
+    per = base.groupBy(by).agg(F.sum("n_tokens").alias("__tok"))
+    w = Window.partitionBy()
+    rates = (
+        per.withColumn("__share", F.lit(1.0) / F.count("*").over(w))
+        .withColumn(
+            "__T", F.min(F.col("__tok") / F.col("__share")).over(w)
+        )
+        .withColumn(
+            "rate", F.col("__share") * F.col("__T") / F.col("__tok")
+        )
+        .select(by, "rate")
+    )
+    return (
+        base.join(rates, by)
+        .filter(
+            _hash_bucket(id_col, bucket_mod)
+            < F.col("rate") * F.lit(bucket_mod)
+        )
+        .select(id_col, by, "n_tokens", "rate")
+    )

@@ -3904,6 +3904,99 @@ SELECT TRUE AS recall_ok, TRUE AS precision_exact,
 """
 
 
+def q104_incremental_dedup(spark, sf_dir):
+    """B49 production shape (new r4): dedup a NEW batch against the
+    EXISTING corpus without reprocessing it
+    (`dedup.incremental_exact_dedup` — within-batch keep-min-id, then
+    anti-join against the corpus digest index). The fixture has no
+    natural cross-set dups, so the query plants both kinds: the corpus
+    additionally holds copies of 20 new-batch texts (under corpus ids),
+    and the new batch holds 20 intra-batch replicas — survivors must
+    drop the former entirely and collapse the latter to their min id
+    with batch_dup_count=2. Full hash-match oracle."""
+    from .operators.dedup import incremental_exact_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 250).unionByName(
+        d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 270)).select(
+            (F.col("doc_id") + 50000).alias("doc_id"), "text"
+        )
+    )
+    new_batch = d.filter(F.col("doc_id") >= 250).unionByName(
+        d.filter(F.col("doc_id") >= 480).select(
+            (F.col("doc_id") + 90000).alias("doc_id"), "text"
+        )
+    )
+    return incremental_exact_dedup(new_batch, corpus)
+
+
+Q104_SQL = """
+WITH corpus AS (
+    SELECT text FROM documents WHERE doc_id < 250
+    UNION ALL
+    SELECT text FROM documents WHERE doc_id >= 250 AND doc_id < 270
+), newbatch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id >= 250
+    UNION ALL
+    SELECT doc_id + 90000 AS doc_id, text FROM documents WHERE doc_id >= 480
+), nh AS (
+    SELECT SHA256(text) AS content_hash, doc_id FROM newbatch
+), batch AS (
+    SELECT content_hash, MIN(doc_id) AS doc_id,
+           COUNT(*)::BIGINT AS batch_dup_count
+    FROM nh GROUP BY content_hash
+)
+SELECT doc_id, content_hash, batch_dup_count
+FROM batch b
+WHERE NOT EXISTS (
+    SELECT 1 FROM corpus c WHERE SHA256(c.text) = b.content_hash
+)
+"""
+
+
+def q105_corpus_mixture(spark, sf_dir):
+    """B53 depth (new r4): deterministic data mixing
+    (`text.mix_corpus`) — rebalance the corpus to equal TOKEN shares
+    per language (en dominates the fixture 3:1). Rates come from the
+    feasibility-scaled mixture (scarcest class keeps rate 1.0), doc
+    selection is the engine-independent sha2 bucket, so DuckDB
+    recomputes the identical sample. Output: per-language kept-doc
+    and kept-token totals + the rate, the compact full-hash check."""
+    from .operators.text import mix_corpus
+
+    sel = mix_corpus(_t(spark, sf_dir, "documents"), by="lang")
+    return sel.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_kept"),
+        F.round(F.max("rate"), 6).alias("rate"),
+    )
+
+
+Q105_SQL = r"""
+WITH base AS (
+    SELECT doc_id, lang,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+'))::BIGINT
+               AS n_tokens
+    FROM documents
+), per AS (
+    SELECT lang, SUM(n_tokens)::BIGINT AS tok FROM base GROUP BY lang
+), shares AS (
+    SELECT lang, tok, 1.0 / COUNT(*) OVER () AS share FROM per
+), rates AS (
+    SELECT lang, share * MIN(tok / share) OVER () / tok AS rate
+    FROM shares
+), sel AS (
+    SELECT b.doc_id, b.lang, b.n_tokens, r.rate
+    FROM base b JOIN rates r USING (lang)
+    WHERE ('0x' || SUBSTR(SHA256(CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000 < r.rate * 1000000
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS tokens_kept,
+       ROUND(MAX(rate), 6) AS rate
+FROM sel GROUP BY lang
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -3985,6 +4078,8 @@ QUERIES: dict[str, tuple] = {
     "q101_bigram_logprob": (q101_bigram_logprob, Q101_SQL),
     "q102_semdedup_gate": (q102_semdedup_gate, Q102_SQL),
     "q103_multiprobe_lsh_gate": (q103_multiprobe_lsh_gate, Q103_SQL),
+    "q104_incremental_dedup": (q104_incremental_dedup, Q104_SQL),
+    "q105_corpus_mixture": (q105_corpus_mixture, Q105_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

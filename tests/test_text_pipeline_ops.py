@@ -326,3 +326,54 @@ def test_bigram_logprob_hand_computation(spark):
         3: (2, round((lp_ab + 0.0) / 2, 6)),
         # doc 4 has one token -> no transitions -> absent
     }
+
+
+def test_mix_corpus_rates_and_determinism(spark):
+    from catenae_stopover_spark.operators.text import mix_corpus
+
+    # class A: 10 tokens total, class B: 100 -> equal shares, T = 20,
+    # rate_A = 1.0 (scarcest keeps all), rate_B = 0.1
+    rows = [(i, "A", "w " * 1) for i in range(10)]
+    rows += [(100 + i, "B", "w " * 10) for i in range(10)]
+    df = spark.createDataFrame(
+        [(i, c, t.strip()) for i, c, t in rows], ["doc_id", "lang", "text"]
+    )
+    out = mix_corpus(df).collect()
+    rates = {r.lang: r.rate for r in out}
+    assert rates["A"] == 1.0
+    # scarcest class keeps every doc
+    assert sum(1 for r in out if r.lang == "A") == 10
+    # class B's kept set is exactly what the sha2 bucket math says
+    # (deterministic — may legitimately be empty on 10 ids at rate 0.1)
+    import hashlib
+
+    rate_b = 0.5 * 20.0 / 100.0
+    exp_b = {
+        i
+        for i in range(100, 110)
+        if int(hashlib.sha256(str(i).encode()).hexdigest()[:8], 16) % 1000000
+        < rate_b * 1000000
+    }
+    assert {r.doc_id for r in out if r.lang == "B"} == exp_b
+    # hash selection is rerun-stable
+    again = {(r.doc_id, r.lang) for r in mix_corpus(df).collect()}
+    assert again == {(r.doc_id, r.lang) for r in out}
+
+
+def test_incremental_exact_dedup(spark):
+    from catenae_stopover_spark.operators.dedup import incremental_exact_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha"), (11, "gamma"), (12, "gamma"), (13, "delta")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r.batch_dup_count
+        for r in incremental_exact_dedup(new, corpus).collect()
+    }
+    # corpus dup 'alpha' dropped; 'gamma' collapses to min id with
+    # count 2; 'delta' unique
+    assert out == {11: 2, 13: 1}
