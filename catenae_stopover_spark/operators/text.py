@@ -942,3 +942,34 @@ def mix_corpus(
         )
         .select(id_col, by, "n_tokens", "rate")
     )
+
+
+def cap_per_class(
+    df: DataFrame,
+    by: str = "source",
+    id_col: str = "doc_id",
+    cap: int = 10,
+) -> DataFrame:
+    """Per-class document cap (the C4-style anti-spam heuristic: no
+    domain may contribute more than ``cap`` documents): keep the first
+    ``cap`` docs per class in ENGINE-INDEPENDENT sha2-hash order — an
+    unbiased, rerun-stable draw, unlike id order (which favors early
+    crawls) or a random sample (which changes every run).
+
+    Scale shape: one window per class key. Spark 4 plans the
+    row_number <= cap filter as a Partial WindowGroupLimit BELOW the
+    exchange (the SCALING.md top-k finding), so each map partition
+    ships at most ``cap`` rows per class — hot domains cost the cap,
+    not their size.
+
+    Returns (id_col, by, pick_rank) for the kept documents.
+    """
+    order_key = F.sha2(
+        F.coalesce(F.col(id_col).cast("string"), F.lit("\x00null\x00")), 256
+    )
+    w = Window.partitionBy(by).orderBy(order_key, F.col(id_col))
+    return (
+        df.select(F.col(id_col), F.col(by))
+        .withColumn("pick_rank", F.row_number().over(w))
+        .filter(F.col("pick_rank") <= cap)
+    )

@@ -3997,6 +3997,75 @@ FROM sel GROUP BY lang
 """
 
 
+def q106_stream_incremental_dedup(spark, sf_dir):
+    """B40/B42 composition (new r4): q104's incremental dedup executed
+    under Structured Streaming — the ingest-time shape: a stream of
+    new documents is anti-joined (STATELESS stream-static) against the
+    static corpus digest index, then collapsed keep-min-id per digest
+    by a streaming aggregation. Bounded replay in complete mode makes
+    the result equal batch q104 exactly (same oracle), independent of
+    how micro-batches split the replay. Deployment boundary: complete
+    mode + memory sink is the oracle scaffold; production ingest runs
+    update mode to a keyed sink — the anti-join stays stateless either
+    way, and the aggregation state is one row per unique new digest."""
+    import tempfile
+
+    from .io.sources import replay_as_stream
+    from .streaming import run_available_now
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.filter(F.col("doc_id") < 250).unionByName(
+        d.filter((F.col("doc_id") >= 250) & (F.col("doc_id") < 270)).select(
+            (F.col("doc_id") + 50000).alias("doc_id"), "text"
+        )
+    )
+    new_batch = d.filter(F.col("doc_id") >= 250).unionByName(
+        d.filter(F.col("doc_id") >= 480).select(
+            (F.col("doc_id") + 90000).alias("doc_id"), "text"
+        )
+    )
+    digest = F.sha2(F.encode(F.col("text"), "UTF-8"), 256)
+    stage = tempfile.mkdtemp(prefix="csspark-replay-")
+    stream = replay_as_stream(spark, new_batch, stage, chunks=4)
+    hashed = stream.select(digest.alias("content_hash"), "doc_id")
+    corpus_hashes = corpus.select(digest.alias("content_hash")).distinct()
+    survivors = hashed.join(corpus_hashes, "content_hash", "left_anti")
+    agg = survivors.groupBy("content_hash").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count("*").alias("batch_dup_count"),
+    )
+    return run_available_now(agg, output_mode="complete").select(
+        "doc_id", "content_hash", "batch_dup_count"
+    )
+
+
+def q107_domain_cap(spark, sf_dir):
+    """B53 depth (new r4): per-domain document cap
+    (`text.cap_per_class`, the C4-style anti-spam heuristic) — at most
+    10 docs per source, drawn in engine-independent sha2-hash order so
+    the draw is unbiased and rerun-stable. Spark plans the
+    row_number <= cap as a WindowGroupLimit below the exchange, so hot
+    domains ship the cap, not their size. Full hash-match oracle."""
+    from .operators.text import cap_per_class
+
+    return cap_per_class(
+        _t(spark, sf_dir, "documents"), by="source", cap=10
+    )
+
+
+Q107_SQL = """
+WITH ranked AS (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY SHA256(CAST(doc_id AS VARCHAR)), doc_id
+           )::INT AS pick_rank
+    FROM documents
+)
+SELECT doc_id, source, pick_rank FROM ranked WHERE pick_rank <= 10
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -4080,6 +4149,9 @@ QUERIES: dict[str, tuple] = {
     "q103_multiprobe_lsh_gate": (q103_multiprobe_lsh_gate, Q103_SQL),
     "q104_incremental_dedup": (q104_incremental_dedup, Q104_SQL),
     "q105_corpus_mixture": (q105_corpus_mixture, Q105_SQL),
+    # streaming execution of the incremental dedup — same oracle as q104
+    "q106_stream_incremental_dedup": (q106_stream_incremental_dedup, Q104_SQL),
+    "q107_domain_cap": (q107_domain_cap, Q107_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

@@ -377,3 +377,25 @@ def test_incremental_exact_dedup(spark):
     # corpus dup 'alpha' dropped; 'gamma' collapses to min id with
     # count 2; 'delta' unique
     assert out == {11: 2, 13: 1}
+
+
+def test_cap_per_class_caps_and_plans_group_limit(spark):
+    from catenae_stopover_spark.operators.text import cap_per_class
+
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "small") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    capped = cap_per_class(df, by="source", cap=5)
+    out = capped.collect()
+    by_class = {}
+    for r in out:
+        by_class.setdefault(r.source, []).append(r.pick_rank)
+    assert sorted(by_class["big"]) == [1, 2, 3, 4, 5]
+    assert sorted(by_class["small"]) == [1, 2, 3]
+    # rerun-stable draw
+    assert {(r.doc_id, r.pick_rank) for r in capped.collect()} == {
+        (r.doc_id, r.pick_rank) for r in out
+    }
+    # the rank filter must push below the exchange as a group limit
+    # (hot domains ship the cap, not their size)
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
