@@ -357,6 +357,7 @@ def embedding_near_dups(
     kernel: str = "sql",
     lsh_tables: int = 1,
     probes: int = 0,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold).
 
@@ -381,7 +382,71 @@ def embedding_near_dups(
     throughput path for wide embeddings. Pick ``lsh_bits`` so buckets
     stay small (the gram matrix is O(bucket²) memory); hot buckets are
     the same skew risk as any LSH banding.
+
+    ``collapse_exact=True`` pre-collapses byte-identical vectors to one
+    representative, mines pairs over the UNIQUE vectors only, then
+    expands back (cross-group + intra-group pairs). On replica-heavy
+    corpora — the normal web case — this removes the dominant cost:
+    every LSH table otherwise rediscovers every exact-dup pair and the
+    cross-table distinct pays for all of them (measured at 10x sf0.1,
+    where each vector has 10 exact copies: 136 s -> see SCALING.md;
+    unique-vector LSH input shrinks 10x, candidate volume ~100x).
+    Intra-group pairs are emitted with cosine exactly 1.0 (the
+    mathematical value; the recomputed value can differ in the last
+    ulp). Same pair SET as collapse_exact=False whenever
+    threshold <= 1.0 — pytest-pinned.
     """
+    if collapse_exact:
+        # group key = the vector itself (hash join on the array value);
+        # representative = min id, membership kept as a TABLE (no
+        # collect_list — a hot group stays distributed)
+        reps_tbl = df.groupBy(vec_col).agg(F.min(id_col).alias("__rep"))
+        members = df.join(reps_tbl, vec_col).select(
+            F.col("__rep"), F.col(id_col).alias("__m")
+        )
+        reps = reps_tbl.select(
+            F.col("__rep").alias(id_col), F.col(vec_col)
+        )
+        rep_pairs = embedding_near_dups(
+            reps,
+            vec_col=vec_col,
+            id_col=id_col,
+            threshold=threshold,
+            lsh_bits=lsh_bits,
+            kernel=kernel,
+            lsh_tables=lsh_tables,
+            probes=probes,
+            collapse_exact=False,
+        )
+        ma = members.select(
+            F.col("__rep").alias("id_a"), F.col("__m").alias("__ma")
+        )
+        mb = members.select(
+            F.col("__rep").alias("id_b"), F.col("__m").alias("__mb")
+        )
+        cross = (
+            rep_pairs.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("__ma", "__mb").alias("id_a"),
+                F.greatest("__ma", "__mb").alias("id_b"),
+                F.col("cosine"),
+            )
+        )
+        intra = (
+            members.alias("x")
+            .join(
+                members.alias("y"),
+                (F.col("x.__rep") == F.col("y.__rep"))
+                & (F.col("x.__m") < F.col("y.__m")),
+            )
+            .select(
+                F.col("x.__m").alias("id_a"),
+                F.col("y.__m").alias("id_b"),
+                F.lit(1.0).alias("cosine"),
+            )
+        )
+        return cross.unionByName(intra)
     if lsh_tables > 1 or probes:
         if lsh_bits <= 0:
             raise ValueError("lsh_tables > 1 / probes require lsh_bits > 0")
@@ -539,15 +604,69 @@ def _multi_table_lsh_pairs(
     )
     va = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    with_vecs = cand.join(va, "id_a").join(vb, "id_b")
+    # refine kernel: above the standard 2 MiB file-size threshold the
+    # candidate volume makes pair-at-a-time interpreted HOF cosine the
+    # bottleneck (measured at 10x: 154-172 s, ~90% refine); the Arrow
+    # einsum kernel batches it. Small inputs (every oracle gate) keep
+    # the SQL kernel — bit-identical truth for the subset gates.
+    from .similarity import _estimated_bytes
+
+    if _estimated_bytes(df) >= 2 * 2**20:
+        return _pairwise_cosine_arrow(with_vecs, threshold)
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
+        with_vecs.select(
             "id_a",
             "id_b",
             cosine_similarity(F.col("__va"), F.col("__vb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _pairwise_cosine_arrow(
+    pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-cosine refine over candidate pairs, one vectorized pass
+    per Arrow batch (row-wise einsum on the ListArray value buffers,
+    zero object churn) — the batched replacement for evaluating the
+    interpreted HOF cosine once per pair. Same float64 math as the SQL
+    kernel up to summation order. Input columns: id_a, id_b, __va,
+    __vb; output: (id_a, id_b, cosine >= threshold)."""
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            fa = np.asarray(b.column("__va").flatten(), dtype=np.float64)
+            fb = np.asarray(b.column("__vb").flatten(), dtype=np.float64)
+            if fa.size % b.num_rows or fb.size % b.num_rows:
+                raise ValueError(
+                    "ragged or null embeddings: arrow refine needs "
+                    "fixed-dimension non-null vectors"
+                )
+            ma = fa.reshape(b.num_rows, -1)
+            mb = fb.reshape(b.num_rows, -1)
+            cos = np.einsum("ij,ij->i", ma, mb) / (
+                np.linalg.norm(ma, axis=1) * np.linalg.norm(mb, axis=1)
+            )
+            keep = cos >= threshold
+            if not keep.any():
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(b.column("id_a"), dtype=np.int64)[keep]),
+                    pa.array(np.asarray(b.column("id_b"), dtype=np.int64)[keep]),
+                    pa.array(cos[keep]),
+                ],
+                ["id_a", "id_b", "cosine"],
+            )
+
+    return pairs.select("id_a", "id_b", "__va", "__vb").mapInArrow(
+        score, "id_a long, id_b long, cosine double"
     )
 
 

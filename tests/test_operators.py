@@ -455,3 +455,37 @@ def test_multiprobe_requires_bits(spark):
         embedding_near_dups(df, probes=1).collect()
     with pytest.raises(ValueError):
         embedding_near_dups(df, lsh_bits=4, probes=2).collect()
+
+
+def test_embedding_near_dups_collapse_exact_parity(spark):
+    from catenae_stopover_spark.operators.dedup import embedding_near_dups
+
+    import random
+
+    rng = random.Random(5)
+    base = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)
+    ]
+    # every vector gets 2 exact replicas (ids +100, +200) — the
+    # replica-heavy shape collapse_exact exists for
+    rows = base + [(i + 100, v) for i, v in base] + [(i + 200, v) for i, v in base]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    for kwargs in (
+        dict(threshold=0.6),
+        dict(threshold=0.6, lsh_bits=3, lsh_tables=6, probes=1),
+    ):
+        plain = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dups(df, **kwargs).collect()
+        }
+        collapsed = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_dups(
+                df, collapse_exact=True, **kwargs
+            ).collect()
+        }
+        assert collapsed == plain
+        # intra-replica pairs are all present (cos 1.0 >= threshold)
+        assert (0, 100) in collapsed and (0, 200) in collapsed
