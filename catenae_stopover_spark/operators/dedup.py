@@ -69,6 +69,7 @@ def minhash_lsh_near_dups(
     bands: int = 16,
     shingle_n: int = 5,
     max_bucket: int | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs (B50).
 
@@ -91,6 +92,63 @@ def minhash_lsh_near_dups(
     bucket can dominate the whole shuffle quadratically). Pairs inside
     a dropped bucket can still surface via their other bands.
     """
+    if collapse_exact:
+        # Pre-collapse byte-identical documents (the replica-heavy web
+        # shape): mine over one representative per distinct text, then
+        # expand pairs back. Exact replicas have IDENTICAL signatures,
+        # so intra-group est_jaccard is exactly 1.0 and every
+        # cross-group pair inherits its representatives' estimate —
+        # value-exact parity with the uncollapsed run (pytest-pinned).
+        # Membership is a TABLE (join on the content digest, no
+        # collect_list); the expansion is output-bound by definition.
+        digest = F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)
+        hashed = df.select(F.col(id_col), F.col(text_col), digest.alias("__d"))
+        reps_tbl = hashed.groupBy("__d").agg(F.min(id_col).alias("__rep"))
+        members = hashed.join(reps_tbl, "__d").select(
+            F.col("__rep"), F.col(id_col).alias("__m")
+        )
+        reps = df.select(F.col(id_col), F.col(text_col)).join(
+            reps_tbl.select(F.col("__rep").alias(id_col)), id_col
+        )
+        rep_pairs = minhash_lsh_near_dups(
+            reps,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            max_bucket=max_bucket,
+            collapse_exact=False,
+        )
+        ma = members.select(
+            F.col("__rep").alias("id_a"), F.col("__m").alias("__ma")
+        )
+        mb = members.select(
+            F.col("__rep").alias("id_b"), F.col("__m").alias("__mb")
+        )
+        cross = (
+            rep_pairs.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("__ma", "__mb").alias("id_a"),
+                F.greatest("__ma", "__mb").alias("id_b"),
+                F.col("est_jaccard"),
+            )
+        )
+        intra = (
+            members.alias("x")
+            .join(
+                members.alias("y"),
+                (F.col("x.__rep") == F.col("y.__rep"))
+                & (F.col("x.__m") < F.col("y.__m")),
+            )
+            .select(
+                F.col("x.__m").alias("id_a"),
+                F.col("y.__m").alias("id_b"),
+                (F.lit(1.0)).alias("est_jaccard"),
+            )
+        )
+        return cross.unionByName(intra)
     rows_per_band = num_hashes // bands
     # One string hash per (doc, shingle); the 64 signature dimensions
     # re-hash that single LONG, never the string. explode + hash-agg

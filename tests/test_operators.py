@@ -489,3 +489,33 @@ def test_embedding_near_dups_collapse_exact_parity(spark):
         assert collapsed == plain
         # intra-replica pairs are all present (cos 1.0 >= threshold)
         assert (0, 100) in collapsed and (0, 200) in collapsed
+
+
+def test_minhash_collapse_exact_value_parity(spark):
+    from catenae_stopover_spark.operators.dedup import minhash_lsh_near_dups
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again today",
+        "completely unrelated content about distributed query planning",
+        "completely unrelated content about distributed query planning systems",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    # two exact replicas of every doc
+    rows += [(100 + i, t) for i, t in enumerate(texts)]
+    rows += [(200 + i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    plain = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_near_dups(df, shingle_n=3).collect()
+    }
+    collapsed = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_near_dups(
+            df, shingle_n=3, collapse_exact=True
+        ).collect()
+    }
+    # value-exact parity: replicas share signatures, so intra pairs are
+    # est 1.0 and cross pairs inherit the representative estimate
+    assert collapsed == plain
+    assert plain[(0, 100)] == 1.0
