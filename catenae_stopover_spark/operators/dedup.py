@@ -931,6 +931,7 @@ def semantic_dedup(
     num_clusters: int = 16,
     seed: int = 42,
     kernel: str = "auto",
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (public recipe: Abbas et
     al. 2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -972,6 +973,50 @@ def semantic_dedup(
 
     from ..functions.vectors import cosine_similarity
 
+    if collapse_exact:
+        # Pre-collapse byte-identical vectors (same move as the LSH
+        # paths): non-representative members are exact dups of their
+        # rep (cos 1.0 >= any threshold <= 1), so they are pruned
+        # unconditionally and inherit the rep's cluster; the semantic
+        # decision runs over unique vectors only. Exact-dup prunes are
+        # strictly invariant; rep-level decisions can differ from the
+        # uncollapsed run only where k-means itself clusters the
+        # deduplicated space differently (replica weighting no longer
+        # skews centroid density — the shape SemDeDup recommends).
+        reps_tbl = df.groupBy(vec_col).agg(F.min(id_col).alias("__rep"))
+        members = df.join(reps_tbl, vec_col).select(
+            F.col("__rep"), F.col(id_col).alias("__m")
+        )
+        reps = df.select(F.col(id_col), F.col(vec_col)).join(
+            reps_tbl.select(F.col("__rep").alias(id_col)), id_col
+        )
+        rep_out = semantic_dedup(
+            reps,
+            vec_col=vec_col,
+            id_col=id_col,
+            threshold=threshold,
+            num_clusters=num_clusters,
+            seed=seed,
+            kernel=kernel,
+            collapse_exact=False,
+        )
+        return (
+            members.join(
+                rep_out.select(
+                    F.col(id_col).alias("__rep"),
+                    "cluster_id",
+                    F.col("keep").alias("__rep_keep"),
+                ),
+                "__rep",
+            )
+            .select(
+                F.col("__m").alias(id_col),
+                "cluster_id",
+                (F.col("__rep_keep") & (F.col("__m") == F.col("__rep"))).alias(
+                    "keep"
+                ),
+            )
+        )
     if kernel == "auto":
         kernel = "numpy" if _estimated_bytes(df) >= 2 * 2**20 else "sql"
 

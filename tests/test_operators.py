@@ -519,3 +519,33 @@ def test_minhash_collapse_exact_value_parity(spark):
     # est 1.0 and cross pairs inherit the representative estimate
     assert collapsed == plain
     assert plain[(0, 100)] == 1.0
+
+
+def test_semantic_dedup_collapse_exact_parity(spark):
+    from catenae_stopover_spark.operators.dedup import semantic_dedup
+
+    import random
+
+    rng = random.Random(3)
+    base = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(12)]
+    rows = base + [(i + 100, v) for i, v in base]  # one exact replica each
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    plain = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(
+            df, threshold=0.99, num_clusters=3, seed=9
+        ).collect()
+    }
+    collapsed = {
+        r.vec_id: r.keep
+        for r in semantic_dedup(
+            df, threshold=0.99, num_clusters=3, seed=9, collapse_exact=True
+        ).collect()
+    }
+    assert collapsed == plain
+    # every replica pruned, every original kept (no cross-pair at 0.99
+    # among random vectors; the replicas are the only near-dups)
+    assert all(not collapsed[i + 100] for i, _ in base)
+    assert all(collapsed[i] for i, _ in base)
