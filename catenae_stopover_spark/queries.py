@@ -4066,6 +4066,131 @@ SELECT doc_id, source, pick_rank FROM ranked WHERE pick_rank <= 10
 """
 
 
+def q108_collapse_parity_gate(spark, sf_dir):
+    """B49/B50 scale-path gate (new r4): the exact-dup PRE-COLLAPSE
+    optimization (mine near-dups over one representative per distinct
+    content, expand pairs back — the 3-20x win on replica-heavy
+    corpora, SCALING.md) must be RESULT-INVISIBLE. The fixture has no
+    exact dups, so the query plants replicas of both kinds (doc text
+    copies under +70000 ids; embedding copies under +100000 ids) and
+    asserts, in one distributed plan per family, that the collapsed
+    and plain runs emit the IDENTICAL pair set:
+    * minhash_parity_ok — MinHash-LSH pairs (id set AND est_jaccard
+      values: replicas share signatures, so parity is value-exact);
+    * embedding_parity_ok — multi-table multi-probe LSH pairs at
+      cos >= 0.4.
+    Oracle hashes the constant expectation (q69/q96 pattern)."""
+    from .operators.dedup import embedding_near_dups, minhash_lsh_near_dups
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = d.filter(F.col("doc_id") < 120).unionByName(
+        d.filter(F.col("doc_id") < 40).select(
+            (F.col("doc_id") + 70000).alias("doc_id"), "text"
+        )
+    )
+    mh_plain = minhash_lsh_near_dups(docs).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+    mh_coll = minhash_lsh_near_dups(docs, collapse_exact=True).select(
+        "id_a", "id_b", "est_jaccard"
+    )
+    mh_diff = mh_plain.exceptAll(mh_coll).unionByName(
+        mh_coll.exceptAll(mh_plain)
+    )
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vecs = e.filter(F.col("vec_id") < 120).unionByName(
+        e.filter(F.col("vec_id") < 40).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    kw = dict(threshold=0.4, lsh_bits=4, lsh_tables=8, probes=1)
+    eb_plain = embedding_near_dups(vecs, **kw).select("id_a", "id_b")
+    eb_coll = embedding_near_dups(
+        vecs, collapse_exact=True, **kw
+    ).select("id_a", "id_b")
+    eb_diff = eb_plain.exceptAll(eb_coll).unionByName(
+        eb_coll.exceptAll(eb_plain)
+    )
+    # two 1-row aggregates + a planted-pair floor (the replicas
+    # guarantee >= 40 intra-group pairs, so parity is never vacuous)
+    m = mh_diff.agg(F.count("*").alias("__mdiff"))
+    b = eb_diff.agg(F.count("*").alias("__ediff"))
+    n = mh_coll.agg(F.count("*").alias("__npairs"))
+    return (
+        n.crossJoin(m)
+        .crossJoin(b)
+        .select(
+            (F.col("__mdiff") == 0).alias("minhash_parity_ok"),
+            (F.col("__ediff") == 0).alias("embedding_parity_ok"),
+            (F.col("__npairs") >= 40).alias("nonvacuous"),
+        )
+    )
+
+
+Q108_SQL = """
+SELECT TRUE AS minhash_parity_ok, TRUE AS embedding_parity_ok,
+       TRUE AS nonvacuous
+"""
+
+
+def q109_stream_left_outer_join(spark, sf_dir):
+    """B43 depth (new r4): LEFT OUTER stream-stream join under the
+    oracle gate. With a span-covering watermark the matched rows equal
+    the batch inner join exactly and NO null-extended row can prove
+    out (the watermark never passes any purchase's join window), so
+    the aggregate is fully deterministic: pair count, matched-purchase
+    count, and a null count of zero. The null-EMISSION path (tight
+    watermark → nulls for provably-unmatched rows, trailing rows
+    withheld by availableNow) is pinned in
+    tests/test_streaming.py::test_stream_stream_left_outer_null_emission."""
+    import tempfile
+
+    from .io.sources import replay_as_stream
+    from .streaming import run_available_now
+
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    ps = replay_as_stream(
+        spark, p, tempfile.mkdtemp(prefix="csspark-lo-p-"), chunks=3, order_col="pts"
+    ).withWatermark("pts", "8760 hours")
+    cs = replay_as_stream(
+        spark, c, tempfile.mkdtemp(prefix="csspark-lo-c-"), chunks=3, order_col="cts"
+    ).withWatermark("cts", "8760 hours")
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    joined = ps.join(cs, cond, "left_outer").select("p_id", "c_id")
+    rows = run_available_now(joined, output_mode="append")
+    return rows.groupBy().agg(
+        F.count(F.col("c_id")).alias("n_pairs"),
+        F.count_distinct(
+            F.when(F.col("c_id").isNotNull(), F.col("p_id"))
+        ).alias("n_purchases_matched"),
+        F.count(F.when(F.col("c_id").isNull(), 1)).alias("n_nulls"),
+    )
+
+
+Q109_SQL = """
+SELECT COUNT(*) AS n_pairs,
+       COUNT(DISTINCT p.event_id) AS n_purchases_matched,
+       0 AS n_nulls
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -4152,6 +4277,8 @@ QUERIES: dict[str, tuple] = {
     # streaming execution of the incremental dedup — same oracle as q104
     "q106_stream_incremental_dedup": (q106_stream_incremental_dedup, Q104_SQL),
     "q107_domain_cap": (q107_domain_cap, Q107_SQL),
+    "q108_collapse_parity_gate": (q108_collapse_parity_gate, Q108_SQL),
+    "q109_stream_left_outer_join": (q109_stream_left_outer_join, Q109_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

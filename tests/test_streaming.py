@@ -384,3 +384,74 @@ def test_strict_session_agg_merge_drop_timeout(spark, tmp_path_factory):
         (1, "2024-01-01 02:00:00", "2024-01-01 02:00:00"): 1,  # timeout path
         # key 2: 05:00 session trailing (unclosed), late 00:05 dropped
     }
+
+
+def test_stream_stream_left_outer_null_emission(spark):
+    """B43 depth: LEFT OUTER stream-stream join semantics pinned.
+    Matched rows equal the batch inner join regardless of watermark;
+    null-extended rows for unmatched left rows emit ONLY once the
+    watermark proves no match can arrive — so a span-covering
+    watermark emits zero nulls, and a tight watermark emits a subset
+    of the batch-unmatched rows (trailing ones stay withheld at the
+    end of a bounded replay: availableNow never runs the extra batch
+    that would flush them — the deployment pairs this with a real
+    trigger cadence)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from catenae_stopover_spark.io.sources import load_table, replay_as_stream
+    from catenae_stopover_spark.streaming import run_available_now
+
+    sf = "/root/testdata/sf0.01"
+    ev = load_table(spark, sf, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    cond_batch = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    inner = {
+        (r.p_id, r.c_id)
+        for r in p.join(c, cond_batch, "inner").select("p_id", "c_id").collect()
+    }
+    matched_pids = {a for a, _ in inner}
+    all_pids = {r.p_id for r in p.select("p_id").collect()}
+    unmatched_pids = all_pids - matched_pids
+
+    def run(watermark):
+        ps = replay_as_stream(
+            spark, p, tempfile.mkdtemp(prefix="lo-p-"), chunks=3, order_col="pts"
+        ).withWatermark("pts", watermark)
+        cs = replay_as_stream(
+            spark, c, tempfile.mkdtemp(prefix="lo-c-"), chunks=3, order_col="cts"
+        ).withWatermark("cts", watermark)
+        cond = (
+            (F.col("user_id") == F.col("c_user"))
+            & (F.col("cts") <= F.col("pts"))
+            & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        )
+        out = ps.join(cs, cond, "left_outer").select("p_id", "c_id")
+        return run_available_now(out, output_mode="append").collect()
+
+    # span-covering watermark: every match emits, no null ever proves out
+    rows = run("8760 hours")
+    got_pairs = {(r.p_id, r.c_id) for r in rows if r.c_id is not None}
+    assert got_pairs == inner
+    assert not [r for r in rows if r.c_id is None]
+
+    # tight watermark: matches identical; nulls = a nonempty subset of
+    # the batch-unmatched purchases, disjoint from the matched set
+    rows = run("2 hours")
+    got_pairs = {(r.p_id, r.c_id) for r in rows if r.c_id is not None}
+    nulls = {r.p_id for r in rows if r.c_id is None}
+    assert got_pairs == inner
+    assert nulls and nulls <= unmatched_pids
+    assert not (nulls & matched_pids)

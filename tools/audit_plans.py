@@ -64,6 +64,11 @@ ACCEPTED = {
     "q103_multiprobe_lsh_gate":
         "exact all-pairs truth side + 1-row gate cross (operator's "
         "own candidate join is the (table, signature) equi-join)",
+    # parity gate: crosses of three 1-row aggregates; both compared
+    # operator runs generate candidates via equi-joins only
+    "q108_collapse_parity_gate":
+        "cross of 1-row parity aggregates (both operator paths are "
+        "bucket equi-joins)",
 }
 
 
