@@ -308,3 +308,46 @@ def hierarchical_rollup(
     for lv in levels[1:]:
         out = out.unionByName(lv)
     return out
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE INTO semantics over plain parquet tables: apply a change
+    set of ('upsert' | 'delete', full payload) rows to a base snapshot
+    and return the merged snapshot — the step that consumes
+    `compact_changelog`'s output (which guarantees one final action
+    per key) to maintain a materialized table without a transactional
+    format.
+
+    Plan shape: untouched base rows survive a LEFT ANTI join against
+    the (small) distinct change-key set; upserts union in with their
+    full payload. At 100 TB the base is stored bucketed by the key, so
+    the anti-join is co-located (no base shuffle), and the change keys
+    broadcast — the whole merge reads the base once and shuffles only
+    the changes. Rewriting only affected partitions (partition
+    pruning on the key's partition column) is the storage-side
+    complement.
+
+    ``changes`` must hold at most one row per key (run
+    compact_changelog first); an op value other than
+    'upsert'/'delete' fails the job at execution (raise_error guard in
+    the plan — no extra driver-side validation job).
+    """
+    guarded = changes.withColumn(
+        op_col,
+        F.when(
+            F.col(op_col).isin("upsert", "delete"), F.col(op_col)
+        ).otherwise(
+            F.raise_error(
+                F.concat(F.lit("unknown change op: "), F.col(op_col))
+            )
+        ),
+    )
+    upserts = guarded.filter(F.col(op_col) == "upsert").drop(op_col)
+    touched = guarded.select(key_col).distinct()
+    kept = base.join(touched, key_col, "left_anti")
+    return kept.unionByName(upserts.select(*base.columns))

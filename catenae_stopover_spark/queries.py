@@ -4191,6 +4191,65 @@ WHERE p.event_type = 'purchase' AND c.event_type = 'click'
 """
 
 
+def q110_merge_upsert(spark, sf_dir):
+    """B17/B19-adjacent snapshot maintenance (new r4): MERGE INTO
+    semantics over plain parquet (`relational.merge_upsert`) — the
+    consumer of q91's compacted changelog. Change set derived
+    deterministically from orders: keys ending in 3 get a price-bumped
+    upsert, keys ending in 7 a delete, and a shifted-key copy of keys
+    ending in 1 inserts as new rows. Output: per-status row counts and
+    price sums of the merged snapshot — the compact full-hash check
+    that inserts landed, updates took the new payload, deletes
+    vanished, and untouched rows survived byte-identical."""
+    from .operators.relational import merge_upsert
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upserts = o.filter(F.col("o_orderkey") % 10 == 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        (F.col("o_totalprice") + 100).alias("o_totalprice"),
+        F.lit("upsert").alias("op"),
+    )
+    deletes = o.filter(F.col("o_orderkey") % 10 == 7).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("delete").alias("op"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 10 == 1).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        "o_orderstatus",
+        "o_totalprice",
+        F.lit("upsert").alias("op"),
+    )
+    changes = upserts.unionByName(deletes).unionByName(inserts)
+    merged = merge_upsert(o, changes, "o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+
+
+Q110_SQL = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), merged AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100
+                ELSE o_totalprice END AS o_totalprice
+    FROM base WHERE o_orderkey % 10 <> 7
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+    FROM base WHERE o_orderkey % 10 = 1
+)
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS total_price
+FROM merged GROUP BY o_orderstatus
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -4279,6 +4338,7 @@ QUERIES: dict[str, tuple] = {
     "q107_domain_cap": (q107_domain_cap, Q107_SQL),
     "q108_collapse_parity_gate": (q108_collapse_parity_gate, Q108_SQL),
     "q109_stream_left_outer_join": (q109_stream_left_outer_join, Q109_SQL),
+    "q110_merge_upsert": (q110_merge_upsert, Q110_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

@@ -549,3 +549,26 @@ def test_semantic_dedup_collapse_exact_parity(spark):
     # among random vectors; the replicas are the only near-dups)
     assert all(not collapsed[i + 100] for i, _ in base)
     assert all(collapsed[i] for i, _ in base)
+
+
+def test_merge_upsert_semantics_and_op_guard(spark):
+    import pytest
+
+    from pyspark.errors import PythonException
+    from catenae_stopover_spark.operators.relational import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "v"]
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", "upsert"), (3, None, "delete"), (4, "d", "upsert")],
+        ["k", "v", "op"],
+    )
+    got = {r.k: r.v for r in merge_upsert(base, changes, "k").collect()}
+    # untouched survives, update takes new payload, delete vanishes,
+    # insert lands
+    assert got == {1: "a", 2: "B", 4: "d"}
+    bad = spark.createDataFrame([(5, "x", "replace")], ["k", "v", "op"])
+    with pytest.raises(Exception) as ei:
+        merge_upsert(base, bad, "k").collect()
+    assert "unknown change op" in str(ei.value)
