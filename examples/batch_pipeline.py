@@ -1,7 +1,8 @@
 """A complete training-data batch pipeline on the engine's operator
-library: load a corpus → quality filter → exact + near dedup → text
-stats → embedding similarity — the LLM-data-pipeline story end-to-end
-on the driver testdata.
+library: load a corpus → quality filter → exact + near dedup →
+decontaminate → domain cap → equal-token mixture → pack → epoch order
+→ partitioned export → embedding similarity — the LLM-data-pipeline
+story end-to-end on the driver testdata.
 
 Run: python examples/batch_pipeline.py [sf_dir]
 """
@@ -19,8 +20,13 @@ from catenae_stopover_spark.operators.dedup import (
     minhash_lsh_near_dups,
 )
 from catenae_stopover_spark.operators.similarity import brute_force_topk
+from catenae_stopover_spark.io.sinks import export_dataset
 from catenae_stopover_spark.operators.text import (
+    cap_per_class,
     decontaminate,
+    epoch_shuffle,
+    mix_corpus,
+    pack_documents,
     quality_filter,
     split_by_hash,
     stratified_hash_sample,
@@ -81,7 +87,42 @@ def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
     splits = split_by_hash(mixed, "doc_id", test_pct=10)
     splits.groupBy("split").count().show()
 
-    # 7. similarity search over the embedding table (kernel picked by
+    # 7. per-domain cap (C4-style spam control) then equal-token
+    #    language mixture (feasibility-scaled rates) — both hash-drawn,
+    #    so the curated set is reproducible across runs and engines
+    capped = final.join(
+        cap_per_class(final, by="source", cap=20).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    mixture = mix_corpus(capped, by="lang")
+    print(f"after domain cap + mixture: {mixture.count()}")
+    curated = final.join(mixture.select("doc_id"), "doc_id", "left_semi")
+
+    # 8. training-example assembly: pack documents into ~2k-token
+    #    sequences (shard-parallel running sums), give every doc its
+    #    deterministic epoch-0 order, and export the curated corpus
+    #    partitioned for how it will be READ back
+    packs = pack_documents(curated, token_budget=2048, num_shards=16)
+    order = epoch_shuffle(curated, seed=0, num_shards=16)
+    print(
+        "packs:", packs.select("shard", "pack_id").distinct().count(),
+        "ordered rows:", order.count(),
+    )
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="corpus-export-")
+    export_dataset(
+        curated.join(splits.select("doc_id", "split"), "doc_id", "left")
+        .withColumn("split", F.coalesce("split", F.lit("train"))),
+        out_dir,
+        partition_by=["split", "lang"],
+        sort_within_partitions=["doc_id"],
+    )
+    back = spark.read.parquet(out_dir)
+    print(f"exported + re-read: {back.count()} rows from {out_dir}")
+
+    # 9. similarity search over the embedding table (kernel picked by
     #    input size: codegen small, Arrow+BLAS large)
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.limit(1).select("embedding").head()[0]
