@@ -1,0 +1,254 @@
+"""Behavioral / warehouse analytics operators: SCD2 history build,
+ordered funnels, cohort retention, per-group winsorization, and
+session pattern matching.
+
+The reference engine (/root/reference/src/catenae/catenae.py) exposes
+only a message loop; this module is part of the analytical gap-fill
+surface mandated by SURVEY.md §2 Part B, composing the window/join/agg
+primitives into the standard warehouse shapes a user of a full
+analytics engine expects.
+
+Scale notes are per-operator; the common theme is one key-shuffle per
+logical stage and windows sharing a partitioning so Spark plans a
+single exchange+sort for consecutive analytic functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def scd2_from_changelog(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    attr_cols: list[str],
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a
+    changelog: collapse consecutive rows whose tracked attributes are
+    unchanged, then assign each surviving version
+    ``valid_from = its ts`` and ``valid_to = next version's ts``
+    (NULL on the open/current version, which also gets
+    ``is_current = true``).
+
+    Both analytic passes (the change-detection lag and the
+    validity-end lead) partition by ``key_cols`` and order by
+    ``(ts_col, *tiebreak_cols)``, so Catalyst plans ONE exchange+sort
+    and runs the windows back-to-back — the whole history build is a
+    single shuffle at any scale. NULL attribute values are
+    change-compared null-safely (a NULL -> 'x' transition IS a new
+    version).
+    """
+    tb = tiebreak_cols or []
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, *tb)
+    changed = F.lit(False)
+    for a in attr_cols:
+        prev = F.lag(F.col(a)).over(w)
+        changed = changed | ~F.col(a).eqNullSafe(prev)
+    # first row per key: lag(ts) is NULL (ts itself is assumed non-null
+    # in a changelog) -> always starts a version
+    first = F.lag(F.col(ts_col)).over(w).isNull()
+    versions = df.withColumn("__new_version", first | changed).filter(
+        F.col("__new_version")
+    )
+    w2 = Window.partitionBy(*key_cols).orderBy(ts_col, *tb)
+    return (
+        versions.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead(F.col(ts_col)).over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop("__new_version")
+    )
+
+
+def funnel_steps(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    steps: list[tuple[str, Column]],
+) -> DataFrame:
+    """Ordered conversion funnel: a user completes step *i* iff they
+    have an event matching step *i*'s predicate STRICTLY AFTER their
+    earliest completion of step *i-1*. Returns one row per step:
+    ``(step_idx, step, users)``.
+
+    The classic formulation (collect every user's full event list and
+    scan it) centralizes per-user history; this one is pure relational
+    algebra: level *i* is ``events ⨝ level_{i-1} ON user WHERE ts >
+    prev_ts`` then a min-ts aggregation, so each stage is one shuffle
+    on the user key and level sizes shrink monotonically. Each level
+    is persisted: the final output unions one 1-row aggregate per
+    level, and without pinning, level *i*'s join chain would re-execute
+    once per downstream union branch (O(k²) scans).
+    """
+    if not steps:
+        raise ValueError("funnel_steps requires at least one step")
+    out_rows = []
+    prev: DataFrame | None = None
+    pinned = []
+    for i, (name, cond) in enumerate(steps):
+        src = events.filter(cond)
+        if prev is not None:
+            src = src.join(prev, user_col).filter(
+                F.col(ts_col) > F.col("__prev_ts")
+            )
+        cur = (
+            src.groupBy(user_col)
+            .agg(F.min(ts_col).alias("__prev_ts"))
+            .persist()
+        )
+        pinned.append(cur)
+        out_rows.append(
+            cur.agg(F.count("*").alias("users")).select(
+                F.lit(i).alias("step_idx"),
+                F.lit(name).alias("step"),
+                "users",
+            )
+        )
+        prev = cur
+    result = out_rows[0]
+    for r in out_rows[1:]:
+        result = result.unionByName(r)
+    return result
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention triangle: cohort = the ``period`` (week/month)
+    of a user's first event; for every (cohort, offset) count the
+    distinct users active ``offset`` periods after their cohort
+    period. Returns ``(cohort, period_offset, active_users)``.
+
+    Two shuffles: min-ts per user (map-side combinable), then the
+    cohort×offset distinct-count. The cohort table is users-sized —
+    broadcast when it fits, which at 100 TB of events it typically
+    does (users ≪ events)."""
+    if period == "week":
+        trunc = lambda c: F.date_trunc("week", c)  # noqa: E731
+        days = 7
+    elif period == "month":
+        raise NotImplementedError(
+            "month offsets need months_between; week covers the "
+            "contract surface"
+        )
+    else:
+        raise ValueError(f"unknown period: {period}")
+    firsts = events.groupBy(user_col).agg(
+        trunc(F.min(ts_col)).alias("__cohort")
+    )
+    return (
+        events.join(F.broadcast(firsts), user_col)
+        .select(
+            F.col("__cohort").alias("cohort"),
+            (
+                F.datediff(trunc(F.col(ts_col)), F.col("__cohort")) / days
+            )
+            .cast("int")
+            .alias("period_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.countDistinct(user_col).alias("active_users"))
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Clip ``value_col`` to its per-group [lower, upper] exact
+    quantiles (linear interpolation — Spark ``percentile`` and ANSI
+    ``quantile_cont`` agree bit-for-bit on doubles). Adds
+    ``{value_col}_wins``.
+
+    The quantile table is one row per group — computed with a single
+    grouped aggregate and broadcast back, so the clip costs no second
+    shuffle of the fact table. (A percentile WINDOW over the group
+    would re-shuffle and re-sort the full fact table instead.)"""
+    q = df.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, {lower})").alias("__lo"),
+        F.expr(f"percentile({value_col}, {upper})").alias("__hi"),
+    )
+    return (
+        df.join(F.broadcast(q), group_cols)
+        .withColumn(
+            f"{value_col}_wins",
+            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_minutes: int = 30,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Assign a per-user ``session_id`` (1-based) with a
+    ``gap_minutes`` inactivity cutoff — the batch twin of the
+    streaming session window (B38). Lag + running sum share one
+    window partitioning: a single shuffle."""
+    tb = tiebreak_cols or []
+    w = Window.partitionBy(user_col).orderBy(ts_col, *tb)
+    gap_ms = gap_minutes * 60 * 1000
+    return (
+        events.withColumn("__prev_ms", F.lag(F.unix_millis(ts_col)).over(w))
+        .withColumn(
+            "__new",
+            (
+                F.col("__prev_ms").isNull()
+                | ((F.unix_millis(ts_col) - F.col("__prev_ms")) > gap_ms)
+            ).cast("int"),
+        )
+        .withColumn(
+            "session_id",
+            F.sum("__new").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .drop("__prev_ms", "__new")
+    )
+
+
+def session_pattern_match(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    pattern: str,
+    gap_minutes: int = 30,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """MATCH_RECOGNIZE-lite: sessionize, serialize each session's
+    event types into a comma-joined sequence string (deterministic
+    (ts, tiebreak) order), and keep sessions whose sequence matches
+    the Java/RE2-portable regex ``pattern``. Returns
+    ``(user_col, session_id, seq, n_events)``.
+
+    Per-session state is the session's own type string — bounded by
+    session length, never by corpus size; the heavy lifting is the
+    one sessionize shuffle plus a per-session groupBy that reuses the
+    same user-key partitioning."""
+    tb = tiebreak_cols or []
+    sess = sessionize(events, user_col, ts_col, gap_minutes, tb)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(ts_col, *tb, type_col))
+    )
+    seq = F.array_join(
+        F.transform(ordered, lambda s: s[type_col]), ","
+    ).alias("seq")
+    return (
+        sess.groupBy(user_col, "session_id")
+        .agg(seq, F.count("*").alias("n_events"))
+        .filter(F.col("seq").rlike(pattern))
+    )

@@ -97,3 +97,106 @@ def pagerank(
     edges.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED edge list (either
+    orientation may be present; both may be). Returns (node,
+    triangles).
+
+    Canonical algorithm (same as GraphX/Galois): orient every edge
+    low->high, then a triangle a<b<c is exactly one match of
+    e(a,b) ⨝ e(b,c) ⨝ e(a,c) — each triangle found once, no
+    double-counting, and the two equi-joins are the whole cost
+    (shuffle keyed by the shared endpoint; AQE handles high-degree
+    skew). The wedge join's size is sum(deg²) — the known hot spot —
+    which the low->high orientation halves by only extending from the
+    lower endpoint.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    # wedges a<b<c from oriented edges (a,b) and (b,c)
+    wedges = e.alias("e1").join(
+        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("a"),
+        F.col("e1.b").alias("b"),
+        F.col("e2.b").alias("c"),
+    )
+    tri = wedges.alias("w").join(
+        e.alias("e3"),
+        (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
+    ).select("w.a", "w.b", "w.c")
+    per_node = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("triangles"))
+    )
+    out = per_node.localCheckpoint()
+    e.unpersist()
+    return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source BFS: hop distance from the nearest seed node,
+    bounded by ``max_hops``. ``seeds`` is a 1-column DataFrame of
+    node ids. Returns (node, dist) for every reached node.
+
+    Frontier-expansion form: each round joins the CURRENT frontier
+    (not the whole visited set) against the edge list, then
+    anti-joins the visited set — per-round cost is
+    |frontier ⨝ edges|, the Pregel property that makes BFS tractable
+    on big graphs. Edges are persisted across rounds; visited/frontier
+    are localCheckpoint-ed each round (truncating lineage that would
+    otherwise double per hop). The loop runs a fixed ``max_hops``
+    rounds; an unbounded variant would instead stop on an empty
+    frontier (one driver-side isEmpty per round — the standard
+    fixed-point probe)."""
+    seed_col = seeds.columns[0]
+    edges = (
+        edges.select(src, dst)
+        .unionByName(
+            edges.select(F.col(dst).alias(src), F.col(src).alias(dst))
+        )
+        .distinct()
+        .persist()
+    )
+    visited = (
+        seeds.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            edges.join(
+                frontier.select(F.col("node").alias(src)), src
+            )
+            .select(F.col(dst).alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    edges.unpersist()
+    return visited

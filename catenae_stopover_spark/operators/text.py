@@ -973,3 +973,69 @@ def cap_per_class(
         .withColumn("pick_rank", F.row_number().over(w))
         .filter(F.col("pick_rank") <= cap)
     )
+
+
+def remove_boilerplate_segments(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_words: int = 5,
+    min_docs: int = 3,
+    sep: str = " ",
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the C4/RefinedWeb counterpart
+    of `dedup.dedup_segments`): segment every document into fixed
+    ``window_words`` word windows, measure each segment's DOCUMENT
+    frequency corpus-wide, and strip segments appearing in >=
+    ``min_docs`` distinct documents from EVERY document (navboxes,
+    cookie banners, license footers). Keep-first dedup keeps one copy
+    of a shared segment; boilerplate removal deletes all copies —
+    different cleanup stage, both needed by a curation pipeline.
+
+    Returns (id_col, clean_text, n_segments, n_boiler) for every input
+    document.
+
+    Scale shape: segmentation is a zero-shuffle HOF+posexplode map;
+    document frequency is one groupBy on the segment (map-side
+    distinct-combine on (seg, id)); the segment-frequency table joins
+    back by segment key (same partitioning, AQE broadcasts it when the
+    boilerplate vocabulary is small — the common case); reassembly is
+    one groupBy on the doc id. Three shuffles of compressed text,
+    linear in corpus size, no driver state.
+    """
+    words = f"split({text_col}, '{sep}')"
+    segs = F.expr(
+        f"transform(sequence(0, cast(ceil(size({words}) / {window_words}.0) "
+        f"as int) - 1), i -> array_join(slice({words}, "
+        f"i * {window_words} + 1, {window_words}), '{sep}'))"
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(segs).alias("__i", "__seg")
+    )
+    seg_df = exploded.groupBy("__seg").agg(
+        F.countDistinct(id_col).alias("__df")
+    )
+    kept = (
+        exploded.join(seg_df, "__seg")
+        .filter(F.col("__df") < min_docs)
+        .drop("__df")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__i", "__seg"))),
+                lambda s: s["__seg"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("__n_kept"),
+    )
+    totals = df.select(F.col(id_col), F.size(segs).alias("n_segments"))
+    return totals.join(rebuilt, id_col, "left").select(
+        id_col,
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_segments",
+        (
+            F.col("n_segments") - F.coalesce("__n_kept", F.lit(0))
+        ).cast("long").alias("n_boiler"),
+    )

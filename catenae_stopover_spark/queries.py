@@ -4250,6 +4250,359 @@ FROM merged GROUP BY o_orderstatus
 """
 
 
+def q111_scd2_history(spark, sf_dir):
+    """Type-2 SCD build (`operators/analytics.scd2_from_changelog`):
+    replay each user's event stream as an attribute changelog
+    (tracked attribute: event_type), collapse no-change runs, emit
+    versioned rows with [valid_from, valid_to) and is_current. Both
+    analytic passes share one (user_id)-partitioning → a single
+    shuffle. Restricted to user_id < 30 to bound the comparison
+    surface; the operator itself is corpus-wide."""
+    from .operators.analytics import scd2_from_changelog
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    hist = scd2_from_changelog(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        key_cols=["user_id"],
+        ts_col="ts",
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+    return hist.select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
+
+
+Q111_SQL = """
+WITH src AS (
+    SELECT user_id, ts, event_id, event_type FROM events WHERE user_id < 30
+), flagged AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                THEN 1 ELSE 0 END AS newv
+    FROM src
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), versions AS (
+    SELECT user_id, ts, event_id, event_type FROM flagged WHERE newv = 1
+)
+SELECT user_id, event_type,
+       ts AS valid_from,
+       LEAD(ts) OVER w2 AS valid_to,
+       (LEAD(ts) OVER w2 IS NULL) AS is_current
+FROM versions
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q112_funnel(spark, sf_dir):
+    """Ordered conversion funnel (`operators/analytics.funnel_steps`):
+    users reaching view -> click-after-view -> purchase-after-click.
+    Pure relational form: level i = events ⨝ level_{i-1} on the user
+    key with a strict ts inequality, then min-ts agg — no per-user
+    history collection."""
+    from .operators.analytics import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(
+        ev,
+        "user_id",
+        "ts",
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+
+
+Q112_SQL = """
+WITH s0 AS (
+    SELECT user_id, MIN(ts) AS t FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), s1 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN s0 ON e.user_id = s0.user_id
+    WHERE e.event_type = 'click' AND e.ts > s0.t
+    GROUP BY e.user_id
+), s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM events e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s1.t
+    GROUP BY e.user_id
+)
+SELECT 0 AS step_idx, 'view' AS step, (SELECT COUNT(*) FROM s0) AS users
+UNION ALL
+SELECT 1 AS step_idx, 'click' AS step, (SELECT COUNT(*) FROM s1) AS users
+UNION ALL
+SELECT 2 AS step_idx, 'purchase' AS step, (SELECT COUNT(*) FROM s2) AS users
+"""
+
+
+def q113_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle
+    (`operators/analytics.cohort_retention`): ISO-week cohorts (both
+    engines truncate weeks to Monday) × week offset → distinct active
+    users. The user→cohort table is broadcast back onto events, so
+    the fact table shuffles once."""
+    from .operators.analytics import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts", period="week")
+
+
+Q113_SQL = """
+WITH firsts AS (
+    SELECT user_id, DATE_TRUNC('week', MIN(ts)) AS cohort
+    FROM events GROUP BY user_id
+)
+SELECT f.cohort,
+       CAST(DATE_DIFF('day', f.cohort, DATE_TRUNC('week', e.ts)) / 7 AS INT)
+           AS period_offset,
+       COUNT(DISTINCT e.user_id) AS active_users
+FROM events e JOIN firsts f ON e.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+def q114_session_pattern(spark, sf_dir):
+    """MATCH_RECOGNIZE-lite sequence matching
+    (`operators/analytics.session_pattern_match`): 30-min sessionize,
+    serialize each session's event types in (ts, event_id) order,
+    keep sessions containing a view followed (not necessarily
+    adjacently) by a click — 23 matching sessions at sf0.01. The oracle
+    replays the identical gap-sessionization with SQL windows and an
+    ordered STRING_AGG."""
+    from .operators.analytics import session_pattern_match
+
+    ev = _t(spark, sf_dir, "events")
+    m = session_pattern_match(
+        ev,
+        "user_id",
+        "ts",
+        "event_type",
+        pattern="view.*click",
+        gap_minutes=30,
+        tiebreak_cols=["event_id"],
+    )
+    return m.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "seq",
+        "n_events",
+    )
+
+
+Q114_SQL = """
+WITH ordered AS (
+    SELECT user_id, ts, event_id, event_type,
+           LAG(EPOCH_MS(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+    FROM events
+), flags AS (
+    SELECT *, CASE WHEN prev_ms IS NULL
+                        OR EPOCH_MS(ts) - prev_ms > 1800000
+                   THEN 1 ELSE 0 END AS newf
+    FROM ordered
+), sess AS (
+    SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flags
+), agg AS (
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS seq,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+)
+SELECT user_id, session_id, seq, n_events
+FROM agg WHERE REGEXP_MATCHES(seq, 'view.*click')
+"""
+
+
+def q115_winsorized_stats(spark, sf_dir):
+    """Per-group winsorization (`operators/analytics.winsorize`):
+    clip o_totalprice to its exact per-priority [p05, p95] band
+    (linear-interpolated quantiles — Spark `percentile` and DuckDB
+    `quantile_cont` share the (n-1)·p formula bit-for-bit), then
+    aggregate. The 1-row-per-group quantile table is broadcast back,
+    so the fact table is never re-shuffled."""
+    from .operators.analytics import winsorize
+
+    o = _t(spark, sf_dir, "orders")
+    w = winsorize(o, ["o_orderpriority"], "o_totalprice", 0.05, 0.95)
+    return w.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.avg("o_totalprice_wins"), 4).alias("avg_wins"),
+        F.round(F.min("o_totalprice_wins"), 4).alias("lo_clip"),
+        F.round(F.max("o_totalprice_wins"), 4).alias("hi_clip"),
+    )
+
+
+Q115_SQL = """
+WITH q AS (
+    SELECT o_orderpriority,
+           QUANTILE_CONT(o_totalprice, 0.05) AS lo,
+           QUANTILE_CONT(o_totalprice, 0.95) AS hi
+    FROM orders GROUP BY o_orderpriority
+), clipped AS (
+    SELECT o.o_orderpriority,
+           LEAST(GREATEST(o.o_totalprice, q.lo), q.hi) AS v
+    FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority
+)
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       ROUND(AVG(v), 4) AS avg_wins,
+       ROUND(MIN(v), 4) AS lo_clip,
+       ROUND(MAX(v), 4) AS hi_clip
+FROM clipped GROUP BY o_orderpriority
+"""
+
+
+# Shared oracle scaffold for the graph queries: q28's trigram-Jaccard
+# pair CTEs at threshold 0.02 (312 edges / 24 triangles at sf0.01 —
+# the 0.08 contract graph is too sparse for triangle/BFS structure).
+_JACCARD_PAIRS_CTE = r"""
+WITH words AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                           i -> i <= LEN(w) - 3 + 1),
+               i -> ARRAY_TO_STRING(w[i:i+2], ' '))) AS g
+    FROM words
+), sizes AS (
+    SELECT doc_id, LEN(g) AS n FROM grams WHERE LEN(g) > 0
+), inv AS (
+    SELECT doc_id, UNNEST(g) AS gram FROM grams WHERE LEN(g) > 0
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+    SELECT id_a, id_b FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.n + sb.n - inter) >= 0.02
+)"""
+
+
+def _jaccard_edges(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_near_dups(
+        d, "text", "doc_id", n=3, threshold=0.02
+    ).select("id_a", "id_b")
+
+
+def q116_triangle_count(spark, sf_dir):
+    """Per-node triangle counting (`operators/graph.triangle_count`)
+    over the trigram-Jaccard near-dup graph — the clustering-
+    coefficient signal a graph-curation pipeline uses to find tightly
+    knit duplicate families. Low->high edge orientation finds each
+    triangle exactly once; two equi-joins total."""
+    from .operators.graph import triangle_count
+
+    edges = _jaccard_edges(spark, sf_dir)
+    return triangle_count(edges, "id_a", "id_b").select(
+        F.col("node").alias("doc_id"), "triangles"
+    )
+
+
+Q116_SQL = _JACCARD_PAIRS_CTE + """
+, tri AS (
+    SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+    FROM pairs e1
+    JOIN pairs e2 ON e1.id_b = e2.id_a
+    JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+), members AS (
+    SELECT a AS doc_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT doc_id, COUNT(*) AS triangles FROM members GROUP BY doc_id
+"""
+
+
+def q117_bfs_distance(spark, sf_dir):
+    """Bounded multi-source BFS (`operators/graph.bfs_distances`):
+    hop distance ≤4 from seed docs (doc_id % 100 = 0) over the
+    symmetrized near-dup graph. Frontier-expansion form — each round
+    joins only the new frontier against edges. The oracle is DuckDB's
+    recursive CTE with UNION dedup + MIN(dist)."""
+    from .operators.graph import bfs_distances
+
+    edges = _jaccard_edges(spark, sf_dir)
+    seeds = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 100 == 0)
+        .select("doc_id")
+    )
+    return bfs_distances(
+        edges, seeds, src="id_a", dst="id_b", max_hops=4
+    ).select(F.col("node").alias("doc_id"), "dist")
+
+
+Q117_SQL = _JACCARD_PAIRS_CTE.replace("WITH words", "WITH RECURSIVE words") + """
+, edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b AS src, id_a AS dst FROM pairs
+), walk(node, dist) AS (
+    SELECT doc_id, 0 FROM documents WHERE doc_id % 100 = 0
+    UNION
+    SELECT e.dst, w.dist + 1
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.dist < 4
+)
+SELECT node AS doc_id, MIN(dist) AS dist FROM walk GROUP BY node
+"""
+
+
+def q118_boilerplate_removal(spark, sf_dir):
+    """Corpus-level boilerplate stripping
+    (`operators/text.remove_boilerplate_segments`): 5-word segments
+    appearing in ≥3 distinct documents are deleted from every
+    document, and the survivors are reassembled in order. The
+    keep-first sibling is q79; this is the delete-all-copies C4/
+    RefinedWeb cleanup stage."""
+    from .operators.text import remove_boilerplate_segments
+
+    d = _t(spark, sf_dir, "documents")
+    return remove_boilerplate_segments(
+        d, "text", "doc_id", window_words=5, min_docs=3
+    )
+
+
+Q118_SQL = """
+WITH words AS (
+    SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents
+), segs AS (
+    SELECT doc_id, i,
+           ARRAY_TO_STRING(w[(i - 1) * 5 + 1:(i - 1) * 5 + 5], ' ') AS seg
+    FROM words,
+         LATERAL UNNEST(GENERATE_SERIES(
+             1, CAST(CEIL(LEN(w) / 5.0) AS INT))) AS t(i)
+), freq AS (
+    SELECT seg, COUNT(DISTINCT doc_id) AS dfreq FROM segs GROUP BY seg
+), kept AS (
+    SELECT s.doc_id, s.i, s.seg
+    FROM segs s JOIN freq f ON s.seg = f.seg
+    WHERE f.dfreq < 3
+), rebuilt AS (
+    SELECT doc_id, STRING_AGG(seg, ' ' ORDER BY i) AS clean_text,
+           COUNT(*) AS n_kept
+    FROM kept GROUP BY doc_id
+), totals AS (
+    SELECT doc_id, CAST(CEIL(LEN(w) / 5.0) AS INT) AS n_segments
+    FROM words
+)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       t.n_segments,
+       CAST(t.n_segments - COALESCE(r.n_kept, 0) AS BIGINT) AS n_boiler
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -4339,6 +4692,14 @@ QUERIES: dict[str, tuple] = {
     "q108_collapse_parity_gate": (q108_collapse_parity_gate, Q108_SQL),
     "q109_stream_left_outer_join": (q109_stream_left_outer_join, Q109_SQL),
     "q110_merge_upsert": (q110_merge_upsert, Q110_SQL),
+    "q111_scd2_history": (q111_scd2_history, Q111_SQL),
+    "q112_funnel": (q112_funnel, Q112_SQL),
+    "q113_cohort_retention": (q113_cohort_retention, Q113_SQL),
+    "q114_session_pattern": (q114_session_pattern, Q114_SQL),
+    "q115_winsorized_stats": (q115_winsorized_stats, Q115_SQL),
+    "q116_triangle_count": (q116_triangle_count, Q116_SQL),
+    "q117_bfs_distance": (q117_bfs_distance, Q117_SQL),
+    "q118_boilerplate_removal": (q118_boilerplate_removal, Q118_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),
