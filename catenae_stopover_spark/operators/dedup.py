@@ -844,6 +844,7 @@ def dedup_segments(
     mode: str = "paragraph",
     window_words: int = 10,
     sep: str = " ",
+    scope: str = "corpus",
 ) -> DataFrame:
     """Segment-level exact dedup with in-order reassembly — the
     C4/CCNet "remove duplicated paragraphs corpus-wide" stage, which
@@ -856,6 +857,13 @@ def dedup_segments(
     text without structural delimiters). Keep-first: among identical
     segments the (id, position)-minimal occurrence survives, making the
     result deterministic and engine-independent.
+
+    ``scope='corpus'`` (default) dedups segments across the whole
+    corpus; ``scope='document'`` keeps the first occurrence WITHIN each
+    document only (the self-repetition trim for model-generated or
+    scraper-stuttered text) — same plan, with the doc id added to the
+    dedup key, so the shuffle is per-document and skew-free by
+    construction.
 
     Returns (id_col, dedup_text, n_segments, n_kept) for every input
     document (fully-deduplicated documents keep an empty dedup_text).
@@ -891,9 +899,16 @@ def dedup_segments(
     # rank duplicates on the SEGMENT; xxhash64 pre-bucketing keeps the
     # shuffle key fixed-width (the full text rides along, compared only
     # within a hash bucket)
-    w = Window.partitionBy(F.xxhash64("__seg"), "__seg").orderBy(
-        id_col, "__i"
-    )
+    if scope == "corpus":
+        w = Window.partitionBy(F.xxhash64("__seg"), "__seg").orderBy(
+            id_col, "__i"
+        )
+    elif scope == "document":
+        w = Window.partitionBy(
+            F.col(id_col), F.xxhash64("__seg"), "__seg"
+        ).orderBy("__i")
+    else:
+        raise ValueError(f"unknown scope: {scope}")
     kept = (
         exploded.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

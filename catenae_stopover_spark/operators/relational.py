@@ -351,3 +351,57 @@ def merge_upsert(
     touched = guarded.select(key_col).distinct()
     kept = base.join(touched, key_col, "left_anti")
     return kept.unionByName(upserts.select(*base.columns))
+
+
+def snapshot_diff(
+    base: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key as ``added``
+    (only in ``new``), ``removed`` (only in ``base``), ``changed``
+    (present in both, any compared column differs null-safely), or
+    ``unchanged``. The audit companion of ``merge_upsert`` — a data
+    pipeline that maintains snapshots needs the diff report as much as
+    the merge.
+
+    Returns (key_cols..., change_type). One full-outer equi-join on
+    the key — the minimum possible cost for a two-snapshot diff; at
+    scale both sides shuffle once on the same key (or co-located
+    bucketed tables skip the shuffle entirely).
+    """
+    compare_cols = compare_cols or [
+        c for c in base.columns if c not in key_cols
+    ]
+    b = base.select(
+        *[F.col(k).alias(f"__bk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__b_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"__bk_{k}") == F.col(f"__nk_{k}")
+        cond = c if cond is None else (cond & c)
+    joined = b.join(n, cond, "full_outer")
+    in_base = F.col(f"__bk_{key_cols[0]}").isNotNull()
+    in_new = F.col(f"__nk_{key_cols[0]}").isNotNull()
+    same = F.lit(True)
+    for c in compare_cols:
+        same = same & F.col(f"__b_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (
+        F.when(~in_base, F.lit("added"))
+        .when(~in_new, F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"__nk_{k}"), F.col(f"__bk_{k}")).alias(k)
+            for k in key_cols
+        ],
+        change.alias("change_type"),
+    )

@@ -1039,3 +1039,67 @@ def remove_boilerplate_segments(
             F.col("n_segments") - F.coalesce("__n_kept", F.lit(0))
         ).cast("long").alias("n_boiler"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    Efraimidis–Spirakis A-Res scheme, the public standard): each row
+    draws key = u^(1/w) with u ~ U(0,1); the k largest keys are the
+    sample. Inclusion probability is proportional to weight, the draw
+    is a single pass, and — because u derives from sha2(seed, id)
+    instead of an RNG — the sample is rerun-stable and identical on
+    any engine (same trick as `subsample_stratified`).
+
+    Scale shape: key assignment is a zero-shuffle map; selection is a
+    distributed top-k (TakeOrdered-style — no global sort). Returns
+    (id_col, weight, sample_rank). Weights must be > 0; non-positive
+    weights are excluded (they cannot be drawn under the scheme).
+    """
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.sha2(
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(seed)),
+                            F.col(id_col).cast("string"),
+                        ),
+                        256,
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("double")
+            + F.lit(1.0)
+        )
+        / F.lit(4294967296.0)
+    )
+    w = F.col(weight_col).cast("double") if isinstance(weight_col, str) else weight_col
+    keyed = (
+        df.filter(w > 0)
+        .withColumn("__key", F.pow(u, F.lit(1.0) / w))
+        .withColumn("weight", w)
+    )
+    ranked = keyed.select(
+        F.col(id_col), "weight", "__key"
+    ).orderBy(F.col("__key").desc(), F.col(id_col)).limit(k)
+    from pyspark.sql import Window as _W
+
+    return (
+        ranked.withColumn(
+            "sample_rank",
+            F.row_number().over(
+                _W.orderBy(F.col("__key").desc(), F.col(id_col))
+            ),
+        )
+        .drop("__key")
+    )

@@ -101,3 +101,50 @@ def resample_ffill(
         *agg_cols,
         "is_gap",
     )
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_seconds: int = 3600,
+    min_points: int = 5,
+) -> DataFrame:
+    """Time-range rolling anomaly score: for every row, the z-score of
+    ``value_col`` against the mean/stddev of the SAME key's values in
+    the trailing ``window_seconds`` (inclusive of the current row) —
+    the standard streaming-ops outlier detector, here in its batch
+    form over an event-time RANGE frame.
+
+    A RANGE frame over epoch seconds (not ROWS) is the point: rows are
+    irregularly spaced, so "last hour" ≠ "last N rows". Population
+    stddev (stddev_pop) is used because the frame IS the population of
+    interest; rows whose frame holds fewer than ``min_points`` values
+    get a NULL z (insufficient evidence, not an anomaly).
+
+    One shuffle: both window aggregates share the per-key
+    (epoch-ordered) partitioning. Adds ``roll_mean``, ``roll_std``,
+    ``zscore``, ``n_window``.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col)).alias("__epoch")
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(F.unix_timestamp(F.col(ts_col)))
+        .rangeBetween(-window_seconds, 0)
+    )
+    n = F.count(value_col).over(w)
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_pop(value_col).over(w)
+    return (
+        df.withColumn("n_window", n)
+        .withColumn("roll_mean", mean)
+        .withColumn("roll_std", std)
+        .withColumn(
+            "zscore",
+            F.when(
+                (F.col("n_window") >= min_points) & (F.col("roll_std") > 0),
+                (F.col(value_col) - F.col("roll_mean")) / F.col("roll_std"),
+            ),
+        )
+    )

@@ -4603,6 +4603,214 @@ FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
 """
 
 
+def q119_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (`operators/text.weighted_sample`, Efraimidis–Spirakis A-Res with
+    a sha2-derived uniform): 50 docs drawn ∝ n_chars, rerun-stable
+    and engine-independent. Key assignment is a zero-shuffle map;
+    selection is a distributed top-k."""
+    from .operators.text import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(d, "n_chars", k=50, id_col="doc_id", seed=1)
+
+
+Q119_SQL = """
+WITH keyed AS (
+    SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+           POW(
+             (('0x' || SUBSTR(SHA256('1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+              + 1) / 4294967296.0,
+             1.0 / CAST(n_chars AS DOUBLE)) AS k
+    FROM documents WHERE n_chars > 0
+), ranked AS (
+    SELECT doc_id, weight,
+           ROW_NUMBER() OVER (ORDER BY k DESC, doc_id) AS sample_rank
+    FROM keyed
+)
+SELECT doc_id, weight, sample_rank FROM ranked WHERE sample_rank <= 50
+"""
+
+
+def q120_intra_doc_dedup(spark, sf_dir):
+    """Within-document repetition trim
+    (`operators/dedup.dedup_segments(scope='document')`): keep each
+    word's FIRST occurrence inside its own document, reassemble in
+    order — the self-repetition cleanup for stuttered scrapes /
+    degenerate generations, per-document rather than corpus-global
+    (q79's scope). The dedup key gains the doc id, so the shuffle is
+    skew-free by construction."""
+    from .operators.dedup import dedup_segments
+
+    d = _t(spark, sf_dir, "documents")
+    return dedup_segments(
+        d, "text", "doc_id", mode="words", window_words=1,
+        scope="document",
+    ).select("doc_id", "dedup_text", "n_segments", "n_kept")
+
+
+Q120_SQL = """
+WITH segs AS (
+    SELECT doc_id, i, w[i] AS seg
+    FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+         LATERAL UNNEST(GENERATE_SERIES(1, LEN(w))) AS t(i)
+), kept AS (
+    SELECT doc_id, i, seg,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, seg ORDER BY i) AS rn
+    FROM segs
+), rebuilt AS (
+    SELECT doc_id, STRING_AGG(seg, ' ' ORDER BY i) AS dedup_text,
+           COUNT(*) AS n_kept
+    FROM kept WHERE rn = 1 GROUP BY doc_id
+), totals AS (
+    SELECT doc_id, COUNT(*) AS n_segments FROM segs GROUP BY doc_id
+)
+SELECT t.doc_id, COALESCE(r.dedup_text, '') AS dedup_text,
+       CAST(t.n_segments AS INT) AS n_segments,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
+def q121_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation audit
+    (`operators/relational.snapshot_diff`): diff the orders table
+    against its q110-style evolved snapshot (deletes where key%10=7,
+    price bumps where %10=3, inserts where %10=1) and report per-class
+    counts — the added/removed/changed/unchanged report a
+    merge-maintaining pipeline runs after every MERGE. One full-outer
+    join on the key."""
+    from .operators.relational import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = (
+        o.filter(F.col("o_orderkey") % 10 != 7)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 10 == 3, F.col("o_totalprice") + 100
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 10 == 1).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                "o_orderstatus",
+                "o_totalprice",
+            )
+        )
+    )
+    d = snapshot_diff(o, new, ["o_orderkey"])
+    return d.groupBy("change_type").agg(F.count("*").alias("n_keys"))
+
+
+Q121_SQL = """
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), new AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 3 THEN o_totalprice + 100
+                ELSE o_totalprice END AS o_totalprice
+    FROM base WHERE o_orderkey % 10 <> 7
+    UNION ALL
+    SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+    FROM base WHERE o_orderkey % 10 = 1
+), classified AS (
+    SELECT CASE
+             WHEN b.o_orderkey IS NULL THEN 'added'
+             WHEN n.o_orderkey IS NULL THEN 'removed'
+             WHEN b.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+                  AND b.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+               THEN 'unchanged'
+             ELSE 'changed'
+           END AS change_type
+    FROM base b FULL OUTER JOIN new n ON b.o_orderkey = n.o_orderkey
+)
+SELECT change_type, COUNT(*) AS n_keys FROM classified GROUP BY change_type
+"""
+
+
+def q122_token_share(spark, sf_dir):
+    """Corpus-composition concentration report: per-source token
+    totals (explicit-class tokenization — the engine-proof q74 form),
+    corpus share, and cumulative share in descending-volume order —
+    the mixture dashboard a curation pipeline watches for source
+    drift. One aggregation + one broadcast-scale window."""
+    d = _t(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(token_count("text")).alias("tokens")
+    )
+    total = Window.partitionBy()
+    cum = Window.orderBy(F.col("tokens").desc(), "source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_src.select(
+        "source",
+        "tokens",
+        F.round(F.col("tokens") / F.sum("tokens").over(total), 6).alias(
+            "share"
+        ),
+        F.round(
+            F.sum("tokens").over(cum) / F.sum("tokens").over(total), 6
+        ).alias("cum_share"),
+    )
+
+
+Q122_SQL = r"""
+WITH per_src AS (
+    SELECT source,
+           CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')))
+                AS BIGINT) AS tokens
+    FROM documents GROUP BY source
+)
+SELECT source, tokens,
+       ROUND(tokens / SUM(tokens) OVER (), 6) AS share,
+       ROUND(SUM(tokens) OVER (ORDER BY tokens DESC, source
+                               ROWS UNBOUNDED PRECEDING)
+             / SUM(tokens) OVER (), 6) AS cum_share
+FROM per_src
+"""
+
+
+def q123_rolling_anomaly(spark, sf_dir):
+    """Event-time rolling anomaly detection
+    (`operators/timeseries.rolling_zscore`): per-user trailing-day
+    RANGE frame (irregular spacing — "last day", not "last N rows"),
+    population stddev, flag |z| > 2 with ≥5 points of evidence — 32
+    flagged rows at sf0.01.
+    Both window aggregates share one per-user partitioning."""
+    from .operators.timeseries import rolling_zscore
+
+    ev = _t(spark, sf_dir, "events")
+    z = rolling_zscore(
+        ev, ["user_id"], "ts", "value", window_seconds=86400, min_points=5
+    )
+    return z.filter(F.abs(F.col("zscore")) > 2.0).select(
+        "user_id",
+        "event_id",
+        F.col("n_window").cast("long").alias("n_window"),
+        F.round("zscore", 4).alias("z"),
+    )
+
+
+Q123_SQL = """
+WITH scored AS (
+    SELECT user_id, event_id, value,
+           COUNT(value) OVER w AS n_window,
+           AVG(value) OVER w AS m,
+           STDDEV_POP(value) OVER w AS s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(EPOCH(ts) AS BIGINT)
+                 RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, n_window,
+       ROUND((value - m) / s, 4) AS z
+FROM scored
+WHERE n_window >= 5 AND s > 0 AND ABS((value - m) / s) > 2.0
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -4700,6 +4908,11 @@ QUERIES: dict[str, tuple] = {
     "q116_triangle_count": (q116_triangle_count, Q116_SQL),
     "q117_bfs_distance": (q117_bfs_distance, Q117_SQL),
     "q118_boilerplate_removal": (q118_boilerplate_removal, Q118_SQL),
+    "q119_weighted_sample": (q119_weighted_sample, Q119_SQL),
+    "q120_intra_doc_dedup": (q120_intra_doc_dedup, Q120_SQL),
+    "q121_snapshot_diff": (q121_snapshot_diff, Q121_SQL),
+    "q122_token_share": (q122_token_share, Q122_SQL),
+    "q123_rolling_anomaly": (q123_rolling_anomaly, Q123_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

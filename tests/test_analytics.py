@@ -272,3 +272,96 @@ def test_remove_boilerplate_exact_shared_segment(spark):
     assert out[2].clean_text == "gamma delta"
     assert out[3].n_segments == 2 and out[3].n_boiler == 1
     assert out[4].clean_text == "eta theta" and out[4].n_boiler == 0
+
+
+# --------------------------------------------------------------------
+# r4 batch 2: snapshot diff, weighted sampling, intra-doc dedup,
+# rolling z-score
+# --------------------------------------------------------------------
+
+def test_snapshot_diff_classes(spark):
+    from catenae_stopover_spark.operators.relational import snapshot_diff
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k int, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 99.0), (4, None, 40.0), (5, "e", 50.0)],
+        "k int, s string, v double",
+    )
+    out = {r.k: r.change_type for r in snapshot_diff(base, new, ["k"]).collect()}
+    assert out == {
+        1: "removed", 2: "unchanged", 3: "changed",
+        4: "unchanged",  # NULL == NULL null-safely
+        5: "added",
+    }
+
+
+def test_weighted_sample_deterministic_and_weighted(spark):
+    from catenae_stopover_spark.operators.text import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 90 else 1000.0) for i in range(100)],
+        "doc_id int, w double",
+    )
+    a = weighted_sample(df, "w", k=10, id_col="doc_id", seed=7).collect()
+    b = weighted_sample(df, "w", k=10, id_col="doc_id", seed=7).collect()
+    assert [r.doc_id for r in a] == [r.doc_id for r in b]  # rerun-stable
+    # the 10 heavy items (1000x weight) dominate the sample
+    heavy = sum(1 for r in a if r.doc_id >= 90)
+    assert heavy >= 8
+    assert sorted(r.sample_rank for r in a) == list(range(1, 11))
+    # different seed -> different draw
+    c = weighted_sample(df, "w", k=10, id_col="doc_id", seed=8).collect()
+    assert {r.doc_id for r in a} != {r.doc_id for r in c}
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    from catenae_stopover_spark.operators.text import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, 1.0)], "doc_id int, w double"
+    )
+    out = weighted_sample(df, "w", k=10, id_col="doc_id").collect()
+    assert [r.doc_id for r in out] == [3]
+
+
+def test_dedup_segments_document_scope(spark):
+    from catenae_stopover_spark.operators.dedup import dedup_segments
+
+    docs = [
+        (1, "a b a c b a"),   # within-doc: keep first a, b, c
+        (2, "a b"),           # doc 2 keeps its own copies (not corpus-global)
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup_segments(
+            df, "text", "doc_id", mode="words", window_words=1,
+            scope="document",
+        ).collect()
+    }
+    assert out[1].dedup_text == "a b c" and out[1].n_kept == 3
+    assert out[2].dedup_text == "a b" and out[2].n_kept == 2
+
+
+def test_rolling_zscore_range_frame(spark):
+    from catenae_stopover_spark.operators.timeseries import rolling_zscore
+
+    # 5 calm points then a spike, all within one hour for key 1;
+    # key 2 has too few points -> NULL z
+    rows = [(1, _ts(9, m), 10.0) for m in range(5)] + [
+        (1, _ts(9, 10), 100.0),
+        (2, _ts(9, 0), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = rolling_zscore(
+        df, ["k"], "ts", "v", window_seconds=3600, min_points=5
+    ).collect()
+    spike = [r for r in out if r.v == 100.0][0]
+    assert spike.n_window == 6 and spike.zscore > 2.0
+    assert all(r.zscore is None for r in out if r.k == 2)
+    calm = [r for r in out if r.k == 1 and r.v == 10.0]
+    # first 4 calm rows: frame < 5 points -> NULL; 5th: zero std -> NULL
+    assert all(r.zscore is None for r in calm)
