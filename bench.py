@@ -82,6 +82,10 @@ BENCH = {
     # bin-bucketed range join (purchases x active session intervals) vs
     # DuckDB's IEJoin on the naive BETWEEN form (same oracle SQL).
     "q8_range_join": "q88_range_join_sessions",
+    # corpus-global boilerplate stripping (segment -> doc-frequency ->
+    # delete-everywhere -> reassemble): the text-curation family's
+    # shuffle-heavy representative (r4).
+    "q9_boilerplate": "q118_boilerplate_removal",
 }
 
 # DuckDB comparison SQL for bench entries whose registry oracle is None

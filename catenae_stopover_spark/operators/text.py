@@ -1103,3 +1103,57 @@ def weighted_sample(
         )
         .drop("__key")
     )
+
+
+def linear_text_classifier(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1 << 16,
+) -> DataFrame:
+    """Model-based quality scoring with a hashed-feature linear
+    classifier (the fastText-style architecture every public curation
+    pipeline uses for quality/toxicity gates): tokens hash into
+    ``n_buckets`` feature buckets; the document score is
+    sigmoid(bias + mean of matched bucket weights).
+
+    ``weights`` is a (bucket, weight) DataFrame — the model IS a
+    table, so scoring is a broadcast join + aggregate: no Python UDF,
+    no driver-side vocabulary, and model updates are a table swap.
+    Buckets use the engine-independent sha2 hash (`_hash_bucket`
+    form), so a model trained against this featurization scores
+    identically anywhere.
+
+    Scale shape: explode(tokens) → broadcast-join weights → one
+    groupBy(id). The explode is the only corpus-sized stage and it is
+    a map; the aggregation is the one shuffle. Unmatched tokens
+    contribute weight 0 (mean over ALL tokens, matched or not — the
+    fastText convention).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+        ).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("__tok"), 256), 1, 8), 16, 10)
+        .cast("bigint")
+        % n_buckets
+    ).alias("bucket")
+    scored = (
+        toks.select(F.col(id_col), bucket)
+        .join(F.broadcast(weights), "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.coalesce("weight", F.lit(0.0))).alias("__sum_w"),
+        )
+    )
+    logit = F.col("__sum_w") / F.col("n_tokens")
+    return scored.select(
+        id_col,
+        "n_tokens",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
+    )

@@ -4811,6 +4811,65 @@ WHERE n_window >= 5 AND s > 0 AND ABS((value - m) / s) > 2.0
 """
 
 
+# English function words get positive weight, everything else scores
+# 0 — a tiny deterministic stand-in for trained classifier weights
+# (the ARCHITECTURE under test is hashing + broadcast join + agg, not
+# the model quality).
+_CLF_POS_TOKENS = ("the", "and", "of", "to", "is")
+
+
+def q124_quality_classifier(spark, sf_dir):
+    """Model-based quality gate
+    (`operators/text.linear_text_classifier`): fastText-style hashed
+    linear classifier where the model is a (bucket, weight) TABLE —
+    scoring is explode → broadcast join → one aggregate, no UDF, no
+    driver vocabulary. Weights here: +2 on English function-word
+    buckets (deterministic stand-in for a trained model)."""
+    from .operators.text import linear_text_classifier
+
+    d = _t(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(
+        [(t,) for t in _CLF_POS_TOKENS], "tok string"
+    ).select(
+        (
+            F.conv(F.substring(F.sha2(F.col("tok"), 256), 1, 8), 16, 10)
+            .cast("bigint")
+            % (1 << 16)
+        ).alias("bucket"),
+        F.lit(2.0).alias("weight"),
+    )
+    out = linear_text_classifier(d, weights, "text", "doc_id")
+    return out.select(
+        "doc_id", "n_tokens", F.round("score", 6).alias("score")
+    )
+
+
+Q124_SQL = f"""
+WITH w AS (
+    SELECT ('0x' || SUBSTR(SHA256(tok), 1, 8))::BIGINT % 65536 AS bucket,
+           2.0 AS weight
+    FROM (VALUES {", ".join(f"('{t}')" for t in _CLF_POS_TOKENS)}) AS v(tok)
+), toks AS (
+    SELECT doc_id, t.tok
+    FROM (SELECT doc_id,
+                 REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z0-9]+') AS a
+          FROM documents),
+         LATERAL UNNEST(a) AS t(tok)
+    WHERE t.tok <> ''
+), scored AS (
+    SELECT toks.doc_id, COUNT(*) AS n_tokens,
+           SUM(COALESCE(w.weight, 0.0)) AS sum_w
+    FROM toks
+    LEFT JOIN w
+      ON ('0x' || SUBSTR(SHA256(toks.tok), 1, 8))::BIGINT % 65536 = w.bucket
+    GROUP BY toks.doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND(1.0 / (1.0 + EXP(-(sum_w / n_tokens))), 6) AS score
+FROM scored
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -4913,6 +4972,7 @@ QUERIES: dict[str, tuple] = {
     "q121_snapshot_diff": (q121_snapshot_diff, Q121_SQL),
     "q122_token_share": (q122_token_share, Q122_SQL),
     "q123_rolling_anomaly": (q123_rolling_anomaly, Q123_SQL),
+    "q124_quality_classifier": (q124_quality_classifier, Q124_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

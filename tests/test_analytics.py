@@ -365,3 +365,46 @@ def test_rolling_zscore_range_frame(spark):
     calm = [r for r in out if r.k == 1 and r.v == 10.0]
     # first 4 calm rows: frame < 5 points -> NULL; 5th: zero std -> NULL
     assert all(r.zscore is None for r in calm)
+
+
+def test_linear_text_classifier_scores(spark):
+    from catenae_stopover_spark.operators.text import linear_text_classifier
+    from pyspark.sql import functions as F2
+
+    docs = spark.createDataFrame(
+        [(1, "the the the"), (2, "xyzzy plugh foo"), (3, "the xyzzy")],
+        "doc_id int, text string",
+    )
+    weights = spark.createDataFrame([("the",)], "tok string").select(
+        (
+            F2.conv(F2.substring(F2.sha2(F2.col("tok"), 256), 1, 8), 16, 10)
+            .cast("bigint")
+            % (1 << 16)
+        ).alias("bucket"),
+        F2.lit(2.0).alias("weight"),
+    )
+    out = {
+        r.doc_id: r
+        for r in linear_text_classifier(docs, weights, "text", "doc_id").collect()
+    }
+    import math
+
+    # doc 1: all tokens matched -> logit 2.0; doc 2: none -> 0.5
+    assert out[1].score == pytest.approx(1 / (1 + math.exp(-2.0)))
+    assert out[2].score == pytest.approx(0.5)
+    # doc 3: mean of (2, 0) -> logit 1.0
+    assert out[3].score == pytest.approx(1 / (1 + math.exp(-1.0)))
+    assert out[1].n_tokens == 3
+
+
+def test_linear_text_classifier_broadcasts_model(spark):
+    from catenae_stopover_spark.operators.text import linear_text_classifier
+    from pyspark.sql import functions as F2
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    weights = spark.createDataFrame([(1, 1.0)], "bucket long, weight double")
+    plan = (
+        linear_text_classifier(docs, weights)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
