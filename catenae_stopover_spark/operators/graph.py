@@ -106,35 +106,63 @@ def triangle_count(
     orientation may be present; both may be). Returns (node,
     triangles).
 
-    Canonical algorithm (same as GraphX/Galois): orient every edge
-    low->high, then a triangle a<b<c is exactly one match of
-    e(a,b) ⨝ e(b,c) ⨝ e(a,c) — each triangle found once, no
-    double-counting, and the two equi-joins are the whole cost
-    (shuffle keyed by the shared endpoint; AQE handles high-degree
-    skew). The wedge join's size is sum(deg²) — the known hot spot —
-    which the low->high orientation halves by only extending from the
-    lower endpoint.
+    Canonical algorithm with DEGREE orientation (the compact-forward /
+    GraphX strategy): order nodes by (degree, id) and orient every
+    edge low->high in that order; a triangle is exactly one wedge
+    (u->v, u->w) closed by the oriented edge (v->w). Wedge count is
+    Σ out-deg² with out-degrees minimized by pointing edges AT
+    high-degree nodes — O(m^1.5) worst case, vs Σ deg² for naive id
+    orientation (catastrophic on star/hub graphs, where a low-id hub
+    would fan out to every neighbor). Two equi-joins are the whole
+    cost; AQE handles residual skew. On clique-heavy graphs the
+    output itself is Θ(triangles) — no orientation beats that.
     """
-    e = (
+    und = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
             F.greatest(F.col(src), F.col(dst)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # ord(v) = struct(deg, v): a total order; structs compare
+    # lexicographically in Catalyst, so no global rank window needed
+    with_ord = (
+        und.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(deg.withColumnRenamed("node", "b"), "b")
+        .withColumnRenamed("deg", "deg_b")
+    )
+    ord_a = F.struct(F.col("deg_a").alias("d"), F.col("a").alias("n"))
+    ord_b = F.struct(F.col("deg_b").alias("d"), F.col("b").alias("n"))
+    e = (
+        with_ord.select(
+            F.when(ord_a < ord_b, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(ord_a < ord_b, ord_b).otherwise(ord_a).alias("v_ord"),
+        )
+        .select("u", F.col("v_ord.n").alias("v"), "v_ord")
         .persist()
     )
-    # wedges a<b<c from oriented edges (a,b) and (b,c)
-    wedges = e.alias("e1").join(
-        e.alias("e2"), F.col("e1.b") == F.col("e2.a")
-    ).select(
-        F.col("e1.a").alias("a"),
-        F.col("e1.b").alias("b"),
-        F.col("e2.b").alias("c"),
+    # wedges (u->v, u->w) with ord(v) < ord(w); closure edge is v->w
+    wedges = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.u") == F.col("e2.u"))
+        .filter(F.col("e1.v_ord") < F.col("e2.v_ord"))
+        .select(
+            F.col("e1.u").alias("a"),
+            F.col("e1.v").alias("b"),
+            F.col("e2.v").alias("c"),
+        )
     )
     tri = wedges.alias("w").join(
         e.alias("e3"),
-        (F.col("w.a") == F.col("e3.a")) & (F.col("w.c") == F.col("e3.b")),
+        (F.col("w.b") == F.col("e3.u")) & (F.col("w.c") == F.col("e3.v")),
     ).select("w.a", "w.b", "w.c")
     per_node = (
         tri.select(F.col("a").alias("node"))
