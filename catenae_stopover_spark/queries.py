@@ -4870,6 +4870,76 @@ FROM scored
 """
 
 
+def q125_stream_session_pattern(spark, sf_dir):
+    """Streaming MATCH_RECOGNIZE-lite
+    (`streaming/stateful.session_pattern_stream`): the q114 sequence
+    matcher executed under Structured Streaming — per-key state
+    buffers OPEN sessions only (activity-bounded), each session is
+    emitted exactly once when the watermark closes it, with its
+    (ts, event_id)-ordered type sequence and regex verdict. Oracle:
+    the batch sessionization restricted to sessions the final
+    watermark closed."""
+    import tempfile
+
+    from .io.sources import replay_as_stream
+    from .streaming import run_available_now
+    from .streaming.stateful import session_pattern_stream
+
+    ev = _t(spark, sf_dir, "events")
+    stream = replay_as_stream(
+        spark,
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        tempfile.mkdtemp(prefix="csspark-sesspat-"),
+        order_col="ts",  # chronological chunks: watermark advances
+        # progressively, so no row is dropped and every session the
+        # final watermark closes gets emitted
+    )
+    m = session_pattern_stream(
+        stream,
+        "ts",
+        "user_id",
+        "event_type",
+        "event_id",
+        pattern="view.*click",
+        gap_ms=1_800_000,
+        watermark="2 hours",
+    )
+    return run_available_now(m, output_mode="append").select(
+        F.col("key").alias("user_id"),
+        "session_start",
+        "seq",
+        "n_events",
+        "matched",
+    )
+
+
+Q125_SQL = """
+WITH mx AS (SELECT MAX(ts) AS m FROM events),
+flags AS (
+    SELECT user_id, ts, event_id, event_type,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, ts, event_id, event_type,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flags
+), agg AS (
+    SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+           STRING_AGG(event_type, ',' ORDER BY ts, event_id) AS seq,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+)
+SELECT user_id, session_start, seq, n_events,
+       REGEXP_MATCHES(seq, 'view.*click') AS matched
+FROM agg, mx
+WHERE session_end + INTERVAL 30 MINUTE < m - INTERVAL 2 HOUR
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -4973,6 +5043,7 @@ QUERIES: dict[str, tuple] = {
     "q122_token_share": (q122_token_share, Q122_SQL),
     "q123_rolling_anomaly": (q123_rolling_anomaly, Q123_SQL),
     "q124_quality_classifier": (q124_quality_classifier, Q124_SQL),
+    "q125_stream_session_pattern": (q125_stream_session_pattern, Q125_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

@@ -17,8 +17,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -272,5 +274,126 @@ def strict_session_agg(
             stateStructType="sessions string",
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def session_pattern_stream(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    type_col: str,
+    tiebreak_col: str,
+    pattern: str,
+    gap_ms: int = 1_800_000,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming MATCH_RECOGNIZE-lite — the stateful twin of
+    `operators/analytics.session_pattern_match`: gap-sessionize each
+    key's stream, buffer the session's (ts, tiebreak, type) events in
+    state, and when the watermark closes a session (end + gap <
+    watermark — no surviving row can extend it), serialize the types
+    in (ts, tiebreak) order and emit the session with its sequence
+    string and a regex-match flag. Same strict late-data semantics as
+    :func:`strict_session_agg` (below-watermark rows always dropped;
+    each session emitted exactly once; idle keys finalize via
+    event-time timeout).
+
+    State per key = OPEN sessions only, and a session's buffered
+    events are bounded by session length (activity-bounded, never
+    corpus-bounded) — the per-key state ceiling the strict family
+    guarantees. Python's `re` engine evaluates the pattern; keep
+    patterns in the Java/RE2-portable subset (no backrefs) so batch
+    (`rlike`) and oracle (RE2) agree.
+
+    Output: key, session_start, seq, n_events, matched.
+    """
+    import json as _json
+    import re as _re
+
+    import pandas as pd
+
+    rx = _re.compile(pattern)
+
+    def proc(key, pdfs, state: GroupState):
+        (k,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        gap_us = gap_ms * 1000
+        # state: [[start_us, end_us, [[ts_us, tb, type], ...]], ...]
+        sessions: list = _json.loads(state.get[0]) if state.exists else []
+        pts = []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                ts_us = pdf[ts_col].astype("int64") // 1_000
+                keep = ts_us.values >= wm_us  # strict drop
+                for t, tb, ty in zip(
+                    ts_us.values[keep],
+                    pdf[tiebreak_col].values[keep],
+                    pdf[type_col].values[keep],
+                ):
+                    pts.append([int(t), int(tb), str(ty)])
+        if pts:
+            ivals = sessions + [[p[0], p[0], [p]] for p in pts]
+            ivals.sort(key=lambda s: (s[0], s[1]))
+            merged = [ivals[0][:]]
+            for s in ivals[1:]:
+                if s[0] - merged[-1][1] <= gap_us:
+                    merged[-1][1] = max(merged[-1][1], s[1])
+                    merged[-1][2] = merged[-1][2] + s[2]
+                else:
+                    merged.append(s[:])
+            sessions = merged
+        out = [s for s in sessions if s[1] + gap_us < wm_us]
+        sessions = [s for s in sessions if s[1] + gap_us >= wm_us]
+        if sessions:
+            state.update((_json.dumps(sessions),))
+            nxt_ms = min(s[1] + gap_us for s in sessions) // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(nxt_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        elif state.exists:
+            state.remove()
+        if out:
+            rows = []
+            for s in out:
+                evs = sorted(s[2], key=lambda e: (e[0], e[1]))
+                seq = ",".join(e[2] for e in evs)
+                rows.append(
+                    (
+                        k,
+                        pd.Timestamp(s[0], unit="us"),
+                        seq,
+                        len(evs),
+                        bool(rx.search(seq)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "key", "session_start", "seq", "n_events", "matched"
+                ],
+            )
+
+    out_schema = StructType(
+        [
+            _key_field(df, key_col),
+            StructField("session_start", TimestampType()),
+            StructField("seq", StringType()),
+            StructField("n_events", LongType()),
+            StructField("matched", BooleanType()),
+        ]
+    )
+    state_schema = StructType([StructField("sessions", StringType())])
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            proc,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
         )
     )

@@ -455,3 +455,81 @@ def test_stream_stream_left_outer_null_emission(spark):
     assert got_pairs == inner
     assert nulls and nulls <= unmatched_pids
     assert not (nulls & matched_pids)
+
+
+def test_session_pattern_stream_matches_and_bounds_state(
+    spark, tmp_path_factory
+):
+    """Streaming MATCH_RECOGNIZE-lite: sessions emit once when the
+    watermark closes them, carry the (ts, tiebreak)-ordered sequence
+    string with a regex verdict, and state stays bounded by open
+    sessions (not input size)."""
+    import pandas as pd
+
+    from catenae_stopover_spark.io.sources import replay_as_stream
+    from catenae_stopover_spark.streaming.runner import start_stream
+    from catenae_stopover_spark.streaming.stateful import (
+        session_pattern_stream,
+    )
+
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    # key 1: every hour a (view, click) session -> matches
+    for h in range(24):
+        for m, ty in ((0, "view"), (5, "click")):
+            rows.append(
+                (
+                    (base + pd.Timedelta(hours=h, minutes=m)).to_pydatetime(),
+                    1,
+                    eid,
+                    ty,
+                )
+            )
+            eid += 1
+    # key 2: click-then-view sessions -> no match
+    for h in range(24):
+        for m, ty in ((0, "click"), (5, "view")):
+            rows.append(
+                (
+                    (base + pd.Timedelta(hours=h, minutes=m)).to_pydatetime(),
+                    2,
+                    eid,
+                    ty,
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "ts timestamp, user_id long, event_id long, event_type string"
+    )
+    stage = str(tmp_path_factory.mktemp("sess_pattern"))
+    stream = replay_as_stream(spark, df, stage, chunks=8, order_col="ts")
+    m = session_pattern_stream(
+        stream,
+        "ts",
+        "user_id",
+        "event_type",
+        "event_id",
+        pattern="view.*click",
+        gap_ms=1_800_000,
+        watermark="2 hours",
+    )
+    q = start_stream(
+        m,
+        format="memory",
+        output_mode="append",
+        query_name="sess_pattern",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    out = spark.sql("select * from sess_pattern").collect()
+    assert len(out) >= 2 * (24 - 4)  # all but trailing open sessions
+    k1 = [r for r in out if r.key == 1]
+    k2 = [r for r in out if r.key == 2]
+    assert all(r.matched and r.seq == "view,click" for r in k1)
+    assert all((not r.matched) and r.seq == "click,view" for r in k2)
+    assert all(r.n_events == 2 for r in out)
+    # state ceiling: open sessions only — never proportional to input
+    progress = [p for p in q.recentProgress if p["stateOperators"]]
+    ceilings = [p["stateOperators"][0]["numRowsTotal"] for p in progress]
+    assert max(ceilings) <= 2
