@@ -110,6 +110,7 @@ def rolling_zscore(
     value_col: str,
     window_seconds: int = 3600,
     min_points: int = 5,
+    std_floor: float = 1e-9,
 ) -> DataFrame:
     """Time-range rolling anomaly score: for every row, the z-score of
     ``value_col`` against the mean/stddev of the SAME key's values in
@@ -122,6 +123,14 @@ def rolling_zscore(
     stddev (stddev_pop) is used because the frame IS the population of
     interest; rows whose frame holds fewer than ``min_points`` values
     get a NULL z (insufficient evidence, not an anomaly).
+
+    ``std_floor`` guards the degenerate all-identical frame: incremental
+    window aggregators return stddev ≈ 1e-16 FP dust (not exact 0)
+    there, and a bare ``std > 0`` check then divides a 1-ulp mean error
+    by that dust, manufacturing |z| > 2 "anomalies" out of constant
+    data (caught at 100x, where replicated rows create such frames —
+    600 phantom flags per key). Frames with std at or below the floor
+    yield NULL z.
 
     One shuffle: both window aggregates share the per-key
     (epoch-ordered) partitioning. Adds ``roll_mean``, ``roll_std``,
@@ -143,7 +152,8 @@ def rolling_zscore(
         .withColumn(
             "zscore",
             F.when(
-                (F.col("n_window") >= min_points) & (F.col("roll_std") > 0),
+                (F.col("n_window") >= min_points)
+                & (F.col("roll_std") > std_floor),
                 (F.col(value_col) - F.col("roll_mean")) / F.col("roll_std"),
             ),
         )

@@ -4807,7 +4807,7 @@ WITH scored AS (
 SELECT user_id, event_id, n_window,
        ROUND((value - m) / s, 4) AS z
 FROM scored
-WHERE n_window >= 5 AND s > 0 AND ABS((value - m) / s) > 2.0
+WHERE n_window >= 5 AND s > 0.000000001 AND ABS((value - m) / s) > 2.0
 """
 
 

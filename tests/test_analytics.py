@@ -408,3 +408,19 @@ def test_linear_text_classifier_broadcasts_model(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_rolling_zscore_constant_frames_never_flag(spark):
+    """Regression (caught at 100x): a frame of N identical values makes
+    incremental window stddev return ~1e-16 FP dust instead of exact
+    0; a bare std > 0 guard then divides a 1-ulp mean error by the
+    dust and manufactures |z| > 2 anomalies from constant data. The
+    std_floor guard must yield NULL z for such frames."""
+    from catenae_stopover_spark.operators.timeseries import rolling_zscore
+
+    rows = [(1, _ts(9, 0, s), 14.18) for s in range(50)]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    out = rolling_zscore(
+        df, ["k"], "ts", "v", window_seconds=3600, min_points=5
+    ).collect()
+    assert all(r.zscore is None for r in out)
