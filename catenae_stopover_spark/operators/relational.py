@@ -405,3 +405,62 @@ def snapshot_diff(
         ],
         change.alias("change_type"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width_s: int = 3600,
+) -> DataFrame:
+    """Interval×interval OVERLAP join as a bin-bucketed equi-join —
+    the two-sided sibling of :func:`interval_point_join` (B14). Two
+    intervals overlap iff ``l_start <= r_end AND r_start <= l_end``
+    (inclusive); written naively that is a theta join and Spark plans
+    a nested loop — the 100 TB cliff.
+
+    Binning rewrite: BOTH sides explode to the epoch bins they cover;
+    overlapping intervals necessarily share at least one bin, so the
+    bin equi-join finds every candidate. Unlike the point form, a
+    pair may share SEVERAL bins — the join assigns each pair to the
+    single deterministic bin ``max(floor(l_start/W), floor(r_start/W))``
+    (the first bin both cover) and keeps only the pair's copy in that
+    bin, so each qualifying pair is produced exactly once with no
+    distinct pass.
+
+    Cost: one shuffle on the bin key; replication is span/W per side.
+    Reversed intervals (end < start) are filtered out (same guard as
+    the point form — Spark's sequence() silently reverses). Column
+    names must be disjoint.
+    """
+    overlap = set(left.columns) & set(right.columns)
+    if overlap:
+        raise ValueError(f"rename overlapping columns: {sorted(overlap)}")
+    if bin_width_s <= 0:
+        raise ValueError("bin_width_s must be positive")
+
+    def us(c):
+        return F.unix_micros(F.col(c))
+
+    W = bin_width_s * 1_000_000
+
+    def binned(df, start, end):
+        lo = F.floor(us(start) / W)
+        hi = F.floor(us(end) / W)
+        return df.filter(us(start) <= us(end)).withColumn(
+            "__bin", F.explode(F.sequence(lo, hi))
+        )
+
+    lb = binned(left, l_start, l_end)
+    rb = binned(right, r_start, r_end)
+    joined = lb.join(rb, "__bin")
+    exact = joined.filter(
+        (us(l_start) <= us(r_end)) & (us(r_start) <= us(l_end))
+    )
+    first_shared = F.greatest(
+        F.floor(us(l_start) / W), F.floor(us(r_start) / W)
+    )
+    return exact.filter(F.col("__bin") == first_shared).drop("__bin")

@@ -1157,3 +1157,71 @@ def linear_text_classifier(
         "n_tokens",
         (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 20,
+) -> DataFrame:
+    """BM25 retrieval scoring (the Robertson–Spärck Jones form with
+    Lucene's non-negative idf: ``ln(1 + (N - df + 0.5)/(df + 0.5))``)
+    for a fixed query-term set — the lexical-retrieval complement of
+    the ANN family, and the scoring half of a distributed search
+    index.
+
+    One tokenization scan feeds BOTH aggregates (per-doc length and
+    per-(doc, query-term) tf — the tf side filters to query terms
+    BEFORE aggregating, so the shuffled volume is |hits|, not
+    |corpus tokens|); N/avgdl/df travel as broadcast one-row or
+    |terms|-row aggregates; the final score is a |hits|-sized groupBy.
+    No driver-side vocabulary, no UDF.
+
+    Returns the ``top_n`` (id, n_hit_terms, score) by score with a
+    deterministic id tiebreak.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    toks = toks.persist()
+    dl = toks.groupBy(id_col).agg(F.count("*").alias("__dl"))
+    stats = dl.agg(
+        F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl")
+    )
+    hits = toks.filter(F.col("term").isin(list(query_terms)))
+    tf = hits.groupBy(id_col, "term").agg(F.count("*").alias("__tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(stats))
+        .withColumn(
+            "__s",
+            idf
+            * (F.col("__tf") * (k1 + 1))
+            / (
+                F.col("__tf")
+                + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_hit_terms"),
+            F.sum("__s").alias("score"),
+        )
+    )
+    out = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_n)
+    out = out.localCheckpoint()
+    toks.unpersist()
+    return out

@@ -4940,6 +4940,128 @@ WHERE session_end + INTERVAL 30 MINUTE < m - INTERVAL 2 HOUR
 """
 
 
+def q126_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap join
+    (`operators/relational.interval_overlap_join`, B14 depth): user
+    sessions (q88's intervals) × per-user error windows (error event
+    ±30 min), overlap = inclusive intersection. Naive form is a
+    nested-loop theta join; the covering-bin rewrite is one equi-join
+    shuffle, each pair found exactly once via its first shared bin.
+    The same-user requirement rides as a post-filter (the bin join is
+    the candidate generator)."""
+    from .operators.relational import interval_overlap_join
+
+    sess = _session_intervals(spark, sf_dir)
+    err = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("e_id"),
+            (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("e_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e_end"),
+        )
+    )
+    j = interval_overlap_join(
+        sess, err, "s_start", "s_end", "e_start", "e_end",
+        bin_width_s=3600,
+    )
+    return (
+        j.filter(F.col("s_user") == F.col("e_user"))
+        .groupBy(F.col("s_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_overlaps"),
+            F.countDistinct("e_id").alias("n_errors_in_session"),
+        )
+    )
+
+
+Q126_SQL = """
+WITH flags AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flags
+), ivals AS (
+    SELECT user_id AS s_user, MIN(ts) AS s_start, MAX(ts) AS s_end
+    FROM sess GROUP BY user_id, sid
+), err AS (
+    SELECT user_id AS e_user, event_id AS e_id,
+           ts - INTERVAL 30 MINUTE AS e_start,
+           ts + INTERVAL 30 MINUTE AS e_end
+    FROM events WHERE event_type = 'error'
+), pairs AS (
+    SELECT s_user, e_id
+    FROM ivals JOIN err
+      ON s_user = e_user
+     AND s_start <= e_end AND e_start <= s_end
+)
+SELECT s_user AS user_id, COUNT(*) AS n_overlaps,
+       COUNT(DISTINCT e_id) AS n_errors_in_session
+FROM pairs GROUP BY s_user
+"""
+
+
+_BM25_TERMS = ("spark", "join", "window")
+
+
+def q127_bm25(spark, sf_dir):
+    """BM25 lexical retrieval (`operators/text.bm25_scores`): Lucene
+    idf form, k1=1.2 b=0.75, query = {spark, join, window}, top-20
+    with id tiebreak. One tokenization scan feeds doc-length AND
+    term-frequency aggregates; N/avgdl/df are broadcast
+    aggregates — no driver vocabulary."""
+    from .operators.text import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    out = bm25_scores(d, list(_BM25_TERMS), "text", "doc_id")
+    return out.select(
+        "doc_id", "n_hit_terms", F.round("score", 6).alias("score")
+    )
+
+
+Q127_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, t.term
+    FROM (SELECT doc_id,
+                 REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z0-9]+') AS a
+          FROM documents),
+         LATERAL UNNEST(a) AS t(term)
+    WHERE t.term <> ''
+), dl AS (
+    SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+    SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks
+    WHERE term IN {_BM25_TERMS!r}
+    GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+    SELECT tf.doc_id, COUNT(*) AS n_hit_terms,
+           SUM(LN(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           ) AS score
+    FROM tf
+    JOIN dfreq ON tf.term = dfreq.term
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+)
+SELECT doc_id, n_hit_terms, ROUND(score, 6) AS score
+FROM scored ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -5044,6 +5166,8 @@ QUERIES: dict[str, tuple] = {
     "q123_rolling_anomaly": (q123_rolling_anomaly, Q123_SQL),
     "q124_quality_classifier": (q124_quality_classifier, Q124_SQL),
     "q125_stream_session_pattern": (q125_stream_session_pattern, Q125_SQL),
+    "q126_interval_overlap": (q126_interval_overlap, Q126_SQL),
+    "q127_bm25": (q127_bm25, Q127_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

@@ -424,3 +424,91 @@ def test_rolling_zscore_constant_frames_never_flag(spark):
         df, ["k"], "ts", "v", window_seconds=3600, min_points=5
     ).collect()
     assert all(r.zscore is None for r in out)
+
+
+def test_interval_overlap_join_exact_once(spark):
+    from catenae_stopover_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, _ts(9, 0), _ts(12, 0)),    # long interval spans 4 bins
+            (2, _ts(13, 0), _ts(13, 10)),
+            (3, _ts(20, 0), _ts(21, 0)),   # overlaps nothing
+        ],
+        "lid int, ls timestamp, le timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, _ts(10, 30), _ts(11, 30)),  # inside interval 1 (2 shared bins)
+            (11, _ts(11, 59), _ts(13, 5)),   # overlaps 1 AND 2
+            (12, _ts(14, 0), _ts(15, 0)),    # no overlap
+        ],
+        "rid int, rs timestamp, re timestamp",
+    )
+    out = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re", bin_width_s=3600
+    ).select("lid", "rid").collect()
+    pairs = sorted((r.lid, r.rid) for r in out)
+    # multi-bin-sharing pairs appear exactly once
+    assert pairs == [(1, 10), (1, 11), (2, 11)]
+
+
+def test_interval_overlap_join_touching_endpoints_inclusive(spark):
+    from catenae_stopover_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, _ts(9, 0), _ts(10, 0))], "lid int, ls timestamp, le timestamp"
+    )
+    right = spark.createDataFrame(
+        [(2, _ts(10, 0), _ts(11, 0))], "rid int, rs timestamp, re timestamp"
+    )
+    out = interval_overlap_join(
+        left, right, "ls", "le", "rs", "re"
+    ).collect()
+    assert len(out) == 1  # end == start counts (inclusive)
+
+
+def test_interval_overlap_join_plan_is_equi(spark):
+    from catenae_stopover_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    left = spark.createDataFrame(
+        [(1, _ts(9), _ts(10))], "lid int, ls timestamp, le timestamp"
+    )
+    right = spark.createDataFrame(
+        [(2, _ts(9), _ts(10))], "rid int, rs timestamp, re timestamp"
+    )
+    plan = (
+        interval_overlap_join(left, right, "ls", "le", "rs", "re")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_ranks_exact_small_corpus(spark):
+    import math
+
+    from catenae_stopover_spark.operators.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark join"),     # heavy on query terms
+            (2, "spark alpha beta"),
+            (3, "gamma delta epsilon"),  # no hits
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in bm25_scores(docs, ["spark", "join"]).collect()}
+    assert 3 not in out
+    assert out[1].n_hit_terms == 2 and out[2].n_hit_terms == 1
+    # hand-check doc 2's score: N=3, df(spark)=2, tf=1, dl=3, avgdl=3
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    expected = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 1.0))
+    assert out[2].score == pytest.approx(expected)
+    assert out[1].score > out[2].score
