@@ -59,10 +59,18 @@ def asof_join(
     right_cols: list[str] | None = None,
     tolerance: str | None = None,
     tie_break: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join (B15): for each left row, the single latest right row
-    with ``right_ts <= left_ts`` per key. Left rows with no match are
-    kept (left outer semantics). Spark SQL has no built-in as-of join;
+    with ``right_ts <= left_ts`` per key (``direction='backward'``,
+    default) or the single EARLIEST right row with ``right_ts >=
+    left_ts`` (``direction='forward'`` — the pandas merge_asof
+    directions). Left rows with no match are kept (left outer
+    semantics). Forward is the time-mirror of backward: the union-merge
+    traverses in descending ts order, ties among right rows resolve to
+    the SMALLEST tie_break, and ``tolerance`` bounds how far ahead a
+    match may be (right_ts <= left_ts + tolerance). Same single
+    shuffle either way. Spark SQL has no built-in as-of join;
     this is the union-merge plan:
 
       tag both sides → union → ONE shuffle on the key → sort within
@@ -105,9 +113,22 @@ def asof_join(
     )
     unioned = tagged_r.unionByName(tagged_l, allowMissingColumns=True)
 
+    if direction == "backward":
+        order = [F.col("__t"), F.col("__is_left"), F.col("__tie")]
+    elif direction == "forward":
+        # descending traversal: future rights come first; at equal ts
+        # rights still precede lefts (inclusive >=); tie_break DESC so
+        # the running last() lands on the smallest tie
+        order = [
+            F.col("__t").desc(),
+            F.col("__is_left"),
+            F.col("__tie").desc(),
+        ]
+    else:
+        raise ValueError(f"unknown direction: {direction}")
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__t"), F.col("__is_left"), F.col("__tie"))
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = unioned.withColumn(
@@ -116,10 +137,13 @@ def asof_join(
 
     match = F.col("__match")
     if tolerance:
-        match = F.when(
-            F.col("__match")[right_ts] >= F.col("__t") - F.expr(tolerance),
-            F.col("__match"),
+        in_range = (
+            F.col("__match")[right_ts] >= F.col("__t") - F.expr(tolerance)
+            if direction == "backward"
+            else F.col("__match")[right_ts]
+            <= F.col("__t") + F.expr(tolerance)
         )
+        match = F.when(in_range, F.col("__match"))
     return merged.select(
         *left.columns,
         *[match[c].alias(c) for c in rsel],

@@ -5062,6 +5062,181 @@ FROM scored ORDER BY score DESC, doc_id LIMIT 20
 """
 
 
+def q128_equidepth_histogram(spark, sf_dir):
+    """Per-group equi-depth (equal-frequency) histogram — the
+    optimizer-statistics / drift-monitoring primitive: NTILE(4) over
+    (o_totalprice, o_orderkey) within each priority, then per-bin
+    count and value bounds. Deterministic: ties broken by the key
+    column, so both engines bin identically."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        o.withColumn("bin", F.ntile(4).over(w))
+        .groupBy("o_orderpriority", "bin")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
+
+
+Q128_SQL = """
+SELECT o_orderpriority, bin, COUNT(*) AS n_orders,
+       ROUND(MIN(o_totalprice), 4) AS lo,
+       ROUND(MAX(o_totalprice), 4) AS hi
+FROM (
+    SELECT o_orderpriority, o_totalprice,
+           NTILE(4) OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey) AS bin
+    FROM orders
+)
+GROUP BY o_orderpriority, bin
+"""
+
+
+def q129_asof_forward(spark, sf_dir):
+    """Forward as-of join (`relational.asof_join(direction='forward')`
+    — the pandas merge_asof 'forward' semantics): for every purchase,
+    the EARLIEST click at-or-after it by the same user within 1 hour;
+    ties resolve to the smallest event_id. Same single-shuffle
+    union-merge plan as backward, traversed in descending ts order.
+    Aggregated per user for a compact comparison surface."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("c_id"), F.col("ts").alias("c_ts")
+    )
+    j = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="p_ts",
+        right_ts="c_ts",
+        tolerance="INTERVAL 1 HOUR",
+        tie_break="c_id",
+        direction="forward",
+    )
+    return j.groupBy("user_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.count("c_id").alias("n_followed"),
+        F.sum(
+            F.unix_millis("c_ts") - F.unix_millis("p_ts")
+        ).alias("total_lag_ms"),
+    )
+
+
+Q129_SQL = """
+WITH purchases AS (
+    SELECT user_id, event_id AS p_id, ts AS p_ts
+    FROM events WHERE event_type = 'purchase'
+), clicks AS (
+    SELECT user_id, event_id AS c_id, ts AS c_ts
+    FROM events WHERE event_type = 'click'
+), cand AS (
+    SELECT p.user_id, p.p_id, p.p_ts, c.c_id, c.c_ts,
+           ROW_NUMBER() OVER (PARTITION BY p.p_id
+                              ORDER BY c.c_ts, c.c_id) AS rn
+    FROM purchases p
+    JOIN clicks c
+      ON p.user_id = c.user_id
+     AND c.c_ts >= p.p_ts AND c.c_ts <= p.p_ts + INTERVAL 1 HOUR
+), matched AS (
+    SELECT p.user_id, p.p_id, p.p_ts, m.c_id, m.c_ts
+    FROM purchases p
+    LEFT JOIN (SELECT * FROM cand WHERE rn = 1) m ON p.p_id = m.p_id
+)
+SELECT user_id, COUNT(*) AS n_purchases,
+       COUNT(c_id) AS n_followed,
+       CAST(SUM(EPOCH_MS(c_ts) - EPOCH_MS(p_ts)) AS BIGINT) AS total_lag_ms
+FROM matched GROUP BY user_id
+"""
+
+
+def q130_bpe_merge_step(spark, sf_dir):
+    """BPE trainer step 2 (continues q100's pair induction): APPLY the
+    argmax merge to the vocabulary and re-count pairs — one loop
+    iteration of the full trainer. The merged symbol is rewritten as
+    one marker character, so left-to-right non-overlapping replacement
+    (both engines' regexp_replace semantics) IS the greedy BPE merge,
+    and the re-count treats it as a single symbol. Top-10 post-merge
+    pairs, deterministic tiebreak."""
+    from .operators.text import bpe_pair_counts
+
+    d = _t(spark, sf_dir, "documents")
+    top = bpe_pair_counts(d, top_n=1)
+    # one-row broadcast: the argmax pair travels to every task
+    best = top.select(F.col("pair").alias("__merge"))
+    toks = d.select(
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("wc"))
+    merged = vocab.join(F.broadcast(best)).select(
+        F.regexp_replace(
+            F.col("tok"),
+            F.concat(F.lit(r"\Q"), F.col("__merge"), F.lit(r"\E")),
+            "\x01",
+        ).alias("tok"),
+        "wc",
+    )
+    pairs = merged.filter(F.length("tok") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(tok) - 1), "
+                "i -> substring(tok, i, 2))"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(10)
+        # the marker is engine-internal; expose it readably
+        .select(
+            F.regexp_replace("pair", "\x01", "<M>").alias("pair"),
+            "pair_count",
+        )
+    )
+
+
+Q130_SQL = r"""
+WITH toks AS (
+    SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+    FROM documents
+), vocab AS (
+    SELECT tok, COUNT(*) AS wc FROM toks WHERE tok <> '' GROUP BY tok
+), pairs0 AS (
+    SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(tok) - 1),
+                                 i -> SUBSTR(tok, i, 2))) AS pair,
+           wc
+    FROM vocab WHERE LENGTH(tok) >= 2
+), best AS (
+    SELECT pair FROM pairs0 GROUP BY pair
+    ORDER BY SUM(wc) DESC, pair LIMIT 1
+), merged AS (
+    SELECT REPLACE(vocab.tok, best.pair, CHR(1)) AS tok, wc
+    FROM vocab, best
+), pairs1 AS (
+    SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(tok) - 1),
+                                 i -> SUBSTR(tok, i, 2))) AS pair,
+           wc
+    FROM merged WHERE LENGTH(tok) >= 2
+)
+SELECT REPLACE(pair, CHR(1), '<M>') AS pair,
+       CAST(SUM(wc) AS BIGINT) AS pair_count
+FROM pairs1 GROUP BY pair
+ORDER BY pair_count DESC, pair LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -5168,6 +5343,9 @@ QUERIES: dict[str, tuple] = {
     "q125_stream_session_pattern": (q125_stream_session_pattern, Q125_SQL),
     "q126_interval_overlap": (q126_interval_overlap, Q126_SQL),
     "q127_bm25": (q127_bm25, Q127_SQL),
+    "q128_equidepth_histogram": (q128_equidepth_histogram, Q128_SQL),
+    "q129_asof_forward": (q129_asof_forward, Q129_SQL),
+    "q130_bpe_merge_step": (q130_bpe_merge_step, Q130_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

@@ -512,3 +512,47 @@ def test_bm25_ranks_exact_small_corpus(spark):
     expected = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 1.0))
     assert out[2].score == pytest.approx(expected)
     assert out[1].score > out[2].score
+
+
+def test_asof_forward_direction(spark):
+    from catenae_stopover_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, _ts(9, 0)), (1, 11, _ts(9, 30)), (2, 12, _ts(9, 0))],
+        "k int, lid int, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 100, _ts(8, 50)),   # in the past: never a forward match
+            (1, 101, _ts(9, 10)),
+            (1, 102, _ts(9, 30)),   # equal ts: inclusive match for lid=11
+            (1, 103, _ts(9, 30)),   # tie at same ts -> smallest rid wins
+        ],
+        "k int, rid int, rts timestamp",
+    )
+    out = {
+        r.lid: r
+        for r in asof_join(
+            left, right, ["k"], "lts", "rts",
+            tie_break="rid", direction="forward",
+        ).collect()
+    }
+    assert out[10].rid == 101          # earliest at-or-after 9:00
+    assert out[11].rid == 102          # equal ts inclusive, smallest tie
+    assert out[12].rid is None         # key 2: no right rows
+
+
+def test_asof_forward_tolerance(spark):
+    from catenae_stopover_spark.operators.relational import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, _ts(9, 0))], "k int, lid int, lts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, _ts(11, 0))], "k int, rid int, rts timestamp"
+    )
+    out = asof_join(
+        left, right, ["k"], "lts", "rts",
+        tolerance="INTERVAL 1 HOUR", direction="forward",
+    ).collect()
+    assert out[0].rid is None  # 2h ahead: outside the 1h look-ahead

@@ -44,6 +44,9 @@ ACCEPTED = {
     "q82_kll_quantile_gate": "3-row estimate table broadcast for rank check",
     # N (document count) attached as a broadcast 1-row scalar
     "q90_tfidf_keywords": "broadcast of a 1-row doc-count scalar onto tf",
+    # the argmax merge pair attached as a broadcast 1-row scalar (the
+    # collect-free way to carry the trainer's current merge to tasks)
+    "q130_bpe_merge_step": "broadcast of the 1-row argmax merge pair",
     # |V| attached as a broadcast 1-row scalar, once per iteration
     "q94_pagerank_dedup_graph": "broadcast of a 1-row node-count scalar",
     # the gate's TRUTH side is the exact all-pairs verifier (same
