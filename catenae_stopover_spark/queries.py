@@ -5237,6 +5237,68 @@ ORDER BY pair_count DESC, pair LIMIT 10
 """
 
 
+def q131_stream_funnel(spark, sf_dir):
+    """Streaming ordered funnel (`streaming/stateful.funnel_stream`):
+    q112's view→click→purchase funnel as real-time conversion
+    tracking — per-key state is (current step, its ts, an above-
+    watermark reorder buffer), each step of each key emits at most
+    once with its completing event time, and completed keys retain a
+    terminal marker so later events can't restart the funnel. Oracle:
+    the batch min-ts chain over events the final watermark
+    finalized."""
+    import tempfile
+
+    from .io.sources import replay_as_stream
+    from .streaming import run_available_now
+    from .streaming.stateful import funnel_stream
+
+    ev = _t(spark, sf_dir, "events")
+    stream = replay_as_stream(
+        spark,
+        ev.select("user_id", "ts", "event_type"),
+        tempfile.mkdtemp(prefix="csspark-funnel-"),
+        order_col="ts",
+    )
+    f = funnel_stream(
+        stream,
+        "ts",
+        "user_id",
+        "event_type",
+        steps=["view", "click", "purchase"],
+        watermark="2 hours",
+    )
+    return run_available_now(f, output_mode="append").select(
+        F.col("key").alias("user_id"), "step_idx", "step", "reached_ts"
+    )
+
+
+Q131_SQL = """
+WITH mx AS (SELECT MAX(ts) AS m FROM events),
+elig AS (
+    SELECT user_id, ts, event_type FROM events, mx
+    WHERE ts < m - INTERVAL 2 HOUR
+), s0 AS (
+    SELECT user_id, MIN(ts) AS t FROM elig
+    WHERE event_type = 'view' GROUP BY user_id
+), s1 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM elig e JOIN s0 ON e.user_id = s0.user_id
+    WHERE e.event_type = 'click' AND e.ts > s0.t
+    GROUP BY e.user_id
+), s2 AS (
+    SELECT e.user_id, MIN(e.ts) AS t
+    FROM elig e JOIN s1 ON e.user_id = s1.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > s1.t
+    GROUP BY e.user_id
+)
+SELECT user_id, 0 AS step_idx, 'view' AS step, t AS reached_ts FROM s0
+UNION ALL
+SELECT user_id, 1 AS step_idx, 'click' AS step, t AS reached_ts FROM s1
+UNION ALL
+SELECT user_id, 2 AS step_idx, 'purchase' AS step, t AS reached_ts FROM s2
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -5346,6 +5408,7 @@ QUERIES: dict[str, tuple] = {
     "q128_equidepth_histogram": (q128_equidepth_histogram, Q128_SQL),
     "q129_asof_forward": (q129_asof_forward, Q129_SQL),
     "q130_bpe_merge_step": (q130_bpe_merge_step, Q130_SQL),
+    "q131_stream_funnel": (q131_stream_funnel, Q131_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

@@ -397,3 +397,103 @@ def session_pattern_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def funnel_stream(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    type_col: str,
+    steps: list[str],
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming ordered funnel — the stateful twin of
+    `operators/analytics.funnel_steps`: per key, track progress
+    through ``steps`` (step i counts only STRICTLY AFTER the ts that
+    completed step i-1) and emit one row the moment a step completes,
+    with the completing event time.
+
+    Event-time correctness under reordering: a micro-batch may deliver
+    events out of order, and folding them as they arrive would let a
+    late-but-on-time 'view' miss an earlier-arriving 'click'. So the
+    operator BUFFERS events at or above the watermark and folds, in
+    (ts, type) order, only the prefix that has dropped below it —
+    those can never be reordered again. Below-watermark arrivals are
+    dropped (strict late semantics, as the rest of this module).
+
+    State per key = current step + its ts + the above-watermark
+    buffer — bounded by the watermark horizon, never by history.
+    Output: key, step_idx, step, reached_ts (append; each step of
+    each key at most once).
+    """
+    import json as _json
+
+    import pandas as pd
+
+    step_ix = {s: i for i, s in enumerate(steps)}
+
+    def proc(key, pdfs, state: GroupState):
+        (k,) = key
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            st = _json.loads(state.get[0])
+        else:
+            st = {"step": -1, "ts": -1, "buf": []}
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                if not len(pdf):
+                    continue
+                ts_us = pdf[ts_col].astype("int64") // 1_000
+                for t, ty in zip(ts_us.values, pdf[type_col].values):
+                    if ty in step_ix and int(t) >= wm_us:
+                        st["buf"].append([int(t), str(ty)])
+        # fold the now-finalized prefix (ts < watermark) in time order
+        st["buf"].sort()
+        emit = []
+        rest = []
+        for t, ty in st["buf"]:
+            if t >= wm_us:
+                rest.append([t, ty])
+                continue
+            nxt = st["step"] + 1
+            if nxt < len(steps) and ty == steps[nxt] and t > st["ts"]:
+                st["step"], st["ts"] = nxt, t
+                emit.append((k, nxt, ty, pd.Timestamp(t, unit="us")))
+        st["buf"] = rest
+        if st["step"] >= len(steps) - 1:
+            st["buf"] = []  # completed: further events are irrelevant
+        # Completed keys KEEP their terminal state (one tiny row per
+        # finished key): removing it would let later events restart the
+        # funnel at step -1 and re-emit steps the batch semantics count
+        # only once.
+        state.update((_json.dumps(st),))
+        if st["buf"]:
+            nxt_ms = min(t for t, _ in st["buf"]) // 1000 + 1
+            state.setTimeoutTimestamp(
+                max(nxt_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        if emit:
+            yield pd.DataFrame(
+                emit, columns=["key", "step_idx", "step", "reached_ts"]
+            )
+
+    out_schema = StructType(
+        [
+            _key_field(df, key_col),
+            StructField("step_idx", LongType()),
+            StructField("step", StringType()),
+            StructField("reached_ts", TimestampType()),
+        ]
+    )
+    state_schema = StructType([StructField("st", StringType())])
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            proc,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -533,3 +533,66 @@ def test_session_pattern_stream_matches_and_bounds_state(
     progress = [p for p in q.recentProgress if p["stateOperators"]]
     ceilings = [p["stateOperators"][0]["numRowsTotal"] for p in progress]
     assert max(ceilings) <= 2
+
+
+def test_funnel_stream_reorder_buffer_and_no_restart(
+    spark, tmp_path_factory
+):
+    """Streaming funnel: (a) out-of-order arrivals WITHIN the
+    watermark horizon fold in event-time order (a click arriving
+    before its earlier view must not be missed), (b) each step emits
+    at most once, (c) events after completion never restart the
+    funnel."""
+    import pandas as pd
+
+    from catenae_stopover_spark.io.sources import replay_two_phase
+    from catenae_stopover_spark.streaming.runner import start_stream
+    from catenae_stopover_spark.streaming.stateful import funnel_stream
+
+    base = pd.Timestamp("2024-01-01")
+
+    def ev(h, m, u, ty):
+        return ((base + pd.Timedelta(hours=h, minutes=m)).to_pydatetime(), u, ty)
+
+    # batch 1 delivers the CLICK before the VIEW's batch; both are
+    # within the watermark horizon, so the fold must order them by ts.
+    first = [
+        ev(1, 30, 1, "click"),
+        ev(2, 30, 99, "view"),  # watermark driver -> wm 0:30 after b1
+    ]
+    second = [
+        ev(1, 0, 1, "view"),     # earlier ts, later arrival — on time
+        ev(2, 0, 1, "buy"),
+        # after completion: a second view/click/buy wave for user 1
+        ev(3, 0, 1, "view"), ev(3, 10, 1, "click"), ev(3, 20, 1, "buy"),
+        ev(23, 0, 99, "view"),   # advances watermark past everything
+    ]
+    f1 = spark.createDataFrame(first, "ts timestamp, user_id long, t string")
+    f2 = spark.createDataFrame(second, "ts timestamp, user_id long, t string")
+    stage = str(tmp_path_factory.mktemp("funnel_stream"))
+    stream = replay_two_phase(spark, f1, f2, stage)
+    f = funnel_stream(
+        stream, "ts", "user_id", "t",
+        steps=["view", "click", "buy"], watermark="2 hours",
+    )
+    q = start_stream(
+        f,
+        format="memory",
+        output_mode="append",
+        query_name="funnel_stream",
+        available_now=True,
+    )
+    q.awaitTermination(300)
+    out = spark.sql("select * from funnel_stream").collect()
+    u1 = sorted(
+        [r for r in out if r.key == 1], key=lambda r: r.step_idx
+    )
+    # exactly one emission per step, in event-time order, despite the
+    # click arriving a batch before the view
+    assert [(r.step_idx, r.step) for r in u1] == [
+        (0, "view"), (1, "click"), (2, "buy")
+    ]
+    assert u1[0].reached_ts.hour == 1 and u1[0].reached_ts.minute == 0
+    assert u1[1].reached_ts.minute == 30
+    # the post-completion wave emitted nothing (no restart)
+    assert len(u1) == 3
