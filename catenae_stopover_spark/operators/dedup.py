@@ -1122,3 +1122,43 @@ def incremental_exact_dedup(
     return batch.join(corpus_hashes, "content_hash", "left_anti").select(
         id_col, "content_hash", "batch_dup_count"
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_bps: int = 8000,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Near-dup-cluster-aware train/test split: assign every document
+    to a split by hashing its dedup CLUSTER label (connected component
+    of the near-dup graph; singletons are their own cluster), so two
+    near-duplicate documents can never land in different splits — the
+    leakage mode a plain per-document hash split (`hash_split`) cannot
+    prevent, and the reason eval contamination survives naive
+    splitting.
+
+    ``train_bps`` is the train share in basis points (8000 = 80/20).
+    The split key is the engine-independent sha2 bucket of the cluster
+    label, so the assignment is rerun-stable and reproducible anywhere.
+
+    Returns (id_col, cluster, split). Cost on top of the pair
+    generation: the component propagation (O(diameter) shuffles on the
+    pair list — tiny relative to the corpus) plus one broadcast-scale
+    join of the cluster labels back onto the corpus.
+    """
+    from .text import _hash_bucket
+
+    comps = connected_components(pairs, src_col, dst_col)
+    labeled = df.select(F.col(id_col)).join(
+        comps.withColumnRenamed("node", id_col), id_col, "left"
+    )
+    cluster = F.coalesce("component", F.col(id_col)).alias("cluster")
+    labeled = labeled.select(id_col, cluster)
+    bucket = _hash_bucket("cluster", 10000)
+    return labeled.withColumn(
+        "split",
+        F.when(bucket < train_bps, F.lit("train")).otherwise(F.lit("test")),
+    )

@@ -5299,6 +5299,72 @@ SELECT user_id, 2 AS step_idx, 'purchase' AS step, t AS reached_ts FROM s2
 """
 
 
+def q132_cluster_split_gate(spark, sf_dir):
+    """Leakage-safe train/test split
+    (`operators/dedup.leakage_safe_split`): split by the sha2 bucket
+    of the near-dup CLUSTER label (q68's components; singletons are
+    their own cluster), so near-duplicates can never straddle the
+    split — the contamination mode a per-document hash split can't
+    prevent. One-row gate: split sizes, cluster counts, and the
+    straddling-cluster count (must be 0 by construction — the oracle
+    recomputes it from a recursive-CTE closure to prove it)."""
+    from .operators.dedup import leakage_safe_split
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_near_dups(d, "text", "doc_id", n=3, threshold=0.08)
+    s = leakage_safe_split(
+        d, pairs.select("id_a", "id_b"), "doc_id", train_bps=8000
+    ).persist()
+    sizes = s.groupBy().agg(
+        F.sum((F.col("split") == "train").cast("int")).alias("n_train"),
+        F.sum((F.col("split") == "test").cast("int")).alias("n_test"),
+    )
+    clusters = (
+        s.groupBy("cluster")
+        .agg(F.countDistinct("split").alias("__s"))
+        .groupBy()
+        .agg(
+            F.count("*").alias("n_clusters"),
+            F.sum((F.col("__s") > 1).cast("int")).alias("leaked_clusters"),
+        )
+    )
+    return sizes.join(clusters)
+
+
+Q132_SQL = (
+    Q68_SQL.rstrip().rsplit("SELECT a AS node", 1)[0]
+    + """, comps AS (
+    SELECT a AS node, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+), labeled AS (
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS cluster
+    FROM documents d LEFT JOIN comps c ON d.doc_id = c.node
+), split AS (
+    SELECT doc_id, cluster,
+           CASE WHEN ('0x' || SUBSTR(SHA256(CAST(cluster AS VARCHAR)), 1, 8))::BIGINT
+                     % 10000 < 8000
+                THEN 'train' ELSE 'test' END AS split
+    FROM labeled
+), split_sizes AS (
+    SELECT SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+           SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS n_test
+    FROM split
+), cl_stats AS (
+    SELECT COUNT(*) AS n_clusters,
+           SUM(CASE WHEN s > 1 THEN 1 ELSE 0 END) AS leaked_clusters
+    FROM (SELECT cluster, COUNT(DISTINCT split) AS s
+          FROM split GROUP BY cluster)
+)
+SELECT CAST(n_train AS BIGINT) AS n_train,
+       CAST(n_test AS BIGINT) AS n_test,
+       n_clusters,
+       CAST(leaked_clusters AS BIGINT) AS leaked_clusters
+FROM split_sizes, cl_stats
+"""
+)
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -5409,6 +5475,7 @@ QUERIES: dict[str, tuple] = {
     "q129_asof_forward": (q129_asof_forward, Q129_SQL),
     "q130_bpe_merge_step": (q130_bpe_merge_step, Q130_SQL),
     "q131_stream_funnel": (q131_stream_funnel, Q131_SQL),
+    "q132_cluster_split_gate": (q132_cluster_split_gate, Q132_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

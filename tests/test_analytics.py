@@ -556,3 +556,33 @@ def test_asof_forward_tolerance(spark):
         tolerance="INTERVAL 1 HOUR", direction="forward",
     ).collect()
     assert out[0].rid is None  # 2h ahead: outside the 1h look-ahead
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark):
+    from catenae_stopover_spark.operators.dedup import leakage_safe_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id int"
+    )
+    # chain clusters {0,1,2}, {10,11}, everything else singleton
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "id_a int, id_b int"
+    )
+    out = leakage_safe_split(docs, pairs, "doc_id", train_bps=5000).collect()
+    assert len(out) == 200
+    by_doc = {r.doc_id: r for r in out}
+    # cluster members share the label AND the split
+    assert by_doc[0].cluster == by_doc[1].cluster == by_doc[2].cluster == 0
+    assert by_doc[0].split == by_doc[1].split == by_doc[2].split
+    assert by_doc[10].split == by_doc[11].split
+    # both splits populated at a 50/50 rate over 200 docs
+    splits = {r.split for r in out}
+    assert splits == {"train", "test"}
+    # rerun-stable
+    again = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(
+            docs, pairs, "doc_id", train_bps=5000
+        ).collect()
+    }
+    assert again == {r.doc_id: r.split for r in out}

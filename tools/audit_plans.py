@@ -47,6 +47,8 @@ ACCEPTED = {
     # the argmax merge pair attached as a broadcast 1-row scalar (the
     # collect-free way to carry the trainer's current merge to tasks)
     "q130_bpe_merge_step": "broadcast of the 1-row argmax merge pair",
+    # cross of two 1-row gate aggregates (sizes x cluster stats)
+    "q132_cluster_split_gate": "cross of two 1-row gate aggregates",
     # |V| attached as a broadcast 1-row scalar, once per iteration
     "q94_pagerank_dedup_graph": "broadcast of a 1-row node-count scalar",
     # the gate's TRUTH side is the exact all-pairs verifier (same
