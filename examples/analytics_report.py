@@ -1,0 +1,115 @@
+"""A behavioral-analytics report on the engine's warehouse operators:
+event stream → sessionize → funnel → cohort retention → SCD2 history →
+rolling anomalies → interval overlap vs error windows — the product-
+analytics story end-to-end on the driver testdata, every stage a
+Catalyst plan.
+
+Run: python examples/analytics_report.py [sf_dir]
+"""
+
+import sys
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.io.sources import load_table
+from catenae_stopover_spark.operators.analytics import (
+    cohort_retention,
+    funnel_steps,
+    scd2_from_changelog,
+    session_pattern_match,
+)
+from catenae_stopover_spark.operators.relational import interval_overlap_join
+from catenae_stopover_spark.operators.timeseries import rolling_zscore
+from catenae_stopover_spark.session import get_spark
+
+
+def main(sf_dir: str = "/root/testdata/sf0.01") -> None:
+    spark = get_spark("analytics-report")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    ev = load_table(spark, sf_dir, "events")
+    print(f"events: {ev.count()}")
+
+    # 1. ordered conversion funnel
+    funnel = funnel_steps(
+        ev,
+        "user_id",
+        "ts",
+        [
+            ("view", F.col("event_type") == "view"),
+            ("click", F.col("event_type") == "click"),
+            ("purchase", F.col("event_type") == "purchase"),
+        ],
+    )
+    print("funnel:")
+    funnel.orderBy("step_idx").show(truncate=False)
+
+    # 2. weekly cohort retention triangle
+    print("cohort retention (first 10 cells):")
+    cohort_retention(ev, "user_id", "ts").orderBy(
+        "cohort", "period_offset"
+    ).show(10, truncate=False)
+
+    # 3. sessions whose event sequence converts in-session
+    m = session_pattern_match(
+        ev, "user_id", "ts", "event_type",
+        pattern="view.*click", tiebreak_cols=["event_id"],
+    )
+    print(f"sessions matching view→…→click: {m.count()}")
+
+    # 4. SCD2 history of each user's event-type attribute
+    hist = scd2_from_changelog(
+        ev.select("user_id", "ts", "event_id", "event_type"),
+        ["user_id"], "ts", ["event_type"], ["event_id"],
+    )
+    print(
+        "SCD2 versions:",
+        hist.count(),
+        "current:",
+        hist.filter("is_current").count(),
+    )
+
+    # 5. rolling event-time anomalies
+    z = rolling_zscore(ev, ["user_id"], "ts", "value", 86400, 5)
+    print("anomalies |z|>2:", z.filter(F.abs("zscore") > 2).count())
+
+    # 6. error windows overlapping long sessions (interval x interval)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ms = 30 * 60 * 1000
+    sess = (
+        ev.withColumn("prev", F.lag(F.unix_millis("ts")).over(w))
+        .withColumn(
+            "new_s",
+            (
+                F.col("prev").isNull()
+                | ((F.unix_millis("ts") - F.col("prev")) > gap_ms)
+            ).cast("int"),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_s").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(F.col("user_id").alias("s_user"), "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("e_user"),
+        (F.col("ts") - F.expr("INTERVAL 30 MINUTES")).alias("e_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("e_end"),
+    )
+    overlaps = interval_overlap_join(
+        sess, err, "s_start", "s_end", "e_start", "e_end"
+    ).filter(F.col("s_user") == F.col("e_user"))
+    print("session x error-window overlaps:", overlaps.count())
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])

@@ -101,3 +101,18 @@ def test_batch_pipeline_example_runs(spark):
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "after decontamination" in proc.stdout
     assert "nearest neighbours" in proc.stdout
+
+
+def test_analytics_report_example_runs(spark):
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "examples/analytics_report.py", "/root/testdata/sf0.001"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "session x error-window overlaps:" in r.stdout
