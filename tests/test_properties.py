@@ -147,3 +147,256 @@ def test_hash_parity_property(text):
         text.encode("utf-8"), digest_size=32
     ).hexdigest()
     assert utils.sha3_512(text) == hashlib.sha3_512(text.encode("utf-8")).hexdigest()
+
+
+# ---------------------------------------------------------------------
+# r4 operators vs independent pure-python references
+# ---------------------------------------------------------------------
+
+
+@settings(**SLOW_SETTINGS)
+@given(
+    left=st.lists(st.tuples(keys, times), min_size=1, max_size=15, unique=True),
+    right=st.lists(st.tuples(keys, times), min_size=0, max_size=15, unique=True),
+)
+def test_asof_forward_matches_pandas_merge_asof(spark, left, right):
+    from catenae_stopover_spark.operators.relational import asof_join as aj
+
+    ldf = spark.createDataFrame(left, ["k", "t"])
+    rdf = (
+        spark.createDataFrame(
+            [(k, t, f"v{k}_{t}") for k, t in right], ["k", "rt", "val"]
+        )
+        if right
+        else spark.createDataFrame([], "k int, rt int, val string")
+    )
+    got = {
+        (r.k, r.t): r.val
+        for r in aj(
+            ldf, rdf, on=["k"], left_ts="t", right_ts="rt",
+            direction="forward",
+        ).collect()
+    }
+    lp = pd.DataFrame(left, columns=["k", "t"]).sort_values("t")
+    rp = pd.DataFrame(
+        [(k, t, f"v{k}_{t}") for k, t in right], columns=["k", "rt", "val"]
+    ).sort_values("rt")
+    if rp.empty:
+        expected = {(r.k, r.t): None for r in lp.itertuples()}
+    else:
+        m = pd.merge_asof(
+            lp, rp, left_on="t", right_on="rt", by="k", direction="forward"
+        )
+        expected = {
+            (r.k, r.t): (None if pd.isna(r.val) else r.val)
+            for r in m.itertuples()
+        }
+    assert got == expected
+
+
+@settings(**SLOW_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(keys, times, st.sampled_from("ab")),
+        min_size=1,
+        max_size=20,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_scd2_reconstructs_changelog_state(spark, rows):
+    """Property: at every changelog event time, the SCD2 version
+    containing that instant carries the changelog's then-current
+    attribute value."""
+    import datetime as dt
+
+    from catenae_stopover_spark.operators.analytics import scd2_from_changelog
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (k, base + dt.timedelta(minutes=t), t, a) for k, t, a in rows
+    ]
+    df = spark.createDataFrame(data, "k int, ts timestamp, eid int, attr string")
+    hist = scd2_from_changelog(df, ["k"], "ts", ["attr"], ["eid"]).collect()
+    by_key: dict = {}
+    for r in hist:
+        by_key.setdefault(r.k, []).append(r)
+    for k, t, a in rows:
+        ts = base + dt.timedelta(minutes=t)
+        versions = [
+            v
+            for v in by_key[k]
+            if v.valid_from <= ts and (v.valid_to is None or ts < v.valid_to)
+        ]
+        assert len(versions) == 1, (k, t)
+        # the changelog's value at ts = attr of the latest row <= ts
+        state = max(
+            ((tt, aa) for kk, tt, aa in rows if kk == k and tt <= t)
+        )[1]
+        assert versions[0].attr == state
+
+
+@settings(**SLOW_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(keys, times, st.sampled_from(["s0", "s1", "s2", "x"])),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+)
+def test_funnel_counts_match_reference_and_are_monotone(spark, rows):
+    import datetime as dt
+
+    from catenae_stopover_spark.operators.analytics import funnel_steps
+
+    base = dt.datetime(2024, 1, 1)
+    data = [(k, base + dt.timedelta(minutes=t), ty) for k, t, ty in rows]
+    ev = spark.createDataFrame(data, "k int, ts timestamp, ty string")
+    out = funnel_steps(
+        ev,
+        "k",
+        "ts",
+        [(s, F.col("ty") == s) for s in ("s0", "s1", "s2")],
+    ).orderBy("step_idx").collect()
+    got = [r.users for r in out]
+    # reference: per-key strict-ordering chain
+    expected = [0, 0, 0]
+    for k in {r[0] for r in rows}:
+        evs = sorted((t, ty) for kk, t, ty in rows if kk == k)
+        prev = None
+        for i, s in enumerate(("s0", "s1", "s2")):
+            nxt = [t for t, ty in evs if ty == s and (prev is None or t > prev)]
+            if not nxt:
+                break
+            prev = min(nxt)
+            expected[i] += 1
+    assert got == expected
+    assert got[0] >= got[1] >= got[2]
+
+
+@settings(**SLOW_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),
+            st.integers(min_value=0, max_value=7),
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    from itertools import combinations
+
+    from catenae_stopover_spark.operators.graph import triangle_count
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    if not und:
+        return
+    df = spark.createDataFrame(list(und), "src int, dst int")
+    got = {r.node: r.triangles for r in triangle_count(df).collect()}
+    nodes = {n for e in und for n in e}
+    expected: dict = {}
+    for a, b, c in combinations(sorted(nodes), 3):
+        if (
+            tuple(sorted((a, b))) in und
+            and tuple(sorted((b, c))) in und
+            and tuple(sorted((a, c))) in und
+        ):
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    assert got == expected
+
+
+@settings(**SLOW_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=0,
+        max_size=20,
+    ),
+    seeds=st.sets(st.integers(min_value=0, max_value=9), min_size=1, max_size=3),
+)
+def test_bfs_matches_reference_bfs(spark, edges, seeds):
+    from collections import deque
+
+    from catenae_stopover_spark.operators.graph import bfs_distances
+
+    df = (
+        spark.createDataFrame(edges, "src int, dst int")
+        if edges
+        else spark.createDataFrame([], "src int, dst int")
+    )
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node int")
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(df, sdf, max_hops=4).collect()
+    }
+    adj: dict = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expected = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        n = q.popleft()
+        if expected[n] >= 4:
+            continue
+        for m in adj.get(n, ()):  # noqa: B909
+            if m not in expected:
+                expected[m] = expected[n] + 1
+                q.append(m)
+    assert got == expected
+
+
+@settings(**SLOW_SETTINGS)
+@given(
+    li=st.lists(
+        st.tuples(times, times), min_size=0, max_size=10
+    ),
+    ri=st.lists(
+        st.tuples(times, times), min_size=0, max_size=10
+    ),
+)
+def test_interval_overlap_matches_bruteforce(spark, li, ri):
+    import datetime as dt
+
+    from catenae_stopover_spark.operators.relational import (
+        interval_overlap_join,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(iv):
+        # normalize to (start <= end) intervals spanning multiple bins
+        return [
+            (i, base + dt.timedelta(minutes=13 * min(a, b)),
+             base + dt.timedelta(minutes=13 * max(a, b)))
+            for i, (a, b) in enumerate(iv)
+        ]
+
+    L, R = mk(li), mk(ri)
+    ldf = (
+        spark.createDataFrame(L, "lid int, ls timestamp, le timestamp")
+        if L else spark.createDataFrame([], "lid int, ls timestamp, le timestamp")
+    )
+    rdf = (
+        spark.createDataFrame(R, "rid int, rs timestamp, re timestamp")
+        if R else spark.createDataFrame([], "rid int, rs timestamp, re timestamp")
+    )
+    got = sorted(
+        (r.lid, r.rid)
+        for r in interval_overlap_join(
+            ldf, rdf, "ls", "le", "rs", "re", bin_width_s=600
+        ).collect()
+    )
+    expected = sorted(
+        (l[0], r[0])
+        for l in L
+        for r in R
+        if l[1] <= r[2] and r[1] <= l[2]
+    )
+    assert got == expected
