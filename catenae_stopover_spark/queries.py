@@ -5365,6 +5365,114 @@ FROM split_sizes, cl_stats
 )
 
 
+def q133_rfm_segments(spark, sf_dir):
+    """RFM segmentation — the standard customer-value grid: per user,
+    recency (latest purchase ts), frequency (purchase count), monetary
+    (value sum); each dimension NTILE(4)-scored with deterministic
+    tiebreaks, segments = the count per (r, f, m) cell. One aggregate
+    + three windows sharing a single global sort each (user-count
+    scale, not event scale)."""
+    ev = _t(spark, sf_dir, "events")
+    per_user = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count("*").alias("freq"),
+            F.sum("value").alias("monetary"),
+        )
+    )
+    r = F.ntile(4).over(Window.orderBy(F.col("last_ts").desc(), "user_id"))
+    f = F.ntile(4).over(Window.orderBy(F.col("freq").desc(), "user_id"))
+    m = F.ntile(4).over(
+        Window.orderBy(F.col("monetary").desc(), "user_id")
+    )
+    scored = per_user.select(
+        "user_id", r.alias("r"), f.alias("f"), m.alias("m")
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count("*").alias("n_users")
+    )
+
+
+Q133_SQL = """
+WITH per_user AS (
+    SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS freq,
+           SUM(value) AS monetary
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), scored AS (
+    SELECT user_id,
+           NTILE(4) OVER (ORDER BY last_ts DESC, user_id) AS r,
+           NTILE(4) OVER (ORDER BY freq DESC, user_id) AS f,
+           NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m
+    FROM per_user
+)
+SELECT r, f, m, COUNT(*) AS n_users FROM scored GROUP BY r, f, m
+"""
+
+
+def q134_skew_report(spark, sf_dir):
+    """Join-key skew diagnosis — the report an operator reads BEFORE
+    picking a join strategy at 100 TB (salt? AQE skew-join? broadcast
+    the other side?): per candidate key column, row count, distinct
+    keys, the heaviest key's share (x1e6, integer — avoids float
+    division noise), and rows-per-distinct. One aggregate per key
+    column; unioned."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def report(col):
+        per_key = li.groupBy(col).agg(F.count("*").alias("__n"))
+        return per_key.agg(
+            F.lit(col).alias("key_col"),
+            F.sum("__n").alias("n_rows"),
+            F.count("*").alias("n_keys"),
+            F.floor(F.max("__n") * 1000000 / F.sum("__n"))
+            .cast("long")
+            .alias("max_share_ppm"),
+            F.floor(F.sum("__n") / F.count("*"))
+            .cast("long")
+            .alias("rows_per_key"),
+        )
+
+    return (
+        report("l_orderkey")
+        .unionByName(report("l_partkey"))
+        .unionByName(report("l_suppkey"))
+        .unionByName(report("l_returnflag"))
+    )
+
+
+Q134_SQL = """
+WITH k1 AS (SELECT l_orderkey AS k FROM lineitem),
+     k2 AS (SELECT l_partkey AS k FROM lineitem),
+     k3 AS (SELECT l_suppkey AS k FROM lineitem),
+     k4 AS (SELECT l_returnflag AS k FROM lineitem)
+SELECT 'l_orderkey' AS key_col,
+       CAST(SUM(n) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+       CAST(FLOOR(MAX(n) * 1000000 / SUM(n)) AS BIGINT) AS max_share_ppm,
+       CAST(FLOOR(SUM(n) / COUNT(*)) AS BIGINT) AS rows_per_key
+FROM (SELECT k, COUNT(*) AS n FROM k1 GROUP BY k)
+UNION ALL
+SELECT 'l_partkey',
+       CAST(SUM(n) AS BIGINT), COUNT(*),
+       CAST(FLOOR(MAX(n) * 1000000 / SUM(n)) AS BIGINT),
+       CAST(FLOOR(SUM(n) / COUNT(*)) AS BIGINT)
+FROM (SELECT k, COUNT(*) AS n FROM k2 GROUP BY k)
+UNION ALL
+SELECT 'l_suppkey',
+       CAST(SUM(n) AS BIGINT), COUNT(*),
+       CAST(FLOOR(MAX(n) * 1000000 / SUM(n)) AS BIGINT),
+       CAST(FLOOR(SUM(n) / COUNT(*)) AS BIGINT)
+FROM (SELECT k, COUNT(*) AS n FROM k3 GROUP BY k)
+UNION ALL
+SELECT 'l_returnflag',
+       CAST(SUM(n) AS BIGINT), COUNT(*),
+       CAST(FLOOR(MAX(n) * 1000000 / SUM(n)) AS BIGINT),
+       CAST(FLOOR(SUM(n) / COUNT(*)) AS BIGINT)
+FROM (SELECT k, COUNT(*) AS n FROM k4 GROUP BY k)
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -5476,6 +5584,8 @@ QUERIES: dict[str, tuple] = {
     "q130_bpe_merge_step": (q130_bpe_merge_step, Q130_SQL),
     "q131_stream_funnel": (q131_stream_funnel, Q131_SQL),
     "q132_cluster_split_gate": (q132_cluster_split_gate, Q132_SQL),
+    "q133_rfm_segments": (q133_rfm_segments, Q133_SQL),
+    "q134_skew_report": (q134_skew_report, Q134_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),
