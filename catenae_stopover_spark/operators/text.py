@@ -1131,7 +1131,9 @@ def linear_text_classifier(
     contribute weight 0 (mean over ALL tokens, matched or not — the
     fastText convention).
     """
-    toks = df.select(
+    from ..plans.partitioning import ensure_min_parallelism
+
+    toks = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.explode(
             F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
@@ -1174,28 +1176,34 @@ def bm25_scores(
     the ANN family, and the scoring half of a distributed search
     index.
 
-    One tokenization scan feeds BOTH aggregates (per-doc length and
-    per-(doc, query-term) tf — the tf side filters to query terms
-    BEFORE aggregating, so the shuffled volume is |hits|, not
-    |corpus tokens|); N/avgdl/df travel as broadcast one-row or
+    Doc length never explodes: ``dl`` is a pure map over the token
+    ARRAY (size of the non-empty splits) — the corpus-sized explode
+    exists only on the HITS side, filtered to query terms before
+    aggregating, so the shuffled volume is |hits|, not |corpus
+    tokens|. (The first version persisted the full exploded token
+    table to feed both aggregates — 23 s at 100x; this form is map +
+    |hits| shuffle only.) N/avgdl/df travel as broadcast one-row or
     |terms|-row aggregates; the final score is a |hits|-sized groupBy.
     No driver-side vocabulary, no UDF.
 
     Returns the ``top_n`` (id, n_hit_terms, score) by score with a
     deterministic id tiebreak.
     """
-    toks = df.select(
-        F.col(id_col),
-        F.explode(
-            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
-        ).alias("term"),
-    ).filter(F.col("term") != "")
-    toks = toks.persist()
-    dl = toks.groupBy(id_col).agg(F.count("*").alias("__dl"))
+    from ..plans.partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
+    words = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t != '')"
+    )
+    dl = df.select(F.col(id_col), F.size(words).alias("__dl")).filter(
+        F.col("__dl") > 0
+    )
     stats = dl.agg(
         F.count("*").alias("__n"), F.avg("__dl").alias("__avgdl")
     )
-    hits = toks.filter(F.col("term").isin(list(query_terms)))
+    hits = df.select(
+        F.col(id_col), F.explode(words).alias("term")
+    ).filter(F.col("term").isin(list(query_terms)))
     tf = hits.groupBy(id_col, "term").agg(F.count("*").alias("__tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
     idf = F.log(
@@ -1221,7 +1229,4 @@ def bm25_scores(
             F.sum("__s").alias("score"),
         )
     )
-    out = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_n)
-    out = out.localCheckpoint()
-    toks.unpersist()
-    return out
+    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_n)
