@@ -488,3 +488,48 @@ def interval_overlap_join(
         F.floor(us(l_start) / W), F.floor(us(r_start) / W)
     )
     return exact.filter(F.col("__bin") == first_shared).drop("__bin")
+
+
+def validate(
+    df: DataFrame,
+    rules: list[tuple],
+) -> DataFrame:
+    """Declarative data-quality validation — the dbt-test / Deequ-style
+    constraint report: evaluate every rule over the table in ONE scan
+    and emit ``(rule, n_violations)`` per rule.
+
+    ``rules`` is a list of ``(name, violation_condition)`` where the
+    condition is a boolean Column that is true for VIOLATING rows
+    (e.g. ``F.col("qty").isNull()``, ``~F.col("status").isin(...)``).
+    Expressing every rule as a conditional SUM over one aggregate
+    means a 50-rule suite costs one table scan and no shuffle beyond
+    the single global aggregate — a per-rule ``df.filter(...).count()``
+    loop would scan the table once per rule.
+
+    Referential-integrity rules need the other table and therefore a
+    join; pass the pre-joined indicator as the condition (e.g. left
+    anti-join flag), or check them separately.
+    """
+    if not rules:
+        raise ValueError("validate requires at least one rule")
+    aggs = [
+        F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(name)
+        for name, cond in rules
+    ]
+    wide = df.agg(*aggs)
+    # unpivot the 1-row wide aggregate via explode — a union of per-rule
+    # selects would re-execute the aggregate (and its scan) once per rule
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("rule"),
+                    F.col(name).alias("n_violations"),
+                )
+                for name, _ in rules
+            ]
+        )
+    )
+    return wide.select(stacked.alias("__r")).select(
+        "__r.rule", "__r.n_violations"
+    )

@@ -5473,6 +5473,68 @@ FROM (SELECT k, COUNT(*) AS n FROM k4 GROUP BY k)
 """
 
 
+def q135_validation_report(spark, sf_dir):
+    """Declarative data-quality suite (`operators/relational.validate`,
+    the dbt-test/Deequ shape): null checks, accepted values, range
+    rules, and cross-column sanity on lineitem, ALL in one scan (a
+    per-rule filter/count loop would scan once per rule) — plus one
+    referential-integrity rule via anti-join indicator. Report =
+    (rule, n_violations)."""
+    from .operators.relational import validate
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("__ok")
+    )
+    with_ref = li.join(
+        o, li["l_orderkey"] == o["__ok"], "left"
+    ).withColumn("__orphan", F.col("__ok").isNull())
+    return validate(
+        with_ref,
+        [
+            ("l_quantity_null", F.col("l_quantity").isNull()),
+            ("l_quantity_range", ~F.col("l_quantity").between(1, 50)),
+            (
+                "l_returnflag_domain",
+                ~F.col("l_returnflag").isin("A", "N", "R"),
+            ),
+            (
+                "l_discount_range",
+                ~F.col("l_discount").between(0.0, 0.1),
+            ),
+            ("l_extendedprice_positive", F.col("l_extendedprice") <= 0),
+            ("l_orderkey_orphan", F.col("__orphan")),
+        ],
+    )
+
+
+Q135_SQL = """
+WITH j AS (
+    SELECT l.*, (o.o_orderkey IS NULL) AS orphan
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+), wide AS (
+    SELECT
+      COALESCE(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END), 0) AS r1,
+      COALESCE(SUM(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50)
+                        THEN 1 ELSE 0 END), 0) AS r2,
+      COALESCE(SUM(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                        THEN 1 ELSE 0 END), 0) AS r3,
+      COALESCE(SUM(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1)
+                        THEN 1 ELSE 0 END), 0) AS r4,
+      COALESCE(SUM(CASE WHEN l_extendedprice <= 0
+                        THEN 1 ELSE 0 END), 0) AS r5,
+      COALESCE(SUM(CASE WHEN orphan THEN 1 ELSE 0 END), 0) AS r6
+    FROM j
+)
+SELECT 'l_quantity_null' AS rule, CAST(r1 AS BIGINT) AS n_violations FROM wide
+UNION ALL SELECT 'l_quantity_range', CAST(r2 AS BIGINT) FROM wide
+UNION ALL SELECT 'l_returnflag_domain', CAST(r3 AS BIGINT) FROM wide
+UNION ALL SELECT 'l_discount_range', CAST(r4 AS BIGINT) FROM wide
+UNION ALL SELECT 'l_extendedprice_positive', CAST(r5 AS BIGINT) FROM wide
+UNION ALL SELECT 'l_orderkey_orphan', CAST(r6 AS BIGINT) FROM wide
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -5586,6 +5648,7 @@ QUERIES: dict[str, tuple] = {
     "q132_cluster_split_gate": (q132_cluster_split_gate, Q132_SQL),
     "q133_rfm_segments": (q133_rfm_segments, Q133_SQL),
     "q134_skew_report": (q134_skew_report, Q134_SQL),
+    "q135_validation_report": (q135_validation_report, Q135_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

@@ -586,3 +586,37 @@ def test_leakage_safe_split_clusters_never_straddle(spark):
         ).collect()
     }
     assert again == {r.doc_id: r.split for r in out}
+
+
+def test_validate_one_scan_counts(spark):
+    from catenae_stopover_spark.operators.relational import validate
+
+    df = spark.createDataFrame(
+        [(1, 5.0, "A"), (2, None, "A"), (3, 99.0, "X"), (4, -1.0, "N")],
+        "id int, qty double, flag string",
+    )
+    out = {
+        r.rule: r.n_violations
+        for r in validate(
+            df,
+            [
+                ("qty_null", F.col("qty").isNull()),
+                ("qty_range", ~F.col("qty").between(0, 50)),
+                ("flag_domain", ~F.col("flag").isin("A", "N")),
+            ],
+        ).collect()
+    }
+    # NULL qty: isNull violates rule 1; between(NULL) is NULL -> the
+    # negation is NULL -> not counted by SUM (null-tolerant semantics)
+    assert out == {"qty_null": 1, "qty_range": 2, "flag_domain": 1}
+
+
+def test_validate_single_aggregate_plan(spark):
+    from catenae_stopover_spark.operators.relational import validate
+
+    df = spark.createDataFrame([(1,)], "id int")
+    plan = validate(
+        df, [(f"r{i}", F.col("id") > i) for i in range(10)]
+    )._jdf.queryExecution().executedPlan().toString()
+    # one scan, one aggregate — not one per rule
+    assert plan.count("Scan ") <= 1
