@@ -110,6 +110,12 @@ def funnel_steps(
     result = out_rows[0]
     for r in out_rows[1:]:
         result = result.unionByName(r)
+    # eager-checkpoint the (k-row) report, then release the pinned
+    # levels — leaked persisted blocks accumulate in long-lived
+    # sessions (same cache-hygiene rule as graph.pagerank)
+    result = result.localCheckpoint()
+    for p in pinned:
+        p.unpersist()
     return result
 
 

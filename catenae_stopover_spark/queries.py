@@ -5312,9 +5312,12 @@ def q132_cluster_split_gate(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     pairs = ngram_jaccard_near_dups(d, "text", "doc_id", n=3, threshold=0.08)
+    # localCheckpoint (eager) instead of a bare persist: the split
+    # feeds two aggregate branches AND must not leak a cached block
+    # after the query returns (cache-hygiene rule, r3 ADVICE)
     s = leakage_safe_split(
         d, pairs.select("id_a", "id_b"), "doc_id", train_bps=8000
-    ).persist()
+    ).localCheckpoint()
     sizes = s.groupBy().agg(
         F.sum((F.col("split") == "train").cast("int")).alias("n_train"),
         F.sum((F.col("split") == "test").cast("int")).alias("n_test"),
