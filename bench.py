@@ -86,6 +86,10 @@ BENCH = {
     # delete-everywhere -> reassemble): the text-curation family's
     # shuffle-heavy representative (r4).
     "q9_boilerplate": "q118_boilerplate_removal",
+    # forward as-of join (single-shuffle union-merge): the workload
+    # where the plan beats the single-node engine's quadratic
+    # candidate join 17x at 100x (SCALING.md r4 late batch).
+    "q10_asof_forward": "q129_asof_forward",
 }
 
 # DuckDB comparison SQL for bench entries whose registry oracle is None

@@ -14,6 +14,14 @@ generating candidate pairs through an equi-join on a bucket key
 (bands / shared shingles / LSH buckets), which Spark executes as a
 shuffle hash join — the standard way to near-dedup billions of docs.
 The final verification step only touches candidate pairs.
+
+Cache ownership: operators here that persist loop-/branch-invariant
+intermediates (MinHash signatures, semantic_dedup's cluster
+assignments) return LAZY pair plans, so they cannot release those
+blocks themselves without materializing the (potentially huge) output
+eagerly — the CALLER owns cleanup (`spark.catalog.clearCache()` or
+unpersisting after the consuming action), unlike the eager k-row
+reports in analytics/graph which release their own pins.
 """
 
 from __future__ import annotations
