@@ -1230,3 +1230,95 @@ def bm25_scores(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_n)
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    num_merges: int = 8,
+) -> DataFrame:
+    """The FULL BPE trainer loop (Sennrich et al. 2016, the public
+    algorithm every tokenizer uses): iterate ``num_merges`` rounds of
+    (count adjacent symbol pairs over the word-frequency vocab →
+    take the argmax pair → merge its occurrences everywhere), where
+    each learned merge becomes ONE new symbol (a control-character
+    marker) that participates in later rounds — q100's pair counting
+    and q130's single merge step composed into the complete trainer.
+
+    Returns the learned merge table (rank, pair, pair_count) with
+    markers rendered readably as ``<k>`` (merge k's symbol).
+
+    Scale shape: the corpus collapses to the (word, count) vocabulary
+    once — one corpus-sized shuffle — and every training round runs
+    on that vocab-bounded table: pair explode + argmax (distributed
+    TakeOrdered) + one literal replace per word. The argmax pair
+    travels to the merge step as a broadcast 1-row table (collect-
+    free); the vocab is localCheckpoint-ed per round, truncating a
+    lineage that would otherwise chain ``num_merges`` crossjoins.
+    ``num_merges`` must stay <= 9 in this implementation (markers
+    \\x01..\\x09; a production trainer would use an int-symbol
+    representation instead of marker chars).
+    """
+    if not 1 <= num_merges <= 9:
+        raise ValueError("num_merges must be in 1..9 (marker chars)")
+    from ..plans.partitioning import ensure_min_parallelism
+
+    vocab = (
+        ensure_min_parallelism(df)
+        .select(
+            F.explode(
+                F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("wc"))
+        .localCheckpoint()
+    )
+    merge_rows = []
+    for k in range(num_merges):
+        pairs = vocab.filter(F.length("tok") >= 2).select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok) - 1), "
+                    "i -> substring(tok, i, 2))"
+                )
+            ).alias("pair"),
+            "wc",
+        )
+        best = (
+            pairs.groupBy("pair")
+            .agg(F.sum("wc").cast("long").alias("pair_count"))
+            .orderBy(F.col("pair_count").desc(), "pair")
+            .limit(1)
+            .localCheckpoint()  # 1 row, eager: pins the argmax so the
+            # merge below and the output row share one computation
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(k).alias("rank"), "pair", "pair_count"
+            )
+        )
+        marker = chr(k + 1)
+        vocab = (
+            vocab.join(F.broadcast(best.select("pair")))
+            .select(
+                F.regexp_replace(
+                    F.col("tok"),
+                    F.concat(F.lit(r"\Q"), F.col("pair"), F.lit(r"\E")),
+                    marker,
+                ).alias("tok"),
+                "wc",
+            )
+            .groupBy("tok")
+            .agg(F.sum("wc").alias("wc"))
+            .localCheckpoint()
+        )
+    out = merge_rows[0]
+    for r in merge_rows[1:]:
+        out = out.unionByName(r)
+    # render markers readably: merge k's symbol -> "<k>"
+    rendered = F.col("pair")
+    for k in range(num_merges):
+        rendered = F.regexp_replace(rendered, chr(k + 1), f"<{k}>")
+    return out.select("rank", rendered.alias("pair"), "pair_count")

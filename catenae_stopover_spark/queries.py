@@ -5538,6 +5538,56 @@ UNION ALL SELECT 'l_orderkey_orphan', CAST(r6 AS BIGINT) FROM wide
 """
 
 
+def q136_bpe_train(spark, sf_dir):
+    """The complete BPE trainer (`operators/text.bpe_train`): 8
+    rounds of pair-count → argmax → merge-everywhere, each learned
+    merge becoming one new symbol that participates in later rounds —
+    q100 and q130 composed into the full tokenizer-training loop,
+    corpus-collapsed-to-vocab so every round is vocab-bounded. The
+    oracle replays the identical 8 rounds as chained CTEs."""
+    from .operators.text import bpe_train
+
+    return bpe_train(_t(spark, sf_dir, "documents"), num_merges=8)
+
+
+def _build_q136_sql(num_merges: int = 8) -> str:
+    head = r"""
+WITH toks AS (
+    SELECT UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+    FROM documents
+), v0 AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc FROM toks
+    WHERE tok <> '' GROUP BY tok
+)"""
+    parts = [head]
+    for k in range(num_merges):
+        parts.append(f""", p{k} AS (
+    SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(tok) - 1),
+                                 i -> SUBSTR(tok, i, 2))) AS pair, wc
+    FROM v{k} WHERE LENGTH(tok) >= 2
+), b{k} AS (
+    SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+    FROM p{k} GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 1
+), v{k + 1} AS (
+    SELECT tok, CAST(SUM(wc) AS BIGINT) AS wc FROM (
+        SELECT REPLACE(v.tok, b.pair, CHR({k + 1})) AS tok, v.wc
+        FROM v{k} v, b{k} b
+    ) GROUP BY tok
+)""")
+    render = "pair"
+    for i in range(num_merges):
+        render = f"REPLACE({render}, CHR({i + 1}), '<{i}>')"
+    selects = [
+        f"SELECT {k} AS rank, {render} AS pair, pair_count FROM b{k}"
+        for k in range(num_merges)
+    ]
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+Q136_SQL = _build_q136_sql()
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -5652,6 +5702,7 @@ QUERIES: dict[str, tuple] = {
     "q133_rfm_segments": (q133_rfm_segments, Q133_SQL),
     "q134_skew_report": (q134_skew_report, Q134_SQL),
     "q135_validation_report": (q135_validation_report, Q135_SQL),
+    "q136_bpe_train": (q136_bpe_train, Q136_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

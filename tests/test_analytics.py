@@ -620,3 +620,30 @@ def test_validate_single_aggregate_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     # one scan, one aggregate — not one per rule
     assert plan.count("Scan ") <= 1
+
+
+def test_bpe_train_learns_composed_merges(spark):
+    """BPE must learn merges that BUILD on earlier merges: on a corpus
+    dominated by 'abab', round 0 learns ('a','b') and a later round
+    merges the merged symbol pair — proving learned symbols re-enter
+    the pair statistics."""
+    from catenae_stopover_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, "abab abab abab cd") for i in range(30)],
+        "doc_id int, text string",
+    )
+    out = {r.rank: r for r in bpe_train(docs, num_merges=3).collect()}
+    assert out[0].pair == "ab"              # most frequent raw pair
+    assert out[1].pair == "<0><0>"          # merged symbol pair next
+    assert out[0].pair_count > out[1].pair_count > 0
+    # ranks are dense and counts non-increasing
+    assert sorted(out) == [0, 1, 2]
+
+
+def test_bpe_train_marker_bound(spark):
+    from catenae_stopover_spark.operators.text import bpe_train
+
+    df = spark.createDataFrame([(1, "aa")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        bpe_train(df, num_merges=10)
