@@ -47,6 +47,10 @@ ACCEPTED = {
     # the argmax merge pair attached as a broadcast 1-row scalar (the
     # collect-free way to carry the trainer's current merge to tasks)
     "q130_bpe_merge_step": "broadcast of the 1-row argmax merge pair",
+    # same pattern, once per training round (8 rounds)
+    "q136_bpe_train": "broadcast of the 1-row argmax pair, per round",
+    # N/avgdl attached as a broadcast 1-row scalar (q90's pattern)
+    "q127_bm25": "broadcast of the 1-row corpus-stats scalar",
     # cross of two 1-row gate aggregates (sizes x cluster stats)
     "q132_cluster_split_gate": "cross of two 1-row gate aggregates",
     # |V| attached as a broadcast 1-row scalar, once per iteration
