@@ -5538,6 +5538,43 @@ UNION ALL SELECT 'l_orderkey_orphan', CAST(r6 AS BIGINT) FROM wide
 """
 
 
+def q137_phash_dedup_gate(spark, sf_dir):
+    """Perceptual-hash image dedup gate
+    (`operators/multimodal.phash_images` — 32×32 → DCT → 8×8 median
+    bits; the numpy kernel is real, the bytes→pixels step is the
+    deterministic fake decode on document payloads): pHash is a
+    function of the payload, so its exact-duplicate group structure
+    must EQUAL the payload's own group structure (collisions between
+    the 500 distinct payloads are ~2^-55). The oracle recomputes the
+    group stats from the text column — a completely hash-free
+    derivation of the same invariants."""
+    from .operators.multimodal import phash_images
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    h = phash_images(media, decode="fake")
+    groups = h.groupBy("phash").agg(F.count("*").alias("__n"))
+    return groups.agg(
+        F.sum("__n").alias("n_media"),
+        F.count("*").alias("n_groups"),
+        F.sum((F.col("__n") > 1).cast("long")).alias("n_dup_groups"),
+        F.max("__n").alias("max_group"),
+    )
+
+
+Q137_SQL = """
+SELECT CAST(SUM(n) AS BIGINT) AS n_media,
+       COUNT(*) AS n_groups,
+       CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_dup_groups,
+       CAST(MAX(n) AS BIGINT) AS max_group
+FROM (SELECT text, COUNT(*) AS n FROM documents GROUP BY text)
+"""
+
+
 def q136_bpe_train(spark, sf_dir):
     """The complete BPE trainer (`operators/text.bpe_train`): 8
     rounds of pair-count → argmax → merge-everywhere, each learned
@@ -5703,6 +5740,7 @@ QUERIES: dict[str, tuple] = {
     "q134_skew_report": (q134_skew_report, Q134_SQL),
     "q135_validation_report": (q135_validation_report, Q135_SQL),
     "q136_bpe_train": (q136_bpe_train, Q136_SQL),
+    "q137_phash_dedup_gate": (q137_phash_dedup_gate, Q137_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

@@ -96,3 +96,105 @@ def test_resize_images_contract(spark, media):
     for r in out:
         assert (r.width, r.height) == (64, 48)
         assert isinstance(r.payload, (bytes, bytearray)) and len(r.payload) == 36
+
+
+# --------------------------------------------------------------------
+# Perceptual hashing (r4): the hash kernel is REAL (numpy DCT); the
+# raw_gray32 decoder needs no codec libs, so these tests feed actual
+# 32x32 grayscale images end-to-end.
+# --------------------------------------------------------------------
+
+def _gray32(fn):
+    import numpy as np
+
+    g = np.fromfunction(fn, (32, 32), dtype=float)
+    return np.clip(g, 0, 255).astype(np.uint8).tobytes()
+
+
+def _blocky32(seed):
+    """Random 8x8 blocks upsampled 4x: rich LOW-frequency content —
+    the image class pHash is designed for. (A pure linear gradient is
+    pathological: its non-first-row/col DCT coefficients are ~0, so
+    the median comparison hashes the noise.)"""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    base = rng.randint(0, 256, (8, 8))
+    return np.kron(base, np.ones((4, 4), dtype=int)).astype(np.uint8).tobytes()
+
+
+def test_phash_perceptual_robustness_and_discrimination(spark):
+    import numpy as np
+
+    from catenae_stopover_spark.operators.multimodal import phash_images
+
+    rng = np.random.RandomState(7)
+    img = _blocky32(1)
+    noisy = (
+        np.clip(
+            np.frombuffer(img, dtype=np.uint8).astype(int)
+            + rng.randint(-2, 3, 1024),
+            0,
+            255,
+        )
+        .astype(np.uint8)
+        .tobytes()
+    )
+    other = _blocky32(2)
+    media = spark.createDataFrame(
+        [(1, img), (2, noisy), (3, other), (4, img)],
+        "media_id long, payload binary",
+    )
+    h = {
+        r.media_id: r.phash
+        for r in phash_images(media, decode="raw_gray32").collect()
+    }
+    assert h[1] == h[4]  # identical image -> identical hash
+    ham = lambda a, b: bin((a ^ b) & (2**64 - 1)).count("1")  # noqa: E731
+    assert ham(h[1], h[2]) <= 8      # tiny noise: perceptually same
+    assert ham(h[1], h[3]) > 16      # different structure: far apart
+
+
+def test_phash_near_dups_banding_finds_planted_pairs(spark):
+    import numpy as np
+
+    from catenae_stopover_spark.operators.multimodal import (
+        phash_images,
+        phash_near_dups,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for k in range(20):
+        base = _blocky32(100 + k)
+        rows.append((2 * k, base))
+        noisy = (
+            np.clip(
+                np.frombuffer(base, dtype=np.uint8).astype(int)
+                + rng.randint(-1, 2, 1024),
+                0,
+                255,
+            )
+            .astype(np.uint8)
+            .tobytes()
+        )
+        rows.append((2 * k + 1, noisy))
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashes = phash_images(media, decode="raw_gray32")
+    pairs = phash_near_dups(hashes, hamming_max=8, blocks=9).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    planted = {(2 * k, 2 * k + 1) for k in range(20)}
+    # banding recall on planted near-identical pairs
+    assert len(got & planted) >= 16
+    # verify step: every returned pair is within the bound
+    assert all(r.hamming <= 8 for r in pairs)
+
+
+def test_phash_strict_raises(spark):
+    from catenae_stopover_spark.operators.multimodal import phash_images
+
+    media = spark.createDataFrame([(1, b"x")], "media_id long, payload binary")
+    import pyspark.errors
+
+    with pytest.raises(Exception):
+        phash_images(media, decode="strict").collect()
