@@ -5538,6 +5538,123 @@ UNION ALL SELECT 'l_orderkey_orphan', CAST(r6 AS BIGINT) FROM wide
 """
 
 
+def q138_psi_drift(spark, sf_dir):
+    """Population Stability Index drift report — the standard ML-ops
+    distribution-shift monitor: 10 equi-depth bins from the BASELINE
+    quantiles (so baseline mass is ~uniform by construction), compare
+    the evolved snapshot's mass per bin, PSI = Σ (p_b - p_a)·ln(p_b/
+    p_a). Collect-free: the 9-threshold quantile vector rides as a
+    broadcast 1-row array and bucketing is an array-HOF count. Both
+    engines share the exact (n-1)p quantile interpolation, so bins
+    are identical. Empty-on-either-side bins are skipped (the
+    documented PSI convention here; equi-depth baseline bins are
+    never empty on the baseline side)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("v")
+    )
+    evolved = (
+        o.filter(F.col("o_orderkey") % 10 != 7)
+        .withColumn(
+            "v",
+            F.when(
+                F.col("o_orderkey") % 10 == 3, F.col("v") * 1.25
+            ).otherwise(F.col("v")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 10 == 1).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                (F.col("v") * 2).alias("v"),
+            )
+        )
+    )
+    probs = [i / 10 for i in range(1, 10)]
+    th = o.agg(
+        F.expr(
+            f"percentile(v, array({', '.join(str(p) for p in probs)}))"
+        ).alias("__th")
+    )
+
+    def binned(df, label):
+        return (
+            df.join(F.broadcast(th))
+            .select(
+                F.expr("size(filter(__th, t -> t <= v))").alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count("*").alias(label))
+        )
+
+    a = binned(o, "n_base")
+    b = binned(evolved, "n_new")
+    j = (
+        a.join(b, "bin", "full_outer")
+        .select(
+            "bin",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+    )
+    tot = j.agg(
+        F.sum("n_base").alias("__ta"), F.sum("n_new").alias("__tb")
+    )
+    terms = j.join(F.broadcast(tot)).select(
+        "bin",
+        "n_base",
+        "n_new",
+        F.when(
+            (F.col("n_base") > 0) & (F.col("n_new") > 0),
+            (F.col("n_new") / F.col("__tb") - F.col("n_base") / F.col("__ta"))
+            * F.log(
+                (F.col("n_new") / F.col("__tb"))
+                / (F.col("n_base") / F.col("__ta"))
+            ),
+        ).otherwise(F.lit(0.0)).alias("__t"),
+    )
+    return terms.agg(
+        F.count("*").alias("n_bins"),
+        F.sum("n_base").alias("n_base"),
+        F.sum("n_new").alias("n_new"),
+        F.round(F.sum("__t"), 6).alias("psi"),
+    )
+
+
+Q138_SQL = """
+WITH base AS (
+    SELECT o_orderkey, o_totalprice AS v FROM orders
+), evolved AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 3 THEN v * 1.25 ELSE v END AS v
+    FROM base WHERE o_orderkey % 10 <> 7
+    UNION ALL
+    SELECT o_orderkey + 10000000, v * 2 FROM base WHERE o_orderkey % 10 = 1
+), th AS (
+    SELECT QUANTILE_CONT(v, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])
+               AS t
+    FROM base
+), ba AS (
+    SELECT LEN(LIST_FILTER(th.t, x -> x <= v)) AS bin, COUNT(*) AS n_base
+    FROM base, th GROUP BY 1
+), bb AS (
+    SELECT LEN(LIST_FILTER(th.t, x -> x <= v)) AS bin, COUNT(*) AS n_new
+    FROM evolved, th GROUP BY 1
+), j AS (
+    SELECT COALESCE(ba.bin, bb.bin) AS bin,
+           COALESCE(n_base, 0) AS n_base, COALESCE(n_new, 0) AS n_new
+    FROM ba FULL OUTER JOIN bb ON ba.bin = bb.bin
+), tot AS (
+    SELECT SUM(n_base) AS ta, SUM(n_new) AS tb FROM j
+)
+SELECT COUNT(*) AS n_bins,
+       CAST(SUM(n_base) AS BIGINT) AS n_base,
+       CAST(SUM(n_new) AS BIGINT) AS n_new,
+       ROUND(SUM(CASE WHEN n_base > 0 AND n_new > 0
+                      THEN (n_new / tot.tb - n_base / tot.ta)
+                           * LN((n_new / tot.tb) / (n_base / tot.ta))
+                      ELSE 0.0 END), 6) AS psi
+FROM j, tot
+"""
+
+
 def q137_phash_dedup_gate(spark, sf_dir):
     """Perceptual-hash image dedup gate
     (`operators/multimodal.phash_images` — 32×32 → DCT → 8×8 median
@@ -5741,6 +5858,7 @@ QUERIES: dict[str, tuple] = {
     "q135_validation_report": (q135_validation_report, Q135_SQL),
     "q136_bpe_train": (q136_bpe_train, Q136_SQL),
     "q137_phash_dedup_gate": (q137_phash_dedup_gate, Q137_SQL),
+    "q138_psi_drift": (q138_psi_drift, Q138_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

@@ -51,6 +51,8 @@ ACCEPTED = {
     "q136_bpe_train": "broadcast of the 1-row argmax pair, per round",
     # N/avgdl attached as a broadcast 1-row scalar (q90's pattern)
     "q127_bm25": "broadcast of the 1-row corpus-stats scalar",
+    # quantile-threshold array + totals as broadcast 1-row scalars
+    "q138_psi_drift": "broadcast 1-row quantile/total scalars",
     # cross of two 1-row gate aggregates (sizes x cluster stats)
     "q132_cluster_split_gate": "cross of two 1-row gate aggregates",
     # |V| attached as a broadcast 1-row scalar, once per iteration
