@@ -258,3 +258,80 @@ def session_pattern_match(
         .agg(seq, F.count("*").alias("n_events"))
         .filter(F.col("seq").rlike(pattern))
     )
+
+
+def ks_statistic(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str = "v",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov statistic, distributed:
+    ``D = max over observed values of |F_a(v) - F_b(v)|``. Returns a
+    1-row (n_values, ks_d) DataFrame.
+
+    The naive formulation needs a GLOBAL cumulative sum — a
+    single-partition window, the classic scale cliff for continuous
+    values (|distinct| ≈ |rows|). This is the textbook two-pass
+    distributed prefix sum instead:
+
+      1. per-side counts per distinct value (one shuffle, map-side
+         combine);
+      2. ``repartitionByRange`` on the value — within-partition
+         cumulative sums are ordinary bounded windows;
+      3. per-partition totals (``num_partitions`` rows) get their own
+         tiny cumulative window and join back as offsets (broadcast).
+
+    Partition boundaries don't affect the result (prefix sums are
+    exact wherever the cuts fall, and distinct values can't straddle
+    a tie group), so the output is engine-reproducible.
+    """
+    tagged = a.select(
+        F.col(value_col).alias("__v"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
+    ).unionByName(
+        b.select(
+            F.col(value_col).alias("__v"),
+            F.lit(0).alias("__a"),
+            F.lit(1).alias("__b"),
+        )
+    )
+    per_v = (
+        tagged.groupBy("__v")
+        .agg(F.sum("__a").alias("__na"), F.sum("__b").alias("__nb"))
+        .repartitionByRange(num_partitions, "__v")
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    per_v = per_v.persist()
+    w_in = Window.partitionBy("__pid").orderBy("__v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    part_tot = per_v.groupBy("__pid").agg(
+        F.sum("__na").alias("__pa"), F.sum("__nb").alias("__pb")
+    )
+    w_p = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = part_tot.select(
+        "__pid",
+        F.coalesce(F.sum("__pa").over(w_p), F.lit(0)).alias("__oa"),
+        F.coalesce(F.sum("__pb").over(w_p), F.lit(0)).alias("__ob"),
+    )
+    tot = per_v.agg(
+        F.sum("__na").alias("__ta"), F.sum("__nb").alias("__tb")
+    )
+    cdf = (
+        per_v.withColumn("__ca", F.sum("__na").over(w_in))
+        .withColumn("__cb", F.sum("__nb").over(w_in))
+        .join(F.broadcast(offsets), "__pid")
+        .join(F.broadcast(tot))
+        .select(
+            ((F.col("__oa") + F.col("__ca")) / F.col("__ta")).alias("fa"),
+            ((F.col("__ob") + F.col("__cb")) / F.col("__tb")).alias("fb"),
+        )
+    )
+    out = cdf.agg(
+        F.count("*").alias("n_values"),
+        F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_d"),
+    ).localCheckpoint()
+    per_v.unpersist()
+    return out

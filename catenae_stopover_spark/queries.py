@@ -5655,6 +5655,66 @@ FROM j, tot
 """
 
 
+def q139_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov drift statistic — PSI's
+    bin-free companion (q138): D = max over observed values of
+    |F_base(v) - F_new(v)|. Distributed exactly: per-side counts per
+    DISTINCT value (one shuffle, map-side combine collapses the 60M
+    rows to |distinct values|), cumulative shares via one value-
+    ordered window, max-abs-diff aggregate. No sampling, no binning —
+    the exact D on the full data, which a single-node implementation
+    computes by sorting the whole sample."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("v")
+    )
+    evolved = (
+        o.filter(F.col("o_orderkey") % 10 != 7)
+        .withColumn(
+            "v",
+            F.when(
+                F.col("o_orderkey") % 10 == 3, F.col("v") * 1.25
+            ).otherwise(F.col("v")),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 10 == 1).select(
+                (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                (F.col("v") * 2).alias("v"),
+            )
+        )
+    )
+    from .operators.analytics import ks_statistic
+
+    return ks_statistic(o, evolved, "v")
+
+
+Q139_SQL = """
+WITH base AS (
+    SELECT o_orderkey, o_totalprice AS v FROM orders
+), evolved AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 3 THEN v * 1.25 ELSE v END AS v
+    FROM base WHERE o_orderkey % 10 <> 7
+    UNION ALL
+    SELECT o_orderkey + 10000000, v * 2 FROM base WHERE o_orderkey % 10 = 1
+), tagged AS (
+    SELECT v, 1 AS a, 0 AS b FROM base
+    UNION ALL
+    SELECT v, 0 AS a, 1 AS b FROM evolved
+), per_v AS (
+    SELECT v, SUM(a) AS na, SUM(b) AS nb FROM tagged GROUP BY v
+), tot AS (
+    SELECT SUM(na) AS ta, SUM(nb) AS tb FROM per_v
+), cdf AS (
+    SELECT SUM(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) / tot.ta AS fa,
+           SUM(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) / tot.tb AS fb
+    FROM per_v, tot
+)
+SELECT COUNT(*) AS n_values,
+       ROUND(MAX(ABS(fa - fb)), 6) AS ks_d
+FROM cdf
+"""
+
+
 def q137_phash_dedup_gate(spark, sf_dir):
     """Perceptual-hash image dedup gate
     (`operators/multimodal.phash_images` — 32×32 → DCT → 8×8 median
@@ -5859,6 +5919,7 @@ QUERIES: dict[str, tuple] = {
     "q136_bpe_train": (q136_bpe_train, Q136_SQL),
     "q137_phash_dedup_gate": (q137_phash_dedup_gate, Q137_SQL),
     "q138_psi_drift": (q138_psi_drift, Q138_SQL),
+    "q139_ks_drift": (q139_ks_drift, Q139_SQL),
     # --- past the window: driver-green in r3 (freshly verified), will
     # --- rotate back in r5; re-verified locally every round meanwhile
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),

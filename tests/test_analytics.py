@@ -647,3 +647,31 @@ def test_bpe_train_marker_bound(spark):
     df = spark.createDataFrame([(1, "aa")], "doc_id int, text string")
     with pytest.raises(ValueError):
         bpe_train(df, num_merges=10)
+
+
+def test_ks_statistic_matches_reference(spark):
+    import numpy as np
+
+    from catenae_stopover_spark.operators.analytics import ks_statistic
+
+    rng = np.random.RandomState(11)
+    xa = rng.normal(0, 1, 400)
+    xb = rng.normal(0.5, 1.2, 300)
+    a = spark.createDataFrame([(float(x),) for x in xa], "v double")
+    b = spark.createDataFrame([(float(x),) for x in xb], "v double")
+    got = ks_statistic(a, b, "v", num_partitions=7).collect()[0]
+    # independent reference: brute-force D over the pooled values
+    vals = np.unique(np.concatenate([xa, xb]))
+    fa = np.searchsorted(np.sort(xa), vals, side="right") / len(xa)
+    fb = np.searchsorted(np.sort(xb), vals, side="right") / len(xb)
+    d_ref = np.abs(fa - fb).max()
+    assert got.ks_d == pytest.approx(round(d_ref, 6), abs=1e-6)
+    assert got.n_values == len(vals)
+
+
+def test_ks_statistic_identical_samples_zero(spark):
+    from catenae_stopover_spark.operators.analytics import ks_statistic
+
+    a = spark.createDataFrame([(float(i % 17),) for i in range(100)], "v double")
+    out = ks_statistic(a, a, "v").collect()[0]
+    assert out.ks_d == 0.0

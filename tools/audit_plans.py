@@ -53,6 +53,9 @@ ACCEPTED = {
     "q127_bm25": "broadcast of the 1-row corpus-stats scalar",
     # quantile-threshold array + totals as broadcast 1-row scalars
     "q138_psi_drift": "broadcast 1-row quantile/total scalars",
+    # sample totals as a broadcast 1-row scalar onto the distinct-value
+    # CDF table (single global window over |distinct values| rows)
+    "q139_ks_drift": "broadcast 1-row total scalars",
     # cross of two 1-row gate aggregates (sizes x cluster stats)
     "q132_cluster_split_gate": "cross of two 1-row gate aggregates",
     # |V| attached as a broadcast 1-row scalar, once per iteration
