@@ -5817,18 +5817,70 @@ Q136_SQL = _build_q136_sql()
 # row at most 2 rounds old. Every entry remains runnable locally via
 # tools/check_oracle.py regardless of position.
 QUERIES: dict[str, tuple] = {
-    # --- r4 window, part (1): red in r3 (driver-side hash mismatch on
-    # --- HUGEINT/\s — both engine-proofed this round), kept until green
+    # --- r5 window, part (1): no red rows in r4 (50/50 green).
+    # --- part (2): the 42 queries added in r4 past the then-full
+    # --- window (q98-q139) — never driver-checked; green in local
+    # --- tuned + vanilla oracle sweeps (r4 verdict), now first.
+    "q98_epoch_shuffle": (q98_epoch_shuffle, Q98_SQL),
+    "q99_video_frame_sample": (q99_video_frame_sample, Q99_SQL),
+    "q100_bpe_pair_stats": (q100_bpe_pair_stats, Q100_SQL),
+    "q101_bigram_logprob": (q101_bigram_logprob, Q101_SQL),
+    "q102_semdedup_gate": (q102_semdedup_gate, Q102_SQL),
+    "q103_multiprobe_lsh_gate": (q103_multiprobe_lsh_gate, Q103_SQL),
+    "q104_incremental_dedup": (q104_incremental_dedup, Q104_SQL),
+    "q105_corpus_mixture": (q105_corpus_mixture, Q105_SQL),
+    # streaming execution of the incremental dedup — same oracle as q104
+    "q106_stream_incremental_dedup": (q106_stream_incremental_dedup, Q104_SQL),
+    "q107_domain_cap": (q107_domain_cap, Q107_SQL),
+    "q108_collapse_parity_gate": (q108_collapse_parity_gate, Q108_SQL),
+    "q109_stream_left_outer_join": (q109_stream_left_outer_join, Q109_SQL),
+    "q110_merge_upsert": (q110_merge_upsert, Q110_SQL),
+    "q111_scd2_history": (q111_scd2_history, Q111_SQL),
+    "q112_funnel": (q112_funnel, Q112_SQL),
+    "q113_cohort_retention": (q113_cohort_retention, Q113_SQL),
+    "q114_session_pattern": (q114_session_pattern, Q114_SQL),
+    "q115_winsorized_stats": (q115_winsorized_stats, Q115_SQL),
+    "q116_triangle_count": (q116_triangle_count, Q116_SQL),
+    "q117_bfs_distance": (q117_bfs_distance, Q117_SQL),
+    "q118_boilerplate_removal": (q118_boilerplate_removal, Q118_SQL),
+    "q119_weighted_sample": (q119_weighted_sample, Q119_SQL),
+    "q120_intra_doc_dedup": (q120_intra_doc_dedup, Q120_SQL),
+    "q121_snapshot_diff": (q121_snapshot_diff, Q121_SQL),
+    "q122_token_share": (q122_token_share, Q122_SQL),
+    "q123_rolling_anomaly": (q123_rolling_anomaly, Q123_SQL),
+    "q124_quality_classifier": (q124_quality_classifier, Q124_SQL),
+    "q125_stream_session_pattern": (q125_stream_session_pattern, Q125_SQL),
+    "q126_interval_overlap": (q126_interval_overlap, Q126_SQL),
+    "q127_bm25": (q127_bm25, Q127_SQL),
+    "q128_equidepth_histogram": (q128_equidepth_histogram, Q128_SQL),
+    "q129_asof_forward": (q129_asof_forward, Q129_SQL),
+    "q130_bpe_merge_step": (q130_bpe_merge_step, Q130_SQL),
+    "q131_stream_funnel": (q131_stream_funnel, Q131_SQL),
+    "q132_cluster_split_gate": (q132_cluster_split_gate, Q132_SQL),
+    "q133_rfm_segments": (q133_rfm_segments, Q133_SQL),
+    "q134_skew_report": (q134_skew_report, Q134_SQL),
+    "q135_validation_report": (q135_validation_report, Q135_SQL),
+    "q136_bpe_train": (q136_bpe_train, Q136_SQL),
+    "q137_phash_dedup_gate": (q137_phash_dedup_gate, Q137_SQL),
+    "q138_psi_drift": (q138_psi_drift, Q138_SQL),
+    "q139_ks_drift": (q139_ks_drift, Q139_SQL),
+    # --- part (3) fill: the 8 queries whose driver row is oldest (r3)
+    "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),
+    "q22_math_funcs": (q22_math_funcs, Q22_SQL),
+    "q27_exact_dedup": (q27_exact_dedup, Q27_SQL),
+    "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
+    "q53_ivf_recall_gate": (q53_ivf_recall_gate, Q53_SQL),
+    "q58_salted_join": (q58_salted_join, Q58_SQL),
+    "q59_pii_redaction": (q59_pii_redaction, Q59_SQL),
+    "q60_hash_split": (q60_hash_split, Q60_SQL),
+    # ---------------- end of the 50-row driver window ----------------
+    # --- rotated out: the full r4 window (all driver-green in r4),
+    # --- re-verified locally every round; r3-era rows slot into r6
     "q74_pack_documents": (q74_pack_documents, Q74_SQL),
-    # --- part (2): converted rows-only -> oracle-backed in r4 (the
-    # --- fingerprint became an engine-independent sha2 shingle hash)
     "q39_fingerprints": (q39_fingerprints, Q39_SQL),
     "q43_text_stats_full": (q43_text_stats_full, Q43_SQL),
-    # --- part (2): new in r4 ---
     "q96_embedding_lsh_neardup_gate": (q96_embedding_lsh_neardup_gate, Q96_SQL),
     "q97_filtered_cosine_topk": (q97_filtered_cosine_topk, Q97_SQL),
-    # --- part (3): the 45 queries whose last driver row is r2 (rotated
-    # --- past the window in r3, re-verified locally each round since)
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_revenue_by_nation": (q02_revenue_by_nation, Q02_SQL),
     "q03_top3_orders_per_priority": (q03_top3_orders_per_priority, Q03_SQL),
@@ -5874,62 +5926,6 @@ QUERIES: dict[str, tuple] = {
     "q55_repetition_stats": (q55_repetition_stats, Q55_SQL),
     "q56_nulls_ordering": (q56_nulls_ordering, Q56_SQL),
     "q57_salted_agg": (q57_salted_agg, Q57_SQL),
-    # ---------------- end of the 50-row driver window ----------------
-    # --- new in r4 past the window (the window is exactly full): first
-    # --- in line for the r5 rotation, locally oracle-verified meanwhile
-    "q98_epoch_shuffle": (q98_epoch_shuffle, Q98_SQL),
-    "q99_video_frame_sample": (q99_video_frame_sample, Q99_SQL),
-    "q100_bpe_pair_stats": (q100_bpe_pair_stats, Q100_SQL),
-    "q101_bigram_logprob": (q101_bigram_logprob, Q101_SQL),
-    "q102_semdedup_gate": (q102_semdedup_gate, Q102_SQL),
-    "q103_multiprobe_lsh_gate": (q103_multiprobe_lsh_gate, Q103_SQL),
-    "q104_incremental_dedup": (q104_incremental_dedup, Q104_SQL),
-    "q105_corpus_mixture": (q105_corpus_mixture, Q105_SQL),
-    # streaming execution of the incremental dedup — same oracle as q104
-    "q106_stream_incremental_dedup": (q106_stream_incremental_dedup, Q104_SQL),
-    "q107_domain_cap": (q107_domain_cap, Q107_SQL),
-    "q108_collapse_parity_gate": (q108_collapse_parity_gate, Q108_SQL),
-    "q109_stream_left_outer_join": (q109_stream_left_outer_join, Q109_SQL),
-    "q110_merge_upsert": (q110_merge_upsert, Q110_SQL),
-    "q111_scd2_history": (q111_scd2_history, Q111_SQL),
-    "q112_funnel": (q112_funnel, Q112_SQL),
-    "q113_cohort_retention": (q113_cohort_retention, Q113_SQL),
-    "q114_session_pattern": (q114_session_pattern, Q114_SQL),
-    "q115_winsorized_stats": (q115_winsorized_stats, Q115_SQL),
-    "q116_triangle_count": (q116_triangle_count, Q116_SQL),
-    "q117_bfs_distance": (q117_bfs_distance, Q117_SQL),
-    "q118_boilerplate_removal": (q118_boilerplate_removal, Q118_SQL),
-    "q119_weighted_sample": (q119_weighted_sample, Q119_SQL),
-    "q120_intra_doc_dedup": (q120_intra_doc_dedup, Q120_SQL),
-    "q121_snapshot_diff": (q121_snapshot_diff, Q121_SQL),
-    "q122_token_share": (q122_token_share, Q122_SQL),
-    "q123_rolling_anomaly": (q123_rolling_anomaly, Q123_SQL),
-    "q124_quality_classifier": (q124_quality_classifier, Q124_SQL),
-    "q125_stream_session_pattern": (q125_stream_session_pattern, Q125_SQL),
-    "q126_interval_overlap": (q126_interval_overlap, Q126_SQL),
-    "q127_bm25": (q127_bm25, Q127_SQL),
-    "q128_equidepth_histogram": (q128_equidepth_histogram, Q128_SQL),
-    "q129_asof_forward": (q129_asof_forward, Q129_SQL),
-    "q130_bpe_merge_step": (q130_bpe_merge_step, Q130_SQL),
-    "q131_stream_funnel": (q131_stream_funnel, Q131_SQL),
-    "q132_cluster_split_gate": (q132_cluster_split_gate, Q132_SQL),
-    "q133_rfm_segments": (q133_rfm_segments, Q133_SQL),
-    "q134_skew_report": (q134_skew_report, Q134_SQL),
-    "q135_validation_report": (q135_validation_report, Q135_SQL),
-    "q136_bpe_train": (q136_bpe_train, Q136_SQL),
-    "q137_phash_dedup_gate": (q137_phash_dedup_gate, Q137_SQL),
-    "q138_psi_drift": (q138_psi_drift, Q138_SQL),
-    "q139_ks_drift": (q139_ks_drift, Q139_SQL),
-    # --- past the window: driver-green in r3 (freshly verified), will
-    # --- rotate back in r5; re-verified locally every round meanwhile
-    "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),
-    "q22_math_funcs": (q22_math_funcs, Q22_SQL),
-    "q27_exact_dedup": (q27_exact_dedup, Q27_SQL),
-    "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
-    "q53_ivf_recall_gate": (q53_ivf_recall_gate, Q53_SQL),
-    "q58_salted_join": (q58_salted_join, Q58_SQL),
-    "q59_pii_redaction": (q59_pii_redaction, Q59_SQL),
-    "q60_hash_split": (q60_hash_split, Q60_SQL),
     "q61_stream_stream_join": (q61_stream_stream_join, Q61_SQL),
     "q62_stream_static_join": (q62_stream_static_join, Q62_SQL),
     "q63_cosine_topk_numpy": (q63_cosine_topk_numpy, Q29_SQL),
