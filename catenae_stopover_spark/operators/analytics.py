@@ -124,6 +124,7 @@ def cohort_retention(
     user_col: str,
     ts_col: str,
     period: str = "week",
+    broadcast: bool = False,
 ) -> DataFrame:
     """Cohort retention triangle: cohort = the ``period`` (week/month)
     of a user's first event; for every (cohort, offset) count the
@@ -132,8 +133,10 @@ def cohort_retention(
 
     Two shuffles: min-ts per user (map-side combinable), then the
     cohort×offset distinct-count. The cohort table is users-sized —
-    broadcast when it fits, which at 100 TB of events it typically
-    does (users ≪ events)."""
+    pass ``broadcast=True`` only when the caller KNOWS the user
+    dimension fits an executor; the default lets AQE pick the join
+    strategy from the measured build size (a forced hint on a large
+    user dimension would OOM instead of falling back to shuffle)."""
     if period == "week":
         trunc = lambda c: F.date_trunc("week", c)  # noqa: E731
         days = 7
@@ -147,8 +150,10 @@ def cohort_retention(
     firsts = events.groupBy(user_col).agg(
         trunc(F.min(ts_col)).alias("__cohort")
     )
+    if broadcast:
+        firsts = F.broadcast(firsts)
     return (
-        events.join(F.broadcast(firsts), user_col)
+        events.join(firsts, user_col)
         .select(
             F.col("__cohort").alias("cohort"),
             (
@@ -178,16 +183,23 @@ def winsorize(
     The quantile table is one row per group — computed with a single
     grouped aggregate and broadcast back, so the clip costs no second
     shuffle of the fact table. (A percentile WINDOW over the group
-    would re-shuffle and re-sort the full fact table instead.)"""
+    would re-shuffle and re-sort the full fact table instead.)
+
+    NULL values stay NULL: least/greatest skip NULLs, so without the
+    explicit guard a NULL input would silently come back clipped to
+    the lower bound."""
     q = df.groupBy(*group_cols).agg(
         F.expr(f"percentile({value_col}, {lower})").alias("__lo"),
         F.expr(f"percentile({value_col}, {upper})").alias("__hi"),
+    )
+    clipped = F.least(
+        F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")
     )
     return (
         df.join(F.broadcast(q), group_cols)
         .withColumn(
             f"{value_col}_wins",
-            F.least(F.greatest(F.col(value_col), F.col("__lo")), F.col("__hi")),
+            F.when(F.col(value_col).isNull(), F.lit(None)).otherwise(clipped),
         )
         .drop("__lo", "__hi")
     )
@@ -277,14 +289,22 @@ def ks_statistic(
 
       1. per-side counts per distinct value (one shuffle, map-side
          combine);
-      2. ``repartitionByRange`` on the value — within-partition
-         cumulative sums are ordinary bounded windows;
-      3. per-partition totals (``num_partitions`` rows) get their own
+      2. bucket each distinct value by DATA-DERIVED range cut points
+         (approx percentiles of the distinct values, collected as
+         ``num_partitions - 1`` driver-side planning scalars — the
+         same bounded-scalar pattern as plans/layout.py) — the bucket
+         id is a pure function of the value, so losing cached blocks
+         and recomputing can never reassign a row to a different
+         bucket (``spark_partition_id`` over ``repartitionByRange``
+         could: boundary re-sampling under multiple consumers);
+      3. within-bucket cumulative sums are ordinary bounded windows;
+         per-bucket totals (``num_partitions`` rows) get their own
          tiny cumulative window and join back as offsets (broadcast).
 
-    Partition boundaries don't affect the result (prefix sums are
-    exact wherever the cuts fall, and distinct values can't straddle
-    a tie group), so the output is engine-reproducible.
+    Bucket boundaries don't affect the result (prefix sums are exact
+    wherever the cuts fall, and distinct values can't straddle a tie
+    group), so the output is engine-reproducible. ``value_col`` must
+    be numeric (percentile-bucketable).
     """
     tagged = a.select(
         F.col(value_col).alias("__v"), F.lit(1).alias("__a"), F.lit(0).alias("__b")
@@ -295,13 +315,22 @@ def ks_statistic(
             F.lit(1).alias("__b"),
         )
     )
-    per_v = (
+    counts = (
         tagged.groupBy("__v")
         .agg(F.sum("__a").alias("__na"), F.sum("__b").alias("__nb"))
-        .repartitionByRange(num_partitions, "__v")
-        .withColumn("__pid", F.spark_partition_id())
+        .persist()
     )
-    per_v = per_v.persist()
+    ps = [i / num_partitions for i in range(1, num_partitions)]
+    cuts_row = counts.agg(
+        F.percentile_approx(
+            "__v", F.array(*[F.lit(p) for p in ps]), 10_000
+        ).alias("__c")
+    ).first()
+    cuts = sorted(set(cuts_row["__c"] or []))
+    pid = F.lit(0)
+    for c in cuts:
+        pid = pid + (F.col("__v") > F.lit(c)).cast("int")
+    per_v = counts.withColumn("__pid", pid)
     w_in = Window.partitionBy("__pid").orderBy("__v").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -333,5 +362,5 @@ def ks_statistic(
         F.count("*").alias("n_values"),
         F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_d"),
     ).localCheckpoint()
-    per_v.unpersist()
+    counts.unpersist()
     return out

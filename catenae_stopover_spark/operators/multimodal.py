@@ -77,6 +77,24 @@ def _digest_matrix(payloads) -> "object":
     return np.frombuffer(raw, dtype=np.uint8).reshape(-1, 32)
 
 
+def _digest_grid(payloads) -> "object":
+    """(N, 1024) uint8 fake-pixel grids: counter-mode SHA-256
+    expansion of each payload's digest (row r of image j =
+    sha256(digest_j || r)). Full-entropy and platform-independent —
+    every 2-D DCT coefficient of such a grid is O(10-100) in
+    magnitude, so downstream bit decisions never ride on FP dust
+    (see phash_images). Cost: 32 short hashes per payload, once per
+    Arrow batch — still the codec stand-in, not a hot loop."""
+    import numpy as np
+
+    raw = bytearray()
+    for p in payloads:
+        dig = hashlib.sha256(p or b"").digest()
+        for r in range(32):
+            raw += hashlib.sha256(dig + bytes([r])).digest()
+    return np.frombuffer(bytes(raw), dtype=np.uint8).reshape(-1, 1024)
+
+
 def extract_image_features(
     media: DataFrame,
     feat_dim: int = 16,
@@ -330,8 +348,16 @@ def phash_images(
                     b = np.frombuffer((p or b"")[:1024], dtype=np.uint8)
                     grids[j, : len(b)] = b
             elif decode == "fake":
-                d = _digest_matrix(pdf[payload_col].values)
-                grids = np.tile(d, 32)  # (n, 1024), deterministic
+                # Full-entropy fake grid (counter-mode SHA expansion
+                # of the payload digest). A plain np.tile of the
+                # 32-byte digest makes every image row identical
+                # (rank 1), so all DCT coefficients below row 0 are
+                # ~1e-13 FP dust and 56 of the 64 hash bits become
+                # BLAS-rounding noise — irreproducible across BLAS/
+                # thread builds. iid pixels keep every low-frequency
+                # coefficient O(10-100) in magnitude, so bit = (coef
+                # > median) is decided by real signal.
+                grids = _digest_grid(pdf[payload_col].values)
             else:
                 raise ValueError(f"unknown decode mode: {decode}")
             imgs = grids.reshape(n, 32, 32).astype("float64")

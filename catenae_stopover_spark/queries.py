@@ -4277,8 +4277,12 @@ Q111_SQL = """
 WITH src AS (
     SELECT user_id, ts, event_id, event_type FROM events WHERE user_id < 30
 ), flagged AS (
+    -- the explicit LAG(ts) IS NULL clause mirrors the operator's
+    -- first-row flag: IS DISTINCT FROM alone would drop a first row
+    -- whose tracked attribute is NULL (NULL vs NULL is "not distinct")
     SELECT user_id, ts, event_id, event_type,
            CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                     OR LAG(ts) OVER w IS NULL
                 THEN 1 ELSE 0 END AS newv
     FROM src
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -4444,8 +4448,11 @@ WITH q AS (
            QUANTILE_CONT(o_totalprice, 0.95) AS hi
     FROM orders GROUP BY o_orderpriority
 ), clipped AS (
+    -- NULL guard mirrors the operator: LEAST/GREATEST skip NULLs in
+    -- both engines, which would clip a NULL to the lower bound
     SELECT o.o_orderpriority,
-           LEAST(GREATEST(o.o_totalprice, q.lo), q.hi) AS v
+           CASE WHEN o.o_totalprice IS NULL THEN NULL
+                ELSE LEAST(GREATEST(o.o_totalprice, q.lo), q.hi) END AS v
     FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority
 )
 SELECT o_orderpriority, COUNT(*) AS n_orders,

@@ -143,6 +143,17 @@ def test_winsorize_clips_to_exact_quantiles(spark):
     assert clipped[4] == 5.0  # interior untouched
 
 
+def test_winsorize_preserves_nulls(spark):
+    rows = [("g", float(v)) for v in range(1, 11)] + [("g", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, ["g"], "v", 0.1, 0.9).collect()
+    # least/greatest skip NULLs — without the explicit guard the NULL
+    # row would come back clipped to the lower bound (1.9)
+    nulls = [r for r in out if r.v is None]
+    assert len(nulls) == 1 and nulls[0].v_wins is None
+    assert sorted(r.v_wins for r in out if r.v is not None)[0] == pytest.approx(1.9)
+
+
 def test_winsorize_no_second_fact_shuffle(spark):
     df = spark.createDataFrame([("g", 1.0)], "g string, v double")
     plan = winsorize(df, ["g"], "v")._jdf.queryExecution().executedPlan().toString()

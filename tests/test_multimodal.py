@@ -190,6 +190,40 @@ def test_phash_near_dups_banding_finds_planted_pairs(spark):
     assert all(r.hamming <= 8 for r in pairs)
 
 
+def test_phash_fake_grid_full_rank_bits(spark):
+    """Fake-decode hash bits must come from O(1)-magnitude DCT
+    coefficients, not BLAS rounding dust (a rank-1 tiled grid makes 56
+    of 64 bits the sign of ~1e-13 noise — irreproducible across BLAS
+    builds). The circulant grid is full-rank: assert the low-frequency
+    block the bits are cut from has real magnitude everywhere, and
+    that fake-mode hashes still separate/join payloads correctly."""
+    import numpy as np
+
+    from catenae_stopover_spark.operators.multimodal import (
+        _dct_matrix,
+        _digest_grid,
+        phash_images,
+    )
+
+    payloads = [f"payload-{i}".encode() for i in range(64)]
+    imgs = _digest_grid(payloads).reshape(-1, 32, 32).astype("float64")
+    D = _dct_matrix(32)
+    coef = D @ imgs @ D.T
+    low = coef[:, :8, :8].reshape(len(payloads), 64)
+    med = np.median(low, axis=1, keepdims=True)
+    # every bit decision is at least 1e-6 away from the median —
+    # nothing is decided by float dust
+    assert np.abs(low - med).min() > 1e-6
+
+    media = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)] + [(1000, payloads[0])],
+        "media_id long, payload binary",
+    )
+    h = {r.media_id: r.phash for r in phash_images(media, decode="fake").collect()}
+    assert h[0] == h[1000]                      # same payload, same hash
+    assert len(set(h.values())) == len(payloads)  # distinct payloads separate
+
+
 def test_phash_strict_raises(spark):
     from catenae_stopover_spark.operators.multimodal import phash_images
 
