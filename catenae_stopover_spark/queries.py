@@ -1019,7 +1019,13 @@ def q69_minhash_recall_gate(spark, sf_dir):
     tuned for: P(candidate | j=0.7) ~ 0.99). Deterministic — xxhash64
     seeds are fixed — so the oracle hashes a constant row; a banding
     regression flips recall_ok. Measured 28/28 (sf0.001), 25/25
-    (sf0.01)."""
+    (sf0.01).
+
+    Independent teeth (r5): the TRUTH side is SQL-expressible, so
+    ``n_true`` is emitted as a measured count and DuckDB recomputes
+    the exact 5-gram Jaccard >= 0.7 pair count from scratch — a bug in
+    the Spark truth side (which would silently bias the recall gate in
+    both directions) now hash-mismatches."""
     from .operators.dedup import minhash_lsh_near_dups, ngram_jaccard_near_dups
 
     d = _t(spark, sf_dir, "documents")
@@ -1043,14 +1049,41 @@ def q69_minhash_recall_gate(spark, sf_dir):
                 (F.col("__n_true") > 0)
                 & (F.col("__hits") >= 0.9 * F.col("__n_true"))
             ).alias("recall_ok"),
+            F.col("__n_true").alias("n_true"),
             F.lit(64).alias("num_hashes"),
             F.lit(16).alias("bands"),
         )
     )
 
 
-Q69_SQL = """
-SELECT TRUE AS recall_ok, 64 AS num_hashes, 16 AS bands
+# DuckDB recomputes the exact truth-pair count (5-gram Jaccard >= 0.7,
+# the q28 CTE at n=5) — the gate booleans stay Spark-side invariants.
+Q69_SQL = r"""
+WITH words AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                           i -> i <= LEN(w) - 5 + 1),
+               i -> ARRAY_TO_STRING(w[i:i+4], ' '))) AS g
+    FROM words
+), sizes AS (
+    SELECT doc_id, LEN(g) AS n FROM grams WHERE LEN(g) > 0
+), inv AS (
+    SELECT doc_id, UNNEST(g) AS gram FROM grams WHERE LEN(g) > 0
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT TRUE AS recall_ok,
+       (SELECT COUNT(*) FROM pairs
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE inter / (sa.n + sb.n - inter) >= 0.7) AS n_true,
+       64 AS num_hashes, 16 AS bands
 """
 
 
@@ -2302,22 +2335,45 @@ def q53_ivf_recall_gate(spark, sf_dir):
     ivf_ids = ivf_topk(assigned, centroids, qvec, k=k, n_probe=n_probe).select(
         "vec_id"
     )
-    exact_ids = brute_force_topk(base, qvec, k=k).select("vec_id")
+    exact = brute_force_topk(base, qvec, k=k)
+    exact_ids = exact.select("vec_id")
+    # Independent teeth (r5): the exact top-k score sum (6-digit
+    # rounded per-score, the q29 convention) — DuckDB recomputes the
+    # truth side the recall gate compares against from scratch.
+    tsum = exact.agg(
+        F.round(F.sum("cosine"), 6).alias("truth_topk_sum")
+    )
     # Measured (KMeans seed=42, deterministic): 9/10 at sf0.01, 10/10 at
     # sf0.1. sf0.001 has too few vectors per centroid for the gate; the
     # driver's correctness run is at sf0.01. Gate emitted by the plan
-    # itself — no driver-side counts.
+    # itself — no driver-side counts. (1-row gate crossJoin.)
     return (
         ivf_ids.join(exact_ids, "vec_id")
         .agg((F.count("*") >= recall_min * k).alias("recall_ok"))
+        .crossJoin(tsum)
         .select(
-            "recall_ok", F.lit(k).alias("k"), F.lit(n_probe).alias("n_probe")
+            "recall_ok",
+            "truth_topk_sum",
+            F.lit(k).alias("k"),
+            F.lit(n_probe).alias("n_probe"),
         )
     )
 
 
-Q53_SQL = """
-SELECT TRUE AS recall_ok, 10 AS k, 4 AS n_probe
+_TRUTH_TOPK_SUM_SQL = """(
+    SELECT ROUND(SUM(c), 6) FROM (
+        SELECT ROUND(LIST_COSINE_SIMILARITY(embedding::DOUBLE[], qv), 6) AS c
+        FROM embeddings,
+             (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+        WHERE vec_id <> 0
+        ORDER BY c DESC, vec_id
+        LIMIT 10
+    )
+)"""
+
+Q53_SQL = f"""
+SELECT TRUE AS recall_ok, {_TRUTH_TOPK_SUM_SQL} AS truth_topk_sum,
+       10 AS k, 4 AS n_probe
 """
 
 
@@ -2633,7 +2689,8 @@ def q77_pq_recall_gate(spark, sf_dir):
     qvec = _query_vec(sf_dir)
     books = train_pq_codebooks(e, m=8, nbits=4)
     codes = pq_encode(e, books)
-    exact = brute_force_topk(e, qvec, k=10).select("vec_id")
+    exact_topk = brute_force_topk(e, qvec, k=10)
+    exact = exact_topk.select("vec_id")
     approx = pq_topk(
         codes, books, qvec, k=10, refine=100, source=e
     ).select("vec_id")
@@ -2646,16 +2703,23 @@ def q77_pq_recall_gate(spark, sf_dir):
     mse = pq_reconstruction_error(e, books).agg(
         F.mean("err2").alias("__mean_err2")
     )
-    # two 1-row aggregates — the cross join is 1x1
-    return hits.crossJoin(mse).select(
+    # independent teeth (r5): DuckDB recomputes the exact-truth top-k
+    # score sum (q53 convention)
+    tsum = exact_topk.agg(
+        F.round(F.sum("cosine"), 6).alias("truth_topk_sum")
+    )
+    # three 1-row aggregates — the cross joins are 1x1
+    return hits.crossJoin(mse).crossJoin(tsum).select(
         (F.col("__h") >= 7).alias("recall_ok"),
         (F.col("__mean_err2") < 0.65).alias("mse_ok"),
+        "truth_topk_sum",
         F.lit(64).alias("compression_x"),
     )
 
 
-Q77_SQL = """
-SELECT TRUE AS recall_ok, TRUE AS mse_ok, 64 AS compression_x
+Q77_SQL = f"""
+SELECT TRUE AS recall_ok, TRUE AS mse_ok,
+       {_TRUTH_TOPK_SUM_SQL} AS truth_topk_sum, 64 AS compression_x
 """
 
 
@@ -2962,18 +3026,26 @@ def q83_ivfpq_recall_gate(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
     qvec = _query_vec(sf_dir)
     enc, cents, books = build_ivfpq_index(e, num_centroids=8, m=8, nbits=4)
-    exact = brute_force_topk(e, qvec, k=10).select("vec_id")
+    exact_topk = brute_force_topk(e, qvec, k=10)
+    exact = exact_topk.select("vec_id")
     approx = ivfpq_topk(
         enc, cents, books, qvec, k=10, n_probe=4, refine=100, source=e
     ).select("vec_id")
+    # independent teeth (r5): DuckDB recomputes the exact-truth top-k
+    # score sum (q53 convention); 1-row gate crossJoin
+    tsum = exact_topk.agg(
+        F.round(F.sum("cosine"), 6).alias("truth_topk_sum")
+    )
     return (
         exact.join(approx.withColumn("__hit", F.lit(1)), "vec_id", "left")
         .agg(
             F.count("*").alias("__n"),
             F.coalesce(F.sum("__hit"), F.lit(0)).alias("__h"),
         )
+        .crossJoin(tsum)
         .select(
             (F.col("__h") >= 7).alias("recall_ok"),
+            "truth_topk_sum",
             F.lit(4).alias("n_probe"),
             F.lit(8).alias("n_cells"),
             F.lit(64).alias("compression_x"),
@@ -2981,8 +3053,9 @@ def q83_ivfpq_recall_gate(spark, sf_dir):
     )
 
 
-Q83_SQL = """
-SELECT TRUE AS recall_ok, 4 AS n_probe, 8 AS n_cells, 64 AS compression_x
+Q83_SQL = f"""
+SELECT TRUE AS recall_ok, {_TRUTH_TOPK_SUM_SQL} AS truth_topk_sum,
+       4 AS n_probe, 8 AS n_cells, 64 AS compression_x
 """
 
 
@@ -3575,7 +3648,12 @@ def q96_embedding_lsh_neardup_gate(spark, sf_dir):
     * precision_exact — zero emitted pairs outside the exact answer
       (guaranteed by the refine; a bucketing bug that leaked unrefined
       candidates flips it). Deterministic (hash-seeded planes), so the
-      oracle hashes the constant expectation."""
+      oracle hashes the constant expectation.
+
+    Independent teeth (r5): ``n_true`` (the exact cos >= 0.4 pair
+    count the recall gate divides by) is emitted and recomputed by
+    DuckDB via LIST_COSINE_SIMILARITY — a truth-side bug now fails the
+    hash instead of silently shifting the recall denominator."""
     e = _t(spark, sf_dir, "embeddings")
     truth = embedding_near_dups(e, threshold=0.4).select("id_a", "id_b")
     cand = embedding_near_dups(
@@ -3596,13 +3674,19 @@ def q96_embedding_lsh_neardup_gate(spark, sf_dir):
             & (F.col("__hits") >= 0.9 * F.col("__n_true"))
         ).alias("recall_ok"),
         (F.col("__false_pos") == 0).alias("precision_exact"),
+        F.col("__n_true").alias("n_true"),
         F.lit(4).alias("bits"),
         F.lit(24).alias("tables"),
     )
 
 
 Q96_SQL = """
-SELECT TRUE AS recall_ok, TRUE AS precision_exact, 4 AS bits, 24 AS tables
+SELECT TRUE AS recall_ok, TRUE AS precision_exact,
+       (SELECT COUNT(*)
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.4) AS n_true,
+       4 AS bits, 24 AS tables
 """
 
 
@@ -3777,7 +3861,12 @@ def q102_semdedup_gate(spark, sf_dir):
       near-identical pairs, any sane clustering co-locates most).
     All three hold for ANY k-means outcome, so the gate is stable
     across session/partitioning differences; the oracle hashes the
-    constant expectation."""
+    constant expectation.
+
+    Independent teeth (r5): ``n_true_pairs`` (the exact cos >= 0.9
+    pair count over the planted corpus — the truth the precision
+    invariant joins against) is emitted and recomputed by DuckDB,
+    which replants the same +0.05-on-component-0 replicas in SQL."""
     from .operators.dedup import embedding_near_dups, semantic_dedup
 
     tau = 0.9
@@ -3829,22 +3918,44 @@ def q102_semdedup_gate(spark, sf_dir):
     totals = decisions.agg(
         F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("__np")
     )
-    # documented 1-row gate crossJoins (three single-row aggregates)
+    n_true = exact.agg(F.count("*").alias("__n_true"))
+    # documented 1-row gate crossJoins (four single-row aggregates)
     return (
         totals.crossJoin(missing)
         .crossJoin(bad)
+        .crossJoin(n_true)
         .select(
             (F.col("__miss") == 0).alias("pruned_partner_ok"),
             (F.col("__bad") == 0).alias("kept_maximal_ok"),
             (F.col("__np") >= 1).alias("prune_fired"),
+            F.col("__n_true").alias("n_true_pairs"),
             F.lit(8).alias("n_clusters"),
         )
     )
 
 
+# n_true_pairs recomputed by DuckDB (r5): replant the +0.05 replicas
+# (component 0, float rounding mirrored) and count exact cos >= 0.9
+# pairs over the augmented corpus.
 Q102_SQL = """
+WITH corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 100000,
+           LIST_TRANSFORM(GENERATE_SERIES(1, LEN(embedding)),
+                          i -> CASE WHEN i = 1
+                               THEN CAST(embedding[i] + 0.05 AS FLOAT)
+                               ELSE embedding[i] END) AS embedding
+    FROM embeddings WHERE vec_id % 50 = 7
+)
 SELECT TRUE AS pruned_partner_ok, TRUE AS kept_maximal_ok,
-       TRUE AS prune_fired, 8 AS n_clusters
+       TRUE AS prune_fired,
+       (SELECT COUNT(*)
+        FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        WHERE LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.9)
+           AS n_true_pairs,
+       8 AS n_clusters
 """
 
 
@@ -3893,14 +4004,21 @@ def q103_multiprobe_lsh_gate(spark, sf_dir):
         ).alias("recall_ok"),
         (F.col("__false_pos") == 0).alias("precision_exact"),
         (F.col("__escaped") == 0).alias("probe_superset_ok"),
+        F.col("__n_true").alias("n_true"),
         F.lit(4).alias("bits"),
         F.lit(8).alias("tables"),
     )
 
 
+# n_true recomputed by DuckDB exactly (r5) — same truth side as q96.
 Q103_SQL = """
 SELECT TRUE AS recall_ok, TRUE AS precision_exact,
-       TRUE AS probe_superset_ok, 4 AS bits, 8 AS tables
+       TRUE AS probe_superset_ok,
+       (SELECT COUNT(*)
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[],
+                                     b.embedding::DOUBLE[]) >= 0.4) AS n_true,
+       4 AS bits, 8 AS tables
 """
 
 
@@ -4116,20 +4234,41 @@ def q108_collapse_parity_gate(spark, sf_dir):
     m = mh_diff.agg(F.count("*").alias("__mdiff"))
     b = eb_diff.agg(F.count("*").alias("__ediff"))
     n = mh_coll.agg(F.count("*").alias("__npairs"))
+    # independent teeth (r5): the exact-dup group count the collapse
+    # step keys on — DuckDB recomputes it from the same planted corpus
+    g = (
+        docs.groupBy("text")
+        .agg(F.count("*").alias("__c"))
+        .agg(
+            F.sum(F.when(F.col("__c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_groups")
+        )
+    )
     return (
         n.crossJoin(m)
         .crossJoin(b)
+        .crossJoin(g)
         .select(
             (F.col("__mdiff") == 0).alias("minhash_parity_ok"),
             (F.col("__ediff") == 0).alias("embedding_parity_ok"),
             (F.col("__npairs") >= 40).alias("nonvacuous"),
+            "n_dup_groups",
         )
     )
 
 
 Q108_SQL = """
+WITH docs AS (
+    SELECT doc_id, text FROM documents WHERE doc_id < 120
+    UNION ALL
+    SELECT doc_id + 70000, text FROM documents WHERE doc_id < 40
+)
 SELECT TRUE AS minhash_parity_ok, TRUE AS embedding_parity_ok,
-       TRUE AS nonvacuous
+       TRUE AS nonvacuous,
+       (SELECT COUNT(*) FROM (
+            SELECT text FROM docs GROUP BY text HAVING COUNT(*) > 1))
+           AS n_dup_groups
 """
 
 
