@@ -69,6 +69,29 @@ def _shingles(text_col: str, n: int = 5):
     )
 
 
+_MH_P = 2**31 - 1  # Mersenne prime for the portable universal hashes
+
+
+def minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_k, b_k) pairs for the portable universal-hash
+    family h_k(x) = (a_k*x + b_k) mod (2^31-1) — sha256-derived so any
+    engine rebuilds the identical family (q37's oracle embeds them as
+    SQL constants). a_k in [1, p-1], b_k in [0, p-1]; products stay
+    under 2^62, safe in signed 64-bit math everywhere."""
+    import hashlib
+
+    a = [
+        int(hashlib.sha256(f"mh-a:{k}".encode()).hexdigest()[:8], 16)
+        % (_MH_P - 1) + 1
+        for k in range(num_hashes)
+    ]
+    b = [
+        int(hashlib.sha256(f"mh-b:{k}".encode()).hexdigest()[:8], 16) % _MH_P
+        for k in range(num_hashes)
+    ]
+    return a, b
+
+
 def minhash_lsh_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -78,6 +101,7 @@ def minhash_lsh_near_dups(
     shingle_n: int = 5,
     max_bucket: int | None = None,
     collapse_exact: bool = False,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs (B50).
 
@@ -99,6 +123,16 @@ def minhash_lsh_near_dups(
     bucket of k docs yields k(k-1)/2 join rows, so one boilerplate
     bucket can dominate the whole shuffle quadratically). Pairs inside
     a dropped bucket can still surface via their other bands.
+
+    ``portable_hash=True`` swaps the xxhash64 family for an
+    ENGINE-INDEPENDENT one — shingle hash = 60-bit sha2 prefix reduced
+    mod 2^31-1, signature k = min((a_k*h + b_k) mod p) with
+    sha256-derived (a_k, b_k), band key = the comma-joined band values
+    (no re-hash) — so an external engine can replay the IDENTICAL
+    signatures, buckets, pairs, and estimates (q37's DuckDB oracle
+    does). Cost: one sha2 per (doc, shingle) instead of one xxhash64,
+    plus 64 multiply-adds; the default stays xxhash64 for peak
+    throughput.
     """
     if collapse_exact:
         # Pre-collapse byte-identical documents (the replica-heavy web
@@ -127,6 +161,7 @@ def minhash_lsh_near_dups(
             shingle_n=shingle_n,
             max_bucket=max_bucket,
             collapse_exact=False,
+            portable_hash=portable_hash,
         )
         ma = members.select(
             F.col("__rep").alias("id_a"), F.col("__m").alias("__ma")
@@ -162,17 +197,32 @@ def minhash_lsh_near_dups(
     # re-hash that single LONG, never the string. explode + hash-agg
     # keeps everything in WholeStageCodegen (array-lambda HOFs would run
     # interpreted per element — measured ~50x slower on this pipeline).
-    shingle_hashes = ensure_min_parallelism(df).select(
+    exploded = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.explode(F.array_distinct(_shingles(text_col, shingle_n))).alias("sh"),
-    ).select(id_col, F.xxhash64("sh").alias("h"))
-
-    # signature[k] = min over shingles of xxhash64(h, k); map-side
-    # partial min then one shuffle on the doc id.
-    sig_cols = [
-        F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"mh{k}")
-        for k in range(num_hashes)
-    ]
+    )
+    if portable_hash:
+        h60 = F.conv(
+            F.substring(F.sha2(F.encode(F.col("sh"), "UTF-8"), 256), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        shingle_hashes = exploded.select(id_col, (h60 % _MH_P).alias("h"))
+        mh_a, mh_b = minhash_coeffs(num_hashes)
+        sig_cols = [
+            F.min(
+                (F.lit(mh_a[k]) * F.col("h") + F.lit(mh_b[k])) % _MH_P
+            ).alias(f"mh{k}")
+            for k in range(num_hashes)
+        ]
+    else:
+        shingle_hashes = exploded.select(id_col, F.xxhash64("sh").alias("h"))
+        # signature[k] = min over shingles of xxhash64(h, k); map-side
+        # partial min then one shuffle on the doc id.
+        sig_cols = [
+            F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"mh{k}")
+            for k in range(num_hashes)
+        ]
     # Persisted: the signature table feeds BOTH band-join sides and both
     # verification re-joins — without it the whole shingle+agg pipeline
     # runs 4x. One row per doc (64 longs ≈ 0.5 KB/doc), spills to disk
@@ -189,12 +239,29 @@ def minhash_lsh_near_dups(
         .persist()
     )
 
-    band_hashes = [
-        F.xxhash64(
-            *[F.col("signature")[b * rows_per_band + j] for j in range(rows_per_band)]
-        )
-        for b in range(bands)
-    ]
+    if portable_hash:
+        # band key = the values themselves (comma-joined): no re-hash,
+        # so any engine reproduces the exact buckets
+        band_hashes = [
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("signature")[b * rows_per_band + j].cast("string")
+                    for j in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_hashes = [
+            F.xxhash64(
+                *[
+                    F.col("signature")[b * rows_per_band + j]
+                    for j in range(rows_per_band)
+                ]
+            )
+            for b in range(bands)
+        ]
     # Candidate generation carries ONLY ids: the 64-long signatures
     # would otherwise ride through the band self-join and the pair
     # dedup shuffle (x16 band duplicates). They are re-attached to the
@@ -256,6 +323,7 @@ def simhash_near_dups(
     hamming_max: int = 3,
     num_bits: int = 64,
     blocks: int | None = None,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit simhash over word hashes, then
     block-permuted candidate generation (pigeonhole: pairs within
@@ -273,23 +341,54 @@ def simhash_near_dups(
     sums run as 64 codegen'd conditional-sum aggregates over exploded
     word hashes (one string hash per word), not as interpreted
     array-lambda HOFs — same explode+hash-agg shape as minhash.
+
+    ``portable_hash=True`` (requires num_bits=64) draws the word bits
+    from the first 16 hex chars of sha2-256 (as two unsigned 32-bit
+    halves — overflow-safe in every engine's signed 64-bit math)
+    instead of xxhash64, so an external engine replays the identical
+    signatures, blocks, and Hamming distances (q38's DuckDB oracle).
     """
     words = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    word_hashes = (
-        ensure_min_parallelism(df)
-        .select(F.col(id_col), F.explode(words).alias("w"))
-        .select(id_col, F.xxhash64("w").alias("h"))
+    exploded = ensure_min_parallelism(df).select(
+        F.col(id_col), F.explode(words).alias("w")
     )
-    # bit i vote = sum over words of (bit i of xxhash64(word) ? +1 : -1)
-    votes = word_hashes.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(num_bits)
-        ]
-    )
+    if portable_hash:
+        if num_bits != 64:
+            raise ValueError("portable_hash supports num_bits=64 only")
+        hexd = F.sha2(F.encode(F.col("w"), "UTF-8"), 256)
+        word_hashes = exploded.select(
+            id_col,
+            F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long").alias("hh"),
+            F.conv(F.substring(hexd, 9, 8), 16, 10).cast("long").alias("hl"),
+        )
+        # bit i (0..31 from the low half, 32..63 from the high half)
+        votes = word_hashes.groupBy(id_col).agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(
+                            F.col("hl" if i < 32 else "hh"), i % 32
+                        ).bitwiseAND(F.lit(1))
+                        == 1,
+                        1,
+                    ).otherwise(-1)
+                ).alias(f"v{i}")
+                for i in range(num_bits)
+            ]
+        )
+    else:
+        word_hashes = exploded.select(id_col, F.xxhash64("w").alias("h"))
+        # bit i vote = sum over words of (bit i of xxhash64(word) ? +1 : -1)
+        votes = word_hashes.groupBy(id_col).agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1
+                    ).otherwise(-1)
+                ).alias(f"v{i}")
+                for i in range(num_bits)
+            ]
+        )
     bit_terms = [
         F.when(
             F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)

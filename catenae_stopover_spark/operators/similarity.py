@@ -395,6 +395,53 @@ def hyperplane_signature(vec_col: str, bits: int) -> "F.Column":
     )
 
 
+def portable_hyperplanes(bits: int, dim: int) -> list[list[float]]:
+    """Deterministic ENGINE-INDEPENDENT hyperplane weights: component j
+    of plane p is sha256-derived in [-0.5, 0.5) — the same weights can
+    be rebuilt by any engine (or embedded as literals in SQL), unlike
+    the xxhash64-seeded planes of :func:`hyperplane_signature`, whose
+    geometry only Spark can replay. Planes depend on (bits, dim) only,
+    never on data, so they are computed once driver-side."""
+    import hashlib
+
+    return [
+        [
+            (int(hashlib.sha256(f"hp:{p}:{j}".encode()).hexdigest()[:8], 16)
+             % 1000 - 500) / 1000.0
+            for j in range(dim)
+        ]
+        for p in range(bits)
+    ]
+
+
+def portable_signature_expr(vec_col: str, planes: list[list[float]]) -> "F.Column":
+    """Signature column from LITERAL plane weights (bit p = sign of the
+    projection onto plane p). Pure Catalyst; the identical arithmetic
+    is SQL-expressible in any engine that has a dot product."""
+    terms = []
+    for p, w in enumerate(planes):
+        arr = "array(" + ",".join(f"{x!r}D" for x in w) + ")"
+        proj = (
+            f"aggregate(zip_with({vec_col}, {arr}, (x, h) -> x * h), "
+            "cast(0.0 as double), (s, v) -> s + v)"
+        )
+        terms.append(f"(case when {proj} > 0 then {1 << p} else 0 end)")
+    return F.expr(" + ".join(terms)).cast("long")
+
+
+def portable_signature_py(vec, planes: list[list[float]]) -> int:
+    """Driver-side twin of :func:`portable_signature_expr` for the O(1)
+    query vector (same left-to-right summation order)."""
+    sig = 0
+    for p, w in enumerate(planes):
+        s = 0.0
+        for x, h in zip(vec, w):
+            s += float(x) * h
+        if s > 0:
+            sig |= 1 << p
+    return sig
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec,
@@ -403,6 +450,7 @@ def lsh_bucketed_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     probe_hamming: int = 0,
+    planes: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k: only the query's LSH bucket is scanned. At
     scale the table is written bucketed/partitioned by the signature so
@@ -411,12 +459,24 @@ def lsh_bucketed_topk(
     ``probe_hamming=1`` additionally probes every bucket one bit-flip
     away from the query's signature (multi-probe LSH): recall rises
     from one bucket's worth to bits+1 buckets' worth while still
-    scanning only (bits+1)/2^bits of the data."""
-    bucketed = df.withColumn("__sig", hyperplane_signature(vec_col, bits))
-    qdf = df.sparkSession.createDataFrame(
-        [(list(map(float, query_vec)),)], f"{vec_col}: array<double>"
-    )
-    qsig = qdf.select(hyperplane_signature(vec_col, bits).alias("s")).head()[0]
+    scanning only (bits+1)/2^bits of the data.
+
+    ``planes`` (from :func:`portable_hyperplanes`) switches to literal
+    engine-independent plane weights: the query signature is then a
+    driver-side O(1) computation (no Spark job) and an external engine
+    can replay the identical bucketing — q42's oracle does."""
+    if planes is not None:
+        bucketed = df.withColumn(
+            "__sig", portable_signature_expr(vec_col, planes)
+        )
+        qsig = portable_signature_py(query_vec, planes)
+        bits = len(planes)
+    else:
+        bucketed = df.withColumn("__sig", hyperplane_signature(vec_col, bits))
+        qdf = df.sparkSession.createDataFrame(
+            [(list(map(float, query_vec)),)], f"{vec_col}: array<double>"
+        )
+        qsig = qdf.select(hyperplane_signature(vec_col, bits).alias("s")).head()[0]
     probes = [qsig]
     if probe_hamming >= 1:
         probes += [qsig ^ (1 << b) for b in range(bits)]
@@ -426,4 +486,84 @@ def lsh_bucketed_topk(
         k=k,
         vec_col=vec_col,
         id_col=id_col,
+    )
+
+
+def train_spherical_kmeans(x, k: int, seed: int = 42, iters: int = 8):
+    """Seeded numpy Lloyd's on the unit sphere over an in-memory SAMPLE
+    matrix — the FAISS-style IVF coarse-quantizer build (ANN indexes
+    train on bounded samples by construction, so a driver-side fit over
+    <=100k vectors is the right shape at any corpus size; the same
+    pattern as quantization._lloyd_codebooks). Deterministic float64
+    BLAS: given the same sample any process reproduces the identical
+    centroid floats, which is what lets q76's oracle replay the
+    training and then verify the distributed serve path independently.
+    Returns a list of k unit-norm centroid lists."""
+    import numpy as np
+
+    x = np.asarray(x, dtype="float64")
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return [list(map(float, c)) for c in cents]
+
+
+def sample_parquet_vectors(
+    path: str, vec_col: str = "embedding", limit: int = 65536
+):
+    """Bounded deterministic training sample read STRAIGHT from the
+    parquet file driver-side (evenly spaced rows — a pure function of
+    the file, so an independent engine draws the identical sample; the
+    pyarrow point-read pattern of queries._query_vec). At 100 TB the
+    index build trains from a sampled side-file exactly like this —
+    never a full-corpus driver collect."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=[vec_col])
+    col = tbl.column(vec_col).to_pylist()
+    idx = np.unique(np.linspace(0, len(col) - 1, min(len(col), limit)).astype(int))
+    return np.asarray([col[i] for i in idx], dtype="float64")
+
+
+def assign_ivf_cells(
+    df: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed cell assignment against LITERAL centroids: argmax
+    cosine over the C broadcast centroid vectors, tie-broken to the
+    lowest centroid id. Pure Catalyst (C fused score expressions per
+    row, no Python, no shuffle) — and, because the centroids are plain
+    literals, any engine can recompute the identical assignment (the
+    q76 oracle recomputes it in SQL)."""
+    scores = [
+        cosine_similarity(F.col(vec_col), _as_vec_lit(c)).alias(f"__c{i}")
+        for i, c in enumerate(centroids)
+    ]
+    # max of (score, -index) structs == argmax with lowest-index ties
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"__c{i}").alias("s"), F.lit(-i).alias("ni")
+                )
+                for i in range(len(centroids))
+            ]
+        )
+    )
+    return (
+        df.select(F.col(id_col), F.col(vec_col), *scores)
+        .withColumn("centroid_id", (-best["ni"]).cast("int"))
+        .drop(*[f"__c{i}" for i in range(len(centroids))])
     )

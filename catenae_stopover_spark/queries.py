@@ -2383,16 +2383,147 @@ SELECT TRUE AS recall_ok, {_TRUTH_TOPK_SUM_SQL} AS truth_topk_sum,
 # --------------------------------------------------------------------
 
 def q37_minhash_pairs(spark, sf_dir):
+    """B50 MinHash-LSH pairs, oracle-checked since r5 (was rows-only):
+    `portable_hash=True` swaps the xxhash64 family for the sha2-seeded
+    universal hashes (`dedup.minhash_coeffs`), so DuckDB replays the
+    ENTIRE pipeline — shingle hashes, 64 signature minima, band
+    buckets, candidate pairs, est_jaccard values — from the same
+    constants. The xxhash64 default (peak-throughput path) keeps its
+    recall gate in q69."""
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_near_dups(d, "text", "doc_id", num_hashes=64, bands=16)
+    return minhash_lsh_near_dups(
+        d, "text", "doc_id", num_hashes=64, bands=16, portable_hash=True
+    )
+
+
+def _build_q37_sql(num_hashes: int = 64, bands: int = 16, shingle_n: int = 5):
+    from .operators.dedup import _MH_P, minhash_coeffs
+
+    a, b = minhash_coeffs(num_hashes)
+    ab_rows = ", ".join(f"({k}, {a[k]}, {b[k]})" for k in range(num_hashes))
+    rpb = num_hashes // bands
+    return rf"""
+WITH words AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                           i -> i <= LEN(w) - {shingle_n} + 1),
+               i -> ARRAY_TO_STRING(w[i:i+{shingle_n - 1}], ' '))) AS g
+    FROM words
+), sh AS (
+    SELECT doc_id,
+           ('0x' || SUBSTR(SHA256(gram), 1, 15))::BIGINT % {_MH_P} AS h
+    FROM (SELECT doc_id, UNNEST(g) AS gram FROM grams WHERE LEN(g) > 0)
+), ab(k, a, b) AS (VALUES {ab_rows}),
+sig AS (
+    SELECT doc_id, k, MIN((a * h + b) % {_MH_P}) AS mh
+    FROM sh CROSS JOIN ab GROUP BY doc_id, k
+), bandkey AS (
+    SELECT doc_id, k // {rpb} AS band_idx,
+           ARRAY_TO_STRING(LIST(mh ORDER BY k), ',') AS bkey
+    FROM sig GROUP BY doc_id, k // {rpb}
+), cand AS (
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM bandkey x JOIN bandkey y
+      ON x.band_idx = y.band_idx AND x.bkey = y.bkey
+     AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b,
+       SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {num_hashes}.0
+           AS est_jaccard
+FROM cand
+JOIN sig sa ON sa.doc_id = id_a
+JOIN sig sb ON sb.doc_id = id_b AND sb.k = sa.k
+GROUP BY id_a, id_b
+"""
+
+
+Q37_SQL = _build_q37_sql()
 
 
 def q38_simhash_pairs(spark, sf_dir):
-    # blocks derives from hamming_max (9 blocks) so the pigeonhole
-    # guarantee covers the full distance-8 radius.
-    return simhash_near_dups(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", hamming_max=8
+    """B50 SimHash pairs, oracle-checked since r5 (was rows-only):
+    `portable_hash=True` draws word bits from sha2-256 halves, so
+    DuckDB replays signatures, pigeonhole blocks, and Hamming
+    distances exactly. blocks derives from hamming_max (9 blocks) so
+    the pigeonhole guarantee covers the full distance-8 radius."""
+    out = simhash_near_dups(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        hamming_max=8,
+        portable_hash=True,
     )
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+def _build_q38_sql(hamming_max: int = 8, num_bits: int = 64):
+    blocks = hamming_max + 1
+    base, rem = divmod(num_bits, blocks)
+    widths = [base + (1 if i < rem else 0) for i in range(blocks)]
+    offsets, off = [], 0
+    for w in widths:
+        offsets.append(off)
+        off += w
+    half = lambda i: "hl" if i < 32 else "hh"  # noqa: E731
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN ({half(i)} >> {i % 32}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" AS v{i}"
+        for i in range(num_bits)
+    )
+    bit = lambda i: f"(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END)"  # noqa: E731
+    lo = " + ".join(f"{bit(i)} * {1 << i}::BIGINT" for i in range(32))
+    hi = " + ".join(f"{bit(i)} * {1 << (i - 32)}::BIGINT" for i in range(32, 64))
+    blks = ",\n           ".join(
+        "("
+        + " + ".join(
+            f"{bit(offsets[k] + j)} * {1 << j}::BIGINT" for j in range(widths[k])
+        )
+        + f") AS blk{k}"
+        for k in range(blocks)
+    )
+    blocked = "\nUNION ALL\n".join(
+        f"SELECT doc_id, lo, hi, {k} AS block_idx, blk{k} AS block_val FROM sig"
+        for k in range(blocks)
+    )
+    return rf"""
+WITH w AS (
+    SELECT DISTINCT doc_id,
+           UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS word
+    FROM documents
+), h AS (
+    SELECT doc_id,
+           ('0x' || SUBSTR(SHA256(word), 1, 8))::BIGINT AS hh,
+           ('0x' || SUBSTR(SHA256(word), 9, 8))::BIGINT AS hl
+    FROM w
+), votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM h GROUP BY doc_id
+), sig AS (
+    SELECT doc_id,
+           {lo} AS lo,
+           {hi} AS hi,
+           {blks}
+    FROM votes
+), blocked AS (
+{blocked}
+), cand AS (
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+           BIT_COUNT(XOR(x.lo, y.lo)) + BIT_COUNT(XOR(x.hi, y.hi)) AS hamming
+    FROM blocked x JOIN blocked y
+      ON x.block_idx = y.block_idx AND x.block_val = y.block_val
+     AND x.doc_id < y.doc_id
+)
+SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+FROM cand WHERE hamming <= {hamming_max}
+"""
+
+
+Q38_SQL = _build_q38_sql()
 
 
 def q39_fingerprints(spark, sf_dir):
@@ -2508,9 +2639,57 @@ def _q41_oracle_sql() -> str:
 
 
 def q42_lsh_topk(spark, sf_dir):
+    """B51 LSH-bucketed top-k, oracle-checked since r5 (was rows-only):
+    the planes are LITERAL sha256-derived weights
+    (`similarity.portable_hyperplanes`), so DuckDB recomputes every
+    vector's bucket signature, applies the same single-bucket probe
+    (signature computed driver-side, O(1)), and re-ranks the exact
+    cosine top-10 — the full approximate-serve path verified end to
+    end by an independent engine."""
+    from .operators.similarity import portable_hyperplanes
+
     qvec = _query_vec(sf_dir)
     e = _t(spark, sf_dir, "embeddings")
-    return lsh_bucketed_topk(e.filter(F.col("vec_id") != 0), qvec, k=10, bits=4)
+    planes = portable_hyperplanes(4, len(qvec))
+    return lsh_bucketed_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=10, planes=planes
+    )
+
+
+def _q42_oracle_sql():
+    """Built lazily (q41 pattern): replay the literal planes and the
+    query's bucket signature, then recompute bucket assignment + probe
+    + exact top-k in pure SQL."""
+    from .operators.similarity import (
+        portable_hyperplanes,
+        portable_signature_py,
+    )
+
+    sf_dir = os.environ.get("CSSPARK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    qvec = _query_vec(sf_dir)
+    planes = portable_hyperplanes(4, len(qvec))
+    qsig = portable_signature_py(qvec, planes)
+    terms = []
+    for p, w in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN LIST_DOT_PRODUCT(embedding::DOUBLE[], {arr}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    sig = " + ".join(terms)
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+sig AS (
+    SELECT vec_id, embedding, {sig} AS s
+    FROM embeddings WHERE vec_id <> 0
+)
+SELECT vec_id,
+       ROUND(LIST_COSINE_SIMILARITY(embedding::DOUBLE[], qv), 6) AS cosine
+FROM sig, q
+WHERE s = {qsig}
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
 
 
 def q43_text_stats_full(spark, sf_dir):
@@ -2599,17 +2778,26 @@ def ensure_ivf_index(spark, sf_dir, num_centroids=8):
     The opened DataFrame + centroids are additionally memoized per
     process — a serving deployment keeps its index open, it doesn't
     re-list parquet footers per query. Returns (assigned_df, centroids).
+
+    Since r5 the coarse quantizer is the PORTABLE build: centroids from
+    seeded numpy Lloyd's over a bounded deterministic parquet sample
+    (the FAISS shape — ANN indexes train on samples by construction),
+    assignment via Catalyst argmax-cosine against the centroid
+    LITERALS. Every stage is replayable outside Spark, which is what
+    lets q76's DuckDB oracle recompute assignment + probe + top-k
+    independently. (The MLlib k-means build remains available as
+    `similarity.build_ivf_index` and is gated by q53.)
     """
     import hashlib
     import json as _json
     import tempfile
 
-    from .operators.similarity import build_ivf_index, persist_ivf_index
+    from .operators.similarity import assign_ivf_cells, persist_ivf_index
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
     key = hashlib.md5(
-        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{num_centroids}".encode()
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{num_centroids}:portable-v1".encode()
     ).hexdigest()[:16]
     root = os.path.join(tempfile.gettempdir(), "csspark-ivf", key)
     cached = _IVF_OPEN.get(root)
@@ -2618,10 +2806,9 @@ def ensure_ivf_index(spark, sf_dir, num_centroids=8):
     sidecar = os.path.join(root, "centroids.json")
     index_path = os.path.join(root, "index")
     if not os.path.exists(sidecar):
+        centroids = _portable_ivf_centroids(sf_dir, num_centroids)
         base = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
-        assigned, centroids = build_ivf_index(
-            base, num_centroids=num_centroids
-        )
+        assigned = assign_ivf_cells(base, centroids)
         persist_ivf_index(assigned, index_path)
         tmp = sidecar + ".tmp"
         with open(tmp, "w", encoding="utf-8") as f:
@@ -2631,6 +2818,20 @@ def ensure_ivf_index(spark, sf_dir, num_centroids=8):
         centroids = _json.load(f)
     _IVF_OPEN[root] = (spark.read.parquet(index_path), centroids)
     return _IVF_OPEN[root]
+
+
+def _portable_ivf_centroids(sf_dir, num_centroids=8):
+    """Deterministic sample-trained centroids (pure numpy, no Spark
+    job): a function of the parquet bytes alone, so the q76 oracle
+    rebuilds the identical floats and the serve path can be verified
+    end-to-end by an independent engine."""
+    from .operators.similarity import (
+        sample_parquet_vectors,
+        train_spherical_kmeans,
+    )
+
+    x = sample_parquet_vectors(os.path.join(sf_dir, "embeddings.parquet"))
+    return train_spherical_kmeans(x, k=num_centroids, seed=42, iters=8)
 
 
 _IVF_OPEN: dict[str, tuple] = {}
@@ -2644,15 +2845,66 @@ def q76_ivf_topk_serve(spark, sf_dir):
     driver-side floats plus a partition-pruned scan of the n_probe=4
     nearest centroids' vectors — the shape that stays fast when the
     corpus is 100-1000x larger, where every brute-force serve pays a
-    full scan. Same (C, n_probe) geometry as the q53 recall gate.
-    Rows-only in the oracle gate (centroid geometry isn't
-    SQL-expressible); recall is gated by q53, and bench.py compares
-    wall-time against DuckDB's exact top-k on the same question."""
+    full scan.
+
+    Oracle-checked since r5 (was rows-only): the portable index build
+    (sample-trained numpy centroids + literal-centroid argmax
+    assignment) is engine-replayable, so `_q76_oracle_sql` rebuilds the
+    same centroids from the parquet and DuckDB independently recomputes
+    cell assignment, the probed-cell filter, and the exact top-10 —
+    the full serve path, not just a constant gate."""
     from .operators.similarity import ivf_topk
 
     assigned, centroids = ensure_ivf_index(spark, sf_dir)
     qvec = _query_vec(sf_dir)
     return ivf_topk(assigned, centroids, qvec, k=10, n_probe=4)
+
+
+def _q76_oracle_sql():
+    """Built lazily (q41 pattern): replay the deterministic centroid
+    training on the oracle's parquet, then express assignment + probe +
+    top-k in pure SQL with the centroids as literals."""
+    import math
+
+    sf_dir = os.environ.get("CSSPARK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = _portable_ivf_centroids(sf_dir)
+    qvec = _query_vec(sf_dir)
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(y * y for y in b))
+        return dot / (na * nb) if na and nb else 0.0
+
+    probed = sorted(
+        range(len(cents)), key=lambda i: -cos(cents[i], qvec)
+    )[:4]
+    score = lambda i: (  # noqa: E731
+        "LIST_COSINE_SIMILARITY(embedding::DOUBLE[], ["
+        + ", ".join(repr(x) for x in cents[i])
+        + "]::DOUBLE[])"
+    )
+    scores = ", ".join(score(i) for i in range(len(cents)))
+    # argmax with lowest-index tiebreak == LIST_POSITION of the max
+    # (first occurrence), mirroring assign_ivf_cells' (score, -i) max
+    probe_list = ", ".join(str(i) for i in probed)
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+    SELECT vec_id, embedding, [{scores}] AS cs
+    FROM embeddings WHERE vec_id <> 0
+), assigned AS (
+    SELECT vec_id, embedding,
+           LIST_POSITION(cs, LIST_MAX(cs)) - 1 AS centroid_id
+    FROM scored
+)
+SELECT vec_id,
+       ROUND(LIST_COSINE_SIMILARITY(embedding::DOUBLE[], qv), 6) AS cosine
+FROM assigned, q
+WHERE centroid_id IN ({probe_list})
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
 
 
 def q77_pq_recall_gate(spark, sf_dir):
@@ -6010,16 +6262,28 @@ QUERIES: dict[str, tuple] = {
     "q137_phash_dedup_gate": (q137_phash_dedup_gate, Q137_SQL),
     "q138_psi_drift": (q138_psi_drift, Q138_SQL),
     "q139_ks_drift": (q139_ks_drift, Q139_SQL),
-    # --- part (3) fill: the 8 queries whose driver row is oldest (r3)
+    # --- part (2) fill, r5 additions: the four converted rows-only ->
+    # --- oracle-backed queries (portable hash/index replay, never
+    # --- value-checked by ANY engine before) and the oldest of the
+    # --- gate oracles that grew recomputed truth sides this round
+    "q37_minhash_pairs": (q37_minhash_pairs, Q37_SQL),
+    "q38_simhash_pairs": (q38_simhash_pairs, Q38_SQL),
+    "q42_lsh_topk": (q42_lsh_topk, _q42_oracle_sql),
+    "q76_ivf_topk_serve": (q76_ivf_topk_serve, _q76_oracle_sql),
+    "q53_ivf_recall_gate": (q53_ivf_recall_gate, Q53_SQL),
+    "q69_minhash_recall_gate": (q69_minhash_recall_gate, Q69_SQL),
+    "q77_pq_recall_gate": (q77_pq_recall_gate, Q77_SQL),
+    "q83_ivfpq_recall_gate": (q83_ivfpq_recall_gate, Q83_SQL),
+    # ---------------- end of the 50-row driver window ----------------
+    # (q96 also grew teeth in r5 but was driver-green in r4; first in
+    # line after the window, locally verified tuned+vanilla meanwhile)
     "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),
     "q22_math_funcs": (q22_math_funcs, Q22_SQL),
     "q27_exact_dedup": (q27_exact_dedup, Q27_SQL),
     "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
-    "q53_ivf_recall_gate": (q53_ivf_recall_gate, Q53_SQL),
     "q58_salted_join": (q58_salted_join, Q58_SQL),
     "q59_pii_redaction": (q59_pii_redaction, Q59_SQL),
     "q60_hash_split": (q60_hash_split, Q60_SQL),
-    # ---------------- end of the 50-row driver window ----------------
     # --- rotated out: the full r4 window (all driver-green in r4),
     # --- re-verified locally every round; r3-era rows slot into r6
     "q74_pack_documents": (q74_pack_documents, Q74_SQL),
@@ -6080,7 +6344,6 @@ QUERIES: dict[str, tuple] = {
     "q66_stratified_sample": (q66_stratified_sample, _q66_oracle_sql),
     "q67_decontaminate": (q67_decontaminate, Q67_SQL),
     "q68_dedup_clusters": (q68_dedup_clusters, Q68_SQL),
-    "q69_minhash_recall_gate": (q69_minhash_recall_gate, Q69_SQL),
     "q70_lsh_probe_gate": (q70_lsh_probe_gate, Q70_SQL),
     "q71_audio_features": (q71_audio_features, Q71_SQL),
     "q72_stream_session_strict": (q72_stream_session_strict, Q72_SQL),
@@ -6089,24 +6352,12 @@ QUERIES: dict[str, tuple] = {
     # q41's oracle is built lazily (hashlib digests over the parquet
     # embedded as SQL constants) — see _q41_oracle_sql.
     "q41_crypto_hashes": (q41_crypto_hashes, _q41_oracle_sql),
-    # rows-only (not SQL-expressible in DuckDB: xxhash64-seeded
-    # sketches, LSH bucket probing — candidate sets depend on hash
-    # geometry, not relational algebra); correctness signal lives in
-    # the gate companions q69/q70/q53/q96
-    "q37_minhash_pairs": (q37_minhash_pairs, None),
-    "q38_simhash_pairs": (q38_simhash_pairs, None),
-    "q42_lsh_topk": (q42_lsh_topk, None),
     "q75_stream_sliding_2h": (q75_stream_sliding_2h, Q75_SQL),
-    # rows-only: IVF centroid geometry isn't SQL-expressible; recall is
-    # gated by q53 and the bench compares against DuckDB exact top-k
-    "q76_ivf_topk_serve": (q76_ivf_topk_serve, None),
-    "q77_pq_recall_gate": (q77_pq_recall_gate, Q77_SQL),
     "q78_char_entropy": (q78_char_entropy, Q78_SQL),
     "q79_segment_dedup": (q79_segment_dedup, Q79_SQL),
     "q80_csv_orc_roundtrip": (q80_csv_orc_roundtrip, Q80_SQL),
     "q81_hll_rollup_gate": (q81_hll_rollup_gate, Q81_SQL),
     "q82_kll_quantile_gate": (q82_kll_quantile_gate, Q82_SQL),
-    "q83_ivfpq_recall_gate": (q83_ivfpq_recall_gate, Q83_SQL),
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
     "q85_unigram_logprob": (q85_unigram_logprob, Q85_SQL),
     "q86_decontaminate_bloom": (q86_decontaminate_bloom, Q67_SQL),

@@ -1,0 +1,114 @@
+"""Tests for the engine-independent ("portable") hash modes added so
+q37/q38/q42/q76 could become oracle-checked: the portable variants must
+preserve each operator's semantic guarantees, and the Spark-side
+expressions must agree with the driver-side Python twins that the
+oracle builders embed as constants."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.operators.dedup import (
+    minhash_coeffs,
+    minhash_lsh_near_dups,
+    simhash_near_dups,
+)
+from catenae_stopover_spark.operators.similarity import (
+    assign_ivf_cells,
+    portable_hyperplanes,
+    portable_signature_expr,
+    portable_signature_py,
+    train_spherical_kmeans,
+)
+
+DOC = (
+    "the quick brown fox jumps over the lazy dog and then runs far "
+    "away into the deep dark woods tonight"
+)
+
+
+def test_portable_minhash_exact_replicas_est_one(spark):
+    rows = [(1, DOC), (2, DOC), (3, "completely different words here "
+                                    "that share nothing at all with it")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_lsh_near_dups(df, portable_hash=True).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_portable_minhash_coeffs_deterministic_and_bounded(spark):
+    a, b = minhash_coeffs(64)
+    a2, b2 = minhash_coeffs(64)
+    assert a == a2 and b == b2
+    p = 2**31 - 1
+    assert all(1 <= x < p for x in a)
+    assert all(0 <= x < p for x in b)
+
+
+def test_portable_simhash_identical_docs_distance_zero(spark):
+    rows = [(1, DOC), (2, DOC)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_near_dups(df, hamming_max=8, portable_hash=True).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in out] == [(1, 2, 0)]
+
+
+def test_portable_simhash_rejects_other_widths(spark):
+    df = spark.createDataFrame([(1, DOC)], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        simhash_near_dups(df, num_bits=32, portable_hash=True)
+
+
+def test_portable_signature_expr_matches_python(spark):
+    planes = portable_hyperplanes(6, 8)
+    vecs = [
+        [float(i + j * 0.37 - 2.0) for j in range(8)] for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.s
+        for r in df.select(
+            "vec_id", portable_signature_expr("embedding", planes).alias("s")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        assert got[i] == portable_signature_py(v, planes)
+
+
+def test_portable_hyperplanes_deterministic(spark):
+    assert portable_hyperplanes(4, 16) == portable_hyperplanes(4, 16)
+    w = portable_hyperplanes(2, 64)
+    assert all(-0.5 <= x < 0.5 for row in w for x in row)
+
+
+def test_assign_ivf_cells_argmax_and_tiebreak(spark):
+    # centroids along axes: vector closest to axis k -> cell k;
+    # an exact tie (equidistant) must pick the LOWEST centroid id
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    df = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.1, 0.9]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.centroid_id
+        for r in assign_ivf_cells(df, cents).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 0}
+
+
+def test_train_spherical_kmeans_deterministic_unit_norm(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    x = rng.normal(size=(200, 16))
+    c1 = train_spherical_kmeans(x, k=4, seed=42, iters=5)
+    c2 = train_spherical_kmeans(x, k=4, seed=42, iters=5)
+    assert c1 == c2  # bit-identical floats
+    for c in c1:
+        assert np.linalg.norm(c) == pytest.approx(1.0, abs=1e-9)
