@@ -235,6 +235,58 @@ def main() -> None:
         file=sys.stderr,
     )
 
+    # q6c: MinHash-LSH dedup on a REPLICA-HEAVY corpus (each doc + 39
+    # exact copies — the crawled-web shape at 40x replication, the
+    # regime the collapse_exact pre-collapse exists for). The TIMED
+    # workload is the collapsed run (the recommended default at this
+    # corpus shape); the uncollapsed run is measured ONCE as a
+    # reference and reported as q6c_plain_ref_sec/q6c_collapse_speedup
+    # OUTSIDE the headline total (it is the known-slow structural
+    # alternative, ~3.4x slower at this scale and growing with
+    # replication — SCALING.md). Pair-set parity of the two runs is
+    # asserted every round, untimed: a silent divergence fails loudly.
+    from catenae_stopover_spark.operators.dedup import minhash_lsh_near_dups
+
+    docs = _t(spark, SF_DIR, "documents").select("doc_id", "text")
+    replicated = docs
+    for r in range(1, 40):
+        replicated = replicated.unionByName(
+            docs.select(
+                (F.col("doc_id") + 1_000_000 * r).alias("doc_id"), "text"
+            )
+        )
+    replicated = replicated.localCheckpoint()  # exclude corpus build
+    plain = lambda: minhash_lsh_near_dups(replicated).select(  # noqa: E731
+        "id_a", "id_b", "est_jaccard"
+    )
+    coll = lambda: minhash_lsh_near_dups(  # noqa: E731
+        replicated, collapse_exact=True
+    ).select("id_a", "id_b", "est_jaccard")
+    diff = (
+        plain().exceptAll(coll()).unionByName(coll().exceptAll(plain())).count()
+    )
+    if diff != 0:
+        raise AssertionError(
+            f"q6c parity violated: {diff} pair rows differ between the "
+            "collapsed and plain MinHash runs"
+        )
+    best, n = best_of(lambda: coll().count(), min_reps=1)
+    timings["q6c_minhash_collapse"] = round(best, 4)
+    rows["q6c_minhash_collapse"] = n
+    t0 = time.perf_counter()
+    plain().count()
+    plain_sec = time.perf_counter() - t0
+    q6c_extras = {
+        "q6c_plain_ref_sec": round(plain_sec, 4),
+        "q6c_collapse_speedup": round(plain_sec / best, 2),
+    }
+    print(
+        f"# q6c_minhash_collapse: {best:.3f}s rows={n} "
+        f"(plain {plain_sec:.3f}s -> {plain_sec / best:.1f}x speedup, "
+        "identical pairs)",
+        file=sys.stderr,
+    )
+
     # best-of-N, N>=3 (r3 showed 329k->261k msgs/s round-over-round
     # variance on identical code): the first t1 run pays lingering
     # GC/session effects from the query sweep above. t1 times itself
@@ -273,6 +325,7 @@ def main() -> None:
                 "rows": rows,
                 "duckdb": duck,
                 "ratios": ratios,
+                **q6c_extras,
                 "t1_msgs_per_sec": round(T1_MESSAGES / t1_sec),
                 "config": {
                     "master": spark.sparkContext.master,
