@@ -47,6 +47,7 @@ def run_available_now(
     df: DataFrame,
     output_mode: str = "complete",
     timeout_s: int = 600,
+    progress_sink: list | None = None,
 ) -> DataFrame:
     """Drain a bounded stream to completion; return the sink contents.
 
@@ -54,6 +55,11 @@ def run_available_now(
     bounded replay the result equals the batch computation exactly —
     which is what makes streaming plans oracle-checkable. ``append``
     gives only watermark-closed windows (trailing windows withheld).
+
+    ``progress_sink``: pass a list to receive the query's progress
+    events (per-batch durations, input rows, state-store row counts)
+    after the drain — how tools/bench_streaming_stateful.py measures
+    throughput and state ceilings without touching the query plan.
     """
     name = f"ran_{uuid.uuid4().hex[:12]}"
     sess = df.sparkSession
@@ -74,6 +80,8 @@ def run_available_now(
         try:
             q.awaitTermination(timeout_s)
         finally:
+            if progress_sink is not None:
+                progress_sink.extend(q.recentProgress)
             if q.isActive:
                 q.stop()
     finally:

@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Measure the streaming stateful family (q106 incremental dedup, q125
+session-pattern match, q131 funnel) at a given SF dir: total harness
+wall, summed micro-batch processing time (splitting the replay
+scaffolding — chunk staging, file listing — from the state machine
+itself), per-batch input throughput, and peak state-store rows.
+
+Usage: python tools/bench_streaming_stateful.py [sf_dir]
+       (default /tmp/stress-x10 — build with tools/make_stress_data.py)
+
+Progress events come from StreamingQuery.recentProgress via the
+progress_sink hook in streaming.run_available_now, injected by
+monkeypatching the module attribute (the queries late-import it), so
+the measured plans are EXACTLY the registry queries.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stress-x10"
+
+QUERIES = (
+    "q106_stream_incremental_dedup",
+    "q125_stream_session_pattern",
+    "q131_stream_funnel",
+)
+
+
+def _as_dict(p):
+    if isinstance(p, dict):
+        return p
+    if hasattr(p, "json"):
+        return json.loads(p.json)
+    return json.loads(str(p))
+
+
+def main() -> None:
+    import catenae_stopover_spark.streaming as st
+    from catenae_stopover_spark import queries as Q
+    from catenae_stopover_spark.session import get_spark
+
+    spark = get_spark("stream-stateful-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    orig = st.run_available_now
+
+    for name in QUERIES:
+        sink: list = []
+
+        def patched(df, output_mode="complete", timeout_s=600,
+                    progress_sink=None, _s=sink):
+            return orig(df, output_mode=output_mode, timeout_s=timeout_s,
+                        progress_sink=_s)
+
+        st.run_available_now = patched
+        try:
+            t0 = time.perf_counter()
+            n_out = getattr(Q, name)(spark, SF).count()
+            wall = time.perf_counter() - t0
+        finally:
+            st.run_available_now = orig
+
+        progs = [_as_dict(p) for p in sink]
+        batches = [p for p in progs if p.get("numInputRows", 0) > 0]
+        rows_in = sum(p["numInputRows"] for p in batches)
+        proc_ms = sum(
+            p.get("durationMs", {}).get("triggerExecution", 0) for p in batches
+        )
+        peak_state = max(
+            (
+                sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
+                for p in progs
+            ),
+            default=0,
+        )
+        state_mem = max(
+            (
+                sum(op.get("memoryUsedBytes", 0) for op in p.get("stateOperators", []))
+                for p in progs
+            ),
+            default=0,
+        )
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "sf_dir": SF,
+                    "wall_sec": round(wall, 2),
+                    "batch_proc_sec": round(proc_ms / 1000, 2),
+                    "scaffold_sec": round(wall - proc_ms / 1000, 2),
+                    "n_batches": len(batches),
+                    "rows_in": rows_in,
+                    "rows_out": n_out,
+                    "rows_per_sec_processing": (
+                        round(rows_in / (proc_ms / 1000)) if proc_ms else None
+                    ),
+                    "peak_state_rows": peak_state,
+                    "peak_state_mb": round(state_mem / 1e6, 1),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()
