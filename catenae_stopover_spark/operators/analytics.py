@@ -272,6 +272,105 @@ def session_pattern_match(
     )
 
 
+def touch_attribution(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    conversion_type: str,
+    touch_types: list[str],
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Single-touch marketing attribution: for every conversion event,
+    credit the LAST and the FIRST touch event strictly before it (by
+    (ts, id) order) from the same user. Returns one row per conversion:
+    ``(user_col, conv_id, conv_ts, last_touch_type, last_touch_ms,
+    first_touch_type, first_touch_ms)`` — NULLs when no touch precedes.
+
+    Both window aggregates share one (user)-partitioning, so the whole
+    attribution is a single shuffle at any scale. The touch is encoded
+    as a zero-padded ``epoch_ms:id:type`` string so that MIN/MAX are
+    chronological — an ENGINE-INDEPENDENT ordering trick (struct
+    min/max is not portable SQL), which is what lets q142's oracle
+    replay it verbatim.
+    """
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col).isin(touch_types),
+        F.concat_ws(
+            ":",
+            F.lpad(F.unix_millis(F.col(ts_col)).cast("string"), 13, "0"),
+            F.lpad(F.col(id_col).cast("string"), 12, "0"),
+            F.col(type_col),
+        ),
+    )
+    parse_ms = lambda c: F.split(c, ":")[0].cast("long")  # noqa: E731
+    parse_type = lambda c: F.split(c, ":")[2]  # noqa: E731
+    out = (
+        events.withColumn("__last", F.max(touch).over(w))
+        .withColumn("__first", F.min(touch).over(w))
+        .filter(F.col(type_col) == conversion_type)
+    )
+    return out.select(
+        F.col(user_col),
+        F.col(id_col).alias("conv_id"),
+        F.col(ts_col).alias("conv_ts"),
+        parse_type(F.col("__last")).alias("last_touch_type"),
+        parse_ms(F.col("__last")).alias("last_touch_ms"),
+        parse_type(F.col("__first")).alias("first_touch_type"),
+        parse_ms(F.col("__first")).alias("first_touch_ms"),
+    )
+
+
+def quality_ensemble(
+    df: DataFrame,
+    signals: dict[str, "Column"],
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    std_floor: float = 1e-9,
+) -> DataFrame:
+    """Blend multiple per-document quality signals into one score:
+    z-normalize each signal against the corpus (mean/stddev from ONE
+    global 1-row aggregate — deliberately NOT percent_rank, which
+    would need a global sort: the classic single-partition window
+    cliff), weighted-sum the z-scores, band on fixed z thresholds.
+    Returns ``(id_col, <signals...>, quality_score, quality_band)``.
+
+    ``std_floor`` guards constant signals (stddev of a constant column
+    is FP dust ~1e-16, not 0 — see the q123 finding in SCALING.md);
+    a floored signal contributes ~0 to every document equally.
+    """
+    sig = df.select(
+        F.col(id_col), *[c.alias(name) for name, c in signals.items()]
+    )
+    stats = sig.agg(
+        *[F.avg(name).alias(f"__m_{name}") for name in signals],
+        *[F.stddev(name).alias(f"__s_{name}") for name in signals],
+    )
+    # 1-row stats frame broadcast back (documented 1-row crossJoin)
+    blended = sig.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    for name in signals:
+        z = (F.col(name) - F.col(f"__m_{name}")) / F.greatest(
+            F.col(f"__s_{name}"), F.lit(std_floor)
+        )
+        score = score + F.lit(weights.get(name, 0.0)) * z
+    score = F.round(score, 6)
+    return blended.select(
+        id_col,
+        *signals,
+        score.alias("quality_score"),
+        F.when(score < -0.5, "low")
+        .when(score < 0.5, "mid")
+        .otherwise("high")
+        .alias("quality_band"),
+    )
+
+
 def ks_statistic(
     a: DataFrame,
     b: DataFrame,

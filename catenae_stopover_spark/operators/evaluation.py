@@ -1,0 +1,87 @@
+"""Retrieval-quality evaluation metrics (recall@k, MRR, nDCG@k) over
+ranked-result tables — the measuring stick for every ANN/serving
+operator in operators/similarity.py and quantization.py: an index
+build is only done when its ranking quality is a number.
+
+The reference engine (/root/reference/src/catenae/catenae.py) exposes
+only a message loop; this module is part of the analytical gap-fill
+surface mandated by SURVEY.md §2 Part B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    truth: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rank_col: str = "rank",
+    grade_col: str = "grade",
+    k: int = 10,
+) -> DataFrame:
+    """Per-query ranking metrics from a ranked candidate table
+    (``query, id, rank`` — 1-based, as produced by the serving
+    operators) against a graded relevance table (``query, id,
+    grade > 0``). Returns one row per query:
+    ``(query_col, n_rel, recall_at_k, mrr, ndcg_at_k)`` — 0.0 (not
+    NULL) when nothing relevant was retrieved.
+
+    Definitions (Järvelin–Kekäläinen): DCG@k = Σ (2^grade − 1) /
+    log2(rank + 1) over retrieved relevant docs at rank ≤ k; IDCG@k is
+    the same sum over the query's truth docs ordered by grade
+    descending; MRR = 1 / rank of the first relevant retrieved doc;
+    recall@k = |retrieved@k ∩ relevant| / |relevant|.
+
+    Plan: every aggregate keys on the query id — one shuffle for the
+    join (rank table ⨝ truth on (query, id)), one for the per-query
+    aggregate, one tiny IDCG aggregate over the truth table joined
+    back by query (truth is queries×grades-sized, ≪ corpus). Left
+    joins keep queries with zero hits in the output. No windows over
+    the corpus, no driver-side sets.
+    """
+    r = ranked.filter(F.col(rank_col) <= k).select(
+        F.col(query_col), F.col(id_col), F.col(rank_col)
+    )
+    t = truth.select(F.col(query_col), F.col(id_col), F.col(grade_col))
+    hits = r.join(t, [query_col, id_col])
+    per_q = hits.groupBy(query_col).agg(
+        F.count("*").alias("__n_hit"),
+        F.sum(
+            (F.pow(F.lit(2.0), F.col(grade_col)) - 1)
+            / F.log2(F.col(rank_col) + 1)
+        ).alias("__dcg"),
+        (1.0 / F.min(rank_col)).alias("mrr"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col(grade_col).desc(), id_col
+    )
+    ideal = (
+        t.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(query_col)
+        .agg(
+            F.count("*").alias("n_rel"),
+            F.sum(
+                (F.pow(F.lit(2.0), F.col(grade_col)) - 1)
+                / F.log2(F.col("__rn") + 1)
+            ).alias("__idcg"),
+        )
+    )
+    return (
+        ideal.join(per_q, query_col, "left")
+        .select(
+            query_col,
+            "n_rel",
+            F.round(
+                F.coalesce(F.col("__n_hit"), F.lit(0)) / F.col("n_rel"), 6
+            ).alias("recall_at_k"),
+            F.round(F.coalesce(F.col("mrr"), F.lit(0.0)), 6).alias("mrr"),
+            F.round(
+                F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.col("__idcg"), 6
+            ).alias("ndcg_at_k"),
+        )
+    )

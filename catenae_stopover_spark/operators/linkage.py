@@ -1,0 +1,67 @@
+"""Record-linkage / entity-resolution operators: blocked candidate
+generation + edit-distance verification — the warehouse "dirty
+duplicates" problem (same entity, slightly different spelling) that
+exact dedup (B49) cannot see and MinHash (B50) over-kills for short
+strings.
+
+The reference engine (/root/reference/src/catenae/catenae.py) exposes
+only a message loop; this module is part of the analytical gap-fill
+surface mandated by SURVEY.md §2 Part B.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..plans.partitioning import ensure_min_parallelism
+
+
+def blocked_edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    max_dist: int = 1,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Self-linkage pairs: candidates from an equi-join on
+    ``block_cols`` (the standard blocking strategy — NEVER all-pairs),
+    verified with ``levenshtein(a, b) <= max_dist``. Returns
+    ``(id_a, id_b, dist)`` with id_a < id_b.
+
+    Scale: block keys shuffle once; a block of k rows costs k(k-1)/2
+    verifications, so blocking quality IS the cost model — pass
+    ``max_block`` to drop degenerate blocks from candidate generation
+    (the same quadratic-blowup valve as MinHash ``max_bucket``; pairs
+    inside a dropped block are missed, which is the documented
+    blocking trade-off). The levenshtein verify runs JVM-side in the
+    join's codegen stage — no Python per pair.
+    """
+    sel = ensure_min_parallelism(df).select(
+        F.col(id_col), F.col(text_col).alias("__t"), *[F.col(c) for c in block_cols]
+    )
+    if max_block is not None:
+        from pyspark.sql import Window
+
+        sel = (
+            sel.withColumn(
+                "__sz", F.count("*").over(Window.partitionBy(*block_cols))
+            )
+            .filter(F.col("__sz") <= max_block)
+            .drop("__sz")
+        )
+    a = sel.alias("a")
+    b = sel.alias("b")
+    on = (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    for c in block_cols:
+        on = on & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, on)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.levenshtein(F.col("a.__t"), F.col("b.__t")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

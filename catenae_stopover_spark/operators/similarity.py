@@ -489,6 +489,48 @@ def lsh_bucketed_topk(
     )
 
 
+def truncated_prefilter_topk(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    trunc_dim: int = 16,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage matryoshka-style serving: stage 1 ranks the corpus by
+    cosine over only the FIRST ``trunc_dim`` components (MRL-trained
+    embeddings put the information head-first; at rest the truncated
+    prefix is stored as its own narrow column, so stage 1 reads
+    trunc_dim/dim of the bytes — here it is a slice of the same
+    column) and keeps a ``shortlist``; stage 2 exactly rescoring the
+    shortlist at full dimension. Returns the exact-over-shortlist
+    (id, cosine) top-k.
+
+    Scale: stage 1 is the brute-force scan shape at 1/4 the flops and
+    (with a stored prefix column) 1/4 the bytes; stage 2 touches only
+    ``shortlist`` rows. Both stages are distributed TakeOrdered — no
+    full-score shuffle. Deterministic ties (cosine desc, id), and the
+    whole plan is plain relational algebra + dot products, so an
+    independent engine replays it exactly (q146's oracle does).
+    """
+    tvec = [float(x) for x in query_vec[:trunc_dim]]
+    tcol = F.slice(F.col(vec_col), 1, trunc_dim)
+    short = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col),
+            cosine_similarity(tcol, _as_vec_lit(tvec)).alias("__tc"),
+        )
+        .orderBy(F.col("__tc").desc(), id_col)
+        .limit(shortlist)
+        .select(id_col)
+    )
+    return brute_force_topk(
+        df.join(short, id_col), query_vec, k=k, vec_col=vec_col, id_col=id_col
+    )
+
+
 def train_spherical_kmeans(x, k: int, seed: int = 42, iters: int = 8):
     """Seeded numpy Lloyd's on the unit sphere over an in-memory SAMPLE
     matrix — the FAISS-style IVF coarse-quantizer build (ANN indexes

@@ -944,6 +944,107 @@ def mix_corpus(
     )
 
 
+def mix_corpus_temperature(
+    df: DataFrame,
+    by: str = "lang",
+    temperature: float = 2.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_mod: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing (the multilingual-training
+    standard): target share of class c ∝ share_c^(1/T) renormalized —
+    T=1 keeps natural proportions, T→∞ approaches the uniform mixture
+    of :func:`mix_corpus`, intermediate T upweights tail classes
+    without flattening the head entirely.
+
+    Rates are feasibility-scaled exactly like :func:`mix_corpus`
+    (largest achievable corpus where every class fills its target
+    share; the binding class keeps rate 1.0). Selection is the
+    engine-independent sha2 bucket, so the sample is reproducible
+    across runs and engines. Same scale shape: one N-row aggregate
+    broadcast back, map-side filter, zero extra shuffles. Returns the
+    SELECTED docs as (id_col, by, n_tokens, rate).
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    base = df.select(
+        F.col(id_col), F.col(by), token_count(text_col).alias("n_tokens")
+    )
+    per = base.groupBy(by).agg(F.sum("n_tokens").alias("__tok"))
+    w = Window.partitionBy()
+    alpha = 1.0 / temperature
+    rates = (
+        per.withColumn("__total", F.sum("__tok").over(w))
+        .withColumn(
+            "__w", F.pow(F.col("__tok") / F.col("__total"), F.lit(alpha))
+        )
+        .withColumn("__share", F.col("__w") / F.sum("__w").over(w))
+        .withColumn("__T", F.min(F.col("__tok") / F.col("__share")).over(w))
+        .withColumn("rate", F.col("__share") * F.col("__T") / F.col("__tok"))
+        .select(by, "rate")
+    )
+    return (
+        base.join(rates, by)
+        .filter(
+            _hash_bucket(id_col, bucket_mod)
+            < F.col("rate") * F.lit(bucket_mod)
+        )
+        .select(id_col, by, "n_tokens", "rate")
+    )
+
+
+def contamination_score(
+    eval_df: DataFrame,
+    train_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document contamination metric: the fraction of an EVAL
+    document's distinct word n-grams that appear anywhere in the TRAIN
+    corpus — the standard train/test overlap score (decontamination's
+    measuring stick; q67/q86 DELETE by it, this REPORTS it). Returns
+    ``(id_col, n_grams, n_hit, contamination)``.
+
+    Plan: eval side explodes to (doc, gram); the train side is reduced
+    to DISTINCT grams before the join (one shuffle each, the join is
+    gram-keyed). The left join + conditional count keeps zero-overlap
+    docs in the output with score 0. At 100 TB the exact distinct-gram
+    table is the expensive side — the deployed variant swaps it for
+    the broadcast Bloom filter of q86 (`decontaminate_bloom`), trading
+    a bounded false-positive rate for the shuffle; this exact form is
+    the verifier.
+    """
+    from ..operators.dedup import _shingles
+    from ..plans.partitioning import ensure_min_parallelism
+
+    ev = ensure_min_parallelism(eval_df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingles(text_col, n))).alias("gram"),
+    )
+    tr = (
+        ensure_min_parallelism(train_df)
+        .select(F.explode(F.array_distinct(_shingles(text_col, n))).alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        ev.join(tr, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hit"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_grams"), 6).alias("contamination"),
+        )
+    )
+
+
 def cap_per_class(
     df: DataFrame,
     by: str = "source",

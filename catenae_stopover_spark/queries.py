@@ -6200,6 +6200,392 @@ WITH toks AS (
 Q136_SQL = _build_q136_sql()
 
 
+def q140_retrieval_eval(spark, sf_dir):
+    """Retrieval-quality evaluation (new r5,
+    `operators/evaluation.retrieval_metrics`): per-query recall@10,
+    MRR, and nDCG@10 of the PORTABLE IVF index's batch serve
+    (n_probe=4 of 8 cells) against exact-cosine ground truth (each
+    query's true top-3, graded 3/2/1) for 50 query vectors — the ANN
+    quality scorecard as a distributed query. Truth comes from the
+    same batch machinery probing ALL cells (n_probe=C is exact by
+    construction). The oracle replays centroid assignment, probing,
+    ranking, and the metric formulas in SQL from the deterministic
+    centroid literals."""
+    from .operators.evaluation import retrieval_metrics
+    from .operators.similarity import ivf_topk_batch
+
+    assigned, centroids = ensure_ivf_index(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    qset = e.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 50)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    ranked = ivf_topk_batch(
+        assigned, centroids, qset, k=10, n_probe=4
+    ).withColumn("rank", F.row_number().over(wq))
+    truth = (
+        ivf_topk_batch(assigned, centroids, qset, k=3, n_probe=len(centroids))
+        .withColumn("rank", F.row_number().over(wq))
+        .select("query_id", "vec_id", (4 - F.col("rank")).alias("grade"))
+    )
+    return retrieval_metrics(ranked, truth, k=10)
+
+
+def _q140_oracle_sql():
+    """Built lazily (q41/q76 pattern): centroid literals from the
+    deterministic portable training, then assignment + probe + rank +
+    metric formulas in pure SQL."""
+    sf_dir = os.environ.get("CSSPARK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = _portable_ivf_centroids(sf_dir)
+    cent_rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cents)
+    )
+    scores = ", ".join(
+        f"LIST_COSINE_SIMILARITY(v, [{', '.join(repr(x) for x in c)}]::DOUBLE[])"
+        for c in cents
+    )
+    return f"""
+WITH cent(cid, c) AS (VALUES {cent_rows}),
+base AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id <> 0
+), q AS (
+    SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id BETWEEN 1 AND 50
+), scored AS (
+    SELECT vec_id, v, [{scores}] AS cs FROM base
+), assigned AS (
+    SELECT vec_id, v, LIST_POSITION(cs, LIST_MAX(cs)) - 1 AS cell FROM scored
+), probes AS (
+    SELECT query_id, qv, cid,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY LIST_COSINE_SIMILARITY(qv, c) DESC, cid) AS prn
+    FROM q, cent
+), probed AS (
+    SELECT query_id, qv, cid FROM probes WHERE prn <= 4
+), cand AS (
+    SELECT p.query_id, a.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+               ORDER BY LIST_COSINE_SIMILARITY(a.v, p.qv) DESC, a.vec_id)
+               AS rank
+    FROM probed p JOIN assigned a ON a.cell = p.cid
+), truth AS (
+    SELECT query_id, vec_id, 4 - rn AS grade FROM (
+        SELECT q.query_id, b.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                   ORDER BY LIST_COSINE_SIMILARITY(b.v, q.qv) DESC, b.vec_id)
+                   AS rn
+        FROM q, base b
+    ) WHERE rn <= 3
+), hits AS (
+    SELECT c.query_id, c.rank, t.grade
+    FROM cand c JOIN truth t USING (query_id, vec_id)
+    WHERE c.rank <= 10
+), perq AS (
+    SELECT query_id, COUNT(*) AS n_hit,
+           SUM((POWER(2, grade) - 1) / LOG2(rank + 1)) AS dcg,
+           1.0 / MIN(rank) AS mrr
+    FROM hits GROUP BY query_id
+), ideal AS (
+    SELECT query_id, COUNT(*)::BIGINT AS n_rel,
+           SUM((POWER(2, grade) - 1) / LOG2(rn2 + 1)) AS idcg
+    FROM (
+        SELECT query_id, vec_id, grade,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY grade DESC, vec_id) AS rn2
+        FROM truth
+    ) GROUP BY query_id
+)
+SELECT i.query_id, i.n_rel,
+       ROUND(COALESCE(p.n_hit, 0) * 1.0 / i.n_rel, 6) AS recall_at_k,
+       ROUND(COALESCE(p.mrr, 0.0), 6) AS mrr,
+       ROUND(COALESCE(p.dcg, 0.0) / i.idcg, 6) AS ndcg_at_k
+FROM ideal i LEFT JOIN perq p USING (query_id)
+"""
+
+
+def q141_entity_linkage(spark, sf_dir):
+    """Record linkage (new r5,
+    `operators/linkage.blocked_edit_distance_pairs`): dirty-duplicate
+    candidate pairs over customer names — equi-join blocking on the
+    nation key (never all-pairs), JVM-side levenshtein verify at
+    distance <= 1. The oracle recomputes the identical blocked join +
+    edit distance (both engines implement standard Levenshtein)."""
+    from .operators.linkage import blocked_edit_distance_pairs
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    out = blocked_edit_distance_pairs(
+        c, "c_custkey", "c_name", ["c_nationkey"], max_dist=1
+    )
+    return out.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
+Q141_SQL = """
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       CAST(LEVENSHTEIN(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE LEVENSHTEIN(a.c_name, b.c_name) <= 1
+"""
+
+
+def q142_touch_attribution(spark, sf_dir):
+    """Marketing attribution (new r5,
+    `operators/analytics.touch_attribution`): for every purchase, the
+    LAST and FIRST view/click strictly before it per user — both
+    window aggregates share one (user)-partitioning, so attribution is
+    a single shuffle. The chronological MIN/MAX ride on a zero-padded
+    epoch_ms:id:type string (engine-portable ordering), which the
+    oracle replays verbatim."""
+    from .operators.analytics import touch_attribution
+
+    ev = _t(spark, sf_dir, "events")
+    return touch_attribution(
+        ev, "user_id", "ts", "event_type", "purchase", ["view", "click"]
+    )
+
+
+Q142_SQL = """
+WITH t AS (
+    SELECT user_id, event_id, ts, event_type,
+           MAX(CASE WHEN event_type IN ('view', 'click') THEN
+               LPAD(EPOCH_MS(ts)::VARCHAR, 13, '0') || ':' ||
+               LPAD(event_id::VARCHAR, 12, '0') || ':' || event_type
+           END) OVER w AS last_t,
+           MIN(CASE WHEN event_type IN ('view', 'click') THEN
+               LPAD(EPOCH_MS(ts)::VARCHAR, 13, '0') || ':' ||
+               LPAD(event_id::VARCHAR, 12, '0') || ':' || event_type
+           END) OVER w AS first_t
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS conv_id, ts AS conv_ts,
+       STR_SPLIT(last_t, ':')[3] AS last_touch_type,
+       STR_SPLIT(last_t, ':')[1]::BIGINT AS last_touch_ms,
+       STR_SPLIT(first_t, ':')[3] AS first_touch_type,
+       STR_SPLIT(first_t, ':')[1]::BIGINT AS first_touch_ms
+FROM t WHERE event_type = 'purchase'
+"""
+
+
+def q143_quality_ensemble(spark, sf_dir):
+    """Quality-signal ensembling (new r5,
+    `operators/analytics.quality_ensemble`): z-normalize three cheap
+    text signals against the corpus (ONE 1-row aggregate — not
+    percent_rank, which would be a global-sort cliff), blend with
+    fixed weights, band on z thresholds. The std_floor guard keeps
+    constant signals from dividing by FP dust. Full oracle: DuckDB
+    recomputes signals, moments, z-blend, and bands."""
+    from .operators.analytics import quality_ensemble
+    from .operators.text import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    # pattern as a COLUMN literal, never through the SQL parser (which
+    # eats \f/\x0B — the token_count rule; see the r5 q143 escape)
+    words = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[^ \t\n\x0B\f\r]+"), F.lit(0)
+    )
+    nw = F.greatest(F.size(words), F.lit(1))
+    signals = {
+        "n_tokens": token_count("text").cast("double"),
+        "distinct_ratio": F.size(F.array_distinct(words)) / nw,
+        "mean_wlen": F.aggregate(
+            words,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc + F.length(w),
+        )
+        / nw,
+    }
+    out = quality_ensemble(
+        d,
+        signals,
+        weights={"n_tokens": 0.4, "distinct_ratio": 0.4, "mean_wlen": 0.2},
+    )
+    return out.select(
+        "doc_id",
+        F.round("n_tokens", 6).alias("n_tokens"),
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("mean_wlen", 6).alias("mean_wlen"),
+        "quality_score",
+        "quality_band",
+    )
+
+
+Q143_SQL = r"""
+WITH sig AS (
+    SELECT doc_id,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')) * 1.0
+               AS n_tokens,
+           LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')))
+               * 1.0
+               / GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')),
+                          1) AS distinct_ratio,
+           LIST_SUM(LIST_TRANSFORM(
+               REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+'),
+               w -> LENGTH(w))) * 1.0
+               / GREATEST(LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')),
+                          1) AS mean_wlen
+    FROM documents
+), stats AS (
+    SELECT AVG(n_tokens) AS m1, STDDEV(n_tokens) AS s1,
+           AVG(distinct_ratio) AS m2, STDDEV(distinct_ratio) AS s2,
+           AVG(mean_wlen) AS m3, STDDEV(mean_wlen) AS s3
+    FROM sig
+), scored AS (
+    SELECT doc_id, n_tokens, distinct_ratio, mean_wlen,
+           ROUND(0.4 * (n_tokens - m1) / GREATEST(s1, 1e-9)
+               + 0.4 * (distinct_ratio - m2) / GREATEST(s2, 1e-9)
+               + 0.2 * (mean_wlen - m3) / GREATEST(s3, 1e-9), 6)
+               AS quality_score
+    FROM sig, stats
+)
+SELECT doc_id, ROUND(n_tokens, 6) AS n_tokens,
+       ROUND(distinct_ratio, 6) AS distinct_ratio,
+       ROUND(mean_wlen, 6) AS mean_wlen,
+       quality_score,
+       CASE WHEN quality_score < -0.5 THEN 'low'
+            WHEN quality_score < 0.5 THEN 'mid'
+            ELSE 'high' END AS quality_band
+FROM scored
+"""
+
+
+def q144_temperature_mixture(spark, sf_dir):
+    """Temperature-scaled corpus mixture (new r5,
+    `operators/text.mix_corpus_temperature`): q105's uniform mixture
+    generalized to share^(1/T) targets (T=2 here — the multilingual
+    upsampling standard), feasibility-scaled so the binding class
+    keeps rate 1.0; doc selection stays the engine-independent sha2
+    bucket. DuckDB recomputes the power-law shares, rates, and the
+    identical sample."""
+    from .operators.text import mix_corpus_temperature
+
+    sel = mix_corpus_temperature(
+        _t(spark, sf_dir, "documents"), by="lang", temperature=2.0
+    )
+    return sel.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_kept"),
+        F.round(F.max("rate"), 6).alias("rate"),
+    )
+
+
+Q144_SQL = r"""
+WITH base AS (
+    SELECT doc_id, lang,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+'))::BIGINT
+               AS n_tokens
+    FROM documents
+), per AS (
+    SELECT lang, SUM(n_tokens)::BIGINT AS tok FROM base GROUP BY lang
+), wts AS (
+    SELECT lang, tok,
+           POWER(tok * 1.0 / SUM(tok) OVER (), 0.5) AS w
+    FROM per
+), shares AS (
+    SELECT lang, tok, w / SUM(w) OVER () AS share FROM wts
+), rates AS (
+    SELECT lang, share * MIN(tok / share) OVER () / tok AS rate
+    FROM shares
+), sel AS (
+    SELECT b.doc_id, b.lang, b.n_tokens, r.rate
+    FROM base b JOIN rates r USING (lang)
+    WHERE ('0x' || SUBSTR(SHA256(CAST(b.doc_id AS VARCHAR)), 1, 8))::BIGINT
+          % 1000000 < r.rate * 1000000
+)
+SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens)::BIGINT AS tokens_kept,
+       ROUND(MAX(rate), 6) AS rate
+FROM sel GROUP BY lang
+"""
+
+
+def q145_contamination_score(spark, sf_dir):
+    """Train/eval contamination metric (new r5,
+    `operators/text.contamination_score`): fraction of each EVAL
+    document's distinct 8-grams present anywhere in the TRAIN corpus —
+    decontamination's measuring stick (q67/q86 delete by it, this
+    reports it). The fixture has no natural cross-split overlap, so
+    the query plants copies of every third eval doc in the train side
+    (ids +80000): planted docs must score 1.0, the rest ~0. Full
+    oracle recompute."""
+    from .operators.text import contamination_score
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.filter(F.col("doc_id") % 10 == 3)
+    tr = d.filter(F.col("doc_id") % 10 != 3).unionByName(
+        ev.filter(F.col("doc_id") % 30 == 3).select(
+            (F.col("doc_id") + 80000).alias("doc_id"), "text"
+        )
+    )
+    return contamination_score(ev, tr, n=8)
+
+
+Q145_SQL = r"""
+WITH d AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                           i -> i <= LEN(w) - 8 + 1),
+               i -> ARRAY_TO_STRING(w[i:i+7], ' '))) AS g
+    FROM d
+), ev AS (
+    SELECT doc_id, UNNEST(g) AS gram FROM grams
+    WHERE doc_id % 10 = 3 AND LEN(g) > 0
+), tr AS (
+    SELECT DISTINCT UNNEST(g) AS gram FROM grams
+    WHERE doc_id % 10 <> 3 OR doc_id % 30 = 3
+)
+SELECT e.doc_id, COUNT(*) AS n_grams,
+       COUNT(t.gram) AS n_hit,
+       ROUND(COUNT(t.gram) * 1.0 / COUNT(*), 6) AS contamination
+FROM ev e LEFT JOIN tr t ON e.gram = t.gram
+GROUP BY e.doc_id
+"""
+
+
+def q146_truncated_prefilter_topk(spark, sf_dir):
+    """Matryoshka-style two-stage ANN (new r5,
+    `operators/similarity.truncated_prefilter_topk`): stage 1 ranks by
+    cosine over the first 16 of 64 components (1/4 the flops, and 1/4
+    the bytes when the prefix is stored as its own column) and keeps a
+    50-vector shortlist; stage 2 exactly rescoreds the shortlist at
+    full dimension. Fully relational, so DuckDB replays both stages
+    exactly."""
+    from .operators.similarity import truncated_prefilter_topk
+
+    qvec = _query_vec(sf_dir)
+    e = _t(spark, sf_dir, "embeddings")
+    return truncated_prefilter_topk(
+        e.filter(F.col("vec_id") != 0), qvec, k=10, trunc_dim=16, shortlist=50
+    )
+
+
+Q146_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s1 AS (
+    SELECT vec_id, embedding
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY LIST_COSINE_SIMILARITY(embedding[1:16]::DOUBLE[], qv[1:16])
+             DESC, vec_id
+    LIMIT 50
+)
+SELECT vec_id,
+       ROUND(LIST_COSINE_SIMILARITY(embedding::DOUBLE[], qv), 6) AS cosine
+FROM s1, q
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -6371,6 +6757,19 @@ QUERIES: dict[str, tuple] = {
     "q94_pagerank_dedup_graph": (q94_pagerank_dedup_graph, Q94_SQL),
     # streaming execution of the range join — same oracle as q88
     "q95_stream_range_join": (q95_stream_range_join, Q88_SQL),
+    # --- new in r5 past the window (the window is exactly full):
+    # --- first in line for the r6 rotation, locally oracle-verified
+    # --- (tuned + vanilla) meanwhile
+    "q140_retrieval_eval": (q140_retrieval_eval, _q140_oracle_sql),
+    "q141_entity_linkage": (q141_entity_linkage, Q141_SQL),
+    "q142_touch_attribution": (q142_touch_attribution, Q142_SQL),
+    "q143_quality_ensemble": (q143_quality_ensemble, Q143_SQL),
+    "q144_temperature_mixture": (q144_temperature_mixture, Q144_SQL),
+    "q145_contamination_score": (q145_contamination_score, Q145_SQL),
+    "q146_truncated_prefilter_topk": (
+        q146_truncated_prefilter_topk,
+        Q146_SQL,
+    ),
 }
 
 

@@ -1,0 +1,308 @@
+"""Unit tests for the r5 operator additions: record linkage, touch
+attribution, quality ensembling, temperature mixture, contamination
+scoring, truncated-prefilter ANN, and retrieval metrics — hand-sized
+fixtures with known answers."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.operators.analytics import (
+    quality_ensemble,
+    touch_attribution,
+)
+from catenae_stopover_spark.operators.evaluation import retrieval_metrics
+from catenae_stopover_spark.operators.linkage import (
+    blocked_edit_distance_pairs,
+)
+from catenae_stopover_spark.operators.similarity import (
+    brute_force_topk,
+    truncated_prefilter_topk,
+)
+from catenae_stopover_spark.operators.text import (
+    contamination_score,
+    mix_corpus_temperature,
+)
+
+
+def _ts(h, m=0):
+    return dt.datetime(2024, 3, 1, h, m)
+
+
+# --------------------------------------------------------------------
+# linkage
+# --------------------------------------------------------------------
+
+def test_blocked_edit_distance_finds_typos_within_block(spark):
+    rows = [
+        (1, "alice smith", "US"),
+        (2, "alice smyth", "US"),   # dist 1, same block
+        (3, "alice smith", "DE"),   # identical but other block: missed
+        (4, "robert jones", "US"),  # far away
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, country string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in blocked_edit_distance_pairs(
+            df, "id", "name", ["country"], max_dist=1
+        ).collect()
+    }
+    assert got == {(1, 2): 1}
+
+
+def test_blocked_edit_distance_max_block_valve(spark):
+    rows = [(i, "same name", "US") for i in range(10)] + [
+        (100, "tiny", "DE"),
+        (101, "tony", "DE"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, country string")
+    got = blocked_edit_distance_pairs(
+        df, "id", "name", ["country"], max_dist=1, max_block=5
+    ).collect()
+    # the 10-row US block is dropped; the 2-row DE block survives
+    assert {(r.id_a, r.id_b) for r in got} == {(100, 101)}
+
+
+# --------------------------------------------------------------------
+# attribution
+# --------------------------------------------------------------------
+
+def test_touch_attribution_first_and_last(spark):
+    rows = [
+        (1, 10, _ts(9), "view"),
+        (1, 11, _ts(10), "click"),
+        (1, 12, _ts(11), "purchase"),
+        (1, 13, _ts(12), "purchase"),  # same touches apply
+        (2, 20, _ts(9), "purchase"),   # no touch before -> NULLs
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = {
+        r.conv_id: r
+        for r in touch_attribution(
+            df, "user_id", "ts", "event_type", "purchase", ["view", "click"]
+        ).collect()
+    }
+    assert got[12].last_touch_type == "click"
+    assert got[12].first_touch_type == "view"
+    assert got[13].last_touch_type == "click"
+    assert got[20].last_touch_type is None
+    assert got[20].first_touch_ms is None
+
+
+def test_touch_attribution_conversion_is_not_its_own_touch(spark):
+    # conversion at the same ts as a touch: strictly-before via (ts, id)
+    rows = [
+        (1, 10, _ts(9), "view"),
+        (1, 11, _ts(9), "purchase"),  # same ts, higher id -> view counts
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = touch_attribution(
+        df, "user_id", "ts", "event_type", "purchase", ["view"]
+    ).collect()
+    assert got[0].last_touch_type == "view"
+
+
+# --------------------------------------------------------------------
+# quality ensemble
+# --------------------------------------------------------------------
+
+def test_quality_ensemble_zscore_blend(spark):
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "doc_id long, v double"
+    )
+    out = {
+        r.doc_id: r
+        for r in quality_ensemble(
+            df, {"v": F.col("v")}, {"v": 1.0}
+        ).collect()
+    }
+    # sample stddev of 1,2,3 = 1; z = -1, 0, 1
+    assert out[1].quality_score == pytest.approx(-1.0)
+    assert out[2].quality_score == pytest.approx(0.0)
+    assert out[3].quality_score == pytest.approx(1.0)
+    assert out[1].quality_band == "low"
+    assert out[2].quality_band == "mid"
+    assert out[3].quality_band == "high"
+
+
+def test_quality_ensemble_constant_signal_std_floor(spark):
+    df = spark.createDataFrame(
+        [(i, 7.0) for i in range(50)], "doc_id long, v double"
+    )
+    out = quality_ensemble(df, {"v": F.col("v")}, {"v": 1.0}).collect()
+    # constant signal: stddev is FP dust; the floor keeps z ~ 0, not 1e10
+    assert all(abs(r.quality_score) < 1e-3 for r in out)
+    assert all(r.quality_band == "mid" for r in out)
+
+
+# --------------------------------------------------------------------
+# temperature mixture
+# --------------------------------------------------------------------
+
+def _mix_fixture(spark):
+    rows = []
+    for i in range(90):
+        rows.append((i, "en", "w " * 10))
+    for i in range(90, 100):
+        rows.append((i, "de", "w " * 10))
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def test_temperature_one_keeps_natural_shares(spark):
+    df = _mix_fixture(spark)
+    rates = {
+        r.lang: r.rate
+        for r in mix_corpus_temperature(df, temperature=1.0)
+        .select("lang", "rate")
+        .distinct()
+        .collect()
+    }
+    # T=1: target share == natural share -> every class keeps rate 1.0
+    assert rates["en"] == pytest.approx(1.0)
+    assert rates["de"] == pytest.approx(1.0)
+
+
+def test_temperature_upweights_tail(spark):
+    df = _mix_fixture(spark)
+    rates = {
+        r.lang: r.rate
+        for r in mix_corpus_temperature(df, temperature=2.0)
+        .select("lang", "rate")
+        .distinct()
+        .collect()
+    }
+    # T=2: tail class (de) binds at rate 1.0, the head is downsampled
+    assert rates["de"] == pytest.approx(1.0)
+    # en target share = sqrt(.9)/(sqrt(.9)+sqrt(.1)) ~ .75 of the mix;
+    # feasibility cap T* = tok_de/share_de; rate_en = share_en*T*/tok_en
+    s_en = math.sqrt(0.9) / (math.sqrt(0.9) + math.sqrt(0.1))
+    s_de = 1 - s_en
+    expected = s_en * (100 / s_de) / 900
+    assert rates["en"] == pytest.approx(expected, rel=1e-6)
+
+
+def test_temperature_zero_rejected(spark):
+    df = _mix_fixture(spark)
+    with pytest.raises(ValueError):
+        mix_corpus_temperature(df, temperature=0.0)
+
+
+# --------------------------------------------------------------------
+# contamination
+# --------------------------------------------------------------------
+
+def test_contamination_score_planted_and_clean(spark):
+    text_a = " ".join(f"tok{i}" for i in range(12))
+    text_b = " ".join(f"other{i}" for i in range(12))
+    ev = spark.createDataFrame(
+        [(1, text_a), (2, text_b)], "doc_id long, text string"
+    )
+    tr = spark.createDataFrame(
+        [(100, text_a)], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r
+        for r in contamination_score(ev, tr, n=8).collect()
+    }
+    assert got[1].contamination == pytest.approx(1.0)
+    assert got[2].contamination == 0.0
+    assert got[1].n_grams == 5  # 12 words -> 5 distinct 8-grams
+
+
+# --------------------------------------------------------------------
+# truncated prefilter (matryoshka)
+# --------------------------------------------------------------------
+
+def test_truncated_prefilter_full_shortlist_is_exact(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    vecs = rng.normal(size=(40, 8)).tolist()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    q = vecs[0]
+    exact = [
+        (r.vec_id, r.cosine) for r in brute_force_topk(df, q, k=5).collect()
+    ]
+    two_stage = [
+        (r.vec_id, r.cosine)
+        for r in truncated_prefilter_topk(
+            df, q, k=5, trunc_dim=4, shortlist=40
+        ).collect()
+    ]
+    # shortlist covers the whole corpus -> stage 2 IS the exact answer
+    assert two_stage == exact
+
+
+def test_truncated_prefilter_shortlist_bounds_stage2(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(4)
+    vecs = rng.normal(size=(40, 8)).tolist()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out = truncated_prefilter_topk(
+        df, vecs[0], k=10, trunc_dim=4, shortlist=10
+    ).collect()
+    assert len(out) == 10
+    # every returned id must rank in the truncated-cosine top-10
+    import heapq
+
+    def tcos(v):
+        a, b = v[:4], vecs[0][:4]
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return dot / (na * nb)
+
+    short = set(
+        heapq.nlargest(10, range(40), key=lambda i: (tcos(vecs[i]), -i))
+    )
+    assert {r.vec_id for r in out} <= short
+
+
+# --------------------------------------------------------------------
+# retrieval metrics
+# --------------------------------------------------------------------
+
+def test_retrieval_metrics_hand_computed(spark):
+    # truth: docs 100 (grade 3), 101 (grade 2); ranked puts 101 at rank
+    # 1 and 100 at rank 3; doc 999 (irrelevant) at rank 2
+    ranked = spark.createDataFrame(
+        [("q1", 101, 1), ("q1", 999, 2), ("q1", 100, 3)],
+        "query_id string, vec_id long, rank long",
+    )
+    truth = spark.createDataFrame(
+        [("q1", 100, 3), ("q1", 101, 2)],
+        "query_id string, vec_id long, grade long",
+    )
+    r = retrieval_metrics(ranked, truth, k=10).collect()[0]
+    assert r.n_rel == 2
+    assert r.recall_at_k == pytest.approx(1.0)
+    assert r.mrr == pytest.approx(1.0)  # first relevant at rank 1
+    dcg = (2**2 - 1) / math.log2(2) + (2**3 - 1) / math.log2(4)
+    idcg = (2**3 - 1) / math.log2(2) + (2**2 - 1) / math.log2(3)
+    assert r.ndcg_at_k == pytest.approx(round(dcg / idcg, 6), abs=1e-6)
+
+
+def test_retrieval_metrics_zero_hits_query_kept(spark):
+    ranked = spark.createDataFrame(
+        [("q1", 999, 1)], "query_id string, vec_id long, rank long"
+    )
+    truth = spark.createDataFrame(
+        [("q1", 100, 3)], "query_id string, vec_id long, grade long"
+    )
+    r = retrieval_metrics(ranked, truth, k=10).collect()[0]
+    assert r.recall_at_k == 0.0 and r.mrr == 0.0 and r.ndcg_at_k == 0.0

@@ -17,7 +17,14 @@ from catenae_stopover_spark.plans import explain_str
 from catenae_stopover_spark.queries import QUERIES
 from catenae_stopover_spark.session import get_spark
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+# first arg = SF dir when it looks like a path; remaining args narrow
+# the sweep to the named queries
+_args = sys.argv[1:]
+SF_DIR = (
+    _args.pop(0)
+    if _args and (os.sep in _args[0] or os.path.isdir(_args[0]))
+    else "/root/testdata/sf0.001"
+)
 
 # streaming queries drain a replay inside the function; their plan is
 # the post-drain batch plan, not the interesting one — audit separately
@@ -83,15 +90,37 @@ ACCEPTED = {
     "q108_collapse_parity_gate":
         "cross of 1-row parity aggregates (both operator paths are "
         "bucket equi-joins)",
+    # r5 gate teeth: the exact-truth top-k score sum joins back as a
+    # 1-row aggregate (same documented 1-row gate cross as q102/q108)
+    "q53_ivf_recall_gate":
+        "1-row truth-sum gate cross (the serve path itself is the "
+        "partition-pruned centroid scan)",
+    "q83_ivfpq_recall_gate":
+        "1-row truth-sum gate cross (the serve path is the probed-cell "
+        "ADC scan)",
+    # ivf_topk_batch ranks centroids per query via a query x C
+    # broadcast nested loop — C rows per query (C=8 here), never
+    # data x data; the candidate scan itself is the centroid_id
+    # equi-join (see the operator docstring)
+    "q140_retrieval_eval":
+        "query x C-row broadcast centroid ranking (C=8); candidate "
+        "scan is the centroid_id equi-join",
+    # quality_ensemble joins the 1-row corpus-moments aggregate back
+    # onto the documents — the documented 1-row broadcast cross (the
+    # deliberate alternative to percent_rank's global sort)
+    "q143_quality_ensemble":
+        "1-row corpus-moments broadcast cross (replaces a global-sort "
+        "percent_rank)",
 }
 
 
 def main() -> int:
+    only = set(_args)
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
     bad = 0
     for name, (fn, _sql) in QUERIES.items():
-        if name in SKIP:
+        if name in SKIP or (only and name not in only):
             continue
         try:
             plan = explain_str(fn(spark, SF_DIR), "simple")
