@@ -92,6 +92,116 @@ def minhash_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
     return a, b
 
 
+def _minhash_sig_bands(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    shingle_n: int,
+    portable_hash: bool,
+    max_bucket: int | None,
+):
+    """Shared signature + banding pass (one scan of ``df``): returns
+    ``(sig, bands_df)`` where ``sig`` is the PERSISTED one-row-per-doc
+    (id, signature array) table and ``bands_df`` its exploded
+    (id, band_idx, band_hash) index. Used by both the batch miner
+    (`minhash_lsh_near_dups`) and the incremental form
+    (`incremental_minhash_dedup`); at scale ``bands_df`` is what a
+    serving deployment PERSISTS as the dedup index."""
+    rows_per_band = num_hashes // bands
+    # One string hash per (doc, shingle); the 64 signature dimensions
+    # re-hash that single LONG, never the string. explode + hash-agg
+    # keeps everything in WholeStageCodegen (array-lambda HOFs would run
+    # interpreted per element — measured ~50x slower on this pipeline).
+    exploded = ensure_min_parallelism(df).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_shingles(text_col, shingle_n))).alias("sh"),
+    )
+    if portable_hash:
+        h60 = F.conv(
+            F.substring(F.sha2(F.encode(F.col("sh"), "UTF-8"), 256), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        shingle_hashes = exploded.select(id_col, (h60 % _MH_P).alias("h"))
+        mh_a, mh_b = minhash_coeffs(num_hashes)
+        sig_cols = [
+            F.min(
+                (F.lit(mh_a[k]) * F.col("h") + F.lit(mh_b[k])) % _MH_P
+            ).alias(f"mh{k}")
+            for k in range(num_hashes)
+        ]
+    else:
+        shingle_hashes = exploded.select(id_col, F.xxhash64("sh").alias("h"))
+        # signature[k] = min over shingles of xxhash64(h, k); map-side
+        # partial min then one shuffle on the doc id.
+        sig_cols = [
+            F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"mh{k}")
+            for k in range(num_hashes)
+        ]
+    # Persisted: the signature table feeds BOTH band-join sides and both
+    # verification re-joins — without it the whole shingle+agg pipeline
+    # runs 4x. One row per doc (64 longs ≈ 0.5 KB/doc), spills to disk
+    # if it outgrows executor memory.
+    sig = (
+        shingle_hashes.groupBy(id_col)
+        .agg(*sig_cols)
+        .select(
+            id_col,
+            F.array(*[F.col(f"mh{k}") for k in range(num_hashes)]).alias(
+                "signature"
+            ),
+        )
+        .persist()
+    )
+
+    if portable_hash:
+        # band key = the values themselves (comma-joined): no re-hash,
+        # so any engine reproduces the exact buckets
+        band_hashes = [
+            F.concat_ws(
+                ",",
+                *[
+                    F.col("signature")[b * rows_per_band + j].cast("string")
+                    for j in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    else:
+        band_hashes = [
+            F.xxhash64(
+                *[
+                    F.col("signature")[b * rows_per_band + j]
+                    for j in range(rows_per_band)
+                ]
+            )
+            for b in range(bands)
+        ]
+    # Candidate generation carries ONLY ids: the 64-long signatures
+    # would otherwise ride through the band self-join and the pair
+    # dedup shuffle (x16 band duplicates). They are re-attached to the
+    # deduplicated pairs for verification — two cheap equi-joins against
+    # the (small, one-row-per-doc) signature table.
+    bands_df = sig.select(
+        id_col,
+        F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
+    )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        bands_df = (
+            bands_df.withColumn(
+                "__sz",
+                F.count("*").over(Window.partitionBy("band_idx", "band_hash")),
+            )
+            .filter(F.col("__sz") <= max_bucket)
+            .drop("__sz")
+        )
+    return sig, bands_df
+
+
 def minhash_lsh_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -193,95 +303,16 @@ def minhash_lsh_near_dups(
         )
         return cross.unionByName(intra)
     rows_per_band = num_hashes // bands
-    # One string hash per (doc, shingle); the 64 signature dimensions
-    # re-hash that single LONG, never the string. explode + hash-agg
-    # keeps everything in WholeStageCodegen (array-lambda HOFs would run
-    # interpreted per element — measured ~50x slower on this pipeline).
-    exploded = ensure_min_parallelism(df).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(_shingles(text_col, shingle_n))).alias("sh"),
-    )
-    if portable_hash:
-        h60 = F.conv(
-            F.substring(F.sha2(F.encode(F.col("sh"), "UTF-8"), 256), 1, 15),
-            16,
-            10,
-        ).cast("long")
-        shingle_hashes = exploded.select(id_col, (h60 % _MH_P).alias("h"))
-        mh_a, mh_b = minhash_coeffs(num_hashes)
-        sig_cols = [
-            F.min(
-                (F.lit(mh_a[k]) * F.col("h") + F.lit(mh_b[k])) % _MH_P
-            ).alias(f"mh{k}")
-            for k in range(num_hashes)
-        ]
-    else:
-        shingle_hashes = exploded.select(id_col, F.xxhash64("sh").alias("h"))
-        # signature[k] = min over shingles of xxhash64(h, k); map-side
-        # partial min then one shuffle on the doc id.
-        sig_cols = [
-            F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"mh{k}")
-            for k in range(num_hashes)
-        ]
-    # Persisted: the signature table feeds BOTH band-join sides and both
-    # verification re-joins — without it the whole shingle+agg pipeline
-    # runs 4x. One row per doc (64 longs ≈ 0.5 KB/doc), spills to disk
-    # if it outgrows executor memory.
-    sig = (
-        shingle_hashes.groupBy(id_col)
-        .agg(*sig_cols)
-        .select(
-            id_col,
-            F.array(*[F.col(f"mh{k}") for k in range(num_hashes)]).alias(
-                "signature"
-            ),
-        )
-        .persist()
-    )
-
-    if portable_hash:
-        # band key = the values themselves (comma-joined): no re-hash,
-        # so any engine reproduces the exact buckets
-        band_hashes = [
-            F.concat_ws(
-                ",",
-                *[
-                    F.col("signature")[b * rows_per_band + j].cast("string")
-                    for j in range(rows_per_band)
-                ],
-            )
-            for b in range(bands)
-        ]
-    else:
-        band_hashes = [
-            F.xxhash64(
-                *[
-                    F.col("signature")[b * rows_per_band + j]
-                    for j in range(rows_per_band)
-                ]
-            )
-            for b in range(bands)
-        ]
-    # Candidate generation carries ONLY ids: the 64-long signatures
-    # would otherwise ride through the band self-join and the pair
-    # dedup shuffle (x16 band duplicates). They are re-attached to the
-    # deduplicated pairs for verification — two cheap equi-joins against
-    # the (small, one-row-per-doc) signature table.
-    bands_df = sig.select(
+    sig, bands_df = _minhash_sig_bands(
+        df,
+        text_col,
         id_col,
-        F.posexplode(F.array(*band_hashes)).alias("band_idx", "band_hash"),
+        num_hashes,
+        bands,
+        shingle_n,
+        portable_hash,
+        max_bucket,
     )
-    if max_bucket is not None:
-        from pyspark.sql import Window
-
-        bands_df = (
-            bands_df.withColumn(
-                "__sz",
-                F.count("*").over(Window.partitionBy("band_idx", "band_hash")),
-            )
-            .filter(F.col("__sz") <= max_bucket)
-            .drop("__sz")
-        )
 
     a = bands_df.alias("a")
     b = bands_df.alias("b")
@@ -1268,4 +1299,171 @@ def leakage_safe_split(
     return labeled.withColumn(
         "split",
         F.when(bucket < train_bps, F.lit("train")).otherwise(F.lit("test")),
+    )
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    max_bucket: int | None = None,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """NEAR-dup twin of :func:`incremental_exact_dedup` — the
+    "dedupe today's crawl against the index" production job: find every
+    batch document with a MinHash-LSH near-duplicate in the existing
+    CORPUS, plus near-dup pairs WITHIN the batch, without ever mining
+    corpus x corpus. Returns ``(id_a, id_b, est_jaccard, matched)``
+    where id_a is always the batch doc and ``matched`` is 'corpus' or
+    'batch' (id_a < id_b for batch-internal pairs).
+
+    Scale shape: candidate generation is (batch bands ⨝ corpus bands)
+    + (batch bands self-join) — the corpus side contributes only its
+    band INDEX, which a deployment persists once and reuses per batch
+    (exactly the `_minhash_sig_bands` output; at 100 TB the corpus
+    band/signature tables are parquet partitioned by band_hash, so the
+    batch join prunes). Corpus signatures are touched only for the
+    candidate rows' verification joins.
+
+    ``portable_hash=True`` makes every stage engine-replayable (the
+    q147 oracle recomputes both sides' signatures, the cross join
+    candidates, and the estimates in SQL).
+    """
+    sig_b, bands_b = _minhash_sig_bands(
+        batch, text_col, id_col, num_hashes, bands, shingle_n,
+        portable_hash, max_bucket,
+    )
+    sig_c, bands_c = _minhash_sig_bands(
+        corpus, text_col, id_col, num_hashes, bands, shingle_n,
+        portable_hash, max_bucket,
+    )
+    bc = (
+        bands_b.alias("a")
+        .join(
+            bands_c.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.lit("corpus").alias("matched"),
+        )
+    )
+    bb = (
+        bands_b.alias("a")
+        .join(
+            bands_b.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.lit("batch").alias("matched"),
+        )
+    )
+    cand = bc.unionByName(bb).dropDuplicates(["id_a", "id_b", "matched"])
+    sig_a = sig_b.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
+    )
+    sig_right = (
+        sig_b.unionByName(sig_c)
+        .select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+        # a batch id can also exist in the corpus; keep one signature
+        # row per id (signatures of equal ids are equal by content only
+        # when texts are equal — dedupe by id for join cardinality)
+        .dropDuplicates(["id_b"])
+    )
+    return (
+        cand.join(sig_a, "id_a")
+        .join(sig_right, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(
+                    F.expr("filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)")
+                )
+                / F.lit(num_hashes)
+            ).alias("est_jaccard"),
+            "matched",
+        )
+    )
+
+
+def incremental_embedding_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    planes: list | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-space twin of :func:`incremental_minhash_dedup`: find
+    batch vectors with an exact-cosine near-duplicate (>= threshold)
+    in the corpus or within the batch, candidates from PORTABLE
+    hyperplane LSH buckets (literal sha256-derived planes from
+    `similarity.portable_hyperplanes`) so an external engine replays
+    the bucketing (q148's oracle). Returns
+    ``(id_a, id_b, cosine, matched)``; precision is exact by the
+    refine, recall is the LSH tail (same knob family as
+    embedding_near_dups — more planes = finer buckets).
+
+    Scale: corpus x corpus is never joined; the corpus contributes its
+    (signature -> id) index once (persistable), batch signatures probe
+    it by equi-join, and only candidate pairs pay the exact cosine.
+    """
+    from ..functions.vectors import cosine_similarity
+    from .similarity import portable_hyperplanes, portable_signature_expr
+
+    if planes is None:
+        # planes need the dimension before the plan exists — an O(1)
+        # driver-side fetch of one corpus row (schema metadata, not data
+        # volume; callers at scale pass planes explicitly)
+        dim = len(corpus.select(vec_col).first()[0])
+        planes = portable_hyperplanes(4, dim)
+    sig = lambda df: df.select(  # noqa: E731
+        F.col(id_col), F.col(vec_col),
+        portable_signature_expr(vec_col, planes).alias("__sig"),
+    )
+    sb = sig(ensure_min_parallelism(batch)).persist()
+    sc = sig(ensure_min_parallelism(corpus))
+    bc = (
+        sb.alias("a")
+        .join(sc.alias("b"), F.col("a.__sig") == F.col("b.__sig"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+            F.lit("corpus").alias("matched"),
+        )
+    )
+    bb = (
+        sb.alias("a")
+        .join(
+            sb.alias("b"),
+            (F.col("a.__sig") == F.col("b.__sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"a.{vec_col}").alias("__va"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"b.{vec_col}").alias("__vb"),
+            F.lit("batch").alias("matched"),
+        )
+    )
+    cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+    return (
+        bc.unionByName(bb)
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine", "matched")
     )

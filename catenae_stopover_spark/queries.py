@@ -6586,6 +6586,182 @@ LIMIT 10
 """
 
 
+def q147_incremental_minhash(spark, sf_dir):
+    """Incremental NEAR-dup dedup (new r5,
+    `dedup.incremental_minhash_dedup`): q104's production shape lifted
+    from exact to MinHash-LSH — every new-batch document with a
+    near-duplicate in the existing corpus (via the corpus's persistable
+    band index, never corpus x corpus) plus near-dup pairs within the
+    batch. The fixture has no natural cross-set dups, so the query
+    plants both kinds (corpus copies of every third batch doc at
+    +70000; batch-internal replicas at +90000). portable_hash makes
+    the full pipeline engine-replayable — the oracle recomputes both
+    sides' signatures, band buckets, candidates, and estimates."""
+    from .operators.dedup import incremental_minhash_dedup
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    seed = d.filter(F.col("doc_id") % 10 == 7)
+    batch = seed.unionByName(
+        d.filter(F.col("doc_id") % 20 == 7).select(
+            (F.col("doc_id") + 90000).alias("doc_id"), "text"
+        )
+    )
+    corpus = d.filter(F.col("doc_id") % 10 != 7).unionByName(
+        d.filter(F.col("doc_id") % 30 == 7).select(
+            (F.col("doc_id") + 70000).alias("doc_id"), "text"
+        )
+    )
+    return incremental_minhash_dedup(batch, corpus, portable_hash=True)
+
+
+def _build_q147_sql(num_hashes: int = 64, bands: int = 16, shingle_n: int = 5):
+    from .operators.dedup import _MH_P, minhash_coeffs
+
+    a, b = minhash_coeffs(num_hashes)
+    ab_rows = ", ".join(f"({k}, {a[k]}, {b[k]})" for k in range(num_hashes))
+    rpb = num_hashes // bands
+
+    def side(name: str, src: str) -> str:
+        return f""", w{name} AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') AS w
+    FROM {src}
+), g{name} AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                           i -> i <= LEN(w) - {shingle_n} + 1),
+               i -> ARRAY_TO_STRING(w[i:i+{shingle_n - 1}], ' '))) AS g
+    FROM w{name}
+), sh{name} AS (
+    SELECT doc_id,
+           ('0x' || SUBSTR(SHA256(gram), 1, 15))::BIGINT % {_MH_P} AS h
+    FROM (SELECT doc_id, UNNEST(g) AS gram FROM g{name} WHERE LEN(g) > 0)
+), sig{name} AS (
+    SELECT doc_id, k, MIN((a * h + b) % {_MH_P}) AS mh
+    FROM sh{name} CROSS JOIN ab GROUP BY doc_id, k
+), bk{name} AS (
+    SELECT doc_id, k // {rpb} AS band_idx,
+           ARRAY_TO_STRING(LIST(mh ORDER BY k), ',') AS bkey
+    FROM sig{name} GROUP BY doc_id, k // {rpb}
+)"""
+
+    return (
+        f"""
+WITH batch AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7
+    UNION ALL
+    SELECT doc_id + 90000, text FROM documents WHERE doc_id % 20 = 7
+), corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7
+    UNION ALL
+    SELECT doc_id + 70000, text FROM documents WHERE doc_id % 30 = 7
+), ab(k, a, b) AS (VALUES {ab_rows})"""
+        + side("b", "batch")
+        + side("c", "corpus")
+        + f""", cand AS (
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+           'corpus' AS matched
+    FROM bkb x JOIN bkc y
+      ON x.band_idx = y.band_idx AND x.bkey = y.bkey
+    UNION
+    SELECT DISTINCT x.doc_id, y.doc_id, 'batch'
+    FROM bkb x JOIN bkb y
+      ON x.band_idx = y.band_idx AND x.bkey = y.bkey
+     AND x.doc_id < y.doc_id
+), sigall AS (
+    SELECT doc_id, k, mh FROM sigb
+    UNION ALL
+    SELECT doc_id, k, mh FROM sigc
+)
+SELECT id_a, id_b,
+       SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {num_hashes}.0
+           AS est_jaccard,
+       matched
+FROM cand
+JOIN sigb sa ON sa.doc_id = id_a
+JOIN sigall sb ON sb.doc_id = id_b AND sb.k = sa.k
+GROUP BY id_a, id_b, matched
+"""
+    )
+
+
+Q147_SQL = _build_q147_sql()
+
+
+def q148_incremental_embedding(spark, sf_dir):
+    """Incremental embedding near-dup dedup (new r5,
+    `dedup.incremental_embedding_dedup`): batch vectors with an exact
+    cosine >= 0.9 partner in the corpus or within the batch, candidates
+    from PORTABLE literal-plane LSH buckets (batch probes the corpus's
+    persistable signature index; corpus x corpus never joined). Planted
+    copies as in q147 (ids +70000 corpus / +90000 batch). The oracle
+    replays bucketing, candidate joins, and the exact-cosine refine."""
+    from .operators.dedup import incremental_embedding_dedup
+    from .operators.similarity import portable_hyperplanes
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed = e.filter(F.col("vec_id") % 10 == 7)
+    batch = seed.unionByName(
+        e.filter(F.col("vec_id") % 20 == 7).select(
+            (F.col("vec_id") + 90000).alias("vec_id"), "embedding"
+        )
+    )
+    corpus = e.filter(F.col("vec_id") % 10 != 7).unionByName(
+        e.filter(F.col("vec_id") % 30 == 7).select(
+            (F.col("vec_id") + 70000).alias("vec_id"), "embedding"
+        )
+    )
+    planes = portable_hyperplanes(4, len(_query_vec(sf_dir)))
+    return incremental_embedding_dedup(
+        batch, corpus, threshold=0.9, planes=planes
+    )
+
+
+def _q148_oracle_sql():
+    """Built lazily (q42 pattern): literal plane weights, replayed
+    bucketing + candidate joins + exact-cosine refine in SQL."""
+    from .operators.similarity import portable_hyperplanes
+
+    sf_dir = os.environ.get("CSSPARK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    planes = portable_hyperplanes(4, len(_query_vec(sf_dir)))
+    terms = []
+    for p, w in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN LIST_DOT_PRODUCT(embedding::DOUBLE[], {arr}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    sig = " + ".join(terms)
+    return f"""
+WITH batch AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7
+    UNION ALL
+    SELECT vec_id + 90000, embedding FROM embeddings WHERE vec_id % 20 = 7
+), corpus AS (
+    SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 7
+    UNION ALL
+    SELECT vec_id + 70000, embedding FROM embeddings WHERE vec_id % 30 = 7
+), sb AS (
+    SELECT vec_id, embedding, {sig} AS s FROM batch
+), sc AS (
+    SELECT vec_id, embedding, {sig} AS s FROM corpus
+), cand AS (
+    SELECT a.vec_id AS id_a, a.embedding AS va,
+           b.vec_id AS id_b, b.embedding AS vb, 'corpus' AS matched
+    FROM sb a JOIN sc b ON a.s = b.s
+    UNION ALL
+    SELECT a.vec_id, a.embedding, b.vec_id, b.embedding, 'batch'
+    FROM sb a JOIN sb b ON a.s = b.s AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       ROUND(LIST_COSINE_SIMILARITY(va::DOUBLE[], vb::DOUBLE[]), 6)
+           AS cosine,
+       matched
+FROM cand
+WHERE ROUND(LIST_COSINE_SIMILARITY(va::DOUBLE[], vb::DOUBLE[]), 6) >= 0.9
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -6769,6 +6945,11 @@ QUERIES: dict[str, tuple] = {
     "q146_truncated_prefilter_topk": (
         q146_truncated_prefilter_topk,
         Q146_SQL,
+    ),
+    "q147_incremental_minhash": (q147_incremental_minhash, Q147_SQL),
+    "q148_incremental_embedding": (
+        q148_incremental_embedding,
+        _q148_oracle_sql,
     ),
 }
 

@@ -306,3 +306,65 @@ def test_retrieval_metrics_zero_hits_query_kept(spark):
     )
     r = retrieval_metrics(ranked, truth, k=10).collect()[0]
     assert r.recall_at_k == 0.0 and r.mrr == 0.0 and r.ndcg_at_k == 0.0
+
+
+# --------------------------------------------------------------------
+# incremental near-dup dedup
+# --------------------------------------------------------------------
+
+def test_incremental_minhash_finds_corpus_and_batch_dups(spark):
+    from catenae_stopover_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    doc = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    other = ("one two three four five six seven eight nine ten eleven "
+             "twelve thirteen fourteen fifteen sixteen seventeen")
+    batch = spark.createDataFrame(
+        [(1, doc), (2, doc), (3, other)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(100, doc), (101, "totally different corpus words here again "
+                           "and more filler words to shingle")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b, r.matched): r.est_jaccard
+        for r in incremental_minhash_dedup(batch, corpus).collect()
+    }
+    assert got[(1, 2, "batch")] == 1.0   # batch-internal replica
+    assert got[(1, 100, "corpus")] == 1.0  # batch doc known to corpus
+    assert got[(2, 100, "corpus")] == 1.0
+    # no corpus-x-corpus pair ever emitted, and 'other' matches nothing
+    assert all(a in (1, 2, 3) for a, _b, _m in got)
+    assert not any(a == 3 or b == 3 for a, b, _m in got)
+
+
+def test_incremental_embedding_probes_corpus_index(spark):
+    from catenae_stopover_spark.operators.dedup import (
+        incremental_embedding_dedup,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    vs = rng.normal(size=(6, 8))
+    batch = spark.createDataFrame(
+        [(1, vs[0].tolist()), (2, vs[0].tolist()), (3, vs[1].tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(100, vs[0].tolist()), (101, vs[2].tolist()), (102, vs[3].tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.id_a, r.id_b, r.matched): r.cosine
+        for r in incremental_embedding_dedup(
+            batch, corpus, threshold=0.9
+        ).collect()
+    }
+    assert got[(1, 2, "batch")] == 1.0
+    assert got[(1, 100, "corpus")] == 1.0
+    assert got[(2, 100, "corpus")] == 1.0
+    assert len(got) == 3  # nothing else crosses 0.9
