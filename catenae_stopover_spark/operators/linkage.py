@@ -41,6 +41,10 @@ def blocked_edit_distance_pairs(
     sel = ensure_min_parallelism(df).select(
         F.col(id_col), F.col(text_col).alias("__t"), *[F.col(c) for c in block_cols]
     )
+    # NOTE: a block of k rows costs k²/2 verifications — at web scale
+    # prefer deletion_neighborhood_pairs (exact for max_dist=1,
+    # output-bound) and use this form when a good natural block key
+    # exists or max_dist > 1.
     if max_block is not None:
         from pyspark.sql import Window
 
@@ -64,4 +68,59 @@ def blocked_edit_distance_pairs(
             F.levenshtein(F.col("a.__t"), F.col("b.__t")).alias("dist"),
         )
         .filter(F.col("dist") <= max_dist)
+    )
+
+
+def deletion_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """All pairs within edit distance 1, EXACTLY, with no quadratic
+    block join — the SymSpell / deletion-neighborhood construction:
+    every string emits itself plus its len single-character deletions;
+    two strings at edit distance <= 1 (substitution, insertion, or
+    deletion) necessarily SHARE a variant, so candidates come from an
+    equi-join on the variant string and the verify step only touches
+    true candidate groups. Returns ``(id_a, id_b, dist)`` with
+    id_a < id_b, dist <= 1 (0 = exact duplicates).
+
+    Scale: |variants| = Σ(len+1) rows — linear in corpus bytes; the
+    join groups are strings sharing a deletion variant, i.e. the
+    answer's own neighborhoods, so cost is output-bound rather than
+    block²-bound (the failure mode of coarse blocking keys at 100 TB).
+    The variant expansion and the levenshtein verify are both pure
+    Catalyst.
+    """
+    sel = ensure_min_parallelism(df).select(
+        F.col(id_col), F.col(text_col).alias("__t")
+    )
+    # deletion variants via one SQL lambda (substring with column
+    # offsets needs the expr form): variant i = __t with char i deleted
+    exploded = sel.select(
+        id_col,
+        "__t",
+        F.explode(
+            F.expr(
+                "array_union(array(__t), transform("
+                "sequence(1, greatest(length(__t), 1)), "
+                "i -> concat(substring(__t, 1, i - 1), "
+                "substring(__t, i + 1, length(__t)))))"
+            )
+        ).alias("__v"),
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.__v") == F.col("b.__v"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.levenshtein(F.col("a.__t"), F.col("b.__t")).alias("dist"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("dist") <= 1)
     )

@@ -6762,6 +6762,41 @@ WHERE ROUND(LIST_COSINE_SIMILARITY(va::DOUBLE[], vb::DOUBLE[]), 6) >= 0.9
 """
 
 
+def q149_deletion_neighborhood(spark, sf_dir):
+    """Exact edit-distance-1 pairs with NO quadratic block join (new
+    r5, `linkage.deletion_neighborhood_pairs` — the SymSpell
+    construction): every name emits itself + its single-deletion
+    variants; 1-edit pairs necessarily share a variant, so candidates
+    are an equi-join on the variant string and cost is output-bound.
+    This is the 100 TB answer to q141's coarse blocking (a nation
+    block goes k² at scale; the deletion neighborhood never does).
+    Full oracle replay in DuckDB."""
+    from .operators.linkage import deletion_neighborhood_pairs
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    out = deletion_neighborhood_pairs(c, "c_custkey", "c_name")
+    return out.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
+Q149_SQL = """
+WITH c AS (SELECT c_custkey AS id, c_name AS t FROM customer),
+v AS (
+    SELECT id, t,
+           UNNEST(LIST_DISTINCT(LIST_APPEND(
+               LIST_TRANSFORM(GENERATE_SERIES(1, GREATEST(LENGTH(t), 1)),
+                              i -> SUBSTR(t, 1, i - 1)
+                                   || SUBSTR(t, i + 1, LENGTH(t))),
+               t))) AS var
+    FROM c
+), cand AS (
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.t AS ta, b.t AS tb
+    FROM v a JOIN v b ON a.var = b.var AND a.id < b.id
+)
+SELECT id_a, id_b, CAST(LEVENSHTEIN(ta, tb) AS BIGINT) AS dist
+FROM cand WHERE LEVENSHTEIN(ta, tb) <= 1
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -6951,6 +6986,7 @@ QUERIES: dict[str, tuple] = {
         q148_incremental_embedding,
         _q148_oracle_sql,
     ),
+    "q149_deletion_neighborhood": (q149_deletion_neighborhood, Q149_SQL),
 }
 
 

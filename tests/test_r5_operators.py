@@ -368,3 +368,31 @@ def test_incremental_embedding_probes_corpus_index(spark):
     assert got[(1, 100, "corpus")] == 1.0
     assert got[(2, 100, "corpus")] == 1.0
     assert len(got) == 3  # nothing else crosses 0.9
+
+
+def test_deletion_neighborhood_exact_distance_one(spark):
+    from catenae_stopover_spark.operators.linkage import (
+        deletion_neighborhood_pairs,
+    )
+
+    rows = [
+        (1, "alice"),
+        (2, "alicx"),   # substitution -> 1
+        (3, "alic"),    # deletion -> 1
+        (4, "aalice"),  # insertion -> 1
+        (5, "alice"),   # exact dup -> 0
+        (6, "bob"),     # unrelated
+        (7, "ecila"),   # reversal: shares no variant OR fails verify
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in deletion_neighborhood_pairs(df, "id", "name").collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 1
+    assert got[(1, 4)] == 1
+    assert got[(1, 5)] == 0
+    assert not any(6 in p or 7 in p for p in got)
+    # completeness: ids 2,3,4,5 all pair with BOTH copies of 'alice'
+    assert (2, 5) in got and (3, 5) in got and (4, 5) in got
