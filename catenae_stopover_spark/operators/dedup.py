@@ -1404,6 +1404,7 @@ def incremental_embedding_dedup(
     planes: list | None = None,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Embedding-space twin of :func:`incremental_minhash_dedup`: find
     batch vectors with an exact-cosine near-duplicate (>= threshold)
@@ -1418,9 +1419,22 @@ def incremental_embedding_dedup(
     Scale: corpus x corpus is never joined; the corpus contributes its
     (signature -> id) index once (persistable), batch signatures probe
     it by equi-join, and only candidate pairs pay the exact cosine.
+
+    ``kernel``: signature computation. ``'sql'`` = the portable
+    Catalyst HOF (interpreted: bits x dim lambda evaluations per row —
+    fine below the ~2 MiB crossover); ``'numpy'`` = one BLAS
+    (N x dim)@(dim x bits) product per Arrow batch
+    (`similarity.portable_signatures_numpy` — measured 4.8 s -> 2.2 s
+    on the 200k-vector corpus at 10x); ``'auto'`` picks BLAS for
+    file-backed corpora (the q29-family size rule).
     """
     from ..functions.vectors import cosine_similarity
-    from .similarity import portable_hyperplanes, portable_signature_expr
+    from .similarity import (
+        _estimated_bytes,
+        portable_hyperplanes,
+        portable_signature_expr,
+        portable_signatures_numpy,
+    )
 
     if planes is None:
         # planes need the dimension before the plan exists — an O(1)
@@ -1428,12 +1442,19 @@ def incremental_embedding_dedup(
         # volume; callers at scale pass planes explicitly)
         dim = len(corpus.select(vec_col).first()[0])
         planes = portable_hyperplanes(4, dim)
-    sig = lambda df: df.select(  # noqa: E731
-        F.col(id_col), F.col(vec_col),
-        portable_signature_expr(vec_col, planes).alias("__sig"),
-    )
-    sb = sig(ensure_min_parallelism(batch)).persist()
-    sc = sig(ensure_min_parallelism(corpus))
+    if kernel == "auto":
+        kernel = "numpy" if _estimated_bytes(corpus) > 2 * 1024 * 1024 else "sql"
+    if kernel == "numpy":
+        sig = lambda df: portable_signatures_numpy(  # noqa: E731
+            ensure_min_parallelism(df), planes, vec_col, id_col
+        )
+    else:
+        sig = lambda df: ensure_min_parallelism(df).select(  # noqa: E731
+            F.col(id_col), F.col(vec_col),
+            portable_signature_expr(vec_col, planes).alias("__sig"),
+        )
+    sb = sig(batch).persist()
+    sc = sig(corpus)
     bc = (
         sb.alias("a")
         .join(sc.alias("b"), F.col("a.__sig") == F.col("b.__sig"))

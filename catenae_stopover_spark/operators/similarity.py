@@ -442,6 +442,46 @@ def portable_signature_py(vec, planes: list[list[float]]) -> int:
     return sig
 
 
+def portable_signatures_numpy(
+    df: DataFrame, planes: list[list[float]], vec_col: str, id_col: str
+) -> DataFrame:
+    """BLAS twin of :func:`portable_signature_expr`: one (N x dim) @
+    (dim x bits) product per Arrow batch instead of bits x dim
+    interpreted lambda evaluations per row — the same interpreted-HOF
+    cliff family as `_numpy_query_scores` (that kernel's r4 fix was
+    90x on the batch-serve path). Returns ``(id_col, vec_col, __sig)``
+    with the vector passed through so callers avoid a re-join.
+
+    Bit parity with the expr form: projections are float64 dot
+    products, so the two kernels agree except on exact-zero
+    projections (probability ~0 on real data; pytest pins parity on a
+    fixture)."""
+    w = [[float(x) for x in p] for p in planes]
+
+    def sig(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        pm = np.asarray(w, dtype=np.float64).T  # (dim, bits)
+        weights = (1 << np.arange(len(w), dtype=np.int64))
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            flat = np.asarray(b.column(vec_col).flatten(), dtype=np.float64)
+            m = flat.reshape(b.num_rows, -1)
+            bits = (m @ pm) > 0
+            s = (bits * weights).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(id_col), b.column(vec_col), pa.array(s)],
+                [id_col, vec_col, "__sig"],
+            )
+
+    field = df.schema[vec_col].dataType.simpleString()
+    return df.select(id_col, vec_col).mapInArrow(
+        sig, f"{id_col} long, {vec_col} {field}, __sig long"
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec,

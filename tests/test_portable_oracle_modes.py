@@ -112,3 +112,33 @@ def test_train_spherical_kmeans_deterministic_unit_norm(spark):
     assert c1 == c2  # bit-identical floats
     for c in c1:
         assert np.linalg.norm(c) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_portable_signature_numpy_matches_expr_kernel(spark):
+    import numpy as np
+
+    from catenae_stopover_spark.operators.similarity import (
+        portable_signature_expr,
+        portable_signatures_numpy,
+    )
+
+    planes = portable_hyperplanes(5, 12)
+    rng = np.random.RandomState(8)
+    vecs = rng.normal(size=(64, 12)).tolist()
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    via_expr = {
+        r.vec_id: r.s
+        for r in df.select(
+            "vec_id", portable_signature_expr("embedding", planes).alias("s")
+        ).collect()
+    }
+    via_blas = {
+        r["vec_id"]: r["__sig"]
+        for r in portable_signatures_numpy(
+            df, planes, "embedding", "vec_id"
+        ).collect()
+    }
+    assert via_blas == via_expr
