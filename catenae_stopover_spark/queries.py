@@ -6695,7 +6695,11 @@ def q148_incremental_embedding(spark, sf_dir):
     from PORTABLE literal-plane LSH buckets (batch probes the corpus's
     persistable signature index; corpus x corpus never joined). Planted
     copies as in q147 (ids +70000 corpus / +90000 batch). The oracle
-    replays bucketing, candidate joins, and the exact-cosine refine."""
+    replays bucketing, candidate joins, and the exact-cosine refine.
+    Runs with collapse_exact (value-exact parity, pytest-pinned): on
+    replica-heavy corpora same-signature candidates grow quadratically
+    in replication — 406M candidates / 310 s plain vs 4.3 s collapsed
+    for identical output at the 100x stress scale (SCALING.md r5)."""
     from .operators.dedup import incremental_embedding_dedup
     from .operators.similarity import portable_hyperplanes
 
@@ -6713,7 +6717,7 @@ def q148_incremental_embedding(spark, sf_dir):
     )
     planes = portable_hyperplanes(4, len(_query_vec(sf_dir)))
     return incremental_embedding_dedup(
-        batch, corpus, threshold=0.9, planes=planes
+        batch, corpus, threshold=0.9, planes=planes, collapse_exact=True
     )
 
 

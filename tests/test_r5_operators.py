@@ -396,3 +396,35 @@ def test_deletion_neighborhood_exact_distance_one(spark):
     assert not any(6 in p or 7 in p for p in got)
     # completeness: ids 2,3,4,5 all pair with BOTH copies of 'alice'
     assert (2, 5) in got and (3, 5) in got and (4, 5) in got
+
+
+def test_incremental_embedding_collapse_parity(spark):
+    from catenae_stopover_spark.operators.dedup import (
+        incremental_embedding_dedup,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(12)
+    base = rng.normal(size=(5, 8))
+    # batch: two replica groups + a singleton; corpus: replicas of one
+    # batch vector + unrelated vectors
+    batch = spark.createDataFrame(
+        [(1, base[0].tolist()), (2, base[0].tolist()), (3, base[1].tolist()),
+         (4, base[1].tolist()), (5, base[2].tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [(100, base[0].tolist()), (101, base[0].tolist()),
+         (102, base[3].tolist()), (103, base[4].tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    plain = incremental_embedding_dedup(batch, corpus, threshold=0.9)
+    coll = incremental_embedding_dedup(
+        batch, corpus, threshold=0.9, collapse_exact=True
+    )
+    rows = lambda df: sorted(  # noqa: E731
+        (r.id_a, r.id_b, r.cosine, r.matched) for r in df.collect()
+    )
+    assert rows(plain) == rows(coll)
+    assert len(rows(plain)) > 0
