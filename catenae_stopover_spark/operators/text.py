@@ -1337,6 +1337,7 @@ def bpe_train(
     df: DataFrame,
     text_col: str = "text",
     num_merges: int = 8,
+    render: bool = True,
 ) -> DataFrame:
     """The FULL BPE trainer loop (Sennrich et al. 2016, the public
     algorithm every tokenizer uses): iterate ``num_merges`` rounds of
@@ -1418,8 +1419,69 @@ def bpe_train(
     out = merge_rows[0]
     for r in merge_rows[1:]:
         out = out.unionByName(r)
+    if not render:
+        # raw marker form — what bpe_encode_counts consumes (the
+        # model artifact; markers \x01..\x0{n} stand for merges 0..n-1)
+        return out.select("rank", "pair", "pair_count")
     # render markers readably: merge k's symbol -> "<k>"
     rendered = F.col("pair")
     for k in range(num_merges):
         rendered = F.regexp_replace(rendered, chr(k + 1), f"<{k}>")
     return out.select("rank", rendered.alias("pair"), "pair_count")
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_merges: int = 8,
+) -> DataFrame:
+    """APPLY a trained BPE merge table (``bpe_train(render=False)``'s
+    (rank, pair) rows, rank order) to the corpus and report per-doc
+    tokenization stats — the inference half of the tokenizer: training
+    without application is half a tokenizer. Returns
+    ``(id_col, n_words, n_tokens)`` where n_tokens counts the BPE
+    symbols remaining after all merges (each learned merge collapses
+    one adjacent pair into one symbol).
+
+    Scale shape (the trainer's vocab-collapse trick, applied to
+    inference): merges run once per DISTINCT word — the corpus-sized
+    work is one word explode + the final (doc, word) ⨝ (word,
+    symbol-count) equi-join. Each merge arrives as a broadcast 1-row
+    join (collect-free), exactly like the trainer's rounds.
+    """
+    from ..plans.partitioning import ensure_min_parallelism
+
+    words = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+    )
+    enc = words.select("tok").distinct().select(
+        F.col("tok").alias("word"), F.col("tok").alias("sym")
+    )
+    for k in range(num_merges):
+        mk = merges.filter(F.col("rank") == k).select("pair")
+        enc = enc.join(F.broadcast(mk)).select(
+            "word",
+            F.regexp_replace(
+                F.col("sym"),
+                F.concat(F.lit(r"\Q"), F.col("pair"), F.lit(r"\E")),
+                chr(k + 1),
+            ).alias("sym"),
+        )
+    wt = enc.select("word", F.length("sym").alias("__n_sym"))
+    return (
+        words.join(wt, words.tok == wt.word)
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("__n_sym").cast("long").alias("n_tokens"),
+        )
+    )

@@ -6801,6 +6801,69 @@ FROM cand WHERE LEVENSHTEIN(ta, tb) <= 1
 """
 
 
+def q150_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLICATION (new r5, `text.bpe_encode_counts`):
+    train the 8-merge model (q136) and apply it back to the corpus,
+    reporting per-doc word and BPE-symbol counts — the inference half
+    of the tokenizer, vocab-collapsed like the trainer (merges run
+    once per distinct word; the corpus pays one explode and one word
+    equi-join). The oracle replays training AND encoding as chained
+    CTEs."""
+    from .operators.text import bpe_encode_counts, bpe_train
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_train(d, num_merges=8, render=False)
+    return bpe_encode_counts(d, merges, num_merges=8)
+
+
+def _build_q150_sql(num_merges: int = 8) -> str:
+    # reuse q136's learned-merge CTE chain (v0..v{n}, b0..b{n-1}), then
+    # apply each round's best pair to the distinct-word table w0..w{n}
+    head = r"""
+WITH dtoks AS (
+    SELECT doc_id,
+           UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS tok
+    FROM documents
+), toks AS (
+    SELECT tok FROM dtoks
+), v0 AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS wc FROM toks
+    WHERE tok <> '' GROUP BY tok
+), w0 AS (
+    SELECT tok AS word, tok AS sym FROM v0
+)"""
+    parts = [head]
+    for k in range(num_merges):
+        parts.append(f""", p{k} AS (
+    SELECT UNNEST(LIST_TRANSFORM(GENERATE_SERIES(1, LENGTH(tok) - 1),
+                                 i -> SUBSTR(tok, i, 2))) AS pair, wc
+    FROM v{k} WHERE LENGTH(tok) >= 2
+), b{k} AS (
+    SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+    FROM p{k} GROUP BY pair
+    ORDER BY pair_count DESC, pair LIMIT 1
+), v{k + 1} AS (
+    SELECT tok, CAST(SUM(wc) AS BIGINT) AS wc FROM (
+        SELECT REPLACE(v.tok, b.pair, CHR({k + 1})) AS tok, v.wc
+        FROM v{k} v, b{k} b
+    ) GROUP BY tok
+), w{k + 1} AS (
+    SELECT word, REPLACE(w.sym, b.pair, CHR({k + 1})) AS sym
+    FROM w{k} w, b{k} b
+)""")
+    parts.append(f"""
+SELECT d.doc_id, COUNT(*) AS n_words,
+       CAST(SUM(LENGTH(w.sym)) AS BIGINT) AS n_tokens
+FROM dtoks d JOIN w{num_merges} w ON d.tok = w.word
+WHERE d.tok <> ''
+GROUP BY d.doc_id
+""")
+    return "".join(parts)
+
+
+Q150_SQL = _build_q150_sql()
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -6991,6 +7054,7 @@ QUERIES: dict[str, tuple] = {
         _q148_oracle_sql,
     ),
     "q149_deletion_neighborhood": (q149_deletion_neighborhood, Q149_SQL),
+    "q150_bpe_encode": (q150_bpe_encode, Q150_SQL),
 }
 
 

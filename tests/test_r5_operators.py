@@ -428,3 +428,25 @@ def test_incremental_embedding_collapse_parity(spark):
     )
     assert rows(plain) == rows(coll)
     assert len(rows(plain)) > 0
+
+
+def test_bpe_encode_counts_known_merges(spark):
+    from catenae_stopover_spark.operators.text import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+
+    # corpus dominated by "abab": merge 0 learns 'ab' -> m0, merge 1
+    # learns m0+m0 -> m1, so "abab" encodes to ONE symbol
+    docs = spark.createDataFrame(
+        [(1, "abab abab abab"), (2, "abab cd"), (3, "xy")],
+        "doc_id long, text string",
+    )
+    merges = bpe_train(docs, num_merges=2, render=False)
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_encode_counts(docs, merges, num_merges=2).collect()
+    }
+    assert got[1] == (3, 3)    # three "abab" -> one symbol each
+    assert got[2] == (2, 1 + 2)  # "abab"=1, "cd"=2 raw chars
+    assert got[3] == (1, 2)    # untouched word keeps char count

@@ -56,6 +56,9 @@ ACCEPTED = {
     "q130_bpe_merge_step": "broadcast of the 1-row argmax merge pair",
     # same pattern, once per training round (8 rounds)
     "q136_bpe_train": "broadcast of the 1-row argmax pair, per round",
+    "q150_bpe_encode":
+        "broadcast of the 1-row merge pair, per round (the q136 "
+        "trainer pattern applied at inference)",
     # N/avgdl attached as a broadcast 1-row scalar (q90's pattern)
     "q127_bm25": "broadcast of the 1-row corpus-stats scalar",
     # quantile-threshold array + totals as broadcast 1-row scalars
