@@ -544,6 +544,83 @@ def ngram_jaccard_near_dups(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram CONTAINMENT pairs: containment(A in B) =
+    |grams(A) ∩ grams(B)| / |grams(A)|.
+
+    Jaccard misses sub-document duplication — a short document quoted
+    verbatim inside a long wrapper scores near zero symmetric overlap
+    but containment 1.0. This is the standard second axis of crawl
+    dedup (quote/inclusion detection, template unwrapping); the
+    reference's dedup surface is flagged from SURVEY §2 B49–B50.
+
+    Shape is the same scale-safe inverted index as
+    ``ngram_jaccard_near_dups``: distinct grams per doc, self-join on
+    the gram string with ``id_a < id_b``, aggregate to intersection
+    counts, then emit BOTH directed containments per unordered pair and
+    keep pairs where either direction clears ``threshold``. No
+    all-pairs comparison; ``max_df`` caps boilerplate-gram candidate
+    blow-up exactly as in the Jaccard form (containment values stay
+    exact because |A| and |B| are computed before the cap).
+    """
+    grams = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(id_col),
+            F.array_distinct(_shingles(text_col, n)).alias("grams"),
+        )
+        .filter(F.size("grams") > 0)
+    )
+    sizes = grams.select(id_col, F.size("grams").alias("n_grams"))
+    inv = grams.select(id_col, F.explode("grams").alias("gram"))
+    if max_df is not None:
+        from pyspark.sql import Window
+
+        inv = (
+            inv.withColumn(
+                "__df", F.count("*").over(Window.partitionBy("gram"))
+            )
+            .filter(F.col("__df") <= max_df)
+            .drop("__df")
+        )
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            (F.col("inter") / F.col("na")).alias("containment_a"),
+            (F.col("inter") / F.col("nb")).alias("containment_b"),
+        )
+        .filter(
+            F.greatest("containment_a", "containment_b") >= F.lit(threshold)
+        )
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -85,3 +85,71 @@ def retrieval_metrics(
             ).alias("ndcg_at_k"),
         )
     )
+
+
+def sample_negatives(
+    anchors: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    buckets: int = 32,
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: for
+    each anchor, the ``k`` candidates whose label differs, drawn from
+    the anchor's sha2 bucket and ranked by a pair-keyed sha2 — i.e. a
+    reproducible uniform draw with no RNG state, so any engine (and
+    any re-run) produces the identical sample.
+
+    Shape: both sides get ``bucket = sha2(id) % buckets``; an
+    equi-join on the bucket bounds each anchor's candidate pool to
+    ~|candidates|/buckets rows, then a per-anchor top-k window
+    (WindowGroupLimit pushes the rank filter into the sort). At 100 TB
+    ``buckets`` scales with the candidate count to keep the pool
+    constant-sized per anchor — the join stays an equi-join, never a
+    cross. Output: (anchor_id, neg_id, neg_label, rank).
+    """
+
+    def _bucket(col):
+        return (
+            F.conv(
+                F.substring(F.sha2(col.cast("string"), 256), 1, 8), 16, 10
+            ).cast("bigint")
+            % buckets
+        )
+
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("anchor_label"),
+    ).withColumn("__b", _bucket(F.col("anchor_id")))
+    c = candidates.select(
+        F.col(id_col).alias("neg_id"), F.col(label_col).alias("neg_label")
+    ).withColumn("__b", _bucket(F.col("neg_id")))
+    pool = a.join(c, "__b").filter(
+        (F.col("neg_label") != F.col("anchor_label"))
+        & (F.col("neg_id") != F.col("anchor_id"))
+    )
+    draw = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat_ws(
+                    ":",
+                    F.col("anchor_id").cast("string"),
+                    F.col("neg_id").cast("string"),
+                ),
+                256,
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("anchor_id").orderBy(
+        draw.asc(), F.col("neg_id").asc()
+    )
+    return (
+        pool.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor_id", "neg_id", "neg_label", "rank")
+    )

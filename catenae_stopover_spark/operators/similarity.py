@@ -649,3 +649,32 @@ def assign_ivf_cells(
         .withColumn("centroid_id", (-best["ni"]).cast("int"))
         .drop(*[f"__c{i}" for i in range(len(centroids))])
     )
+
+
+def dimension_stats(
+    df: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension statistics of a vector column: (dim, n, mean,
+    std, min, max) — the whitening / normalization-prep pass every
+    embedding pipeline runs before indexing (and the fast detector for
+    dead or exploding dimensions after a model change).
+
+    Shape: ``posexplode`` the vector (row count × d, but each output
+    row is 12 bytes of (dim, value)) then a single groupBy(dim) with
+    map-side partial aggregation — d groups, so the shuffle carries
+    only num_partitions × d partial rows regardless of table size.
+    At 100 TB this is the textbook one-pass moment aggregation; no
+    window, no sort, no Python. Values are cast to double BEFORE
+    aggregation so fp32 inputs aggregate identically across engines.
+    """
+    e = df.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "v")
+    )
+    return e.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.avg("v").alias("mean"),
+        F.stddev_pop("v").alias("std"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+    )

@@ -1485,3 +1485,60 @@ def bpe_encode_counts(
             F.sum("__n_sym").cast("long").alias("n_tokens"),
         )
     )
+
+
+def length_bucket_report(
+    df: DataFrame,
+    text_col: str = "text",
+    boundaries: tuple[int, ...] = (32, 64, 128, 256, 512, 1024, 2048, 4096),
+) -> DataFrame:
+    """Padding-waste report for length-bucketed batching: assign every
+    document to the smallest boundary >= its token count (documents
+    longer than the largest boundary are TRUNCATED to it), then report
+    per bucket how many padded token slots a fixed-length batcher
+    would waste.
+
+    Output per bucket: (bucket, n_docs, n_truncated, sum_tokens raw,
+    sum_kept after truncation, padded_slots = bucket*n_docs - sum_kept,
+    pad_ratio = padded/(bucket*n_docs)). This is the knob report for
+    sequence-packing decisions — compare against pack_documents (q74)
+    which eliminates the waste by concatenation.
+
+    Pure Catalyst: token_count regex + an array-literal filter for the
+    bucket lookup; one groupBy on ~len(boundaries) groups with
+    map-side partials. Nothing here depends on data volume beyond the
+    single scan.
+    """
+    bounds = sorted(boundaries)
+    barr = F.array(*[F.lit(int(b)) for b in bounds])
+    n = token_count(text_col)
+    # try_element_at: the filtered array is EMPTY for docs longer than
+    # the largest boundary, and plain element_at throws under ANSI mode
+    bucket = F.coalesce(
+        F.try_element_at(F.filter(barr, lambda b: b >= n), F.lit(1)),
+        F.lit(int(bounds[-1])),
+    )
+    kept = F.least(n, bucket)
+    per_doc = df.select(
+        n.alias("n_tokens"),
+        bucket.alias("bucket"),
+        kept.alias("kept"),
+    )
+    agg = per_doc.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("n_tokens") > F.col("bucket")).cast("bigint")).alias(
+            "n_truncated"
+        ),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.sum("kept").alias("sum_kept"),
+    )
+    slots = F.col("bucket") * F.col("n_docs")
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "n_truncated",
+        "sum_tokens",
+        "sum_kept",
+        (slots - F.col("sum_kept")).alias("padded_slots"),
+        F.round(1.0 - F.col("sum_kept") / slots, 6).alias("pad_ratio"),
+    )

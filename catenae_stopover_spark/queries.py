@@ -6864,6 +6864,192 @@ GROUP BY d.doc_id
 Q150_SQL = _build_q150_sql()
 
 
+def q151_containment_pairs(spark, sf_dir):
+    """Asymmetric n-gram CONTAINMENT near-dup pairs (new r5,
+    `dedup.containment_pairs`): catches sub-document duplication —
+    a short doc quoted inside a long wrapper scores Jaccard ~0 but
+    containment 1.0 — the second axis of crawl dedup next to q28's
+    symmetric Jaccard. Same scale-safe inverted-index shape (gram
+    equi-join, never all-pairs). Full oracle replay in DuckDB."""
+    from .operators.dedup import containment_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    out = containment_pairs(d, n=3, threshold=0.5)
+    return out.select(
+        "id_a",
+        "id_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.round("containment_a", 6).alias("containment_a"),
+        F.round("containment_b", 6).alias("containment_b"),
+    )
+
+
+Q151_SQL = r"""
+WITH words AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                           i -> i <= LEN(w) - 3 + 1),
+               i -> ARRAY_TO_STRING(w[i:i+2], ' '))) AS g
+    FROM words
+), sizes AS (
+    SELECT doc_id, LEN(g) AS n FROM grams WHERE LEN(g) > 0
+), inv AS (
+    SELECT doc_id, UNNEST(g) AS gram FROM grams WHERE LEN(g) > 0
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS inter
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, inter,
+       ROUND(inter / sa.n, 6) AS containment_a,
+       ROUND(inter / sb.n, 6) AS containment_b
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE GREATEST(inter / sa.n, inter / sb.n) >= 0.5
+"""
+
+
+def q152_negative_sampling(spark, sf_dir):
+    """Deterministic contrastive negative sampling (new r5,
+    `evaluation.sample_negatives`): per anchor, k=5 different-label
+    candidates drawn from the anchor's sha2 bucket, ranked by a
+    pair-keyed sha2 — a reproducible uniform draw with no RNG, so
+    DuckDB replays the identical sample. The bucket equi-join bounds
+    each anchor's pool (~N/buckets rows) — never a cross join."""
+    from .operators.evaluation import sample_negatives
+
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    anchors = e.filter(F.col("vec_id") % 10 == 0)
+    out = sample_negatives(anchors, e, k=5, buckets=8)
+    return out.select(
+        "anchor_id",
+        "neg_id",
+        F.col("neg_label").cast("long").alias("neg_label"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+Q152_SQL = """
+WITH e AS (
+    SELECT vec_id, label,
+           ('0x' || SUBSTR(SHA256(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
+               % 8 AS b
+    FROM embeddings
+), a AS (
+    SELECT vec_id AS anchor_id, label AS anchor_label, b
+    FROM e WHERE vec_id % 10 = 0
+), pool AS (
+    SELECT a.anchor_id, e.vec_id AS neg_id,
+           CAST(e.label AS BIGINT) AS neg_label,
+           ('0x' || SUBSTR(SHA256(
+               CAST(a.anchor_id AS VARCHAR) || ':'
+               || CAST(e.vec_id AS VARCHAR)), 1, 8))::BIGINT AS draw
+    FROM a JOIN e ON a.b = e.b
+    WHERE e.label <> a.anchor_label AND e.vec_id <> a.anchor_id
+)
+SELECT anchor_id, neg_id, neg_label, CAST(rnk AS BIGINT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY anchor_id ORDER BY draw, neg_id) AS rnk
+    FROM pool
+) WHERE rnk <= 5
+"""
+
+
+def q153_dimension_stats(spark, sf_dir):
+    """Per-dimension embedding statistics (new r5,
+    `similarity.dimension_stats`): the whitening/normalization-prep
+    pass — posexplode + one groupBy(dim) with map-side partials; the
+    shuffle carries only partitions x d rows regardless of table
+    size. Floats cast to double BEFORE aggregation; float aggregates
+    rounded AFTER (engine-order-independent to 6 dp)."""
+    from .operators.similarity import dimension_stats
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = dimension_stats(e)
+    return out.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+    )
+
+
+Q153_SQL = """
+WITH ex AS (
+    SELECT CAST(u.i - 1 AS BIGINT) AS dim,
+           CAST(embedding[u.i] AS DOUBLE) AS v
+    FROM embeddings,
+         UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS u(i)
+)
+SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(v), 6) AS mean,
+       ROUND(STDDEV_POP(v), 6) AS std,
+       ROUND(MIN(v), 6) AS vmin,
+       ROUND(MAX(v), 6) AS vmax
+FROM ex GROUP BY dim
+"""
+
+
+def q154_length_buckets(spark, sf_dir):
+    """Padding-waste report for length-bucketed batching (new r5,
+    `text.length_bucket_report`): every doc lands in the smallest
+    boundary >= its token count (over-long docs truncate to the max),
+    and each bucket reports the token slots a fixed-length batcher
+    would pad — the knob report next to q74's packing, which removes
+    the waste. One scan, ~8 output groups; explicit-class token
+    regex for engine parity."""
+    from .operators.text import length_bucket_report
+
+    d = _t(spark, sf_dir, "documents")
+    out = length_bucket_report(d)
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_truncated").cast("long").alias("n_truncated"),
+        F.col("sum_tokens").cast("long").alias("sum_tokens"),
+        F.col("sum_kept").cast("long").alias("sum_kept"),
+        F.col("padded_slots").cast("long").alias("padded_slots"),
+        "pad_ratio",
+    )
+
+
+Q154_SQL = r"""
+WITH per_doc AS (
+    SELECT LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')) AS n
+    FROM documents
+), bucketed AS (
+    SELECT n,
+           COALESCE(
+               LIST_FILTER([32, 64, 128, 256, 512, 1024, 2048, 4096],
+                           b -> b >= n)[1],
+               4096) AS bucket,
+           LEAST(n, COALESCE(
+               LIST_FILTER([32, 64, 128, 256, 512, 1024, 2048, 4096],
+                           b -> b >= n)[1],
+               4096)) AS kept
+    FROM per_doc
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n > bucket THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_truncated,
+       CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       CAST(SUM(kept) AS BIGINT) AS sum_kept,
+       CAST(bucket * COUNT(*) - SUM(kept) AS BIGINT) AS padded_slots,
+       ROUND(1.0 - SUM(kept) / (bucket * COUNT(*)), 6) AS pad_ratio
+FROM bucketed GROUP BY bucket
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -7055,6 +7241,10 @@ QUERIES: dict[str, tuple] = {
     ),
     "q149_deletion_neighborhood": (q149_deletion_neighborhood, Q149_SQL),
     "q150_bpe_encode": (q150_bpe_encode, Q150_SQL),
+    "q151_containment_pairs": (q151_containment_pairs, Q151_SQL),
+    "q152_negative_sampling": (q152_negative_sampling, Q152_SQL),
+    "q153_dimension_stats": (q153_dimension_stats, Q153_SQL),
+    "q154_length_buckets": (q154_length_buckets, Q154_SQL),
 }
 
 

@@ -450,3 +450,135 @@ def test_bpe_encode_counts_known_merges(spark):
     assert got[1] == (3, 3)    # three "abab" -> one symbol each
     assert got[2] == (2, 1 + 2)  # "abab"=1, "cd"=2 raw chars
     assert got[3] == (1, 2)    # untouched word keeps char count
+
+
+# --------------------------------------------------------------------
+# containment pairs (asymmetric sub-document dup)
+# --------------------------------------------------------------------
+
+def test_containment_catches_subdocument_quote(spark):
+    from catenae_stopover_spark.operators.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps"
+    wrapper = (
+        "intro words here first " + quote + " and then a very long tail "
+        "of completely unrelated filler text that keeps on going for a "
+        "while so the symmetric jaccard overlap stays tiny indeed"
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, wrapper), (3, "nothing shared at all here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): (r.containment_a, r.containment_b)
+        for r in containment_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    assert set(got) == {(1, 2)}
+    ca, cb = got[(1, 2)]
+    assert ca == pytest.approx(1.0)   # every gram of the quote is in the wrapper
+    assert cb < 0.5                   # but not vice versa
+
+
+def test_containment_is_directional_and_thresholded(spark):
+    from catenae_stopover_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c x y"), (3, "p q r s t")],
+        "doc_id long, text string",
+    )
+    # n=3: doc1 grams {abc,bcd,cde}, doc2 grams {abc,bcx,cxy}: inter=1,
+    # containment 1/3 each way -> below 0.5, no pair survives
+    assert containment_pairs(docs, n=3, threshold=0.5).count() == 0
+    out = containment_pairs(docs, n=3, threshold=0.3).collect()
+    assert [(r.id_a, r.id_b, r.inter) for r in out] == [(1, 2, 1)]
+
+
+# --------------------------------------------------------------------
+# deterministic negative sampling
+# --------------------------------------------------------------------
+
+def test_sample_negatives_label_and_determinism(spark):
+    from catenae_stopover_spark.operators.evaluation import sample_negatives
+
+    cands = spark.createDataFrame(
+        [(i, i % 2) for i in range(40)], "vec_id long, label int"
+    )
+    anchors = cands.filter(F.col("vec_id") < 4)
+    run = lambda: sorted(  # noqa: E731
+        (r.anchor_id, r.neg_id, r.neg_label, r.rank)
+        for r in sample_negatives(anchors, cands, k=3, buckets=2).collect()
+    )
+    first = run()
+    assert first == run()  # no RNG state: byte-identical re-run
+    labels = {a: {} for a, *_ in first}
+    for a, n, lab, rank in first:
+        assert n != a
+        labels[a][rank] = lab
+    for a, by_rank in labels.items():
+        anchor_label = a % 2
+        assert all(lab != anchor_label for lab in by_rank.values())
+        assert sorted(by_rank) == list(range(1, len(by_rank) + 1))
+        assert len(by_rank) <= 3
+
+
+def test_sample_negatives_respects_bucket_pool(spark):
+    from catenae_stopover_spark.operators.evaluation import sample_negatives
+
+    # with a single bucket every cross-label candidate is reachable
+    cands = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 1), (4, 1)], "vec_id long, label int"
+    )
+    anchors = cands.filter(F.col("vec_id") == 1)
+    got = sample_negatives(anchors, cands, k=10, buckets=1).collect()
+    assert sorted(r.neg_id for r in got) == [2, 3, 4]
+
+
+# --------------------------------------------------------------------
+# per-dimension embedding stats
+# --------------------------------------------------------------------
+
+def test_dimension_stats_hand_computed(spark):
+    from catenae_stopover_spark.operators.similarity import dimension_stats
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 10.0]), (2, [3.0, 10.0]), (3, [5.0, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r.dim: r for r in dimension_stats(df).collect()}
+    assert set(got) == {0, 1}
+    d0 = got[0]
+    assert (d0.n, d0.mean, d0.vmin, d0.vmax) == (3, 3.0, 1.0, 5.0)
+    assert d0.std == pytest.approx(math.sqrt(8 / 3))
+    d1 = got[1]
+    assert (d1.mean, d1.std) == (10.0, 0.0)
+
+
+# --------------------------------------------------------------------
+# length-bucket padding report
+# --------------------------------------------------------------------
+
+def test_length_bucket_report_assignment_and_padding(spark):
+    from catenae_stopover_spark.operators.text import length_bucket_report
+
+    def words(n):
+        return " ".join(["w"] * n)
+
+    docs = spark.createDataFrame(
+        [(1, words(3)), (2, words(4)), (3, words(5)), (4, words(20))],
+        "doc_id long, text string",
+    )
+    got = {
+        r.bucket: r
+        for r in length_bucket_report(
+            docs, boundaries=(4, 8, 16)
+        ).collect()
+    }
+    assert set(got) == {4, 8, 16}
+    b4 = got[4]  # docs of 3 and 4 tokens
+    assert (b4.n_docs, b4.n_truncated, b4.sum_tokens, b4.sum_kept) == (
+        2, 0, 7, 7,
+    )
+    assert b4.padded_slots == 4 * 2 - 7
+    b16 = got[16]  # the 20-token doc truncates to 16
+    assert (b16.n_docs, b16.n_truncated, b16.sum_kept) == (1, 1, 16)
+    assert b16.pad_ratio == 0.0
