@@ -551,6 +551,7 @@ def containment_pairs(
     n: int = 5,
     threshold: float = 0.8,
     max_df: int | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Asymmetric n-gram CONTAINMENT pairs: containment(A in B) =
     |grams(A) ∩ grams(B)| / |grams(A)|.
@@ -569,7 +570,91 @@ def containment_pairs(
     all-pairs comparison; ``max_df`` caps boilerplate-gram candidate
     blow-up exactly as in the Jaccard form (containment values stay
     exact because |A| and |B| are computed before the cap).
+
+    ``collapse_exact=True`` pre-collapses byte-identical texts to one
+    representative before the gram self-join — the replica-heavy crawl
+    shape makes same-gram candidates QUADRATIC in the replica count,
+    the same cliff fixed for MinHash/embedding dedup. Containment
+    depends only on the gram SETS, so cross-group pairs inherit their
+    representatives' values exactly and intra-group pairs are
+    (1.0, 1.0) with inter = the group's gram count — value-exact
+    parity with the plain run (pytest-pinned). Containment is
+    DIRECTIONAL, so the expansion re-orients (containment_a,
+    containment_b) when membership ids swap the pair order.
     """
+    if collapse_exact:
+        digest = F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)
+        hashed = df.select(F.col(id_col), F.col(text_col), digest.alias("__d"))
+        reps_tbl = hashed.groupBy("__d").agg(F.min(id_col).alias("__rep"))
+        members = hashed.join(reps_tbl, "__d").select(
+            F.col("__rep"), F.col(id_col).alias("__m")
+        )
+        reps = df.select(F.col(id_col), F.col(text_col)).join(
+            reps_tbl.select(F.col("__rep").alias(id_col)), id_col
+        )
+        rep_pairs = containment_pairs(
+            reps,
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            threshold=threshold,
+            max_df=max_df,
+            collapse_exact=False,
+        )
+        ma = members.select(
+            F.col("__rep").alias("id_a"), F.col("__m").alias("__ma")
+        )
+        mb = members.select(
+            F.col("__rep").alias("id_b"), F.col("__m").alias("__mb")
+        )
+        fwd = F.col("__ma") < F.col("__mb")
+        cross = (
+            rep_pairs.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("__ma", "__mb").alias("id_a"),
+                F.greatest("__ma", "__mb").alias("id_b"),
+                F.col("inter"),
+                F.when(fwd, F.col("containment_a"))
+                .otherwise(F.col("containment_b"))
+                .alias("containment_a"),
+                F.when(fwd, F.col("containment_b"))
+                .otherwise(F.col("containment_a"))
+                .alias("containment_b"),
+            )
+        )
+        # intra-group pairs: identical texts => containment 1.0 both
+        # ways, inter = the group's distinct-gram count; reps with zero
+        # grams (empty/NULL text) drop out via the inner size join,
+        # matching the plain path's size>0 filter
+        rep_sizes = (
+            reps.select(
+                F.col(id_col).alias("__size_rep"),
+                F.size(F.array_distinct(_shingles(text_col, n))).alias(
+                    "__n_grams"
+                ),
+            )
+            .filter(F.col("__n_grams") > 0)
+        )
+        intra = (
+            members.alias("x")
+            .join(
+                members.alias("y"),
+                (F.col("x.__rep") == F.col("y.__rep"))
+                & (F.col("x.__m") < F.col("y.__m")),
+            )
+            .join(rep_sizes, F.col("x.__rep") == F.col("__size_rep"))
+            .select(
+                F.col("x.__m").alias("id_a"),
+                F.col("y.__m").alias("id_b"),
+                F.col("__n_grams").cast("long").alias("inter"),
+                F.lit(1.0).alias("containment_a"),
+                F.lit(1.0).alias("containment_b"),
+            )
+        )
+        if threshold > 1.0:
+            intra = intra.filter(F.lit(False))
+        return cross.unionByName(intra)
     grams = (
         ensure_min_parallelism(df)
         .select(

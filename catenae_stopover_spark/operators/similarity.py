@@ -678,3 +678,43 @@ def dimension_stats(
         F.min("v").alias("vmin"),
         F.max("v").alias("vmax"),
     )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    stats: list | None = None,
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Per-dimension standardization (diagonal whitening): replace the
+    vector with ``(v[i] - mean_i) / std_i``; dimensions with
+    ``std_i < eps`` (dead dimensions) map to 0.0 instead of exploding.
+    The normalization-apply half of ``dimension_stats`` — model = a
+    d-row table, application = a zip_with against LITERAL mean/std
+    arrays, so the apply pass is map-only (no join, no shuffle; the
+    only shuffle in the whole pipeline is the d-group stats
+    aggregate). Collecting d scalars to the driver is the documented
+    planning-scalar pattern (same as IVF/PQ centroids).
+
+    ``stats``: optional pre-computed ``[(dim, mean, std), ...]`` —
+    pass it to reuse a persisted model table; default computes
+    ``dimension_stats(df)`` on the input (train == apply corpus).
+    """
+    if stats is None:
+        stats = [
+            (r["dim"], r["mean"], r["std"])
+            for r in dimension_stats(df, vec_col).collect()
+        ]
+    stats = sorted(stats)
+    means = F.array(*[F.lit(float(m)) for _, m, _ in stats])
+    stds = F.array(*[F.lit(float(s)) for _, _, s in stats])
+    standardized = F.zip_with(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            means,
+            lambda v, m: v - m,
+        ),
+        stds,
+        lambda c, s: F.when(s < F.lit(eps), F.lit(0.0)).otherwise(c / s),
+    )
+    return df.withColumn(vec_col, standardized)

@@ -1511,19 +1511,26 @@ def length_bucket_report(
     """
     bounds = sorted(boundaries)
     barr = F.array(*[F.lit(int(b)) for b in bounds])
-    n = token_count(text_col)
+    # materialize the token count in its own projection FIRST: the
+    # regex is the scan's dominant cost and referencing the expression
+    # from bucket/kept/n_tokens would re-evaluate it per use (the
+    # filter lambda blocks common-subexpression elimination)
+    from ..plans.partitioning import ensure_min_parallelism
+
+    counted = ensure_min_parallelism(df).select(
+        token_count(text_col).alias("n_tokens")
+    )
+    n = F.col("n_tokens")
     # try_element_at: the filtered array is EMPTY for docs longer than
     # the largest boundary, and plain element_at throws under ANSI mode
     bucket = F.coalesce(
         F.try_element_at(F.filter(barr, lambda b: b >= n), F.lit(1)),
         F.lit(int(bounds[-1])),
     )
-    kept = F.least(n, bucket)
-    per_doc = df.select(
-        n.alias("n_tokens"),
+    per_doc = counted.select(
+        "n_tokens",
         bucket.alias("bucket"),
-        kept.alias("kept"),
-    )
+    ).withColumn("kept", F.least(n, F.col("bucket")))
     agg = per_doc.groupBy("bucket").agg(
         F.count("*").alias("n_docs"),
         F.sum((F.col("n_tokens") > F.col("bucket")).cast("bigint")).alias(
@@ -1541,4 +1548,120 @@ def length_bucket_report(
         "sum_kept",
         (slots - F.col("sum_kept")).alias("padded_slots"),
         F.round(1.0 - F.col("sum_kept") / slots, 6).alias("pad_ratio"),
+    )
+
+
+def importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    smoothing: float = 1.0,
+    seed: int = 0,
+) -> DataFrame:
+    """DSIR-style importance reweighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every raw-corpus document by how much its hashed n-gram feature
+    distribution looks like the TARGET corpus rather than the raw
+    corpus — log w(x) = sum_f count_f(x) * ln(p_target(f)/q_raw(f)) —
+    then add per-doc Gumbel noise so a top-k over ``score`` IS a
+    Gumbel-top-k importance resample, reproducible with no RNG state.
+
+    Features are word unigrams + bigrams hashed to ``buckets`` via the
+    portable sha2 bucket, so any engine replays identical features,
+    distributions, weights, and noise. Laplace ``smoothing`` keeps
+    target-absent buckets finite.
+
+    Scale shape: both distributions are one explode + one groupBy on
+    ``buckets`` keys (map-side partials; shuffle carries partitions x
+    buckets rows); the log-ratio model is a B-row TABLE broadcast into
+    the per-doc scoring join; per-doc totals are one groupBy(id). The
+    feature-count totals are 1-row aggregates broadcast as the
+    documented planning-scalar pattern. Nothing is quadratic; the
+    target corpus is typically tiny next to raw (the DSIR premise).
+
+    Output: (id, n_feats, log_weight, score) — one row per raw doc
+    with >= 1 feature; ``score = log_weight + gumbel`` is the
+    resampling key (take top-k via TakeOrdered, never a global
+    window).
+    """
+    grams = F.filter(
+        F.concat(_ngrams(text_col, 1), _ngrams(text_col, 2)),
+        lambda g: g != "",
+    )
+    bucket = (
+        F.conv(F.substring(F.sha2(F.col("__g"), 256), 1, 8), 16, 10)
+        .cast("bigint")
+        % buckets
+    )
+
+    from ..plans.partitioning import ensure_min_parallelism
+
+    def _feats(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col)] if with_id else []
+        e = ensure_min_parallelism(df).select(
+            *cols, F.explode(grams).alias("__g")
+        )
+        return e.withColumn("__b", bucket).drop("__g")
+
+    raw_f = _feats(raw, with_id=True)
+    tgt_counts = (
+        _feats(target, with_id=False)
+        .groupBy("__b")
+        .agg(F.count("*").cast("double").alias("__ct"))
+    )
+    raw_counts = raw_f.groupBy("__b").agg(
+        F.count("*").cast("double").alias("__cr")
+    )
+    # 1-row totals, broadcast (planning-scalar pattern)
+    tgt_tot = tgt_counts.agg(F.sum("__ct").alias("__nt"))
+    raw_tot = raw_counts.agg(F.sum("__cr").alias("__nr"))
+    a, b = float(smoothing), float(buckets)
+    ratio = (
+        raw_counts.join(tgt_counts, "__b", "left")
+        .crossJoin(F.broadcast(tgt_tot))
+        .crossJoin(F.broadcast(raw_tot))
+        .select(
+            "__b",
+            (
+                F.log(
+                    (F.coalesce(F.col("__ct"), F.lit(0.0)) + a)
+                    / (F.col("__nt") + a * b)
+                )
+                - F.log((F.col("__cr") + a) / (F.col("__nr") + a * b))
+            ).alias("__lr"),
+        )
+    )
+    per_doc = (
+        raw_f.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.sum("__lr").alias("log_weight"),
+        )
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)), F.col(id_col).cast("string")
+                    ),
+                    256,
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    gumbel = -F.log(-F.log(u))
+    return per_doc.select(
+        id_col,
+        "n_feats",
+        "log_weight",
+        (F.col("log_weight") + gumbel).alias("score"),
     )

@@ -6870,11 +6870,14 @@ def q151_containment_pairs(spark, sf_dir):
     a short doc quoted inside a long wrapper scores Jaccard ~0 but
     containment 1.0 — the second axis of crawl dedup next to q28's
     symmetric Jaccard. Same scale-safe inverted-index shape (gram
-    equi-join, never all-pairs). Full oracle replay in DuckDB."""
+    equi-join, never all-pairs); collapse_exact pre-collapses byte
+    replicas before the gram join (the crawl replica cliff — value-
+    exact parity with the plain run, pytest-pinned). Full oracle
+    replay in DuckDB."""
     from .operators.dedup import containment_pairs
 
     d = _t(spark, sf_dir, "documents")
-    out = containment_pairs(d, n=3, threshold=0.5)
+    out = containment_pairs(d, n=3, threshold=0.5, collapse_exact=True)
     return out.select(
         "id_a",
         "id_b",
@@ -7047,6 +7050,118 @@ SELECT CAST(bucket AS BIGINT) AS bucket,
        CAST(bucket * COUNT(*) - SUM(kept) AS BIGINT) AS padded_slots,
        ROUND(1.0 - SUM(kept) / (bucket * COUNT(*)), 6) AS pad_ratio
 FROM bucketed GROUP BY bucket
+"""
+
+
+def q155_whitened_stats(spark, sf_dir):
+    """Standardization (diagonal whitening) APPLY + verification (new
+    r5, `similarity.standardize_embeddings`): fit per-dim mean/std
+    (q153's model table), apply as literal-array zip_with (map-only —
+    no join/shuffle in the apply pass), then re-run dimension_stats on
+    the output. The post-transform per-dim min/max are non-constant
+    real checks; mean/std land on 0/1 only if the fit+apply round-trip
+    is right. Oracle recomputes fit, apply, and re-aggregation."""
+    from .operators.similarity import dimension_stats, standardize_embeddings
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = dimension_stats(standardize_embeddings(e))
+    return out.select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        F.round("vmin", 6).alias("vmin"),
+        F.round("vmax", 6).alias("vmax"),
+    )
+
+
+Q155_SQL = """
+WITH ex AS (
+    SELECT CAST(u.i - 1 AS BIGINT) AS dim,
+           CAST(embedding[u.i] AS DOUBLE) AS v
+    FROM embeddings,
+         UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS u(i)
+), st AS (
+    SELECT dim, AVG(v) AS mu, STDDEV_POP(v) AS sd FROM ex GROUP BY dim
+), tx AS (
+    SELECT ex.dim,
+           CASE WHEN sd < 1e-12 THEN 0.0 ELSE (v - mu) / sd END AS v
+    FROM ex JOIN st USING (dim)
+)
+SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(v), 6) AS mean,
+       ROUND(STDDEV_POP(v), 6) AS std,
+       ROUND(MIN(v), 6) AS vmin,
+       ROUND(MAX(v), 6) AS vmax
+FROM tx GROUP BY dim
+"""
+
+
+def q156_importance_weights(spark, sf_dir):
+    """DSIR-style importance reweighting (new r5,
+    `text.importance_weights`): score every document by the
+    log-likelihood ratio of its hashed unigram+bigram features under
+    the TARGET distribution (English docs) vs the raw corpus, plus
+    deterministic Gumbel noise so top-k over `score` is a
+    reproducible importance resample. Portable sha2 feature hashing
+    and noise — the oracle replays the identical distributions,
+    weights, and noise end-to-end."""
+    from .operators.text import importance_weights
+
+    d = _t(spark, sf_dir, "documents")
+    out = importance_weights(d, d.filter(F.col("lang") == "en"), buckets=4096)
+    return out.select(
+        "doc_id",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.round("log_weight", 6).alias("log_weight"),
+        F.round("score", 6).alias("score"),
+    )
+
+
+Q156_SQL = r"""
+WITH words AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w,
+           lang
+    FROM documents
+), feats AS (
+    SELECT doc_id, lang,
+           UNNEST(LIST_CONCAT(
+               LIST_FILTER(w, x -> x <> ''),
+               LIST_TRANSFORM(
+                   LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                               i -> i <= LEN(w) - 1),
+                   i -> ARRAY_TO_STRING(w[i:i+1], ' '))
+           )) AS gram
+    FROM words
+), fb AS (
+    SELECT doc_id, lang,
+           ('0x' || SUBSTR(SHA256(gram), 1, 8))::BIGINT % 4096 AS b
+    FROM feats
+), rawc AS (
+    SELECT b, CAST(COUNT(*) AS DOUBLE) AS cr FROM fb GROUP BY b
+), tgtc AS (
+    SELECT b, CAST(COUNT(*) AS DOUBLE) AS ct
+    FROM fb WHERE lang = 'en' GROUP BY b
+), tots AS (
+    SELECT (SELECT SUM(cr) FROM rawc) AS nr,
+           (SELECT SUM(ct) FROM tgtc) AS nt
+), ratio AS (
+    SELECT rawc.b,
+           LN((COALESCE(ct, 0.0) + 1.0) / (nt + 4096.0))
+           - LN((cr + 1.0) / (nr + 4096.0)) AS lr
+    FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b, tots
+), per_doc AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+           SUM(lr) AS log_weight
+    FROM fb JOIN ratio ON fb.b = ratio.b
+    GROUP BY doc_id
+)
+SELECT doc_id, n_feats,
+       ROUND(log_weight, 6) AS log_weight,
+       ROUND(log_weight - LN(-LN(
+           (('0x' || SUBSTR(SHA256('0:' || CAST(doc_id AS VARCHAR)), 1, 8))
+               ::BIGINT + 0.5) / 4294967296.0)), 6) AS score
+FROM per_doc
 """
 
 
@@ -7245,6 +7360,8 @@ QUERIES: dict[str, tuple] = {
     "q152_negative_sampling": (q152_negative_sampling, Q152_SQL),
     "q153_dimension_stats": (q153_dimension_stats, Q153_SQL),
     "q154_length_buckets": (q154_length_buckets, Q154_SQL),
+    "q155_whitened_stats": (q155_whitened_stats, Q155_SQL),
+    "q156_importance_weights": (q156_importance_weights, Q156_SQL),
 }
 
 

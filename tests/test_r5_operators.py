@@ -582,3 +582,108 @@ def test_length_bucket_report_assignment_and_padding(spark):
     b16 = got[16]  # the 20-token doc truncates to 16
     assert (b16.n_docs, b16.n_truncated, b16.sum_kept) == (1, 1, 16)
     assert b16.pad_ratio == 0.0
+
+
+def test_containment_collapse_exact_parity(spark):
+    from catenae_stopover_spark.operators.dedup import containment_pairs
+
+    quote = "the quick brown fox jumps over dogs"
+    wrapper = quote + " plus a long unrelated tail of filler words here"
+    docs = spark.createDataFrame(
+        # replicas of the quote AND of the wrapper, plus an empty text
+        [(1, quote), (2, quote), (3, wrapper), (4, wrapper),
+         (5, "nothing shared"), (6, "")],
+        "doc_id long, text string",
+    )
+    rows = lambda df: sorted(  # noqa: E731
+        (r.id_a, r.id_b, r.inter,
+         round(r.containment_a, 9), round(r.containment_b, 9))
+        for r in df.collect()
+    )
+    plain = rows(containment_pairs(docs, n=3, threshold=0.5))
+    coll = rows(
+        containment_pairs(docs, n=3, threshold=0.5, collapse_exact=True)
+    )
+    assert plain == coll
+    assert len(plain) >= 6  # 2 intra pairs + 4 directed-quote cross pairs
+
+
+# --------------------------------------------------------------------
+# standardization / whitening apply
+# --------------------------------------------------------------------
+
+def test_standardize_embeddings_zero_mean_unit_std(spark):
+    from catenae_stopover_spark.operators.similarity import (
+        dimension_stats,
+        standardize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        # dim0 varies, dim1 is constant (dead dimension)
+        [(1, [1.0, 7.0]), (2, [3.0, 7.0]), (3, [5.0, 7.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = standardize_embeddings(df)
+    stats = {r.dim: r for r in dimension_stats(out).collect()}
+    assert stats[0].mean == pytest.approx(0.0, abs=1e-12)
+    assert stats[0].std == pytest.approx(1.0, abs=1e-12)
+    # dead dimension maps to 0.0, not inf/nan
+    assert (stats[1].mean, stats[1].std) == (0.0, 0.0)
+    # ids and other columns survive untouched
+    assert sorted(r.vec_id for r in out.collect()) == [1, 2, 3]
+
+
+def test_standardize_embeddings_accepts_external_stats(spark):
+    from catenae_stopover_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [10.0]), (2, [20.0])], "vec_id long, embedding array<double>"
+    )
+    out = standardize_embeddings(df, stats=[(0, 10.0, 5.0)])
+    got = {r.vec_id: r.embedding[0] for r in out.collect()}
+    assert got == {1: 0.0, 2: 2.0}
+
+
+# --------------------------------------------------------------------
+# DSIR importance reweighting
+# --------------------------------------------------------------------
+
+def test_importance_weights_prefers_target_like_docs(spark):
+    from catenae_stopover_spark.operators.text import importance_weights
+
+    target_like = "alpha beta gamma alpha beta"
+    off_target = "zeta eta theta zeta eta"
+    raw = spark.createDataFrame(
+        [(i, target_like) for i in range(5)]
+        + [(i + 10, off_target) for i in range(5)],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(100, target_like), (101, "alpha beta alpha")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in importance_weights(raw, target).collect()}
+    assert len(got) == 10
+    # every target-like doc outscores every off-target doc on log_weight
+    assert min(got[i].log_weight for i in range(5)) > max(
+        got[i + 10].log_weight for i in range(5)
+    )
+    # identical text => identical log_weight, but distinct gumbel score
+    assert got[0].log_weight == got[1].log_weight
+    assert got[0].score != got[1].score
+    # unigrams + bigrams of a 5-word doc
+    assert got[0].n_feats == 9
+
+
+def test_importance_weights_empty_and_null_text_dropped(spark):
+    from catenae_stopover_spark.operators.text import importance_weights
+
+    raw = spark.createDataFrame(
+        [(1, "real words"), (2, ""), (3, None), (4, "   ")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([(9, "real")], "doc_id long, text string")
+    got = [r.doc_id for r in importance_weights(raw, target).collect()]
+    assert got == [1]

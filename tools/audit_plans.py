@@ -66,6 +66,9 @@ ACCEPTED = {
     # sample totals as a broadcast 1-row scalar onto the distinct-value
     # CDF table (single global window over |distinct values| rows)
     "q139_ks_drift": "broadcast 1-row total scalars",
+    # feature-count totals attached as broadcast 1-row scalars onto the
+    # B-row log-ratio model table (q90/q127's pattern)
+    "q156_importance_weights": "broadcast 1-row feature-total scalars",
     # cross of two 1-row gate aggregates (sizes x cluster stats)
     "q132_cluster_split_gate": "cross of two 1-row gate aggregates",
     # |V| attached as a broadcast 1-row scalar, once per iteration
