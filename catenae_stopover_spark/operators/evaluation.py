@@ -91,7 +91,8 @@ def sample_negatives(
     anchors: DataFrame,
     candidates: DataFrame,
     k: int = 5,
-    buckets: int = 32,
+    buckets: int | None = None,
+    pool_target: int = 1000,
     id_col: str = "vec_id",
     label_col: str = "label",
 ) -> DataFrame:
@@ -104,11 +105,21 @@ def sample_negatives(
     Shape: both sides get ``bucket = sha2(id) % buckets``; an
     equi-join on the bucket bounds each anchor's candidate pool to
     ~|candidates|/buckets rows, then a per-anchor top-k window
-    (WindowGroupLimit pushes the rank filter into the sort). At 100 TB
-    ``buckets`` scales with the candidate count to keep the pool
-    constant-sized per anchor — the join stays an equi-join, never a
-    cross. Output: (anchor_id, neg_id, neg_label, rank).
+    (WindowGroupLimit pushes the rank filter into the sort).
+
+    ``buckets=None`` (default) derives the bucket count from the data:
+    ``max(8, ceil(n_candidates / pool_target))``, so the per-anchor
+    pool stays ~``pool_target`` rows no matter the corpus size — a
+    PINNED bucket count makes the pool join quadratic as the corpus
+    grows (anchors x candidates/buckets; measured: 500M-row pool at
+    200k candidates with buckets=8). The count() is a documented
+    planning scalar, and an engine replaying the sample derives the
+    identical count from the same data. Output: (anchor_id, neg_id,
+    neg_label, rank).
     """
+    if buckets is None:
+        n_cand = candidates.count()
+        buckets = max(8, -(-n_cand // pool_target))
 
     def _bucket(col):
         return (

@@ -1088,71 +1088,89 @@ SELECT TRUE AS recall_ok,
 
 
 def q70_lsh_probe_gate(spark, sf_dir):
-    """Hyperplane LSH under its actual guarantee: the returned top-k
-    IS the exact cosine top-k restricted to the probed buckets, and
-    the probe touches a strict subset of the data. (A raw recall@10
-    gate would be dishonest here — the fixture's embeddings are
-    near-random, so ANY bucketing recalls poorly; recall-vs-probes
-    monotonicity is pinned in pytest instead.)"""
-    from .operators.similarity import (
-        brute_force_topk,
-        hyperplane_signature,
-        lsh_bucketed_topk,
-    )
+    """Multi-probe hyperplane LSH with a fully recomputed oracle
+    (teeth added r5, the q42 playbook — was a constant-TRUE gate):
+    LITERAL sha256-derived planes (`similarity.portable_hyperplanes`),
+    probe set = the query's bucket plus every hamming-1 neighbor, and
+    the returned rows ARE the exact cosine top-10 of the probed
+    subset, each row also carrying the measured probed/total counts.
+    DuckDB replays planes, signatures, probe set, counts, and the
+    re-rank end-to-end; the old booleans (top-k-of-probed equality,
+    strict-subset probe) are now implied by the value hash. Recall-vs-
+    probes monotonicity stays pinned in pytest (near-random fixture
+    embeddings make a raw recall gate dishonest)."""
+    from .operators.similarity import lsh_bucketed_topk, portable_hyperplanes
 
-    bits, probe = 4, 1
+    bits = 4
     qvec = _query_vec(sf_dir)
     e = _t(spark, sf_dir, "embeddings")
     base = e.filter(F.col("vec_id") != 0)
-    sig = base.withColumn("__sig", hyperplane_signature("embedding", bits))
-    # the ONLY driver-side fetch: the query vector's own signature — an
-    # O(1) scalar over the single probe vector, independent of data
-    # size (lsh_bucketed_topk performs the same fetch internally)
-    qsig = (
-        spark.createDataFrame([(list(map(float, qvec)),)], "embedding: array<double>")
-        .select(hyperplane_signature("embedding", bits).alias("s"))
-        .head()[0]
-    )
+    planes = portable_hyperplanes(bits, len(qvec))
+    topk = lsh_bucketed_topk(
+        base, qvec, k=10, planes=planes, probe_hamming=1
+    ).select("vec_id", F.round("cosine", 6).alias("cosine"))
+    from .operators.similarity import portable_signature_expr
+    from .operators.similarity import portable_signature_py
+
+    qsig = portable_signature_py(qvec, planes)
     probe_sigs = [qsig] + [qsig ^ (1 << i) for i in range(bits)]
-    probed = sig.filter(F.col("__sig").isin(probe_sigs))
-    # set equality + strict-subset checks as distributed aggregates —
-    # no .collect()ed id sets on the driver
-    lsh_ids = lsh_bucketed_topk(
-        base, qvec, k=10, bits=bits, probe_hamming=probe
-    ).select("vec_id")
-    exact_ids = brute_force_topk(probed, qvec, k=10).select("vec_id")
-    sets_equal = (
-        lsh_ids.withColumn("__l", F.lit(1))
-        .join(exact_ids.withColumn("__r", F.lit(1)), "vec_id", "full_outer")
-        .agg(
-            (
-                F.count(
-                    F.when(F.col("__l").isNull() | F.col("__r").isNull(), 1)
-                )
-                == 0
-            ).alias("topk_of_probed_ok")
+    counts = base.agg(
+        F.sum(
+            F.when(
+                portable_signature_expr("embedding", planes).isin(probe_sigs),
+                1,
+            ).otherwise(0)
         )
+        .cast("long")
+        .alias("n_probed"),
+        F.count("*").alias("n_total"),
     )
-    subset = sig.agg(
-        (
-            F.sum(
-                F.when(F.col("__sig").isin(probe_sigs), 1).otherwise(0)
-            )
-            < F.count("*")
-        ).alias("probed_strict_subset")
-    )
-    return sets_equal.crossJoin(subset).select(
-        "topk_of_probed_ok",
-        "probed_strict_subset",
-        F.lit(bits).alias("bits"),
-        F.lit(probe).alias("probe_hamming"),
-    )
+    return topk.crossJoin(F.broadcast(counts))
 
 
-Q70_SQL = """
-SELECT TRUE AS topk_of_probed_ok, TRUE AS probed_strict_subset,
-       4 AS bits, 1 AS probe_hamming
+def _q70_oracle_sql():
+    """Built lazily (q42 pattern): replay the literal planes, the
+    query signature and its hamming-1 probe set, the probed counts,
+    and the exact top-10 re-rank of the probed subset."""
+    from .operators.similarity import (
+        portable_hyperplanes,
+        portable_signature_py,
+    )
+
+    sf_dir = os.environ.get("CSSPARK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    qvec = _query_vec(sf_dir)
+    bits = 4
+    planes = portable_hyperplanes(bits, len(qvec))
+    qsig = portable_signature_py(qvec, planes)
+    probes = ", ".join(str(qsig ^ (1 << i)) for i in range(bits))
+    terms = []
+    for p, w in enumerate(planes):
+        arr = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN LIST_DOT_PRODUCT(embedding::DOUBLE[], {arr}) > 0 "
+            f"THEN {1 << p} ELSE 0 END)"
+        )
+    sig = " + ".join(terms)
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+sig AS (
+    SELECT vec_id, embedding, {sig} AS s
+    FROM embeddings WHERE vec_id <> 0
+), counts AS (
+    SELECT CAST(SUM(CASE WHEN s IN ({qsig}, {probes}) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_probed,
+           CAST(COUNT(*) AS BIGINT) AS n_total
+    FROM sig
+)
+SELECT vec_id,
+       ROUND(LIST_COSINE_SIMILARITY(embedding::DOUBLE[], qv), 6) AS cosine,
+       n_probed, n_total
+FROM sig, q, counts
+WHERE s IN ({qsig}, {probes})
+ORDER BY cosine DESC, vec_id
+LIMIT 10
 """
+
 
 
 def q68_dedup_clusters(spark, sf_dir):
@@ -6923,13 +6941,16 @@ def q152_negative_sampling(spark, sf_dir):
     `evaluation.sample_negatives`): per anchor, k=5 different-label
     candidates drawn from the anchor's sha2 bucket, ranked by a
     pair-keyed sha2 — a reproducible uniform draw with no RNG, so
-    DuckDB replays the identical sample. The bucket equi-join bounds
-    each anchor's pool (~N/buckets rows) — never a cross join."""
+    DuckDB replays the identical sample. The bucket count derives
+    from the candidate count (max(8, ceil(N/1000)), computed from the
+    data by BOTH engines), so the bucket equi-join pool stays ~1000
+    rows per anchor at ANY corpus size — never a cross join, never
+    quadratic (buckets=8 pinned measured a 500M-row pool at 100x)."""
     from .operators.evaluation import sample_negatives
 
     e = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
     anchors = e.filter(F.col("vec_id") % 10 == 0)
-    out = sample_negatives(anchors, e, k=5, buckets=8)
+    out = sample_negatives(anchors, e, k=5)
     return out.select(
         "anchor_id",
         "neg_id",
@@ -6939,11 +6960,14 @@ def q152_negative_sampling(spark, sf_dir):
 
 
 Q152_SQL = """
-WITH e AS (
+WITH nb AS (
+    SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 1000.0) AS BIGINT)) AS nbuckets
+    FROM embeddings
+), e AS (
     SELECT vec_id, label,
            ('0x' || SUBSTR(SHA256(CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT
-               % 8 AS b
-    FROM embeddings
+               % nbuckets AS b
+    FROM embeddings, nb
 ), a AS (
     SELECT vec_id AS anchor_id, label AS anchor_label, b
     FROM e WHERE vec_id % 10 = 0
@@ -7309,7 +7333,7 @@ QUERIES: dict[str, tuple] = {
     "q66_stratified_sample": (q66_stratified_sample, _q66_oracle_sql),
     "q67_decontaminate": (q67_decontaminate, Q67_SQL),
     "q68_dedup_clusters": (q68_dedup_clusters, Q68_SQL),
-    "q70_lsh_probe_gate": (q70_lsh_probe_gate, Q70_SQL),
+    "q70_lsh_probe_gate": (q70_lsh_probe_gate, _q70_oracle_sql),
     "q71_audio_features": (q71_audio_features, Q71_SQL),
     "q72_stream_session_strict": (q72_stream_session_strict, Q72_SQL),
     "q73_chunk_documents": (q73_chunk_documents, Q73_SQL),
