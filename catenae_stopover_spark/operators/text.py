@@ -1665,3 +1665,53 @@ def importance_weights(
         "log_weight",
         (F.col("log_weight") + gumbel).alias("score"),
     )
+
+
+def repeated_char_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 40,
+    stride: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated character spans — the character-window
+    flavor of substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", approximated with
+    strided windows instead of suffix arrays): every ``window``-char
+    span sampled at ``stride`` offsets that occurs in >= ``min_docs``
+    DISTINCT documents, with its document and occurrence counts —
+    the license-header / boilerplate / verbatim-quote detector that
+    q118's line-level and q145's word-n-gram passes cannot see when
+    formatting differs at line granularity.
+
+    Shape: one explode (~chars/stride rows) and ONE groupBy on the
+    span string with map-side partials — no join anywhere; min_docs
+    bounds output to genuinely repeated spans. At 100 TB pre-hash the
+    span (sha2 prefix) to shrink shuffle width and re-attach one
+    exemplar string per hash; char-based substring/length semantics
+    are identical across engines, so the oracle replays exactly.
+    """
+    from ..plans.partitioning import ensure_min_parallelism
+
+    t = F.col(text_col)
+    # substring(text, i*stride+1, window) — F.substring needs int
+    # positions, so build via expr for the lambda-position form
+    spans = F.expr(
+        f"transform(sequence(0, cast(floor((length({text_col}) - {window})"
+        f" / {float(stride)}) as int)),"
+        f" i -> substring({text_col}, i * {stride} + 1, {window}))"
+    )
+    e = (
+        ensure_min_parallelism(df)
+        .filter(F.length(t) >= window)
+        .select(F.col(id_col), F.explode(spans).alias("gram"))
+    )
+    return (
+        e.groupBy("gram")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count("*").alias("n_total"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

