@@ -1715,3 +1715,68 @@ def repeated_char_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def pmi_cooccurrence(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_vocab: int = 1000,
+    min_pairs: int = 5,
+) -> DataFrame:
+    """Document-level pointwise mutual information between vocabulary
+    terms: PMI(a, b) = ln(n_ab * N / (n_a * n_b)) over distinct-word
+    document co-occurrence — the corpus-association diagnostic behind
+    collocation mining, tokenizer-merge sanity checks, and topic
+    drift.
+
+    Scale shape: the vocabulary is a top-``top_vocab``-by-df TABLE
+    picked with TakeOrdered (orderBy+limit — never a global window
+    over the distinct-token table), broadcast into the word-doc
+    filter, so the per-document self-join is bounded by vocab^2, not
+    document length; pair counting is one doc_id equi-join + one
+    groupBy(pair). N (docs with >= 1 vocab term) rides along as the
+    documented 1-row broadcast scalar. ``min_pairs`` drops the noisy
+    co-occurrence tail.
+    """
+    from ..plans.partitioning import ensure_min_parallelism
+
+    w = f"split(lower(trim({text_col})), '\\\\s+')"
+    toks = F.expr(f"array_distinct(filter({w}, t -> t != ''))")
+    inv = ensure_min_parallelism(df).select(
+        F.col(id_col), F.explode(toks).alias("tok")
+    )
+    vocab = (
+        inv.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(top_vocab)
+    )
+    vinv = inv.join(F.broadcast(vocab.select("tok")), "tok")
+    n_docs = vinv.agg(
+        F.countDistinct(id_col).cast("double").alias("__n")
+    )
+    a = vinv.select(F.col(id_col), F.col("tok").alias("tok_a"))
+    b = vinv.select(F.col(id_col), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, id_col)
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pairs)
+    )
+    da = vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("n_a"))
+    db = vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(da), "tok_a")
+        .join(F.broadcast(db), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_pair",
+            F.log(
+                F.col("n_pair") * F.col("__n") / (F.col("n_a") * F.col("n_b"))
+            ).alias("pmi"),
+        )
+    )

@@ -7322,6 +7322,51 @@ FROM final GROUP BY source
 """
 
 
+def q159_pmi_pairs(spark, sf_dir):
+    """Document-level PMI collocations (new r5,
+    `text.pmi_cooccurrence`): ln(n_ab*N/(n_a*n_b)) over distinct-word
+    doc co-occurrence for the top-df vocabulary — vocab via
+    TakeOrdered (never a global window), broadcast joins for the
+    unigram stats, the 1-row N scalar pattern. Full oracle replay."""
+    from .operators.text import pmi_cooccurrence
+
+    d = _t(spark, sf_dir, "documents")
+    out = pmi_cooccurrence(d, top_vocab=1000, min_pairs=5)
+    return out.select(
+        "tok_a",
+        "tok_b",
+        F.col("n_pair").cast("long").alias("n_pair"),
+        F.round("pmi", 6).alias("pmi"),
+    )
+
+
+Q159_SQL = r"""
+WITH inv AS (
+    SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_FILTER(
+        REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+'),
+        t -> t <> ''))) AS tok
+    FROM documents
+), vocab AS (
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+    FROM inv GROUP BY tok ORDER BY df DESC, tok LIMIT 1000
+), vinv AS (
+    SELECT i.doc_id, i.tok FROM inv i JOIN vocab v ON i.tok = v.tok
+), nd AS (
+    SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM vinv
+), pairs AS (
+    SELECT a.tok AS tok_a, b.tok AS tok_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM vinv a JOIN vinv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+    GROUP BY a.tok, b.tok HAVING COUNT(*) >= 5
+)
+SELECT tok_a, tok_b, n_pair,
+       ROUND(LN(n_pair * n / (va.df * vb.df)), 6) AS pmi
+FROM pairs
+JOIN vocab va ON va.tok = tok_a
+JOIN vocab vb ON vb.tok = tok_b, nd
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -7521,6 +7566,7 @@ QUERIES: dict[str, tuple] = {
     "q156_importance_weights": (q156_importance_weights, Q156_SQL),
     "q157_repeated_spans": (q157_repeated_spans, Q157_SQL),
     "q158_curation_pipeline": (q158_curation_pipeline, Q158_SQL),
+    "q159_pmi_pairs": (q159_pmi_pairs, Q159_SQL),
 }
 
 

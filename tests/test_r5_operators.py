@@ -749,3 +749,48 @@ def test_curation_pipeline_stage_invariants(spark, tmp_path):
     out = {r.source: r for r in q158_curation_pipeline(spark, sf).collect()}
     assert all(r.n_docs <= 10 for r in out.values())
     assert all(r.sum_tokens >= 20 * r.n_docs for r in out.values())
+
+
+# --------------------------------------------------------------------
+# PMI collocations
+# --------------------------------------------------------------------
+
+def test_pmi_cooccurrence_hand_computed(spark):
+    from catenae_stopover_spark.operators.text import pmi_cooccurrence
+
+    # "alpha beta" always together (PMI > 0); "alpha zeta" never
+    # co-occur (pair absent); "gamma" independent of both
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta"),
+            (2, "alpha beta gamma"),
+            (3, "zeta gamma"),
+            (4, "zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.tok_a, r.tok_b): (r.n_pair, r.pmi)
+        for r in pmi_cooccurrence(docs, min_pairs=1).collect()
+    }
+    # alpha(df2) beta(df2) together twice of N=4: PMI = ln(2*4/(2*2))
+    n, p = out[("alpha", "beta")]
+    assert n == 2
+    assert p == pytest.approx(math.log(2.0))
+    assert ("alpha", "zeta") not in out
+    # beta-gamma once: ln(1*4/(2*2)) = 0
+    assert out[("beta", "gamma")][1] == pytest.approx(0.0)
+
+
+def test_pmi_vocab_cap_excludes_tail(spark):
+    from catenae_stopover_spark.operators.text import pmi_cooccurrence
+
+    docs = spark.createDataFrame(
+        [(i, "common word rare%d" % i) for i in range(6)],
+        "doc_id long, text string",
+    )
+    # vocab of 2 keeps only {common, word}; rare* never form pairs
+    out = pmi_cooccurrence(docs, top_vocab=2, min_pairs=1).collect()
+    assert [(r.tok_a, r.tok_b, r.n_pair) for r in out] == [
+        ("common", "word", 6)
+    ]

@@ -69,6 +69,8 @@ ACCEPTED = {
     # feature-count totals attached as broadcast 1-row scalars onto the
     # B-row log-ratio model table (q90/q127's pattern)
     "q156_importance_weights": "broadcast 1-row feature-total scalars",
+    # N (doc count) attached as a broadcast 1-row scalar (q90's pattern)
+    "q159_pmi_pairs": "broadcast of the 1-row doc-count scalar",
     # cross of two 1-row gate aggregates (sizes x cluster stats)
     "q132_cluster_split_gate": "cross of two 1-row gate aggregates",
     # |V| attached as a broadcast 1-row scalar, once per iteration
