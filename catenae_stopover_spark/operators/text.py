@@ -1605,14 +1605,23 @@ def importance_weights(
         )
         return e.withColumn("__b", bucket).drop("__g")
 
-    raw_f = _feats(raw, with_id=True)
+    # ONE explode pass over the raw corpus: per-(doc, bucket) counts
+    # feed BOTH the raw distribution (re-aggregate by bucket) and the
+    # per-doc scoring join — the corpus is never feature-exploded
+    # twice (measured: the two-pass form cost 2x the regex+sha2 work,
+    # the dominant term at 100x)
+    doc_bucket = (
+        _feats(raw, with_id=True)
+        .groupBy(id_col, "__b")
+        .agg(F.count("*").alias("__c"))
+    )
     tgt_counts = (
         _feats(target, with_id=False)
         .groupBy("__b")
         .agg(F.count("*").cast("double").alias("__ct"))
     )
-    raw_counts = raw_f.groupBy("__b").agg(
-        F.count("*").cast("double").alias("__cr")
+    raw_counts = doc_bucket.groupBy("__b").agg(
+        F.sum("__c").cast("double").alias("__cr")
     )
     # 1-row totals, broadcast (planning-scalar pattern)
     tgt_tot = tgt_counts.agg(F.sum("__ct").alias("__nt"))
@@ -1634,11 +1643,11 @@ def importance_weights(
         )
     )
     per_doc = (
-        raw_f.join(F.broadcast(ratio), "__b")
+        doc_bucket.join(F.broadcast(ratio), "__b")
         .groupBy(id_col)
         .agg(
-            F.count("*").alias("n_feats"),
-            F.sum("__lr").alias("log_weight"),
+            F.sum("__c").alias("n_feats"),
+            F.sum(F.col("__c") * F.col("__lr")).alias("log_weight"),
         )
     )
     u = (
