@@ -583,13 +583,19 @@ def containment_pairs(
     containment_b) when membership ids swap the pair order.
     """
     if collapse_exact:
+        # fan the scan out BEFORE the digest pass: the full-text sha2
+        # runs once per consumer branch, and a 2-file parquet would
+        # otherwise hash the whole corpus on 2 cores each time
+        wide = ensure_min_parallelism(df)
         digest = F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)
-        hashed = df.select(F.col(id_col), F.col(text_col), digest.alias("__d"))
+        hashed = wide.select(
+            F.col(id_col), F.col(text_col), digest.alias("__d")
+        )
         reps_tbl = hashed.groupBy("__d").agg(F.min(id_col).alias("__rep"))
         members = hashed.join(reps_tbl, "__d").select(
             F.col("__rep"), F.col(id_col).alias("__m")
         )
-        reps = df.select(F.col(id_col), F.col(text_col)).join(
+        reps = wide.select(F.col(id_col), F.col(text_col)).join(
             reps_tbl.select(F.col("__rep").alias(id_col)), id_col
         )
         rep_pairs = containment_pairs(

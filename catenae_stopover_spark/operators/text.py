@@ -1553,12 +1553,13 @@ def length_bucket_report(
 
 def importance_weights(
     raw: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 4096,
     smoothing: float = 1.0,
     seed: int = 0,
+    target_ids: DataFrame | None = None,
 ) -> DataFrame:
     """DSIR-style importance reweighting (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"): score
@@ -1585,7 +1586,22 @@ def importance_weights(
     with >= 1 feature; ``score = log_weight + gumbel`` is the
     resampling key (take top-k via TakeOrdered, never a global
     window).
+
+    Give the target as EITHER ``target`` (a separate corpus — the
+    standard DSIR shape, Wikipedia-vs-crawl) OR ``target_ids`` (an
+    id table naming a SUBSET of ``raw`` — target-by-predicate): the
+    subset form derives the target distribution from the already-
+    aggregated raw feature table instead of re-exploding the subset,
+    one full feature pass saved.
+
+    CACHE OWNERSHIP: the per-(doc, bucket) count table is persisted —
+    it backs both the raw distribution and the returned lazy scoring
+    plan (the q90/unigram_logprob tf-table pattern), so this operator
+    cannot unpersist it; without the persist each consumer re-runs
+    the corpus explode+hash, the dominant cost.
     """
+    if (target is None) == (target_ids is None):
+        raise ValueError("give exactly one of target / target_ids")
     grams = F.filter(
         F.concat(_ngrams(text_col, 1), _ngrams(text_col, 2)),
         lambda g: g != "",
@@ -1606,20 +1622,30 @@ def importance_weights(
         return e.withColumn("__b", bucket).drop("__g")
 
     # ONE explode pass over the raw corpus: per-(doc, bucket) counts
-    # feed BOTH the raw distribution (re-aggregate by bucket) and the
-    # per-doc scoring join — the corpus is never feature-exploded
-    # twice (measured: the two-pass form cost 2x the regex+sha2 work,
-    # the dominant term at 100x)
+    # feed the raw distribution, the per-doc scoring join, and (in
+    # subset mode) the target distribution; persisted because Spark
+    # would otherwise recompute the explode+hash per consumer (see
+    # CACHE OWNERSHIP above)
     doc_bucket = (
         _feats(raw, with_id=True)
         .groupBy(id_col, "__b")
         .agg(F.count("*").alias("__c"))
+        .persist()
     )
-    tgt_counts = (
-        _feats(target, with_id=False)
-        .groupBy("__b")
-        .agg(F.count("*").cast("double").alias("__ct"))
-    )
+    if target_ids is not None:
+        tgt_counts = (
+            doc_bucket.join(
+                target_ids.select(F.col(id_col)).distinct(), id_col
+            )
+            .groupBy("__b")
+            .agg(F.sum("__c").cast("double").alias("__ct"))
+        )
+    else:
+        tgt_counts = (
+            _feats(target, with_id=False)
+            .groupBy("__b")
+            .agg(F.count("*").cast("double").alias("__ct"))
+        )
     raw_counts = doc_bucket.groupBy("__b").agg(
         F.sum("__c").cast("double").alias("__cr")
     )

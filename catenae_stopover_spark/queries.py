@@ -7133,7 +7133,11 @@ def q156_importance_weights(spark, sf_dir):
     from .operators.text import importance_weights
 
     d = _t(spark, sf_dir, "documents")
-    out = importance_weights(d, d.filter(F.col("lang") == "en"), buckets=4096)
+    out = importance_weights(
+        d,
+        target_ids=d.filter(F.col("lang") == "en").select("doc_id"),
+        buckets=4096,
+    )
     return out.select(
         "doc_id",
         F.col("n_feats").cast("long").alias("n_feats"),
