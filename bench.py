@@ -90,6 +90,13 @@ BENCH = {
     # where the plan beats the single-node engine's quadratic
     # candidate join 17x at 100x (SCALING.md r4 late batch).
     "q10_asof_forward": "q129_asof_forward",
+    # the composed 4-stage curation release (quality -> exact dedup ->
+    # decontaminate -> domain cap -> report): one Catalyst plan,
+    # Spark-ahead at 10x (0.88x, SCALING.md r5).
+    "q11_curation_pipeline": "q158_curation_pipeline",
+    # document-level PMI collocations over the top-df vocab: the
+    # corpus-association aggregate (0.39x at 10x — Spark 2.5x ahead).
+    "q12_pmi": "q159_pmi_pairs",
 }
 
 # DuckDB comparison SQL for bench entries whose registry oracle is None
