@@ -592,11 +592,22 @@ def containment_pairs(
             F.col(id_col), F.col(text_col), digest.alias("__d")
         )
         reps_tbl = hashed.groupBy("__d").agg(F.min(id_col).alias("__rep"))
-        members = hashed.join(reps_tbl, "__d").select(
-            F.col("__rep"), F.col(id_col).alias("__m")
+        # localCheckpoint (eager, the bpe_train pattern): members is
+        # consumed 4x (both expansion sides of cross AND intra) and
+        # reps 3x (mining's inverted index twice + sizes) — without
+        # the materialization every consumer re-runs the full-corpus
+        # digest collapse, which measured ~4x the whole query's cost
+        # at 100x. Both tables are collapsed-size (distinct texts /
+        # id pairs), so the checkpoint is small by construction.
+        members = (
+            hashed.join(reps_tbl, "__d")
+            .select(F.col("__rep"), F.col(id_col).alias("__m"))
+            .localCheckpoint()
         )
-        reps = wide.select(F.col(id_col), F.col(text_col)).join(
-            reps_tbl.select(F.col("__rep").alias(id_col)), id_col
+        reps = (
+            wide.select(F.col(id_col), F.col(text_col))
+            .join(reps_tbl.select(F.col("__rep").alias(id_col)), id_col)
+            .localCheckpoint()
         )
         rep_pairs = containment_pairs(
             reps,
