@@ -718,3 +718,88 @@ def standardize_embeddings(
         lambda c, s: F.when(s < F.lit(eps), F.lit(0.0)).otherwise(c / s),
     )
     return df.withColumn(vec_col, standardized)
+
+
+def knn_graph(
+    df: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 6,
+    tables: int = 4,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole corpus —
+    the all-vectors form of the single-query serve: for every vector,
+    its top-``k`` bucket-mate neighbors by exact cosine. The input to
+    dedup clustering, diversity sampling, and k-th-neighbor novelty
+    scoring.
+
+    Shape: ``tables`` independent ``bits``-bit PORTABLE hyperplane
+    signatures (disjoint slices of one sha256-derived plane set, so
+    any engine replays them); candidates are bucket-mates in ANY
+    table — a (table, signature) equi-join, never all-pairs — deduped
+    as id pairs, then exact-cosine scored and per-vector top-k ranked
+    (WindowGroupLimit). Expected candidate volume is
+    ``tables * N^2 / 2^bits``: scale ``bits`` ~ log2(N/target_bucket)
+    to hold per-bucket size constant (same knob discipline as q152's
+    bucket count). Neighbors outside every shared bucket are the
+    tunable LSH recall tail; the emitted edges themselves are exact
+    (score then rank), so an engine replaying the same planes gets
+    the identical graph.
+
+    Output: (id_col, nn_id, rank, cosine), rank 1..k per vector
+    (fewer when the union of its buckets holds < k mates).
+    """
+    from pyspark.sql import Window
+
+    dim = len(df.select(vec_col).first()[0])  # O(1) planning scalar
+    all_planes = portable_hyperplanes(bits * tables, dim)
+    base = ensure_min_parallelism(df).select(id_col, vec_col)
+    structs = []
+    for t in range(tables):
+        planes_t = all_planes[t * bits : (t + 1) * bits]
+        structs.append(
+            F.struct(
+                F.lit(t).alias("t"),
+                portable_signature_expr(vec_col, planes_t).alias("s"),
+            )
+        )
+    tagged = base.select(
+        id_col, F.explode(F.array(*structs)).alias("__ts")
+    ).select(
+        id_col,
+        F.col("__ts.t").alias("__t"),
+        F.col("__ts.s").alias("__s"),
+    )
+    a = tagged.select(F.col(id_col).alias("__ia"), "__t", "__s")
+    b = tagged.select(F.col(id_col).alias("nn_id"), "__t", "__s")
+    cand = (
+        a.join(b, ["__t", "__s"])
+        .filter(F.col("__ia") != F.col("nn_id"))
+        .select("__ia", "nn_id")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("__ia"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("__vb"))
+    scored = (
+        cand.join(va, "__ia")
+        .join(vb, "nn_id")
+        .select(
+            "__ia",
+            "nn_id",
+            cosine_similarity(F.col("__va"), F.col("__vb")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("__ia").orderBy(
+        F.desc("cosine"), F.col("nn_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__ia").alias(id_col),
+            "nn_id",
+            "rank",
+            "cosine",
+        )
+    )

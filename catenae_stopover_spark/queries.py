@@ -7371,6 +7371,86 @@ JOIN vocab vb ON vb.tok = tok_b, nd
 """
 
 
+def q160_knn_graph(spark, sf_dir):
+    """Approximate kNN GRAPH over the whole embedding corpus (new r5,
+    `similarity.knn_graph`): 4 independent 6-bit portable-plane LSH
+    tables, bucket-mate candidates (a (table, signature) equi-join —
+    never all-pairs), exact-cosine rescoring, per-vector top-5
+    (WindowGroupLimit). The planes are sha256-derived literals, so
+    DuckDB replays signatures, candidates, scores, and ranks — the
+    whole graph is value-checked, no recall gate needed."""
+    from .operators.similarity import knn_graph
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = knn_graph(e, k=5, bits=6, tables=4)
+    return out.select(
+        "vec_id",
+        "nn_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def _q160_oracle_sql():
+    """Built lazily (q42 pattern): replay the 4 table signatures from
+    the literal planes, union the bucket-mate candidates, rescore with
+    exact cosine, re-rank per vector."""
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    from .operators.similarity import portable_hyperplanes
+
+    sf_dir = _os.environ.get(
+        "CSSPARK_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    first = _pq.read_table(
+        _os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    ).column("embedding")[0]
+    dim = len(first)
+    bits, tables = 6, 4
+    all_planes = portable_hyperplanes(bits * tables, dim)
+
+    def sig_expr(t):
+        terms = []
+        for p in range(bits):
+            w = all_planes[t * bits + p]
+            arr = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN LIST_DOT_PRODUCT(embedding::DOUBLE[], {arr})"
+                f" > 0 THEN {1 << p} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    tagged = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS t, {sig_expr(t)} AS s FROM embeddings"
+        for t in range(tables)
+    )
+    return f"""
+WITH tagged AS (
+{tagged}
+), cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS nn_id
+    FROM tagged a JOIN tagged b
+      ON a.t = b.t AND a.s = b.s AND a.vec_id <> b.vec_id
+), scored AS (
+    SELECT id_a, nn_id,
+           LIST_COSINE_SIMILARITY(va.embedding::DOUBLE[],
+                                  vb.embedding::DOUBLE[]) AS c
+    FROM cand
+    JOIN embeddings va ON va.vec_id = id_a
+    JOIN embeddings vb ON vb.vec_id = nn_id
+)
+SELECT id_a AS vec_id, nn_id, CAST(rnk AS BIGINT) AS rank,
+       ROUND(c, 6) AS cosine
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY id_a ORDER BY c DESC, nn_id) AS rnk
+    FROM scored
+) WHERE rnk <= 5
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -7571,6 +7651,7 @@ QUERIES: dict[str, tuple] = {
     "q157_repeated_spans": (q157_repeated_spans, Q157_SQL),
     "q158_curation_pipeline": (q158_curation_pipeline, Q158_SQL),
     "q159_pmi_pairs": (q159_pmi_pairs, Q159_SQL),
+    "q160_knn_graph": (q160_knn_graph, _q160_oracle_sql),
 }
 
 

@@ -794,3 +794,59 @@ def test_pmi_vocab_cap_excludes_tail(spark):
     assert [(r.tok_a, r.tok_b, r.n_pair) for r in out] == [
         ("common", "word", 6)
     ]
+
+
+# --------------------------------------------------------------------
+# kNN graph
+# --------------------------------------------------------------------
+
+def test_knn_graph_finds_planted_neighbors(spark):
+    import numpy as np
+
+    from catenae_stopover_spark.operators.similarity import knn_graph
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(4, 16)
+    rows = []
+    # two tight clusters of 3 vectors each + two loners
+    for cid in (0, 1):
+        for j in range(3):
+            v = base[cid] + 0.01 * rng.randn(16)
+            rows.append((cid * 10 + j, (v / np.linalg.norm(v)).tolist()))
+    rows.append((90, (base[2] / np.linalg.norm(base[2])).tolist()))
+    rows.append((91, (base[3] / np.linalg.norm(base[3])).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {}
+    for r in knn_graph(df, k=2, bits=3, tables=6).collect():
+        got.setdefault(r.vec_id, []).append((r.rank, r.nn_id, r.cosine))
+    # every cluster member's nearest neighbors are its cluster mates
+    for cid in (0, 1):
+        mates = {cid * 10 + j for j in range(3)}
+        for m in mates:
+            nns = [nn for _, nn, _ in sorted(got[m])]
+            assert set(nns) <= mates - {m}
+            assert len(nns) == 2
+    # ranks are 1..k with descending cosine
+    for vid, lst in got.items():
+        lst = sorted(lst)
+        assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
+        cosines = [c for _, _, c in lst]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_knn_graph_candidates_are_bucket_bound(spark):
+    from catenae_stopover_spark.operators.similarity import knn_graph
+
+    # orthogonal one-hot vectors: no vector shares a half-space
+    # structure reliably, but the invariant under test is output
+    # shape: no self edges, at most k per vector
+    df = spark.createDataFrame(
+        [(i, [1.0 if j == i else 0.0 for j in range(8)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    out = knn_graph(df, k=3, bits=2, tables=2).collect()
+    per = {}
+    for r in out:
+        assert r.nn_id != r.vec_id
+        per[r.vec_id] = per.get(r.vec_id, 0) + 1
+    assert all(v <= 3 for v in per.values())
