@@ -7451,6 +7451,52 @@ FROM (
 """
 
 
+def q161_knn_novelty(spark, sf_dir):
+    """k-th-neighbor novelty scores (new r5): semantic OUTLIER
+    detection from the q160 graph — a vector whose 5th-nearest
+    bucket-mate is far away sits in a sparse region of embedding
+    space (novel/rare content; the diversity-sampling and
+    anomaly-triage signal). novelty = 1 - cosine(k-th neighbor);
+    vectors with fewer than k bucket-mates rank by their last
+    neighbor. Same portable planes, full oracle replay."""
+    from .operators.similarity import knn_graph
+
+    e = _t(spark, sf_dir, "embeddings")
+    g = knn_graph(e, k=5, bits=6, tables=4)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("rank"))
+    last = (
+        g.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .drop("__r")
+    )
+    # novelty derives from the ROUNDED cosine on both sides — rounding
+    # 1-x vs 1-round(x) can disagree at half-ulp boundaries
+    kc = F.round("cosine", 6)
+    return last.select(
+        "vec_id",
+        F.col("rank").cast("long").alias("k_effective"),
+        kc.alias("kth_cosine"),
+        F.round(1.0 - kc, 6).alias("novelty"),
+    )
+
+
+def _q161_oracle_sql():
+    base = _q160_oracle_sql()
+    return f"""
+WITH graph AS ({base})
+SELECT vec_id, CAST(rank AS BIGINT) AS k_effective,
+       ROUND(cosine, 6) AS kth_cosine,
+       ROUND(1.0 - cosine, 6) AS novelty
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY rank DESC) AS rr
+    FROM graph
+) WHERE rr = 1
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -7652,6 +7698,7 @@ QUERIES: dict[str, tuple] = {
     "q158_curation_pipeline": (q158_curation_pipeline, Q158_SQL),
     "q159_pmi_pairs": (q159_pmi_pairs, Q159_SQL),
     "q160_knn_graph": (q160_knn_graph, _q160_oracle_sql),
+    "q161_knn_novelty": (q161_knn_novelty, _q161_oracle_sql),
 }
 
 
