@@ -725,8 +725,9 @@ def knn_graph(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    bits: int = 6,
+    bits: int | None = None,
     tables: int = 4,
+    target_bucket: int = 8,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over the whole corpus —
     the all-vectors form of the single-query serve: for every vector,
@@ -740,18 +741,27 @@ def knn_graph(
     table — a (table, signature) equi-join, never all-pairs — deduped
     as id pairs, then exact-cosine scored and per-vector top-k ranked
     (WindowGroupLimit). Expected candidate volume is
-    ``tables * N^2 / 2^bits``: scale ``bits`` ~ log2(N/target_bucket)
-    to hold per-bucket size constant (same knob discipline as q152's
-    bucket count). Neighbors outside every shared bucket are the
-    tunable LSH recall tail; the emitted edges themselves are exact
-    (score then rank), so an engine replaying the same planes gets
-    the identical graph.
+    ``tables * N^2 / 2^bits``, so ``bits=None`` (default) DERIVES the
+    width from the data — ``max(6, ceil(log2(N / target_bucket)))`` —
+    holding per-bucket size ~``target_bucket`` at ANY corpus size; a
+    pinned width makes the bucket join quadratic as the corpus grows
+    (the q152 lesson: 2.5B candidates at 200k vectors with bits=6).
+    The count() is the documented planning scalar and a replaying
+    engine derives the identical width from the same rows. Neighbors
+    outside every shared bucket are the tunable LSH recall tail; the
+    emitted edges themselves are exact (score then rank), so an
+    engine replaying the same planes gets the identical graph.
 
     Output: (id_col, nn_id, rank, cosine), rank 1..k per vector
     (fewer when the union of its buckets holds < k mates).
     """
+    import math
+
     from pyspark.sql import Window
 
+    if bits is None:
+        n = df.count()
+        bits = max(6, math.ceil(math.log2(max(n, 1) / target_bucket)))
     dim = len(df.select(vec_col).first()[0])  # O(1) planning scalar
     all_planes = portable_hyperplanes(bits * tables, dim)
     base = ensure_min_parallelism(df).select(id_col, vec_col)

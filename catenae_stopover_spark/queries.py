@@ -7382,7 +7382,7 @@ def q160_knn_graph(spark, sf_dir):
     from .operators.similarity import knn_graph
 
     e = _t(spark, sf_dir, "embeddings")
-    out = knn_graph(e, k=5, bits=6, tables=4)
+    out = knn_graph(e, k=5, tables=4)
     return out.select(
         "vec_id",
         "nn_id",
@@ -7404,11 +7404,18 @@ def _q160_oracle_sql():
     sf_dir = _os.environ.get(
         "CSSPARK_ORACLE_SF_DIR", "/root/testdata/sf0.01"
     )
-    first = _pq.read_table(
-        _os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
-    ).column("embedding")[0]
+    import math as _math
+
+    import pyarrow.dataset as _ds
+
+    dset = _ds.dataset(_os.path.join(sf_dir, "embeddings.parquet"))
+    n = dset.count_rows()
+    first = dset.head(1).column("embedding")[0]
     dim = len(first)
-    bits, tables = 6, 4
+    # the data-derived width knn_graph(bits=None) uses — same formula,
+    # same row count, so the replayed buckets are identical
+    bits = max(6, _math.ceil(_math.log2(max(n, 1) / 8)))
+    tables = 4
     all_planes = portable_hyperplanes(bits * tables, dim)
 
     def sig_expr(t):
@@ -7462,7 +7469,7 @@ def q161_knn_novelty(spark, sf_dir):
     from .operators.similarity import knn_graph
 
     e = _t(spark, sf_dir, "embeddings")
-    g = knn_graph(e, k=5, bits=6, tables=4)
+    g = knn_graph(e, k=5, tables=4)
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy(F.desc("rank"))
