@@ -754,6 +754,16 @@ def knn_graph(
 
     Output: (id_col, nn_id, rank, cosine), rank 1..k per vector
     (fewer when the union of its buckets holds < k mates).
+
+    ``kernel='auto'`` computes the signatures with the BLAS batch
+    kernel (`portable_signatures_numpy`, one (N x dim) @ (dim x
+    planes) product per Arrow batch) above the parquet-bytes
+    crossover — bits*tables plane projections per row is exactly the
+    interpreted-HOF cliff the r4 batch-serve fix measured at 90x; the
+    per-table signatures are then bit-slices of the one wide
+    signature (plane order makes table t's signature =
+    (sig >> t*bits) & (2^bits - 1)), so the kernel runs ONCE for all
+    tables.
     """
     import math
 
@@ -765,18 +775,40 @@ def knn_graph(
     dim = len(df.select(vec_col).first()[0])  # O(1) planning scalar
     all_planes = portable_hyperplanes(bits * tables, dim)
     base = ensure_min_parallelism(df).select(id_col, vec_col)
-    structs = []
-    for t in range(tables):
-        planes_t = all_planes[t * bits : (t + 1) * bits]
-        structs.append(
+    # int64 holds the fused signature only up to 62 planes; wider
+    # configurations fall back to per-table expr signatures
+    use_numpy = (
+        bits * tables <= 62 and _estimated_bytes(df) >= 2 * 2**20
+    )
+    if use_numpy:
+        sigged = portable_signatures_numpy(base, all_planes, vec_col, id_col)
+        mask = (1 << bits) - 1
+        structs = [
             F.struct(
                 F.lit(t).alias("t"),
-                portable_signature_expr(vec_col, planes_t).alias("s"),
+                F.shiftright(F.col("__sig"), t * bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("s"),
             )
+            for t in range(tables)
+        ]
+        tagged = sigged.select(
+            id_col, F.explode(F.array(*structs)).alias("__ts")
         )
-    tagged = base.select(
-        id_col, F.explode(F.array(*structs)).alias("__ts")
-    ).select(
+    else:
+        structs = []
+        for t in range(tables):
+            planes_t = all_planes[t * bits : (t + 1) * bits]
+            structs.append(
+                F.struct(
+                    F.lit(t).alias("t"),
+                    portable_signature_expr(vec_col, planes_t).alias("s"),
+                )
+            )
+        tagged = base.select(
+            id_col, F.explode(F.array(*structs)).alias("__ts")
+        )
+    tagged = tagged.select(
         id_col,
         F.col("__ts.t").alias("__t"),
         F.col("__ts.s").alias("__s"),

@@ -850,3 +850,45 @@ def test_knn_graph_candidates_are_bucket_bound(spark):
         assert r.nn_id != r.vec_id
         per[r.vec_id] = per.get(r.vec_id, 0) + 1
     assert all(v <= 3 for v in per.values())
+
+
+def test_knn_graph_sig_slices_match_per_table_expr(spark):
+    """The BLAS path fuses all tables' planes into one wide signature
+    and bit-slices per table — pin the slice against the per-table
+    expr signature (the sf0.01-gated path)."""
+    import numpy as np
+
+    from catenae_stopover_spark.operators.similarity import (
+        portable_hyperplanes,
+        portable_signature_expr,
+        portable_signatures_numpy,
+    )
+    from pyspark.sql import functions as F2
+
+    rng = np.random.RandomState(3)
+    df = spark.createDataFrame(
+        [(i, rng.randn(16).tolist()) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    bits, tables = 4, 3
+    planes = portable_hyperplanes(bits * tables, 16)
+    full = {
+        r["vec_id"]: r["__sig"]
+        for r in portable_signatures_numpy(
+            df, planes, "embedding", "vec_id"
+        ).collect()
+    }
+    mask = (1 << bits) - 1
+    for t in range(tables):
+        expr_sigs = {
+            r.vec_id: r.s
+            for r in df.select(
+                "vec_id",
+                portable_signature_expr(
+                    "embedding", planes[t * bits : (t + 1) * bits]
+                ).alias("s"),
+            ).collect()
+        }
+        assert expr_sigs == {
+            v: (s >> (t * bits)) & mask for v, s in full.items()
+        }
