@@ -823,15 +823,33 @@ def knn_graph(
     )
     va = df.select(F.col(id_col).alias("__ia"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("__vb"))
-    scored = (
-        cand.join(va, "__ia")
-        .join(vb, "nn_id")
-        .select(
+    with_vecs = cand.join(va, "__ia").join(vb, "nn_id")
+    if use_numpy:
+        # candidate volume ~ tables * N * bucket — pair-at-a-time
+        # interpreted-HOF cosine is the r4 scoring cliff; the Arrow
+        # einsum kernel scores each batch in one vectorized pass
+        # (threshold -2.0 keeps every pair: ranking filters later)
+        from .dedup import _pairwise_cosine_arrow
+
+        scored = _pairwise_cosine_arrow(
+            with_vecs.select(
+                F.col("__ia").alias("id_a"),
+                F.col("nn_id").alias("id_b"),
+                "__va",
+                "__vb",
+            ),
+            threshold=-2.0,
+        ).select(
+            F.col("id_a").alias("__ia"),
+            F.col("id_b").alias("nn_id"),
+            "cosine",
+        )
+    else:
+        scored = with_vecs.select(
             "__ia",
             "nn_id",
             cosine_similarity(F.col("__va"), F.col("__vb")).alias("cosine"),
         )
-    )
     w = Window.partitionBy("__ia").orderBy(
         F.desc("cosine"), F.col("nn_id").asc()
     )
