@@ -728,6 +728,7 @@ def knn_graph(
     bits: int | None = None,
     tables: int = 4,
     target_bucket: int = 8,
+    diff_col: str | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over the whole corpus —
     the all-vectors form of the single-query serve: for every vector,
@@ -755,10 +756,17 @@ def knn_graph(
     Output: (id_col, nn_id, rank, cosine), rank 1..k per vector
     (fewer when the union of its buckets holds < k mates).
 
-    ``kernel='auto'`` computes the signatures with the BLAS batch
-    kernel (`portable_signatures_numpy`, one (N x dim) @ (dim x
-    planes) product per Arrow batch) above the parquet-bytes
-    crossover — bits*tables plane projections per row is exactly the
+    ``diff_col``: keep only candidate pairs whose values in this
+    column DIFFER — set it to a label column and the graph becomes
+    HARD NEGATIVE MINING (per anchor, the nearest same-bucket vectors
+    of a different class — the contrastive-training complement of
+    `evaluation.sample_negatives`' uniform draw). The filter runs on
+    the candidate ids BEFORE vector join and scoring, so mining is
+    cheaper than the full graph, never more expensive.
+
+    Above the parquet-bytes crossover the signatures come from the
+    BLAS batch kernel (`portable_signatures_numpy`, one (N x dim) @
+    (dim x planes) product per Arrow batch) — bits*tables plane projections per row is exactly the
     interpreted-HOF cliff the r4 batch-serve fix measured at 90x; the
     per-table signatures are then bit-slices of the one wide
     signature (plane order makes table t's signature =
@@ -821,6 +829,19 @@ def knn_graph(
         .select("__ia", "nn_id")
         .distinct()
     )
+    if diff_col is not None:
+        la = df.select(
+            F.col(id_col).alias("__ia"), F.col(diff_col).alias("__la")
+        )
+        lb = df.select(
+            F.col(id_col).alias("nn_id"), F.col(diff_col).alias("__lb")
+        )
+        cand = (
+            cand.join(la, "__ia")
+            .join(lb, "nn_id")
+            .filter(F.col("__la") != F.col("__lb"))
+            .select("__ia", "nn_id")
+        )
     va = df.select(F.col(id_col).alias("__ia"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("nn_id"), F.col(vec_col).alias("__vb"))
     with_vecs = cand.join(va, "__ia").join(vb, "nn_id")

@@ -7504,6 +7504,40 @@ FROM (
 """
 
 
+def q162_hard_negatives(spark, sf_dir):
+    """HARD negative mining (new r5, `similarity.knn_graph(diff_col=
+    'label')`): per anchor, the nearest same-bucket vectors of a
+    DIFFERENT class — the contrastive-training complement of q152's
+    uniform draw (hard negatives are what actually move the loss).
+    The label filter runs on candidate ids BEFORE scoring, so mining
+    is strictly cheaper than the full q160 graph. Same portable
+    planes, full oracle replay."""
+    from .operators.similarity import knn_graph
+
+    e = _t(spark, sf_dir, "embeddings")
+    out = knn_graph(e, k=3, tables=4, diff_col="label")
+    return out.select(
+        "vec_id",
+        "nn_id",
+        F.col("rank").cast("long").alias("rank"),
+        F.round("cosine", 6).alias("cosine"),
+    )
+
+
+def _q162_oracle_sql():
+    base = _q160_oracle_sql()
+    # the q160 replay with the label-difference filter on candidates
+    # and k=3: splice the conditions into the shared builder's SQL
+    base = base.replace(
+        "ON a.t = b.t AND a.s = b.s AND a.vec_id <> b.vec_id",
+        "ON a.t = b.t AND a.s = b.s AND a.vec_id <> b.vec_id\n"
+        "    JOIN embeddings ea ON ea.vec_id = a.vec_id\n"
+        "    JOIN embeddings eb ON eb.vec_id = b.vec_id\n"
+        "   WHERE ea.label <> eb.label",
+    )
+    return base.replace("WHERE rnk <= 5", "WHERE rnk <= 3")
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -7706,6 +7740,7 @@ QUERIES: dict[str, tuple] = {
     "q159_pmi_pairs": (q159_pmi_pairs, Q159_SQL),
     "q160_knn_graph": (q160_knn_graph, _q160_oracle_sql),
     "q161_knn_novelty": (q161_knn_novelty, _q161_oracle_sql),
+    "q162_hard_negatives": (q162_hard_negatives, _q162_oracle_sql),
 }
 
 

@@ -892,3 +892,26 @@ def test_knn_graph_sig_slices_match_per_table_expr(spark):
         assert expr_sigs == {
             v: (s >> (t * bits)) & mask for v, s in full.items()
         }
+
+
+def test_knn_graph_diff_col_mines_hard_negatives(spark):
+    import numpy as np
+
+    from catenae_stopover_spark.operators.similarity import knn_graph
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(16)
+    rows = []
+    # 6 near-identical vectors, alternating labels
+    for i in range(6):
+        v = base + 0.01 * rng.randn(16)
+        rows.append((i, (v / np.linalg.norm(v)).tolist(), i % 2))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = knn_graph(df, k=2, bits=3, tables=6, diff_col="label").collect()
+    assert len(out) > 0
+    labels = {r[0]: r[2] for r in rows}
+    for r in out:
+        assert labels[r.vec_id] != labels[r.nn_id]  # only cross-label
+        assert r.cosine > 0.99                      # and genuinely HARD
