@@ -7538,6 +7538,169 @@ def _q162_oracle_sql():
     return base.replace("WHERE rnk <= 5", "WHERE rnk <= 3")
 
 
+def q163_curation_pipeline_v2(spark, sf_dir):
+    """Curation pipeline v2 (new r5): q158's release chain with the
+    NEAR-dup stage a real release runs between exact dedup and
+    decontamination — portable-MinHash LSH pairs (q37's family) at
+    est_jaccard >= 0.8, dropping the larger id of each pair (the
+    deterministic keep-first policy; est values are identical
+    rationals k/64 in both engines, so the threshold compare is
+    exact). Five composed stages, one Catalyst plan, full chained-CTE
+    oracle replay including the MinHash family."""
+    from .operators.dedup import minhash_lsh_near_dups
+    from .operators.text import (
+        cap_per_class,
+        decontaminate,
+        quality_filter,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    kept = quality_filter(
+        corpus, min_chars=100, min_tokens=20, min_quality=0.5
+    )
+    reps = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    deduped = kept.join(reps.select("doc_id"), "doc_id")
+    pairs = minhash_lsh_near_dups(deduped, portable_hash=True)
+    nd_drop = (
+        pairs.filter(F.col("est_jaccard") >= 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = deduped.join(nd_drop, "doc_id", "left_anti")
+    contaminated = decontaminate(survivors, bench, n=8, max_df=None).select(
+        "doc_id"
+    )
+    clean = survivors.join(contaminated, "doc_id", "left_anti")
+    capped = cap_per_class(clean, by="source", cap=10).select("doc_id")
+    final = clean.join(capped, "doc_id")
+    return final.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count("text")).cast("long").alias("sum_tokens"),
+    )
+
+
+def _build_q163_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    nd_threshold: float = 0.8,
+) -> str:
+    from .operators.dedup import minhash_coeffs
+
+    a, b = minhash_coeffs(num_hashes)
+    ab_rows = ", ".join(f"({k}, {a[k]}, {b[k]})" for k in range(num_hashes))
+    rpb = num_hashes // bands
+    return rf"""
+WITH corpus0 AS (
+    SELECT * FROM documents WHERE doc_id % 97 <> 0
+), bench0 AS (
+    SELECT * FROM documents WHERE doc_id % 97 = 0
+), stats AS (
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')) AS n_words,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]')) AS n_alpha,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|and|of|to|is)\b'))
+               AS stop_hits
+    FROM corpus0
+), kept AS (
+    SELECT c.* FROM corpus0 c JOIN stats s ON c.doc_id = s.doc_id
+    WHERE s.n_chars >= 100 AND s.n_words >= 20
+      AND 0.35 * (CASE WHEN s.n_chars > 0
+                       THEN s.n_alpha / s.n_chars ELSE 0.0 END)
+        + 0.25 * (CASE WHEN s.stop_hits > 0 THEN 1.0 ELSE 0.0 END)
+        + 0.4 * (CASE WHEN s.n_words > 0
+                      AND s.n_chars / s.n_words >= 3
+                      AND s.n_chars / s.n_words <= 12
+                      THEN 1.0 ELSE 0.0 END) >= 0.5
+), reps AS (
+    SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
+), dd AS (
+    SELECT k.* FROM kept k JOIN reps r ON k.doc_id = r.doc_id
+), mwords AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM dd
+), mgrams AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                           i -> i <= LEN(w) - {shingle_n} + 1),
+               i -> ARRAY_TO_STRING(w[i:i+{shingle_n - 1}], ' '))) AS g
+    FROM mwords
+), msh AS (
+    SELECT doc_id,
+           ('0x' || SUBSTR(SHA256(gram), 1, 15))::BIGINT
+               % 2147483647 AS h
+    FROM (SELECT doc_id, UNNEST(g) AS gram FROM mgrams WHERE LEN(g) > 0)
+), ab(k, a, b) AS (VALUES {ab_rows}),
+msig AS (
+    SELECT doc_id, k, MIN((a * h + b) % 2147483647) AS mh
+    FROM msh CROSS JOIN ab GROUP BY doc_id, k
+), mband AS (
+    SELECT doc_id, k // {rpb} AS band_idx,
+           ARRAY_TO_STRING(LIST(mh ORDER BY k), ',') AS bkey
+    FROM msig GROUP BY doc_id, k // {rpb}
+), mcand AS (
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM mband x JOIN mband y
+      ON x.band_idx = y.band_idx AND x.bkey = y.bkey
+     AND x.doc_id < y.doc_id
+), mpairs AS (
+    SELECT id_a, id_b,
+           SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+               / {num_hashes}.0 AS est_jaccard
+    FROM mcand
+    JOIN msig sa ON sa.doc_id = id_a
+    JOIN msig sb ON sb.doc_id = id_b AND sb.k = sa.k
+    GROUP BY id_a, id_b
+), nd_drop AS (
+    SELECT DISTINCT id_b FROM mpairs WHERE est_jaccard >= {nd_threshold}
+), sv AS (
+    SELECT * FROM dd WHERE doc_id NOT IN (SELECT id_b FROM nd_drop)
+), cw AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM sv
+), csh AS (
+    SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, UNNEST(LIST_TRANSFORM(
+            LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                        i -> i <= LEN(w) - 8 + 1),
+            i -> ARRAY_TO_STRING(w[i:i+7], ' '))) AS gram
+        FROM cw)
+), bw AS (
+    SELECT REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w FROM bench0
+), bsh AS (
+    SELECT DISTINCT gram FROM (
+        SELECT UNNEST(LIST_TRANSFORM(
+            LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                        i -> i <= LEN(w) - 8 + 1),
+            i -> ARRAY_TO_STRING(w[i:i+7], ' '))) AS gram
+        FROM bw)
+), clean AS (
+    SELECT * FROM sv WHERE doc_id NOT IN (
+        SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.gram = b.gram)
+), capped AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY SHA256(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        FROM clean) WHERE r <= 10
+), final AS (
+    SELECT c.* FROM clean c JOIN capped p ON c.doc_id = p.doc_id
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')))
+           AS BIGINT) AS sum_tokens
+FROM final GROUP BY source
+"""
+
+
+Q163_SQL = _build_q163_sql()
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -7741,6 +7904,7 @@ QUERIES: dict[str, tuple] = {
     "q160_knn_graph": (q160_knn_graph, _q160_oracle_sql),
     "q161_knn_novelty": (q161_knn_novelty, _q161_oracle_sql),
     "q162_hard_negatives": (q162_hard_negatives, _q162_oracle_sql),
+    "q163_curation_pipeline_v2": (q163_curation_pipeline_v2, Q163_SQL),
 }
 
 

@@ -915,3 +915,18 @@ def test_knn_graph_diff_col_mines_hard_negatives(spark):
     for r in out:
         assert labels[r.vec_id] != labels[r.nn_id]  # only cross-label
         assert r.cosine > 0.99                      # and genuinely HARD
+
+
+def test_curation_pipeline_v2_drops_near_dups(spark):
+    """v2 must be a subset of v1's surviving docs: the near-dup stage
+    only REMOVES. Compare per-source counts at sf0.001."""
+    from catenae_stopover_spark.queries import (
+        q158_curation_pipeline,
+        q163_curation_pipeline_v2,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    v1 = {r.source: r.n_docs for r in q158_curation_pipeline(spark, sf).collect()}
+    v2 = {r.source: r.n_docs for r in q163_curation_pipeline_v2(spark, sf).collect()}
+    assert set(v2) <= set(v1)
+    assert all(v2[s] <= v1[s] for s in v2)
