@@ -360,11 +360,17 @@ def quality_ensemble(
         )
         score = score + F.lit(weights.get(name, 0.0)) * z
     score = F.round(score, 6)
+    # NULL guard: a NULL signal (e.g. NULL text) gives a NULL z and a
+    # NULL score; without the explicit isNull branch the band CASE's
+    # NULL comparisons all evaluate false and a null-signal document
+    # falls through to 'high' — the TOP band for the least-scoreable
+    # docs. NULL score → NULL band instead.
     return blended.select(
         id_col,
         *signals,
         score.alias("quality_score"),
-        F.when(score < -0.5, "low")
+        F.when(score.isNull(), F.lit(None).cast("string"))
+        .when(score < -0.5, "low")
         .when(score < 0.5, "mid")
         .otherwise("high")
         .alias("quality_band"),

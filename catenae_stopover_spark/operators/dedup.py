@@ -568,8 +568,14 @@ def containment_pairs(
     counts, then emit BOTH directed containments per unordered pair and
     keep pairs where either direction clears ``threshold``. No
     all-pairs comparison; ``max_df`` caps boilerplate-gram candidate
-    blow-up exactly as in the Jaccard form (containment values stay
-    exact because |A| and |B| are computed before the cap).
+    blow-up exactly as in the Jaccard form. With ``max_df`` set the
+    DENOMINATORS (|A|, |B|) stay exact — computed before the cap —
+    but ``inter`` is counted over surviving grams only, so both
+    containments are UNDERESTIMATES for any pair sharing a dropped
+    high-df gram (the same recall-for-scale trade the Jaccard form
+    documents); and under ``collapse_exact`` the gram df is counted
+    over representatives (distinct texts), not raw rows, so the same
+    ``max_df`` value prunes less on replica-heavy corpora.
 
     ``collapse_exact=True`` pre-collapses byte-identical texts to one
     representative before the gram self-join — the replica-heavy crawl
@@ -1527,6 +1533,9 @@ def incremental_minhash_dedup(
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.band_hash") == F.col("b.band_hash")),
         )
+        # a doc id present in BOTH batch and corpus would band-match
+        # itself — not a duplicate relation, exclude it (id_a != id_b)
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -1551,13 +1560,20 @@ def incremental_minhash_dedup(
     sig_a = sig_b.select(
         F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
     )
-    sig_right = (
-        sig_b.unionByName(sig_c)
-        .select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
-        # a batch id can also exist in the corpus; keep one signature
-        # row per id (signatures of equal ids are equal by content only
-        # when texts are equal — dedupe by id for join cardinality)
-        .dropDuplicates(["id_b"])
+    # a batch id can also exist in the corpus; keep ONE signature row
+    # per id, deterministically preferring the CORPUS signature (the
+    # index is the standing truth a production job dedups against).
+    # dropDuplicates on the union would pick an arbitrary row. The
+    # anti-join touches only batch rows x corpus ids — the corpus
+    # signature table itself passes through the union untouched.
+    sig_c_r = sig_c.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+    )
+    sig_b_r = sig_b.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+    )
+    sig_right = sig_c_r.unionByName(
+        sig_b_r.join(sig_c_r.select("id_b"), "id_b", "left_anti")
     )
     return (
         cand.join(sig_a, "id_a")

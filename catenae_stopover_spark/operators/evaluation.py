@@ -33,8 +33,11 @@ def retrieval_metrics(
     Definitions (Järvelin–Kekäläinen): DCG@k = Σ (2^grade − 1) /
     log2(rank + 1) over retrieved relevant docs at rank ≤ k; IDCG@k is
     the same sum over the query's truth docs ordered by grade
-    descending; MRR = 1 / rank of the first relevant retrieved doc;
-    recall@k = |retrieved@k ∩ relevant| / |relevant|.
+    descending *truncated at k*; MRR = 1 / rank of the first relevant
+    retrieved doc; recall@k = |retrieved@k ∩ relevant| / |relevant|,
+    where |relevant| counts ALL truth rows for the query (NOT capped
+    at k — a query with 30 relevant docs and 10 retrievable slots can
+    score at most recall 1/3, which is the standard definition).
 
     Plan: every aggregate keys on the query id — one shuffle for the
     join (rank table ⨝ truth on (query, id)), one for the per-query
@@ -59,15 +62,20 @@ def retrieval_metrics(
     w = Window.partitionBy(query_col).orderBy(
         F.col(grade_col).desc(), id_col
     )
+    # n_rel counts the FULL truth set; only the IDCG sum truncates at
+    # k (top-k ideal ranking) — filtering truth to __rn <= k before
+    # the aggregate would silently cap recall's denominator at k.
     ideal = (
         t.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
         .groupBy(query_col)
         .agg(
             F.count("*").alias("n_rel"),
             F.sum(
-                (F.pow(F.lit(2.0), F.col(grade_col)) - 1)
-                / F.log2(F.col("__rn") + 1)
+                F.when(
+                    F.col("__rn") <= k,
+                    (F.pow(F.lit(2.0), F.col(grade_col)) - 1)
+                    / F.log2(F.col("__rn") + 1),
+                )
             ).alias("__idcg"),
         )
     )

@@ -1450,8 +1450,31 @@ def bpe_encode_counts(
     work is one word explode + the final (doc, word) ⨝ (word,
     symbol-count) equi-join. Each merge arrives as a broadcast 1-row
     join (collect-free), exactly like the trainer's rounds.
+
+    Raises ``ValueError`` unless ``merges`` holds exactly one row per
+    rank 0..num_merges-1: each merge is applied as an unconditioned
+    broadcast join against the single rank-k row, so a MISSING rank
+    would silently cross-join the vocab against zero rows and return
+    an empty result for the whole corpus (a trainer that exhausted
+    pairs on a degenerate corpus, or a mismatched num_merges). The
+    validation aggregate is one tiny job over the merges table (ranks
+    × 1 row — planning-scalar sized, same budget as the broadcasts).
     """
     from ..plans.partitioning import ensure_min_parallelism
+
+    rank_counts = {
+        r["rank"]: r["n"]
+        for r in merges.groupBy("rank").agg(F.count("*").alias("n")).collect()
+    }
+    bad = [
+        k for k in range(num_merges) if rank_counts.get(k, 0) != 1
+    ]
+    if bad:
+        raise ValueError(
+            f"bpe_encode_counts needs exactly one merges row per rank"
+            f" 0..{num_merges - 1}; ranks {bad} have row counts"
+            f" {[rank_counts.get(k, 0) for k in bad]}"
+        )
 
     words = (
         ensure_min_parallelism(df)

@@ -6307,8 +6307,11 @@ base AS (
            1.0 / MIN(rank) AS mrr
     FROM hits GROUP BY query_id
 ), ideal AS (
+    -- n_rel over ALL truth rows; IDCG truncated at k=10 (matches
+    -- retrieval_metrics: recall's denominator is never capped at k)
     SELECT query_id, COUNT(*)::BIGINT AS n_rel,
-           SUM((POWER(2, grade) - 1) / LOG2(rn2 + 1)) AS idcg
+           SUM(CASE WHEN rn2 <= 10
+               THEN (POWER(2, grade) - 1) / LOG2(rn2 + 1) END) AS idcg
     FROM (
         SELECT query_id, vec_id, grade,
                ROW_NUMBER() OVER (PARTITION BY query_id
@@ -6466,7 +6469,8 @@ SELECT doc_id, ROUND(n_tokens, 6) AS n_tokens,
        ROUND(distinct_ratio, 6) AS distinct_ratio,
        ROUND(mean_wlen, 6) AS mean_wlen,
        quality_score,
-       CASE WHEN quality_score < -0.5 THEN 'low'
+       CASE WHEN quality_score IS NULL THEN NULL
+            WHEN quality_score < -0.5 THEN 'low'
             WHEN quality_score < 0.5 THEN 'mid'
             ELSE 'high' END AS quality_band
 FROM scored
@@ -6681,15 +6685,18 @@ WITH batch AS (
            'corpus' AS matched
     FROM bkb x JOIN bkc y
       ON x.band_idx = y.band_idx AND x.bkey = y.bkey
+     AND x.doc_id <> y.doc_id
     UNION
     SELECT DISTINCT x.doc_id, y.doc_id, 'batch'
     FROM bkb x JOIN bkb y
       ON x.band_idx = y.band_idx AND x.bkey = y.bkey
      AND x.doc_id < y.doc_id
 ), sigall AS (
-    SELECT doc_id, k, mh FROM sigb
-    UNION ALL
+    -- one signature per id, corpus preferred (the operator's rule)
     SELECT doc_id, k, mh FROM sigc
+    UNION ALL
+    SELECT doc_id, k, mh FROM sigb
+    WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM sigc)
 )
 SELECT id_a, id_b,
        SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {num_hashes}.0

@@ -1,0 +1,92 @@
+"""Regression tests for the round-5 ADVICE findings (fixed in r6):
+recall@k denominator, NULL quality band, BPE merge-table validation,
+and incremental-MinHash overlapping-id semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.operators.analytics import quality_ensemble
+from catenae_stopover_spark.operators.evaluation import retrieval_metrics
+
+
+def test_retrieval_metrics_recall_denominator_uncapped(spark):
+    # 5 relevant docs, k=2: the old code filtered truth to __rn <= k
+    # BEFORE counting, capping n_rel at 2 and inflating recall to 1.0.
+    ranked = spark.createDataFrame(
+        [("q1", 100, 1), ("q1", 101, 2)],
+        "query_id string, vec_id long, rank long",
+    )
+    truth = spark.createDataFrame(
+        [("q1", 100 + i, 1) for i in range(5)],
+        "query_id string, vec_id long, grade long",
+    )
+    r = retrieval_metrics(ranked, truth, k=2).collect()[0]
+    assert r.n_rel == 5
+    assert r.recall_at_k == pytest.approx(2 / 5)
+    # IDCG still truncates at k: top-2 of the (all grade-1) ideal list
+    idcg = 1 / math.log2(2) + 1 / math.log2(3)
+    dcg = 1 / math.log2(2) + 1 / math.log2(3)
+    assert r.ndcg_at_k == pytest.approx(round(dcg / idcg, 6), abs=1e-6)
+
+
+def test_quality_ensemble_null_signal_band_is_null(spark):
+    # NULL signal -> NULL z -> NULL score; the band CASE used to fall
+    # through every when() (NULL comparisons are false) to 'high'.
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "doc_id long, v double"
+    )
+    out = {
+        r.doc_id: (r.quality_score, r.quality_band)
+        for r in quality_ensemble(
+            df, {"sig": F.col("v")}, {"sig": 1.0}
+        ).collect()
+    }
+    assert out[3] == (None, None)
+    assert out[1][1] is not None and out[2][1] is not None
+
+
+def test_bpe_encode_counts_rejects_missing_ranks(spark):
+    from catenae_stopover_spark.operators.text import bpe_encode_counts
+
+    docs = spark.createDataFrame([(1, "abab abab")], "doc_id long, text string")
+    # trainer output truncated to rank 0 only, but caller asks for 2
+    merges = spark.createDataFrame([(0, "ab")], "rank long, pair string")
+    with pytest.raises(ValueError, match="rank"):
+        bpe_encode_counts(docs, merges, num_merges=2)
+    # duplicate rank rows are rejected too (they'd fan out the vocab)
+    dup = spark.createDataFrame(
+        [(0, "ab"), (0, "cd"), (1, "ef")], "rank long, pair string"
+    )
+    with pytest.raises(ValueError, match="rank"):
+        bpe_encode_counts(docs, dup, num_merges=2)
+
+
+def test_incremental_minhash_overlapping_id(spark):
+    from catenae_stopover_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    text_a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    text_b = ("one two three four five six seven eight nine ten eleven "
+              "twelve thirteen fourteen fifteen sixteen seventeen")
+    # id=1 exists on BOTH sides with DIFFERENT text; batch id=2 shares
+    # the CORPUS id-1 text. The corpus-preferred signature rule means
+    # (2, 1, 'corpus') must score 1.0; an arbitrary (batch) pick would
+    # score ~0. And id=1 must never pair with itself.
+    batch = spark.createDataFrame(
+        [(1, text_a), (2, text_b)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(1, text_b)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.matched): r.est_jaccard
+        for r in incremental_minhash_dedup(batch, corpus).collect()
+    }
+    assert (1, 1, "corpus") not in got
+    assert got[(2, 1, "corpus")] == 1.0
