@@ -7723,10 +7723,91 @@ Q163_SQL = _build_q163_sql()
 # row at most 2 rounds old. Every entry remains runnable locally via
 # tools/check_oracle.py regardless of position.
 QUERIES: dict[str, tuple] = {
-    # --- r5 window, part (1): no red rows in r4 (50/50 green).
-    # --- part (2): the 42 queries added in r4 past the then-full
-    # --- window (q98-q139) — never driver-checked; green in local
-    # --- tuned + vanilla oracle sweeps (r4 verdict), now first.
+    # --- r6 window, part (1): no red rows in r5 (50/50 green).
+    # --- part (2): the 24 r5 additions (q140-q163) — never
+    # --- driver-checked; green in local tuned + vanilla oracle
+    # --- sweeps (r5 verdict), now first, exactly per the r5
+    # --- verdict ask #1 / TODO #2.
+    "q140_retrieval_eval": (q140_retrieval_eval, _q140_oracle_sql),
+    "q141_entity_linkage": (q141_entity_linkage, Q141_SQL),
+    "q142_touch_attribution": (q142_touch_attribution, Q142_SQL),
+    "q143_quality_ensemble": (q143_quality_ensemble, Q143_SQL),
+    "q144_temperature_mixture": (q144_temperature_mixture, Q144_SQL),
+    "q145_contamination_score": (q145_contamination_score, Q145_SQL),
+    "q146_truncated_prefilter_topk": (
+        q146_truncated_prefilter_topk,
+        Q146_SQL,
+    ),
+    "q147_incremental_minhash": (q147_incremental_minhash, Q147_SQL),
+    "q148_incremental_embedding": (
+        q148_incremental_embedding,
+        _q148_oracle_sql,
+    ),
+    "q149_deletion_neighborhood": (q149_deletion_neighborhood, Q149_SQL),
+    "q150_bpe_encode": (q150_bpe_encode, Q150_SQL),
+    "q151_containment_pairs": (q151_containment_pairs, Q151_SQL),
+    "q152_negative_sampling": (q152_negative_sampling, Q152_SQL),
+    "q153_dimension_stats": (q153_dimension_stats, Q153_SQL),
+    "q154_length_buckets": (q154_length_buckets, Q154_SQL),
+    "q155_whitened_stats": (q155_whitened_stats, Q155_SQL),
+    "q156_importance_weights": (q156_importance_weights, Q156_SQL),
+    "q157_repeated_spans": (q157_repeated_spans, Q157_SQL),
+    "q158_curation_pipeline": (q158_curation_pipeline, Q158_SQL),
+    "q159_pmi_pairs": (q159_pmi_pairs, Q159_SQL),
+    "q160_knn_graph": (q160_knn_graph, _q160_oracle_sql),
+    "q161_knn_novelty": (q161_knn_novelty, _q161_oracle_sql),
+    "q162_hard_negatives": (q162_hard_negatives, _q162_oracle_sql),
+    "q163_curation_pipeline_v2": (q163_curation_pipeline_v2, Q163_SQL),
+    # --- part (2) cont.: q96/q70 grew recomputed-truth oracle
+    # --- teeth in r5, so their r4 driver rows are stale.
+    "q96_embedding_lsh_neardup_gate": (q96_embedding_lsh_neardup_gate, Q96_SQL),
+    "q70_lsh_probe_gate": (q70_lsh_probe_gate, _q70_oracle_sql),
+    # --- part (3) fill: the OLDEST driver rows (r3-era), in
+    # --- TODO #2's stated order.
+    "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),
+    "q22_math_funcs": (q22_math_funcs, Q22_SQL),
+    "q27_exact_dedup": (q27_exact_dedup, Q27_SQL),
+    "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
+    "q58_salted_join": (q58_salted_join, Q58_SQL),
+    "q59_pii_redaction": (q59_pii_redaction, Q59_SQL),
+    "q60_hash_split": (q60_hash_split, Q60_SQL),
+    "q61_stream_stream_join": (q61_stream_stream_join, Q61_SQL),
+    "q62_stream_static_join": (q62_stream_static_join, Q62_SQL),
+    "q63_cosine_topk_numpy": (q63_cosine_topk_numpy, Q29_SQL),
+    "q64_stream_stream_join_tight": (q64_stream_stream_join_tight, Q61_SQL),
+    "q65_stream_late_drop": (q65_stream_late_drop, Q65_SQL),
+    "q66_stratified_sample": (q66_stratified_sample, _q66_oracle_sql),
+    "q67_decontaminate": (q67_decontaminate, Q67_SQL),
+    "q68_dedup_clusters": (q68_dedup_clusters, Q68_SQL),
+    "q71_audio_features": (q71_audio_features, Q71_SQL),
+    "q72_stream_session_strict": (q72_stream_session_strict, Q72_SQL),
+    "q73_chunk_documents": (q73_chunk_documents, Q73_SQL),
+    "q75_stream_sliding_2h": (q75_stream_sliding_2h, Q75_SQL),
+    "q78_char_entropy": (q78_char_entropy, Q78_SQL),
+    "q79_segment_dedup": (q79_segment_dedup, Q79_SQL),
+    "q80_csv_orc_roundtrip": (q80_csv_orc_roundtrip, Q80_SQL),
+    "q81_hll_rollup_gate": (q81_hll_rollup_gate, Q81_SQL),
+    "q82_kll_quantile_gate": (q82_kll_quantile_gate, Q82_SQL),
+    # ---------------- end of the 50-row driver window ----------------
+    # --- first in line for the r7 rotation: the r3-era remainder
+    # --- (oldest surviving driver rows after this round).
+    "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
+    "q85_unigram_logprob": (q85_unigram_logprob, Q85_SQL),
+    "q86_decontaminate_bloom": (q86_decontaminate_bloom, Q67_SQL),
+    "q87_zorder_rectangle": (q87_zorder_rectangle, Q87_SQL),
+    "q88_range_join_sessions": (q88_range_join_sessions, Q88_SQL),
+    "q89_resample_ffill": (q89_resample_ffill, Q89_SQL),
+    "q90_tfidf_keywords": (q90_tfidf_keywords, Q90_SQL),
+    "q91_cdc_compaction": (q91_cdc_compaction, Q91_SQL),
+    "q92_analytic_battery": (q92_analytic_battery, Q92_SQL),
+    "q93_cms_bound_gate": (q93_cms_bound_gate, Q93_SQL),
+    "q94_pagerank_dedup_graph": (q94_pagerank_dedup_graph, Q94_SQL),
+    "q95_stream_range_join": (q95_stream_range_join, Q88_SQL),
+    "q40_approx_distinct": (q40_approx_distinct, Q40_SQL),
+    "q41_crypto_hashes": (q41_crypto_hashes, _q41_oracle_sql),
+    # --- r4-green rows (driver-checked r4), then the r5 window
+    # --- (driver-checked r5, freshest) — re-verified locally via
+    # --- tools/check_oracle.py full sweeps regardless of position.
     "q98_epoch_shuffle": (q98_epoch_shuffle, Q98_SQL),
     "q99_video_frame_sample": (q99_video_frame_sample, Q99_SQL),
     "q100_bpe_pair_stats": (q100_bpe_pair_stats, Q100_SQL),
@@ -7735,7 +7816,6 @@ QUERIES: dict[str, tuple] = {
     "q103_multiprobe_lsh_gate": (q103_multiprobe_lsh_gate, Q103_SQL),
     "q104_incremental_dedup": (q104_incremental_dedup, Q104_SQL),
     "q105_corpus_mixture": (q105_corpus_mixture, Q105_SQL),
-    # streaming execution of the incremental dedup — same oracle as q104
     "q106_stream_incremental_dedup": (q106_stream_incremental_dedup, Q104_SQL),
     "q107_domain_cap": (q107_domain_cap, Q107_SQL),
     "q108_collapse_parity_gate": (q108_collapse_parity_gate, Q108_SQL),
@@ -7770,10 +7850,6 @@ QUERIES: dict[str, tuple] = {
     "q137_phash_dedup_gate": (q137_phash_dedup_gate, Q137_SQL),
     "q138_psi_drift": (q138_psi_drift, Q138_SQL),
     "q139_ks_drift": (q139_ks_drift, Q139_SQL),
-    # --- part (2) fill, r5 additions: the four converted rows-only ->
-    # --- oracle-backed queries (portable hash/index replay, never
-    # --- value-checked by ANY engine before) and the oldest of the
-    # --- gate oracles that grew recomputed truth sides this round
     "q37_minhash_pairs": (q37_minhash_pairs, Q37_SQL),
     "q38_simhash_pairs": (q38_simhash_pairs, Q38_SQL),
     "q42_lsh_topk": (q42_lsh_topk, _q42_oracle_sql),
@@ -7782,22 +7858,9 @@ QUERIES: dict[str, tuple] = {
     "q69_minhash_recall_gate": (q69_minhash_recall_gate, Q69_SQL),
     "q77_pq_recall_gate": (q77_pq_recall_gate, Q77_SQL),
     "q83_ivfpq_recall_gate": (q83_ivfpq_recall_gate, Q83_SQL),
-    # ---------------- end of the 50-row driver window ----------------
-    # (q96 also grew teeth in r5 but was driver-green in r4; first in
-    # line after the window, locally verified tuned+vanilla meanwhile)
-    "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),
-    "q22_math_funcs": (q22_math_funcs, Q22_SQL),
-    "q27_exact_dedup": (q27_exact_dedup, Q27_SQL),
-    "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
-    "q58_salted_join": (q58_salted_join, Q58_SQL),
-    "q59_pii_redaction": (q59_pii_redaction, Q59_SQL),
-    "q60_hash_split": (q60_hash_split, Q60_SQL),
-    # --- rotated out: the full r4 window (all driver-green in r4),
-    # --- re-verified locally every round; r3-era rows slot into r6
     "q74_pack_documents": (q74_pack_documents, Q74_SQL),
     "q39_fingerprints": (q39_fingerprints, Q39_SQL),
     "q43_text_stats_full": (q43_text_stats_full, Q43_SQL),
-    "q96_embedding_lsh_neardup_gate": (q96_embedding_lsh_neardup_gate, Q96_SQL),
     "q97_filtered_cosine_topk": (q97_filtered_cosine_topk, Q97_SQL),
     "q01_pricing_summary": (q01_pricing_summary, Q01_SQL),
     "q02_revenue_by_nation": (q02_revenue_by_nation, Q02_SQL),
@@ -7844,74 +7907,6 @@ QUERIES: dict[str, tuple] = {
     "q55_repetition_stats": (q55_repetition_stats, Q55_SQL),
     "q56_nulls_ordering": (q56_nulls_ordering, Q56_SQL),
     "q57_salted_agg": (q57_salted_agg, Q57_SQL),
-    "q61_stream_stream_join": (q61_stream_stream_join, Q61_SQL),
-    "q62_stream_static_join": (q62_stream_static_join, Q62_SQL),
-    "q63_cosine_topk_numpy": (q63_cosine_topk_numpy, Q29_SQL),
-    "q64_stream_stream_join_tight": (q64_stream_stream_join_tight, Q61_SQL),
-    "q65_stream_late_drop": (q65_stream_late_drop, Q65_SQL),
-    "q66_stratified_sample": (q66_stratified_sample, _q66_oracle_sql),
-    "q67_decontaminate": (q67_decontaminate, Q67_SQL),
-    "q68_dedup_clusters": (q68_dedup_clusters, Q68_SQL),
-    "q70_lsh_probe_gate": (q70_lsh_probe_gate, _q70_oracle_sql),
-    "q71_audio_features": (q71_audio_features, Q71_SQL),
-    "q72_stream_session_strict": (q72_stream_session_strict, Q72_SQL),
-    "q73_chunk_documents": (q73_chunk_documents, Q73_SQL),
-    "q40_approx_distinct": (q40_approx_distinct, Q40_SQL),
-    # q41's oracle is built lazily (hashlib digests over the parquet
-    # embedded as SQL constants) — see _q41_oracle_sql.
-    "q41_crypto_hashes": (q41_crypto_hashes, _q41_oracle_sql),
-    "q75_stream_sliding_2h": (q75_stream_sliding_2h, Q75_SQL),
-    "q78_char_entropy": (q78_char_entropy, Q78_SQL),
-    "q79_segment_dedup": (q79_segment_dedup, Q79_SQL),
-    "q80_csv_orc_roundtrip": (q80_csv_orc_roundtrip, Q80_SQL),
-    "q81_hll_rollup_gate": (q81_hll_rollup_gate, Q81_SQL),
-    "q82_kll_quantile_gate": (q82_kll_quantile_gate, Q82_SQL),
-    "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
-    "q85_unigram_logprob": (q85_unigram_logprob, Q85_SQL),
-    "q86_decontaminate_bloom": (q86_decontaminate_bloom, Q67_SQL),
-    "q87_zorder_rectangle": (q87_zorder_rectangle, Q87_SQL),
-    "q88_range_join_sessions": (q88_range_join_sessions, Q88_SQL),
-    "q89_resample_ffill": (q89_resample_ffill, Q89_SQL),
-    "q90_tfidf_keywords": (q90_tfidf_keywords, Q90_SQL),
-    "q91_cdc_compaction": (q91_cdc_compaction, Q91_SQL),
-    "q92_analytic_battery": (q92_analytic_battery, Q92_SQL),
-    "q93_cms_bound_gate": (q93_cms_bound_gate, Q93_SQL),
-    "q94_pagerank_dedup_graph": (q94_pagerank_dedup_graph, Q94_SQL),
-    # streaming execution of the range join — same oracle as q88
-    "q95_stream_range_join": (q95_stream_range_join, Q88_SQL),
-    # --- new in r5 past the window (the window is exactly full):
-    # --- first in line for the r6 rotation, locally oracle-verified
-    # --- (tuned + vanilla) meanwhile
-    "q140_retrieval_eval": (q140_retrieval_eval, _q140_oracle_sql),
-    "q141_entity_linkage": (q141_entity_linkage, Q141_SQL),
-    "q142_touch_attribution": (q142_touch_attribution, Q142_SQL),
-    "q143_quality_ensemble": (q143_quality_ensemble, Q143_SQL),
-    "q144_temperature_mixture": (q144_temperature_mixture, Q144_SQL),
-    "q145_contamination_score": (q145_contamination_score, Q145_SQL),
-    "q146_truncated_prefilter_topk": (
-        q146_truncated_prefilter_topk,
-        Q146_SQL,
-    ),
-    "q147_incremental_minhash": (q147_incremental_minhash, Q147_SQL),
-    "q148_incremental_embedding": (
-        q148_incremental_embedding,
-        _q148_oracle_sql,
-    ),
-    "q149_deletion_neighborhood": (q149_deletion_neighborhood, Q149_SQL),
-    "q150_bpe_encode": (q150_bpe_encode, Q150_SQL),
-    "q151_containment_pairs": (q151_containment_pairs, Q151_SQL),
-    "q152_negative_sampling": (q152_negative_sampling, Q152_SQL),
-    "q153_dimension_stats": (q153_dimension_stats, Q153_SQL),
-    "q154_length_buckets": (q154_length_buckets, Q154_SQL),
-    "q155_whitened_stats": (q155_whitened_stats, Q155_SQL),
-    "q156_importance_weights": (q156_importance_weights, Q156_SQL),
-    "q157_repeated_spans": (q157_repeated_spans, Q157_SQL),
-    "q158_curation_pipeline": (q158_curation_pipeline, Q158_SQL),
-    "q159_pmi_pairs": (q159_pmi_pairs, Q159_SQL),
-    "q160_knn_graph": (q160_knn_graph, _q160_oracle_sql),
-    "q161_knn_novelty": (q161_knn_novelty, _q161_oracle_sql),
-    "q162_hard_negatives": (q162_hard_negatives, _q162_oracle_sql),
-    "q163_curation_pipeline_v2": (q163_curation_pipeline_v2, Q163_SQL),
 }
 
 
