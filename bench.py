@@ -14,13 +14,20 @@ workloads on the single-node comparison engine (identical parquet, the
 oracle SQL), ``rows``/``config`` document result sizes and the Spark
 knobs, per BASELINE.md's reporting requirements.
 
-Per query we take the best of ``$SPARK_GRAFT_BENCH_REPS`` (default 2)
-runs after a shared session warm-up, so JVM/codegen startup is not
-billed to the first query. Sub-second queries escalate to best-of-5
-(r3 postmortem: with 2 reps, one noisy machine window manufactured a
-5x phantom regression on q1), and the output carries a per-query
-``ratios`` map (spark/duckdb) — the machine-noise-invariant signal,
-since a slow window slows both engines together.
+Per query we take the best over adaptive reps after a shared session
+warm-up, so JVM/codegen startup is not billed to the first query:
+at least ``$SPARK_GRAFT_BENCH_REPS`` (default 2) runs, and KEEP
+re-running until the query has accumulated at least
+``$SPARK_GRAFT_BENCH_MIN_TOTAL_SEC`` (default 3 s) of measured wall
+time (capped at ``$SPARK_GRAFT_BENCH_MAX_REPS``, default 20). The
+minimum-total-duration rule is the r6 verdict's variance fix: two
+rounds of ±30-50% per-query swings on identical code showed best-of-2
+cannot resolve the <15% cross-round band for sub-second queries — a
+0.3 s query now gets ~10 reps, a 10 s query still gets 2. The output
+carries a per-query ``spread`` map ((max-min)/best over the reps — the
+dispersion the best-of hides) and a ``ratios`` map (spark/duckdb) —
+the machine-noise-invariant signal, since a slow window slows both
+engines together.
 
 bench-t1 is the loop_filter-equivalent message throughput: 200k JSON
 envelopes through the Link data plane's map-or-drop stage (Arrow-batched
@@ -41,26 +48,36 @@ from catenae_stopover_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
-# Queries whose best time is under this escalate to best-of-SUBSEC_REPS:
-# sub-second measurements are the ones machine noise can multiply.
-SUBSEC_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_REPS", "5"))
+# Minimum accumulated measured wall time per query before best-of
+# stops (the r6 variance fix): short queries self-escalate until the
+# sample is long enough to average the machine noise out.
+MIN_TOTAL_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_TOTAL_SEC", "3.0"))
+MAX_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "20"))
 T1_MESSAGES = int(os.environ.get("SPARK_GRAFT_T1_MESSAGES", "200000"))
 Q7C_QUERIES = 100  # batch-serving fan-in (bench-q7c)
 
 
-def best_of(run, min_reps: int = None) -> tuple[float, object]:
-    """Best wall time over adaptive reps: at least REPS runs, escalating
-    to SUBSEC_REPS when the best lands under 1 s."""
-    best, result, runs = float("inf"), None, 0
+def best_of(run, min_reps: int = None) -> tuple[float, object, float]:
+    """Best wall time over adaptive reps: at least REPS runs (or
+    ``min_reps``), then keep re-running until the accumulated measured
+    time reaches MIN_TOTAL_SEC (capped at MAX_REPS). Returns
+    ``(best_sec, last_result, spread)`` where spread = (max-min)/best
+    over the reps — the dispersion the best-of hides."""
+    times: list[float] = []
+    result, total = None, 0.0
+    floor = min_reps if min_reps is not None else max(1, REPS)
     while True:
         t0 = time.perf_counter()
         result = run()
-        best = min(best, time.perf_counter() - t0)
-        runs += 1
-        floor = min_reps if min_reps is not None else max(1, REPS)
-        target = max(floor, SUBSEC_REPS) if best < 1.0 else floor
-        if runs >= target:
-            return best, result
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        total += dt
+        if len(times) >= floor and (
+            total >= MIN_TOTAL_SEC or len(times) >= MAX_REPS
+        ):
+            best = min(times)
+            spread = (max(times) - best) / best if best > 0 else 0.0
+            return best, result, round(spread, 3)
 
 # BASELINE.md bench set -> query registry entries.
 BENCH = {
@@ -97,6 +114,10 @@ BENCH = {
     # document-level PMI collocations over the top-df vocab: the
     # corpus-association aggregate (0.39x at 10x — Spark 2.5x ahead).
     "q12_pmi": "q159_pmi_pairs",
+    # portable multi-table-LSH kNN graph (k=5 per doc): the
+    # embedding-similarity family's candidate-generation + Arrow-scored
+    # representative — driver-visible per the r5/r6 verdict ask.
+    "q13_knn_graph": "q160_knn_graph",
 }
 
 # DuckDB comparison SQL for bench entries whose registry oracle is None
@@ -162,15 +183,15 @@ def map_or_drop_warm(batches):
         yield pdf
 
 
-def bench_duckdb() -> dict[str, float]:
+def bench_duckdb() -> tuple[dict[str, float], dict[str, float]]:
     """The same workloads on the single-node comparison engine
     (BASELINE.md: 'duckdb as the comparison engine on identical
     parquet'). Uses each query's oracle SQL; sketch queries without an
-    oracle are skipped."""
+    oracle are skipped. Returns (timings, spreads)."""
     try:
         import duckdb
     except ImportError:
-        return {}
+        return {}, {}
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(SF_DIR, f"{t}.parquet")
@@ -182,15 +203,17 @@ def bench_duckdb() -> dict[str, float]:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
         )
     out: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for label, qname in BENCH.items():
         sql = QUERIES[DUCK_SQL_FALLBACK.get(label, qname)][1]
         if sql is None:
             continue
         if callable(sql):
             sql = sql()
-        best, _ = best_of(lambda: con.execute(sql).fetchall())
+        best, _, spread = best_of(lambda: con.execute(sql).fetchall())
         out[label] = round(best, 4)
-    return out
+        spreads[label] = spread
+    return out, spreads
 
 
 def main() -> None:
@@ -209,12 +232,17 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    spreads: dict[str, float] = {}
     for label, qname in BENCH.items():
         fn = QUERIES[qname][0]
-        best, n = best_of(lambda: fn(spark, SF_DIR).count())
+        best, n, spread = best_of(lambda: fn(spark, SF_DIR).count())
         timings[label] = round(best, 4)
         rows[label] = n
-        print(f"# {label}: {timings[label]:.3f}s rows={n}", file=sys.stderr)
+        spreads[label] = spread
+        print(
+            f"# {label}: {timings[label]:.3f}s rows={n} spread={spread}",
+            file=sys.stderr,
+        )
 
     # q7c: BATCH serving — Q7C_QUERIES query vectors through the IVF
     # index in ONE plan (ivf_topk_batch). The number that matters is the
@@ -231,11 +259,12 @@ def main() -> None:
         .filter(F.col("vec_id") < Q7C_QUERIES)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    best, n = best_of(
+    best, n, spread = best_of(
         lambda: ivf_topk_batch(assigned, centroids, qset, k=10, n_probe=4).count()
     )
     timings["q7c_ivf_topk_batch"] = round(best, 4)
     rows["q7c_ivf_topk_batch"] = n
+    spreads["q7c_ivf_topk_batch"] = spread
     print(
         f"# q7c_ivf_topk_batch: {best:.3f}s rows={n} "
         f"({best / Q7C_QUERIES * 1000:.1f} ms/query over {Q7C_QUERIES})",
@@ -277,9 +306,10 @@ def main() -> None:
             f"q6c parity violated: {diff} pair rows differ between the "
             "collapsed and plain MinHash runs"
         )
-    best, n = best_of(lambda: coll().count(), min_reps=1)
+    best, n, spread = best_of(lambda: coll().count(), min_reps=1)
     timings["q6c_minhash_collapse"] = round(best, 4)
     rows["q6c_minhash_collapse"] = n
+    spreads["q6c_minhash_collapse"] = spread
     t0 = time.perf_counter()
     plain().count()
     plain_sec = time.perf_counter() - t0
@@ -299,19 +329,27 @@ def main() -> None:
     # GC/session effects from the query sweep above. t1 times itself
     # internally (its worker-pool warm-up must stay unbilled), so this
     # loops rather than using best_of.
+    t1_times = []
     t1_sec, t1_rows = bench_t1_link_throughput(spark)
-    for _ in range(max(REPS, 3) - 1):
+    t1_times.append(t1_sec)
+    while (len(t1_times) < max(REPS, 3) or sum(t1_times) < MIN_TOTAL_SEC) and len(
+        t1_times
+    ) < MAX_REPS:
         s2, _ = bench_t1_link_throughput(spark)
+        t1_times.append(s2)
         t1_sec = min(t1_sec, s2)
     timings["t1_link_throughput"] = round(t1_sec, 4)
     rows["t1_link_throughput"] = t1_rows
+    spreads["t1_link_throughput"] = round(
+        (max(t1_times) - t1_sec) / t1_sec if t1_sec > 0 else 0.0, 3
+    )
     print(
         f"# t1_link_throughput: {t1_sec:.3f}s "
         f"({T1_MESSAGES / t1_sec:,.0f} msgs/s in, {t1_rows} out)",
         file=sys.stderr,
     )
 
-    duck = bench_duckdb()
+    duck, duck_spreads = bench_duckdb()
     # Machine-noise-invariant per-query signal: a noisy window slows
     # both engines, the ratio survives it.
     ratios = {
@@ -330,7 +368,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": _sf_from_dir(SF_DIR),
                 "rows": rows,
+                "spread": spreads,
                 "duckdb": duck,
+                "duckdb_spread": duck_spreads,
                 "ratios": ratios,
                 **q6c_extras,
                 "t1_msgs_per_sec": round(T1_MESSAGES / t1_sec),
@@ -341,7 +381,8 @@ def main() -> None:
                     ),
                     "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
                     "reps": REPS,
-                    "subsec_reps": SUBSEC_REPS,
+                    "min_total_sec": MIN_TOTAL_SEC,
+                    "max_reps": MAX_REPS,
                 },
             }
         )

@@ -359,7 +359,9 @@ def quality_ensemble(
             F.col(f"__s_{name}"), F.lit(std_floor)
         )
         score = score + F.lit(weights.get(name, 0.0)) * z
-    score = F.round(score, 6)
+    # + 0.0 folds a rounded -0.0 (blended z-dust) to +0.0 — the same
+    # byte-hash channel as the r6 q155 escape; mirrored in Q143_SQL.
+    score = F.round(score, 6) + F.lit(0.0)
     # NULL guard: a NULL signal (e.g. NULL text) gives a NULL z and a
     # NULL score; without the explicit isNull branch the band CASE's
     # NULL comparisons all evaluate false and a null-signal document

@@ -1560,24 +1560,30 @@ def incremental_minhash_dedup(
     sig_a = sig_b.select(
         F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
     )
-    # a batch id can also exist in the corpus; keep ONE signature row
-    # per id, deterministically preferring the CORPUS signature (the
-    # index is the standing truth a production job dedups against).
-    # dropDuplicates on the union would pick an arbitrary row. The
-    # anti-join touches only batch rows x corpus ids — the corpus
-    # signature table itself passes through the union untouched.
+    # Resolve id_b's verify signature by the PROVENANCE of the pair
+    # (the r6 ADVICE fix): a 'corpus' pair was band-matched via the
+    # corpus index, so it scores against the CORPUS signature; a
+    # 'batch' pair was band-matched within the batch, so it scores
+    # against the BATCH signature — an id present in both relations
+    # with different text no longer cross-scores (the old
+    # corpus-preferred rule could give est_jaccard ~ 0 for texts that
+    # are identical in the batch and drop a genuine batch duplicate).
+    # One equi-join on (id_b, matched); each pair matches exactly one
+    # signature row.
     sig_c_r = sig_c.select(
-        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+        F.col(id_col).alias("id_b"),
+        F.col("signature").alias("sig_b"),
+        F.lit("corpus").alias("matched"),
     )
     sig_b_r = sig_b.select(
-        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+        F.col(id_col).alias("id_b"),
+        F.col("signature").alias("sig_b"),
+        F.lit("batch").alias("matched"),
     )
-    sig_right = sig_c_r.unionByName(
-        sig_b_r.join(sig_c_r.select("id_b"), "id_b", "left_anti")
-    )
+    sig_right = sig_c_r.unionByName(sig_b_r)
     return (
         cand.join(sig_a, "id_a")
-        .join(sig_right, "id_b")
+        .join(sig_right, ["id_b", "matched"])
         .select(
             "id_a",
             "id_b",

@@ -17,6 +17,68 @@ from pyspark.sql import functions as F
 from ..plans.partitioning import ensure_min_parallelism
 
 
+def derive_block_cap(
+    hist: list[tuple[int, int]],
+    n_rows: int,
+    pair_budget_per_row: int = 64,
+) -> int:
+    """Data-derived block-size cap from the block-size histogram
+    ``[(size, n_blocks_of_that_size), ...]``: the largest observed size
+    ``s`` such that keeping every block of size <= s costs at most
+    ``pair_budget_per_row * n_rows`` levenshtein verifications —
+    i.e. total verify work stays O(n) no matter how degenerate the
+    blocking key is (the only asymptotic that survives 100 TB; a
+    fixed cap would be the pinned-param scale cliff, an uncapped
+    default was the r5/r6 k^2 cliff). Integer arithmetic throughout so
+    the DuckDB oracle mirror (Q141_SQL) is byte-identical. If even the
+    smallest observed size blows the budget, that smallest size is
+    kept (progress guarantee; everything larger is dropped).
+    """
+    budget = pair_budget_per_row * n_rows
+    cap = None
+    cum = 0
+    for size, nb in sorted(hist):
+        cum += nb * (size * (size - 1) // 2)
+        if cum <= budget:
+            cap = size
+    return cap if cap is not None else min(s for s, _ in hist)
+
+
+def block_size_histogram(
+    sel: DataFrame, block_cols: list[str]
+) -> list[tuple[int, int]]:
+    """Collect the block-size histogram ``[(size, n_blocks)]`` —
+    |distinct sizes| rows, the bounded planning-scalar pattern (same
+    as the IVF/LSH data-derived knobs): two map-side-combined
+    aggregates, never the blocks themselves."""
+    rows = (
+        sel.groupBy(*block_cols)
+        .count()
+        .groupBy("count")
+        .agg(F.count("*").alias("nb"))
+        .collect()
+    )
+    return sorted((int(r["count"]), int(r["nb"])) for r in rows)
+
+
+def block_cap_report(
+    hist: list[tuple[int, int]], cap: int
+) -> dict[str, int]:
+    """Dropped-block accounting for a derived (or explicit) cap:
+    how many blocks/rows the valve removes from candidate generation
+    and the exact number of verifications the kept blocks cost."""
+    return {
+        "cap": cap,
+        "n_blocks": sum(nb for _, nb in hist),
+        "n_rows": sum(s * nb for s, nb in hist),
+        "n_blocks_dropped": sum(nb for s, nb in hist if s > cap),
+        "n_rows_dropped": sum(s * nb for s, nb in hist if s > cap),
+        "pairs_kept": sum(
+            nb * (s * (s - 1) // 2) for s, nb in hist if s <= cap
+        ),
+    }
+
+
 def blocked_edit_distance_pairs(
     df: DataFrame,
     id_col: str,
@@ -24,6 +86,7 @@ def blocked_edit_distance_pairs(
     block_cols: list[str],
     max_dist: int = 1,
     max_block: int | None = None,
+    pair_budget_per_row: int = 64,
 ) -> DataFrame:
     """Self-linkage pairs: candidates from an equi-join on
     ``block_cols`` (the standard blocking strategy — NEVER all-pairs),
@@ -31,20 +94,33 @@ def blocked_edit_distance_pairs(
     ``(id_a, id_b, dist)`` with id_a < id_b.
 
     Scale: block keys shuffle once; a block of k rows costs k(k-1)/2
-    verifications, so blocking quality IS the cost model — pass
-    ``max_block`` to drop degenerate blocks from candidate generation
-    (the same quadratic-blowup valve as MinHash ``max_bucket``; pairs
-    inside a dropped block are missed, which is the documented
-    blocking trade-off). The levenshtein verify runs JVM-side in the
-    join's codegen stage — no Python per pair.
+    verifications, so blocking quality IS the cost model. With
+    ``max_block=None`` (the default) a cap is DERIVED from the
+    block-size distribution via :func:`derive_block_cap` — total
+    verify work is bounded to ``pair_budget_per_row * n`` pairs, so a
+    default caller can no longer k^2-explode inside degenerate natural
+    blocks (the r5/r6 scale-killer: 450M candidates at 10x on the
+    nation key). Pass an explicit ``max_block`` to pin the valve
+    (pairs inside a dropped block are missed — the documented blocking
+    trade-off; use :func:`block_cap_report` for the dropped-block
+    accounting). The levenshtein verify runs JVM-side in the join's
+    codegen stage — no Python per pair.
+
+    NOTE: at web scale prefer deletion_neighborhood_pairs (exact for
+    max_dist=1, output-bound) and use this form when a good natural
+    block key exists or max_dist > 1. Deriving the default cap runs
+    one small planning job (the histogram) at call time.
     """
     sel = ensure_min_parallelism(df).select(
         F.col(id_col), F.col(text_col).alias("__t"), *[F.col(c) for c in block_cols]
     )
-    # NOTE: a block of k rows costs k²/2 verifications — at web scale
-    # prefer deletion_neighborhood_pairs (exact for max_dist=1,
-    # output-bound) and use this form when a good natural block key
-    # exists or max_dist > 1.
+    if max_block is None:
+        hist = block_size_histogram(sel, block_cols)
+        if hist:
+            n_rows = sum(s * nb for s, nb in hist)
+            max_block = derive_block_cap(hist, n_rows, pair_budget_per_row)
+        else:  # empty input: keep the normal (empty) plan shape
+            max_block = 0
     if max_block is not None:
         from pyspark.sql import Window
 

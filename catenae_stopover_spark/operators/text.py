@@ -1448,32 +1448,46 @@ def bpe_encode_counts(
     Scale shape (the trainer's vocab-collapse trick, applied to
     inference): merges run once per DISTINCT word — the corpus-sized
     work is one word explode + the final (doc, word) ⨝ (word,
-    symbol-count) equi-join. Each merge arrives as a broadcast 1-row
-    join (collect-free), exactly like the trainer's rounds.
+    symbol-count) equi-join. The merges apply as one chained literal
+    regexp projection over the distinct-word table (the merge table is
+    ranks × 1 rows, a planning scalar by construction).
 
     Raises ``ValueError`` unless ``merges`` holds exactly one row per
-    rank 0..num_merges-1: each merge is applied as an unconditioned
-    broadcast join against the single rank-k row, so a MISSING rank
-    would silently cross-join the vocab against zero rows and return
-    an empty result for the whole corpus (a trainer that exhausted
-    pairs on a degenerate corpus, or a mismatched num_merges). The
-    validation aggregate is one tiny job over the merges table (ranks
-    × 1 row — planning-scalar sized, same budget as the broadcasts).
+    rank 0..num_merges-1 and NO rows outside that range (an
+    out-of-range rank means the caller's num_merges doesn't match the
+    trainer's — flagged explicitly for diagnosis). A missing rank would
+    otherwise silently cross-join the vocab against zero rows and
+    return an empty result for the whole corpus. The merge table is
+    collected ONCE (ranks × 1 rows — planning-scalar sized) and the
+    VALIDATED SNAPSHOT is what gets applied, as literal patterns: a
+    non-deterministic merges source can no longer pass validation yet
+    apply different rows (the r6 ADVICE finding), and the per-merge
+    broadcast joins collapse into one literal regexp chain in a single
+    projection.
     """
     from ..plans.partitioning import ensure_min_parallelism
 
-    rank_counts = {
-        r["rank"]: r["n"]
-        for r in merges.groupBy("rank").agg(F.count("*").alias("n")).collect()
-    }
+    merge_rows = merges.select("rank", "pair").collect()
+    rank_counts: dict[int, int] = {}
+    table: dict[int, str] = {}
+    for r in merge_rows:
+        rank_counts[r["rank"]] = rank_counts.get(r["rank"], 0) + 1
+        table[r["rank"]] = r["pair"]
     bad = [
         k for k in range(num_merges) if rank_counts.get(k, 0) != 1
     ]
-    if bad:
+    extra = sorted(k for k in rank_counts if k < 0 or k >= num_merges)
+    if bad or extra:
         raise ValueError(
             f"bpe_encode_counts needs exactly one merges row per rank"
             f" 0..{num_merges - 1}; ranks {bad} have row counts"
             f" {[rank_counts.get(k, 0) for k in bad]}"
+            + (
+                f"; out-of-range ranks {extra} present"
+                f" (mismatched num_merges?)"
+                if extra
+                else ""
+            )
         )
 
     words = (
@@ -1489,16 +1503,14 @@ def bpe_encode_counts(
     enc = words.select("tok").distinct().select(
         F.col("tok").alias("word"), F.col("tok").alias("sym")
     )
+    sym = F.col("sym")
     for k in range(num_merges):
-        mk = merges.filter(F.col("rank") == k).select("pair")
-        enc = enc.join(F.broadcast(mk)).select(
-            "word",
-            F.regexp_replace(
-                F.col("sym"),
-                F.concat(F.lit(r"\Q"), F.col("pair"), F.lit(r"\E")),
-                chr(k + 1),
-            ).alias("sym"),
+        # literal pattern from the validated snapshot (\Q..\E quoting,
+        # same as the old column form) — one projection, no joins
+        sym = F.regexp_replace(
+            sym, F.lit("\\Q" + table[k] + "\\E"), F.lit(chr(k + 1))
         )
+    enc = enc.select("word", sym.alias("sym"))
     wt = enc.select("word", F.length("sym").alias("__n_sym"))
     return (
         words.join(wt, words.tok == wt.word)

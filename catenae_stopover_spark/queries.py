@@ -6339,18 +6339,41 @@ def q141_entity_linkage(spark, sf_dir):
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", "c_nationkey"
     )
+    # default max_block=None now DERIVES the cap from the block-size
+    # histogram (pair budget 64*n — linear total verify work); the
+    # oracle replays the identical derivation below.
     out = blocked_edit_distance_pairs(
         c, "c_custkey", "c_name", ["c_nationkey"], max_dist=1
     )
     return out.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
 
+# cap derivation mirrors linkage.derive_block_cap: integer cumulative
+# pair cost over the block-size histogram, budget = 64 * n_rows,
+# fallback to the smallest observed size.
 Q141_SQL = """
+WITH blk AS (
+    SELECT c_nationkey, COUNT(*) AS sz FROM customer GROUP BY c_nationkey
+), hist AS (
+    SELECT sz, COUNT(*) AS nb FROM blk GROUP BY sz
+), costs AS (
+    SELECT sz AS s,
+           SUM(nb * ((sz * (sz - 1)) // 2)) OVER (ORDER BY sz) AS pairs
+    FROM hist
+), cap AS (
+    SELECT COALESCE(
+        MAX(s) FILTER (WHERE pairs <= 64 * (SELECT SUM(sz) FROM blk)),
+        (SELECT MIN(sz) FROM hist)) AS cap
+    FROM costs
+)
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
        CAST(LEVENSHTEIN(a.c_name, b.c_name) AS BIGINT) AS dist
-FROM customer a JOIN customer b
+FROM customer a
+JOIN customer b
   ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
-WHERE LEVENSHTEIN(a.c_name, b.c_name) <= 1
+JOIN blk ON blk.c_nationkey = a.c_nationkey
+WHERE blk.sz <= (SELECT cap FROM cap)
+  AND LEVENSHTEIN(a.c_name, b.c_name) <= 1
 """
 
 
@@ -6461,7 +6484,7 @@ WITH sig AS (
     SELECT doc_id, n_tokens, distinct_ratio, mean_wlen,
            ROUND(0.4 * (n_tokens - m1) / GREATEST(s1, 1e-9)
                + 0.4 * (distinct_ratio - m2) / GREATEST(s2, 1e-9)
-               + 0.2 * (mean_wlen - m3) / GREATEST(s3, 1e-9), 6)
+               + 0.2 * (mean_wlen - m3) / GREATEST(s3, 1e-9), 6) + 0.0
                AS quality_score
     FROM sig, stats
 )
@@ -6692,11 +6715,12 @@ WITH batch AS (
       ON x.band_idx = y.band_idx AND x.bkey = y.bkey
      AND x.doc_id < y.doc_id
 ), sigall AS (
-    -- one signature per id, corpus preferred (the operator's rule)
-    SELECT doc_id, k, mh FROM sigc
+    -- verify signature resolved by pair PROVENANCE (the operator's
+    -- rule): corpus pairs score against corpus signatures, batch
+    -- pairs against batch signatures
+    SELECT doc_id, k, mh, 'corpus' AS src FROM sigc
     UNION ALL
-    SELECT doc_id, k, mh FROM sigb
-    WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM sigc)
+    SELECT doc_id, k, mh, 'batch' AS src FROM sigb
 )
 SELECT id_a, id_b,
        SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) / {num_hashes}.0
@@ -6704,7 +6728,8 @@ SELECT id_a, id_b,
        matched
 FROM cand
 JOIN sigb sa ON sa.doc_id = id_a
-JOIN sigall sb ON sb.doc_id = id_b AND sb.k = sa.k
+JOIN sigall sb ON sb.doc_id = id_b AND sb.src = cand.matched
+              AND sb.k = sa.k
 GROUP BY id_a, id_b, matched
 """
     )
@@ -7007,13 +7032,14 @@ def q153_dimension_stats(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     out = dimension_stats(e)
+    # + 0.0 folds -0.0 dust to +0.0 on both sides (the q155 channel)
     return out.select(
         F.col("dim").cast("long").alias("dim"),
         F.col("n").cast("long").alias("n"),
-        F.round("mean", 6).alias("mean"),
-        F.round("std", 6).alias("std"),
-        F.round("vmin", 6).alias("vmin"),
-        F.round("vmax", 6).alias("vmax"),
+        (F.round("mean", 6) + F.lit(0.0)).alias("mean"),
+        (F.round("std", 6) + F.lit(0.0)).alias("std"),
+        (F.round("vmin", 6) + F.lit(0.0)).alias("vmin"),
+        (F.round("vmax", 6) + F.lit(0.0)).alias("vmax"),
     )
 
 
@@ -7025,10 +7051,10 @@ WITH ex AS (
          UNNEST(GENERATE_SERIES(1, LEN(embedding))) AS u(i)
 )
 SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(AVG(v), 6) AS mean,
-       ROUND(STDDEV_POP(v), 6) AS std,
-       ROUND(MIN(v), 6) AS vmin,
-       ROUND(MAX(v), 6) AS vmax
+       ROUND(AVG(v), 6) + 0.0 AS mean,
+       ROUND(STDDEV_POP(v), 6) + 0.0 AS std,
+       ROUND(MIN(v), 6) + 0.0 AS vmin,
+       ROUND(MAX(v), 6) + 0.0 AS vmax
 FROM ex GROUP BY dim
 """
 
@@ -7091,7 +7117,13 @@ def q155_whitened_stats(spark, sf_dir):
     no join/shuffle in the apply pass), then re-run dimension_stats on
     the output. The post-transform per-dim min/max are non-constant
     real checks; mean/std land on 0/1 only if the fit+apply round-trip
-    is right. Oracle recomputes fit, apply, and re-aggregation."""
+    is right. Oracle recomputes fit, apply, and re-aggregation.
+
+    The rounded aggregates add `+ 0.0` on BOTH engine sides: the
+    post-standardization mean is negative FP dust (~-1e-17) on ~half
+    the dims, which DuckDB's ROUND returns as -0.0 while Spark emits
+    +0.0 — byte-different under the driver's value hash (the r6 red
+    row). `x + 0.0` folds -0.0 to +0.0 per IEEE-754 on both engines."""
     from .operators.similarity import dimension_stats, standardize_embeddings
 
     e = _t(spark, sf_dir, "embeddings")
@@ -7099,10 +7131,10 @@ def q155_whitened_stats(spark, sf_dir):
     return out.select(
         F.col("dim").cast("long").alias("dim"),
         F.col("n").cast("long").alias("n"),
-        F.round("mean", 6).alias("mean"),
-        F.round("std", 6).alias("std"),
-        F.round("vmin", 6).alias("vmin"),
-        F.round("vmax", 6).alias("vmax"),
+        (F.round("mean", 6) + F.lit(0.0)).alias("mean"),
+        (F.round("std", 6) + F.lit(0.0)).alias("std"),
+        (F.round("vmin", 6) + F.lit(0.0)).alias("vmin"),
+        (F.round("vmax", 6) + F.lit(0.0)).alias("vmax"),
     )
 
 
@@ -7120,10 +7152,10 @@ WITH ex AS (
     FROM ex JOIN st USING (dim)
 )
 SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(AVG(v), 6) AS mean,
-       ROUND(STDDEV_POP(v), 6) AS std,
-       ROUND(MIN(v), 6) AS vmin,
-       ROUND(MAX(v), 6) AS vmax
+       ROUND(AVG(v), 6) + 0.0 AS mean,
+       ROUND(STDDEV_POP(v), 6) + 0.0 AS std,
+       ROUND(MIN(v), 6) + 0.0 AS vmin,
+       ROUND(MAX(v), 6) + 0.0 AS vmax
 FROM tx GROUP BY dim
 """
 

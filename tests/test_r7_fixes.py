@@ -1,0 +1,187 @@
+"""Regression tests for the round-6 verdict findings fixed in r7:
+
+1. the q155 `-0.0` oracle-parity channel — rounded FP dust must be
+   canonicalized to +0.0 on the Spark side (and the mirrored `+ 0.0`
+   in the DuckDB oracles), and the local harness must be byte-strict
+   about the sign of zero so local green implies driver green;
+2. q141 blocked linkage's data-derived `max_block` default (no more
+   unbounded k^2 inside natural blocks when the caller passes None).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_negative_zero_dust_is_canonicalized(spark):
+    # Standardized-column means are negative FP dust (~-1e-17) about
+    # half the time; ROUND(x, 6) keeps the sign in DuckDB but not in
+    # Spark, so the driver's byte hash diverged (r6 q155 red row).
+    # The fix folds dust with `+ 0.0` on both sides — pin the Spark
+    # side: round(dust, 6) + 0.0 must serialize as +0.0, never -0.0.
+    df = spark.createDataFrame(
+        [(-1e-17,), (1e-17,), (-0.0,), (0.0,)], "v double"
+    ).select((F.round("v", 6) + F.lit(0.0)).alias("v"))
+    for row in df.collect():
+        assert row.v == 0.0
+        assert not math.copysign(1.0, row.v) < 0, "-0.0 escaped the fold"
+
+
+def test_quality_ensemble_score_never_negative_zero(spark):
+    from catenae_stopover_spark.operators.analytics import quality_ensemble
+
+    # Symmetric signal -> one doc's blended z rounds to zero dust.
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 2.0), (3, 3.0)], "doc_id long, v double"
+    )
+    out = quality_ensemble(df, {"v": F.col("v")}, {"v": 1.0}).collect()
+    mid = [r for r in out if r.doc_id == 2][0]
+    assert mid.quality_score == 0.0
+    assert not math.copysign(1.0, mid.quality_score) < 0
+
+
+def test_check_oracle_canon_is_byte_strict_on_signed_zero():
+    # The harness used to fold -0.0 into 0.0 before comparing
+    # (tools/check_oracle.py:41 `+ 0.0`), so it could never catch the
+    # q155 divergence the driver's hash catches. Pin the strictness:
+    # canon() must PRESERVE the sign of zero.
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "check_oracle",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "tools",
+            "check_oracle.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    got = mod.canon(pd.DataFrame({"x": [-0.0, 0.0]}))
+    signs = sorted(np.signbit(got["x"]).tolist())
+    assert signs == [False, True], "canon() must not fold -0.0"
+
+
+def test_q155_spark_output_has_no_negative_zero(spark, sf_dir):
+    from catenae_stopover_spark import queries as q
+
+    pdf = q.q155_whitened_stats(spark, sf_dir).toPandas()
+    for c in ("mean", "std", "vmin", "vmax"):
+        zeros = pdf[pdf[c] == 0.0][c]
+        assert not np.signbit(zeros).any(), f"-0.0 in q155.{c}"
+
+
+# ---------------------------------------------------------------------------
+# q141: data-derived max_block default (r5 ask #3 / r6 verdict #3)
+# ---------------------------------------------------------------------------
+
+
+def test_derive_block_cap_bounds_pairs_linearly():
+    from catenae_stopover_spark.operators.linkage import (
+        block_cap_report,
+        derive_block_cap,
+    )
+
+    # 1000 singleton blocks + one degenerate 10k block: the old default
+    # (None = unbounded) would verify 10k*(10k-1)/2 ~ 50M pairs; the
+    # derived cap must drop the degenerate block and keep the rest.
+    hist = [(1, 1000), (10_000, 1)]
+    n_rows = 1000 + 10_000
+    cap = derive_block_cap(hist, n_rows, pair_budget_per_row=64)
+    assert cap == 1
+    rep = block_cap_report(hist, cap)
+    assert rep["n_blocks_dropped"] == 1
+    assert rep["n_rows_dropped"] == 10_000
+    assert rep["pairs_kept"] == 0
+
+    # Uniform small blocks fit the budget: nothing dropped.
+    hist = [(60, 25)]
+    cap = derive_block_cap(hist, 1500, pair_budget_per_row=64)
+    assert cap == 60
+    assert block_cap_report(hist, cap)["n_blocks_dropped"] == 0
+
+    # Even the smallest size over budget: keep it anyway (progress
+    # guarantee), drop everything larger.
+    hist = [(1_000, 1), (5_000, 1)]
+    cap = derive_block_cap(hist, 6_000, pair_budget_per_row=1)
+    assert cap == 1_000
+    assert block_cap_report(hist, cap)["n_blocks_dropped"] == 1
+
+
+def test_blocked_pairs_default_drops_degenerate_block(spark):
+    from catenae_stopover_spark.operators.linkage import (
+        blocked_edit_distance_pairs,
+    )
+
+    # Block "big" has 40 rows of near-identical text, block "ok" has 2;
+    # with budget 1 pair/row (82 rows -> 82 pairs < 780 for the big
+    # block alone) the derived cap keeps only the small block.
+    rows = [(i, f"name{i % 2}", "big") for i in range(40)] + [
+        (100, "alpha", "ok"),
+        (101, "alphx", "ok"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    out = blocked_edit_distance_pairs(
+        df, "id", "name", ["blk"], max_dist=1, pair_budget_per_row=1
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in out} == {(100, 101)}
+
+    # Explicit max_block still wins over derivation.
+    out2 = blocked_edit_distance_pairs(
+        df, "id", "name", ["blk"], max_dist=1, max_block=1
+    ).collect()
+    assert out2 == []
+
+
+# ---------------------------------------------------------------------------
+# r6 ADVICE: incremental-MinHash batch pairs score against BATCH sigs
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_minhash_batch_pair_uses_batch_signature(spark):
+    from catenae_stopover_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    text_a = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+              "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    text_b = ("one two three four five six seven eight nine ten eleven "
+              "twelve thirteen fourteen fifteen sixteen seventeen")
+    # Batch docs 5 and 9 are IDENTICAL in the batch; id 9 also exists
+    # in the corpus with unrelated text. The old corpus-preferred rule
+    # scored the (5, 9, 'batch') pair against the CORPUS signature of
+    # 9 (est_jaccard ~ 0 -> a genuine batch duplicate dropped by any
+    # threshold); provenance-based resolution must score it 1.0.
+    batch = spark.createDataFrame(
+        [(5, text_a), (9, text_a)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(9, text_b)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_a, r.id_b, r.matched): r.est_jaccard
+        for r in incremental_minhash_dedup(batch, corpus).collect()
+    }
+    assert got[(5, 9, "batch")] == 1.0
+    # the corpus relation of the same ids still scores vs corpus sigs
+    assert got.get((5, 9, "corpus"), 0.0) < 0.5
+
+
+def test_bpe_encode_counts_rejects_out_of_range_ranks(spark):
+    from catenae_stopover_spark.operators.text import bpe_encode_counts
+
+    docs = spark.createDataFrame([(1, "abab abab")], "doc_id long, text string")
+    # ranks 0..2 present but caller says num_merges=2: rank 2 is
+    # out-of-range — a mismatched-num_merges call must fail loudly,
+    # not silently apply a truncated table.
+    merges = spark.createDataFrame(
+        [(0, "ab"), (1, "ba"), (2, "aa")], "rank long, pair string"
+    )
+    with pytest.raises(ValueError, match="out-of-range"):
+        bpe_encode_counts(docs, merges, num_merges=2)

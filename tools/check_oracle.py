@@ -38,7 +38,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             # so both engines must produce the same double up to 1 ulp.
             # round(12) only forgives representation noise — a q22-style
             # type/rounding mismatch (the r1 escape) fails here now.
-            df[c] = df[c].round(12) + 0.0  # +0.0 folds -0.0 into 0.0
+            # NOTE: no `+ 0.0` fold — the driver's value hash is
+            # byte-strict, so -0.0 vs 0.0 MUST fail here too (the r6
+            # q155 escape: DuckDB ROUND kept the sign of negative FP
+            # dust, Spark didn't, and the fold hid it locally).
+            df[c] = df[c].round(12)
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]").astype(str)
         else:
@@ -104,12 +108,22 @@ def main() -> int:
         for c in s.columns:
             a, b = s[c], o[c]
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                import numpy as np
+
                 aa = pd.to_numeric(a, errors="coerce")
                 bb = pd.to_numeric(b, errors="coerce")
+                # -0.0 vs 0.0 is a DRIVER hash mismatch even though the
+                # numeric diff is 0 — flag sign-bit disagreement on
+                # zero-valued cells (byte-strict like the driver).
+                signbit_zero = (
+                    aa.eq(0.0).fillna(False)
+                    & bb.eq(0.0).fillna(False)
+                    & (np.signbit(aa.fillna(0.0)) != np.signbit(bb.fillna(0.0)))
+                )
                 bad = ~(
                     (aa.isna() & bb.isna())
                     | ((aa - bb).abs() <= 1e-9 + 1e-9 * bb.abs())
-                )
+                ) | signbit_zero
             else:
                 bad = ~((a.isna() & b.isna()) | (a.astype(str) == b.astype(str)))
             if bad.any():
