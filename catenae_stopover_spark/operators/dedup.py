@@ -739,6 +739,7 @@ def embedding_near_dups(
     lsh_tables: int = 1,
     probes: int = 0,
     collapse_exact: bool = False,
+    planes: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos >= threshold).
 
@@ -776,6 +777,15 @@ def embedding_near_dups(
     mathematical value; the recomputed value can differ in the last
     ulp). Same pair SET as collapse_exact=False whenever
     threshold <= 1.0 — pytest-pinned.
+
+    ``planes`` (multi-table path only): a list of lsh_bits*lsh_tables
+    LITERAL plane vectors (``similarity.portable_hyperplanes``); table
+    t uses slice [t*bits:(t+1)*bits]. Makes every stage — signatures,
+    buckets, candidates, refine — replayable by an independent engine
+    (the q96 full-replay oracle), at the cost of interpreted-HOF
+    signature evaluation; the xxhash64-seeded default stays the
+    throughput path (and knn_graph fuses portable signatures through
+    one BLAS kernel when bits*tables <= 62).
     """
     if collapse_exact:
         # group key = the vector itself (hash join on the array value);
@@ -798,6 +808,7 @@ def embedding_near_dups(
             lsh_tables=lsh_tables,
             probes=probes,
             collapse_exact=False,
+            planes=planes,
         )
         ma = members.select(
             F.col("__rep").alias("id_a"), F.col("__m").alias("__ma")
@@ -828,15 +839,21 @@ def embedding_near_dups(
             )
         )
         return cross.unionByName(intra)
-    if lsh_tables > 1 or probes:
+    if lsh_tables > 1 or probes or planes is not None:
         if lsh_bits <= 0:
             raise ValueError("lsh_tables > 1 / probes require lsh_bits > 0")
         if kernel != "sql":
             raise ValueError("multi-table/multi-probe LSH supports kernel='sql' only")
         if probes not in (0, 1):
             raise ValueError("probes must be 0 (exact bucket) or 1 (hamming-1)")
+        if planes is not None and len(planes) != lsh_bits * lsh_tables:
+            raise ValueError(
+                f"planes must hold lsh_bits*lsh_tables = "
+                f"{lsh_bits * lsh_tables} plane vectors, got {len(planes)}"
+            )
         return _multi_table_lsh_pairs(
-            df, vec_col, id_col, threshold, lsh_bits, lsh_tables, probes
+            df, vec_col, id_col, threshold, lsh_bits, lsh_tables, probes,
+            planes=planes,
         )
     if kernel == "numpy":
         if lsh_bits <= 0:
@@ -921,6 +938,7 @@ def _multi_table_lsh_pairs(
     bits: int,
     tables: int,
     probes: int = 0,
+    planes: list | None = None,
 ) -> DataFrame:
     """Multi-table LSH candidate generation + exact refine. Candidate
     join is an equi-join on (table, signature); pairs dedup across
@@ -942,16 +960,38 @@ def _multi_table_lsh_pairs(
     from ..functions.vectors import cosine_similarity
 
     base = ensure_min_parallelism(df).select(F.col(id_col), F.col(vec_col))
-    sigs = (
-        base.withColumn(
-            "__t", F.explode(F.array(*[F.lit(t) for t in range(tables)]))
-        )
-        .select(
+    if planes is not None:
+        # literal engine-portable planes (knn_graph's expr shape):
+        # table t's signature comes from plane slice [t*bits:(t+1)*bits]
+        from ..operators.similarity import portable_signature_expr
+
+        structs = [
+            F.struct(
+                F.lit(t).alias("t"),
+                portable_signature_expr(
+                    vec_col, planes[t * bits : (t + 1) * bits]
+                ).alias("s"),
+            )
+            for t in range(tables)
+        ]
+        sigs = base.select(
+            F.col(id_col), F.explode(F.array(*structs)).alias("__ts")
+        ).select(
             F.col(id_col),
-            "__t",
-            _seeded_signature(vec_col, bits).alias("__sig"),
+            F.col("__ts.t").alias("__t"),
+            F.col("__ts.s").alias("__sig"),
         )
-    )
+    else:
+        sigs = (
+            base.withColumn(
+                "__t", F.explode(F.array(*[F.lit(t) for t in range(tables)]))
+            )
+            .select(
+                F.col(id_col),
+                "__t",
+                _seeded_signature(vec_col, bits).alias("__sig"),
+            )
+        )
     if probes:
         # probe side: own signature plus its `bits` hamming-1 flips
         probe_sigs = sigs.select(

@@ -3917,17 +3917,28 @@ def q96_embedding_lsh_neardup_gate(spark, sf_dir):
       candidate probability at cos 0.4 is 1-(1-0.631^4)^24 ~ 0.98;
     * precision_exact — zero emitted pairs outside the exact answer
       (guaranteed by the refine; a bucketing bug that leaked unrefined
-      candidates flips it). Deterministic (hash-seeded planes), so the
-      oracle hashes the constant expectation.
+      candidates flips it).
 
-    Independent teeth (r5): ``n_true`` (the exact cos >= 0.4 pair
-    count the recall gate divides by) is emitted and recomputed by
-    DuckDB via LIST_COSINE_SIMILARITY — a truth-side bug now fails the
-    hash instead of silently shifting the recall denominator."""
+    Fully measured since r7 (the q42/q70 playbook — was a
+    constant-TRUE oracle): the signatures come from LITERAL
+    sha256-derived planes (`similarity.portable_hyperplanes`, table t
+    = plane slice [4t:4t+4]), so the oracle replays signatures,
+    (table, sig) bucket candidates, the exact-cosine refine, and the
+    truth set end-to-end, and the MEASURED ``hits`` /
+    ``n_false_pos`` / ``n_true`` counts (with recall_ok /
+    precision_exact now COMPUTED identically on both sides) are all
+    covered by the driver's value hash — a recall or precision
+    regression mismatches on the quantity itself, not just a flipped
+    boolean."""
+    from .operators.similarity import portable_hyperplanes
+
+    bits, tables = 4, 24
+    dim = len(_query_vec(sf_dir))
+    planes = portable_hyperplanes(bits * tables, dim)
     e = _t(spark, sf_dir, "embeddings")
     truth = embedding_near_dups(e, threshold=0.4).select("id_a", "id_b")
     cand = embedding_near_dups(
-        e, threshold=0.4, lsh_bits=4, lsh_tables=24
+        e, threshold=0.4, lsh_bits=bits, lsh_tables=tables, planes=planes
     ).select("id_a", "id_b")
     joined = truth.withColumn("__tr", F.lit(1)).join(
         cand.withColumn("__cd", F.lit(1)), ["id_a", "id_b"], "full_outer"
@@ -3944,19 +3955,73 @@ def q96_embedding_lsh_neardup_gate(spark, sf_dir):
             & (F.col("__hits") >= 0.9 * F.col("__n_true"))
         ).alias("recall_ok"),
         (F.col("__false_pos") == 0).alias("precision_exact"),
-        F.col("__n_true").alias("n_true"),
-        F.lit(4).alias("bits"),
-        F.lit(24).alias("tables"),
+        F.col("__n_true").cast("long").alias("n_true"),
+        F.col("__hits").cast("long").alias("hits"),
+        F.col("__false_pos").cast("long").alias("n_false_pos"),
+        F.lit(bits).alias("bits"),
+        F.lit(tables).alias("tables"),
     )
 
 
-Q96_SQL = """
-SELECT TRUE AS recall_ok, TRUE AS precision_exact,
-       (SELECT COUNT(*)
-        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        WHERE LIST_COSINE_SIMILARITY(a.embedding::DOUBLE[],
-                                     b.embedding::DOUBLE[]) >= 0.4) AS n_true,
-       4 AS bits, 24 AS tables
+def _q96_oracle_sql():
+    """Built lazily (q70 pattern): replay the literal planes, all 24
+    per-table signatures, the bucket-candidate join, the exact-cosine
+    refine, and the truth set — then compute the same measured counts
+    and gate booleans the Spark side emits."""
+    from .operators.similarity import portable_hyperplanes
+
+    sf_dir = os.environ.get("CSSPARK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    bits, tables = 4, 24
+    dim = len(_query_vec(sf_dir))
+    planes = portable_hyperplanes(bits * tables, dim)
+
+    def sig_expr(t: int) -> str:
+        terms = []
+        for p, w in enumerate(planes[t * bits : (t + 1) * bits]):
+            arr = "[" + ", ".join(repr(x) for x in w) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN LIST_DOT_PRODUCT(v, {arr}) > 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    arms = "\n    UNION ALL\n    ".join(
+        f"SELECT vec_id, {t} AS tbl, {sig_expr(t)} AS s FROM e"
+        for t in range(tables)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS (
+    {arms}
+), cand AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM sigs a JOIN sigs b
+      ON a.tbl = b.tbl AND a.s = b.s AND a.vec_id < b.vec_id
+), refined AS (
+    SELECT id_a, id_b
+    FROM cand
+    JOIN e ea ON ea.vec_id = id_a
+    JOIN e eb ON eb.vec_id = id_b
+    WHERE LIST_COSINE_SIMILARITY(ea.v, eb.v) >= 0.4
+), truth AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE LIST_COSINE_SIMILARITY(a.v, b.v) >= 0.4
+), m AS (
+    SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+           (SELECT COUNT(*) FROM refined r JOIN truth t
+              ON t.id_a = r.id_a AND t.id_b = r.id_b) AS hits,
+           (SELECT COUNT(*) FROM refined r LEFT JOIN truth t
+              ON t.id_a = r.id_a AND t.id_b = r.id_b
+             WHERE t.id_a IS NULL) AS n_false_pos
+)
+SELECT (n_true > 0 AND hits >= 0.9 * n_true) AS recall_ok,
+       (n_false_pos = 0) AS precision_exact,
+       CAST(n_true AS BIGINT) AS n_true,
+       CAST(hits AS BIGINT) AS hits,
+       CAST(n_false_pos AS BIGINT) AS n_false_pos,
+       {bits} AS bits, {tables} AS tables
+FROM m
 """
 
 
@@ -7792,7 +7857,10 @@ QUERIES: dict[str, tuple] = {
     "q163_curation_pipeline_v2": (q163_curation_pipeline_v2, Q163_SQL),
     # --- part (2) cont.: q96/q70 grew recomputed-truth oracle
     # --- teeth in r5, so their r4 driver rows are stale.
-    "q96_embedding_lsh_neardup_gate": (q96_embedding_lsh_neardup_gate, Q96_SQL),
+    "q96_embedding_lsh_neardup_gate": (
+        q96_embedding_lsh_neardup_gate,
+        _q96_oracle_sql,
+    ),
     "q70_lsh_probe_gate": (q70_lsh_probe_gate, _q70_oracle_sql),
     # --- part (3) fill: the OLDEST driver rows (r3-era), in
     # --- TODO #2's stated order.

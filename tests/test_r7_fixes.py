@@ -173,6 +173,33 @@ def test_incremental_minhash_batch_pair_uses_batch_signature(spark):
     assert got.get((5, 9, "corpus"), 0.0) < 0.5
 
 
+def test_embedding_near_dups_portable_planes(spark):
+    from catenae_stopover_spark.operators.dedup import embedding_near_dups
+    from catenae_stopover_spark.operators.similarity import (
+        portable_hyperplanes,
+    )
+
+    # Two near-identical vectors + one orthogonal: the portable
+    # multi-table path must find exactly the near pair (refine keeps
+    # precision 1), matching the seeded-plane path's answer.
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.1]),
+        (2, [1.0, 0.01, 0.0, 0.1]),
+        (3, [0.0, 1.0, 0.0, -0.5]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes = portable_hyperplanes(4 * 8, 4)
+    got = embedding_near_dups(
+        df, threshold=0.9, lsh_bits=4, lsh_tables=8, planes=planes
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+
+    with pytest.raises(ValueError, match="planes"):
+        embedding_near_dups(
+            df, threshold=0.9, lsh_bits=4, lsh_tables=8, planes=planes[:3]
+        )
+
+
 def test_bpe_encode_counts_rejects_out_of_range_ranks(spark):
     from catenae_stopover_spark.operators.text import bpe_encode_counts
 
