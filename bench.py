@@ -47,6 +47,10 @@ from catenae_stopover_spark.queries import QUERIES  # noqa: E402
 from catenae_stopover_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# callable oracles (q13_knn_graph's q160 replay) rebuild planes /
+# data-derived knobs from the parquet — they must read the SAME dir
+# the queries run against, not the check_oracle default
+os.environ["CSSPARK_ORACLE_SF_DIR"] = SF_DIR
 REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
 # Minimum accumulated measured wall time per query before best-of
 # stops (the r6 variance fix): short queries self-escalate until the

@@ -1045,6 +1045,69 @@ def contamination_score(
     )
 
 
+def release_report(
+    df: DataFrame,
+    by: str = "source",
+    text_col: str = "text",
+    total_label: str = "__total__",
+) -> DataFrame:
+    """Release report with a NON-EMPTY-RELEASE visibility row: per-class
+    (docs, tokens) plus ONE grand-total row labeled ``total_label``.
+    An over-aggressive upstream stage that empties the release (the r6
+    verdict finding: q158 at 100x decontaminates EVERYTHING on a
+    replica corpus) now reports a visible ``(total_label, 0, 0)`` row
+    instead of a silent empty result — a GLOBAL aggregate returns one
+    row even on empty input in every engine, which is why the total is
+    NOT a rollup (Spark's rollup emits ZERO rows on empty input while
+    DuckDB's emits the () row — measured r7, a parity trap AND a
+    silent-empty guard that vanishes exactly when needed). The
+    per-class report is localCheckpointed (planning-scalar sized: one
+    row per class) so the total + union read materialized rows instead
+    of recomputing the whole upstream curation chain twice (the
+    multi-consumer-recompute cliff). Pair with :func:`release_guard`
+    when the job should fail loudly instead."""
+    per_class = (
+        df.groupBy(by)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(token_count(text_col)).cast("long").alias("sum_tokens"),
+        )
+        .localCheckpoint()
+    )
+    total = per_class.agg(
+        F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("sum_tokens"), F.lit(0))
+        .cast("long")
+        .alias("sum_tokens"),
+    ).select(F.lit(total_label).alias(by), "n_docs", "sum_tokens")
+    return per_class.unionByName(total)
+
+
+def release_guard(
+    report: DataFrame,
+    docs_col: str = "n_docs",
+    min_docs: int = 1,
+) -> DataFrame:
+    """RAISE variant of the non-empty-release check: collect the (tiny,
+    per-class) release report ONCE, raise ``ValueError`` when the total
+    released document count is below ``min_docs``, and return the
+    VALIDATED SNAPSHOT as a DataFrame — the rows checked are exactly
+    the rows released (the same validated-snapshot rule as
+    bpe_encode_counts' merge table; re-running the lazy plan after
+    validating could release different rows from a non-deterministic
+    source). The report is planning-scalar sized by construction
+    (one row per class), so the collect is bounded."""
+    rows = report.collect()
+    total = sum((r[docs_col] or 0) for r in rows)
+    if total < min_docs:
+        raise ValueError(
+            f"empty release: total {docs_col}={total} < min_docs="
+            f"{min_docs} — an upstream curation stage removed "
+            f"everything (report rows: {len(rows)})"
+        )
+    return report.sparkSession.createDataFrame(rows, report.schema)
+
+
 def cap_per_class(
     df: DataFrame,
     by: str = "source",

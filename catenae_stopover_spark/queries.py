@@ -7336,7 +7336,10 @@ def q158_curation_pipeline(spark, sf_dir):
     text) -> benchmark decontamination (8-token shingle overlap vs the
     held-out eval slice, q67's operator) -> per-source domain cap
     (q107's sha2-ranked C4 heuristic) — then the release report
-    (docs + tokens per source). One composed Catalyst plan: the
+    (docs + tokens per source, PLUS the r7 `__total__` visibility row:
+    an upstream stage that empties the release reports (0, 0) instead
+    of a silent empty result — `text.release_report`; the raise
+    variant is `text.release_guard`). One composed Catalyst plan: the
     filters stay pushed down, dedup is one digest shuffle, decon is
     the inverted-index equi-join, the cap is a WindowGroupLimit.
     Oracle: the full chain replayed as DuckDB CTEs."""
@@ -7344,7 +7347,7 @@ def q158_curation_pipeline(spark, sf_dir):
         cap_per_class,
         decontaminate,
         quality_filter,
-        token_count,
+        release_report,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -7359,10 +7362,7 @@ def q158_curation_pipeline(spark, sf_dir):
     clean = deduped.join(contaminated, "doc_id", "left_anti")
     capped = cap_per_class(clean, by="source", cap=10).select("doc_id")
     final = clean.join(capped, "doc_id")
-    return final.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(token_count("text")).cast("long").alias("sum_tokens"),
-    )
+    return release_report(final, by="source")
 
 
 Q158_SQL = r"""
@@ -7422,11 +7422,17 @@ WITH corpus0 AS (
         FROM clean) WHERE r <= 10
 ), final AS (
     SELECT c.* FROM clean c JOIN capped p ON c.doc_id = p.doc_id
+), per_class AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')))
+               AS BIGINT) AS sum_tokens
+    FROM final GROUP BY source
 )
-SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')))
-           AS BIGINT) AS sum_tokens
-FROM final GROUP BY source
+SELECT source, n_docs, sum_tokens FROM per_class
+UNION ALL
+SELECT '__total__', CAST(COALESCE(SUM(n_docs), 0) AS BIGINT),
+       CAST(COALESCE(SUM(sum_tokens), 0) AS BIGINT)
+FROM per_class
 """
 
 
@@ -7650,13 +7656,14 @@ def q163_curation_pipeline_v2(spark, sf_dir):
     deterministic keep-first policy; est values are identical
     rationals k/64 in both engines, so the threshold compare is
     exact). Five composed stages, one Catalyst plan, full chained-CTE
-    oracle replay including the MinHash family."""
+    oracle replay including the MinHash family. Report carries the r7
+    `__total__` non-empty-release visibility row (q158 convention)."""
     from .operators.dedup import minhash_lsh_near_dups
     from .operators.text import (
         cap_per_class,
         decontaminate,
         quality_filter,
-        token_count,
+        release_report,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -7680,10 +7687,7 @@ def q163_curation_pipeline_v2(spark, sf_dir):
     clean = survivors.join(contaminated, "doc_id", "left_anti")
     capped = cap_per_class(clean, by="source", cap=10).select("doc_id")
     final = clean.join(capped, "doc_id")
-    return final.groupBy("source").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum(token_count("text")).cast("long").alias("sum_tokens"),
-    )
+    return release_report(final, by="source")
 
 
 def _build_q163_sql(
@@ -7794,11 +7798,17 @@ msig AS (
         FROM clean) WHERE r <= 10
 ), final AS (
     SELECT c.* FROM clean c JOIN capped p ON c.doc_id = p.doc_id
+), per_class AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')))
+               AS BIGINT) AS sum_tokens
+    FROM final GROUP BY source
 )
-SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')))
-           AS BIGINT) AS sum_tokens
-FROM final GROUP BY source
+SELECT source, n_docs, sum_tokens FROM per_class
+UNION ALL
+SELECT '__total__', CAST(COALESCE(SUM(n_docs), 0) AS BIGINT),
+       CAST(COALESCE(SUM(sum_tokens), 0) AS BIGINT)
+FROM per_class
 """
 
 
@@ -7820,77 +7830,28 @@ Q163_SQL = _build_q163_sql()
 # row at most 2 rounds old. Every entry remains runnable locally via
 # tools/check_oracle.py regardless of position.
 QUERIES: dict[str, tuple] = {
-    # --- r6 window, part (1): no red rows in r5 (50/50 green).
-    # --- part (2): the 24 r5 additions (q140-q163) — never
-    # --- driver-checked; green in local tuned + vanilla oracle
-    # --- sweeps (r5 verdict), now first, exactly per the r5
-    # --- verdict ask #1 / TODO #2.
-    "q140_retrieval_eval": (q140_retrieval_eval, _q140_oracle_sql),
-    "q141_entity_linkage": (q141_entity_linkage, Q141_SQL),
-    "q142_touch_attribution": (q142_touch_attribution, Q142_SQL),
-    "q143_quality_ensemble": (q143_quality_ensemble, Q143_SQL),
-    "q144_temperature_mixture": (q144_temperature_mixture, Q144_SQL),
-    "q145_contamination_score": (q145_contamination_score, Q145_SQL),
-    "q146_truncated_prefilter_topk": (
-        q146_truncated_prefilter_topk,
-        Q146_SQL,
-    ),
-    "q147_incremental_minhash": (q147_incremental_minhash, Q147_SQL),
-    "q148_incremental_embedding": (
-        q148_incremental_embedding,
-        _q148_oracle_sql,
-    ),
-    "q149_deletion_neighborhood": (q149_deletion_neighborhood, Q149_SQL),
-    "q150_bpe_encode": (q150_bpe_encode, Q150_SQL),
-    "q151_containment_pairs": (q151_containment_pairs, Q151_SQL),
-    "q152_negative_sampling": (q152_negative_sampling, Q152_SQL),
-    "q153_dimension_stats": (q153_dimension_stats, Q153_SQL),
-    "q154_length_buckets": (q154_length_buckets, Q154_SQL),
+    # --- r7 window, part (1): the single r6 red row — q155 re-check
+    # --- FIRST (hash mismatch was the -0.0 FP-dust channel, fixed
+    # --- on both engine sides this round).
     "q155_whitened_stats": (q155_whitened_stats, Q155_SQL),
-    "q156_importance_weights": (q156_importance_weights, Q156_SQL),
-    "q157_repeated_spans": (q157_repeated_spans, Q157_SQL),
-    "q158_curation_pipeline": (q158_curation_pipeline, Q158_SQL),
-    "q159_pmi_pairs": (q159_pmi_pairs, Q159_SQL),
-    "q160_knn_graph": (q160_knn_graph, _q160_oracle_sql),
-    "q161_knn_novelty": (q161_knn_novelty, _q161_oracle_sql),
-    "q162_hard_negatives": (q162_hard_negatives, _q162_oracle_sql),
-    "q163_curation_pipeline_v2": (q163_curation_pipeline_v2, Q163_SQL),
-    # --- part (2) cont.: q96/q70 grew recomputed-truth oracle
-    # --- teeth in r5, so their r4 driver rows are stale.
+    # --- part (2): oracles/teeth changed in r7 — q141 (derived
+    # --- block cap), q143 (score -0.0 fold), q147 (provenance
+    # --- signatures), q150 (validated merge snapshot), q153 (-0.0
+    # --- fold), q96 (full portable-plane replay, measured recall),
+    # --- q158/q163 (__total__ release-visibility row).
+    "q141_entity_linkage": (q141_entity_linkage, Q141_SQL),
+    "q143_quality_ensemble": (q143_quality_ensemble, Q143_SQL),
+    "q147_incremental_minhash": (q147_incremental_minhash, Q147_SQL),
+    "q150_bpe_encode": (q150_bpe_encode, Q150_SQL),
+    "q153_dimension_stats": (q153_dimension_stats, Q153_SQL),
     "q96_embedding_lsh_neardup_gate": (
         q96_embedding_lsh_neardup_gate,
         _q96_oracle_sql,
     ),
-    "q70_lsh_probe_gate": (q70_lsh_probe_gate, _q70_oracle_sql),
-    # --- part (3) fill: the OLDEST driver rows (r3-era), in
-    # --- TODO #2's stated order.
-    "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),
-    "q22_math_funcs": (q22_math_funcs, Q22_SQL),
-    "q27_exact_dedup": (q27_exact_dedup, Q27_SQL),
-    "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
-    "q58_salted_join": (q58_salted_join, Q58_SQL),
-    "q59_pii_redaction": (q59_pii_redaction, Q59_SQL),
-    "q60_hash_split": (q60_hash_split, Q60_SQL),
-    "q61_stream_stream_join": (q61_stream_stream_join, Q61_SQL),
-    "q62_stream_static_join": (q62_stream_static_join, Q62_SQL),
-    "q63_cosine_topk_numpy": (q63_cosine_topk_numpy, Q29_SQL),
-    "q64_stream_stream_join_tight": (q64_stream_stream_join_tight, Q61_SQL),
-    "q65_stream_late_drop": (q65_stream_late_drop, Q65_SQL),
-    "q66_stratified_sample": (q66_stratified_sample, _q66_oracle_sql),
-    "q67_decontaminate": (q67_decontaminate, Q67_SQL),
-    "q68_dedup_clusters": (q68_dedup_clusters, Q68_SQL),
-    "q71_audio_features": (q71_audio_features, Q71_SQL),
-    "q72_stream_session_strict": (q72_stream_session_strict, Q72_SQL),
-    "q73_chunk_documents": (q73_chunk_documents, Q73_SQL),
-    "q75_stream_sliding_2h": (q75_stream_sliding_2h, Q75_SQL),
-    "q78_char_entropy": (q78_char_entropy, Q78_SQL),
-    "q79_segment_dedup": (q79_segment_dedup, Q79_SQL),
-    "q80_csv_orc_roundtrip": (q80_csv_orc_roundtrip, Q80_SQL),
-    "q81_hll_rollup_gate": (q81_hll_rollup_gate, Q81_SQL),
-    "q82_kll_quantile_gate": (q82_kll_quantile_gate, Q82_SQL),
-    # ---------------- end of the 50-row driver window ----------------
-    # --- first in line for the r7 rotation: the r3-era remainder
-    # --- (oldest surviving driver rows after this round).
+    "q158_curation_pipeline": (q158_curation_pipeline, Q158_SQL),
+    "q163_curation_pipeline_v2": (q163_curation_pipeline_v2, Q163_SQL),
+    # --- part (3): the staged r3-era remainder (oldest surviving
+    # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
     "q85_unigram_logprob": (q85_unigram_logprob, Q85_SQL),
     "q86_decontaminate_bloom": (q86_decontaminate_bloom, Q67_SQL),
@@ -7905,9 +7866,7 @@ QUERIES: dict[str, tuple] = {
     "q95_stream_range_join": (q95_stream_range_join, Q88_SQL),
     "q40_approx_distinct": (q40_approx_distinct, Q40_SQL),
     "q41_crypto_hashes": (q41_crypto_hashes, _q41_oracle_sql),
-    # --- r4-green rows (driver-checked r4), then the r5 window
-    # --- (driver-checked r5, freshest) — re-verified locally via
-    # --- tools/check_oracle.py full sweeps regardless of position.
+    # --- part (4) fill: the oldest r4 rows (q98-q124).
     "q98_epoch_shuffle": (q98_epoch_shuffle, Q98_SQL),
     "q99_video_frame_sample": (q99_video_frame_sample, Q99_SQL),
     "q100_bpe_pair_stats": (q100_bpe_pair_stats, Q100_SQL),
@@ -7935,6 +7894,56 @@ QUERIES: dict[str, tuple] = {
     "q122_token_share": (q122_token_share, Q122_SQL),
     "q123_rolling_anomaly": (q123_rolling_anomaly, Q123_SQL),
     "q124_quality_classifier": (q124_quality_classifier, Q124_SQL),
+    # ---------------- end of the 50-row driver window ----------------
+    # --- next in line for the r8 rotation: q125-q139, then the
+    # --- rotated-out r6-window rows (freshest last).
+    "q140_retrieval_eval": (q140_retrieval_eval, _q140_oracle_sql),
+    "q142_touch_attribution": (q142_touch_attribution, Q142_SQL),
+    "q144_temperature_mixture": (q144_temperature_mixture, Q144_SQL),
+    "q145_contamination_score": (q145_contamination_score, Q145_SQL),
+    "q146_truncated_prefilter_topk": (
+        q146_truncated_prefilter_topk,
+        Q146_SQL,
+    ),
+    "q148_incremental_embedding": (
+        q148_incremental_embedding,
+        _q148_oracle_sql,
+    ),
+    "q149_deletion_neighborhood": (q149_deletion_neighborhood, Q149_SQL),
+    "q151_containment_pairs": (q151_containment_pairs, Q151_SQL),
+    "q152_negative_sampling": (q152_negative_sampling, Q152_SQL),
+    "q154_length_buckets": (q154_length_buckets, Q154_SQL),
+    "q156_importance_weights": (q156_importance_weights, Q156_SQL),
+    "q157_repeated_spans": (q157_repeated_spans, Q157_SQL),
+    "q159_pmi_pairs": (q159_pmi_pairs, Q159_SQL),
+    "q160_knn_graph": (q160_knn_graph, _q160_oracle_sql),
+    "q161_knn_novelty": (q161_knn_novelty, _q161_oracle_sql),
+    "q162_hard_negatives": (q162_hard_negatives, _q162_oracle_sql),
+    "q70_lsh_probe_gate": (q70_lsh_probe_gate, _q70_oracle_sql),
+    "q04_rollup_qty": (q04_rollup_qty, Q04_SQL),
+    "q22_math_funcs": (q22_math_funcs, Q22_SQL),
+    "q27_exact_dedup": (q27_exact_dedup, Q27_SQL),
+    "q52_multimodal_features": (q52_multimodal_features, Q52_SQL),
+    "q58_salted_join": (q58_salted_join, Q58_SQL),
+    "q59_pii_redaction": (q59_pii_redaction, Q59_SQL),
+    "q60_hash_split": (q60_hash_split, Q60_SQL),
+    "q61_stream_stream_join": (q61_stream_stream_join, Q61_SQL),
+    "q62_stream_static_join": (q62_stream_static_join, Q62_SQL),
+    "q63_cosine_topk_numpy": (q63_cosine_topk_numpy, Q29_SQL),
+    "q64_stream_stream_join_tight": (q64_stream_stream_join_tight, Q61_SQL),
+    "q65_stream_late_drop": (q65_stream_late_drop, Q65_SQL),
+    "q66_stratified_sample": (q66_stratified_sample, _q66_oracle_sql),
+    "q67_decontaminate": (q67_decontaminate, Q67_SQL),
+    "q68_dedup_clusters": (q68_dedup_clusters, Q68_SQL),
+    "q71_audio_features": (q71_audio_features, Q71_SQL),
+    "q72_stream_session_strict": (q72_stream_session_strict, Q72_SQL),
+    "q73_chunk_documents": (q73_chunk_documents, Q73_SQL),
+    "q75_stream_sliding_2h": (q75_stream_sliding_2h, Q75_SQL),
+    "q78_char_entropy": (q78_char_entropy, Q78_SQL),
+    "q79_segment_dedup": (q79_segment_dedup, Q79_SQL),
+    "q80_csv_orc_roundtrip": (q80_csv_orc_roundtrip, Q80_SQL),
+    "q81_hll_rollup_gate": (q81_hll_rollup_gate, Q81_SQL),
+    "q82_kll_quantile_gate": (q82_kll_quantile_gate, Q82_SQL),
     "q125_stream_session_pattern": (q125_stream_session_pattern, Q125_SQL),
     "q126_interval_overlap": (q126_interval_overlap, Q126_SQL),
     "q127_bm25": (q127_bm25, Q127_SQL),

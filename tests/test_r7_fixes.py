@@ -173,6 +173,43 @@ def test_incremental_minhash_batch_pair_uses_batch_signature(spark):
     assert got.get((5, 9, "corpus"), 0.0) < 0.5
 
 
+def test_release_report_emits_total_row_even_when_empty(spark):
+    from catenae_stopover_spark.operators.text import release_report
+
+    df = spark.createDataFrame(
+        [("web", "a b c"), ("web", "d e"), ("news", "f")],
+        "source string, text string",
+    )
+    out = {r.source: (r.n_docs, r.sum_tokens) for r in
+           release_report(df).collect()}
+    assert out["web"] == (2, 5)
+    assert out["news"] == (1, 1)
+    assert out["__total__"] == (3, 6)
+
+    # the whole point: an EMPTY release still reports a visible row
+    empty = spark.createDataFrame([], "source string, text string")
+    out = release_report(empty).collect()
+    assert len(out) == 1
+    assert (out[0].source, out[0].n_docs, out[0].sum_tokens) == (
+        "__total__", 0, 0,
+    )
+
+
+def test_release_guard_raises_on_empty_release(spark):
+    from catenae_stopover_spark.operators.text import (
+        release_guard,
+        release_report,
+    )
+
+    empty = spark.createDataFrame([], "source string, text string")
+    with pytest.raises(ValueError, match="empty release"):
+        release_guard(release_report(empty))
+
+    ok = spark.createDataFrame([("web", "a b")], "source string, text string")
+    got = release_guard(release_report(ok)).collect()
+    assert {r.source for r in got} == {"web", "__total__"}
+
+
 def test_embedding_near_dups_portable_planes(spark):
     from catenae_stopover_spark.operators.dedup import embedding_near_dups
     from catenae_stopover_spark.operators.similarity import (

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Round-7 100x stress co-runs (r5 asks #2/#5, r6 verdict #2/#4):
+Spark vs DuckDB on /tmp/stress-x100 for the kNN-graph family
+(q160/q161), negative sampling (q152), the curation pipelines
+(q158/q163), and the blocked-linkage derived-cap default (q141).
+
+Prints one line per (engine, query): label engine best_sec rows.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stress-x100"
+os.environ["CSSPARK_ORACLE_SF_DIR"] = SF_DIR
+REPS = int(os.environ.get("CORUN_REPS", "2"))
+
+QNAMES = [
+    "q152_negative_sampling",
+    "q141_entity_linkage",
+    "q158_curation_pipeline",
+    "q163_curation_pipeline_v2",
+    "q160_knn_graph",
+    "q161_knn_novelty",
+]
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def best_of(run):
+    best, n = float("inf"), None
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        n = run()
+        best = min(best, time.perf_counter() - t0)
+    return best, n
+
+
+def main() -> None:
+    from catenae_stopover_spark.queries import QUERIES
+    from catenae_stopover_spark.session import get_spark
+
+    spark = get_spark("stress-corun")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for qname in QNAMES:
+        fn = QUERIES[qname][0]
+        try:
+            best, n = best_of(lambda: fn(spark, SF_DIR).count())
+            print(f"{qname} spark {best:.2f}s rows={n}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{qname} spark ERROR {type(e).__name__}: {e}", flush=True)
+
+    import duckdb
+
+    for qname in QNAMES:
+        sql = QUERIES[qname][1]
+        if sql is None:
+            print(f"{qname} duckdb SKIP (no oracle)", flush=True)
+            continue
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{SF_DIR}/{t}.parquet')"
+            )
+        if callable(sql):
+            sql = sql()
+        try:
+            best, n = best_of(lambda: len(con.execute(sql).fetchall()))
+            print(f"{qname} duckdb {best:.2f}s rows={n}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{qname} duckdb ERROR {type(e).__name__}: {e}", flush=True)
+        con.close()
+
+
+if __name__ == "__main__":
+    main()
