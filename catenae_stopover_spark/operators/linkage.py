@@ -30,18 +30,27 @@ def derive_block_cap(
     blocking key is (the only asymptotic that survives 100 TB; a
     fixed cap would be the pinned-param scale cliff, an uncapped
     default was the r5/r6 k^2 cliff). Integer arithmetic throughout so
-    the DuckDB oracle mirror (Q141_SQL) is byte-identical. If even the
-    smallest observed size blows the budget, that smallest size is
-    kept (progress guarantee; everything larger is dropped).
+    the DuckDB oracle mirror (Q141_SQL) is byte-identical.
+
+    If even the smallest observed size blows the budget the cap is 0 —
+    EVERY block is dropped and the result is empty. Boundedness is
+    strict by design: a "keep at least the cheapest class" fallback
+    re-opens the k^2 cliff the derivation exists to close (measured
+    r7: 25 nation-blocks of ~60k rows at 100x make the cheapest class
+    alone ~1.8e9 verifications). An empty default result is VISIBLE
+    through :func:`block_cap_report`; callers who want the quadratic
+    work anyway pass ``max_block`` explicitly, and max_dist=1 callers
+    should be on :func:`deletion_neighborhood_pairs`, which is exact
+    and output-bound.
     """
     budget = pair_budget_per_row * n_rows
-    cap = None
+    cap = 0
     cum = 0
     for size, nb in sorted(hist):
         cum += nb * (size * (size - 1) // 2)
         if cum <= budget:
             cap = size
-    return cap if cap is not None else min(s for s, _ in hist)
+    return cap
 
 
 def block_size_histogram(

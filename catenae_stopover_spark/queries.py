@@ -6415,7 +6415,7 @@ def q141_entity_linkage(spark, sf_dir):
 
 # cap derivation mirrors linkage.derive_block_cap: integer cumulative
 # pair cost over the block-size histogram, budget = 64 * n_rows,
-# fallback to the smallest observed size.
+# cap 0 (drop everything) when no size class fits the budget.
 Q141_SQL = """
 WITH blk AS (
     SELECT c_nationkey, COUNT(*) AS sz FROM customer GROUP BY c_nationkey
@@ -6428,7 +6428,7 @@ WITH blk AS (
 ), cap AS (
     SELECT COALESCE(
         MAX(s) FILTER (WHERE pairs <= 64 * (SELECT SUM(sz) FROM blk)),
-        (SELECT MIN(sz) FROM hist)) AS cap
+        0) AS cap
     FROM costs
 )
 SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

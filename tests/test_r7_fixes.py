@@ -106,12 +106,16 @@ def test_derive_block_cap_bounds_pairs_linearly():
     assert cap == 60
     assert block_cap_report(hist, cap)["n_blocks_dropped"] == 0
 
-    # Even the smallest size over budget: keep it anyway (progress
-    # guarantee), drop everything larger.
+    # No size class fits the budget: cap 0 drops EVERYTHING — strict
+    # boundedness (a keep-the-cheapest-class fallback re-opens the k^2
+    # cliff: one 60k-row class is ~1.8e9 verifications at 100x).
     hist = [(1_000, 1), (5_000, 1)]
     cap = derive_block_cap(hist, 6_000, pair_budget_per_row=1)
-    assert cap == 1_000
-    assert block_cap_report(hist, cap)["n_blocks_dropped"] == 1
+    assert cap == 0
+    rep = block_cap_report(hist, cap)
+    assert rep["n_blocks_dropped"] == 2
+    assert rep["n_rows_dropped"] == 6_000
+    assert rep["pairs_kept"] == 0
 
 
 def test_blocked_pairs_default_drops_degenerate_block(spark):

@@ -18,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stress-x100"
 os.environ["CSSPARK_ORACLE_SF_DIR"] = SF_DIR
 REPS = int(os.environ.get("CORUN_REPS", "2"))
+ENGINES = os.environ.get("CORUN_ENGINES", "spark,duckdb").split(",")
 
 QNAMES = [
     "q152_negative_sampling",
@@ -45,18 +46,25 @@ def best_of(run):
 
 def main() -> None:
     from catenae_stopover_spark.queries import QUERIES
-    from catenae_stopover_spark.session import get_spark
 
-    spark = get_spark("stress-corun")
-    spark.sparkContext.setLogLevel("ERROR")
+    if "spark" in ENGINES:
+        from catenae_stopover_spark.session import get_spark
 
-    for qname in QNAMES:
-        fn = QUERIES[qname][0]
-        try:
-            best, n = best_of(lambda: fn(spark, SF_DIR).count())
-            print(f"{qname} spark {best:.2f}s rows={n}", flush=True)
-        except Exception as e:  # noqa: BLE001
-            print(f"{qname} spark ERROR {type(e).__name__}: {e}", flush=True)
+        spark = get_spark("stress-corun")
+        spark.sparkContext.setLogLevel("ERROR")
+
+        for qname in QNAMES:
+            fn = QUERIES[qname][0]
+            try:
+                best, n = best_of(lambda: fn(spark, SF_DIR).count())
+                print(f"{qname} spark {best:.2f}s rows={n}", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(
+                    f"{qname} spark ERROR {type(e).__name__}: {e}", flush=True
+                )
+
+    if "duckdb" not in ENGINES:
+        return
 
     import duckdb
 
@@ -67,9 +75,12 @@ def main() -> None:
             continue
         con = duckdb.connect()
         for t in TABLES:
+            # stress tables are Spark-written directories of part files
+            pat = f"{SF_DIR}/{t}.parquet"
+            if os.path.isdir(pat):
+                pat = f"{pat}/*.parquet"
             con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM "
-                f"read_parquet('{SF_DIR}/{t}.parquet')"
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
             )
         if callable(sql):
             sql = sql()
