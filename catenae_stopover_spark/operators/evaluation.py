@@ -172,3 +172,55 @@ def sample_negatives(
         .filter(F.col("rank") <= k)
         .select("anchor_id", "neg_id", "neg_label", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k: int = 60,
+    top_n: int = 20,
+    round_to: int = 8,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettner, SIGIR 2009)
+    of N ranked candidate lists: ``score(d) = sum_r 1/(k + rank_r(d))``
+    with a document absent from a list contributing 0 — the standard
+    hybrid-retrieval combiner for a lexical (BM25) and a semantic
+    (embedding) ranking, robust to incomparable score scales because
+    it consumes only ranks.
+
+    Each input must carry ``(id_col, rank)`` with 1-based ranks
+    already made deterministic by the producer (rounded score +
+    id tiebreak). Inputs are candidate lists (top-k sized), so the
+    outer-join chain is tiny regardless of corpus size — the corpus-
+    scale work happened in the rankers. Contributions are summed in
+    list order with a COALESCE(_, 0.0) per term so the oracle can
+    mirror the exact FP evaluation order. Returns the ``top_n``
+    (id, n_lists, rrf) by fused score with an id tiebreak.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    fused = None
+    contribs = []
+    for i, r in enumerate(rankings):
+        c = f"__c{i}"
+        r = r.select(
+            F.col(id_col), (1.0 / (F.lit(k) + F.col("rank"))).alias(c)
+        )
+        fused = r if fused is None else fused.join(r, id_col, "full_outer")
+        contribs.append(c)
+    score = None
+    n_lists = None
+    for c in contribs:
+        term = F.coalesce(F.col(c), F.lit(0.0))
+        hit = F.col(c).isNotNull().cast("int")
+        score = term if score is None else score + term
+        n_lists = hit if n_lists is None else n_lists + hit
+    return (
+        fused.select(
+            id_col,
+            n_lists.alias("n_lists"),
+            F.round(score, round_to).alias("rrf"),
+        )
+        .orderBy(F.col("rrf").desc(), id_col)
+        .limit(top_n)
+    )

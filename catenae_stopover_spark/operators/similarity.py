@@ -884,3 +884,115 @@ def knn_graph(
             "cosine",
         )
     )
+
+
+def kmeans_step(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_d2: int = 6,
+) -> DataFrame:
+    """One distributed Lloyd iteration (the k-means EM step) as a
+    single Catalyst plan: assign every vector to its nearest centroid
+    (squared L2), then recompute per-cluster means and report, per
+    cluster, ``(cid, size, inertia, shift)`` where ``shift`` is the
+    L2 distance the centroid moved — the convergence measure an
+    iterative driver loop tests. `train_spherical_kmeans` fits small
+    sampled models driver-side; THIS is the shape a full-corpus
+    refinement pass takes at 100 TB.
+
+    Scale shape: centroids are a k x d literal broadcast into one
+    zero-copy mapInArrow kernel (one BLAS pass per Arrow batch — the
+    `_numpy_query_scores` pattern; no interpreted HOF per centroid,
+    the measured 10x cliff). The kernel emits (id, cid, d2) plus the
+    vector PASSTHROUGH so the mean recompute is a posexplode off the
+    same scan — one pass over the data, no assignment-to-vector
+    re-join. The update aggregate is (k x d)-bounded: posexplode
+    shuffles corpus x d rows once into k*d groups; per-cluster size/
+    inertia ride the same aggregate via the pos=0 slot instead of a
+    second pass over the assignment (the multi-consumer-recompute
+    cliff).
+
+    Determinism across engines: d2 is rounded to ``round_d2`` BEFORE
+    the argmin (ties then break to the lowest cid — numpy argmin's
+    first-min, ROW_NUMBER in the oracle); means are rounded with a
+    ``+ 0.0`` fold (the -0.0 FP-dust channel) so ``shift`` is
+    computed from identical doubles in both engines.
+    """
+    k = len(centroids)
+    d = len(centroids[0])
+    cent = [[float(x) for x in c] for c in centroids]
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cm = np.asarray(cent, dtype=np.float64)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            flat = np.asarray(b.column(vec_col).flatten(), dtype=np.float64)
+            if flat.size != b.num_rows * cm.shape[1]:
+                raise ValueError(
+                    "ragged or null vectors: kmeans_step needs fixed-dim "
+                    "non-null input"
+                )
+            m = flat.reshape(b.num_rows, -1)
+            d2 = np.empty((b.num_rows, cm.shape[0]), dtype=np.float64)
+            for j in range(cm.shape[0]):
+                diff = m - cm[j]
+                d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+            d2 = np.round(d2, round_d2)
+            cid = np.argmin(d2, axis=1)
+            best = d2[np.arange(b.num_rows), cid]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(id_col),
+                    pa.array(cid.astype("int32")),
+                    pa.array(best),
+                    b.column(vec_col),
+                ],
+                [id_col, "cid", "d2", vec_col],
+            )
+
+    spark = df.sparkSession
+    assigned = df.select(id_col, vec_col).mapInArrow(
+        assign,
+        f"{id_col} long, cid int, d2 double, {vec_col} array<float>",
+    )
+    ex = assigned.select(
+        "cid",
+        "d2",
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    per_dim = ex.groupBy("cid", "pos").agg(
+        (F.round(F.avg("val"), 6) + F.lit(0.0)).alias("__mean"),
+        F.count("*").alias("__size"),
+        F.sum(F.when(F.col("pos") == 0, F.col("d2"))).alias("__in0"),
+    )
+    old = spark.createDataFrame(
+        [(cid, pos, v) for cid, c in enumerate(cent) for pos, v in enumerate(c)],
+        schema="cid int, pos int, __old double",
+    )
+    return (
+        per_dim.join(F.broadcast(old), ["cid", "pos"])
+        .groupBy("cid")
+        .agg(
+            F.max("__size").alias("size"),
+            F.round(F.sum(F.coalesce("__in0", F.lit(0.0))), 4).alias(
+                "inertia"
+            ),
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        (F.col("__mean") - F.col("__old"))
+                        * (F.col("__mean") - F.col("__old"))
+                    )
+                ),
+                6,
+            ).alias("shift"),
+        )
+    )

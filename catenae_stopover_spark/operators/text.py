@@ -1913,3 +1913,161 @@ def pmi_cooccurrence(
             ).alias("pmi"),
         )
     )
+
+
+def pack_chunks(
+    df: DataFrame,
+    budget: int = 256,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing report — the GPT-style
+    training-data layout step: within each group, documents are laid
+    head-to-tail in ``id_col`` order and the token stream is cut into
+    fixed-``budget`` chunks; chunk ``c`` owns token span
+    ``[c*budget, (c+1)*budget)``. Reports, per (group, chunk), how
+    many documents contribute tokens to it, how many START in it, and
+    its token occupancy (== budget except the group's last chunk).
+
+    Scale shape: there is NO global ordering — the window/cumsum is
+    partitioned by ``group_col``, which at 100 TB is the shard key
+    (source/file/partition id); packing is embarrassingly parallel
+    across shards exactly as production packers run it. The per-doc
+    chunk-range explode is bounded: total rows = n_docs +
+    total_tokens/budget (each doc adds 1 row plus one per boundary it
+    crosses), so the shuffle is corpus-span-bounded, never k².
+    All integer arithmetic (cumulative sums, DIV) so the DuckDB
+    oracle mirror is byte-exact.
+
+    Token counts reuse the BM25 lexer (non-empty ``[^a-z0-9]+``
+    splits of lower(text)); zero-token documents occupy no span and
+    are absent, identically in both engines.
+    """
+    words = F.expr(
+        f"filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t != '')"
+    )
+    toks = df.select(
+        F.col(group_col), F.col(id_col), F.size(words).alias("__tok")
+    ).filter(F.col("__tok") > 0)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = toks.withColumn("__end", F.sum("__tok").over(w)).withColumn(
+        "__start", F.col("__end") - F.col("__tok")
+    )
+    chunks = spans.select(
+        group_col,
+        F.expr(f"__start DIV {budget}").alias("__first"),
+        F.explode(
+            F.sequence(
+                F.expr(f"__start DIV {budget}"),
+                F.expr(f"(__end - 1) DIV {budget}"),
+            )
+        ).alias("chunk_id"),
+    )
+    totals = toks.groupBy(group_col).agg(F.sum("__tok").alias("__tot"))
+    return (
+        chunks.groupBy(group_col, "chunk_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("__first") == F.col("chunk_id"), 1).otherwise(0)
+            ).alias("n_start_docs"),
+        )
+        .join(F.broadcast(totals), group_col)
+        .select(
+            group_col,
+            "chunk_id",
+            "n_docs",
+            "n_start_docs",
+            (
+                F.least(F.col("__tot"), (F.col("chunk_id") + 1) * budget)
+                - F.col("chunk_id") * budget
+            ).alias("chunk_tokens"),
+        )
+    )
+
+
+def heldout_bigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_mod: int = 10,
+    train_lt: int = 8,
+    k_smooth: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Held-out smoothed bigram-LM scoring — the CCNet-style LM
+    quality filter shape that `bigram_logprob` (self-trained MLE)
+    cannot express: the model is trained on one deterministic split
+    of the corpus (``id % train_mod < train_lt``) and SCORES THE
+    OTHER split, so unseen transitions and OOV words are real and
+    must be smoothed. Add-k smoothing with the train vocabulary:
+    ``ln((c(w1,w2) + k) / (c(w1) + k * V))`` where V counts distinct
+    train-side ``w2`` plus one OOV class — every score is finite, a
+    held-out bigram with no train support gets the uniform-floor
+    penalty.
+
+    One corpus scan feeds both sides (the split is a filter, not a
+    second read); the model tables are bigram/context aggregates
+    shuffled on the same (w1[, w2]) keys the scoring join uses, and V
+    travels as a broadcast 1-row aggregate. Left joins keep every
+    held-out bigram (missing count -> 0), mirroring COALESCE in the
+    oracle. Returns per held-out doc: (id, n_bigrams, avg_nll, kept)
+    where kept = avg_nll above the literal floor — the filter
+    decision a curation pipeline consumes.
+
+    ``+ 0.0`` fold on the rounded mean closes the -0.0 FP-dust
+    oracle-parity channel (the r6 q155 escape).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.expr(f"split(lower(trim({text_col})), '\\\\s+')").alias("__ws"),
+    )
+    bg = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(slice(__ws, 1, greatest(size(__ws) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, element_at(__ws, i + 2) AS w2))"
+            )
+        ).alias("__bg"),
+    ).select(
+        id_col,
+        F.col("__bg.w1").alias("__w1"),
+        F.col("__bg.w2").alias("__w2"),
+    )
+    is_train = (F.col(id_col) % train_mod) < train_lt
+    train = bg.filter(is_train)
+    held = bg.filter(~is_train)
+    c2 = train.groupBy("__w1", "__w2").agg(F.count("*").alias("__c2"))
+    c1 = train.groupBy("__w1").agg(F.count("*").alias("__c1"))
+    vocab = train.agg(
+        (F.countDistinct("__w2") + 1).cast("double").alias("__v")
+    )
+    nll = (
+        held.join(c2, ["__w1", "__w2"], "left")
+        .join(c1, "__w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "__lp",
+            F.log(
+                (F.coalesce(F.col("__c2"), F.lit(0)) + k_smooth)
+                / (F.coalesce(F.col("__c1"), F.lit(0)) + k_smooth * F.col("__v"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            (F.round(F.avg("__lp"), round_to) + F.lit(0.0)).alias("avg_nll"),
+        )
+    )
+    return nll.select(
+        id_col,
+        "n_bigrams",
+        "avg_nll",
+        (F.col("avg_nll") > F.lit(-9.0)).alias("kept"),
+    )

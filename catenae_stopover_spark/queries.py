@@ -7816,6 +7816,271 @@ Q163_SQL = _build_q163_sql()
 
 
 # --------------------------------------------------------------------
+# B79 — concat-and-chunk sequence packing (new r7)
+# --------------------------------------------------------------------
+
+def q164_sequence_packing(spark, sf_dir):
+    """B79 (new r7): GPT-style concat-and-chunk sequence packing
+    report (`text.pack_chunks`): per source shard, docs laid
+    head-to-tail in id order, token stream cut at a 256-token budget;
+    per (source, chunk) -> docs contributing / docs starting / token
+    occupancy. Window+cumsum partitioned by the shard key (no global
+    ordering), bounded chunk-range explode, all integer math."""
+    from .operators.text import pack_chunks
+
+    return pack_chunks(_t(spark, sf_dir, "documents"), budget=256)
+
+
+Q164_SQL = """
+WITH toks AS (
+    SELECT source, doc_id,
+           LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z0-9]+'),
+                           t -> t <> '')) AS tok
+    FROM documents
+), nz AS (
+    SELECT * FROM toks WHERE tok > 0
+), spans AS (
+    SELECT source, doc_id, tok,
+           CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+    FROM nz
+), ch AS (
+    SELECT source, (e - tok) // 256 AS first_c,
+           UNNEST(GENERATE_SERIES((e - tok) // 256, (e - 1) // 256))
+               AS chunk_id
+    FROM spans
+), tot AS (
+    SELECT source, SUM(tok) AS tot FROM nz GROUP BY source
+)
+SELECT ch.source, chunk_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN first_c = chunk_id THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_start_docs,
+       CAST(LEAST(tot.tot, (chunk_id + 1) * 256) - chunk_id * 256 AS BIGINT)
+           AS chunk_tokens
+FROM ch JOIN tot ON ch.source = tot.source
+GROUP BY ch.source, chunk_id, tot.tot
+"""
+
+
+# --------------------------------------------------------------------
+# B80 — reciprocal-rank fusion of lexical + semantic retrieval (new r7)
+# --------------------------------------------------------------------
+
+def q165_rrf_fusion(spark, sf_dir):
+    """B80 (new r7): hybrid retrieval — BM25 top-50 (q127's terms)
+    and exact-cosine top-50 (q29's query vector) fused with
+    reciprocal-rank fusion (`evaluation.rrf_fuse`, k=60). Both ranks
+    are made engine-deterministic first (rounded score, id tiebreak);
+    the fused sum is evaluated in list order with COALESCE 0 so the
+    oracle mirrors the exact FP order. Rank windows run on top-50
+    candidate lists, not the corpus."""
+    from .operators.evaluation import rrf_fuse
+    from .operators.similarity import brute_force_topk
+    from .operators.text import bm25_scores
+
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    lex = bm25_scores(d, list(_BM25_TERMS), "text", "doc_id", top_n=50)
+    lex = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.round("score", 6).desc(), "doc_id"))
+        .alias("rank"),
+    )
+    sem = brute_force_topk(
+        e.filter(F.col("vec_id") != 0), _query_vec(sf_dir), k=50,
+        round_digits=6,
+    )
+    sem = sem.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), "vec_id"))
+        .alias("rank"),
+    )
+    return rrf_fuse([lex, sem], id_col="doc_id", k=60, top_n=20)
+
+
+Q165_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, t.term
+    FROM (SELECT doc_id,
+                 REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^a-z0-9]+') AS a
+          FROM documents),
+         LATERAL UNNEST(a) AS t(term)
+    WHERE t.term <> ''
+), dl AS (
+    SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+    SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks
+    WHERE term IN {_BM25_TERMS!r}
+    GROUP BY doc_id, term
+), dfreq AS (
+    SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), bm AS (
+    SELECT tf.doc_id,
+           ROUND(SUM(LN(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+           ), 6) AS score
+    FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id), stats
+    GROUP BY tf.doc_id
+), lex AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+    FROM (SELECT * FROM bm ORDER BY score DESC, doc_id LIMIT 50)
+), q AS (
+    SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), cos AS (
+    SELECT vec_id AS doc_id,
+           ROUND(LIST_COSINE_SIMILARITY(embedding::DOUBLE[], qv), 6)
+               AS cosine
+    FROM embeddings, q
+    WHERE vec_id <> 0
+    ORDER BY cosine DESC, vec_id
+    LIMIT 50
+), sem AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rank
+    FROM cos
+)
+SELECT doc_id,
+       CAST((lex.rank IS NOT NULL)::INT + (sem.rank IS NOT NULL)::INT
+           AS INT) AS n_lists,
+       ROUND(COALESCE(1.0 / (60 + lex.rank), 0.0)
+             + COALESCE(1.0 / (60 + sem.rank), 0.0), 8) AS rrf
+FROM lex FULL OUTER JOIN sem USING (doc_id)
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------
+# B81 — distributed k-means Lloyd iteration (new r7)
+# --------------------------------------------------------------------
+
+def _km_init_centroids(sf_dir, k=8):
+    """Deterministic init: the embeddings of vec_id 0..k-1, fetched
+    with the `_query_vec` row-group-pruned point-lookup pattern
+    (planning scalars, no Spark job)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", k)],
+    )
+    rows = sorted(
+        zip(tbl.column("vec_id").to_pylist(),
+            tbl.column("embedding").to_pylist())
+    )
+    return [[float(x) for x in v] for _, v in rows]
+
+
+def q166_kmeans_step(spark, sf_dir):
+    """B81 (new r7): one full-corpus Lloyd iteration
+    (`similarity.kmeans_step`): assign every embedding to the nearest
+    of 8 literal centroids (init = vec 0..7) with one BLAS pass per
+    Arrow batch, recompute per-cluster means off the same scan
+    (vector passthrough, no re-join), report (cid, size, inertia,
+    centroid shift). d2 rounded before argmin, means ROUND+0.0-folded
+    so both engines compute shift from identical doubles."""
+    from .operators.similarity import kmeans_step
+
+    e = _t(spark, sf_dir, "embeddings")
+    return kmeans_step(e, _km_init_centroids(sf_dir), "embedding", "vec_id")
+
+
+Q166_SQL = """
+WITH cents AS (
+    SELECT vec_id AS cid, i - 1 AS pos, embedding[i]::DOUBLE AS c
+    FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)
+    WHERE vec_id < 8
+), vecs AS (
+    SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS v
+    FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)
+), dists AS (
+    SELECT vec_id, cid, ROUND(SUM((v - c) * (v - c)), 6) AS d2
+    FROM vecs JOIN cents USING (pos)
+    GROUP BY vec_id, cid
+), best AS (
+    SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS r
+        FROM dists) WHERE r = 1
+), per_dim AS (
+    SELECT b.cid, vecs.pos,
+           ROUND(AVG(vecs.v), 6) + 0.0 AS m,
+           COUNT(*) AS sz,
+           SUM(CASE WHEN vecs.pos = 0 THEN b.d2 END) AS in0
+    FROM best b JOIN vecs ON b.vec_id = vecs.vec_id
+    GROUP BY b.cid, vecs.pos
+)
+SELECT CAST(p.cid AS INT) AS cid,
+       CAST(MAX(sz) AS BIGINT) AS size,
+       ROUND(SUM(COALESCE(in0, 0.0)), 4) AS inertia,
+       ROUND(SQRT(SUM((m - c) * (m - c))), 6) AS shift
+FROM per_dim p JOIN cents ON p.cid = cents.cid AND p.pos = cents.pos
+GROUP BY p.cid
+"""
+
+
+# --------------------------------------------------------------------
+# B82 — held-out smoothed LM quality filter (new r7)
+# --------------------------------------------------------------------
+
+def q167_heldout_lm_score(spark, sf_dir):
+    """B82 (new r7): CCNet-style held-out LM filter
+    (`text.heldout_bigram_nll`): add-0.5-smoothed bigram model trained
+    on the doc_id%10<8 split scores the held-out split — unseen
+    transitions and OOV words get the uniform-floor penalty, unlike
+    q101's self-trained MLE where every scored bigram was observed.
+    One corpus scan; model aggregates shuffle on the scoring join's
+    own keys; V broadcast."""
+    from .operators.text import heldout_bigram_nll
+
+    return heldout_bigram_nll(_t(spark, sf_dir, "documents"))
+
+
+Q167_SQL = r"""
+WITH w AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS ws
+    FROM documents
+), bg AS (
+    SELECT doc_id,
+           UNNEST(LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(ws), 1)),
+                           i -> i <= LEN(ws) - 1),
+               i -> [ws[i], ws[i + 1]])) AS p
+    FROM w
+), pairs AS (
+    SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg
+), train AS (
+    SELECT * FROM pairs WHERE doc_id % 10 < 8
+), held AS (
+    SELECT * FROM pairs WHERE doc_id % 10 >= 8
+), c2 AS (
+    SELECT w1, w2, COUNT(*) AS n2 FROM train GROUP BY w1, w2
+), c1 AS (
+    SELECT w1, COUNT(*) AS n1 FROM train GROUP BY w1
+), vs AS (
+    SELECT COUNT(DISTINCT w2) + 1 AS v FROM train
+), scored AS (
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(LN((COALESCE(n2, 0) + 0.5)
+                        / (COALESCE(n1, 0) + 0.5 * vs.v))), 6) + 0.0
+               AS avg_nll
+    FROM held LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1), vs
+    GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, avg_nll, avg_nll > -9.0 AS kept FROM scored
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -7850,6 +8115,13 @@ QUERIES: dict[str, tuple] = {
     ),
     "q158_curation_pipeline": (q158_curation_pipeline, Q158_SQL),
     "q163_curation_pipeline_v2": (q163_curation_pipeline_v2, Q163_SQL),
+    # --- part (2b): operators NEW this round (B79-B82) — sequence
+    # --- packing, RRF hybrid retrieval, k-means Lloyd step, held-out
+    # --- smoothed LM filter.
+    "q164_sequence_packing": (q164_sequence_packing, Q164_SQL),
+    "q165_rrf_fusion": (q165_rrf_fusion, Q165_SQL),
+    "q166_kmeans_step": (q166_kmeans_step, Q166_SQL),
+    "q167_heldout_lm_score": (q167_heldout_lm_score, Q167_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -7866,7 +8138,8 @@ QUERIES: dict[str, tuple] = {
     "q95_stream_range_join": (q95_stream_range_join, Q88_SQL),
     "q40_approx_distinct": (q40_approx_distinct, Q40_SQL),
     "q41_crypto_hashes": (q41_crypto_hashes, _q41_oracle_sql),
-    # --- part (4) fill: the oldest r4 rows (q98-q124).
+    # --- part (4) fill: the oldest r4 rows (q98-q120; q121-q124
+    # --- displaced below the line by the four new B79-B82 rows).
     "q98_epoch_shuffle": (q98_epoch_shuffle, Q98_SQL),
     "q99_video_frame_sample": (q99_video_frame_sample, Q99_SQL),
     "q100_bpe_pair_stats": (q100_bpe_pair_stats, Q100_SQL),
@@ -7890,13 +8163,14 @@ QUERIES: dict[str, tuple] = {
     "q118_boilerplate_removal": (q118_boilerplate_removal, Q118_SQL),
     "q119_weighted_sample": (q119_weighted_sample, Q119_SQL),
     "q120_intra_doc_dedup": (q120_intra_doc_dedup, Q120_SQL),
+    # ---------------- end of the 50-row driver window ----------------
+    # --- next in line for the r8 rotation: q121-q124 (displaced by
+    # --- the new B79-B82 rows), q125-q139, then the rotated-out
+    # --- r6-window rows (freshest last).
     "q121_snapshot_diff": (q121_snapshot_diff, Q121_SQL),
     "q122_token_share": (q122_token_share, Q122_SQL),
     "q123_rolling_anomaly": (q123_rolling_anomaly, Q123_SQL),
     "q124_quality_classifier": (q124_quality_classifier, Q124_SQL),
-    # ---------------- end of the 50-row driver window ----------------
-    # --- next in line for the r8 rotation: q125-q139, then the
-    # --- rotated-out r6-window rows (freshest last).
     "q140_retrieval_eval": (q140_retrieval_eval, _q140_oracle_sql),
     "q142_touch_attribution": (q142_touch_attribution, Q142_SQL),
     "q144_temperature_mixture": (q144_temperature_mixture, Q144_SQL),

@@ -1,0 +1,151 @@
+"""Round-7 new operators (SURVEY B79-B82): concat-and-chunk sequence
+packing, reciprocal-rank fusion, the distributed k-means Lloyd step,
+and the held-out smoothed bigram-LM filter. Semantics pinned on tiny
+hand-checkable inputs; engine parity is covered by the oracle gate
+(q164-q167 in tools/check_oracle.py)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_pack_chunks_spans_and_occupancy(spark):
+    from catenae_stopover_spark.operators.text import pack_chunks
+
+    # Group g: docs of 3, 4, 6 tokens, budget 5 ->
+    #   doc 1 tokens [0,3)   -> chunk 0 (starts there)
+    #   doc 2 tokens [3,7)   -> chunks 0-1 (starts in 0, crosses into 1)
+    #   doc 3 tokens [7,13)  -> chunks 1-2 (starts in 1)
+    # chunk tokens: c0=5, c1=5, c2=3 (13 total).
+    df = spark.createDataFrame(
+        [
+            ("g", 1, "a b c"),
+            ("g", 2, "d e f g"),
+            ("g", 3, "h i j k l m"),
+            ("h", 9, ""),  # zero tokens -> absent entirely
+        ],
+        "source string, doc_id long, text string",
+    )
+    rows = {
+        (r.source, r.chunk_id): r
+        for r in pack_chunks(df, budget=5).collect()
+    }
+    assert set(rows) == {("g", 0), ("g", 1), ("g", 2)}
+    c0, c1, c2 = rows[("g", 0)], rows[("g", 1)], rows[("g", 2)]
+    assert (c0.n_docs, c0.n_start_docs, c0.chunk_tokens) == (2, 2, 5)
+    assert (c1.n_docs, c1.n_start_docs, c1.chunk_tokens) == (2, 1, 5)
+    assert (c2.n_docs, c2.n_start_docs, c2.chunk_tokens) == (1, 0, 3)
+
+
+def test_pack_chunks_explode_is_bounded(spark):
+    from catenae_stopover_spark.operators.text import pack_chunks
+
+    # One doc of 12 tokens under budget 4 spans exactly 3 chunks — the
+    # per-doc explode is ceil(tok/budget)+1 at most, never quadratic.
+    df = spark.createDataFrame(
+        [("g", 1, " ".join("tok%d" % i for i in range(12)))],
+        "source string, doc_id long, text string",
+    )
+    out = pack_chunks(df, budget=4).collect()
+    assert len(out) == 3
+    assert all(r.n_docs == 1 for r in out)
+
+
+def test_rrf_fuse_scores_and_absence(spark):
+    from catenae_stopover_spark.operators.evaluation import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2)], "doc_id long, rank int"
+    )
+    out = {r.doc_id: r for r in rrf_fuse([a, b], k=60, top_n=10).collect()}
+    assert set(out) == {10, 20, 30, 40}
+    # Doc in both lists sums both reciprocal ranks.
+    assert out[20].n_lists == 2
+    assert out[20].rrf == pytest.approx(1 / 62 + 1 / 61, abs=1e-8)
+    # Absent from one list contributes 0 from it.
+    assert out[10].n_lists == 1
+    assert out[10].rrf == pytest.approx(1 / 61, abs=1e-8)
+    assert out[40].rrf == pytest.approx(1 / 62, abs=1e-8)
+    # Ranking: 20 first (two hits), then 10, then 40, then 30.
+    ordered = [
+        r.doc_id
+        for r in rrf_fuse([a, b], k=60, top_n=10)
+        .orderBy(F.desc("rrf"), "doc_id")
+        .collect()
+    ]
+    assert ordered == [20, 10, 40, 30]
+
+
+def test_rrf_fuse_requires_input(spark):
+    from catenae_stopover_spark.operators.evaluation import rrf_fuse
+
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_kmeans_step_assignment_and_update(spark):
+    from catenae_stopover_spark.operators.similarity import kmeans_step
+
+    # Two centroids on a line; four points, two near each. New means
+    # and shifts are hand-computable.
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [2.0, 0.0]),
+            (2, [10.0, 0.0]),
+            (3, [12.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r.cid: r
+        for r in kmeans_step(df, [[0.0, 0.0], [10.0, 0.0]]).collect()
+    }
+    assert set(out) == {0, 1}
+    assert out[0].size == 2 and out[1].size == 2
+    # Cluster 0: points 0,2 -> d2 = 0, 4; inertia 4. Mean (1, 0),
+    # shift = 1. Cluster 1: d2 = 0, 4; mean (11, 0), shift 1.
+    assert out[0].inertia == pytest.approx(4.0)
+    assert out[1].inertia == pytest.approx(4.0)
+    assert out[0].shift == pytest.approx(1.0)
+    assert out[1].shift == pytest.approx(1.0)
+
+
+def test_kmeans_step_tie_breaks_to_lowest_cid(spark):
+    from catenae_stopover_spark.operators.similarity import kmeans_step
+
+    # Point equidistant from both centroids -> joins cid 0.
+    df = spark.createDataFrame(
+        [(0, [5.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = kmeans_step(df, [[0.0, 0.0], [10.0, 0.0]]).collect()
+    assert len(out) == 1 and out[0].cid == 0
+
+
+def test_heldout_bigram_nll_smoothing(spark):
+    from catenae_stopover_spark.operators.text import heldout_bigram_nll
+
+    # Train split: doc 0 ("a b a b"): bigrams ab, ba, ab.
+    # Held-out: doc 8 ("a b"), doc 9 ("z z") — 'z z' is fully OOV.
+    df = spark.createDataFrame(
+        [(0, "a b a b"), (8, "a b"), (9, "z z")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in heldout_bigram_nll(df).collect()}
+    assert set(out) == {8, 9}
+    v = 3.0  # distinct train w2 = {a, b} -> +1 OOV
+    seen = math.log((2 + 0.5) / (2 + 0.5 * v))  # c(a,b)=2, c(a,*)=2
+    oov = math.log(0.5 / (0.5 * v))  # zero counts
+    assert out[8].avg_nll == pytest.approx(round(seen, 6), abs=1e-9)
+    assert out[9].avg_nll == pytest.approx(round(oov, 6), abs=1e-9)
+    assert out[8].n_bigrams == 1 and out[9].n_bigrams == 1
+    # The OOV doc scores below the seen one; kept flag is the literal
+    # floor compare.
+    assert out[9].avg_nll < out[8].avg_nll
+    assert bool(out[8].kept) and bool(out[9].kept)
