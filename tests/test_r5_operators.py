@@ -747,8 +747,14 @@ def test_curation_pipeline_stage_invariants(spark, tmp_path):
 
     sf = "/root/testdata/sf0.001"
     out = {r.source: r for r in q158_curation_pipeline(spark, sf).collect()}
+    # The r7 __total__ release-visibility row aggregates all sources
+    # (so an empty release is a visible 0, not an absent row); the
+    # per-source invariants apply to the real source rows.
+    total = out.pop("__total__")
     assert all(r.n_docs <= 10 for r in out.values())
     assert all(r.sum_tokens >= 20 * r.n_docs for r in out.values())
+    assert total.n_docs == sum(r.n_docs for r in out.values())
+    assert total.sum_tokens == sum(r.sum_tokens for r in out.values())
 
 
 # --------------------------------------------------------------------

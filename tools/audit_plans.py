@@ -61,6 +61,13 @@ ACCEPTED = {
         "trainer pattern applied at inference)",
     # N/avgdl attached as a broadcast 1-row scalar (q90's pattern)
     "q127_bm25": "broadcast of the 1-row corpus-stats scalar",
+    # the bm25 ranker's 1-row stats cross (q127) feeding the fusion;
+    # the fusion joins themselves are over <=top_n candidate lists
+    "q165_rrf_fusion":
+        "broadcast of the 1-row corpus-stats scalar inside the BM25 "
+        "ranker (q127's pattern); fusion joins are k-bounded lists",
+    # train-vocabulary size V attached as a broadcast 1-row scalar
+    "q167_heldout_lm_score": "broadcast of the 1-row vocab-size scalar",
     # quantile-threshold array + totals as broadcast 1-row scalars
     "q138_psi_drift": "broadcast 1-row quantile/total scalars",
     # sample totals as a broadcast 1-row scalar onto the distinct-value
