@@ -1955,12 +1955,23 @@ def pack_chunks(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    spans = toks.withColumn("__end", F.sum("__tok").over(w)).withColumn(
-        "__start", F.col("__end") - F.col("__tok")
+    # The group total rides the SAME shuffle as the cumsum (a second
+    # whole-partition window max over __end) and travels through the
+    # explode as one extra long per row — not as a second corpus scan
+    # + broadcast join (the measured two-scan cliff: at 100 TB a
+    # duplicate documents scan doubles the IO of the whole operator
+    # for a |groups|-row aggregate).
+    spans = (
+        toks.withColumn("__end", F.sum("__tok").over(w))
+        .withColumn("__start", F.col("__end") - F.col("__tok"))
+        .withColumn(
+            "__tot", F.max("__end").over(Window.partitionBy(group_col))
+        )
     )
     chunks = spans.select(
         group_col,
         F.expr(f"__start DIV {budget}").alias("__first"),
+        F.col("__tot"),
         F.explode(
             F.sequence(
                 F.expr(f"__start DIV {budget}"),
@@ -1968,7 +1979,6 @@ def pack_chunks(
             )
         ).alias("chunk_id"),
     )
-    totals = toks.groupBy(group_col).agg(F.sum("__tok").alias("__tot"))
     return (
         chunks.groupBy(group_col, "chunk_id")
         .agg(
@@ -1976,8 +1986,8 @@ def pack_chunks(
             F.sum(
                 F.when(F.col("__first") == F.col("chunk_id"), 1).otherwise(0)
             ).alias("n_start_docs"),
+            F.max("__tot").alias("__tot"),
         )
-        .join(F.broadcast(totals), group_col)
         .select(
             group_col,
             "chunk_id",
