@@ -1930,6 +1930,13 @@ def pack_chunks(
     many documents contribute tokens to it, how many START in it, and
     its token occupancy (== budget except the group's last chunk).
 
+    Complement of :func:`pack_documents` (q74), which assigns WHOLE
+    docs to packs and lets a pack overflow by one doc's tail; here
+    documents SPLIT across chunk boundaries and every chunk except
+    the last is exactly ``budget`` tokens — the two layouts a training
+    pipeline chooses between (lossless packing vs fixed-shape
+    batches).
+
     Scale shape: there is NO global ordering — the window/cumsum is
     partitioned by ``group_col``, which at 100 TB is the shard key
     (source/file/partition id); packing is embarrassingly parallel
@@ -2080,4 +2087,70 @@ def heldout_bigram_nll(
         "n_bigrams",
         "avg_nll",
         (F.col("avg_nll") > F.lit(-9.0)).alias("kept"),
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bins: int = 10,
+    num_shards: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Quality-curriculum ordering with a deterministic intra-bin
+    shuffle: every document gets a difficulty bin (z-score of
+    :func:`quality_score` against broadcast corpus moments, 2 bins per
+    sigma, clamped to [0, n_bins)) and a reproducible position inside
+    (bin, shard) — the "order easy->hard, shuffle within level"
+    primitive curriculum-training schedules consume, resumable the
+    same way as :func:`epoch_shuffle` (restart = filter pos >= N; a
+    new epoch = a new seed).
+
+    Scale shape: one corpus scan; the moments travel as a broadcast
+    1-row aggregate (the q143 pattern — no global-sort ntile, whose
+    single ORDER BY would serialize the corpus); the position window
+    partitions by (bin, shard) with ``num_shards`` sha2 shards per
+    bin, so parallelism is n_bins x num_shards, not n_bins.
+
+    Cross-engine determinism: the score is pre-rounded, moments are
+    ROUND+0.0-folded (the -0.0 dust channel), the stddev gets an
+    epsilon floor (a constant-score corpus yields sd ~ 1e-16 FP dust,
+    not 0 — dividing by it would explode the z), and the shuffle key
+    is the engine-portable sha2 digest of (seed, id).
+    """
+    scored = df.select(
+        F.col(id_col), quality_score(text_col).alias("__q")
+    )
+    mom = scored.agg(
+        (F.round(F.avg("__q"), 6) + F.lit(0.0)).alias("__mu"),
+        (
+            F.round(F.coalesce(F.stddev_samp("__q"), F.lit(0.0)), 6)
+            + F.lit(0.0)
+        ).alias("__sd"),
+    )
+    z = (F.col("__q") - F.col("__mu")) / F.greatest(
+        F.col("__sd"), F.lit(1e-9)
+    )
+    bin_col = (
+        F.least(
+            F.greatest(F.floor(z * 2) + n_bins // 2, F.lit(0)),
+            F.lit(n_bins - 1),
+        )
+    ).cast("int")
+    key = F.sha2(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")),
+        256,
+    )
+    w = Window.partitionBy("bin", "shard").orderBy("__key", id_col)
+    return (
+        scored.crossJoin(F.broadcast(mom))
+        .select(
+            F.col(id_col),
+            bin_col.alias("bin"),
+            _hash_bucket(id_col, num_shards).cast("int").alias("shard"),
+            key.alias("__key"),
+        )
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .select(id_col, "bin", "shard", "pos")
     )

@@ -8081,6 +8081,67 @@ SELECT doc_id, n_bigrams, avg_nll, avg_nll > -9.0 AS kept FROM scored
 
 
 # --------------------------------------------------------------------
+# B83 — curriculum ordering with deterministic intra-bin shuffle (r7)
+# --------------------------------------------------------------------
+
+def q168_curriculum_order(spark, sf_dir):
+    """B83 (new r7): curriculum ordering (`text.curriculum_order`):
+    difficulty bin = z-score of the q33 quality heuristic against
+    broadcast corpus moments (2 bins/sigma, clamped — no global-sort
+    ntile), position = row_number over (bin, sha2 shard) ordered by
+    the portable (seed, id) digest — the easy->hard schedule with a
+    reproducible within-level shuffle, resumable like epoch_shuffle.
+    Moments rounded+0.0-folded; stddev epsilon-floored (constant
+    scores give sd ~ 1e-16 dust, not 0)."""
+    from .operators.text import curriculum_order
+
+    return curriculum_order(
+        _t(spark, sf_dir, "documents"), num_shards=8
+    )
+
+
+Q168_SQL = r"""
+WITH stats AS (
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')) AS n_words,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]')) AS n_alpha,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|and|of|to|is)\b'))
+               AS stop_hits
+    FROM documents
+), q AS (
+    SELECT doc_id,
+           ROUND(
+             0.35 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars
+                          ELSE 0.0 END)
+           + 0.25 * (CASE WHEN stop_hits > 0 THEN 1.0 ELSE 0.0 END)
+           + 0.4 * (CASE WHEN n_words > 0
+                          AND n_chars / n_words >= 3
+                          AND n_chars / n_words <= 12
+                     THEN 1.0 ELSE 0.0 END), 6) AS qs
+    FROM stats
+), mom AS (
+    SELECT ROUND(AVG(qs), 6) + 0.0 AS mu,
+           ROUND(COALESCE(STDDEV_SAMP(qs), 0.0), 6) + 0.0 AS sd
+    FROM q
+), b AS (
+    SELECT doc_id,
+           CAST(LEAST(GREATEST(
+               FLOOR((qs - mu) / GREATEST(sd, 1e-9) * 2) + 5, 0), 9)
+             AS INT) AS bin,
+           CAST(('0x' || SUBSTR(SHA256(CAST(doc_id AS VARCHAR)), 1, 8))
+                ::BIGINT % 8 AS INT) AS shard,
+           SHA256('0:' || CAST(doc_id AS VARCHAR)) AS k
+    FROM q, mom
+)
+SELECT doc_id, bin, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY bin, shard
+                               ORDER BY k, doc_id) - 1 AS INT) AS pos
+FROM b
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -8122,6 +8183,7 @@ QUERIES: dict[str, tuple] = {
     "q165_rrf_fusion": (q165_rrf_fusion, Q165_SQL),
     "q166_kmeans_step": (q166_kmeans_step, Q166_SQL),
     "q167_heldout_lm_score": (q167_heldout_lm_score, Q167_SQL),
+    "q168_curriculum_order": (q168_curriculum_order, Q168_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -8138,8 +8200,8 @@ QUERIES: dict[str, tuple] = {
     "q95_stream_range_join": (q95_stream_range_join, Q88_SQL),
     "q40_approx_distinct": (q40_approx_distinct, Q40_SQL),
     "q41_crypto_hashes": (q41_crypto_hashes, _q41_oracle_sql),
-    # --- part (4) fill: the oldest r4 rows (q98-q120; q121-q124
-    # --- displaced below the line by the four new B79-B82 rows).
+    # --- part (4) fill: the oldest r4 rows (q98-q119; q120-q124
+    # --- displaced below the line by the five new B79-B83 rows).
     "q98_epoch_shuffle": (q98_epoch_shuffle, Q98_SQL),
     "q99_video_frame_sample": (q99_video_frame_sample, Q99_SQL),
     "q100_bpe_pair_stats": (q100_bpe_pair_stats, Q100_SQL),
@@ -8162,11 +8224,11 @@ QUERIES: dict[str, tuple] = {
     "q117_bfs_distance": (q117_bfs_distance, Q117_SQL),
     "q118_boilerplate_removal": (q118_boilerplate_removal, Q118_SQL),
     "q119_weighted_sample": (q119_weighted_sample, Q119_SQL),
-    "q120_intra_doc_dedup": (q120_intra_doc_dedup, Q120_SQL),
     # ---------------- end of the 50-row driver window ----------------
-    # --- next in line for the r8 rotation: q121-q124 (displaced by
-    # --- the new B79-B82 rows), q125-q139, then the rotated-out
+    # --- next in line for the r8 rotation: q120-q124 (displaced by
+    # --- the new B79-B83 rows), q125-q139, then the rotated-out
     # --- r6-window rows (freshest last).
+    "q120_intra_doc_dedup": (q120_intra_doc_dedup, Q120_SQL),
     "q121_snapshot_diff": (q121_snapshot_diff, Q121_SQL),
     "q122_token_share": (q122_token_share, Q122_SQL),
     "q123_rolling_anomaly": (q123_rolling_anomaly, Q123_SQL),

@@ -1,8 +1,8 @@
-"""Round-7 new operators (SURVEY B79-B82): concat-and-chunk sequence
+"""Round-7 new operators (SURVEY B79-B83): concat-and-chunk sequence
 packing, reciprocal-rank fusion, the distributed k-means Lloyd step,
-and the held-out smoothed bigram-LM filter. Semantics pinned on tiny
-hand-checkable inputs; engine parity is covered by the oracle gate
-(q164-q167 in tools/check_oracle.py)."""
+the held-out smoothed bigram-LM filter, and curriculum ordering.
+Semantics pinned on tiny hand-checkable inputs; engine parity is
+covered by the oracle gate (q164-q168 in tools/check_oracle.py)."""
 
 from __future__ import annotations
 
@@ -149,3 +149,47 @@ def test_heldout_bigram_nll_smoothing(spark):
     # floor compare.
     assert out[9].avg_nll < out[8].avg_nll
     assert bool(out[8].kept) and bool(out[9].kept)
+
+
+def test_curriculum_order_bins_and_positions(spark):
+    from catenae_stopover_spark.operators.text import curriculum_order
+
+    # Two clearly different quality levels: real English sentences vs
+    # junk. Positions are dense 0..n-1 within each (bin, shard) and
+    # the whole assignment is reproducible run to run.
+    docs = [(i, "the quick brown fox is one of the best and most famous")
+            for i in range(6)]
+    docs += [(100 + i, "zzzz qqqq xxxx") for i in range(6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = curriculum_order(df, num_shards=2).collect()
+    assert len(out) == 12
+    by_id = {r.doc_id: r for r in out}
+    good_bins = {by_id[i].bin for i in range(6)}
+    junk_bins = {by_id[100 + i].bin for i in range(6)}
+    # Identical texts share one bin; junk bins sit strictly below.
+    assert len(good_bins) == 1 and len(junk_bins) == 1
+    assert junk_bins.pop() < good_bins.pop()
+    # Dense 0-based positions inside every (bin, shard).
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in out:
+        groups[(r.bin, r.shard)].append(r.pos)
+    for poss in groups.values():
+        assert sorted(poss) == list(range(len(poss)))
+    # Deterministic across runs.
+    again = curriculum_order(df, num_shards=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_curriculum_order_constant_scores_survive_dust(spark):
+    from catenae_stopover_spark.operators.text import curriculum_order
+
+    # All-identical scores: sd is FP dust (~1e-16) or 0; the epsilon
+    # floor keeps z finite and everything lands in the middle bin.
+    df = spark.createDataFrame(
+        [(i, "the cat and the dog is fine here today ok") for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = curriculum_order(df, num_shards=2).collect()
+    assert {r.bin for r in out} == {5}

@@ -68,6 +68,9 @@ ACCEPTED = {
         "ranker (q127's pattern); fusion joins are k-bounded lists",
     # train-vocabulary size V attached as a broadcast 1-row scalar
     "q167_heldout_lm_score": "broadcast of the 1-row vocab-size scalar",
+    # corpus score moments as a broadcast 1-row scalar (q143's
+    # pattern — the alternative to a global-sort ntile)
+    "q168_curriculum_order": "broadcast of the 1-row score-moments scalar",
     # quantile-threshold array + totals as broadcast 1-row scalars
     "q138_psi_drift": "broadcast 1-row quantile/total scalars",
     # sample totals as a broadcast 1-row scalar onto the distinct-value
