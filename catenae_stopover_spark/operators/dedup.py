@@ -1796,3 +1796,46 @@ def incremental_embedding_dedup(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine", "matched")
     )
+
+
+def dedup_representatives_best(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Quality-aware cluster collapse: label near-dup clusters via
+    :func:`connected_components` and keep the HIGHEST-``score_col``
+    document of every cluster — the curation form that keeps the
+    best-written copy where :func:`dedup_representatives` keeps the
+    smallest id. Ties break to the smaller id; ``score_col`` must be
+    engine-deterministic (pre-rounded, e.g. `text.quality_score`) so
+    the winner choice replays exactly in an oracle.
+
+    Returns per-doc accounting ``(id, component, score, kept)``:
+    unpaired docs get their own id as component and are always kept,
+    so downstream filters see every drop decision instead of a
+    silently shrunken corpus.
+
+    Scale shape: inherits connected_components' O(diameter) rounds
+    (near-dup graphs are tiny cliques/chains); the winner window
+    partitions by component — cluster-bounded groups, corpus-wide
+    parallelism, no global sort.
+    """
+    from pyspark.sql import Window
+
+    comp = connected_components(pairs, src_col, dst_col)
+    labeled = df.join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))
+    w = Window.partitionBy("component").orderBy(
+        F.col(score_col).desc(), F.col(id_col)
+    )
+    return labeled.select(
+        id_col,
+        "component",
+        score_col,
+        (F.row_number().over(w) == 1).alias("kept"),
+    )

@@ -8142,6 +8142,96 @@ FROM b
 
 
 # --------------------------------------------------------------------
+# B84 — quality-aware near-dup cluster collapse (new r7)
+# --------------------------------------------------------------------
+
+def q169_cluster_best_rep(spark, sf_dir):
+    """B84 (new r7): quality-aware cluster collapse
+    (`dedup.dedup_representatives_best`): q68's n-gram-Jaccard
+    components, but every cluster keeps its highest-quality doc
+    (q33's pre-rounded heuristic, id tiebreak) instead of the
+    smallest id — per-doc (component, score, kept) accounting, so
+    downstream sees every drop decision. Oracle derives the same
+    winners from the recursive-CTE transitive closure."""
+    from .operators.dedup import (
+        dedup_representatives_best,
+        ngram_jaccard_near_dups,
+    )
+    from .operators.text import quality_score
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_near_dups(d, n=3, threshold=0.08)
+    scored = d.select("doc_id", quality_score("text").alias("qscore"))
+    return dedup_representatives_best(scored, pairs, "qscore")
+
+
+Q169_SQL = r"""
+WITH RECURSIVE words AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                           i -> i <= LEN(w) - 3 + 1),
+               i -> ARRAY_TO_STRING(w[i:i+2], ' '))) AS g
+    FROM words
+), sizes AS (
+    SELECT doc_id, LEN(g) AS n FROM grams WHERE LEN(g) > 0
+), inv AS (
+    SELECT doc_id, UNNEST(g) AS gram FROM grams WHERE LEN(g) > 0
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), edges0 AS (
+    SELECT id_a, id_b
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.n + sb.n - inter) >= 0.08
+), edges AS (
+    SELECT id_a AS a, id_b AS b FROM edges0
+    UNION
+    SELECT id_b, id_a FROM edges0
+), reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), labels AS (
+    SELECT a AS node, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+), stats AS (
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')) AS n_words,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]')) AS n_alpha,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|and|of|to|is)\b'))
+               AS stop_hits
+    FROM documents
+), q AS (
+    SELECT doc_id,
+           ROUND(
+             0.35 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars
+                          ELSE 0.0 END)
+           + 0.25 * (CASE WHEN stop_hits > 0 THEN 1.0 ELSE 0.0 END)
+           + 0.4 * (CASE WHEN n_words > 0
+                          AND n_chars / n_words >= 3
+                          AND n_chars / n_words <= 12
+                     THEN 1.0 ELSE 0.0 END), 6) AS qscore
+    FROM stats
+), lab AS (
+    SELECT q.doc_id, COALESCE(l.component, q.doc_id) AS component, qscore
+    FROM q LEFT JOIN labels l ON q.doc_id = l.node
+)
+SELECT doc_id, component, qscore,
+       ROW_NUMBER() OVER (PARTITION BY component
+                          ORDER BY qscore DESC, doc_id) = 1 AS kept
+FROM lab
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -8184,6 +8274,7 @@ QUERIES: dict[str, tuple] = {
     "q166_kmeans_step": (q166_kmeans_step, Q166_SQL),
     "q167_heldout_lm_score": (q167_heldout_lm_score, Q167_SQL),
     "q168_curriculum_order": (q168_curriculum_order, Q168_SQL),
+    "q169_cluster_best_rep": (q169_cluster_best_rep, Q169_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -8200,8 +8291,8 @@ QUERIES: dict[str, tuple] = {
     "q95_stream_range_join": (q95_stream_range_join, Q88_SQL),
     "q40_approx_distinct": (q40_approx_distinct, Q40_SQL),
     "q41_crypto_hashes": (q41_crypto_hashes, _q41_oracle_sql),
-    # --- part (4) fill: the oldest r4 rows (q98-q119; q120-q124
-    # --- displaced below the line by the five new B79-B83 rows).
+    # --- part (4) fill: the oldest r4 rows (q98-q118; q119-q124
+    # --- displaced below the line by the six new B79-B84 rows).
     "q98_epoch_shuffle": (q98_epoch_shuffle, Q98_SQL),
     "q99_video_frame_sample": (q99_video_frame_sample, Q99_SQL),
     "q100_bpe_pair_stats": (q100_bpe_pair_stats, Q100_SQL),
@@ -8223,11 +8314,11 @@ QUERIES: dict[str, tuple] = {
     "q116_triangle_count": (q116_triangle_count, Q116_SQL),
     "q117_bfs_distance": (q117_bfs_distance, Q117_SQL),
     "q118_boilerplate_removal": (q118_boilerplate_removal, Q118_SQL),
-    "q119_weighted_sample": (q119_weighted_sample, Q119_SQL),
     # ---------------- end of the 50-row driver window ----------------
-    # --- next in line for the r8 rotation: q120-q124 (displaced by
-    # --- the new B79-B83 rows), q125-q139, then the rotated-out
+    # --- next in line for the r8 rotation: q119-q124 (displaced by
+    # --- the new B79-B84 rows), q125-q139, then the rotated-out
     # --- r6-window rows (freshest last).
+    "q119_weighted_sample": (q119_weighted_sample, Q119_SQL),
     "q120_intra_doc_dedup": (q120_intra_doc_dedup, Q120_SQL),
     "q121_snapshot_diff": (q121_snapshot_diff, Q121_SQL),
     "q122_token_share": (q122_token_share, Q122_SQL),

@@ -1,8 +1,9 @@
-"""Round-7 new operators (SURVEY B79-B83): concat-and-chunk sequence
+"""Round-7 new operators (SURVEY B79-B84): concat-and-chunk sequence
 packing, reciprocal-rank fusion, the distributed k-means Lloyd step,
-the held-out smoothed bigram-LM filter, and curriculum ordering.
-Semantics pinned on tiny hand-checkable inputs; engine parity is
-covered by the oracle gate (q164-q168 in tools/check_oracle.py)."""
+the held-out smoothed bigram-LM filter, curriculum ordering, and
+quality-aware cluster collapse. Semantics pinned on tiny
+hand-checkable inputs; engine parity is covered by the oracle gate
+(q164-q169 in tools/check_oracle.py)."""
 
 from __future__ import annotations
 
@@ -193,3 +194,27 @@ def test_curriculum_order_constant_scores_survive_dust(spark):
     )
     out = curriculum_order(df, num_shards=2).collect()
     assert {r.bin for r in out} == {5}
+
+
+def test_dedup_representatives_best_keeps_highest_score(spark):
+    from catenae_stopover_spark.operators.dedup import (
+        dedup_representatives_best,
+    )
+
+    scored = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (7, 0.5)],
+        "doc_id long, qscore double",
+    )
+    # Cluster {1,2,3} (chain), singleton 7.
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup_representatives_best(scored, pairs, "qscore").collect()
+    }
+    assert {r.component for r in out.values()} == {1, 7}
+    # Highest score wins; the 0.9-0.9 tie breaks to the smaller id.
+    assert out[2].kept and not out[3].kept and not out[1].kept
+    # Singleton is its own component and always kept.
+    assert out[7].component == 7 and out[7].kept
