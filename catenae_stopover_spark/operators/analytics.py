@@ -471,3 +471,69 @@ def ks_statistic(
     ).localCheckpoint()
     counts.unpersist()
     return out
+
+
+def markov_sequence_score(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Markov-chain event-sequence scoring — the behavioral analogue
+    of the bigram LM quality filter: train the MLE first-order
+    transition model P(next_type | type) over every user's
+    chronological event stream, then score each user by the mean log
+    probability of their own transitions. Low scores flag users whose
+    journeys are globally unusual (fraud / bot / broken-instrumentation
+    shapes that per-event rules can't see).
+
+    One corpus scan: transitions come from a single lag/lead window
+    per user (ties on ``ts_col`` broken by ``tiebreak_col`` so the
+    sequence is engine-deterministic); the per-(user, from, to)
+    transition-frequency table is persisted because it feeds the
+    numerator aggregate, the denominator aggregate AND the scoring
+    join (Spark does not reuse exchanges across branches — the
+    multi-consumer-recompute cliff). The model is |distinct type|²
+    -bounded — tiny — and joins back on the same (from, to) keys the
+    aggregate produced. Self-trained MLE needs no smoothing: every
+    scored transition was observed.
+
+    Returns per user: (user_col, n_transitions, avg_logprob) with the
+    ROUND + 0.0 fold (the -0.0 FP-dust oracle channel).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    tr = (
+        df.select(
+            F.col(user_col),
+            F.col(type_col).alias("__from"),
+            F.lead(type_col).over(w).alias("__to"),
+        )
+        .filter(F.col("__to").isNotNull())
+    )
+    tf = (
+        tr.groupBy(user_col, "__from", "__to")
+        .agg(F.count("*").alias("__tf"))
+        .persist()
+    )
+    c2 = tf.groupBy("__from", "__to").agg(F.sum("__tf").alias("__c2"))
+    c1 = tf.groupBy("__from").agg(F.sum("__tf").alias("__c1"))
+    return (
+        tf.join(F.broadcast(c2), ["__from", "__to"])
+        .join(F.broadcast(c1), "__from")
+        .groupBy(user_col)
+        .agg(
+            F.sum("__tf").cast("bigint").alias("n_transitions"),
+            (
+                F.round(
+                    F.sum(
+                        F.col("__tf") * F.log(F.col("__c2") / F.col("__c1"))
+                    )
+                    / F.sum("__tf"),
+                    round_to,
+                )
+                + F.lit(0.0)
+            ).alias("avg_logprob"),
+        )
+    )

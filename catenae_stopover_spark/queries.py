@@ -8232,6 +8232,48 @@ FROM lab
 
 
 # --------------------------------------------------------------------
+# B85 — Markov event-sequence scoring (new r7)
+# --------------------------------------------------------------------
+
+def q170_markov_sequence(spark, sf_dir):
+    """B85 (new r7): Markov-chain behavioral scoring
+    (`analytics.markov_sequence_score`): MLE first-order transition
+    model over every user's chronological event stream (lead window,
+    ts + event_id tiebreak), each user scored by the mean log
+    probability of their own transitions — the bigram-LM filter shape
+    on event sequences. Persisted per-(user,from,to) tf table feeds
+    numerator, denominator and scoring join; the |types|^2 model
+    broadcasts."""
+    from .operators.analytics import markov_sequence_score
+
+    return markov_sequence_score(_t(spark, sf_dir, "events"))
+
+
+Q170_SQL = """
+WITH tr AS (
+    SELECT user_id, event_type AS f,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS t
+    FROM events
+), tr2 AS (
+    SELECT * FROM tr WHERE t IS NOT NULL
+), tf AS (
+    SELECT user_id, f, t, COUNT(*) AS tf FROM tr2 GROUP BY user_id, f, t
+), c2 AS (
+    SELECT f, t, CAST(SUM(tf) AS DOUBLE) AS c2 FROM tf GROUP BY f, t
+), c1 AS (
+    SELECT f, CAST(SUM(tf) AS DOUBLE) AS c1 FROM tf GROUP BY f
+)
+SELECT tf.user_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_transitions,
+       ROUND(SUM(tf.tf * LN(c2.c2 / c1.c1)) / SUM(tf.tf), 6) + 0.0
+           AS avg_logprob
+FROM tf JOIN c2 USING (f, t) JOIN c1 USING (f)
+GROUP BY tf.user_id
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -8275,6 +8317,7 @@ QUERIES: dict[str, tuple] = {
     "q167_heldout_lm_score": (q167_heldout_lm_score, Q167_SQL),
     "q168_curriculum_order": (q168_curriculum_order, Q168_SQL),
     "q169_cluster_best_rep": (q169_cluster_best_rep, Q169_SQL),
+    "q170_markov_sequence": (q170_markov_sequence, Q170_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -8291,8 +8334,8 @@ QUERIES: dict[str, tuple] = {
     "q95_stream_range_join": (q95_stream_range_join, Q88_SQL),
     "q40_approx_distinct": (q40_approx_distinct, Q40_SQL),
     "q41_crypto_hashes": (q41_crypto_hashes, _q41_oracle_sql),
-    # --- part (4) fill: the oldest r4 rows (q98-q118; q119-q124
-    # --- displaced below the line by the six new B79-B84 rows).
+    # --- part (4) fill: the oldest r4 rows (q98-q117; q118-q124
+    # --- displaced below the line by the seven new B79-B85 rows).
     "q98_epoch_shuffle": (q98_epoch_shuffle, Q98_SQL),
     "q99_video_frame_sample": (q99_video_frame_sample, Q99_SQL),
     "q100_bpe_pair_stats": (q100_bpe_pair_stats, Q100_SQL),
@@ -8313,11 +8356,11 @@ QUERIES: dict[str, tuple] = {
     "q115_winsorized_stats": (q115_winsorized_stats, Q115_SQL),
     "q116_triangle_count": (q116_triangle_count, Q116_SQL),
     "q117_bfs_distance": (q117_bfs_distance, Q117_SQL),
-    "q118_boilerplate_removal": (q118_boilerplate_removal, Q118_SQL),
     # ---------------- end of the 50-row driver window ----------------
-    # --- next in line for the r8 rotation: q119-q124 (displaced by
-    # --- the new B79-B84 rows), q125-q139, then the rotated-out
+    # --- next in line for the r8 rotation: q118-q124 (displaced by
+    # --- the new B79-B85 rows), q125-q139, then the rotated-out
     # --- r6-window rows (freshest last).
+    "q118_boilerplate_removal": (q118_boilerplate_removal, Q118_SQL),
     "q119_weighted_sample": (q119_weighted_sample, Q119_SQL),
     "q120_intra_doc_dedup": (q120_intra_doc_dedup, Q120_SQL),
     "q121_snapshot_diff": (q121_snapshot_diff, Q121_SQL),

@@ -1,9 +1,9 @@
-"""Round-7 new operators (SURVEY B79-B84): concat-and-chunk sequence
+"""Round-7 new operators (SURVEY B79-B85): concat-and-chunk sequence
 packing, reciprocal-rank fusion, the distributed k-means Lloyd step,
-the held-out smoothed bigram-LM filter, curriculum ordering, and
-quality-aware cluster collapse. Semantics pinned on tiny
-hand-checkable inputs; engine parity is covered by the oracle gate
-(q164-q169 in tools/check_oracle.py)."""
+the held-out smoothed bigram-LM filter, curriculum ordering,
+quality-aware cluster collapse, and Markov event-sequence scoring.
+Semantics pinned on tiny hand-checkable inputs; engine parity is
+covered by the oracle gate (q164-q170 in tools/check_oracle.py)."""
 
 from __future__ import annotations
 
@@ -218,3 +218,52 @@ def test_dedup_representatives_best_keeps_highest_score(spark):
     assert out[2].kept and not out[3].kept and not out[1].kept
     # Singleton is its own component and always kept.
     assert out[7].component == 7 and out[7].kept
+
+
+def test_markov_sequence_score_hand_computed(spark):
+    from datetime import datetime
+
+    from catenae_stopover_spark.operators.analytics import (
+        markov_sequence_score,
+    )
+
+    ts = lambda m: datetime(2026, 1, 1, 0, m)  # noqa: E731
+    # User 1: A B A B  -> transitions AB, BA, AB.
+    # User 2: A C      -> transition AC.
+    rows = [
+        (1, 1, ts(0), "A"), (2, 1, ts(1), "B"),
+        (3, 1, ts(2), "A"), (4, 1, ts(3), "B"),
+        (5, 2, ts(0), "A"), (6, 2, ts(1), "C"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {r.user_id: r for r in markov_sequence_score(df).collect()}
+    # Model: c(A,*)=3, c(A,B)=2, c(A,C)=1, c(B,*)=1, c(B,A)=1.
+    u1 = (2 * math.log(2 / 3) + 1 * math.log(1 / 1)) / 3
+    u2 = math.log(1 / 3)
+    assert out[1].n_transitions == 3
+    assert out[1].avg_logprob == pytest.approx(round(u1, 6), abs=1e-9)
+    assert out[2].n_transitions == 1
+    assert out[2].avg_logprob == pytest.approx(round(u2, 6), abs=1e-9)
+
+
+def test_markov_sequence_tiebreak_is_event_id(spark):
+    from datetime import datetime
+
+    from catenae_stopover_spark.operators.analytics import (
+        markov_sequence_score,
+    )
+
+    t0 = datetime(2026, 1, 1)
+    # Same timestamp: order is event_id 1 -> 2 (A -> B), never B -> A.
+    df = spark.createDataFrame(
+        [(1, 9, t0, "A"), (2, 9, t0, "B")],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+    out = markov_sequence_score(df).collect()
+    assert len(out) == 1 and out[0].n_transitions == 1
+    # Only transition is A->B with P=1 -> avg_logprob == 0.0 exactly
+    # (the +0.0 fold keeps the sign positive).
+    assert out[0].avg_logprob == 0.0
+    assert str(out[0].avg_logprob) == "0.0"
