@@ -122,6 +122,13 @@ BENCH = {
     # embedding-similarity family's candidate-generation + Arrow-scored
     # representative — driver-visible per the r5/r6 verdict ask.
     "q13_knn_graph": "q160_knn_graph",
+    # concat-and-chunk sequence packing report (one scan, one shuffle,
+    # per-shard cumsum + bounded chunk explode): the r7 training-data
+    # layout representative.
+    "q14_seq_packing": "q164_sequence_packing",
+    # MLE Markov transition scoring over 1M user events (lead window +
+    # persisted tf + broadcast model): the r7 behavioral representative.
+    "q15_markov": "q170_markov_sequence",
 }
 
 # DuckDB comparison SQL for bench entries whose registry oracle is None

@@ -898,7 +898,9 @@ def kmeans_step(
     (squared L2), then recompute per-cluster means and report, per
     cluster, ``(cid, size, inertia, shift)`` where ``shift`` is the
     L2 distance the centroid moved — the convergence measure an
-    iterative driver loop tests. `train_spherical_kmeans` fits small
+    iterative driver loop tests. A centroid that wins no vectors is
+    ABSENT from the output (standard empty-cluster signal: the driver
+    loop re-seeds or drops it), identically in the oracle. `train_spherical_kmeans` fits small
     sampled models driver-side; THIS is the shape a full-corpus
     refinement pass takes at 100 TB.
 

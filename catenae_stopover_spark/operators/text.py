@@ -2016,6 +2016,7 @@ def heldout_bigram_nll(
     train_lt: int = 8,
     k_smooth: float = 0.5,
     round_to: int = 6,
+    keep_floor: float = -9.0,
 ) -> DataFrame:
     """Held-out smoothed bigram-LM scoring — the CCNet-style LM
     quality filter shape that `bigram_logprob` (self-trained MLE)
@@ -2034,8 +2035,10 @@ def heldout_bigram_nll(
     travels as a broadcast 1-row aggregate. Left joins keep every
     held-out bigram (missing count -> 0), mirroring COALESCE in the
     oracle. Returns per held-out doc: (id, n_bigrams, avg_nll, kept)
-    where kept = avg_nll above the literal floor — the filter
-    decision a curation pipeline consumes.
+    where kept = avg_nll above ``keep_floor`` — the filter decision a
+    curation pipeline consumes (calibrate the floor on a scored
+    sample; the default is a permissive prior for ~uniform-ish small
+    vocabularies).
 
     ``+ 0.0`` fold on the rounded mean closes the -0.0 FP-dust
     oracle-parity channel (the r6 q155 escape).
@@ -2086,7 +2089,7 @@ def heldout_bigram_nll(
         id_col,
         "n_bigrams",
         "avg_nll",
-        (F.col("avg_nll") > F.lit(-9.0)).alias("kept"),
+        (F.col("avg_nll") > F.lit(keep_floor)).alias("kept"),
     )
 
 
