@@ -998,3 +998,75 @@ def kmeans_step(
             ).alias("shift"),
         )
     )
+
+
+def source_centroid_purity(
+    vecs: DataFrame,
+    meta: DataFrame,
+    group_col: str = "source",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    meta_id_col: str = "doc_id",
+    outlier_below: float = 0.0,
+) -> DataFrame:
+    """Topic-purity scoring: every vector's cosine to its OWN group's
+    mean embedding — the off-topic detector a source-curated corpus
+    runs (a crawl bucket whose docs don't resemble the bucket's
+    centroid is mislabeled or spam). Returns (id, group,
+    cos_centroid, is_outlier) with ``is_outlier = cos <
+    outlier_below``.
+
+    One plan, two corpus x d passes over the SAME posexploded view:
+    the per-(group, dim) centroid aggregate, then a (group, dim)
+    equi-join back for the dot/norm aggregate per doc — both shuffles
+    on keys the data already produced; the centroid table is
+    |groups| x d and broadcasts. No driver-side centroid collect, no
+    k x corpus crossJoin.
+
+    Cross-engine determinism: centroid components are ROUND+0.0-folded
+    before the dot product (the -0.0 dust channel), and the final
+    cosine is rounded — the oracle replays the identical arithmetic.
+    A group's own norm can't be zero unless every vector is zero;
+    zero vectors get cosine NULL in both engines (0/0), kept visible
+    rather than silently dropped.
+    """
+    labeled = vecs.join(
+        meta.select(
+            F.col(meta_id_col).alias(id_col), F.col(group_col)
+        ),
+        id_col,
+    )
+    ex = labeled.select(
+        id_col,
+        group_col,
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "pos", "val"
+        ),
+    )
+    cent = ex.groupBy(group_col, "pos").agg(
+        (F.round(F.avg("val"), 6) + F.lit(0.0)).alias("__c")
+    )
+    dots = (
+        ex.join(F.broadcast(cent), [group_col, "pos"])
+        .groupBy(id_col, group_col)
+        .agg(
+            F.sum(F.col("val") * F.col("__c")).alias("__dot"),
+            F.sum(F.col("val") * F.col("val")).alias("__n2v"),
+            F.sum(F.col("__c") * F.col("__c")).alias("__n2c"),
+        )
+    )
+    # the + 0.0 fold: a near-orthogonal doc's dot is dust-scale and
+    # rounds to SIGNED zero differently across engines (the q155
+    # channel); folding costs nothing and keeps the byte-hash stable
+    cos = (
+        F.round(
+            F.col("__dot") / F.sqrt(F.col("__n2v") * F.col("__n2c")), 6
+        )
+        + F.lit(0.0)
+    )
+    return dots.select(
+        id_col,
+        group_col,
+        cos.alias("cos_centroid"),
+        (cos < F.lit(outlier_below)).alias("is_outlier"),
+    )

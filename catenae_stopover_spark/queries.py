@@ -8274,6 +8274,53 @@ GROUP BY tf.user_id
 
 
 # --------------------------------------------------------------------
+# B86 — per-source embedding-centroid purity (new r7)
+# --------------------------------------------------------------------
+
+def q171_source_purity(spark, sf_dir):
+    """B86 (new r7): topic-purity scoring
+    (`similarity.source_centroid_purity`): every embedding's cosine to
+    its OWN source's mean vector — the off-topic/mislabel detector a
+    source-bucketed crawl runs. Centroids aggregate per (source, dim)
+    off one posexploded view and broadcast back onto the same view
+    for the dot/norm aggregate; centroid components and the cosine
+    are ROUND+0.0-folded (a near-orthogonal doc's dot is signed-zero
+    dust)."""
+    from .operators.similarity import source_centroid_purity
+
+    e = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents")
+    return source_centroid_purity(e, d)
+
+
+Q171_SQL = """
+WITH lab AS (
+    SELECT e.vec_id, d.source, e.embedding::DOUBLE[] AS v
+    FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+), ex AS (
+    SELECT vec_id, source, i - 1 AS pos, v[i] AS val
+    FROM lab, UNNEST(GENERATE_SERIES(1, LEN(v))) t(i)
+), cent AS (
+    SELECT source, pos, ROUND(AVG(val), 6) + 0.0 AS c
+    FROM ex GROUP BY source, pos
+), dots AS (
+    SELECT vec_id, ex.source AS source,
+           SUM(val * c) AS dot,
+           SUM(val * val) AS n2v,
+           SUM(c * c) AS n2c
+    FROM ex JOIN cent ON ex.source = cent.source AND ex.pos = cent.pos
+    GROUP BY vec_id, ex.source
+), scored AS (
+    SELECT vec_id, source,
+           ROUND(dot / SQRT(n2v * n2c), 6) + 0.0 AS cos_centroid
+    FROM dots
+)
+SELECT vec_id, source, cos_centroid, cos_centroid < 0.0 AS is_outlier
+FROM scored
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -8318,6 +8365,7 @@ QUERIES: dict[str, tuple] = {
     "q168_curriculum_order": (q168_curriculum_order, Q168_SQL),
     "q169_cluster_best_rep": (q169_cluster_best_rep, Q169_SQL),
     "q170_markov_sequence": (q170_markov_sequence, Q170_SQL),
+    "q171_source_purity": (q171_source_purity, Q171_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -8334,8 +8382,8 @@ QUERIES: dict[str, tuple] = {
     "q95_stream_range_join": (q95_stream_range_join, Q88_SQL),
     "q40_approx_distinct": (q40_approx_distinct, Q40_SQL),
     "q41_crypto_hashes": (q41_crypto_hashes, _q41_oracle_sql),
-    # --- part (4) fill: the oldest r4 rows (q98-q117; q118-q124
-    # --- displaced below the line by the seven new B79-B85 rows).
+    # --- part (4) fill: the oldest r4 rows (q98-q116; q117-q124
+    # --- displaced below the line by the eight new B79-B86 rows).
     "q98_epoch_shuffle": (q98_epoch_shuffle, Q98_SQL),
     "q99_video_frame_sample": (q99_video_frame_sample, Q99_SQL),
     "q100_bpe_pair_stats": (q100_bpe_pair_stats, Q100_SQL),
@@ -8355,11 +8403,11 @@ QUERIES: dict[str, tuple] = {
     "q114_session_pattern": (q114_session_pattern, Q114_SQL),
     "q115_winsorized_stats": (q115_winsorized_stats, Q115_SQL),
     "q116_triangle_count": (q116_triangle_count, Q116_SQL),
-    "q117_bfs_distance": (q117_bfs_distance, Q117_SQL),
     # ---------------- end of the 50-row driver window ----------------
-    # --- next in line for the r8 rotation: q118-q124 (displaced by
-    # --- the new B79-B85 rows), q125-q139, then the rotated-out
+    # --- next in line for the r8 rotation: q117-q124 (displaced by
+    # --- the new B79-B86 rows), q125-q139, then the rotated-out
     # --- r6-window rows (freshest last).
+    "q117_bfs_distance": (q117_bfs_distance, Q117_SQL),
     "q118_boilerplate_removal": (q118_boilerplate_removal, Q118_SQL),
     "q119_weighted_sample": (q119_weighted_sample, Q119_SQL),
     "q120_intra_doc_dedup": (q120_intra_doc_dedup, Q120_SQL),

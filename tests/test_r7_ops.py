@@ -1,9 +1,10 @@
-"""Round-7 new operators (SURVEY B79-B85): concat-and-chunk sequence
+"""Round-7 new operators (SURVEY B79-B86): concat-and-chunk sequence
 packing, reciprocal-rank fusion, the distributed k-means Lloyd step,
 the held-out smoothed bigram-LM filter, curriculum ordering,
-quality-aware cluster collapse, and Markov event-sequence scoring.
-Semantics pinned on tiny hand-checkable inputs; engine parity is
-covered by the oracle gate (q164-q170 in tools/check_oracle.py)."""
+quality-aware cluster collapse, Markov event-sequence scoring, and
+per-source embedding-centroid purity. Semantics pinned on tiny
+hand-checkable inputs; engine parity is covered by the oracle gate
+(q164-q171 in tools/check_oracle.py)."""
 
 from __future__ import annotations
 
@@ -267,3 +268,34 @@ def test_markov_sequence_tiebreak_is_event_id(spark):
     # (the +0.0 fold keeps the sign positive).
     assert out[0].avg_logprob == 0.0
     assert str(out[0].avg_logprob) == "0.0"
+
+
+def test_source_centroid_purity_flags_off_topic(spark):
+    from catenae_stopover_spark.operators.similarity import (
+        source_centroid_purity,
+    )
+
+    # Source s: three vectors near +x, one pointing -x (off-topic).
+    vecs = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.1]),
+            (3, [1.0, -0.1]),
+            (4, [-1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    meta = spark.createDataFrame(
+        [(1, "s"), (2, "s"), (3, "s"), (4, "s")],
+        "doc_id long, source string",
+    )
+    out = {
+        r.vec_id: r for r in source_centroid_purity(vecs, meta).collect()
+    }
+    assert len(out) == 4
+    # Centroid ~ (0.5, 0): aligned vectors score high, the flipped one
+    # scores negative and is the only outlier.
+    assert out[1].cos_centroid > 0.9
+    assert out[4].cos_centroid < 0
+    assert out[4].is_outlier
+    assert not any(out[i].is_outlier for i in (1, 2, 3))
