@@ -533,3 +533,52 @@ def validate(
     return wide.select(stacked.alias("__r")).select(
         "__r.rule", "__r.n_violations"
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_k: int = 10,
+    target_partitions: int = 32,
+) -> DataFrame:
+    """Join/shuffle-key skew diagnostics — the planning report a 100 TB
+    join runs BEFORE picking a strategy: per-key row counts for the
+    ``top_k`` heaviest keys, each key's corpus share (ppm, integer),
+    and the salt factor that would spread that key across partitions
+    of ~average size (``ceil(key_rows / ceil(total/target_partitions))``
+    — 1 means no salting needed). Feeds the salted-join/AQE decision
+    the q57/q58 operators implement; NULL keys count as a real key
+    (they hash to one partition like any other — the classic silent
+    hot key).
+
+    One groupBy(key) aggregate + a distributed top-k (orderBy+limit =
+    TakeOrdered, no global sort materialization); totals ride a
+    broadcast 1-row aggregate. All integer arithmetic — the oracle
+    mirror is byte-exact.
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count("*").alias("n_rows")
+    )
+    totals = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.count("*").alias("__distinct_keys"),
+    )
+    # integer DIV end-to-end: Spark's double->bigint cast TRUNCATES
+    # while DuckDB's ROUNDS, so any float division here would
+    # hash-mismatch on the boundary — DIV is byte-exact in both
+    p = target_partitions
+    return (
+        counts.join(F.broadcast(totals))
+        .select(
+            F.col("key").cast("string").alias("key"),
+            "n_rows",
+            F.expr("(n_rows * 1000000) DIV __total").alias("share_ppm"),
+            F.expr(
+                f"(n_rows + ((__total + {p - 1}) DIV {p}) - 1) "
+                f"DIV ((__total + {p - 1}) DIV {p})"
+            ).alias("salt_factor"),
+            F.col("__distinct_keys").alias("distinct_keys"),
+        )
+        .orderBy(F.col("n_rows").desc(), "key")
+        .limit(top_k)
+    )

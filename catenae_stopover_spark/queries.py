@@ -8321,6 +8321,43 @@ FROM scored
 
 
 # --------------------------------------------------------------------
+# B87 — shuffle-key skew diagnostics (new r7)
+# --------------------------------------------------------------------
+
+def q172_skew_report(spark, sf_dir):
+    """B87 (new r7): join/shuffle-key skew diagnostics
+    (`relational.skew_report`): top-10 heaviest event_type keys with
+    integer corpus share (ppm) and the salt factor that spreads each
+    across ~average-sized partitions — the planning report feeding
+    the q57/q58 salted-join decision. One aggregate + TakeOrdered;
+    totals broadcast; all-integer DIV arithmetic (Spark's
+    double->bigint cast truncates, DuckDB's rounds — float division
+    here would be a boundary hash channel)."""
+    from .operators.relational import skew_report
+
+    return skew_report(_t(spark, sf_dir, "events"), "event_type")
+
+
+Q172_SQL = """
+WITH counts AS (
+    SELECT CAST(event_type AS VARCHAR) AS key, COUNT(*) AS n_rows
+    FROM events GROUP BY event_type
+), totals AS (
+    SELECT SUM(n_rows) AS total, COUNT(*) AS distinct_keys FROM counts
+)
+SELECT key,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST((n_rows * 1000000) // total AS BIGINT) AS share_ppm,
+       CAST((n_rows + ((total + 31) // 32) - 1)
+            // ((total + 31) // 32) AS BIGINT) AS salt_factor,
+       CAST(distinct_keys AS BIGINT) AS distinct_keys
+FROM counts, totals
+ORDER BY n_rows DESC, key
+LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -8366,6 +8403,7 @@ QUERIES: dict[str, tuple] = {
     "q169_cluster_best_rep": (q169_cluster_best_rep, Q169_SQL),
     "q170_markov_sequence": (q170_markov_sequence, Q170_SQL),
     "q171_source_purity": (q171_source_purity, Q171_SQL),
+    "q172_skew_report": (q172_skew_report, Q172_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -8382,8 +8420,8 @@ QUERIES: dict[str, tuple] = {
     "q95_stream_range_join": (q95_stream_range_join, Q88_SQL),
     "q40_approx_distinct": (q40_approx_distinct, Q40_SQL),
     "q41_crypto_hashes": (q41_crypto_hashes, _q41_oracle_sql),
-    # --- part (4) fill: the oldest r4 rows (q98-q116; q117-q124
-    # --- displaced below the line by the eight new B79-B86 rows).
+    # --- part (4) fill: the oldest r4 rows (q98-q115; q116-q124
+    # --- displaced below the line by the nine new B79-B87 rows).
     "q98_epoch_shuffle": (q98_epoch_shuffle, Q98_SQL),
     "q99_video_frame_sample": (q99_video_frame_sample, Q99_SQL),
     "q100_bpe_pair_stats": (q100_bpe_pair_stats, Q100_SQL),
@@ -8402,11 +8440,11 @@ QUERIES: dict[str, tuple] = {
     "q113_cohort_retention": (q113_cohort_retention, Q113_SQL),
     "q114_session_pattern": (q114_session_pattern, Q114_SQL),
     "q115_winsorized_stats": (q115_winsorized_stats, Q115_SQL),
-    "q116_triangle_count": (q116_triangle_count, Q116_SQL),
     # ---------------- end of the 50-row driver window ----------------
-    # --- next in line for the r8 rotation: q117-q124 (displaced by
-    # --- the new B79-B86 rows), q125-q139, then the rotated-out
+    # --- next in line for the r8 rotation: q116-q124 (displaced by
+    # --- the new B79-B87 rows), q125-q139, then the rotated-out
     # --- r6-window rows (freshest last).
+    "q116_triangle_count": (q116_triangle_count, Q116_SQL),
     "q117_bfs_distance": (q117_bfs_distance, Q117_SQL),
     "q118_boilerplate_removal": (q118_boilerplate_removal, Q118_SQL),
     "q119_weighted_sample": (q119_weighted_sample, Q119_SQL),

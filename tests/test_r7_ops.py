@@ -1,10 +1,11 @@
-"""Round-7 new operators (SURVEY B79-B86): concat-and-chunk sequence
+"""Round-7 new operators (SURVEY B79-B87): concat-and-chunk sequence
 packing, reciprocal-rank fusion, the distributed k-means Lloyd step,
 the held-out smoothed bigram-LM filter, curriculum ordering,
-quality-aware cluster collapse, Markov event-sequence scoring, and
-per-source embedding-centroid purity. Semantics pinned on tiny
-hand-checkable inputs; engine parity is covered by the oracle gate
-(q164-q171 in tools/check_oracle.py)."""
+quality-aware cluster collapse, Markov event-sequence scoring,
+per-source embedding-centroid purity, and shuffle-key skew
+diagnostics. Semantics pinned on tiny hand-checkable inputs; engine
+parity is covered by the oracle gate (q164-q172 in
+tools/check_oracle.py)."""
 
 from __future__ import annotations
 
@@ -299,3 +300,23 @@ def test_source_centroid_purity_flags_off_topic(spark):
     assert out[4].cos_centroid < 0
     assert out[4].is_outlier
     assert not any(out[i].is_outlier for i in (1, 2, 3))
+
+
+def test_skew_report_counts_and_salt(spark):
+    from catenae_stopover_spark.operators.relational import skew_report
+
+    # 32 rows of key 'hot', 4 of 'warm', 1 of 'cold' + a NULL key.
+    rows = [("hot",)] * 32 + [("warm",)] * 4 + [("cold",)] + [(None,)]
+    df = spark.createDataFrame(rows, "k string")
+    out = {r.key: r for r in skew_report(df, "k", target_partitions=4).collect()}
+    # NULL keys are a real (hot-partition) key, reported as NULL->None.
+    assert set(out) == {"hot", "warm", "cold", None}
+    assert out["hot"].n_rows == 32
+    assert all(r.distinct_keys == 4 for r in out.values())
+    # total=38, per-part=ceil(38/4)=10 (integer DIV form: (38+3)//4=10)
+    # -> hot salt=ceil(32/10)=4, warm/cold/null salt=1.
+    assert out["hot"].salt_factor == 4
+    assert out["warm"].salt_factor == 1
+    assert out[None].salt_factor == 1
+    # integer ppm share: 32*1e6 DIV 38.
+    assert out["hot"].share_ppm == 32 * 1_000_000 // 38

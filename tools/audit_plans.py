@@ -71,6 +71,9 @@ ACCEPTED = {
     # corpus score moments as a broadcast 1-row scalar (q143's
     # pattern — the alternative to a global-sort ntile)
     "q168_curriculum_order": "broadcast of the 1-row score-moments scalar",
+    # total/distinct-keys totals as a broadcast 1-row scalar onto the
+    # |keys|-row count table
+    "q172_skew_report": "broadcast of the 1-row totals scalar",
     # quantile-threshold array + totals as broadcast 1-row scalars
     "q138_psi_drift": "broadcast 1-row quantile/total scalars",
     # sample totals as a broadcast 1-row scalar onto the distinct-value
