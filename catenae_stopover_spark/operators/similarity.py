@@ -959,9 +959,12 @@ def kmeans_step(
             )
 
     spark = df.sparkSession
+    # passthrough vector keeps its INPUT element type (float or
+    # double) — a hardcoded array<float> would corrupt double input
+    vec_type = df.schema[vec_col].dataType.simpleString()
     assigned = df.select(id_col, vec_col).mapInArrow(
         assign,
-        f"{id_col} long, cid int, d2 double, {vec_col} array<float>",
+        f"{id_col} long, cid int, d2 double, {vec_col} {vec_type}",
     )
     ex = assigned.select(
         "cid",

@@ -120,6 +120,29 @@ def test_kmeans_step_assignment_and_update(spark):
     assert out[1].shift == pytest.approx(1.0)
 
 
+def test_kmeans_step_accepts_double_vectors(spark):
+    from catenae_stopover_spark.operators.similarity import kmeans_step
+
+    # The vector passthrough must keep the INPUT element type: an
+    # array<double> column fed through a hardcoded array<float>
+    # return schema is an Arrow type mismatch / silent downcast.
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [2.0, 0.0]),
+            (2, [10.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r.cid: r
+        for r in kmeans_step(df, [[0.0, 0.0], [10.0, 0.0]]).collect()
+    }
+    assert out[0].size == 2 and out[1].size == 1
+    assert out[0].shift == pytest.approx(1.0)
+    assert out[1].shift == pytest.approx(0.0)
+
+
 def test_kmeans_step_tie_breaks_to_lowest_cid(spark):
     from catenae_stopover_spark.operators.similarity import kmeans_step
 
