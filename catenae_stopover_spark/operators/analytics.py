@@ -537,3 +537,62 @@ def markov_sequence_score(
             ).alias("avg_logprob"),
         )
     )
+
+
+def decayed_engagement(
+    events: DataFrame,
+    halflife_days: int = 7,
+    max_age_days: int = 60,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exponential time-decay engagement scoring: per user,
+    ``score = sum(value * 0.5^(age_days / halflife))`` with age
+    measured in whole days from the newest event in the corpus —
+    the recency-weighted activity metric behind churn models and
+    freshness-weighted sampling of user data.
+
+    FP portability (the reason this is not a one-line ``pow``): the
+    decay weights are QUANTIZED — computed once driver-side as
+    ``round(0.5**(d / halflife), 12)`` for ``d in 0..max_age_days``
+    and embedded as a literal array, so both engines multiply the
+    IDENTICAL doubles. A live ``pow(0.5, age/h)`` leaves the weight
+    at the mercy of each engine's libm (last-ulp divergence that a
+    post-sum round can land on a .5 boundary); a 61-entry literal
+    closes the channel the same way q42's literal LSH planes do.
+    Events older than ``max_age_days`` get weight 0 (explicit
+    truncation — at 100 TB you want the scan to PRUNE old partitions,
+    and a weight floor documents where pruning is safe).
+
+    Scale shape: one broadcast 1-row max-date scalar (documented
+    planning-scalar cross join), one codegen'd map (datediff +
+    element_at), ONE user-keyed aggregate. Returns
+    ``(user, n_events, n_live, score)``.
+    """
+    weights = [
+        round(0.5 ** (d / float(halflife_days)), 12)
+        for d in range(max_age_days + 1)
+    ]
+    maxd = events.agg(F.max(F.to_date(ts_col)).alias("__maxd"))
+    age = F.datediff(F.col("__maxd"), F.to_date(ts_col))
+    w = F.when(
+        age <= max_age_days,
+        F.element_at(
+            F.array(*[F.lit(x) for x in weights]), age + F.lit(1)
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        events.crossJoin(F.broadcast(maxd))
+        .select(
+            F.col(user_col),
+            (F.col(value_col) * w).alias("__wv"),
+            (w > 0).cast("int").alias("__live"),
+        )
+        .groupBy(user_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("__live").alias("n_live"),
+            (F.round(F.sum("__wv"), 6) + F.lit(0.0)).alias("score"),
+        )
+    )

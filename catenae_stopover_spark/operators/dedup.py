@@ -1839,3 +1839,44 @@ def dedup_representatives_best(
         score_col,
         (F.row_number().over(w) == 1).alias("kept"),
     )
+
+
+def soft_dedup_weights(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING near-duplicates, keep
+    every document and assign a training loss weight of
+    ``1 / cluster_size`` so each near-dup CLUSTER contributes one
+    document's worth of gradient (the soft-dedup alternative used
+    when hard dropping loses wanted diversity — e.g. boilerplate-
+    heavy but distinct documents). Unpaired docs form singleton
+    clusters with weight 1.0.
+
+    Returns per-doc ``(id, component, cluster_size, weight)`` —
+    weight pre-rounded (+0.0 fold; 1/3 is repeating-binary dust) so
+    a sampler or loss scaler on ANY engine replays the same numbers.
+
+    Scale shape: :func:`connected_components` O(diameter) rounds over
+    the near-dup edge list (tiny cliques/chains in practice), one
+    component-keyed count aggregate, one broadcast-or-shuffle join
+    back to the corpus. No per-pair work beyond the CC itself.
+    """
+    comp = connected_components(pairs, src_col, dst_col)
+    labeled = df.select(id_col).join(
+        comp.withColumnRenamed("node", id_col), id_col, "left"
+    ).withColumn("component", F.coalesce("component", F.col(id_col)))
+    sizes = labeled.groupBy("component").agg(
+        F.count("*").alias("cluster_size")
+    )
+    return labeled.join(sizes, "component").select(
+        id_col,
+        "component",
+        "cluster_size",
+        (
+            F.round(F.lit(1.0) / F.col("cluster_size"), 6) + F.lit(0.0)
+        ).alias("weight"),
+    )

@@ -1073,3 +1073,157 @@ def source_centroid_purity(
         cos.alias("cos_centroid"),
         (cos < F.lit(outlier_below)).alias("is_outlier"),
     )
+
+
+def portable_projection(out_dim: int, dim: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic Johnson-Lindenstrauss sign matrix, generated the
+    same way :func:`portable_hyperplanes` makes LSH planes portable:
+    entry (j, p) = +-1/sqrt(out_dim) by the parity of a sha2 hex
+    nibble of ``seed:j:p``. Any engine (and the oracle) can recompute
+    the identical matrix from (seed, out_dim, dim) — no RNG state to
+    ship. Rademacher entries satisfy the JL guarantee (Achlioptas
+    2003, database-friendly random projections)."""
+    import hashlib
+
+    s = 1.0 / (out_dim ** 0.5)
+    rows = []
+    for j in range(out_dim):
+        row = []
+        for p in range(dim):
+            h = hashlib.sha256(f"{seed}:{j}:{p}".encode()).hexdigest()
+            row.append(s if int(h[0], 16) % 2 == 0 else -s)
+        rows.append(row)
+    return rows
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 11,
+    round_to: int = 6,
+) -> DataFrame:
+    """Random-projection dimensionality reduction (JL transform): map
+    every d-dim embedding to ``out_dim`` dims with a literal
+    Rademacher matrix — the standard pre-ANN shrink at 100 TB (a 4x
+    narrower vector quarters every downstream shuffle, index, and
+    cache). Returns ``(id, proj, norm_ratio)`` where ``norm_ratio =
+    ||proj|| / ||v||`` is the per-vector JL distortion (the quantity
+    whose concentration around 1 the transform guarantees — a
+    monitoring column, not a gate).
+
+    Scale shape: the matrix is a (out_dim x d) LITERAL broadcast into
+    ONE zero-copy mapInArrow BLAS pass (`np.einsum`) — map-only, no
+    shuffle, no interpreted per-dim HOF (the measured 10x cliff on
+    d=64 HOF aggregates). Outputs are rounded with a ``+ 0.0`` fold
+    per element so the array hash-matches an engine that recomputes
+    the same literal matrix.
+    """
+    first = df.select(vec_col).first()
+    if first is None:
+        raise ValueError("random_projection: empty input")
+    d = len(first[0])
+    mat = portable_projection(out_dim, d, seed)
+
+    def project(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        r = np.asarray(mat, dtype=np.float64)  # (k, d)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            flat = np.asarray(b.column(vec_col).flatten(), dtype=np.float64)
+            if flat.size != b.num_rows * r.shape[1]:
+                raise ValueError(
+                    "ragged or null vectors: random_projection needs "
+                    "fixed-dim non-null input"
+                )
+            m = flat.reshape(b.num_rows, -1)
+            proj = m @ r.T  # (n, k)
+            n_in = np.sqrt(np.einsum("ij,ij->i", m, m))
+            n_out = np.sqrt(np.einsum("ij,ij->i", proj, proj))
+            ratio = np.round(
+                np.where(n_in > 0, n_out / np.maximum(n_in, 1e-300), 0.0),
+                round_to,
+            ) + 0.0
+            pr = np.round(proj, round_to) + 0.0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(id_col),
+                    pa.array(list(pr)),
+                    pa.array(ratio),
+                ],
+                [id_col, "proj", "norm_ratio"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        project,
+        f"{id_col} long, proj array<double>, norm_ratio double",
+    )
+
+
+def robust_dim_outliers(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    z_thresh: float = 3.5,
+    mad_floor: float = 1e-9,
+) -> DataFrame:
+    """Robust per-dimension outlier scoring: median/MAD (not
+    mean/stddev — one corrupt batch of garbage vectors drags a mean,
+    not a median) robust z-scores ``0.6745 * (v - med) / MAD`` per
+    dimension, then per vector the count of dimensions beyond
+    ``z_thresh`` and the max |z| — the embedding-sanity gate a corpus
+    runs before clustering/ANN (a dead dim, an all-zero batch, or an
+    unnormalized import shows up here first).
+
+    Determinism: Spark exact ``percentile(x, 0.5)`` and DuckDB
+    ``QUANTILE_CONT(0.5)`` share the (n-1)p linear-interpolation
+    definition bit-for-bit (the q36 parity fact); MAD gets an epsilon
+    floor (constant dims yield MAD 0 — the FP-dust lesson: guard the
+    ratio, don't trust exact zero); z is rounded before the threshold
+    compare so the flag replays across engines.
+
+    Scale shape: one posexplode feeding TWO d-bounded aggregates
+    (median pass, then MAD pass over the med-joined view — MAD is
+    two-pass by definition) and one per-vector re-aggregate; the
+    d-row med/MAD table broadcasts. Exploded rows shuffle corpus x d
+    twice — the honest cost of exact medians; at 100 TB swap
+    percentile for percentile_approx on the same plan.
+    """
+    ex = df.select(
+        id_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val")
+    )
+    med = ex.groupBy("pos").agg(
+        F.expr("percentile(val, 0.5)").alias("__med")
+    )
+    mad = (
+        ex.join(F.broadcast(med), "pos")
+        .groupBy("pos")
+        .agg(
+            F.expr("percentile(abs(val - __med), 0.5)").alias("__mad"),
+            F.first("__med").alias("__med2"),
+        )
+        .select("pos", F.col("__med2").alias("__med"), "__mad")
+    )
+    z = F.round(
+        0.6745
+        * (F.col("val") - F.col("__med"))
+        / F.greatest(F.col("__mad"), F.lit(mad_floor)),
+        6,
+    ) + F.lit(0.0)
+    return (
+        ex.join(F.broadcast(mad), "pos")
+        .select(id_col, z.alias("__z"))
+        .groupBy(id_col)
+        .agg(
+            F.sum((F.abs(F.col("__z")) > z_thresh).cast("int")).alias(
+                "n_outlier_dims"
+            ),
+            (F.round(F.max(F.abs(F.col("__z"))), 6) + F.lit(0.0)).alias(
+                "max_abs_z"
+            ),
+        )
+    )

@@ -2157,3 +2157,108 @@ def curriculum_order(
         .withColumn("pos", F.row_number().over(w) - 1)
         .select(id_col, "bin", "shard", "pos")
     )
+
+
+def shard_manifest(
+    df: DataFrame,
+    num_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 7,
+) -> DataFrame:
+    """Training-shard write plan + integrity manifest: assign every
+    document to one of ``num_shards`` output shards by a seeded
+    content-independent hash of its id, then report, per shard,
+    ``(shard, n_docs, n_chars, n_tokens, checksum)``. This is the
+    WRITE PATH of a 100 TB pipeline made auditable: the manifest is
+    what a downstream trainer validates before streaming a shard, and
+    the checksum is how two independent materializations of the same
+    release prove they wrote identical content without re-reading it.
+
+    Determinism/portability: shard = the engine-independent
+    `_hash_bucket` of the id (8-hex sha2 substring mod ``num_shards``
+    — xxhash64 would pin the manifest to Spark);
+    checksum = BIT_XOR of each doc's 60-bit content digest
+    (``sha2(seed:id:text)`` first 15 hex chars as int64). XOR is the
+    right aggregate for a content checksum at scale: order-insensitive
+    (shard contents arrive in shuffle order), overflow-free (SUM of
+    int64 hashes overflows; DuckDB silently widens to HUGEINT — the
+    measured cross-engine channel), and incremental (adding/removing
+    a doc toggles one term).
+
+    Scale shape: one map stage (hashing is codegen'd) + ONE shuffle of
+    ``num_shards`` groups. n_tokens uses the explicit-class whitespace
+    count (see :func:`token_count`) so the manifest replays in any
+    RE2-based engine.
+    """
+    digest = F.sha2(
+        F.concat_ws(
+            ":",
+            F.lit(str(seed)),
+            F.col(id_col).cast("string"),
+            F.coalesce(F.col(text_col), F.lit("\x00null\x00")),
+        ),
+        256,
+    )
+    content_h60 = F.conv(F.substring(digest, 1, 15), 16, 10).cast("bigint")
+    return (
+        df.select(
+            _hash_bucket(id_col, num_shards).cast("int").alias("shard"),
+            F.length(F.col(text_col)).alias("__chars"),
+            token_count(text_col).cast("bigint").alias("__toks"),
+            content_h60.alias("__h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("__chars").alias("n_chars"),
+            F.sum("__toks").alias("n_tokens"),
+            F.expr("bit_xor(__h)").alias("checksum"),
+        )
+    )
+
+
+def quality_percentile_by_source(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_top: float = 0.5,
+) -> DataFrame:
+    """Per-source quality calibration: rank every document by the
+    cheap quality heuristic WITHIN its source and keep the top
+    ``keep_top`` fraction of each source — the debiased form of a
+    global quality cut. A single global threshold silently deletes
+    whole sources whose score distribution sits lower (the classic
+    'filter kills the non-English web' failure); ranking per source
+    keeps the mixture while still dropping each source's worst tail.
+
+    Returns ``(id, source, quality, pct_rank, keep)`` with
+    ``keep = pct_rank >= 1 - keep_top``.
+
+    Determinism: quality is pre-rounded (:func:`quality_score`), the
+    rank order is (quality, id) — a total order, so PERCENT_RANK's
+    ``(rank-1)/(n-1)`` replays exactly in any engine; the rank value
+    is rounded with a ``+ 0.0`` fold.
+
+    Scale shape: one shuffle partitioned by source; per-source sorts
+    run in parallel (sources are the natural unit — no global sort).
+    A single giant source skews its partition: feed this the same
+    salt-diagnosis (`relational.skew_report`) any keyed shuffle gets,
+    or pre-split mega-sources upstream.
+    """
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("quality").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(source_col),
+            quality_score(text_col).alias("quality"),
+        )
+        .withColumn(
+            "pct_rank",
+            F.round(F.percent_rank().over(w), 6) + F.lit(0.0),
+        )
+        .withColumn("keep", F.col("pct_rank") >= F.lit(1.0 - keep_top))
+    )

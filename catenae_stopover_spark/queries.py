@@ -8358,6 +8358,304 @@ LIMIT 10
 
 
 # --------------------------------------------------------------------
+# B88 — training-shard manifest (new r7)
+# --------------------------------------------------------------------
+
+def q173_shard_manifest(spark, sf_dir):
+    """B88 (new r7): training-shard write plan + integrity manifest
+    (`text.shard_manifest`): deterministic sha2 shard assignment plus
+    per-shard doc/char/token counts and a BIT_XOR content checksum —
+    the auditable write path of a corpus release (XOR, not SUM:
+    order-insensitive, overflow-free across engines, incrementally
+    updatable). One codegen map + one 32-group shuffle."""
+    from .operators.text import shard_manifest
+
+    return shard_manifest(_t(spark, sf_dir, "documents"), num_shards=32)
+
+
+Q173_SQL = r"""
+WITH h AS (
+    SELECT ('0x' || SUBSTR(SHA256(doc_id::VARCHAR), 1, 8))::BIGINT % 32
+               AS shard,
+           LENGTH(text) AS nc,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')) AS nt,
+           ('0x' || SUBSTR(SHA256('7:' || doc_id::VARCHAR || ':' ||
+                COALESCE(text, CHR(0) || 'null' || CHR(0))), 1, 15))::BIGINT
+               AS h60
+    FROM documents
+)
+SELECT CAST(shard AS INTEGER) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nc) AS BIGINT) AS n_chars,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       BIT_XOR(h60) AS checksum
+FROM h GROUP BY shard
+"""
+
+
+# --------------------------------------------------------------------
+# B89 — per-source quality percentile calibration (new r7)
+# --------------------------------------------------------------------
+
+def q174_quality_percentile(spark, sf_dir):
+    """B89 (new r7): per-source quality calibration
+    (`text.quality_percentile_by_source`): PERCENT_RANK of the q33
+    quality heuristic WITHIN each source, keep the top half per
+    source — the debiased form of a global quality cut (a single
+    threshold silently deletes low-scoring sources wholesale). Total
+    (quality, id) order makes the rank engine-exact."""
+    from .operators.text import quality_percentile_by_source
+
+    return quality_percentile_by_source(
+        _t(spark, sf_dir, "documents"), keep_top=0.5
+    )
+
+
+Q174_SQL = r"""
+WITH stats AS (
+    SELECT doc_id, source,
+           LENGTH(text) AS n_chars,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')) AS n_words,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]')) AS n_alpha,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|and|of|to|is)\b'))
+               AS stop_hits
+    FROM documents
+), q AS (
+    SELECT doc_id, source,
+           ROUND(
+             0.35 * (CASE WHEN n_chars > 0 THEN n_alpha / n_chars
+                          ELSE 0.0 END)
+           + 0.25 * (CASE WHEN stop_hits > 0 THEN 1.0 ELSE 0.0 END)
+           + 0.4 * (CASE WHEN n_words > 0
+                          AND n_chars / n_words >= 3
+                          AND n_chars / n_words <= 12
+                     THEN 1.0 ELSE 0.0 END), 6) AS quality
+    FROM stats
+), r AS (
+    SELECT doc_id, source, quality,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY source
+                                      ORDER BY quality, doc_id), 6) + 0.0
+               AS pct_rank
+    FROM q
+)
+SELECT doc_id, source, quality, pct_rank, pct_rank >= 0.5 AS keep
+FROM r
+"""
+
+
+# --------------------------------------------------------------------
+# B90 — time-decayed engagement scoring (new r7)
+# --------------------------------------------------------------------
+
+def q175_decayed_engagement(spark, sf_dir):
+    """B90 (new r7): exponential time-decay engagement
+    (`analytics.decayed_engagement`): per-user
+    sum(value * 0.5^(age_days/7)) with QUANTIZED literal decay
+    weights (round(w, 12) embedded on both engine sides — a live pow
+    leaves the weight to each engine's libm, the same channel the
+    q42 literal planes close). One broadcast max-date scalar, one
+    map, one user aggregate."""
+    from .operators.analytics import decayed_engagement
+
+    return decayed_engagement(
+        _t(spark, sf_dir, "events"), halflife_days=7, max_age_days=60
+    )
+
+
+def _q175_oracle_sql():
+    weights = [round(0.5 ** (d / 7.0), 12) for d in range(61)]
+    wlist = ", ".join(repr(x) for x in weights)
+    return f"""
+WITH maxd AS (
+    SELECT MAX(CAST(ts AS DATE)) AS md FROM events
+), aged AS (
+    SELECT user_id, value,
+           DATEDIFF('day', CAST(ts AS DATE), md) AS age
+    FROM events, maxd
+), wtd AS (
+    SELECT user_id, value,
+           CASE WHEN age <= 60 THEN ([{wlist}])[age + 1]
+                ELSE 0.0 END AS wt
+    FROM aged
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN wt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+       ROUND(SUM(value * wt), 6) + 0.0 AS score
+FROM wtd GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------
+# B91 — random-projection dimensionality reduction (new r7)
+# --------------------------------------------------------------------
+
+def q176_random_projection(spark, sf_dir):
+    """B91 (new r7): Johnson-Lindenstrauss random projection
+    (`similarity.random_projection`): 64-dim embeddings to 16 dims
+    through a literal portable Rademacher matrix (sha2-nibble signs,
+    Achlioptas 2003) in ONE map-only BLAS mapInArrow pass; per-vector
+    norm_ratio reports the JL distortion. The pre-ANN shrink that
+    quarters every downstream shuffle at 100 TB. The check output
+    EXPLODES the projected vector to (vec_id, pos, val) rows so the
+    driver hash covers every element (array columns reduce to scalars
+    everywhere in this registry — the hash contract is on scalar
+    cells)."""
+    from .operators.similarity import random_projection
+
+    p = random_projection(
+        _t(spark, sf_dir, "embeddings"), out_dim=16, seed=11
+    )
+    return p.select(
+        "vec_id", "norm_ratio", F.posexplode("proj").alias("pos", "val")
+    )
+
+
+def _q176_oracle_sql():
+    from .operators.similarity import portable_projection
+
+    mat = portable_projection(16, 64, seed=11)
+    vals = ", ".join(
+        f"({j}, {p}, {w!r})"
+        for j, row in enumerate(mat)
+        for p, w in enumerate(row)
+    )
+    return f"""
+WITH ex AS (
+    SELECT vec_id, i - 1 AS pos, (embedding::DOUBLE[])[i] AS val
+    FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)
+), mat(j, pos, w) AS (
+    SELECT * FROM (VALUES {vals})
+), proj AS (
+    SELECT vec_id, j, SUM(val * w) AS p
+    FROM ex JOIN mat USING (pos)
+    GROUP BY vec_id, j
+), nin AS (
+    SELECT vec_id, SQRT(SUM(val * val)) AS n_in FROM ex GROUP BY vec_id
+), nout AS (
+    SELECT vec_id, SQRT(SUM(p * p)) AS n_out FROM proj GROUP BY vec_id
+), ratio AS (
+    SELECT n.vec_id,
+           ROUND(CASE WHEN n.n_in > 0
+                      THEN o.n_out / GREATEST(n.n_in, 1e-300)
+                      ELSE 0.0 END, 6) + 0.0 AS norm_ratio
+    FROM nin n JOIN nout o ON n.vec_id = o.vec_id
+)
+SELECT p.vec_id, r.norm_ratio, CAST(p.j AS INTEGER) AS pos,
+       ROUND(p.p, 6) + 0.0 AS val
+FROM proj p JOIN ratio r ON p.vec_id = r.vec_id
+"""
+
+
+# --------------------------------------------------------------------
+# B92 — robust per-dimension outlier scoring (new r7)
+# --------------------------------------------------------------------
+
+def q177_robust_outliers(spark, sf_dir):
+    """B92 (new r7): median/MAD robust z-score outlier scoring
+    (`similarity.robust_dim_outliers`): exact per-dim median + MAD
+    (Spark percentile == DuckDB QUANTILE_CONT bit-for-bit, the q36
+    parity fact), per-vector outlier-dim count and max |z| — the
+    embedding-sanity gate before clustering/ANN. MAD epsilon floor
+    guards constant dims (the FP-dust rule)."""
+    from .operators.similarity import robust_dim_outliers
+
+    return robust_dim_outliers(_t(spark, sf_dir, "embeddings"))
+
+
+Q177_SQL = """
+WITH ex AS (
+    SELECT vec_id, i - 1 AS pos, (embedding::DOUBLE[])[i] AS val
+    FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)
+), med AS (
+    SELECT pos, QUANTILE_CONT(val, 0.5) AS m FROM ex GROUP BY pos
+), mad AS (
+    SELECT ex.pos, ANY_VALUE(med.m) AS m,
+           QUANTILE_CONT(ABS(val - med.m), 0.5) AS s
+    FROM ex JOIN med ON ex.pos = med.pos
+    GROUP BY ex.pos
+), z AS (
+    SELECT vec_id,
+           ROUND(0.6745 * (val - mad.m) / GREATEST(mad.s, 1e-9), 6) + 0.0
+               AS z
+    FROM ex JOIN mad ON ex.pos = mad.pos
+)
+SELECT vec_id,
+       CAST(SUM(CASE WHEN ABS(z) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_outlier_dims,
+       ROUND(MAX(ABS(z)), 6) + 0.0 AS max_abs_z
+FROM z GROUP BY vec_id
+"""
+
+
+# --------------------------------------------------------------------
+# B93 — soft dedup loss weights (new r7)
+# --------------------------------------------------------------------
+
+def q178_soft_dedup_weights(spark, sf_dir):
+    """B93 (new r7): soft deduplication (`dedup.soft_dedup_weights`):
+    keep every document, weight each near-dup cluster member
+    1/cluster_size so a cluster contributes one document of gradient
+    — the drop-free alternative to q169's collapse, same q68
+    n-gram-Jaccard components. Oracle replays the recursive-CTE
+    transitive closure."""
+    from .operators.dedup import ngram_jaccard_near_dups, soft_dedup_weights
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_near_dups(d, n=3, threshold=0.08)
+    return soft_dedup_weights(d, pairs)
+
+
+Q178_SQL = r"""
+WITH RECURSIVE words AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM documents
+), grams AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                           i -> i <= LEN(w) - 3 + 1),
+               i -> ARRAY_TO_STRING(w[i:i+2], ' '))) AS g
+    FROM words
+), sizes AS (
+    SELECT doc_id, LEN(g) AS n FROM grams WHERE LEN(g) > 0
+), inv AS (
+    SELECT doc_id, UNNEST(g) AS gram FROM grams WHERE LEN(g) > 0
+), pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+), edges0 AS (
+    SELECT id_a, id_b
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE inter / (sa.n + sb.n - inter) >= 0.08
+), edges AS (
+    SELECT id_a AS a, id_b AS b FROM edges0
+    UNION
+    SELECT id_b, id_a FROM edges0
+), reach(a, b) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), labels AS (
+    SELECT a AS node, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+), lab AS (
+    SELECT d.doc_id, COALESCE(l.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+), csize AS (
+    SELECT component, COUNT(*) AS cluster_size FROM lab GROUP BY component
+)
+SELECT lab.doc_id, lab.component,
+       CAST(csize.cluster_size AS BIGINT) AS cluster_size,
+       ROUND(1.0 / csize.cluster_size, 6) + 0.0 AS weight
+FROM lab JOIN csize USING (component)
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -8404,6 +8702,16 @@ QUERIES: dict[str, tuple] = {
     "q170_markov_sequence": (q170_markov_sequence, Q170_SQL),
     "q171_source_purity": (q171_source_purity, Q171_SQL),
     "q172_skew_report": (q172_skew_report, Q172_SQL),
+    # --- part (2c): operators NEW this round, late batch (B88-B93)
+    # --- — shard manifest, per-source quality calibration, decayed
+    # --- engagement, JL random projection, robust outliers, soft
+    # --- dedup weights.
+    "q173_shard_manifest": (q173_shard_manifest, Q173_SQL),
+    "q174_quality_percentile": (q174_quality_percentile, Q174_SQL),
+    "q175_decayed_engagement": (q175_decayed_engagement, _q175_oracle_sql),
+    "q176_random_projection": (q176_random_projection, _q176_oracle_sql),
+    "q177_robust_outliers": (q177_robust_outliers, Q177_SQL),
+    "q178_soft_dedup_weights": (q178_soft_dedup_weights, Q178_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -8434,16 +8742,17 @@ QUERIES: dict[str, tuple] = {
     "q107_domain_cap": (q107_domain_cap, Q107_SQL),
     "q108_collapse_parity_gate": (q108_collapse_parity_gate, Q108_SQL),
     "q109_stream_left_outer_join": (q109_stream_left_outer_join, Q109_SQL),
+    # ---------------- end of the 50-row driver window ----------------
+    # --- next in line for the r8 rotation: q110-q124 (q110-q115
+    # --- displaced by the late B88-B93 rows, q116-q124 by B79-B87),
+    # --- q125-q139, then the rotated-out r6-window rows (freshest
+    # --- last).
     "q110_merge_upsert": (q110_merge_upsert, Q110_SQL),
     "q111_scd2_history": (q111_scd2_history, Q111_SQL),
     "q112_funnel": (q112_funnel, Q112_SQL),
     "q113_cohort_retention": (q113_cohort_retention, Q113_SQL),
     "q114_session_pattern": (q114_session_pattern, Q114_SQL),
     "q115_winsorized_stats": (q115_winsorized_stats, Q115_SQL),
-    # ---------------- end of the 50-row driver window ----------------
-    # --- next in line for the r8 rotation: q116-q124 (displaced by
-    # --- the new B79-B87 rows), q125-q139, then the rotated-out
-    # --- r6-window rows (freshest last).
     "q116_triangle_count": (q116_triangle_count, Q116_SQL),
     "q117_bfs_distance": (q117_bfs_distance, Q117_SQL),
     "q118_boilerplate_removal": (q118_boilerplate_removal, Q118_SQL),

@@ -1,0 +1,167 @@
+"""Unit tests for the late-r7 operator batch (B88-B93): shard
+manifest, per-source quality calibration, decayed engagement, random
+projection, robust outliers, soft dedup weights."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+
+import pytest
+
+from tests.conftest import spark  # noqa: F401
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.sha256(s.encode()).hexdigest()[:15], 16)
+
+
+def test_shard_manifest_counts_and_xor_checksum(spark):
+    from catenae_stopover_spark.operators.text import shard_manifest
+
+    df = spark.createDataFrame(
+        [(1, "aa bb"), (2, "cc"), (3, None)],
+        "doc_id long, text string",
+    )
+    rows = shard_manifest(df, num_shards=1, seed=7).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.shard == 0 and r.n_docs == 3
+    # NULL text contributes no chars/tokens but IS checksummed (via
+    # the null sentinel) — a dropped row must change the checksum.
+    assert r.n_chars == 7 and r.n_tokens == 3
+    expected = (
+        _h60("7:1:aa bb")
+        ^ _h60("7:2:cc")
+        ^ _h60("7:3:\x00null\x00")
+    )
+    assert r.checksum == expected
+
+
+def test_shard_manifest_doc_move_changes_exactly_one_shard(spark):
+    from catenae_stopover_spark.operators.text import shard_manifest
+
+    base = [(i, f"doc {i}") for i in range(40)]
+    df1 = spark.createDataFrame(base, "doc_id long, text string")
+    df2 = spark.createDataFrame(
+        [(i, t if i != 5 else "tampered") for i, t in base],
+        "doc_id long, text string",
+    )
+    m1 = {r.shard: r.checksum for r in shard_manifest(df1, 4).collect()}
+    m2 = {r.shard: r.checksum for r in shard_manifest(df2, 4).collect()}
+    assert set(m1) == set(m2)
+    assert sum(1 for s in m1 if m1[s] != m2[s]) == 1
+
+
+def test_quality_percentile_keeps_top_fraction_per_source(spark):
+    from catenae_stopover_spark.operators.text import (
+        quality_percentile_by_source,
+    )
+
+    # Source A: 4 docs of increasing quality; source B: 2 docs. The
+    # keep flag must be computed within each source independently.
+    good = "the result of the merge is a table and the sort is fast"
+    rows = [
+        (1, "A", "zzzz"),
+        (2, "A", good),
+        (3, "A", good + " and the scan is big"),
+        (4, "A", "x"),
+        (5, "B", "qqqq"),
+        (6, "B", good),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r.doc_id: r
+        for r in quality_percentile_by_source(df, keep_top=0.5).collect()
+    }
+    assert len(out) == 6
+    # per-source: percent_rank >= 0.5 keeps the top half
+    kept_a = {i for i in (1, 2, 3, 4) if out[i].keep}
+    kept_b = {i for i in (5, 6) if out[i].keep}
+    assert len(kept_a) == 2 and len(kept_b) == 1
+    assert 6 in kept_b  # the high-quality B doc wins within B
+
+
+def test_decayed_engagement_quantized_weights(spark):
+    from catenae_stopover_spark.operators.analytics import decayed_engagement
+
+    t0 = dt.datetime(2024, 1, 31, 12, 0, 0)
+    rows = [
+        (1, t0, 10.0),                          # age 0  -> w = 1.0
+        (1, t0 - dt.timedelta(days=7), 10.0),   # age 7  -> w = 0.5
+        (2, t0 - dt.timedelta(days=70), 10.0),  # age 70 -> beyond max, w = 0
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {
+        r.user_id: r
+        for r in decayed_engagement(
+            df, halflife_days=7, max_age_days=60
+        ).collect()
+    }
+    assert out[1].score == pytest.approx(15.0)
+    assert out[1].n_events == 2 and out[1].n_live == 2
+    assert out[2].score == 0.0 and out[2].n_live == 0
+
+
+def test_random_projection_matches_literal_matrix(spark):
+    import numpy as np
+
+    from catenae_stopover_spark.operators.similarity import (
+        portable_projection,
+        random_projection,
+    )
+
+    vec = [1.0, -2.0, 0.5, 3.0]
+    df = spark.createDataFrame(
+        [(0, vec)], "vec_id long, embedding array<float>"
+    )
+    out = random_projection(df, out_dim=2, seed=11).collect()[0]
+    r = np.asarray(portable_projection(2, 4, seed=11))
+    v = np.asarray(vec)
+    expect = np.round(r @ v, 6)
+    assert list(out.proj) == pytest.approx(list(expect))
+    assert out.norm_ratio == pytest.approx(
+        round(float(np.linalg.norm(r @ v) / np.linalg.norm(v)), 6)
+    )
+
+
+def test_random_projection_empty_input_raises(spark):
+    from catenae_stopover_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        random_projection(df)
+
+
+def test_robust_dim_outliers_flags_injected_spike(spark):
+    from catenae_stopover_spark.operators.similarity import (
+        robust_dim_outliers,
+    )
+
+    # Dim 0: tight cluster + one huge spike on vec 9. Dim 1 constant
+    # (MAD 0 -> epsilon floor, no NaN/inf).
+    rows = [(i, [float(i % 3), 5.0]) for i in range(9)] + [(9, [100.0, 5.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in robust_dim_outliers(df).collect()}
+    assert out[9].n_outlier_dims == 1
+    assert out[0].n_outlier_dims == 0
+    import math
+
+    assert all(not math.isnan(r.max_abs_z) for r in out.values())
+
+
+def test_soft_dedup_weights_cluster_and_singleton(spark):
+    from catenae_stopover_spark.operators.dedup import soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 7)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r for r in soft_dedup_weights(docs, pairs).collect()}
+    assert out[1].cluster_size == 3 and out[1].component == 1
+    assert out[2].weight == pytest.approx(0.333333)
+    assert out[7].cluster_size == 1 and out[7].weight == 1.0
+    # weights sum to the number of clusters (gradient mass conserved)
+    assert sum(r.weight for r in out.values()) == pytest.approx(2.0, abs=1e-5)

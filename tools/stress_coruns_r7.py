@@ -28,11 +28,11 @@ QNAMES = [
     "q160_knn_graph",
     "q161_knn_novelty",
 ]
-# CORUN_ONLY=q158_...,q160_... restricts the list (one-sided reruns /
-# resuming after an aborted engine grind).
+# CORUN_ONLY=q158_...,q160_... replaces the list entirely — any
+# registry query name works (one-sided reruns, new-operator co-runs).
 _only = os.environ.get("CORUN_ONLY")
 if _only:
-    QNAMES = [q for q in QNAMES if q in set(_only.split(","))]
+    QNAMES = _only.split(",")
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
