@@ -8656,6 +8656,34 @@ FROM lab JOIN csize USING (component)
 
 
 # --------------------------------------------------------------------
+# B94 — streaming incremental shard manifest (new r7)
+# --------------------------------------------------------------------
+
+def q179_stream_shard_manifest(spark, sf_dir):
+    """B94 (new r7): the INCREMENTAL form of q173's shard manifest —
+    documents replayed as a 4-micro-batch file stream, the same
+    `text.shard_manifest` plan run as a streaming aggregation in
+    complete mode. BIT_XOR is exactly the checksum you can maintain
+    incrementally (each arriving doc toggles one term in its shard's
+    state — no re-read of prior batches), which is the operational
+    claim the batch manifest's docstring makes; this query measures
+    it. Bounded replay + complete mode = batch-equal, so the oracle
+    is Q173's SQL verbatim."""
+    import tempfile
+
+    from .io.sources import replay_as_stream
+    from .operators.text import shard_manifest
+    from .streaming import run_available_now
+
+    docs = _t(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="csspark-replay-")
+    stream = replay_as_stream(spark, docs, stage, chunks=4)
+    return run_available_now(
+        shard_manifest(stream, num_shards=32), output_mode="complete"
+    )
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -8712,6 +8740,7 @@ QUERIES: dict[str, tuple] = {
     "q176_random_projection": (q176_random_projection, _q176_oracle_sql),
     "q177_robust_outliers": (q177_robust_outliers, Q177_SQL),
     "q178_soft_dedup_weights": (q178_soft_dedup_weights, Q178_SQL),
+    "q179_stream_shard_manifest": (q179_stream_shard_manifest, Q173_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -8741,12 +8770,12 @@ QUERIES: dict[str, tuple] = {
     "q106_stream_incremental_dedup": (q106_stream_incremental_dedup, Q104_SQL),
     "q107_domain_cap": (q107_domain_cap, Q107_SQL),
     "q108_collapse_parity_gate": (q108_collapse_parity_gate, Q108_SQL),
-    "q109_stream_left_outer_join": (q109_stream_left_outer_join, Q109_SQL),
     # ---------------- end of the 50-row driver window ----------------
-    # --- next in line for the r8 rotation: q110-q124 (q110-q115
-    # --- displaced by the late B88-B93 rows, q116-q124 by B79-B87),
+    # --- next in line for the r8 rotation: q109-q124 (q109-q115
+    # --- displaced by the late B88-B94 rows, q116-q124 by B79-B87),
     # --- q125-q139, then the rotated-out r6-window rows (freshest
     # --- last).
+    "q109_stream_left_outer_join": (q109_stream_left_outer_join, Q109_SQL),
     "q110_merge_upsert": (q110_merge_upsert, Q110_SQL),
     "q111_scd2_history": (q111_scd2_history, Q111_SQL),
     "q112_funnel": (q112_funnel, Q112_SQL),
