@@ -489,6 +489,7 @@ def ngram_jaccard_near_dups(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity pairs >= threshold.
 
@@ -503,7 +504,93 @@ def ngram_jaccard_near_dups(
     100 TB this cap is mandatory: a gram shared by k docs produces
     k(k-1)/2 join rows, so boilerplate grams otherwise dominate the
     shuffle quadratically.
+
+    ``collapse_exact=True`` pre-collapses byte-identical texts to one
+    representative before the gram self-join — the replica-heavy crawl
+    shape makes same-gram candidates QUADRATIC in the replica count
+    (the containment_pairs / MinHash / embedding cliff, measured 414 s
+    → see SCALING.md r7). Jaccard depends only on the gram SETS and is
+    SYMMETRIC, so cross-group pairs inherit their representatives'
+    value exactly (no re-orientation, unlike containment) and
+    intra-group pairs are jaccard 1.0; empty-gram docs drop out on
+    both paths. Value-exact parity with the plain run (pytest-pinned).
+    Note ``max_df`` then counts gram df over representatives (distinct
+    texts), not raw rows, so the same cap prunes less on replica-heavy
+    corpora.
     """
+    if collapse_exact:
+        # fan out BEFORE the digest pass (2-file parquet would hash
+        # the corpus on 2 cores); members/reps are multi-consumer →
+        # localCheckpoint, the containment_pairs pattern
+        wide = ensure_min_parallelism(df)
+        digest = F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)
+        hashed = wide.select(
+            F.col(id_col), F.col(text_col), digest.alias("__d")
+        )
+        reps_tbl = hashed.groupBy("__d").agg(F.min(id_col).alias("__rep"))
+        members = (
+            hashed.join(reps_tbl, "__d")
+            .select(F.col("__rep"), F.col(id_col).alias("__m"))
+            .localCheckpoint()
+        )
+        reps = (
+            wide.select(F.col(id_col), F.col(text_col))
+            .join(reps_tbl.select(F.col("__rep").alias(id_col)), id_col)
+            .localCheckpoint()
+        )
+        rep_pairs = ngram_jaccard_near_dups(
+            reps,
+            text_col=text_col,
+            id_col=id_col,
+            n=n,
+            threshold=threshold,
+            max_df=max_df,
+            collapse_exact=False,
+        )
+        ma = members.select(
+            F.col("__rep").alias("id_a"), F.col("__m").alias("__ma")
+        )
+        mb = members.select(
+            F.col("__rep").alias("id_b"), F.col("__m").alias("__mb")
+        )
+        cross = (
+            rep_pairs.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("__ma", "__mb").alias("id_a"),
+                F.greatest("__ma", "__mb").alias("id_b"),
+                F.col("jaccard"),
+            )
+        )
+        # intra-group: identical texts => jaccard exactly 1.0; reps
+        # with zero grams (empty/NULL text) drop out via the inner
+        # size join, matching the plain path's size>0 filter
+        rep_sizes = (
+            reps.select(
+                F.col(id_col).alias("__size_rep"),
+                F.size(F.array_distinct(_shingles(text_col, n))).alias(
+                    "__n_grams"
+                ),
+            )
+            .filter(F.col("__n_grams") > 0)
+        )
+        intra = (
+            members.alias("x")
+            .join(
+                members.alias("y"),
+                (F.col("x.__rep") == F.col("y.__rep"))
+                & (F.col("x.__m") < F.col("y.__m")),
+            )
+            .join(rep_sizes, F.col("x.__rep") == F.col("__size_rep"))
+            .select(
+                F.col("x.__m").alias("id_a"),
+                F.col("y.__m").alias("id_b"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        if threshold > 1.0:
+            intra = intra.filter(F.lit(False))
+        return cross.unionByName(intra)
     grams = ensure_min_parallelism(df).select(
         F.col(id_col),
         F.array_distinct(_shingles(text_col, n)).alias("grams"),

@@ -8152,7 +8152,10 @@ def q169_cluster_best_rep(spark, sf_dir):
     (q33's pre-rounded heuristic, id tiebreak) instead of the
     smallest id — per-doc (component, score, kept) accounting, so
     downstream sees every drop decision. Oracle derives the same
-    winners from the recursive-CTE transitive closure."""
+    winners from the recursive-CTE transitive closure. Candidate
+    generation runs collapse_exact (value-exact parity, pytest-pinned)
+    — the replica-heavy 10x corpus otherwise pays quadratic same-gram
+    candidates (measured 397 s -> see SCALING.md r7)."""
     from .operators.dedup import (
         dedup_representatives_best,
         ngram_jaccard_near_dups,
@@ -8160,7 +8163,9 @@ def q169_cluster_best_rep(spark, sf_dir):
     from .operators.text import quality_score
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_near_dups(d, n=3, threshold=0.08)
+    pairs = ngram_jaccard_near_dups(
+        d, n=3, threshold=0.08, collapse_exact=True
+    )
     scored = d.select("doc_id", quality_score("text").alias("qscore"))
     return dedup_representatives_best(scored, pairs, "qscore")
 
@@ -8598,11 +8603,16 @@ def q178_soft_dedup_weights(spark, sf_dir):
     1/cluster_size so a cluster contributes one document of gradient
     — the drop-free alternative to q169's collapse, same q68
     n-gram-Jaccard components. Oracle replays the recursive-CTE
-    transitive closure."""
+    transitive closure. collapse_exact candidate generation (parity
+    pytest-pinned): the replica corpus made the plain inverted-index
+    self-join quadratic in replica count (414 s at 10x, see
+    SCALING.md r7)."""
     from .operators.dedup import ngram_jaccard_near_dups, soft_dedup_weights
 
     d = _t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_near_dups(d, n=3, threshold=0.08)
+    pairs = ngram_jaccard_near_dups(
+        d, n=3, threshold=0.08, collapse_exact=True
+    )
     return soft_dedup_weights(d, pairs)
 
 

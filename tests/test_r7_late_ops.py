@@ -165,3 +165,35 @@ def test_soft_dedup_weights_cluster_and_singleton(spark):
     assert out[7].cluster_size == 1 and out[7].weight == 1.0
     # weights sum to the number of clusters (gradient mass conserved)
     assert sum(r.weight for r in out.values()) == pytest.approx(2.0, abs=1e-5)
+
+
+def test_ngram_jaccard_collapse_exact_parity(spark):
+    from catenae_stopover_spark.operators.dedup import (
+        ngram_jaccard_near_dups,
+    )
+
+    # Replica-heavy corpus: 3 copies of A, 2 copies of B (near-dup of
+    # A), one unrelated C, one empty doc. Collapsed and plain paths
+    # must emit IDENTICAL pair sets and values.
+    ta = "alpha beta gamma delta epsilon zeta"
+    tb = "alpha beta gamma delta epsilon eta"
+    rows = [
+        (1, ta), (2, ta), (3, ta),
+        (4, tb), (5, tb),
+        (6, "one two three four five six"),
+        (7, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    plain = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_near_dups(df, n=3, threshold=0.1).collect()
+    }
+    fast = {
+        (r.id_a, r.id_b): round(r.jaccard, 9)
+        for r in ngram_jaccard_near_dups(
+            df, n=3, threshold=0.1, collapse_exact=True
+        ).collect()
+    }
+    assert plain == fast
+    assert (1, 2) in fast and fast[(1, 2)] == 1.0
+    assert (1, 4) in fast  # cross-group near-dup pair survives

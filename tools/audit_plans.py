@@ -51,6 +51,9 @@ ACCEPTED = {
     "q82_kll_quantile_gate": "3-row estimate table broadcast for rank check",
     # N (document count) attached as a broadcast 1-row scalar
     "q90_tfidf_keywords": "broadcast of a 1-row doc-count scalar onto tf",
+    # reference date attached as a broadcast 1-row scalar (decay ages
+    # are relative to the corpus max date, not wall clock)
+    "q175_decayed_engagement": "broadcast of the 1-row max-date scalar",
     # the argmax merge pair attached as a broadcast 1-row scalar (the
     # collect-free way to carry the trainer's current merge to tasks)
     "q130_bpe_merge_step": "broadcast of the 1-row argmax merge pair",
