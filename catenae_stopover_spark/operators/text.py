@@ -2262,3 +2262,123 @@ def quality_percentile_by_source(
         )
         .withColumn("keep", F.col("pct_rank") >= F.lit(1.0 - keep_top))
     )
+
+
+def tokenizer_fertility_report(
+    df: DataFrame,
+    by: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility audit per class: how many subword-ish units
+    the tokenizer spends per whitespace word (``fertility``) and how
+    many characters each unit carries (``chars_per_token``) — the
+    standard multilingual-corpus diagnostic (a language with fertility
+    3x the corpus mean pays 3x the training compute per word; that
+    feeds the mixture and budget planners). Uses the deterministic
+    ``bpe_ish`` proxy from :func:`token_count` so the report replays
+    in any RE2 engine.
+
+    Zero-token classes (all-empty text) report NULL ratios rather
+    than dividing by zero. Scale shape: one codegen'd scan, ONE
+    |classes|-group aggregate — nothing else.
+    """
+    base = df.select(
+        F.col(by),
+        F.length(F.col(text_col)).alias("__chars"),
+        token_count(text_col).cast("bigint").alias("__ws"),
+        token_count(text_col, mode="bpe_ish").cast("bigint").alias("__bpe"),
+    )
+    return base.groupBy(by).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("__ws").alias("tok_ws"),
+        F.sum("__bpe").alias("tok_bpe"),
+        F.sum("__chars").alias("n_chars"),
+        (
+            F.round(
+                F.when(
+                    F.sum("__ws") > 0, F.sum("__bpe") / F.sum("__ws")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("fertility"),
+        (
+            F.round(
+                F.when(
+                    F.sum("__bpe") > 0, F.sum("__chars") / F.sum("__bpe")
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("chars_per_token"),
+    )
+
+
+def token_budget_allocation(
+    df: DataFrame,
+    budget_tokens: int,
+    by: str = "lang",
+    temperature: float = 2.0,
+    text_col: str = "text",
+) -> DataFrame:
+    """Training token-budget planner: split an EXACT total budget
+    across classes by temperature-scaled shares (share_c ∝
+    natural_share^(1/T), the multilingual standard) using
+    LARGEST-REMAINDER integer rounding, so the per-class allocations
+    are whole tokens that sum to ``budget_tokens`` EXACTLY — the
+    planner output a downstream sampler (:func:`mix_corpus_temperature`)
+    or packer consumes. Floor-and-distribute beats independent
+    rounding, which can miss the budget by |classes|/2 tokens and
+    breaks exact accounting.
+
+    Determinism: shares are rounded to 12 places (+0.0 fold) BEFORE
+    the integer math, so ``floor(budget * share)`` and the remainder
+    ranks compute from identical doubles in both engines; remainder
+    ties break by class name.
+
+    Scale shape: one corpus scan + one |classes|-group aggregate;
+    everything after is |classes|-row window math. Returns
+    ``(class, n_tokens, share, alloc_tokens)``.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be > 0")
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    per = (
+        df.select(F.col(by), token_count(text_col).alias("__t"))
+        .groupBy(by)
+        .agg(F.sum("__t").cast("bigint").alias("n_tokens"))
+    )
+    w = Window.partitionBy()
+    alpha = 1.0 / temperature
+    shares = (
+        per.withColumn("__total", F.sum("n_tokens").over(w))
+        .withColumn(
+            "__w",
+            F.pow(F.col("n_tokens") / F.col("__total"), F.lit(alpha)),
+        )
+        .withColumn(
+            "share",
+            F.round(F.col("__w") / F.sum("__w").over(w), 12) + F.lit(0.0),
+        )
+    )
+    exact = F.col("share") * F.lit(float(budget_tokens))
+    alloc = (
+        shares.withColumn("__base", F.floor(exact).cast("bigint"))
+        .withColumn("__frac", exact - F.col("__base"))
+        .withColumn("__left", F.lit(budget_tokens) - F.sum("__base").over(w))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.orderBy(F.col("__frac").desc(), F.col(by).asc())
+            ),
+        )
+        .withColumn(
+            "alloc_tokens",
+            F.col("__base")
+            + F.when(F.col("__rk") <= F.col("__left"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+    )
+    return alloc.select(by, "n_tokens", "share", "alloc_tokens")

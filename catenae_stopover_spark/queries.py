@@ -8694,6 +8694,97 @@ def q179_stream_shard_manifest(spark, sf_dir):
 
 
 # --------------------------------------------------------------------
+# B95 — tokenizer fertility report (new r7)
+# --------------------------------------------------------------------
+
+def q180_tokenizer_fertility(spark, sf_dir):
+    """B95 (new r7): per-language tokenizer fertility audit
+    (`text.tokenizer_fertility_report`): subword-ish units per
+    whitespace word and chars per unit, by lang — the multilingual
+    diagnostic feeding mixture/budget planners (3x fertility = 3x
+    compute per word). One codegen scan + one |langs|-group
+    aggregate; deterministic bpe_ish proxy tokenizer."""
+    from .operators.text import tokenizer_fertility_report
+
+    return tokenizer_fertility_report(_t(spark, sf_dir, "documents"))
+
+
+Q180_SQL = r"""
+WITH base AS (
+    SELECT lang,
+           LENGTH(text) AS c,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')) AS ws,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))
+               AS bpe
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS tok_ws,
+       CAST(SUM(bpe) AS BIGINT) AS tok_bpe,
+       CAST(SUM(c) AS BIGINT) AS n_chars,
+       ROUND(CASE WHEN SUM(ws) > 0
+                  THEN SUM(bpe) * 1.0 / SUM(ws) END, 6) + 0.0 AS fertility,
+       ROUND(CASE WHEN SUM(bpe) > 0
+                  THEN SUM(c) * 1.0 / SUM(bpe) END, 6) + 0.0
+           AS chars_per_token
+FROM base GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------
+# B96 — exact token-budget allocation (new r7)
+# --------------------------------------------------------------------
+
+def q181_token_budget(spark, sf_dir):
+    """B96 (new r7): training token-budget planner
+    (`text.token_budget_allocation`): temperature-scaled shares
+    (T=2) split an EXACT 1M-token budget across languages with
+    largest-remainder integer rounding — allocations are whole tokens
+    summing to the budget exactly (independent rounding misses by up
+    to |classes|/2). Shares rounded to 12 before the integer math so
+    floor/remainder-rank replay identically cross-engine."""
+    from .operators.text import token_budget_allocation
+
+    return token_budget_allocation(
+        _t(spark, sf_dir, "documents"), budget_tokens=1_000_000,
+        temperature=2.0,
+    )
+
+
+Q181_SQL = r"""
+WITH per AS (
+    SELECT lang,
+           CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')))
+                AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+), t1 AS (
+    SELECT lang, n_tokens,
+           POW(n_tokens * 1.0 / SUM(n_tokens) OVER (), 0.5) AS w
+    FROM per
+), t2 AS (
+    SELECT lang, n_tokens,
+           ROUND(w / SUM(w) OVER (), 12) + 0.0 AS share
+    FROM t1
+), t3 AS (
+    SELECT lang, n_tokens, share,
+           CAST(FLOOR(share * 1000000.0) AS BIGINT) AS base,
+           share * 1000000.0 - FLOOR(share * 1000000.0) AS frac
+    FROM t2
+), t4 AS (
+    SELECT lang, n_tokens, share, base,
+           1000000 - SUM(base) OVER () AS leftover,
+           ROW_NUMBER() OVER (ORDER BY frac DESC, lang) AS rk
+    FROM t3
+)
+SELECT lang, n_tokens, share,
+       CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS alloc_tokens
+FROM t4
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -8751,6 +8842,8 @@ QUERIES: dict[str, tuple] = {
     "q177_robust_outliers": (q177_robust_outliers, Q177_SQL),
     "q178_soft_dedup_weights": (q178_soft_dedup_weights, Q178_SQL),
     "q179_stream_shard_manifest": (q179_stream_shard_manifest, Q173_SQL),
+    "q180_tokenizer_fertility": (q180_tokenizer_fertility, Q180_SQL),
+    "q181_token_budget": (q181_token_budget, Q181_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -8778,13 +8871,13 @@ QUERIES: dict[str, tuple] = {
     "q104_incremental_dedup": (q104_incremental_dedup, Q104_SQL),
     "q105_corpus_mixture": (q105_corpus_mixture, Q105_SQL),
     "q106_stream_incremental_dedup": (q106_stream_incremental_dedup, Q104_SQL),
-    "q107_domain_cap": (q107_domain_cap, Q107_SQL),
-    "q108_collapse_parity_gate": (q108_collapse_parity_gate, Q108_SQL),
     # ---------------- end of the 50-row driver window ----------------
-    # --- next in line for the r8 rotation: q109-q124 (q109-q115
-    # --- displaced by the late B88-B94 rows, q116-q124 by B79-B87),
+    # --- next in line for the r8 rotation: q107-q124 (q107-q115
+    # --- displaced by the late B88-B96 rows, q116-q124 by B79-B87),
     # --- q125-q139, then the rotated-out r6-window rows (freshest
     # --- last).
+    "q107_domain_cap": (q107_domain_cap, Q107_SQL),
+    "q108_collapse_parity_gate": (q108_collapse_parity_gate, Q108_SQL),
     "q109_stream_left_outer_join": (q109_stream_left_outer_join, Q109_SQL),
     "q110_merge_upsert": (q110_merge_upsert, Q110_SQL),
     "q111_scd2_history": (q111_scd2_history, Q111_SQL),

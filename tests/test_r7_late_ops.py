@@ -197,3 +197,47 @@ def test_ngram_jaccard_collapse_exact_parity(spark):
     assert plain == fast
     assert (1, 2) in fast and fast[(1, 2)] == 1.0
     assert (1, 4) in fast  # cross-group near-dup pair survives
+
+
+def test_tokenizer_fertility_report(spark):
+    from catenae_stopover_spark.operators.text import (
+        tokenizer_fertility_report,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "don't stop"),   # ws=2, bpe: don+'+t+stop = 4
+            (2, "en", "ab cd"),        # ws=2, bpe=2
+            (3, "zz", ""),             # ws=0, bpe=0 -> NULL ratios
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {r.lang: r for r in tokenizer_fertility_report(df).collect()}
+    assert out["en"].tok_ws == 4 and out["en"].tok_bpe == 6
+    assert out["en"].fertility == pytest.approx(1.5)
+    assert out["zz"].fertility is None and out["zz"].chars_per_token is None
+
+
+def test_token_budget_allocation_exact_sum(spark):
+    from catenae_stopover_spark.operators.text import (
+        token_budget_allocation,
+    )
+
+    # 3 classes with unequal tokens; any budget must be hit EXACTLY
+    # and higher-token classes must never get a smaller allocation.
+    rows = [(i, "a" * 0 + "w " * (10 * (i % 3 + 1)), f"c{i % 3}") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    for budget in (7, 100, 999983):
+        out = token_budget_allocation(
+            df, budget_tokens=budget, temperature=2.0
+        ).collect()
+        assert sum(r.alloc_tokens for r in out) == budget
+        srt = sorted(out, key=lambda r: r.n_tokens)
+        assert all(
+            a.alloc_tokens <= b.alloc_tokens + 1  # remainder-tie slack
+            for a, b in zip(srt, srt[1:])
+        )
+    with pytest.raises(ValueError):
+        token_budget_allocation(df, budget_tokens=-1)
+    with pytest.raises(ValueError):
+        token_budget_allocation(df, budget_tokens=10, temperature=0.0)
