@@ -61,6 +61,14 @@ T1_MESSAGES = int(os.environ.get("SPARK_GRAFT_T1_MESSAGES", "200000"))
 Q7C_QUERIES = 100  # batch-serving fan-in (bench-q7c)
 
 
+def _noop_eval(df):
+    """Fully evaluate every output column without collecting (the
+    Spark-side equivalent of DuckDB's fetchall); returns the df so the
+    caller can count rows outside the timed region."""
+    df.write.format("noop").mode("overwrite").save()
+    return df
+
+
 def best_of(run, min_reps: int = None) -> tuple[float, object, float]:
     """Best wall time over adaptive reps: at least REPS runs (or
     ``min_reps``), then keep re-running until the accumulated measured
@@ -231,8 +239,14 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM / codegen / parquet footer cache once.
+    # Warm up the JVM / codegen / parquet footer cache once, and spawn
+    # the python worker pool (first mapInPandas/mapInArrow action costs
+    # ~5-7 s of fork/exec on 32 workers — a per-session cost, not a
+    # per-query cost, so it is excluded like JVM startup).
     spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+    spark.range(64, numPartitions=32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     # Offline index build (cached across runs) — q7b times the SERVING
     # path; building an index before benchmarking reads is the same
@@ -246,12 +260,22 @@ def main() -> None:
     spreads: dict[str, float] = {}
     for label, qname in BENCH.items():
         fn = QUERIES[qname][0]
-        best, n, spread = best_of(lambda: fn(spark, SF_DIR).count())
+        # noop sink, NOT .count(): count lets Catalyst prune every
+        # column it doesn't need — window/projection queries lose
+        # their whole compute and final aggregates lose their agg
+        # expressions (group cardinality suffices), while the DuckDB
+        # side always materializes via fetchall. Measured: q174
+        # 0.54 s counted vs 310.6 s evaluated at 1000x. The plan
+        # build stays inside the timed region (eager operators).
+        best, df, spread = best_of(
+            lambda: _noop_eval(fn(spark, SF_DIR))
+        )
         timings[label] = round(best, 4)
-        rows[label] = n
+        rows[label] = df.count()  # sanity rows, un-timed
         spreads[label] = spread
         print(
-            f"# {label}: {timings[label]:.3f}s rows={n} spread={spread}",
+            f"# {label}: {timings[label]:.3f}s rows={rows[label]} "
+            f"spread={spread}",
             file=sys.stderr,
         )
 
@@ -270,9 +294,12 @@ def main() -> None:
         .filter(F.col("vec_id") < Q7C_QUERIES)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    best, n, spread = best_of(
-        lambda: ivf_topk_batch(assigned, centroids, qset, k=10, n_probe=4).count()
+    best, df7c, spread = best_of(
+        lambda: _noop_eval(
+            ivf_topk_batch(assigned, centroids, qset, k=10, n_probe=4)
+        )
     )
+    n = df7c.count()
     timings["q7c_ivf_topk_batch"] = round(best, 4)
     rows["q7c_ivf_topk_batch"] = n
     spreads["q7c_ivf_topk_batch"] = spread
@@ -317,12 +344,12 @@ def main() -> None:
             f"q6c parity violated: {diff} pair rows differ between the "
             "collapsed and plain MinHash runs"
         )
-    best, n, spread = best_of(lambda: coll().count(), min_reps=1)
+    best, df6c, spread = best_of(lambda: _noop_eval(coll()), min_reps=1)
     timings["q6c_minhash_collapse"] = round(best, 4)
-    rows["q6c_minhash_collapse"] = n
+    rows["q6c_minhash_collapse"] = df6c.count()
     spreads["q6c_minhash_collapse"] = spread
     t0 = time.perf_counter()
-    plain().count()
+    _noop_eval(plain())
     plain_sec = time.perf_counter() - t0
     q6c_extras = {
         "q6c_plain_ref_sec": round(plain_sec, 4),
