@@ -482,6 +482,55 @@ def portable_signatures_numpy(
     )
 
 
+def portable_table_signatures_numpy(
+    df: DataFrame,
+    planes: list[list[float]],
+    bits: int,
+    tables: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Per-table variant of :func:`portable_signatures_numpy`: ONE
+    BLAS pass projects every vector against all ``bits * tables``
+    planes, then packs each table's ``bits``-wide slice into its own
+    int64 — returns ``(id_col, __sigs array<long>)`` with
+    ``__sigs[t]`` = table t's signature. Unlike the fused single-sig
+    form this has NO 62-bit total cap (only bits <= 62 per table,
+    always true), which matters exactly at scale: data-derived widths
+    grow with log2(N), and at 5M vectors bits=20 x 4 tables = 80
+    planes silently fell back to the interpreted-HOF expr path — the
+    measured 90x kernel cliff, found as a 1000x heap OOM."""
+    if bits > 62:
+        raise ValueError("per-table signature needs bits <= 62")
+    w = [[float(x) for x in p] for p in planes]
+
+    def sig(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        pm = np.asarray(w, dtype=np.float64).T  # (dim, bits*tables)
+        bw = 1 << np.arange(bits, dtype=np.int64)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            flat = np.asarray(b.column(vec_col).flatten(), dtype=np.float64)
+            m = flat.reshape(b.num_rows, -1)
+            proj = (m @ pm) > 0  # (n, bits*tables)
+            sigs = np.empty((b.num_rows, tables), dtype=np.int64)
+            for t in range(tables):
+                sigs[:, t] = (
+                    proj[:, t * bits : (t + 1) * bits] * bw
+                ).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [b.column(id_col), pa.array(list(sigs))],
+                [id_col, "__sigs"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        sig, f"{id_col} long, __sigs array<bigint>"
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec,
@@ -729,6 +778,7 @@ def knn_graph(
     tables: int = 4,
     target_bucket: int = 8,
     diff_col: str | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over the whole corpus —
     the all-vectors form of the single-query serve: for every vector,
@@ -764,14 +814,25 @@ def knn_graph(
     the candidate ids BEFORE vector join and scoring, so mining is
     cheaper than the full graph, never more expensive.
 
-    Above the parquet-bytes crossover the signatures come from the
-    BLAS batch kernel (`portable_signatures_numpy`, one (N x dim) @
-    (dim x planes) product per Arrow batch) — bits*tables plane projections per row is exactly the
-    interpreted-HOF cliff the r4 batch-serve fix measured at 90x; the
-    per-table signatures are then bit-slices of the one wide
-    signature (plane order makes table t's signature =
-    (sig >> t*bits) & (2^bits - 1)), so the kernel runs ONCE for all
-    tables.
+    ``max_bucket``: drop (table, signature) buckets larger than the
+    cap from candidate generation — the same valve
+    `minhash_lsh_near_dups` carries. The data-derived width holds
+    buckets ~``target_bucket`` on NATURAL data, but a bucket of k
+    byte-identical (or near-identical) vectors yields k(k-1)/2
+    candidates regardless of width: measured as a 1000x heap OOM on
+    the replica stress corpus (each signature bucket held ~1000
+    copies -> ~40e9 candidate pairs). On duplicate-heavy corpora set
+    the valve or pre-collapse exact-duplicate vectors; neighbors
+    inside a dropped bucket are the documented recall trade.
+
+    Above the parquet-bytes crossover the signatures come from ONE
+    BLAS batch kernel (`portable_table_signatures_numpy`: one
+    (N x dim) @ (dim x bits*tables) product per Arrow batch, packed
+    into per-table int64s — bits*tables plane projections per row in
+    interpreted HOFs is exactly the cliff the r4 batch-serve fix
+    measured at 90x, and the kernel has no fused-width cap, so the
+    data-derived bits can grow with log2(N) without falling off the
+    fast path).
     """
     import math
 
@@ -783,25 +844,19 @@ def knn_graph(
     dim = len(df.select(vec_col).first()[0])  # O(1) planning scalar
     all_planes = portable_hyperplanes(bits * tables, dim)
     base = ensure_min_parallelism(df).select(id_col, vec_col)
-    # int64 holds the fused signature only up to 62 planes; wider
-    # configurations fall back to per-table expr signatures
-    use_numpy = (
-        bits * tables <= 62 and _estimated_bytes(df) >= 2 * 2**20
-    )
+    use_numpy = _estimated_bytes(df) >= 2 * 2**20
     if use_numpy:
-        sigged = portable_signatures_numpy(base, all_planes, vec_col, id_col)
-        mask = (1 << bits) - 1
-        structs = [
-            F.struct(
-                F.lit(t).alias("t"),
-                F.shiftright(F.col("__sig"), t * bits)
-                .bitwiseAND(F.lit(mask))
-                .alias("s"),
-            )
-            for t in range(tables)
-        ]
+        sigged = portable_table_signatures_numpy(
+            base, all_planes, bits, tables, vec_col, id_col
+        )
         tagged = sigged.select(
-            id_col, F.explode(F.array(*structs)).alias("__ts")
+            id_col,
+            F.posexplode("__sigs").alias("__pt", "__ps"),
+        ).select(
+            id_col,
+            F.struct(
+                F.col("__pt").alias("t"), F.col("__ps").alias("s")
+            ).alias("__ts"),
         )
     else:
         structs = []
@@ -821,6 +876,15 @@ def knn_graph(
         F.col("__ts.t").alias("__t"),
         F.col("__ts.s").alias("__s"),
     )
+    if max_bucket is not None:
+        tagged = (
+            tagged.withColumn(
+                "__bs",
+                F.count("*").over(Window.partitionBy("__t", "__s")),
+            )
+            .filter(F.col("__bs") <= max_bucket)
+            .drop("__bs")
+        )
     a = tagged.select(F.col(id_col).alias("__ia"), "__t", "__s")
     b = tagged.select(F.col(id_col).alias("nn_id"), "__t", "__s")
     cand = (

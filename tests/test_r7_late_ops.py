@@ -241,3 +241,63 @@ def test_token_budget_allocation_exact_sum(spark):
         token_budget_allocation(df, budget_tokens=-1)
     with pytest.raises(ValueError):
         token_budget_allocation(df, budget_tokens=10, temperature=0.0)
+
+
+def test_per_table_signatures_match_expr_slices(spark):
+    from catenae_stopover_spark.operators.similarity import (
+        portable_hyperplanes,
+        portable_signature_expr,
+        portable_table_signatures_numpy,
+    )
+    from pyspark.sql import functions as F
+
+    bits, tables, dim = 5, 3, 8
+    planes = portable_hyperplanes(bits * tables, dim)
+    rows = [
+        (i, [((i * 7 + j * 3) % 11 - 5) / 3.0 for j in range(dim)])
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: list(r["__sigs"])
+        for r in portable_table_signatures_numpy(
+            df, planes, bits, tables, "embedding", "vec_id"
+        ).collect()
+    }
+    exprs = [
+        portable_signature_expr(
+            "embedding", planes[t * bits : (t + 1) * bits]
+        ).alias(f"s{t}")
+        for t in range(tables)
+    ]
+    want = {
+        r.vec_id: [r[f"s{t}"] for t in range(tables)]
+        for r in df.select("vec_id", *exprs).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError):
+        portable_table_signatures_numpy(
+            df, planes, 63, 1, "embedding", "vec_id"
+        )
+
+
+def test_knn_graph_max_bucket_valve(spark):
+    from catenae_stopover_spark.operators.similarity import knn_graph
+
+    # 30 byte-identical vectors (one mega-bucket) + 4 distinct ones.
+    # Uncapped, the identical block yields 30*29 directed candidates;
+    # the valve drops that bucket entirely, keeping the distinct
+    # vectors' edges only.
+    dup = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, dup) for i in range(30)] + [
+        (100, [0.9, 0.1, 0.0, 0.0]),
+        (101, [0.8, 0.2, 0.0, 0.0]),
+        (102, [-1.0, 0.0, 0.0, 0.0]),
+        (103, [-0.9, -0.1, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    capped = knn_graph(df, k=2, bits=4, tables=2, max_bucket=8).collect()
+    ids = {r.vec_id for r in capped}
+    assert ids and all(i >= 100 for i in ids)  # replica block dropped
+    full = knn_graph(df, k=2, bits=4, tables=2).collect()
+    assert {r.vec_id for r in full} >= set(range(30))
