@@ -1967,3 +1967,81 @@ def soft_dedup_weights(
             F.round(F.lit(1.0) / F.col("cluster_size"), 6) + F.lit(0.0)
         ).alias("weight"),
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Cross-source duplication audit: for every PAIR of sources, the
+    n-gram-vocabulary overlap — ``jaccard`` plus BOTH directed
+    containments (what fraction of A's distinct grams also appear in
+    B, and vice versa) — the corpus-level view of the per-doc dedup
+    family (a mirror site shows up as containment ~1.0 long before
+    per-doc pair mining runs). Returns
+    ``(src_a, src_b, grams_a, grams_b, inter, jaccard,
+    containment_a, containment_b)`` with src_a < src_b.
+
+    Scale shape: one explode to (source, gram), ONE distinct (the
+    source-level vocabulary — bounded by vocabulary, not corpus), a
+    self-equi-join on gram (each gram contributes at most
+    |sources|^2/2 pair rows — sources are a SMALL set by construction,
+    so no max_df valve is needed at this level), one pair aggregate.
+    Everything stays gram-keyed; no doc x doc work at all.
+    """
+    voc = (
+        ensure_min_parallelism(df)
+        .select(
+            F.col(group_col).alias("__g"),
+            F.explode(
+                F.array_distinct(_shingles(text_col, n))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    sizes = voc.groupBy("__g").agg(F.count("*").alias("n_grams"))
+    a, b = voc.alias("a"), voc.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.__g") < F.col("b.__g")),
+        )
+        .groupBy(
+            F.col("a.__g").alias("src_a"), F.col("b.__g").alias("src_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("__g").alias("src_a"), F.col("n_grams").alias("grams_a")
+    )
+    sb = sizes.select(
+        F.col("__g").alias("src_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "grams_a",
+            "grams_b",
+            "inter",
+            (
+                F.round(
+                    F.col("inter")
+                    / (F.col("grams_a") + F.col("grams_b") - F.col("inter")),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("jaccard"),
+            (F.round(F.col("inter") / F.col("grams_a"), 6) + F.lit(0.0)).alias(
+                "containment_a"
+            ),
+            (F.round(F.col("inter") / F.col("grams_b"), 6) + F.lit(0.0)).alias(
+                "containment_b"
+            ),
+        )
+    )

@@ -8785,6 +8785,53 @@ FROM t4
 
 
 # --------------------------------------------------------------------
+# B97 — cross-source n-gram overlap matrix (new r7)
+# --------------------------------------------------------------------
+
+def q182_source_overlap(spark, sf_dir):
+    """B97 (new r7): cross-source duplication audit
+    (`dedup.source_overlap_matrix`): per source PAIR, the 5-gram
+    VOCABULARY jaccard + both directed containments — the corpus-level
+    mirror/inclusion detector that runs before any per-doc pair
+    mining. One explode + one distinct (vocabulary-bounded, not
+    corpus-bounded) + a gram equi-join whose fan-out is capped by the
+    SMALL source count, + one pair aggregate."""
+    from .operators.dedup import source_overlap_matrix
+
+    return source_overlap_matrix(_t(spark, sf_dir, "documents"), n=5)
+
+
+Q182_SQL = r"""
+WITH words AS (
+    SELECT source, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM documents
+), voc AS (
+    SELECT DISTINCT source,
+           ARRAY_TO_STRING(w[i:i+4], ' ') AS gram
+    FROM words, UNNEST(LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                                   i -> i <= LEN(w) - 5 + 1)) t(i)
+), sizes AS (
+    SELECT source, COUNT(*) AS n_grams FROM voc GROUP BY source
+), inter AS (
+    SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+    FROM voc a JOIN voc b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT src_a, src_b,
+       CAST(sa.n_grams AS BIGINT) AS grams_a,
+       CAST(sb.n_grams AS BIGINT) AS grams_b,
+       CAST(inter AS BIGINT) AS inter,
+       ROUND(inter * 1.0 / (sa.n_grams + sb.n_grams - inter), 6) + 0.0
+           AS jaccard,
+       ROUND(inter * 1.0 / sa.n_grams, 6) + 0.0 AS containment_a,
+       ROUND(inter * 1.0 / sb.n_grams, 6) + 0.0 AS containment_b
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -8844,6 +8891,7 @@ QUERIES: dict[str, tuple] = {
     "q179_stream_shard_manifest": (q179_stream_shard_manifest, Q173_SQL),
     "q180_tokenizer_fertility": (q180_tokenizer_fertility, Q180_SQL),
     "q181_token_budget": (q181_token_budget, Q181_SQL),
+    "q182_source_overlap": (q182_source_overlap, Q182_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -8870,12 +8918,12 @@ QUERIES: dict[str, tuple] = {
     "q103_multiprobe_lsh_gate": (q103_multiprobe_lsh_gate, Q103_SQL),
     "q104_incremental_dedup": (q104_incremental_dedup, Q104_SQL),
     "q105_corpus_mixture": (q105_corpus_mixture, Q105_SQL),
-    "q106_stream_incremental_dedup": (q106_stream_incremental_dedup, Q104_SQL),
     # ---------------- end of the 50-row driver window ----------------
-    # --- next in line for the r8 rotation: q107-q124 (q107-q115
-    # --- displaced by the late B88-B96 rows, q116-q124 by B79-B87),
+    # --- next in line for the r8 rotation: q106-q124 (q106-q115
+    # --- displaced by the late B88-B97 rows, q116-q124 by B79-B87),
     # --- q125-q139, then the rotated-out r6-window rows (freshest
     # --- last).
+    "q106_stream_incremental_dedup": (q106_stream_incremental_dedup, Q104_SQL),
     "q107_domain_cap": (q107_domain_cap, Q107_SQL),
     "q108_collapse_parity_gate": (q108_collapse_parity_gate, Q108_SQL),
     "q109_stream_left_outer_join": (q109_stream_left_outer_join, Q109_SQL),

@@ -301,3 +301,43 @@ def test_knn_graph_max_bucket_valve(spark):
     assert ids and all(i >= 100 for i in ids)  # replica block dropped
     full = knn_graph(df, k=2, bits=4, tables=2).collect()
     assert {r.vec_id for r in full} >= set(range(30))
+
+
+def test_robust_dim_outliers_approx_matches_exact_flags(spark):
+    from catenae_stopover_spark.operators.similarity import (
+        robust_dim_outliers,
+    )
+
+    rows = [(i, [float(i % 5), float((i * 3) % 7)]) for i in range(50)] + [
+        (99, [500.0, -500.0])
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    ex = {r.vec_id: r.n_outlier_dims for r in robust_dim_outliers(df).collect()}
+    ap = {
+        r.vec_id: r.n_outlier_dims
+        for r in robust_dim_outliers(df, exact=False).collect()
+    }
+    assert ex == ap  # flags agree at fixture scale
+    assert ex[99] == 2
+
+
+def test_source_overlap_matrix(spark):
+    from catenae_stopover_spark.operators.dedup import source_overlap_matrix
+
+    # Source A and B share half their vocab; C is disjoint.
+    rows = [
+        (1, "A", "w1 w2 w3 w4 w5 w6"),
+        (2, "B", "w1 w2 w3 w4 w5 x9"),
+        (3, "C", "z1 z2 z3 z4 z5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        (r.src_a, r.src_b): r
+        for r in source_overlap_matrix(df, n=5).collect()
+    }
+    # A: grams {w1..w5, w2..w6}; B: {w1..w5, w2..x9}; inter = {w1..w5}
+    ab = out[("A", "B")]
+    assert ab.grams_a == 2 and ab.grams_b == 2 and ab.inter == 1
+    assert ab.jaccard == pytest.approx(1 / 3, abs=1e-6)
+    assert ab.containment_a == pytest.approx(0.5)
+    assert ("A", "C") not in out  # disjoint pairs emit no row
