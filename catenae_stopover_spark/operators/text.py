@@ -1087,6 +1087,8 @@ def release_guard(
     report: DataFrame,
     docs_col: str = "n_docs",
     min_docs: int = 1,
+    by: str = "source",
+    total_label: str = "__total__",
 ) -> DataFrame:
     """RAISE variant of the non-empty-release check: collect the (tiny,
     per-class) release report ONCE, raise ``ValueError`` when the total
@@ -1096,9 +1098,20 @@ def release_guard(
     bpe_encode_counts' merge table; re-running the lazy plan after
     validating could release different rows from a non-deterministic
     source). The report is planning-scalar sized by construction
-    (one row per class), so the collect is bounded."""
+    (one row per class), so the collect is bounded.
+
+    The companion :func:`release_report` includes a ``total_label``
+    rollup row; summing over ALL rows would count every document twice
+    (and a release holding only ceil(min_docs/2) docs would silently
+    pass a ``min_docs > 1`` guard), so rows whose ``by`` value equals
+    ``total_label`` are excluded from the sum. Reports without a
+    ``by`` column or without a total row are summed as-is."""
     rows = report.collect()
-    total = sum((r[docs_col] or 0) for r in rows)
+    if by in report.columns:
+        body = [r for r in rows if r[by] != total_label]
+    else:
+        body = rows
+    total = sum((r[docs_col] or 0) for r in body)
     if total < min_docs:
         raise ValueError(
             f"empty release: total {docs_col}={total} < min_docs="
@@ -1333,6 +1346,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     top_n: int = 20,
+    cut_round_digits: int | None = None,
 ) -> DataFrame:
     """BM25 retrieval scoring (the Robertson–Spärck Jones form with
     Lucene's non-negative idf: ``ln(1 + (N - df + 0.5)/(df + 0.5))``)
@@ -1351,7 +1365,13 @@ def bm25_scores(
     No driver-side vocabulary, no UDF.
 
     Returns the ``top_n`` (id, n_hit_terms, score) by score with a
-    deterministic id tiebreak.
+    deterministic id tiebreak. When ``cut_round_digits`` is set the
+    top-``top_n`` CUT orders by the score rounded to that many digits
+    (the ``score`` column itself stays unrounded) — downstream
+    consumers that re-rank on a rounded score (q165's RRF fusion and
+    its oracle) need the cut itself to be round-stable, or a doc pair
+    straddling rank ``top_n`` whose raw scores differ only in FP
+    summation order changes membership across engines.
     """
     from ..plans.partitioning import ensure_min_parallelism
 
@@ -1393,7 +1413,12 @@ def bm25_scores(
             F.sum("__s").alias("score"),
         )
     )
-    return scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_n)
+    cut_key = (
+        F.round("score", cut_round_digits)
+        if cut_round_digits is not None
+        else F.col("score")
+    )
+    return scored.orderBy(cut_key.desc(), F.col(id_col)).limit(top_n)
 
 
 def bpe_train(
@@ -2362,11 +2387,26 @@ def token_budget_allocation(
             F.round(F.col("__w") / F.sum("__w").over(w), 12) + F.lit(0.0),
         )
     )
+    # The leftover L = budget - sum(base) is computed EXACTLY in int64
+    # (base sums are integer); normally 0 <= L < |classes|, but at
+    # extreme budgets FP drift in share*budget can push L outside
+    # that band (shares round to 12 dp so sum(share) != 1 by up to
+    # |classes|*5e-13, and float(budget) loses integer exactness past
+    # 2^53). The signed floor-division correction q = floor(L/n),
+    # r = L - q*n (0 <= r < n) gives every class q extra tokens and
+    # the top-r remainder classes one more — exact for ANY integer L,
+    # positive or negative, so alloc_tokens always sums to the budget.
     exact = F.col("share") * F.lit(float(budget_tokens))
     alloc = (
         shares.withColumn("__base", F.floor(exact).cast("bigint"))
         .withColumn("__frac", exact - F.col("__base"))
         .withColumn("__left", F.lit(budget_tokens) - F.sum("__base").over(w))
+        .withColumn("__n", F.count("*").over(w))
+        .withColumn(
+            "__q",
+            F.floor(F.col("__left") / F.col("__n")).cast("bigint"),
+        )
+        .withColumn("__r", F.col("__left") - F.col("__q") * F.col("__n"))
         .withColumn(
             "__rk",
             F.row_number().over(
@@ -2376,7 +2416,8 @@ def token_budget_allocation(
         .withColumn(
             "alloc_tokens",
             F.col("__base")
-            + F.when(F.col("__rk") <= F.col("__left"), F.lit(1)).otherwise(
+            + F.col("__q")
+            + F.when(F.col("__rk") <= F.col("__r"), F.lit(1)).otherwise(
                 F.lit(0)
             ),
         )

@@ -7881,7 +7881,10 @@ def q165_rrf_fusion(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     e = _t(spark, sf_dir, "embeddings")
-    lex = bm25_scores(d, list(_BM25_TERMS), "text", "doc_id", top_n=50)
+    lex = bm25_scores(
+        d, list(_BM25_TERMS), "text", "doc_id", top_n=50,
+        cut_round_digits=6,
+    )
     lex = lex.select(
         "doc_id",
         F.row_number()

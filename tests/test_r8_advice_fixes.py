@@ -1,0 +1,122 @@
+"""Regression tests for the round-7 ADVICE findings fixed in r8:
+
+1. release_guard double-counted documents through release_report's
+   ``__total__`` rollup row (min_docs > 1 could pass on a release
+   holding only ceil(min_docs/2) docs);
+2. bm25_scores' top-n cut can order by the ROUNDED score so the cut
+   membership is stable across engines (q165's RRF fusion oracle);
+3. markov_sequence_score must not leak its persisted tf table;
+4. token_budget_allocation's exact-sum guarantee must hold even when
+   FP drift pushes the leftover outside [0, |classes|).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_release_guard_excludes_total_row(spark):
+    from catenae_stopover_spark.operators.text import (
+        release_guard,
+        release_report,
+    )
+
+    # 3 docs -> report rows: (web, 3, ...) + (__total__, 3, ...).
+    # Summing ALL rows would see 6 docs and let min_docs=5 pass even
+    # though only 3 documents are actually released.
+    docs = spark.createDataFrame(
+        [("web", "a b"), ("web", "c"), ("web", "d e f")],
+        "source string, text string",
+    )
+    report = release_report(docs)
+    with pytest.raises(ValueError, match="empty release"):
+        release_guard(report, min_docs=5)
+    # min_docs at the true count still passes.
+    got = release_guard(report, min_docs=3).collect()
+    assert {r.source for r in got} == {"web", "__total__"}
+
+    # A report without the `by` column falls back to summing as-is.
+    plain = spark.createDataFrame([(4,)], "n_docs long")
+    assert release_guard(plain, min_docs=4).collect()[0].n_docs == 4
+
+
+def test_bm25_cut_round_digits_stabilizes_membership(spark):
+    from catenae_stopover_spark.operators.text import bm25_scores
+
+    # Two docs with identical term content (identical true score) plus
+    # one clearly-better doc; top_n=2 with a rounded cut must break
+    # the tie by doc_id deterministically, keeping 'a'.
+    docs = spark.createDataFrame(
+        [
+            ("a", "spark join"),
+            ("b", "spark join"),
+            ("z", "spark spark join join"),
+        ],
+        "doc_id string, text string",
+    )
+    out = bm25_scores(
+        docs, ["spark", "join"], top_n=2, cut_round_digits=6
+    ).collect()
+    assert [r.doc_id for r in out] == ["z", "a"]
+    # The score column itself stays unrounded (same values as the
+    # unrounded-cut form).
+    base = {
+        r.doc_id: r.score
+        for r in bm25_scores(docs, ["spark", "join"], top_n=3).collect()
+    }
+    for r in out:
+        assert r.score == base[r.doc_id]
+
+
+def test_markov_unpersists_tf(spark):
+    from catenae_stopover_spark.operators.analytics import (
+        markov_sequence_score,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            ("u1", 1, "view", 1),
+            ("u1", 2, "cart", 2),
+            ("u1", 3, "buy", 3),
+            ("u2", 1, "view", 4),
+            ("u2", 2, "view", 5),
+        ],
+        "user_id string, ts long, event_type string, event_id long",
+    )
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    out = markov_sequence_score(ev)
+    rows = {r.user_id: r for r in out.collect()}
+    assert rows["u1"].n_transitions == 2
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    # localCheckpoint registers the result RDD; the persisted tf
+    # DataFrame itself must be gone (no net growth beyond the
+    # checkpoint block from repeated calls).
+    for _ in range(3):
+        markov_sequence_score(ev).collect()
+    steady = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert steady - after <= 3  # checkpoints only, not tf caches x4
+
+
+def test_token_budget_exact_sum_with_negative_leftover(spark):
+    from catenae_stopover_spark.operators.text import (
+        token_budget_allocation,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("en", "a b c d e f g h"),
+            ("de", "a b c"),
+            ("fr", "a b"),
+            ("ja", "a"),
+        ],
+        "lang string, text string",
+    )
+    # A budget big enough that share*float(budget) drift makes the
+    # int64 leftover land outside [0, n): past 2^53 float(budget)
+    # itself is inexact. The allocation must still sum EXACTLY.
+    for budget in (1_000_000, 2**53 + 111, 10**17 + 7):
+        out = token_budget_allocation(docs, budget_tokens=budget)
+        rows = out.collect()
+        assert sum(r.alloc_tokens for r in rows) == budget, budget
+        assert len(rows) == 4
