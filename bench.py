@@ -397,34 +397,65 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "bench_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-                "rows": rows,
-                "spread": spreads,
-                "duckdb": duck,
-                "duckdb_spread": duck_spreads,
-                "ratios": ratios,
-                **q6c_extras,
-                "t1_msgs_per_sec": round(T1_MESSAGES / t1_sec),
-                "config": {
-                    "master": spark.sparkContext.master,
-                    "shuffle_partitions": spark.conf.get(
-                        "spark.sql.shuffle.partitions"
-                    ),
-                    "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
-                    "reps": REPS,
-                    "min_total_sec": MIN_TOTAL_SEC,
-                    "max_reps": MAX_REPS,
-                },
-            }
-        )
-    )
+    detail = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "rows": rows,
+        "spread": spreads,
+        "duckdb": duck,
+        "duckdb_spread": duck_spreads,
+        "ratios": ratios,
+        **q6c_extras,
+        "t1_msgs_per_sec": round(T1_MESSAGES / t1_sec),
+        "config": {
+            "master": spark.sparkContext.master,
+            "shuffle_partitions": spark.conf.get(
+                "spark.sql.shuffle.partitions"
+            ),
+            "aqe": spark.conf.get("spark.sql.adaptive.enabled"),
+            "reps": REPS,
+            "min_total_sec": MIN_TOTAL_SEC,
+            "max_reps": MAX_REPS,
+        },
+    }
+    # The driver captures only the LAST ~2000 chars of stdout and
+    # parses the JSON line it finds there; r7's single verbose line
+    # outgrew the window and the artifact lost its head (BENCH_r07
+    # `parsed: null`). So: full detail goes to a sidecar file + an
+    # EARLIER stdout line, and the FINAL line is a compact summary
+    # guaranteed to fit — per-query spark times in `queries` (the
+    # driver contract), plus rows/ratio/spread folded into one
+    # `detail` map of [rows, duckdb_ratio, spread] triples.
+    try:
+        with open(
+            os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"),
+            "w",
+        ) as fh:
+            json.dump(detail, fh, indent=1)
+    except OSError:
+        pass
+    print(json.dumps(detail, separators=(",", ":")))
+    compact = {
+        "metric": "bench_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_from_dir(SF_DIR),
+        "queries": timings,
+        "detail": {
+            k: [rows.get(k), ratios.get(k), spreads.get(k)]
+            for k in timings
+        },
+        "t1_msgs_per_sec": round(T1_MESSAGES / t1_sec),
+        "q6c_collapse_speedup": q6c_extras["q6c_collapse_speedup"],
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # never outgrow the driver's tail window
+        compact.pop("detail")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
