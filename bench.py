@@ -330,9 +330,9 @@ def main() -> None:
             )
         )
     replicated = replicated.localCheckpoint()  # exclude corpus build
-    plain = lambda: minhash_lsh_near_dups(replicated).select(  # noqa: E731
-        "id_a", "id_b", "est_jaccard"
-    )
+    plain = lambda: minhash_lsh_near_dups(  # noqa: E731
+        replicated, collapse_exact=False
+    ).select("id_a", "id_b", "est_jaccard")
     coll = lambda: minhash_lsh_near_dups(  # noqa: E731
         replicated, collapse_exact=True
     ).select("id_a", "id_b", "est_jaccard")

@@ -210,10 +210,21 @@ def minhash_lsh_near_dups(
     bands: int = 16,
     shingle_n: int = 5,
     max_bucket: int | None = None,
-    collapse_exact: bool = False,
+    collapse_exact: bool = True,
     portable_hash: bool = False,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs (B50).
+
+    ``collapse_exact`` defaults to True (changed r8, the knn_graph
+    valve round): byte-identical documents are pre-collapsed to one
+    representative before mining and pairs expanded back — VALUE-EXACT
+    parity with the uncollapsed run (pytest-pinned, q108 gate), so the
+    default trades one content-digest shuffle on natural corpora for
+    immunity to the replica-heavy web shape, where uncollapsed
+    signature buckets grow with the replication factor and the band
+    join goes quadratic (the r7 1000x OOM class). Pass
+    ``collapse_exact=False`` to measure/run the structural
+    alternative.
 
     Plan (all JVM-side):
       1. shingle each doc (word n-grams);

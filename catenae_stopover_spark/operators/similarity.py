@@ -779,6 +779,8 @@ def knn_graph(
     target_bucket: int = 8,
     diff_col: str | None = None,
     max_bucket: int | None = None,
+    pair_budget_per_row: int = 64,
+    cap_report: dict | None = None,
 ) -> DataFrame:
     """Approximate k-nearest-neighbor GRAPH over the whole corpus —
     the all-vectors form of the single-query serve: for every vector,
@@ -821,9 +823,22 @@ def knn_graph(
     byte-identical (or near-identical) vectors yields k(k-1)/2
     candidates regardless of width: measured as a 1000x heap OOM on
     the replica stress corpus (each signature bucket held ~1000
-    copies -> ~40e9 candidate pairs). On duplicate-heavy corpora set
-    the valve or pre-collapse exact-duplicate vectors; neighbors
-    inside a dropped bucket are the documented recall trade.
+    copies -> ~40e9 candidate pairs). With ``max_bucket=None`` (the
+    default) the cap is DERIVED from the (table, signature)
+    bucket-size histogram via `linkage.derive_block_cap` — the q141
+    playbook: keep the largest size class whose cumulative pair cost
+    stays within ``pair_budget_per_row * |tagged rows|``, so
+    candidate volume is O(n) by construction and a DEFAULT caller
+    cannot OOM on a replica-heavy corpus. On natural corpora the
+    derived cap keeps every bucket (cumulative cost ~tables *
+    target_bucket per row, well under the 64/row budget) and the
+    bucket-size filter is SKIPPED entirely — the natural-data plan is
+    byte-identical to the uncapped one. Neighbors inside a dropped
+    bucket are the documented recall trade (on pure-replica corpora
+    pre-collapse exact-duplicate vectors first — the honest answer).
+    Pass ``cap_report={}`` to receive `linkage.block_cap_report`
+    dropped-bucket accounting in-place; an explicit ``max_bucket``
+    pins the valve and skips the histogram job.
 
     Above the parquet-bytes crossover the signatures come from ONE
     BLAS batch kernel (`portable_table_signatures_numpy`: one
@@ -876,6 +891,31 @@ def knn_graph(
         F.col("__ts.t").alias("__t"),
         F.col("__ts.s").alias("__s"),
     )
+    if max_bucket is None:
+        # Planning-scalar histogram job (|distinct bucket sizes| rows,
+        # the q141 pattern — the signature pass runs once extra at
+        # call time, bounded and documented). Integer math throughout
+        # so a replaying oracle derives the identical cap.
+        from .linkage import block_cap_report, derive_block_cap
+
+        hist_rows = (
+            tagged.groupBy("__t", "__s")
+            .count()
+            .groupBy("count")
+            .agg(F.count("*").alias("nb"))
+            .collect()
+        )
+        hist = sorted((int(r["count"]), int(r["nb"])) for r in hist_rows)
+        n_tagged = sum(s * nb for s, nb in hist)
+        max_bucket = (
+            derive_block_cap(hist, n_tagged, pair_budget_per_row)
+            if hist
+            else 0
+        )
+        if cap_report is not None:
+            cap_report.update(block_cap_report(hist, max_bucket))
+        if hist and max_bucket >= hist[-1][0]:
+            max_bucket = None  # every bucket within budget: no filter
     if max_bucket is not None:
         tagged = (
             tagged.withColumn(

@@ -4541,7 +4541,7 @@ def q108_collapse_parity_gate(spark, sf_dir):
             (F.col("doc_id") + 70000).alias("doc_id"), "text"
         )
     )
-    mh_plain = minhash_lsh_near_dups(docs).select(
+    mh_plain = minhash_lsh_near_dups(docs, collapse_exact=False).select(
         "id_a", "id_b", "est_jaccard"
     )
     mh_coll = minhash_lsh_near_dups(docs, collapse_exact=True).select(
@@ -7543,13 +7543,34 @@ def _q160_oracle_sql():
         f"SELECT vec_id, {t} AS t, {sig_expr(t)} AS s FROM embeddings"
         for t in range(tables)
     )
+    # The r8 derived bucket-cap mirror (knn_graph max_bucket=None —
+    # the q141 playbook): replay the (table, signature) bucket-size
+    # histogram, the 64-pairs-per-tagged-row budget, and the
+    # keep-size-classes-within-budget cap in the same integer math.
+    # On this natural corpus the cap keeps every bucket, so the
+    # filter is a no-op — but the derivation itself is value-checked.
     return f"""
 WITH tagged AS (
 {tagged}
+), bsz AS (
+    SELECT t, s, COUNT(*) AS bs FROM tagged GROUP BY t, s
+), hist AS (
+    SELECT bs, COUNT(*) AS nb FROM bsz GROUP BY bs
+), costs AS (
+    SELECT bs AS sz,
+           SUM(nb * ((bs * (bs - 1)) // 2)) OVER (ORDER BY bs) AS pairs
+    FROM hist
+), cap AS (
+    SELECT COALESCE(
+        MAX(sz) FILTER (WHERE pairs <= 64 * (SELECT SUM(bs) FROM bsz)),
+        0) AS cap
+    FROM costs
 ), cand AS (
     SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS nn_id
     FROM tagged a JOIN tagged b
       ON a.t = b.t AND a.s = b.s AND a.vec_id <> b.vec_id
+    JOIN bsz ON bsz.t = a.t AND bsz.s = a.s
+    WHERE bsz.bs <= (SELECT cap FROM cap)
 ), scored AS (
     SELECT id_a, nn_id,
            LIST_COSINE_SIMILARITY(va.embedding::DOUBLE[],
@@ -7638,12 +7659,18 @@ def _q162_oracle_sql():
     base = _q160_oracle_sql()
     # the q160 replay with the label-difference filter on candidates
     # and k=3: splice the conditions into the shared builder's SQL
+    # (the label joins go before the bucket-cap join, the label
+    # predicate ANDs onto the cap filter)
     base = base.replace(
         "ON a.t = b.t AND a.s = b.s AND a.vec_id <> b.vec_id",
         "ON a.t = b.t AND a.s = b.s AND a.vec_id <> b.vec_id\n"
         "    JOIN embeddings ea ON ea.vec_id = a.vec_id\n"
-        "    JOIN embeddings eb ON eb.vec_id = b.vec_id\n"
-        "   WHERE ea.label <> eb.label",
+        "    JOIN embeddings eb ON eb.vec_id = b.vec_id",
+    )
+    base = base.replace(
+        "WHERE bsz.bs <= (SELECT cap FROM cap)",
+        "WHERE bsz.bs <= (SELECT cap FROM cap)"
+        " AND ea.label <> eb.label",
     )
     return base.replace("WHERE rnk <= 5", "WHERE rnk <= 3")
 

@@ -1,0 +1,107 @@
+"""r8 verdict ask #3: knn_graph's `max_bucket=None` default derives a
+bucket cap from the (table, signature) bucket-size histogram (the q141
+playbook) so a DEFAULT caller cannot OOM on a replica-heavy corpus,
+with `block_cap_report` accounting; and `minhash_lsh_near_dups` now
+defaults to the value-exact `collapse_exact=True` pre-collapse (the
+same replica-shape protection, with pinned pair parity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _replica_corpus(spark, n_dup=200):
+    dup = [1.0, 0.0, 0.0, 0.0]
+    rows = [(i, dup) for i in range(n_dup)] + [
+        (1000, [0.9, 0.1, 0.0, 0.0]),
+        (1001, [0.8, 0.2, 0.0, 0.0]),
+        (1002, [-1.0, 0.0, 0.0, 0.0]),
+        (1003, [-0.9, -0.1, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+
+
+def test_knn_graph_default_derives_cap_on_replica_corpus(spark):
+    from catenae_stopover_spark.operators.similarity import knn_graph
+
+    df = _replica_corpus(spark, n_dup=200)
+    # DEFAULT knobs except the (explicit, deterministic) width: the
+    # 200-replica bucket costs ~2 * 200*199/2 pairs, far over the
+    # 64-per-tagged-row budget, so the derived cap must drop it while
+    # keeping the distinct vectors' small buckets.
+    report: dict = {}
+    out = knn_graph(df, k=2, bits=4, tables=2, cap_report=report).collect()
+    ids = {r.vec_id for r in out}
+    assert ids and all(i >= 1000 for i in ids)  # replica block dropped
+    # accounting pins the derivation
+    assert report["cap"] >= 1 and report["cap"] < 200
+    assert report["n_rows_dropped"] >= 2 * 200  # both tables' buckets
+    assert report["pairs_kept"] <= 64 * report["n_rows"]
+    assert report["n_blocks_dropped"] >= 2
+
+
+def test_knn_graph_default_keeps_natural_buckets(spark):
+    from catenae_stopover_spark.operators.similarity import knn_graph
+
+    # Natural-shape corpus: every bucket within budget -> derived cap
+    # keeps everything and the result equals the explicitly-uncapped
+    # run (max_bucket=10**9 ~ no valve).
+    import math
+
+    rows = [
+        (
+            i,
+            [
+                math.cos(0.37 * i + d) * (1 + 0.01 * d)
+                for d in range(4)
+            ],
+        )
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    report: dict = {}
+    derived = sorted(
+        (r.vec_id, r.nn_id, r.rank)
+        for r in knn_graph(
+            df, k=3, bits=4, tables=2, cap_report=report
+        ).collect()
+    )
+    uncapped = sorted(
+        (r.vec_id, r.nn_id, r.rank)
+        for r in knn_graph(
+            df, k=3, bits=4, tables=2, max_bucket=10**9
+        ).collect()
+    )
+    assert derived == uncapped
+    assert report["n_rows_dropped"] == 0
+    assert report["cap"] == max(
+        s for s in [report["cap"]]
+    )  # cap present and non-zero
+    assert report["cap"] >= 1
+
+
+def test_minhash_default_collapse_parity(spark):
+    from catenae_stopover_spark.operators.dedup import minhash_lsh_near_dups
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again"),
+            (2, "the quick brown fox jumps over the lazy dog again"),
+            (3, "the quick brown fox jumps over the lazy cat again"),
+            (4, "completely different text about spark sql engines ok"),
+        ],
+        "doc_id long, text string",
+    )
+    default_pairs = sorted(
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_lsh_near_dups(docs).collect()
+    )
+    plain_pairs = sorted(
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_lsh_near_dups(docs, collapse_exact=False).collect()
+    )
+    assert default_pairs == plain_pairs
+    assert (1, 2, 1.0) in {(a, b, j) for a, b, j in default_pairs}
