@@ -113,7 +113,15 @@ def sample_negatives(
     Shape: both sides get ``bucket = sha2(id) % buckets``; an
     equi-join on the bucket bounds each anchor's candidate pool to
     ~|candidates|/buckets rows, then a per-anchor top-k window
-    (WindowGroupLimit pushes the rank filter into the sort).
+    (WindowGroupLimit pushes the rank filter into the sort). The join
+    is HINTED shuffle-hash (never broadcast) so the pool comes out
+    hash-partitioned by ``__b``, and the window partitions by
+    ``(__b, anchor_id)`` — since an anchor's rows all share its one
+    bucket, HashPartitioning(__b) already satisfies the window's
+    clustering, so the ~anchors x pool_target exploded pool is sorted
+    IN PLACE and never crosses an exchange (the r7-measured 2.13x at
+    100x was the pool shuffle: only the two ~|input|-row sides
+    shuffle now, not the joined pool).
 
     ``buckets=None`` (default) derives the bucket count from the data:
     ``max(8, ceil(n_candidates / pool_target))``, so the per-anchor
@@ -144,9 +152,14 @@ def sample_negatives(
     c = candidates.select(
         F.col(id_col).alias("neg_id"), F.col(label_col).alias("neg_label")
     ).withColumn("__b", _bucket(F.col("neg_id")))
-    pool = a.join(c, "__b").filter(
-        (F.col("neg_label") != F.col("anchor_label"))
-        & (F.col("neg_id") != F.col("anchor_id"))
+    pool = (
+        a.hint("shuffle_hash")
+        .join(c, "__b")
+        .filter(
+            (F.col("neg_label") != F.col("anchor_label"))
+            & (F.col("neg_id") != F.col("anchor_id"))
+        )
+        .select("__b", "anchor_id", "neg_id", "neg_label")
     )
     draw = F.conv(
         F.substring(
@@ -164,7 +177,10 @@ def sample_negatives(
         16,
         10,
     ).cast("bigint")
-    w = Window.partitionBy("anchor_id").orderBy(
+    # partition by (__b, anchor_id): anchor_id determines __b, so the
+    # rank is identical — but the extra leading key lets the pool's
+    # existing HashPartitioning(__b) satisfy the window's clustering
+    w = Window.partitionBy("__b", "anchor_id").orderBy(
         draw.asc(), F.col("neg_id").asc()
     )
     return (

@@ -1123,12 +1123,16 @@ def source_centroid_purity(
     cos_centroid, is_outlier) with ``is_outlier = cos <
     outlier_below``.
 
-    One plan, two corpus x d passes over the SAME posexploded view:
-    the per-(group, dim) centroid aggregate, then a (group, dim)
-    equi-join back for the dot/norm aggregate per doc — both shuffles
-    on keys the data already produced; the centroid table is
-    |groups| x d and broadcasts. No driver-side centroid collect, no
-    k x corpus crossJoin.
+    Scale shape (reworked r8 — the r7 verdict's "one posexplode, not
+    two"): pass 1 aggregates the per-(group, dim) centroid off ONE
+    posexploded view — map-side partial aggregation shrinks the
+    shuffle to |groups| x d rows regardless of corpus size. The
+    centroid table is then a COLLECTED planning scalar (|groups| x d
+    doubles — the IVF-centroid / whitening-fit precedent) embedded as
+    a literal matrix into pass 2: one zero-copy mapInArrow BLAS pass
+    that scores every vector against its own group's centroid with no
+    second explode, no join, and no per-vector shuffle (the measured
+    4.3x row at 100x was the old second corpus x d join + groupBy).
 
     Cross-engine determinism: centroid components are ROUND+0.0-folded
     before the dot product (the -0.0 dust channel), and the final
@@ -1142,40 +1146,82 @@ def source_centroid_purity(
             F.col(meta_id_col).alias(id_col), F.col(group_col)
         ),
         id_col,
+    ).select(
+        id_col, group_col, F.col(vec_col).cast("array<double>").alias("__v")
     )
     ex = labeled.select(
         id_col,
         group_col,
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
-            "pos", "val"
-        ),
+        F.posexplode(F.col("__v")).alias("pos", "val"),
     )
-    cent = ex.groupBy(group_col, "pos").agg(
-        (F.round(F.avg("val"), 6) + F.lit(0.0)).alias("__c")
+    cent_rows = (
+        ex.groupBy(group_col, "pos")
+        .agg((F.round(F.avg("val"), 6) + F.lit(0.0)).alias("__c"))
+        .collect()
     )
-    dots = (
-        ex.join(F.broadcast(cent), [group_col, "pos"])
-        .groupBy(id_col, group_col)
-        .agg(
-            F.sum(F.col("val") * F.col("__c")).alias("__dot"),
-            F.sum(F.col("val") * F.col("val")).alias("__n2v"),
-            F.sum(F.col("__c") * F.col("__c")).alias("__n2c"),
+    by_group: dict = {}
+    for r in cent_rows:
+        by_group.setdefault(r[group_col], {})[r["pos"]] = r["__c"]
+    groups = sorted(by_group, key=str)
+    id_type = dict(labeled.dtypes)[id_col]
+    grp_type = dict(labeled.dtypes)[group_col]
+    if not groups:  # empty corpus: empty result, stable schema
+        return labeled.sparkSession.createDataFrame(
+            [],
+            f"{id_col} {id_type}, {group_col} {grp_type}, "
+            "cos_centroid double, is_outlier boolean",
         )
+    g2i = {g: i for i, g in enumerate(groups)}
+    d = 1 + max((max(p) for p in by_group.values()), default=0)
+    cmat = [[by_group[g].get(p, 0.0) for p in range(d)] for g in groups]
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        c = np.asarray(cmat, dtype=np.float64)  # (|groups|, d)
+        n2c = np.einsum("ij,ij->i", c, c)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            flat = np.asarray(b.column("__v").flatten(), dtype=np.float64)
+            if flat.size != b.num_rows * d:
+                raise ValueError(
+                    "ragged or null vectors: source_centroid_purity "
+                    "needs fixed-dim non-null input"
+                )
+            m = flat.reshape(b.num_rows, d)
+            gi = np.fromiter(
+                (g2i[g] for g in b.column(group_col).to_pylist()),
+                dtype=np.int64,
+                count=b.num_rows,
+            )
+            dot = np.einsum("ij,ij->i", m, c[gi])
+            denom2 = np.einsum("ij,ij->i", m, m) * n2c[gi]
+            # 0/0 -> NULL in BOTH engines (Spark Divide null-on-zero,
+            # DuckDB NULL): mask, don't emit NaN
+            valid = denom2 > 0.0
+            cos = np.zeros(b.num_rows)
+            np.divide(dot, np.sqrt(denom2), out=cos, where=valid)
+            cos = np.round(cos, 6) + 0.0
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(id_col),
+                    b.column(group_col),
+                    pa.array(cos, mask=~valid),
+                ],
+                [id_col, group_col, "cos_centroid"],
+            )
+
+    scored = labeled.mapInArrow(
+        score,
+        f"{id_col} {id_type}, {group_col} {grp_type}, cos_centroid double",
     )
-    # the + 0.0 fold: a near-orthogonal doc's dot is dust-scale and
-    # rounds to SIGNED zero differently across engines (the q155
-    # channel); folding costs nothing and keeps the byte-hash stable
-    cos = (
-        F.round(
-            F.col("__dot") / F.sqrt(F.col("__n2v") * F.col("__n2c")), 6
-        )
-        + F.lit(0.0)
-    )
-    return dots.select(
+    return scored.select(
         id_col,
         group_col,
-        cos.alias("cos_centroid"),
-        (cos < F.lit(outlier_below)).alias("is_outlier"),
+        "cos_centroid",
+        (F.col("cos_centroid") < F.lit(outlier_below)).alias("is_outlier"),
     )
 
 
@@ -1291,52 +1337,89 @@ def robust_dim_outliers(
     ratio, don't trust exact zero); z is rounded before the threshold
     compare so the flag replays across engines.
 
-    Scale shape: one posexplode feeding TWO d-bounded aggregates
-    (median pass, then MAD pass over the med-joined view — MAD is
-    two-pass by definition) and one per-vector re-aggregate; the
-    d-row med/MAD table broadcasts. Exploded rows shuffle corpus x d
-    twice — the honest cost of exact medians; ``exact=False`` swaps
-    in ``percentile_approx(..., accuracy=10000)`` on the SAME plan —
-    the 100 TB path (measured: the exact form is the one honest-weak
-    row at 100x/1000x, 5.4-7.9x behind a native engine; the flags it
-    feeds are threshold compares on z≈3.5, insensitive to a
-    1/10000-quantile wobble in the center estimates). Approx results
-    are engine-specific (Greenwald-Khanna), so the ORACLE-CHECKED
-    form stays exact; a pytest pins approx≈exact flags on a fixture.
+    Scale shape (reworked r8 — the r7 verdict's "cut the triple
+    re-computation"): ONE posexplode, PERSISTED across the two
+    d-bounded center aggregates (median pass, then MAD pass over the
+    med-joined view — MAD is two-pass by definition; the old plan
+    recomputed the scan+explode three times). The d-row med/MAD table
+    is then a COLLECTED planning scalar (2 x d doubles — the
+    IVF-centroid precedent) embedded as literal arrays into ONE
+    map-only mapInArrow scoring pass: no third explode, no join, and
+    no corpus x d per-vector shuffle. ``exact=False`` swaps in
+    ``percentile_approx(..., accuracy=10000)`` on the SAME plan — the
+    100 TB path (approx percentiles partial-aggregate map-side, so
+    the center passes stop shuffling corpus x d rows too; the flags
+    this feeds are threshold compares on z≈3.5, insensitive to a
+    1/10000-quantile wobble in the center estimates). Approx center
+    estimates are engine-specific (Greenwald-Khanna), so the
+    ORACLE-CHECKED form stays exact; a pytest pins approx≈exact flags
+    on a fixture.
     """
     pctl = "percentile" if exact else "percentile_approx"
     acc = "" if exact else ", 10000"
     ex = df.select(
         id_col, F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val")
-    )
-    med = ex.groupBy("pos").agg(
-        F.expr(f"{pctl}(val, 0.5{acc})").alias("__med")
-    )
-    mad = (
-        ex.join(F.broadcast(med), "pos")
-        .groupBy("pos")
-        .agg(
-            F.expr(f"{pctl}(abs(val - __med), 0.5{acc})").alias("__mad"),
-            F.first("__med").alias("__med2"),
+    ).persist()
+    try:
+        med = ex.groupBy("pos").agg(
+            F.expr(f"{pctl}(val, 0.5{acc})").alias("__med")
         )
-        .select("pos", F.col("__med2").alias("__med"), "__mad")
-    )
-    z = F.round(
-        0.6745
-        * (F.col("val") - F.col("__med"))
-        / F.greatest(F.col("__mad"), F.lit(mad_floor)),
-        6,
-    ) + F.lit(0.0)
-    return (
-        ex.join(F.broadcast(mad), "pos")
-        .select(id_col, z.alias("__z"))
-        .groupBy(id_col)
-        .agg(
-            F.sum((F.abs(F.col("__z")) > z_thresh).cast("int")).alias(
-                "n_outlier_dims"
-            ),
-            (F.round(F.max(F.abs(F.col("__z"))), 6) + F.lit(0.0)).alias(
-                "max_abs_z"
-            ),
+        stats = (
+            ex.join(F.broadcast(med), "pos")
+            .groupBy("pos")
+            .agg(
+                F.expr(f"{pctl}(abs(val - __med), 0.5{acc})").alias("__mad"),
+                F.first("__med").alias("__med2"),
+            )
+            .select("pos", F.col("__med2").alias("__med"), "__mad")
+            .collect()
         )
+    finally:
+        ex.unpersist()
+    id_type = dict(df.select(id_col).dtypes)[id_col]
+    if not stats:  # empty corpus: empty result, stable schema
+        return df.sparkSession.createDataFrame(
+            [],
+            f"{id_col} {id_type}, n_outlier_dims bigint, max_abs_z double",
+        )
+    d = 1 + max(r["pos"] for r in stats)
+    med_arr = [0.0] * d
+    mad_arr = [0.0] * d
+    for r in stats:
+        med_arr[r["pos"]] = r["__med"]
+        mad_arr[r["pos"]] = r["__mad"]
+
+    def score(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        m = np.asarray(med_arr, dtype=np.float64)
+        s = np.maximum(np.asarray(mad_arr, dtype=np.float64), mad_floor)
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            flat = np.asarray(b.column("__v").flatten(), dtype=np.float64)
+            if flat.size != b.num_rows * d:
+                raise ValueError(
+                    "ragged or null vectors: robust_dim_outliers "
+                    "needs fixed-dim non-null input"
+                )
+            v = flat.reshape(b.num_rows, d)
+            # identical FP evaluation order to the oracle's
+            # 0.6745 * (val - med) / greatest(mad, floor), rounded
+            z = np.abs(np.round(0.6745 * (v - m) / s, 6) + 0.0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(id_col),
+                    pa.array((z > z_thresh).sum(axis=1).astype("int64")),
+                    pa.array(np.round(z.max(axis=1), 6) + 0.0),
+                ],
+                [id_col, "n_outlier_dims", "max_abs_z"],
+            )
+
+    return df.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("__v")
+    ).mapInArrow(
+        score,
+        f"{id_col} {id_type}, n_outlier_dims bigint, max_abs_z double",
     )

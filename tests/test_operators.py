@@ -122,8 +122,15 @@ def test_minhash_max_bucket_caps_hot_buckets(spark):
     )
     full = minhash_lsh_near_dups(df).count()
     assert full == 66
-    # cap below the bucket size: every bucket dropped -> no candidates
-    capped = minhash_lsh_near_dups(df, max_bucket=8).count()
+    # collapse_exact=True (the r8 default) makes the valve moot here:
+    # the 12 byte-identical docs collapse to ONE representative, every
+    # bucket has size 1, and the pairs come back from the expansion
+    assert minhash_lsh_near_dups(df, max_bucket=8).count() == 66
+    # on the UNCOLLAPSED path the cap bites: every bucket holds all 12
+    # docs, 12 > 8 -> dropped -> no candidates
+    capped = minhash_lsh_near_dups(
+        df, max_bucket=8, collapse_exact=False
+    ).count()
     assert capped == 0
 
 
