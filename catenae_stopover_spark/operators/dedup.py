@@ -26,7 +26,7 @@ reports in analytics/graph which release their own pins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..plans.partitioning import ensure_min_parallelism
@@ -2054,5 +2054,150 @@ def source_overlap_matrix(
             (F.round(F.col("inter") / F.col("grams_b"), 6) + F.lit(0.0)).alias(
                 "containment_b"
             ),
+        )
+    )
+
+
+def _token_arrays(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Normalized token stream shared by the substring-dedup family:
+    lowercase, trim, whitespace-split, empties dropped."""
+    w = f"split(lower(trim({text_col})), '\\\\s+')"
+    return df.select(
+        F.col(id_col), F.expr(f"filter({w}, t -> t != '')").alias("__w")
+    )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Maximal cross-document repeated token substrings (B98) — the
+    suffix-array exact-substring dedup of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed as a sort-based distributed suffix-group pass: every
+    MAXIMAL run of tokens that appears verbatim in >= ``min_docs``
+    distinct documents and is at least ``min_len`` tokens long, per
+    occurrence. Where q157's strided char windows report fixed-width
+    spans only, this returns the full extent of each repeat — the
+    operator the real pipeline feeds into span REMOVAL (see
+    :func:`exact_substring_dedup`).
+
+    How: (1) every ``min_len``-token window (stride 1) is a suffix
+    anchor; (2) one groupBy finds anchors occurring in >= min_docs
+    docs (map-side partials; output bounded by genuinely repeated
+    anchors); (3) an inverted-index equi-join marks each doc's
+    duplicated anchor positions; (4) a per-doc gaps-and-islands window
+    (pos - row_number) merges runs of consecutive duplicated anchors
+    into maximal spans — a run of ``r`` consecutive anchors is a
+    repeated substring of ``r + min_len - 1`` tokens, exactly the
+    suffix-array LCP extension. Only duplicated positions reach the
+    window, so the per-doc sort is repeat-bounded, not corpus-bounded.
+    At 100 TB, pre-hash the anchor string (sha2 prefix) to shrink the
+    groupBy/join shuffle width — semantics identical, the raw string
+    here keeps the oracle replay byte-exact.
+
+    Returns (id_col, span_start, span_len) per maximal span occurrence,
+    positions/lengths in tokens over the normalized token stream.
+    """
+    toks = _token_arrays(ensure_min_parallelism(df), text_col, id_col)
+    anchors = F.expr(
+        f"transform(sequence(0, size(__w) - {min_len}),"
+        f" i -> array_join(slice(__w, i + 1, {min_len}), ' '))"
+    )
+    e = toks.filter(F.size("__w") >= min_len).select(
+        F.col(id_col), F.posexplode(anchors).alias("pos", "gram")
+    )
+    dup = (
+        e.groupBy("gram")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("gram")
+    )
+    cov = e.join(dup, "gram").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    return (
+        cov.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+        .groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.count("*") + F.lit(min_len - 1)).alias("span_len"),
+        )
+        .select(id_col, "span_start", "span_len")
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact-substring span REMOVAL (B99) — the apply form of
+    :func:`exact_substring_spans`, the Lee et al. 2022 dedup step
+    itself: for every maximal cross-document repeated substring, keep
+    the globally FIRST occurrence (smallest (doc_id, span_start)) and
+    delete every other occurrence from its document's token stream.
+    Unlike document-level dedup this removes the boilerplate/quote/
+    license bytes while keeping each document's unique remainder.
+
+    Shape: span discovery as in exact_substring_spans; occurrences are
+    ranked per exact span text by ONE window over the (small,
+    repeat-bounded) span table; each doc's removal ranges come back as
+    an array via groupBy-collect, and the deletion itself is a
+    MAP-ONLY indexed-lambda filter over the token array — no
+    corpus-wide explode/regroup to rebuild text, so the heavy pass
+    is one scan + one bounded join. Maximal spans within a doc are
+    disjoint (islands), so ranges never overlap.
+
+    Returns (id_col, n_tokens, n_removed, clean_text) — clean_text is
+    the doc's NORMALIZED token stream (lowercased, whitespace-folded)
+    minus removed spans; n_* count tokens.
+    """
+    toks = _token_arrays(ensure_min_parallelism(df), text_col, id_col)
+    runs = exact_substring_spans(df, text_col, id_col, min_len, min_docs)
+    spans = runs.join(toks, id_col).select(
+        id_col,
+        "span_start",
+        "span_len",
+        F.expr(
+            "array_join(slice(__w, cast(span_start + 1 as int),"
+            " cast(span_len as int)), ' ')"
+        ).alias("__st"),
+    )
+    rk = Window.partitionBy("__st").orderBy(id_col, "span_start")
+    rem = (
+        spans.withColumn("__rk", F.row_number().over(rk))
+        .filter(F.col("__rk") > 1)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"), F.col("span_len").alias("l")
+                )
+            ).alias("__rem")
+        )
+    )
+    kept = F.expr(
+        "filter(__w, (t, i) -> !exists(__rem,"
+        " r -> i >= r.s AND i < r.s + r.l))"
+    )
+    return (
+        toks.join(rem, id_col, "left")
+        .withColumn(
+            "__rem",
+            F.coalesce(
+                F.col("__rem"),
+                F.expr("cast(array() as array<struct<s:bigint,l:bigint>>)"),
+            ),
+        )
+        .select(
+            id_col,
+            F.size("__w").cast("bigint").alias("n_tokens"),
+            (F.size("__w") - F.size(kept)).cast("bigint").alias("n_removed"),
+            F.array_join(kept, " ").alias("clean_text"),
         )
     )

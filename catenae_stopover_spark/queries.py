@@ -8862,6 +8862,121 @@ JOIN sizes sb ON sb.source = src_b
 
 
 # --------------------------------------------------------------------
+# B98/B99 — exact-substring (suffix-group) dedup, Lee et al. 2022
+# (new r8)
+# --------------------------------------------------------------------
+
+def q183_substring_spans(spark, sf_dir):
+    """B98 (new r8): maximal cross-document repeated token substrings
+    (`dedup.exact_substring_spans`) — the suffix-array exact-substring
+    detector of Lee et al. 2022, as a sort-based distributed
+    suffix-group pass: min_len-token anchors -> one groupBy for
+    duplicated anchors -> inverted-index join -> per-doc
+    gaps-and-islands merge into MAXIMAL spans (the suffix-array LCP
+    extension). q157's strided char windows report fixed width only;
+    this returns each repeat's full extent."""
+    from .operators.dedup import exact_substring_spans
+
+    return exact_substring_spans(
+        _t(spark, sf_dir, "documents"), min_len=8, min_docs=2
+    )
+
+
+Q183_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+), e AS (
+    SELECT doc_id, i AS pos, ARRAY_TO_STRING(w[i+1:i+8], ' ') AS gram
+    FROM toks, UNNEST(GENERATE_SERIES(0, LEN(w) - 8)) t(i)
+    WHERE LEN(w) >= 8
+), dup AS (
+    SELECT gram FROM e GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), cov AS (
+    SELECT e.doc_id, e.pos,
+           e.pos - ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY e.pos)
+               AS grp
+    FROM e JOIN dup USING (gram)
+)
+SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+       CAST(COUNT(*) + 7 AS BIGINT) AS span_len
+FROM cov GROUP BY doc_id, grp
+"""
+
+
+def q184_substring_dedup(spark, sf_dir):
+    """B99 (new r8): exact-substring span REMOVAL
+    (`dedup.exact_substring_dedup`) — the Lee et al. dedup step
+    itself: every maximal repeated substring keeps its globally
+    first occurrence (smallest (doc_id, span_start)); every other
+    occurrence is deleted from its doc's normalized token stream via
+    a MAP-ONLY indexed-lambda filter (no corpus-wide explode/regroup
+    to rebuild text). Returns per doc the token counts and the
+    cleaned text."""
+    from .operators.dedup import exact_substring_dedup
+
+    return exact_substring_dedup(
+        _t(spark, sf_dir, "documents"), min_len=8, min_docs=2
+    )
+
+
+Q184_SQL = r"""
+WITH toks AS (
+    SELECT doc_id,
+           LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'),
+                       t -> t <> '') AS w
+    FROM documents
+), e AS (
+    SELECT doc_id, i AS pos, ARRAY_TO_STRING(w[i+1:i+8], ' ') AS gram
+    FROM toks, UNNEST(GENERATE_SERIES(0, LEN(w) - 8)) t(i)
+    WHERE LEN(w) >= 8
+), dup AS (
+    SELECT gram FROM e GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), cov AS (
+    SELECT e.doc_id, e.pos,
+           e.pos - ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY e.pos)
+               AS grp
+    FROM e JOIN dup USING (gram)
+), runs AS (
+    SELECT doc_id, MIN(pos) AS s, COUNT(*) + 7 AS l
+    FROM cov GROUP BY doc_id, grp
+), spans AS (
+    SELECT r.doc_id, r.s, r.l,
+           ARRAY_TO_STRING(t.w[r.s+1 : r.s+r.l], ' ') AS st
+    FROM runs r JOIN toks t USING (doc_id)
+), ranked AS (
+    SELECT doc_id, s, l,
+           ROW_NUMBER() OVER (PARTITION BY st ORDER BY doc_id, s) AS rk
+    FROM spans
+), rem AS (
+    SELECT doc_id, s, l FROM ranked WHERE rk > 1
+), tokpos AS (
+    SELECT doc_id, i AS pos, w[i+1] AS tok
+    FROM toks, UNNEST(GENERATE_SERIES(0, LEN(w) - 1)) t(i)
+    WHERE LEN(w) > 0
+), keep AS (
+    SELECT tp.doc_id, tp.pos, tp.tok
+    FROM tokpos tp
+    WHERE NOT EXISTS (
+        SELECT 1 FROM rem r
+        WHERE r.doc_id = tp.doc_id
+          AND tp.pos >= r.s AND tp.pos < r.s + r.l)
+), rebuilt AS (
+    SELECT doc_id, COUNT(*) AS n_kept,
+           STRING_AGG(tok, ' ' ORDER BY pos) AS clean_text
+    FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(LEN(t.w) AS BIGINT) AS n_tokens,
+       CAST(LEN(t.w) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM toks t LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -8922,6 +9037,10 @@ QUERIES: dict[str, tuple] = {
     "q180_tokenizer_fertility": (q180_tokenizer_fertility, Q180_SQL),
     "q181_token_budget": (q181_token_budget, Q181_SQL),
     "q182_source_overlap": (q182_source_overlap, Q182_SQL),
+    # --- part (2d): operators NEW in r8 (B98/B99) — suffix-group
+    # --- exact-substring spans + the Lee et al. removal step.
+    "q183_substring_spans": (q183_substring_spans, Q183_SQL),
+    "q184_substring_dedup": (q184_substring_dedup, Q184_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -9103,6 +9222,9 @@ QUERIES: dict[str, tuple] = {
 # --- Remaining entries keep their relative order (r7 window first —
 # --- freshest evidence, deepest below the line).
 _R8_WINDOW = [
+    # new-this-round first (standing policy priority 2): the B98/B99
+    # substring-dedup pair; q55/q56 rotate to r9 to keep the window 50
+    "q183_substring_spans", "q184_substring_dedup",
     "q01_pricing_summary", "q02_revenue_by_nation",
     "q03_top3_orders_per_priority", "q05_cube_count",
     "q06_grouping_sets", "q07_distinct_stats",
@@ -9120,7 +9242,7 @@ _R8_WINDOW = [
     "q46_stream_stateful_counts", "q47_stream_dedup",
     "q48_grouped_map_zscore", "q49_udaf_weighted_avg",
     "q50_udtf_split_words", "q51_cogroup_asof", "q54_map_funcs",
-    "q55_repetition_stats", "q56_nulls_ordering", "q57_salted_agg",
+    "q57_salted_agg",
     "q74_pack_documents", "q97_filtered_cosine_topk",
     "q53_ivf_recall_gate",
 ]

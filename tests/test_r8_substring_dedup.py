@@ -1,0 +1,81 @@
+"""B98/B99 — exact-substring (suffix-group) dedup, Lee et al. 2022.
+
+Pins: maximal-span extension (a run of consecutive duplicated anchors
+merges into ONE span of run+min_len-1 tokens), min_docs gating,
+first-occurrence retention in the removal step, disjointness of
+per-doc removal ranges, and the normalized-token-stream reconstruction
+(including empty and untouched docs).
+"""
+
+import pytest
+
+from catenae_stopover_spark.operators.dedup import (
+    exact_substring_dedup,
+    exact_substring_spans,
+)
+
+COMMON = "the quick brown fox jumps over the lazy sleeping dog"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "alpha beta " + COMMON + " gamma delta epsilon zeta"),
+            (1, "one two three " + COMMON + " four five"),
+            (2, "totally unrelated words that repeat nothing here today"),
+            (3, "prefix " + " ".join(COMMON.split()[:8]) + " tail words"),
+            (4, "   "),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_spans_maximal_extension(spark, docs):
+    spans = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in exact_substring_spans(docs, min_len=8).collect()
+    }
+    # the 10-token shared run is reported at FULL extent in docs 0/1
+    # (3 consecutive duplicated 8-anchors merge to one 10-token span)
+    assert (0, 2, 10) in spans
+    assert (1, 3, 10) in spans
+    # doc 3 shares only the first 8 tokens -> an 8-token span
+    assert (3, 1, 8) in spans
+    # unrelated / blank docs report nothing
+    assert all(d not in (2, 4) for d, _, _ in spans)
+
+
+def test_spans_min_docs_gate(spark, docs):
+    # min_docs=3: only anchors present in >=3 docs survive — the
+    # 8-token prefix of COMMON lives in docs 0/1/3
+    spans = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in exact_substring_spans(docs, min_len=8, min_docs=3).collect()
+    }
+    assert spans == {(0, 2, 8), (1, 3, 8), (3, 1, 8)}
+
+
+def test_dedup_keeps_first_occurrence(spark, docs):
+    out = {r.doc_id: r for r in exact_substring_dedup(docs, min_len=8).collect()}
+    # doc 0 is the globally first occurrence of the 10-token span: kept
+    assert out[0].n_removed == 0
+    assert COMMON in out[0].clean_text
+    # doc 1's copy removed; unique remainder intact, whitespace-folded
+    assert out[1].n_removed == 10
+    assert out[1].clean_text == "one two three four five"
+    # doc 3's 8-token span text differs from the 10-token maximal span
+    # text, so it is its own first occurrence: kept
+    assert out[3].n_removed == 0
+    # untouched + empty docs round-trip (normalized stream)
+    assert out[2].n_removed == 0 and out[2].n_tokens == 8
+    assert out[4].n_tokens == 0 and out[4].clean_text == ""
+
+
+def test_dedup_all_copies_but_first_removed(spark):
+    # five byte-identical docs: doc 0 keeps everything, docs 1-4 empty
+    df = spark.range(5).selectExpr("id as doc_id", f"'{COMMON}' as text")
+    out = {r.doc_id: r for r in exact_substring_dedup(df, min_len=8).collect()}
+    assert out[0].n_removed == 0 and out[0].clean_text == COMMON
+    for i in range(1, 5):
+        assert out[i].n_removed == 10 and out[i].clean_text == ""
