@@ -1,0 +1,65 @@
+#!/bin/bash
+# Round-8 measurement campaign (r7 verdict ask #1: re-baseline every
+# pre-r7 100x co-run row under the corrected noop-sink full-eval
+# harness; asks #3/#4/#5/#6/#8/#9 co-runs). Serialized so each
+# measurement sees an idle box. Every (query, engine) pair runs in its
+# own subprocess under `timeout` so a pathological single-node replay
+# (q141's 17-min DuckDB grind in r7) cannot stall the campaign.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${CAMPAIGN_LOG:-/tmp/campaign_r8.log}
+TMO=${CAMPAIGN_TIMEOUT:-2400}
+echo "=== campaign r8 start $(date -u +%H:%M:%S) ===" >> "$LOG"
+
+corun() { # corun <sfdir> <engines> <queries>
+  local dir=$1 eng=$2 q=$3
+  echo "--- corun $q [$eng] @ $dir $(date -u +%H:%M:%S)" >> "$LOG"
+  CORUN_ONLY="$q" CORUN_ENGINES="$eng" timeout "$TMO" \
+    python tools/stress_coruns_r7.py "$dir" >> "$LOG" 2>&1 \
+    || echo "$q $eng TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+}
+variant() { # variant <sfdir> <engines> <names>
+  local dir=$1 eng=$2 v=$3
+  echo "--- variant $v [$eng] @ $dir $(date -u +%H:%M:%S)" >> "$LOG"
+  CORUN_ENGINES="$eng" timeout "$TMO" \
+    python tools/corun_variants_r8.py "$dir" "$v" >> "$LOG" 2>&1 \
+    || echo "$v $eng TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+}
+
+# --- Stage 1: new-operator 10x co-runs (B98/B99) ---
+for q in q183_substring_spans q184_substring_dedup; do
+  corun /tmp/stress-x10 spark "$q"
+  corun /tmp/stress-x10 duckdb "$q"
+done
+
+# --- Stage 2: bench at 100x (re-baselines bench q1-q15 both engines,
+# --- incl. the q9_boilerplate ask #9 and the q7b correction) ---
+echo "--- bench @ x100 $(date -u +%H:%M:%S)" >> "$LOG"
+SPARK_GRAFT_SF_DIR=/tmp/stress-x100 timeout 7200 python bench.py \
+  > /tmp/bench_x100_r8.json 2> /tmp/bench_x100_r8.err \
+  || echo "bench x100 TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+echo "bench x100 done $(date -u +%H:%M:%S)" >> "$LOG"
+
+# --- Stage 3: registry 100x co-runs (the count-era suspect rows +
+# --- the r8 restructured hot paths + B98/B99) ---
+for q in q152_negative_sampling q171_source_purity q177_robust_outliers \
+         q170_markov_sequence q127_bm25 q141_entity_linkage \
+         q148_incremental_embedding q151_containment_pairs \
+         q156_importance_weights q158_curation_pipeline \
+         q163_curation_pipeline_v2 q183_substring_spans \
+         q184_substring_dedup q160_knn_graph q161_knn_novelty \
+         q136_bpe_train; do
+  corun /tmp/stress-x100 spark "$q"
+  corun /tmp/stress-x100 duckdb "$q"
+done
+variant /tmp/stress-x100 spark,duckdb q177_approx
+
+# --- Stage 4: 1000x tier (ask #3 default-knob no-OOM proof, ask #4
+# --- q177 approx third decade) — skipped if the fixture is absent ---
+if [ -d /tmp/stress-x1000/embeddings.parquet ]; then
+  variant /tmp/stress-x1000 spark q160_default
+  variant /tmp/stress-x1000 spark q177_approx
+  corun /tmp/stress-x1000 duckdb q177_robust_outliers
+fi
+
+echo "=== campaign r8 done $(date -u +%H:%M:%S) ===" >> "$LOG"

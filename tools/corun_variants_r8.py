@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Round-8 non-registry co-run variants (r7 verdict asks #3/#4):
+
+* ``q177_approx`` — robust_dim_outliers(exact=False): the documented
+  100-TB path (percentile_approx partial-aggregates map-side). The
+  DuckDB side runs the EXACT Q177_SQL — the honest single-node
+  baseline the approx path must beat; the oracle-checked registry
+  form stays exact.
+* ``q160_default`` — knn_graph with DEFAULT knobs, Spark only: the
+  r7 1000x OOM repro. With the r8 derived max_bucket default this
+  must complete (possibly with dropped replica buckets — that is the
+  valve's documented accounting), not OOM.
+
+Same output contract as stress_coruns_r7.py: one line per
+(variant, engine): ``label engine best_sec rows``.
+
+Usage: python tools/corun_variants_r8.py <sf_dir> <variant>[,variant]
+Env: CORUN_REPS (default 2), CORUN_ENGINES (default spark,duckdb).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stress-x100"
+VARIANTS = (sys.argv[2] if len(sys.argv) > 2 else "q177_approx").split(",")
+os.environ["CSSPARK_ORACLE_SF_DIR"] = SF_DIR
+REPS = int(os.environ.get("CORUN_REPS", "2"))
+ENGINES = os.environ.get("CORUN_ENGINES", "spark,duckdb").split(",")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def best_of(run):
+    best, n = float("inf"), None
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        n = run()
+        best = min(best, time.perf_counter() - t0)
+    return best, n
+
+
+def spark_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _spark_q177_approx(spark, sf_dir):
+    from catenae_stopover_spark.operators.similarity import robust_dim_outliers
+    from catenae_stopover_spark.queries import _t
+
+    return robust_dim_outliers(
+        _t(spark, sf_dir, "embeddings"), exact=False
+    )
+
+
+def _spark_q160_default(spark, sf_dir):
+    from catenae_stopover_spark.operators.similarity import knn_graph
+    from catenae_stopover_spark.queries import _t
+
+    return knn_graph(_t(spark, sf_dir, "embeddings"))
+
+
+def _duck_sql(name):
+    from catenae_stopover_spark.queries import QUERIES
+
+    # approx Spark vs EXACT single-node replay: the baseline is the
+    # full-precision answer, not a handicapped one
+    base = {"q177_approx": "q177_robust_outliers", "q160_default": None}[name]
+    if base is None:
+        return None
+    sql = QUERIES[base][1]
+    return sql() if callable(sql) else sql
+
+
+SPARK_FNS = {
+    "q177_approx": _spark_q177_approx,
+    "q160_default": _spark_q160_default,
+}
+
+
+def main() -> None:
+    if "spark" in ENGINES:
+        from catenae_stopover_spark.session import get_spark
+
+        spark = get_spark("corun-variants-r8")
+        spark.sparkContext.setLogLevel("ERROR")
+        for name in VARIANTS:
+            fn = SPARK_FNS[name]
+            try:
+                last = []
+
+                def run():
+                    d = fn(spark, SF_DIR)
+                    spark_noop(d)
+                    last.append(d)
+                    return 0
+
+                best, _ = best_of(run)
+                n = last[-1].count()
+                print(f"{name} spark {best:.2f}s rows={n}", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"{name} spark ERROR {type(e).__name__}: {e}", flush=True)
+
+    if "duckdb" not in ENGINES:
+        return
+    import duckdb
+
+    for name in VARIANTS:
+        sql = _duck_sql(name)
+        if sql is None:
+            print(f"{name} duckdb SKIP (no oracle)", flush=True)
+            continue
+        con = duckdb.connect()
+        for t in TABLES:
+            pat = f"{SF_DIR}/{t}.parquet"
+            if os.path.isdir(pat):
+                pat = f"{pat}/*.parquet"
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
+            )
+        try:
+            best, n = best_of(lambda: len(con.execute(sql).fetchall()))
+            print(f"{name} duckdb {best:.2f}s rows={n}", flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name} duckdb ERROR {type(e).__name__}: {e}", flush=True)
+        con.close()
+
+
+if __name__ == "__main__":
+    main()
