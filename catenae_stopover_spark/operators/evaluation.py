@@ -240,3 +240,103 @@ def rrf_fuse(
         .orderBy(F.col("rrf").desc(), id_col)
         .limit(top_n)
     )
+
+
+def margin_bitext_mine(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 4,
+    threshold: float = 1.0,
+    **knn_kwargs,
+) -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings" — the LASER/CCMatrix recipe that builds translation
+    training pairs from two monolingual embedding pools): a candidate
+    pair scores not by raw cosine but by its RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgNN(x) + avgNN(y)) / 2)
+
+    where ``avgNN(v)`` is v's mean cosine to its k nearest CROSS-class
+    neighbors — a hubness correction: a vector that is close to
+    everything (a hub) inflates both denominators and stops producing
+    false pairs. Per anchor the single best-margin candidate above
+    ``threshold`` is emitted.
+
+    Composition: the candidate/neighbor structure IS
+    ``similarity.knn_graph(diff_col=label_col)`` (hard-negative
+    shape) — LSH-bucketed cross-class candidates, exact-cosine scored,
+    per-anchor top-k. This operator adds only per-anchor aggregates
+    and a broadcast-sized margin join on the EDGE LIST (O(N*k) rows),
+    so it inherits the graph's 100-TB shape: no all-pairs anywhere.
+
+    Determinism across engines: edge cosines are rounded to 6 before
+    any aggregation and summed as DECIMAL(16, 6) (exact integer
+    arithmetic — no FP summation-order channel); the margin is ONE
+    double expression over those exact sums,
+    ``2 * rc * ka * kb / (sa * kb + sb * ka)``, evaluated identically
+    in both engines, rounded to 6 before the threshold compare and
+    the per-anchor argmax (ties break to the lower neighbor id).
+
+    Returns ``(id_col, nn_id, cosine, margin)``, one row per anchor
+    that has a qualifying pair.
+    """
+    from .similarity import knn_graph
+
+    g = knn_graph(
+        df,
+        k=k,
+        vec_col=vec_col,
+        id_col=id_col,
+        diff_col=label_col,
+        **knn_kwargs,
+    ).select(
+        F.col(id_col).alias("__a"),
+        F.col("nn_id").alias("__b"),
+        F.round("cosine", 6).cast("decimal(16,6)").alias("__rc"),
+    )
+    per = g.groupBy("__a").agg(
+        F.sum("__rc").alias("__s"), F.count("*").alias("__k")
+    )
+    sa = per.select(
+        F.col("__a").alias("__ja"),
+        F.col("__s").alias("__sa"),
+        F.col("__k").alias("__ka"),
+    )
+    sb = per.select(
+        F.col("__a").alias("__jb"),
+        F.col("__s").alias("__sb"),
+        F.col("__k").alias("__kb"),
+    )
+    margin = F.round(
+        (
+            F.lit(2.0)
+            * F.col("__rc").cast("double")
+            * F.col("__ka")
+            * F.col("__kb")
+        )
+        / (
+            F.col("__sa").cast("double") * F.col("__kb")
+            + F.col("__sb").cast("double") * F.col("__ka")
+        ),
+        6,
+    ) + F.lit(0.0)
+    w = Window.partitionBy("__a").orderBy(
+        F.col("margin").desc(), F.col("__b").asc()
+    )
+    return (
+        g.join(sa, F.col("__a") == F.col("__ja"))
+        .join(sb, F.col("__b") == F.col("__jb"))
+        .withColumn("margin", margin)
+        .filter(F.col("margin") >= threshold)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("__a").alias(id_col),
+            F.col("__b").alias("nn_id"),
+            F.col("__rc").cast("double").alias("cosine"),
+            "margin",
+        )
+    )

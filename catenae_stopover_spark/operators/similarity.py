@@ -1423,3 +1423,108 @@ def robust_dim_outliers(
         score,
         f"{id_col} {id_type}, n_outlier_dims bigint, max_abs_z double",
     )
+
+
+def kcenter_init(
+    df: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_d2: int = 6,
+) -> DataFrame:
+    """Deterministic farthest-point seeding (the Gonzalez k-center
+    traversal — the deterministic member of the k-means++ family:
+    D^2-sampling picks proportionally to the same distances this
+    picks the max of): seed 1 is the minimum-id vector (a
+    deterministic anchor; ids are stable corpus keys), each later
+    seed is the vector MAXIMIZING its min squared-L2 distance to the
+    seeds chosen so far — the classic 2-approximation for k-center
+    cover, and the spread-out initialization `kmeans_step` refinement
+    loops start from.
+
+    Scale shape: k-1 rounds, each ONE map-only Arrow kernel pass over
+    the corpus (the seeds-so-far matrix is a collected planning
+    scalar, ~k x d doubles — the `kmeans_step` centroid precedent)
+    followed by a distributed TakeOrdered(1). No shuffle wider than
+    top-1; the base (id, vec) projection is persisted across rounds.
+    Sequentiality is inherent to the greedy traversal (seed r depends
+    on seeds < r) — k is small (seeding, not clustering), so this is
+    k bounded corpus scans, exactly how a 100 TB seeding pass runs.
+
+    Determinism across engines: every per-seed d2 is rounded to
+    ``round_d2`` BEFORE the running min and the argmax (the oracle
+    replays ROUND + LEAST in the same order); argmax ties break to
+    the LOWEST id. Returns ``(seed_rank, id_col, sel_d2)`` where
+    ``sel_d2`` is the winning min-distance (0.0 for seed 1).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    id_type = dict(df.select(id_col).dtypes)[id_col]
+    spark = df.sparkSession
+    schema = f"seed_rank int, {id_col} {id_type}, sel_d2 double"
+    base = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    first = base.orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not first:
+        return spark.createDataFrame([], schema)
+    seeds = [(1, first[0][0], 0.0)]
+    chosen = [list(first[0][1])]
+    if k == 1:
+        return spark.createDataFrame(seeds, schema)
+    base = base.persist()
+    try:
+        base.count()  # materialize once; rounds reuse the cache
+        for r in range(2, k + 1):
+            cent = [list(map(float, c)) for c in chosen]
+
+            def mind2(batches, cent=cent):
+                import numpy as np
+                import pyarrow as pa
+
+                cm = np.asarray(cent, dtype=np.float64)
+                for b in batches:
+                    if b.num_rows == 0:
+                        continue
+                    flat = np.asarray(
+                        b.column("__v").flatten(), dtype=np.float64
+                    )
+                    if flat.size != b.num_rows * cm.shape[1]:
+                        raise ValueError(
+                            "ragged or null vectors: kcenter_init needs "
+                            "fixed-dim non-null input"
+                        )
+                    m = flat.reshape(b.num_rows, -1)
+                    best = None
+                    # per-seed round BEFORE min — the oracle's
+                    # LEAST(ROUND(d2_1), ROUND(d2_2), ...) order
+                    for j in range(cm.shape[0]):
+                        diff = m - cm[j]
+                        d2 = np.round(
+                            np.einsum("ij,ij->i", diff, diff), round_d2
+                        )
+                        best = d2 if best is None else np.minimum(best, d2)
+                    yield pa.RecordBatch.from_arrays(
+                        [b.column(id_col), pa.array(best)],
+                        [id_col, "__d2"],
+                    )
+
+            top = (
+                base.mapInArrow(mind2, f"{id_col} {id_type}, __d2 double")
+                .join(
+                    spark.createDataFrame(
+                        [(s[1],) for s in seeds], f"{id_col} {id_type}"
+                    ),
+                    id_col,
+                    "left_anti",
+                )
+                .orderBy(F.col("__d2").desc(), F.col(id_col).asc())
+                .limit(1)
+                .join(base, id_col)
+                .collect()
+            )
+            if not top:  # fewer distinct rows than k
+                break
+            seeds.append((r, top[0][id_col], float(top[0]["__d2"])))
+            chosen.append(list(top[0]["__v"]))
+    finally:
+        base.unpersist()
+    return spark.createDataFrame(seeds, schema)

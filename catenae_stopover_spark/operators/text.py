@@ -2423,3 +2423,351 @@ def token_budget_allocation(
         )
     )
     return alloc.select(by, "n_tokens", "share", "alloc_tokens")
+
+
+def c4_line_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 3,
+    bad_phrases: tuple = ("lorem ipsum", "javascript", "{"),
+    require_terminal_punct: bool = True,
+) -> DataFrame:
+    """C4-style line-level heuristic cleaning (Raffel et al. 2020,
+    "Exploring the Limits of Transfer Learning", appendix C — the
+    web-corpus pre-filter every LLM pipeline runs before dedup): keep
+    only lines that (a) hold at least ``min_words`` whitespace words,
+    (b) end in a terminal punctuation mark (``. ! ? " '`` —
+    C4's rule; ``require_terminal_punct=False`` disables it for
+    corpora that aren't sentence-shaped), and
+    (c) contain none of ``bad_phrases`` case-insensitively (the
+    boilerplate/code markers; C4's "lorem ipsum", "javascript", and
+    curly-brace rules). Returns per document the cleaned text (kept
+    lines re-joined with ``\\n``), line counts, and the retained
+    character fraction — the drop-rate signal a curation report
+    monitors.
+
+    Scale shape: a PURE map stage — one column-pruned scan, split +
+    higher-order ``filter`` per row, no explode, no shuffle, composes
+    with partition pruning and pushes past column pruning. This is
+    deliberately NOT the corpus-global `remove_boilerplate_segments`
+    (df-based deletion needs a shuffle); C4's rules are doc-local, so
+    at 100 TB this stays embarrassingly parallel.
+
+    Determinism: string ops only (trim/split/lower/substring) — no FP
+    anywhere except the final ratio, rounded to 6 with the ``+ 0.0``
+    fold.
+    """
+    lines = F.expr(
+        f"filter(split({text_col}, '\\n'), x -> length(trim(x)) > 0)"
+    )
+    conds = [f"size(split(trim(x), '\\\\s+')) >= {int(min_words)}"]
+    if require_terminal_punct:
+        conds.append(
+            "substring(trim(x), -1, 1) in ('.', '!', '?', '\"', \"'\")"
+        )
+    for p in bad_phrases:
+        esc = p.replace("'", "\\'")
+        conds.append(f"NOT contains(lower(x), '{esc}')")
+    kept = F.expr(
+        f"filter(filter(split({text_col}, '\\n'), x -> length(trim(x)) > 0), "
+        f"x -> ({') AND ('.join(conds)}))"
+    )
+    all_chars = F.aggregate(
+        lines, F.lit(0).cast("bigint"), lambda a, x: a + F.length(F.trim(x))
+    )
+    kept_chars = F.aggregate(
+        kept, F.lit(0).cast("bigint"), lambda a, x: a + F.length(F.trim(x))
+    )
+    return df.select(
+        id_col,
+        F.array_join(F.transform(kept, F.trim), "\n").alias("clean_text"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.size(kept).cast("bigint").alias("n_lines_kept"),
+        (
+            F.round(
+                F.when(all_chars > 0, kept_chars / all_chars).otherwise(
+                    F.lit(0.0)
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("retained_char_frac"),
+    )
+
+
+def gopher_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple = (2, 3, 4),
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, "Scaling Language
+    Models: ... Gopher", table A1 — the repetition block of the
+    quality suite; `repetition_stats` covers the distinct-ratio
+    block): per document,
+
+    * ``dup_line_char_frac`` — fraction of line characters inside
+      lines occurring more than once in the document;
+    * ``top{n}gram_char_frac`` for each n in ``top_ns`` — characters
+      claimed by the single most frequent word n-gram (count x
+      n-gram length / document length);
+    * ``dup{dup_n}gram_tok_frac`` — fraction of TOKEN positions
+      covered by duplicated ``dup_n``-grams, computed exactly as an
+      interval union (gaps-and-islands over gram start positions, the
+      q183 pattern) — overlapping duplicated grams are not
+      double-counted (Gopher's "fraction of characters in duplicate
+      n-grams", token-resolution).
+
+    Scale shape: three branches over one column-pruned (id, text)
+    scan — (1) a (doc, line) explode + count agg (map-side combine
+    applies), (2) ONE (doc, n, gram) explode for ALL requested n with
+    a per-(doc, n) WindowGroupLimit top-1, (3) a (doc, pos) explode
+    of dup_n-gram starts with a per-doc islands window bounded by the
+    document's own gram count. All shuffles key on doc_id +
+    small-arity tags — no corpus-global state, no skew beyond
+    document length itself. Empty/short documents yield 0.0 in every
+    signal (identically in the oracle).
+
+    Determinism: counts and lengths are integers; only the final
+    ratios touch FP, rounded to 6 with the ``+ 0.0`` fold.
+    """
+    base = df.select(id_col, text_col)
+
+    # -- branch 1: duplicate-line character fraction
+    lines = F.expr(
+        f"filter(transform(split({text_col}, '\\n'), x -> trim(x)), "
+        "x -> length(x) > 0)"
+    )
+    per_line = (
+        base.select(id_col, F.explode(lines).alias("__line"))
+        .groupBy(id_col, "__line")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    line_frac = per_line.groupBy(id_col).agg(
+        (
+            F.round(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__cnt") > 1,
+                            F.length("__line") * F.col("__cnt"),
+                        ).otherwise(F.lit(0))
+                    )
+                    / F.nullif(
+                        F.sum(F.length("__line") * F.col("__cnt")), F.lit(0)
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("dup_line_char_frac")
+    )
+
+    # -- branch 2: top-n-gram character fraction, one explode for all n
+    tagged = F.array(
+        *[
+            F.struct(
+                F.lit(n).alias("n"), _ngrams(text_col, n).alias("grams")
+            )
+            for n in top_ns
+        ]
+    )
+    grams = (
+        base.select(
+            id_col,
+            F.length(text_col).alias("__len"),
+            F.explode(tagged).alias("__t"),
+        )
+        .select(
+            id_col, "__len", F.col("__t.n").alias("__n"),
+            F.explode("__t.grams").alias("__gram"),
+        )
+        .groupBy(id_col, "__len", "__n", "__gram")
+        .agg(F.count("*").alias("__cnt"))
+    )
+    w_top = Window.partitionBy(id_col, "__n").orderBy(
+        F.col("__cnt").desc(), F.col("__gram").asc()
+    )
+    top = (
+        grams.withColumn("__rk", F.row_number().over(w_top))
+        .filter(F.col("__rk") == 1)
+        .select(
+            id_col,
+            "__n",
+            (
+                F.round(
+                    F.when(
+                        F.col("__len") > 0,
+                        F.col("__cnt")
+                        * F.length("__gram")
+                        / F.col("__len"),
+                    ).otherwise(F.lit(0.0)),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("__frac"),
+        )
+        .groupBy(id_col)
+        .pivot("__n", list(top_ns))
+        .agg(F.first("__frac"))
+    )
+    for n in top_ns:
+        top = top.withColumnRenamed(str(n), f"top{n}gram_char_frac")
+
+    # -- branch 3: duplicated dup_n-gram token coverage (islands)
+    toks = F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
+    n_tok = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+    ).otherwise(F.size(toks))
+    starts = (
+        base.select(
+            id_col,
+            n_tok.alias("__ntok"),
+            F.posexplode(_ngrams(text_col, dup_n)).alias("__pos", "__gram"),
+        )
+        .withColumn(
+            "__dup",
+            F.count("*").over(Window.partitionBy(id_col, "__gram")) > 1,
+        )
+        .filter(F.col("__dup"))
+    )
+    w_pos = Window.partitionBy(id_col).orderBy("__pos")
+    islands = (
+        starts.withColumn("__prev", F.lag("__pos").over(w_pos))
+        .withColumn(
+            "__new",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("__pos") > F.col("__prev") + dup_n),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__isl", F.sum("__new").over(w_pos))
+        .groupBy(id_col, "__ntok", "__isl")
+        .agg(
+            (
+                F.max("__pos") - F.min("__pos") + F.lit(dup_n)
+            ).alias("__cov")
+        )
+        .groupBy(id_col)
+        .agg(
+            (
+                F.round(
+                    F.least(
+                        F.sum("__cov")
+                        / F.nullif(F.first("__ntok"), F.lit(0)),
+                        F.lit(1.0),
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias(f"dup{dup_n}gram_tok_frac")
+        )
+    )
+
+    out = (
+        base.select(id_col)
+        .join(line_frac, id_col, "left")
+        .join(top, id_col, "left")
+        .join(islands, id_col, "left")
+    )
+    fills = {"dup_line_char_frac": 0.0, f"dup{dup_n}gram_tok_frac": 0.0}
+    for n in top_ns:
+        fills[f"top{n}gram_char_frac"] = 0.0
+    return out.fillna(fills)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    total_rows: int,
+) -> DataFrame:
+    """Exact-size proportional stratified sample: EXACTLY
+    ``total_rows`` rows, allocated across strata proportionally to
+    their sizes with LARGEST-REMAINDER rounding (the
+    `token_budget_allocation` integer math applied to row counts),
+    each stratum's quota filled by the deterministic sha2 hash order
+    of ``key_col`` — the eval-set/holdout construction primitive
+    (`stratified_hash_sample` keeps a RATE per stratum; this keeps a
+    COUNT, which is what "build me a 10k-row eval set that mirrors
+    the corpus mix" actually needs).
+
+    Properties: reproducible across runs/engines/cluster sizes (no
+    RNG state); a stratum's quota never exceeds its size (allocations
+    are capped at the stratum size and the shortfall re-distributed
+    by remainder rank, so the total stays exact whenever
+    ``total_rows <= |df|``); membership is hash-stable — adding new
+    strata does not reshuffle which rows of an unchanged stratum are
+    sampled, only how many survive the quota cut.
+
+    Scale shape: one |strata|-group count aggregate, |strata|-row
+    window math, then a broadcast quota join + per-stratum
+    row_number over the hash order — one shuffle keyed on the
+    stratum (the same key the window needs). Hash order is
+    ``(sha2(key), key)`` so ties (hash collisions) stay total.
+    """
+    if total_rows < 0:
+        raise ValueError("total_rows must be >= 0")
+    sizes = df.groupBy(strata_col).agg(F.count("*").alias("__sz"))
+    w = Window.partitionBy()
+    exact = F.col("__sz") / F.sum("__sz").over(w) * F.lit(float(total_rows))
+    alloc = (
+        sizes.withColumn("__base", F.floor(exact).cast("bigint"))
+        .withColumn("__frac", exact - F.col("__base"))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                Window.orderBy(
+                    F.col("__frac").desc(), F.col(strata_col).asc()
+                )
+            ),
+        )
+        .withColumn("__left", F.lit(total_rows) - F.sum("__base").over(w))
+        .withColumn(
+            "__quota0",
+            F.col("__base")
+            + F.when(F.col("__rk") <= F.col("__left"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        # cap at stratum size; hand the overflow to the next remainder
+        # ranks in ONE correction round (sufficient whenever
+        # total_rows <= |df|: uncapped strata have headroom >= 1 row
+        # per unit of overflow by the pigeonhole over the re-rank)
+        .withColumn("__cap", F.least(F.col("__quota0"), F.col("__sz")))
+        .withColumn("__over", F.sum(F.col("__quota0") - F.col("__cap")).over(w))
+        .withColumn(
+            "__rk2",
+            F.row_number().over(
+                Window.orderBy(
+                    (F.col("__sz") - F.col("__cap")).desc(),
+                    F.col(strata_col).asc(),
+                )
+            ),
+        )
+        .withColumn(
+            "quota",
+            F.least(
+                F.col("__cap")
+                + F.when(
+                    F.col("__rk2") <= F.col("__over"), F.lit(1)
+                ).otherwise(F.lit(0)),
+                F.col("__sz"),
+            ),
+        )
+        .select(strata_col, "quota")
+    )
+    order = Window.partitionBy(strata_col).orderBy(
+        F.sha2(F.col(key_col).cast("string"), 256).asc(),
+        F.col(key_col).asc(),
+    )
+    return (
+        df.join(F.broadcast(alloc), strata_col)
+        .withColumn("__rn", F.row_number().over(order))
+        .filter(F.col("__rn") <= F.col("quota"))
+        .drop("__rn", "quota")
+    )

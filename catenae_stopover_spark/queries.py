@@ -8977,6 +8977,358 @@ FROM toks t LEFT JOIN rebuilt r USING (doc_id)
 
 
 # --------------------------------------------------------------------
+# B100 — C4 line-level heuristic cleaning (new r8)
+# --------------------------------------------------------------------
+
+def q185_c4_line_clean(spark, sf_dir):
+    """B100 (new r8): C4-style line cleaning (`text.c4_line_clean`,
+    Raffel et al. 2020 appendix C): keep lines with >= 3 words and
+    no boilerplate marker; per doc the cleaned text, line counts,
+    and retained character fraction. The terminal-punctuation rule
+    (on by default, pinned by pytest on a crafted fixture) is
+    disabled HERE because the synthetic corpus is unpunctuated word
+    soup — with it on, every line dies and the query checks nothing;
+    "slow" stands in as a marker actually present in the vocabulary
+    so the contains-rule discriminates. Pure map stage — no shuffle
+    anywhere."""
+    from .operators.text import c4_line_clean
+
+    return c4_line_clean(
+        _t(spark, sf_dir, "documents"),
+        bad_phrases=("slow", "lorem ipsum", "{"),
+        require_terminal_punct=False,
+    )
+
+
+Q185_SQL = r"""
+WITH lines AS (
+    SELECT doc_id,
+           LIST_FILTER(STRING_SPLIT(text, CHR(10)),
+                       x -> LENGTH(TRIM(x)) > 0) AS ls
+    FROM documents
+), kept AS (
+    SELECT doc_id, ls,
+           LIST_FILTER(ls, x ->
+               LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(x), '\s+')) >= 3
+               AND NOT CONTAINS(LOWER(x), 'slow')
+               AND NOT CONTAINS(LOWER(x), 'lorem ipsum')
+               AND NOT CONTAINS(LOWER(x), '{')) AS ks
+    FROM lines
+)
+SELECT doc_id,
+       COALESCE(ARRAY_TO_STRING(LIST_TRANSFORM(ks, x -> TRIM(x)),
+                                CHR(10)), '') AS clean_text,
+       CAST(LEN(ls) AS BIGINT) AS n_lines,
+       CAST(LEN(ks) AS BIGINT) AS n_lines_kept,
+       ROUND(CASE
+           WHEN COALESCE(LIST_SUM(LIST_TRANSFORM(
+                    ls, x -> LENGTH(TRIM(x)))), 0) > 0
+           THEN COALESCE(LIST_SUM(LIST_TRANSFORM(
+                    ks, x -> LENGTH(TRIM(x)))), 0)::DOUBLE
+                / LIST_SUM(LIST_TRANSFORM(ls, x -> LENGTH(TRIM(x))))
+           ELSE 0.0 END, 6) + 0.0 AS retained_char_frac
+FROM kept
+"""
+
+
+# --------------------------------------------------------------------
+# B101 — Gopher repetition signals (new r8)
+# --------------------------------------------------------------------
+
+def q186_gopher_repetition(spark, sf_dir):
+    """B101 (new r8): the Gopher repetition-filter block
+    (`text.gopher_repetition`, Rae et al. 2021 table A1):
+    duplicate-line character fraction, top-{2,3,4}-gram character
+    fractions, and exact duplicated-5-gram token coverage (interval
+    union via gaps-and-islands). Three doc-keyed branches over one
+    column-pruned scan."""
+    from .operators.text import gopher_repetition
+
+    return gopher_repetition(_t(spark, sf_dir, "documents"))
+
+
+Q186_SQL = r"""
+WITH base AS (
+    SELECT doc_id, text, LENGTH(text) AS tlen FROM documents
+), lines AS (
+    SELECT doc_id, TRIM(x) AS line
+    FROM base, UNNEST(STRING_SPLIT(text, CHR(10))) t(x)
+    WHERE LENGTH(TRIM(x)) > 0
+), per_line AS (
+    SELECT doc_id, line, COUNT(*) AS cnt FROM lines GROUP BY doc_id, line
+), lf AS (
+    SELECT doc_id,
+           ROUND(COALESCE(
+               SUM(CASE WHEN cnt > 1 THEN LENGTH(line) * cnt ELSE 0 END)
+               / NULLIF(SUM(LENGTH(line) * cnt), 0), 0.0), 6) + 0.0
+               AS dup_line_char_frac
+    FROM per_line GROUP BY doc_id
+), toks AS (
+    SELECT doc_id, tlen,
+           REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+') AS w,
+           CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                ELSE LEN(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'))
+                END AS ntok
+    FROM base
+), grams AS (
+    SELECT doc_id, tlen, n.n AS n,
+           ARRAY_TO_STRING(w[i+1:i+n.n], ' ') AS gram
+    FROM toks,
+         (SELECT UNNEST([2, 3, 4]) AS n) n,
+         UNNEST(GENERATE_SERIES(0, LEN(w) - n.n)) t(i)
+    WHERE LENGTH(TRIM(' ')) = 0 AND ntok >= n.n AND LEN(w) >= n.n
+), gcnt AS (
+    SELECT doc_id, tlen, n, gram, COUNT(*) AS cnt
+    FROM grams GROUP BY doc_id, tlen, n, gram
+), top AS (
+    SELECT doc_id, n,
+           ROUND(CASE WHEN tlen > 0
+                 THEN cnt * LENGTH(gram)::DOUBLE / tlen
+                 ELSE 0.0 END, 6) + 0.0 AS frac
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id, n ORDER BY cnt DESC, gram) AS rk
+        FROM gcnt) WHERE rk = 1
+), topp AS (
+    SELECT doc_id,
+           MAX(CASE WHEN n = 2 THEN frac END) AS top2gram_char_frac,
+           MAX(CASE WHEN n = 3 THEN frac END) AS top3gram_char_frac,
+           MAX(CASE WHEN n = 4 THEN frac END) AS top4gram_char_frac
+    FROM top GROUP BY doc_id
+), g5 AS (
+    SELECT doc_id, ntok, i AS pos, ARRAY_TO_STRING(w[i+1:i+5], ' ') AS gram
+    FROM toks, UNNEST(GENERATE_SERIES(0, LEN(w) - 5)) t(i)
+    WHERE ntok >= 5
+), dup5 AS (
+    SELECT doc_id, ntok, pos,
+           COUNT(*) OVER (PARTITION BY doc_id, gram) AS gc
+    FROM g5
+), starts AS (
+    SELECT doc_id, ntok, pos,
+           LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM dup5 WHERE gc > 1
+), isl AS (
+    SELECT doc_id, ntok, pos,
+           SUM(CASE WHEN prev IS NULL OR pos > prev + 5 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM starts
+), cov AS (
+    SELECT doc_id, ntok, grp, MAX(pos) - MIN(pos) + 5 AS c
+    FROM isl GROUP BY doc_id, ntok, grp
+), d5 AS (
+    SELECT doc_id,
+           ROUND(LEAST(SUM(c)::DOUBLE / NULLIF(ANY_VALUE(ntok), 0), 1.0),
+                 6) + 0.0 AS dup5gram_tok_frac
+    FROM cov GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(lf.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       COALESCE(topp.top2gram_char_frac, 0.0) AS top2gram_char_frac,
+       COALESCE(topp.top3gram_char_frac, 0.0) AS top3gram_char_frac,
+       COALESCE(topp.top4gram_char_frac, 0.0) AS top4gram_char_frac,
+       COALESCE(d5.dup5gram_tok_frac, 0.0) AS dup5gram_tok_frac
+FROM base b
+LEFT JOIN lf USING (doc_id)
+LEFT JOIN topp USING (doc_id)
+LEFT JOIN d5 USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------
+# B102 — deterministic farthest-point seeding (new r8)
+# --------------------------------------------------------------------
+
+def q187_kcenter_init(spark, sf_dir):
+    """B102 (new r8): Gonzalez farthest-point k-center seeding
+    (`similarity.kcenter_init`, k=4): seed 1 is the min-id vector,
+    each later seed maximizes its min rounded squared-L2 distance to
+    the seeds so far (ties to the lowest id). k-1 map-only Arrow
+    kernel passes + TakeOrdered(1) each — the deterministic
+    k-means++ relative whose every selection the oracle replays."""
+    from .operators.similarity import kcenter_init
+
+    return kcenter_init(_t(spark, sf_dir, "embeddings"), k=4)
+
+
+def _q187_oracle_sql(k: int = 4):
+    """Chained k-round replay (built programmatically — the q160
+    lazy-builder pattern, but needing only the round count): round i
+    computes every vector's ROUND(d2, 6) to center i-1, folds it
+    into the running LEAST, and picks the argmax outside the chosen
+    set."""
+    parts = [
+        """
+WITH vecs AS (
+    SELECT vec_id, i - 1 AS pos, embedding[i]::DOUBLE AS v
+    FROM embeddings, UNNEST(GENERATE_SERIES(1, LEN(embedding))) t(i)
+), c1 AS (
+    SELECT MIN(vec_id) AS id FROM embeddings
+)"""
+    ]
+    prev_ids = ["(SELECT id FROM c1)"]
+    for r in range(2, k + 1):
+        prev_m = f"m{r - 2}" if r > 2 else None
+        d = f"""
+, d{r - 1} AS (
+    SELECT a.vec_id, ROUND(SUM((a.v - c.v) * (a.v - c.v)), 6) AS d2
+    FROM vecs a JOIN vecs c
+      ON c.vec_id = (SELECT id FROM c{r - 1}) AND c.pos = a.pos
+    GROUP BY a.vec_id
+)"""
+        if prev_m is None:
+            m = f"""
+, m{r - 1} AS (
+    SELECT vec_id, d2 AS m FROM d{r - 1}
+)"""
+        else:
+            m = f"""
+, m{r - 1} AS (
+    SELECT p.vec_id, LEAST(p.m, d.d2) AS m
+    FROM {prev_m} p JOIN d{r - 1} d USING (vec_id)
+)"""
+        c = f"""
+, c{r} AS (
+    SELECT vec_id AS id, m FROM m{r - 1}
+    WHERE vec_id NOT IN ({", ".join(prev_ids)})
+    ORDER BY m DESC, vec_id LIMIT 1
+)"""
+        parts.extend([d, m, c])
+        prev_ids.append(f"(SELECT id FROM c{r})")
+    rows = ["SELECT 1 AS seed_rank, (SELECT id FROM c1) AS vec_id, 0.0 AS sel_d2"]
+    for r in range(2, k + 1):
+        rows.append(
+            f"SELECT {r}, (SELECT id FROM c{r}), (SELECT m FROM c{r})"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(rows))
+    return "".join(parts)
+
+
+# --------------------------------------------------------------------
+# B103 — margin-based bitext pair mining (new r8)
+# --------------------------------------------------------------------
+
+def q188_margin_bitext(spark, sf_dir):
+    """B103 (new r8): margin-based parallel-pair mining
+    (`evaluation.margin_bitext_mine`, Artetxe & Schwenk 2019): the
+    q162 cross-class kNN structure (portable-plane LSH, diff_col =
+    label) rescored by the RATIO margin cos / mean-kNN-cos with
+    exact DECIMAL sums, per-anchor best pair above threshold 1.0.
+    Full oracle replay through the shared q160 builder."""
+    from .operators.evaluation import margin_bitext_mine
+
+    return margin_bitext_mine(
+        _t(spark, sf_dir, "embeddings"),
+        label_col="label",
+        k=4,
+        threshold=1.0,
+    )
+
+
+def _q188_oracle_sql():
+    base = _q160_oracle_sql()
+    base = base.replace(
+        "ON a.t = b.t AND a.s = b.s AND a.vec_id <> b.vec_id",
+        "ON a.t = b.t AND a.s = b.s AND a.vec_id <> b.vec_id\n"
+        "    JOIN embeddings ea ON ea.vec_id = a.vec_id\n"
+        "    JOIN embeddings eb ON eb.vec_id = b.vec_id",
+    )
+    base = base.replace(
+        "WHERE bsz.bs <= (SELECT cap FROM cap)",
+        "WHERE bsz.bs <= (SELECT cap FROM cap)"
+        " AND ea.label <> eb.label",
+    )
+    base = base.replace("WHERE rnk <= 5", "WHERE rnk <= 4")
+    return f"""
+WITH g AS ({base}
+), gg AS (
+    SELECT vec_id AS a, nn_id AS b, CAST(cosine AS DECIMAL(16,6)) AS rc
+    FROM g
+), per AS (
+    SELECT a, SUM(rc) AS s, COUNT(*) AS k FROM gg GROUP BY a
+), m AS (
+    SELECT gg.a, gg.b, gg.rc,
+           ROUND((2.0 * CAST(gg.rc AS DOUBLE) * pa.k * pb.k)
+                 / (CAST(pa.s AS DOUBLE) * pb.k
+                    + CAST(pb.s AS DOUBLE) * pa.k), 6) + 0.0 AS margin
+    FROM gg
+    JOIN per pa ON pa.a = gg.a
+    JOIN per pb ON pb.a = gg.b
+)
+SELECT a AS vec_id, b AS nn_id, CAST(rc AS DOUBLE) AS cosine, margin
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY a ORDER BY margin DESC, b) AS rn
+    FROM m WHERE margin >= 1.0
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------
+# B104 — exact-count proportional stratified sample (new r8)
+# --------------------------------------------------------------------
+
+def q189_stratified_exact(spark, sf_dir):
+    """B104 (new r8): exact-size proportional stratified sample
+    (`text.stratified_exact_sample`): EXACTLY 100 documents
+    allocated across sources by largest-remainder (the q181 integer
+    math on row counts, with a size-cap correction round), each
+    stratum filled in deterministic sha2(doc_id) order. Row-identical
+    replay — membership, not just counts, is value-checked."""
+    from .operators.text import stratified_exact_sample
+
+    return stratified_exact_sample(
+        _t(spark, sf_dir, "documents"),
+        strata_col="source",
+        key_col="doc_id",
+        total_rows=100,
+    )
+
+
+Q189_SQL = """
+WITH sz AS (
+    SELECT source, COUNT(*) AS s FROM documents GROUP BY source
+), tot AS (
+    SELECT SUM(s) AS n, COUNT(*) AS nc FROM sz
+), a0 AS (
+    SELECT source, s,
+           FLOOR(s / (SELECT n FROM tot) * 100.0) AS base,
+           s / (SELECT n FROM tot) * 100.0
+               - FLOOR(s / (SELECT n FROM tot) * 100.0) AS frac
+    FROM sz
+), a1 AS (
+    SELECT source, s, base,
+           ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk,
+           100 - SUM(base) OVER () AS leftover
+    FROM a0
+), a2 AS (
+    SELECT source, s,
+           base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota0
+    FROM a1
+), a3 AS (
+    SELECT source, s, LEAST(quota0, s) AS capped,
+           SUM(quota0 - LEAST(quota0, s)) OVER () AS overflow,
+           ROW_NUMBER() OVER (
+               ORDER BY s - LEAST(quota0, s) DESC, source) AS rk2
+    FROM a2
+), quota AS (
+    SELECT source,
+           LEAST(capped + CASE WHEN rk2 <= overflow THEN 1 ELSE 0 END,
+                 s) AS quota
+    FROM a3
+), ranked AS (
+    SELECT d.*, q.quota,
+           ROW_NUMBER() OVER (
+               PARTITION BY d.source
+               ORDER BY SHA256(CAST(d.doc_id AS VARCHAR)), d.doc_id
+           ) AS rn
+    FROM documents d JOIN quota q USING (source)
+)
+SELECT doc_id, text, lang, source, n_chars
+FROM ranked WHERE rn <= quota
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -9041,6 +9393,15 @@ QUERIES: dict[str, tuple] = {
     # --- exact-substring spans + the Lee et al. removal step.
     "q183_substring_spans": (q183_substring_spans, Q183_SQL),
     "q184_substring_dedup": (q184_substring_dedup, Q184_SQL),
+    # --- r8 second batch (B100-B104, below the 50-line: the r8
+    # --- window keeps the verdict-asked r4-era rows; these five are
+    # --- check_oracle-verified locally this round and rotate into
+    # --- the driver window next round under standing policy (2))
+    "q185_c4_line_clean": (q185_c4_line_clean, Q185_SQL),
+    "q186_gopher_repetition": (q186_gopher_repetition, Q186_SQL),
+    "q187_kcenter_init": (q187_kcenter_init, _q187_oracle_sql),
+    "q188_margin_bitext": (q188_margin_bitext, _q188_oracle_sql),
+    "q189_stratified_exact": (q189_stratified_exact, Q189_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),

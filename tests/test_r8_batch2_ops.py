@@ -1,0 +1,287 @@
+"""B100-B104 (r8 second batch): C4 line cleaning, Gopher repetition
+signals, farthest-point seeding, margin bitext mining, exact-count
+stratified sampling.
+
+Pins the behavior the sf0.01 oracle can't see: the C4
+terminal-punctuation rule (disabled in q185 because the synthetic
+corpus is unpunctuated), exact Gopher fractions on crafted documents,
+the greedy k-center selection order on known geometry, margin
+hubness-correction direction, and the exact-total/cap guarantees of
+the stratified sampler.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.operators.evaluation import margin_bitext_mine
+from catenae_stopover_spark.operators.similarity import kcenter_init
+from catenae_stopover_spark.operators.text import (
+    c4_line_clean,
+    gopher_repetition,
+    stratified_exact_sample,
+)
+
+
+# ------------------------------------------------------------------ C4
+
+
+@pytest.fixture(scope="module")
+def c4_docs(spark):
+    return spark.createDataFrame(
+        [
+            (0, "This line is kept fine.\nno punct here\nok.\n"
+                "Enable javascript to continue.\nShort."),
+            (1, "Tiny.\n{ code block }\nA good long sentence here!"),
+            (2, "   "),
+            (3, "Lorem Ipsum dolor sit amet."),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_c4_default_rules(spark, c4_docs):
+    out = {r.doc_id: r for r in c4_line_clean(c4_docs).collect()}
+    # doc 0: "This line is kept fine." (punct+words) and "ok." fails
+    # min_words=3; "no punct here" fails punct; javascript line dies;
+    # "Short." fails min_words
+    assert out[0].clean_text == "This line is kept fine."
+    assert out[0].n_lines == 5 and out[0].n_lines_kept == 1
+    # doc 1: "Tiny." fails words, "{ code block }" dies on '{' AND
+    # punct, the exclamation sentence survives
+    assert out[1].clean_text == "A good long sentence here!"
+    # doc 2: whitespace-only -> zero lines, empty text, frac 0.0
+    assert out[2].n_lines == 0 and out[2].clean_text == ""
+    assert out[2].retained_char_frac == 0.0
+    # doc 3: lorem ipsum marker (case-insensitive) kills the only line
+    assert out[3].n_lines_kept == 0 and out[3].clean_text == ""
+    # retained fraction is kept-chars / all-chars over TRIMMED lines
+    r0 = out[0]
+    assert r0.retained_char_frac == pytest.approx(
+        len("This line is kept fine.")
+        / sum(
+            len(x)
+            for x in [
+                "This line is kept fine.",
+                "no punct here",
+                "ok.",
+                "Enable javascript to continue.",
+                "Short.",
+            ]
+        ),
+        abs=1e-6,
+    )
+
+
+def test_c4_punct_rule_optional(spark, c4_docs):
+    out = {
+        r.doc_id: r
+        for r in c4_line_clean(
+            c4_docs, require_terminal_punct=False
+        ).collect()
+    }
+    # "no punct here" (3 words, no marker) now survives in doc 0
+    assert "no punct here" in out[0].clean_text.split("\n")
+    assert out[0].n_lines_kept == 2
+
+
+# --------------------------------------------------------------- Gopher
+
+
+def test_gopher_fractions_exact(spark):
+    # 'a b a b a b' : top 2-gram "a b" occurs 3x (len 3, text len 11)
+    docs = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),
+            (1, "dup line\ndup line\nsolo line"),
+            (2, "x y z p q x y z p q"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in gopher_repetition(docs).collect()}
+    assert out[0].top2gram_char_frac == pytest.approx(9 / 11, abs=1e-6)
+    # doc 1: "dup line" twice (8 chars x 2) over total line chars 25
+    assert out[1].dup_line_char_frac == pytest.approx(16 / 25, abs=1e-6)
+    assert out[0].dup_line_char_frac == 0.0
+    # doc 2: the 5-gram "x y z p q" occurs at positions 0 and 5 ->
+    # islands merge (5 <= 0+5) into one run covering all 10 tokens
+    assert out[2].dup5gram_tok_frac == pytest.approx(1.0, abs=1e-6)
+    # doc 0 has only 2 distinct tokens: 5-grams "a b a b a" / "b a b
+    # a b" are unique -> no duplicated 5-gram coverage
+    assert out[0].dup5gram_tok_frac == 0.0
+    # empty doc: every signal 0.0, row present
+    assert out[3].dup_line_char_frac == 0.0
+    assert out[3].top3gram_char_frac == 0.0
+    assert out[3].dup5gram_tok_frac == 0.0
+
+
+def test_gopher_island_gap_not_merged(spark):
+    # duplicated 5-gram starts at 0 and 12: gap > 5 -> two islands of
+    # 5 tokens each over 17 tokens
+    seq = "a b c d e"
+    filler = "f g h i j k l"
+    docs = spark.createDataFrame(
+        [(0, f"{seq} {filler} {seq}")], ["doc_id", "text"]
+    )
+    r = gopher_repetition(docs).collect()[0]
+    assert r.dup5gram_tok_frac == pytest.approx(10 / 17, abs=1e-6)
+
+
+# ------------------------------------------------------------- k-center
+
+
+def test_kcenter_greedy_order(spark):
+    # 1-d geometry: ids 0..3 at x = 0, 1, 10, 4. Seed 1 = id 0 (min
+    # id). Farthest from {0} is x=10 (id 2, d2=100). Then x=4 (id 3,
+    # min(16, 36)=16). Then x=1 (id 1, min(1,81,9)=1).
+    df = spark.createDataFrame(
+        [(0, [0.0]), (1, [1.0]), (2, [10.0]), (3, [4.0])],
+        ["vec_id", "embedding"],
+    )
+    rows = kcenter_init(df, k=4).orderBy("seed_rank").collect()
+    assert [(r.seed_rank, r.vec_id) for r in rows] == [
+        (1, 0), (2, 2), (3, 3), (4, 1)
+    ]
+    assert rows[1].sel_d2 == pytest.approx(100.0)
+    assert rows[2].sel_d2 == pytest.approx(16.0)
+    assert rows[3].sel_d2 == pytest.approx(1.0)
+
+
+def test_kcenter_k_exceeds_distinct(spark):
+    # all-identical corpus: distances all 0; the anti-join still
+    # yields k DISTINCT ids (deterministic id order), never repeats
+    df = spark.createDataFrame(
+        [(i, [1.0, 2.0]) for i in range(3)], ["vec_id", "embedding"]
+    )
+    rows = kcenter_init(df, k=5).collect()
+    assert sorted(r.vec_id for r in rows) == [0, 1, 2]
+    assert len({r.vec_id for r in rows}) == 3
+
+
+def test_kcenter_empty_and_k1(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert kcenter_init(df, k=3).count() == 0
+    one = spark.createDataFrame([(7, [1.0])], ["vec_id", "embedding"])
+    rows = kcenter_init(one, k=1).collect()
+    assert [(r.seed_rank, r.vec_id, r.sel_d2) for r in rows] == [(1, 7, 0.0)]
+
+
+# --------------------------------------------------------------- margin
+
+
+def test_margin_matches_python_reference(spark):
+    # The margin layer is exactly determined by the knn_graph edge
+    # list it composes on: replay the operator's own graph in python
+    # (same rounding, same exact-sum arithmetic, same tie-break) and
+    # demand identical mined pairs — this pins the NEW logic without
+    # re-testing LSH recall (q160's job).
+    import math
+
+    from catenae_stopover_spark.operators.similarity import knn_graph
+
+    def unit(a, b):
+        n = math.hypot(a, b)
+        return [a / n, b / n]
+
+    rows = [
+        (0, unit(1.0, 0.02), "en"),
+        (1, unit(1.0, -0.02), "fr"),
+        (2, unit(0.02, 1.0), "en"),
+        (3, unit(-0.02, 1.0), "fr"),
+        (4, unit(0.7, 0.7), "en"),
+        (5, unit(0.72, 0.69), "fr"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    edges = [
+        (r.vec_id, r.nn_id, round(r.cosine, 6))
+        for r in knn_graph(df, k=3, diff_col="label", bits=6).collect()
+    ]
+    sums: dict = {}
+    for a, _b, rc in edges:
+        s, n = sums.get(a, (0, 0))
+        sums[a] = (s + int(round(rc * 10**6)), n + 1)  # exact decimal
+    best: dict = {}
+    for a, b, rc in edges:
+        sa, ka = sums[a]
+        sb, kb = sums[b]
+        margin = round(
+            (2.0 * rc * ka * kb) / (sa / 10**6 * kb + sb / 10**6 * ka), 6
+        )
+        cur = best.get(a)
+        if cur is None or (margin, -b) > (cur[1], -cur[0]):
+            best[a] = (b, margin, rc)
+    expected = {
+        a: (b, margin, rc) for a, (b, margin, rc) in best.items()
+    }
+    got = {
+        r.vec_id: (r.nn_id, r.margin, round(r.cosine, 6))
+        for r in margin_bitext_mine(
+            df, k=3, threshold=0.0, bits=6
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_margin_threshold_filters(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], "en"),
+            (1, [0.9, 0.1], "fr"),
+            (2, [0.0, 1.0], "en"),
+            (3, [0.1, 0.9], "fr"),
+        ],
+        ["vec_id", "embedding", "label"],
+    )
+    hi = margin_bitext_mine(df, k=2, threshold=1e9, bits=6).count()
+    assert hi == 0
+    lo = margin_bitext_mine(df, k=2, threshold=0.0, bits=6)
+    # one best pair per anchor, margin column present and positive
+    assert lo.count() == 4
+    assert lo.filter(F.col("margin") <= 0).count() == 0
+
+
+# ----------------------------------------------------------- stratified
+
+
+def test_stratified_exact_total_and_proportions(spark):
+    rows = [(i, "a" if i < 600 else ("b" if i < 900 else "c"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    out = stratified_exact_sample(df, "src", "id", 100)
+    got = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(got.values()) == 100
+    assert got == {"a": 60, "b": 30, "c": 10}
+
+
+def test_stratified_cap_and_redistribute(spark):
+    # stratum 'tiny' holds 2 rows but its proportional quota of
+    # 50/52*100 rounds to 96/4: cap 'tiny' at its size, hand the rest
+    # to the big stratum
+    rows = [(i, "big") for i in range(50)] + [(100 + i, "tiny") for i in range(2)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    out = stratified_exact_sample(df, "src", "id", 40)
+    got = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    assert sum(got.values()) == 40
+    assert got["tiny"] <= 2
+
+
+def test_stratified_membership_hash_stable(spark):
+    rows = [(i, "a" if i % 2 == 0 else "b") for i in range(200)]
+    df = spark.createDataFrame(rows, ["id", "src"])
+    s1 = {r.id for r in stratified_exact_sample(df, "src", "id", 50).collect()}
+    s2 = {r.id for r in stratified_exact_sample(df, "src", "id", 50).collect()}
+    assert s1 == s2
+    # shrinking the budget yields a SUBSET (hash-order prefix)
+    s3 = {r.id for r in stratified_exact_sample(df, "src", "id", 20).collect()}
+    assert s3 <= s1
+
+
+def test_stratified_budget_exceeds_corpus(spark):
+    df = spark.createDataFrame([(i, "a") for i in range(5)], ["id", "src"])
+    assert stratified_exact_sample(df, "src", "id", 50).count() == 5
