@@ -322,45 +322,65 @@ def main() -> None:
     from catenae_stopover_spark.operators.dedup import minhash_lsh_near_dups
 
     docs = _t(spark, SF_DIR, "documents").select("doc_id", "text")
-    replicated = docs
-    for r in range(1, 40):
-        replicated = replicated.unionByName(
-            docs.select(
-                (F.col("doc_id") + 1_000_000 * r).alias("doc_id"), "text"
+    # q6c is an sf0.1-scale workload BY DESIGN (the 40x replication is
+    # the stressor): at stress dirs the corpus is already replicated,
+    # so 40x on top (x100 -> 20M docs) measures nothing new and blew
+    # the aggregation memory at x100 (r8). The collapse_exact law at
+    # scale is carried by the dedicated SCALING.md co-runs instead.
+    n_docs = docs.count()
+    q6c_extras = {}
+    if n_docs * 40 > 2_000_000:
+        print(
+            f"# q6c_minhash_collapse: SKIPPED ({n_docs} docs x40 "
+            "exceeds the workload's design scale; see SCALING.md "
+            "collapse_exact co-runs)",
+            file=sys.stderr,
+        )
+        replicated = None
+    else:
+        replicated = docs
+    if replicated is not None:
+        for r in range(1, 40):
+            replicated = replicated.unionByName(
+                docs.select(
+                    (F.col("doc_id") + 1_000_000 * r).alias("doc_id"), "text"
+                )
             )
+        replicated = replicated.localCheckpoint()  # exclude corpus build
+        plain = lambda: minhash_lsh_near_dups(  # noqa: E731
+            replicated, collapse_exact=False
+        ).select("id_a", "id_b", "est_jaccard")
+        coll = lambda: minhash_lsh_near_dups(  # noqa: E731
+            replicated, collapse_exact=True
+        ).select("id_a", "id_b", "est_jaccard")
+        diff = (
+            plain()
+            .exceptAll(coll())
+            .unionByName(coll().exceptAll(plain()))
+            .count()
         )
-    replicated = replicated.localCheckpoint()  # exclude corpus build
-    plain = lambda: minhash_lsh_near_dups(  # noqa: E731
-        replicated, collapse_exact=False
-    ).select("id_a", "id_b", "est_jaccard")
-    coll = lambda: minhash_lsh_near_dups(  # noqa: E731
-        replicated, collapse_exact=True
-    ).select("id_a", "id_b", "est_jaccard")
-    diff = (
-        plain().exceptAll(coll()).unionByName(coll().exceptAll(plain())).count()
-    )
-    if diff != 0:
-        raise AssertionError(
-            f"q6c parity violated: {diff} pair rows differ between the "
-            "collapsed and plain MinHash runs"
+        if diff != 0:
+            raise AssertionError(
+                f"q6c parity violated: {diff} pair rows differ between "
+                "the collapsed and plain MinHash runs"
+            )
+        best, df6c, spread = best_of(lambda: _noop_eval(coll()), min_reps=1)
+        timings["q6c_minhash_collapse"] = round(best, 4)
+        rows["q6c_minhash_collapse"] = df6c.count()
+        spreads["q6c_minhash_collapse"] = spread
+        t0 = time.perf_counter()
+        _noop_eval(plain())
+        plain_sec = time.perf_counter() - t0
+        q6c_extras = {
+            "q6c_plain_ref_sec": round(plain_sec, 4),
+            "q6c_collapse_speedup": round(plain_sec / best, 2),
+        }
+        print(
+            f"# q6c_minhash_collapse: {best:.3f}s rows={n} "
+            f"(plain {plain_sec:.3f}s -> {plain_sec / best:.1f}x "
+            "speedup, identical pairs)",
+            file=sys.stderr,
         )
-    best, df6c, spread = best_of(lambda: _noop_eval(coll()), min_reps=1)
-    timings["q6c_minhash_collapse"] = round(best, 4)
-    rows["q6c_minhash_collapse"] = df6c.count()
-    spreads["q6c_minhash_collapse"] = spread
-    t0 = time.perf_counter()
-    _noop_eval(plain())
-    plain_sec = time.perf_counter() - t0
-    q6c_extras = {
-        "q6c_plain_ref_sec": round(plain_sec, 4),
-        "q6c_collapse_speedup": round(plain_sec / best, 2),
-    }
-    print(
-        f"# q6c_minhash_collapse: {best:.3f}s rows={n} "
-        f"(plain {plain_sec:.3f}s -> {plain_sec / best:.1f}x speedup, "
-        "identical pairs)",
-        file=sys.stderr,
-    )
 
     # best-of-N, N>=3 (r3 showed 329k->261k msgs/s round-over-round
     # variance on identical code): the first t1 run pays lingering
@@ -449,7 +469,7 @@ def main() -> None:
             for k in timings
         },
         "t1_msgs_per_sec": round(T1_MESSAGES / t1_sec),
-        "q6c_collapse_speedup": q6c_extras["q6c_collapse_speedup"],
+        "q6c_collapse_speedup": q6c_extras.get("q6c_collapse_speedup"),
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:  # never outgrow the driver's tail window
