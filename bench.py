@@ -366,7 +366,8 @@ def main() -> None:
             )
         best, df6c, spread = best_of(lambda: _noop_eval(coll()), min_reps=1)
         timings["q6c_minhash_collapse"] = round(best, 4)
-        rows["q6c_minhash_collapse"] = df6c.count()
+        n6c = df6c.count()
+        rows["q6c_minhash_collapse"] = n6c
         spreads["q6c_minhash_collapse"] = spread
         t0 = time.perf_counter()
         _noop_eval(plain())
@@ -376,7 +377,7 @@ def main() -> None:
             "q6c_collapse_speedup": round(plain_sec / best, 2),
         }
         print(
-            f"# q6c_minhash_collapse: {best:.3f}s rows={n} "
+            f"# q6c_minhash_collapse: {best:.3f}s rows={n6c} "
             f"(plain {plain_sec:.3f}s -> {plain_sec / best:.1f}x "
             "speedup, identical pairs)",
             file=sys.stderr,

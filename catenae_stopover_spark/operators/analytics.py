@@ -491,15 +491,17 @@ def markov_sequence_score(
 
     One corpus scan: transitions come from a single lag/lead window
     per user (ties on ``ts_col`` broken by ``tiebreak_col`` so the
-    sequence is engine-deterministic); the per-(user, from, to)
-    transition-frequency table is persisted because it feeds both the
-    model aggregate AND the scoring join (Spark does not reuse
-    exchanges across branches — the multi-consumer-recompute cliff),
-    and unpersisted after the localCheckpoint materializes the
-    result. The model is |distinct type|²-bounded — tiny — so its
-    denominator c1 is a window-sum over the model itself, not a
-    second pass over tf. Self-trained MLE needs no smoothing: every
-    scored transition was observed.
+    sequence is engine-deterministic); the model normalizers are
+    WINDOW SUMS over the per-(user, from, to) transition-frequency
+    table itself — ``c2 = sum(tf) over (from, to)`` and ``c1 =
+    sum(tf) over (from)`` — so tf has exactly one consumer and the
+    whole operator is one lazy linear plan: no persist, no self-join,
+    no localCheckpoint barrier (the r8 eager-materialization
+    regression: the persist+checkpoint shape cost the sub-second
+    regime +71% — SCALING.md r9). The windows shuffle only the
+    tf aggregate (|users × types²|-bounded), never the corpus.
+    Self-trained MLE needs no smoothing: every scored transition was
+    observed.
 
     Returns per user: (user_col, n_transitions, avg_logprob) with the
     ROUND + 0.0 fold (the -0.0 FP-dust oracle channel).
@@ -513,41 +515,23 @@ def markov_sequence_score(
         )
         .filter(F.col("__to").isNotNull())
     )
-    tf = (
-        tr.groupBy(user_col, "__from", "__to")
-        .agg(F.count("*").alias("__tf"))
-        .persist()
+    tf = tr.groupBy(user_col, "__from", "__to").agg(
+        F.count("*").alias("__tf")
     )
-    # The |types|²-bounded model carries BOTH normalizers: c2 from the
-    # pair aggregate, c1 as a window-sum over the tiny model itself —
-    # one pass over tf instead of two aggregates + two joins (the r7
-    # verdict's single-pass review for q170).
-    model = (
-        tf.groupBy("__from", "__to")
-        .agg(F.sum("__tf").alias("__c2"))
-        .withColumn(
-            "__c1", F.sum("__c2").over(Window.partitionBy("__from"))
-        )
+    scored = tf.withColumn(
+        "__c2", F.sum("__tf").over(Window.partitionBy("__from", "__to"))
+    ).withColumn("__c1", F.sum("__tf").over(Window.partitionBy("__from")))
+    return scored.groupBy(user_col).agg(
+        F.sum("__tf").cast("bigint").alias("n_transitions"),
+        (
+            F.round(
+                F.sum(F.col("__tf") * F.log(F.col("__c2") / F.col("__c1")))
+                / F.sum("__tf"),
+                round_to,
+            )
+            + F.lit(0.0)
+        ).alias("avg_logprob"),
     )
-    out = (
-        tf.join(F.broadcast(model), ["__from", "__to"])
-        .groupBy(user_col)
-        .agg(
-            F.sum("__tf").cast("bigint").alias("n_transitions"),
-            (
-                F.round(
-                    F.sum(
-                        F.col("__tf") * F.log(F.col("__c2") / F.col("__c1"))
-                    )
-                    / F.sum("__tf"),
-                    round_to,
-                )
-                + F.lit(0.0)
-            ).alias("avg_logprob"),
-        )
-    ).localCheckpoint()
-    tf.unpersist()
-    return out
 
 
 def decayed_engagement(

@@ -210,21 +210,24 @@ def minhash_lsh_near_dups(
     bands: int = 16,
     shingle_n: int = 5,
     max_bucket: int | None = None,
-    collapse_exact: bool = True,
+    collapse_exact: bool | str = "auto",
     portable_hash: bool = False,
 ) -> DataFrame:
     """MinHash + LSH near-duplicate pairs (B50).
 
-    ``collapse_exact`` defaults to True (changed r8, the knn_graph
-    valve round): byte-identical documents are pre-collapsed to one
-    representative before mining and pairs expanded back — VALUE-EXACT
-    parity with the uncollapsed run (pytest-pinned, q108 gate), so the
-    default trades one content-digest shuffle on natural corpora for
-    immunity to the replica-heavy web shape, where uncollapsed
-    signature buckets grow with the replication factor and the band
-    join goes quadratic (the r7 1000x OOM class). Pass
-    ``collapse_exact=False`` to measure/run the structural
-    alternative.
+    ``collapse_exact`` defaults to ``"auto"`` (changed r9; r8's
+    unconditional True cost natural corpora +69% on the sf0.1 bench
+    for zero benefit): a one-scalar probe compares
+    ``approx_count_distinct(sha2(text))`` against ``count(*)`` —
+    map-side HLL partials, far cheaper than the collapse machinery it
+    gates — and collapses only when the distinct ratio is below 0.8
+    (replicas actually present). When it collapses, byte-identical
+    documents are pre-collapsed to one representative before mining
+    and pairs expanded back — VALUE-EXACT parity with the uncollapsed
+    run (pytest-pinned, q108 gate), giving immunity to the
+    replica-heavy web shape, where uncollapsed signature buckets grow
+    with the replication factor and the band join goes quadratic (the
+    r7 1000x OOM class). Pass True/False to force either form.
 
     Plan (all JVM-side):
       1. shingle each doc (word n-grams);
@@ -255,6 +258,19 @@ def minhash_lsh_near_dups(
     plus 64 multiply-adds; the default stays xxhash64 for peak
     throughput.
     """
+    if collapse_exact == "auto":
+        # Bounded planning scalar (one row): HLL distinct-ratio probe.
+        # rsd 5% default; the 0.8 threshold sits far from both regimes
+        # (natural corpora ~1.0, replica-heavy web <0.5).
+        probe = df.agg(
+            F.approx_count_distinct(
+                F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)
+            ).alias("d"),
+            F.count("*").alias("n"),
+        ).first()
+        collapse_exact = bool(
+            probe["n"] > 0 and probe["d"] / probe["n"] < 0.8
+        )
     if collapse_exact:
         # Pre-collapse byte-identical documents (the replica-heavy web
         # shape): mine over one representative per distinct text, then
