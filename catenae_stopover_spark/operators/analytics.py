@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans import unpersist_on_gc
+
 
 def scd2_from_changelog(
     df: DataFrame,
@@ -468,9 +470,10 @@ def ks_statistic(
     out = cdf.agg(
         F.count("*").alias("n_values"),
         F.round(F.max(F.abs(F.col("fa") - F.col("fb"))), 6).alias("ks_d"),
-    ).localCheckpoint()
-    counts.unpersist()
-    return out
+    )
+    # lazy result; cache released when the caller drops it (no eager
+    # localCheckpoint barrier — the markov r8/r9 lesson)
+    return unpersist_on_gc(out, counts)
 
 
 def markov_sequence_score(
@@ -491,15 +494,18 @@ def markov_sequence_score(
 
     One corpus scan: transitions come from a single lag/lead window
     per user (ties on ``ts_col`` broken by ``tiebreak_col`` so the
-    sequence is engine-deterministic); the model normalizers are
-    WINDOW SUMS over the per-(user, from, to) transition-frequency
-    table itself — ``c2 = sum(tf) over (from, to)`` and ``c1 =
-    sum(tf) over (from)`` — so tf has exactly one consumer and the
-    whole operator is one lazy linear plan: no persist, no self-join,
-    no localCheckpoint barrier (the r8 eager-materialization
-    regression: the persist+checkpoint shape cost the sub-second
-    regime +71% — SCALING.md r9). The windows shuffle only the
-    tf aggregate (|users × types²|-bounded), never the corpus.
+    sequence is engine-deterministic); the per-(user, from, to)
+    transition-frequency table is persisted because it feeds both the
+    model aggregate AND the scoring join (Spark does not reuse
+    exchanges across branches — the multi-consumer-recompute cliff).
+    The persist is released by a GC FINALIZER on the returned
+    DataFrame rather than an eager ``localCheckpoint`` barrier (the
+    r8 shape: +71% on the sub-second sf0.1 regime from forced
+    materialization; a pure-lazy two-window rewrite was measured
+    worse still, 2.59 s vs 0.76 s — five sequential tf shuffles pay
+    the scheduling floor five times). The model is
+    |distinct type|²-bounded — tiny — so its denominator c1 is a
+    window-sum over the model itself, not a second pass over tf.
     Self-trained MLE needs no smoothing: every scored transition was
     observed.
 
@@ -515,23 +521,36 @@ def markov_sequence_score(
         )
         .filter(F.col("__to").isNotNull())
     )
-    tf = tr.groupBy(user_col, "__from", "__to").agg(
-        F.count("*").alias("__tf")
+    tf = (
+        tr.groupBy(user_col, "__from", "__to")
+        .agg(F.count("*").alias("__tf"))
+        .persist()
     )
-    scored = tf.withColumn(
-        "__c2", F.sum("__tf").over(Window.partitionBy("__from", "__to"))
-    ).withColumn("__c1", F.sum("__tf").over(Window.partitionBy("__from")))
-    return scored.groupBy(user_col).agg(
-        F.sum("__tf").cast("bigint").alias("n_transitions"),
-        (
-            F.round(
-                F.sum(F.col("__tf") * F.log(F.col("__c2") / F.col("__c1")))
-                / F.sum("__tf"),
-                round_to,
-            )
-            + F.lit(0.0)
-        ).alias("avg_logprob"),
+    model = (
+        tf.groupBy("__from", "__to")
+        .agg(F.sum("__tf").alias("__c2"))
+        .withColumn(
+            "__c1", F.sum("__c2").over(Window.partitionBy("__from"))
+        )
     )
+    out = (
+        tf.join(F.broadcast(model), ["__from", "__to"])
+        .groupBy(user_col)
+        .agg(
+            F.sum("__tf").cast("bigint").alias("n_transitions"),
+            (
+                F.round(
+                    F.sum(
+                        F.col("__tf") * F.log(F.col("__c2") / F.col("__c1"))
+                    )
+                    / F.sum("__tf"),
+                    round_to,
+                )
+                + F.lit(0.0)
+            ).alias("avg_logprob"),
+        )
+    )
+    return unpersist_on_gc(out, tf)
 
 
 def decayed_engagement(

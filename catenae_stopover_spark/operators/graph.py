@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..plans import unpersist_on_gc
+
 
 def pagerank(
     edges: DataFrame,
@@ -171,9 +173,10 @@ def triangle_count(
         .groupBy("node")
         .agg(F.count("*").alias("triangles"))
     )
-    out = per_node.localCheckpoint()
-    e.unpersist()
-    return out
+    # lazy result; the triple-consumed oriented edge cache is released
+    # when the caller drops the result (GC finalizer, not an eager
+    # localCheckpoint barrier — the markov r8/r9 lesson)
+    return unpersist_on_gc(per_node, e)
 
 
 def bfs_distances(

@@ -2458,21 +2458,28 @@ def c4_line_clean(
     anywhere except the final ratio, rounded to 6 with the ``+ 0.0``
     fold.
     """
-    lines = F.expr(
-        f"filter(split({text_col}, '\\n'), x -> length(trim(x)) > 0)"
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"),
+        lambda x: F.length(F.trim(x)) > 0,
     )
-    conds = [f"size(split(trim(x), '\\\\s+')) >= {int(min_words)}"]
-    if require_terminal_punct:
-        conds.append(
-            "substring(trim(x), -1, 1) in ('.', '!', '?', '\"', \"'\")"
-        )
-    for p in bad_phrases:
-        esc = p.replace("'", "\\'")
-        conds.append(f"NOT contains(lower(x), '{esc}')")
-    kept = F.expr(
-        f"filter(filter(split({text_col}, '\\n'), x -> length(trim(x)) > 0), "
-        f"x -> ({') AND ('.join(conds)}))"
-    )
+
+    # Column-function predicate, not string-built SQL (r8 ADVICE):
+    # phrases ride in as literals (no quote/backslash escaping channel)
+    # and are lowercased in Python so the case-insensitive contract
+    # holds for caller-supplied mixed-case phrases.
+    def _keep(x):
+        cond = F.size(F.split(F.trim(x), r"\s+")) >= int(min_words)
+        if require_terminal_punct:
+            cond = cond & F.substring(F.trim(x), -1, 1).isin(
+                ".", "!", "?", '"', "'"
+            )
+        for p in bad_phrases:
+            cond = cond & ~F.contains(
+                F.lower(x), F.lit(str(p).lower())
+            )
+        return cond
+
+    kept = F.filter(lines, _keep)
     all_chars = F.aggregate(
         lines, F.lit(0).cast("bigint"), lambda a, x: a + F.length(F.trim(x))
     )

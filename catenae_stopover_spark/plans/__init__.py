@@ -3,6 +3,13 @@ from .partitioning import (
     explain_str,
     salted_agg,
     salted_join,
+    unpersist_on_gc,
 )
 
-__all__ = ["ensure_min_parallelism", "explain_str", "salted_agg", "salted_join"]
+__all__ = [
+    "ensure_min_parallelism",
+    "explain_str",
+    "salted_agg",
+    "salted_join",
+    "unpersist_on_gc",
+]

@@ -10,7 +10,35 @@ stage runs on one core regardless of cluster size.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
+
+
+def unpersist_on_gc(out: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Release ``cached`` persists when ``out`` is garbage-collected.
+
+    The middle path between the two persist-lifetime failure modes:
+    an eager ``localCheckpoint()`` barrier forces materialization the
+    caller may never need (measured +71% on sub-second queries —
+    markov, r8), while never unpersisting leaks executor storage for
+    the session's lifetime. A ``weakref.finalize`` on the returned
+    DataFrame frees the cache as soon as the caller drops the result;
+    worst case (result held forever) degrades to the plain leak, never
+    worse. Best-effort by design: unpersist after session shutdown is
+    swallowed.
+    """
+    refs = [c._jdf for c in cached]
+
+    def _release(jdfs=refs):
+        for j in jdfs:
+            try:
+                j.unpersist(False)
+            except Exception:  # noqa: BLE001 — gateway may be gone
+                pass
+
+    weakref.finalize(out, _release)
+    return out
 
 
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -8867,14 +8867,18 @@ JOIN sizes sb ON sb.source = src_b
 # --------------------------------------------------------------------
 
 def q183_substring_spans(spark, sf_dir):
-    """B98 (new r8): maximal cross-document repeated token substrings
-    (`dedup.exact_substring_spans`) — the suffix-array exact-substring
-    detector of Lee et al. 2022, as a sort-based distributed
-    suffix-group pass: min_len-token anchors -> one groupBy for
-    duplicated anchors -> inverted-index join -> per-doc
-    gaps-and-islands merge into MAXIMAL spans (the suffix-array LCP
-    extension). q157's strided char windows report fixed width only;
-    this returns each repeat's full extent."""
+    """B98 (new r8): maximal duplicated-anchor runs
+    (`dedup.exact_substring_spans`) — the suffix-array
+    exact-substring detector of Lee et al. 2022, as a sort-based
+    distributed suffix-group pass: min_len-token anchors (shuffled as
+    128-bit xxhash64 pairs since r9, never as strings) -> one groupBy
+    for duplicated anchors -> inverted-index join -> per-doc
+    gaps-and-islands merge into maximal RUNS. Every min_len window
+    inside a run is duplicated in >= min_docs docs; the merged run
+    itself may concatenate material shared with different partners
+    (documented honestly in the operator). q157's strided char
+    windows report fixed width only; this returns each region's full
+    extent."""
     from .operators.dedup import exact_substring_spans
 
     return exact_substring_spans(
@@ -8907,14 +8911,16 @@ FROM cov GROUP BY doc_id, grp
 
 
 def q184_substring_dedup(spark, sf_dir):
-    """B99 (new r8): exact-substring span REMOVAL
-    (`dedup.exact_substring_dedup`) — the Lee et al. dedup step
-    itself: every maximal repeated substring keeps its globally
-    first occurrence (smallest (doc_id, span_start)); every other
-    occurrence is deleted from its doc's normalized token stream via
-    a MAP-ONLY indexed-lambda filter (no corpus-wide explode/regroup
-    to rebuild text). Returns per doc the token counts and the
-    cleaned text."""
+    """B99 (new r8, reworked r9 to anchor-COVERAGE removal): the
+    Lee et al. exact-substring dedup step
+    (`dedup.exact_substring_dedup`): every duplicated min_len-token
+    ANCHOR keeps its globally first occurrence (smallest (doc_id,
+    pos)); every other occurrence's window joins the doc's removal
+    interval-union, deleted via a MAP-ONLY indexed-lambda filter (no
+    corpus-wide explode/regroup to rebuild text). Anchor-wise ranking
+    closes the r8 over-merge recall gap (a concatenated span unique
+    as a STRING no longer shields its duplicated sub-spans). Returns
+    per doc the token counts and the cleaned text."""
     from .operators.dedup import exact_substring_dedup
 
     return exact_substring_dedup(
@@ -8934,24 +8940,25 @@ WITH toks AS (
     WHERE LEN(w) >= 8
 ), dup AS (
     SELECT gram FROM e GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
-), cov AS (
-    SELECT e.doc_id, e.pos,
-           e.pos - ROW_NUMBER() OVER (PARTITION BY e.doc_id ORDER BY e.pos)
-               AS grp
-    FROM e JOIN dup USING (gram)
-), runs AS (
-    SELECT doc_id, MIN(pos) AS s, COUNT(*) + 7 AS l
-    FROM cov GROUP BY doc_id, grp
-), spans AS (
-    SELECT r.doc_id, r.s, r.l,
-           ARRAY_TO_STRING(t.w[r.s+1 : r.s+r.l], ' ') AS st
-    FROM runs r JOIN toks t USING (doc_id)
-), ranked AS (
-    SELECT doc_id, s, l,
-           ROW_NUMBER() OVER (PARTITION BY st ORDER BY doc_id, s) AS rk
-    FROM spans
+), marked AS (
+    SELECT doc_id, pos FROM (
+        SELECT e.doc_id, e.pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.gram ORDER BY e.doc_id, e.pos) AS rk
+        FROM e JOIN dup USING (gram))
+    WHERE rk > 1
+), starts AS (
+    SELECT doc_id, pos,
+           LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM marked
+), isl AS (
+    SELECT doc_id, pos,
+           SUM(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM starts
 ), rem AS (
-    SELECT doc_id, s, l FROM ranked WHERE rk > 1
+    SELECT doc_id, MIN(pos) AS s, MAX(pos) - MIN(pos) + 8 AS l
+    FROM isl GROUP BY doc_id, grp
 ), tokpos AS (
     SELECT doc_id, i AS pos, w[i+1] AS tok
     FROM toks, UNNEST(GENERATE_SERIES(0, LEN(w) - 1)) t(i)

@@ -2,8 +2,11 @@
 
 Pins: maximal-span extension (a run of consecutive duplicated anchors
 merges into ONE span of run+min_len-1 tokens), min_docs gating,
-first-occurrence retention in the removal step, disjointness of
-per-doc removal ranges, and the normalized-token-stream reconstruction
+ANCHOR-COVERAGE removal semantics (reworked r9: per duplicated anchor
+the globally first occurrence is kept, every other occurrence's window
+is removed — so an over-merged span that is unique as a STRING no
+longer shields its duplicated sub-spans), disjointness of per-doc
+removal ranges, and the normalized-token-stream reconstruction
 (including empty and untouched docs).
 """
 
@@ -64,12 +67,46 @@ def test_dedup_keeps_first_occurrence(spark, docs):
     # doc 1's copy removed; unique remainder intact, whitespace-folded
     assert out[1].n_removed == 10
     assert out[1].clean_text == "one two three four five"
-    # doc 3's 8-token span text differs from the 10-token maximal span
-    # text, so it is its own first occurrence: kept
-    assert out[3].n_removed == 0
+    # doc 3's 8-token prefix anchor first occurs in doc 0 — under
+    # anchor-coverage semantics (r9) doc 3's copy is removed (the old
+    # span-TEXT ranking kept it because "8-token span" differed from
+    # doc 0/1's merged 10-token span string — the r8 recall gap)
+    assert out[3].n_removed == 8
+    assert out[3].clean_text == "prefix tail words"
     # untouched + empty docs round-trip (normalized stream)
     assert out[2].n_removed == 0 and out[2].n_tokens == 8
     assert out[4].n_tokens == 0 and out[4].clean_text == ""
+
+
+def test_dedup_overmerged_span_still_removed(spark):
+    """The r8 verdict's recall-gap scenario, pinned: doc 1 holds a
+    10-token region whose first 9 tokens are shared with doc 2 and
+    last 9 with doc 3. The island merge reports ONE doc-1 span whose
+    full text exists in no other document (the over-merge); under
+    span-TEXT ranking every doc was its own first occurrence and
+    nothing was ever removed. Anchor-coverage removal keeps doc 1
+    (globally first for every anchor) and strips docs 2 and 3
+    entirely."""
+    words = " ".join(f"w{i}" for i in range(10))  # doc 1: w0..w9
+    df = spark.createDataFrame(
+        [
+            (1, words),
+            (2, " ".join(f"w{i}" for i in range(0, 9))),  # w0..w8
+            (3, " ".join(f"w{i}" for i in range(1, 10))),  # w1..w9
+        ],
+        ["doc_id", "text"],
+    )
+    # the spans report DOES over-merge (documented): doc 1 reports one
+    # 10-token region though that string occurs nowhere else
+    spans = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in exact_substring_spans(df, min_len=8).collect()
+    }
+    assert (1, 0, 10) in spans
+    out = {r.doc_id: r for r in exact_substring_dedup(df, min_len=8).collect()}
+    assert out[1].n_removed == 0 and out[1].clean_text == words
+    assert out[2].n_removed == 9 and out[2].clean_text == ""
+    assert out[3].n_removed == 9 and out[3].clean_text == ""
 
 
 def test_dedup_all_copies_but_first_removed(spark):

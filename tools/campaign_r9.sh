@@ -1,0 +1,70 @@
+#!/bin/bash
+# Round-9 measurement campaign (r8 verdict ask #1: finish and RECORD
+# the r8 campaign). Launched at the TOP of the round this time.
+#
+# Stage 0: sf0.1 bench on an idle box — validates the r9 fixes for the
+#          three r8 regressions (q12_pmi contention re-measure,
+#          q15_markov persist-barrier removal, q6b collapse_exact=auto).
+# Stage 1: the 100x bench re-run the r8 OOM killed (q6c skip guard now
+#          in bench.py) — the q9_boilerplate adjudication.
+# Stage 2: the co-runs r8's campaign never reached: q151 (duckdb side
+#          only — spark 10.56 s is on record), q156, q158, q163, q136,
+#          q160, q161 at 100x; q170 re-measured (markov restructured
+#          r9); the q177_approx variant.
+# Stage 3: 1000x tier — the q160 default-knob no-OOM regression proof
+#          for the derived bucket cap, and the q177-approx third decade
+#          vs the exact DuckDB baseline.
+#
+# q171 / q183 / q184 / q190 co-runs run in a SEPARATE post-rework stage
+# (tools/campaign_r9b.sh) — their plans change this round.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${CAMPAIGN_LOG:-/tmp/campaign_r9.log}
+TMO=${CAMPAIGN_TIMEOUT:-2400}
+echo "=== campaign r9 start $(date -u +%H:%M:%S) ===" >> "$LOG"
+
+corun() { # corun <sfdir> <engines> <queries>
+  local dir=$1 eng=$2 q=$3
+  echo "--- corun $q [$eng] @ $dir $(date -u +%H:%M:%S)" >> "$LOG"
+  CORUN_ONLY="$q" CORUN_ENGINES="$eng" timeout "$TMO" \
+    python tools/stress_coruns_r7.py "$dir" >> "$LOG" 2>&1 \
+    || echo "$q $eng TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+}
+variant() { # variant <sfdir> <engines> <names>
+  local dir=$1 eng=$2 v=$3
+  echo "--- variant $v [$eng] @ $dir $(date -u +%H:%M:%S)" >> "$LOG"
+  CORUN_ENGINES="$eng" timeout "$TMO" \
+    python tools/corun_variants_r8.py "$dir" "$v" >> "$LOG" 2>&1 \
+    || echo "$v $eng TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+}
+
+# --- Stage 0: sf0.1 bench, idle box (r8 regression triage) ---
+echo "--- bench @ sf0.1 $(date -u +%H:%M:%S)" >> "$LOG"
+timeout 3600 python bench.py \
+  > /tmp/bench_sf01_r9.json 2> /tmp/bench_sf01_r9.err \
+  || echo "bench sf0.1 TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+echo "bench sf0.1 done $(date -u +%H:%M:%S)" >> "$LOG"
+
+# --- Stage 1: bench at 100x (the q9_boilerplate adjudication) ---
+echo "--- bench @ x100 $(date -u +%H:%M:%S)" >> "$LOG"
+SPARK_GRAFT_SF_DIR=/tmp/stress-x100 timeout 10800 python bench.py \
+  > /tmp/bench_x100_r9.json 2> /tmp/bench_x100_r9.err \
+  || echo "bench x100 TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+echo "bench x100 done $(date -u +%H:%M:%S)" >> "$LOG"
+
+# --- Stage 2: the co-runs the r8 campaign never reached ---
+corun /tmp/stress-x100 duckdb q151_containment_pairs
+for q in q156_importance_weights q158_curation_pipeline \
+         q163_curation_pipeline_v2 q136_bpe_train q160_knn_graph \
+         q161_knn_novelty q170_markov_sequence; do
+  corun /tmp/stress-x100 spark "$q"
+  corun /tmp/stress-x100 duckdb "$q"
+done
+variant /tmp/stress-x100 spark,duckdb q177_approx
+
+# --- Stage 3: 1000x tier ---
+variant /tmp/stress-x1000 spark q160_default
+variant /tmp/stress-x1000 spark q177_approx
+corun /tmp/stress-x1000 duckdb q177_robust_outliers
+
+echo "=== campaign r9 done $(date -u +%H:%M:%S) ===" >> "$LOG"
