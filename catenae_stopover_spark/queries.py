@@ -7842,6 +7842,232 @@ FROM per_class
 Q163_SQL = _build_q163_sql()
 
 
+def q190_curation_pipeline_v3(spark, sf_dir):
+    """Curation pipeline v3 (B105, new r9 — the r8 verdict's depth
+    ask): q163's release chain with the EXACT-SUBSTRING removal stage
+    (B99, anchor-coverage semantics) inserted between near-dup and
+    decontamination — the actual Lee et al. 2022 pipeline order
+    (near-dup at document granularity first, then ExactSubstr scrubs
+    the shared boilerplate/quote/license bytes the doc-level stages
+    cannot touch, then benchmark decontamination runs over the
+    SCRUBBED text). Six composed stages, one Catalyst plan, full
+    chained-CTE oracle replay including the MinHash family AND the
+    anchor-coverage substring removal. Report carries the
+    ``__total__`` non-empty-release visibility row (q158
+    convention)."""
+    from .operators.dedup import exact_substring_dedup, minhash_lsh_near_dups
+    from .operators.text import (
+        cap_per_class,
+        decontaminate,
+        quality_filter,
+        release_report,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    kept = quality_filter(
+        corpus, min_chars=100, min_tokens=20, min_quality=0.5
+    )
+    reps = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    deduped = kept.join(reps.select("doc_id"), "doc_id")
+    pairs = minhash_lsh_near_dups(deduped, portable_hash=True)
+    nd_drop = (
+        pairs.filter(F.col("est_jaccard") >= 0.8)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    survivors = deduped.join(nd_drop, "doc_id", "left_anti")
+    # NEW v3 stage: cross-document exact-substring scrub — text from
+    # here on is the normalized token stream minus duplicated windows
+    scrubbed = exact_substring_dedup(survivors, min_len=8, min_docs=2)
+    sv2 = survivors.select("doc_id", "source").join(
+        scrubbed.select("doc_id", F.col("clean_text").alias("text")),
+        "doc_id",
+    )
+    contaminated = decontaminate(sv2, bench, n=8, max_df=None).select(
+        "doc_id"
+    )
+    clean = sv2.join(contaminated, "doc_id", "left_anti")
+    capped = cap_per_class(clean, by="source", cap=10).select("doc_id")
+    final = clean.join(capped, "doc_id")
+    return release_report(final, by="source")
+
+
+def _build_q190_sql(
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    nd_threshold: float = 0.8,
+    ss_len: int = 8,
+) -> str:
+    from .operators.dedup import minhash_coeffs
+
+    a, b = minhash_coeffs(num_hashes)
+    ab_rows = ", ".join(f"({k}, {a[k]}, {b[k]})" for k in range(num_hashes))
+    rpb = num_hashes // bands
+    L = ss_len
+    return rf"""
+WITH corpus0 AS (
+    SELECT * FROM documents WHERE doc_id % 97 <> 0
+), bench0 AS (
+    SELECT * FROM documents WHERE doc_id % 97 = 0
+), stats AS (
+    SELECT doc_id,
+           LENGTH(text) AS n_chars,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')) AS n_words,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]')) AS n_alpha,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|and|of|to|is)\b'))
+               AS stop_hits
+    FROM corpus0
+), kept AS (
+    SELECT c.* FROM corpus0 c JOIN stats s ON c.doc_id = s.doc_id
+    WHERE s.n_chars >= 100 AND s.n_words >= 20
+      AND 0.35 * (CASE WHEN s.n_chars > 0
+                       THEN s.n_alpha / s.n_chars ELSE 0.0 END)
+        + 0.25 * (CASE WHEN s.stop_hits > 0 THEN 1.0 ELSE 0.0 END)
+        + 0.4 * (CASE WHEN s.n_words > 0
+                      AND s.n_chars / s.n_words >= 3
+                      AND s.n_chars / s.n_words <= 12
+                      THEN 1.0 ELSE 0.0 END) >= 0.5
+), reps AS (
+    SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
+), dd AS (
+    SELECT k.* FROM kept k JOIN reps r ON k.doc_id = r.doc_id
+), mwords AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM dd
+), mgrams AS (
+    SELECT doc_id,
+           LIST_DISTINCT(LIST_TRANSFORM(
+               LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                           i -> i <= LEN(w) - {shingle_n} + 1),
+               i -> ARRAY_TO_STRING(w[i:i+{shingle_n - 1}], ' '))) AS g
+    FROM mwords
+), msh AS (
+    SELECT doc_id,
+           ('0x' || SUBSTR(SHA256(gram), 1, 15))::BIGINT
+               % 2147483647 AS h
+    FROM (SELECT doc_id, UNNEST(g) AS gram FROM mgrams WHERE LEN(g) > 0)
+), ab(k, a, b) AS (VALUES {ab_rows}),
+msig AS (
+    SELECT doc_id, k, MIN((a * h + b) % 2147483647) AS mh
+    FROM msh CROSS JOIN ab GROUP BY doc_id, k
+), mband AS (
+    SELECT doc_id, k // {rpb} AS band_idx,
+           ARRAY_TO_STRING(LIST(mh ORDER BY k), ',') AS bkey
+    FROM msig GROUP BY doc_id, k // {rpb}
+), mcand AS (
+    SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+    FROM mband x JOIN mband y
+      ON x.band_idx = y.band_idx AND x.bkey = y.bkey
+     AND x.doc_id < y.doc_id
+), mpairs AS (
+    SELECT id_a, id_b,
+           SUM(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)
+               / {num_hashes}.0 AS est_jaccard
+    FROM mcand
+    JOIN msig sa ON sa.doc_id = id_a
+    JOIN msig sb ON sb.doc_id = id_b AND sb.k = sa.k
+    GROUP BY id_a, id_b
+), nd_drop AS (
+    SELECT DISTINCT id_b FROM mpairs WHERE est_jaccard >= {nd_threshold}
+), sv AS (
+    SELECT * FROM dd WHERE doc_id NOT IN (SELECT id_b FROM nd_drop)
+), dw AS (
+    SELECT doc_id,
+           LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(TRIM(text)), '\s+'),
+                       t -> t <> '') AS w
+    FROM sv
+), de AS (
+    SELECT doc_id, i AS pos, ARRAY_TO_STRING(w[i+1:i+{L}], ' ') AS gram
+    FROM dw, UNNEST(GENERATE_SERIES(0, LEN(w) - {L})) t(i)
+    WHERE LEN(w) >= {L}
+), ddup AS (
+    SELECT gram FROM de GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+), dmarked AS (
+    SELECT doc_id, pos FROM (
+        SELECT de.doc_id, de.pos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY de.gram ORDER BY de.doc_id, de.pos) AS rk
+        FROM de JOIN ddup USING (gram))
+    WHERE rk > 1
+), dstarts AS (
+    SELECT doc_id, pos,
+           LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM dmarked
+), disl AS (
+    SELECT doc_id, pos,
+           SUM(CASE WHEN prev IS NULL OR pos > prev + {L} THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM dstarts
+), drem AS (
+    SELECT doc_id, MIN(pos) AS s, MAX(pos) - MIN(pos) + {L} AS l
+    FROM disl GROUP BY doc_id, grp
+), dtokpos AS (
+    SELECT doc_id, i AS pos, w[i+1] AS tok
+    FROM dw, UNNEST(GENERATE_SERIES(0, LEN(w) - 1)) t(i)
+    WHERE LEN(w) > 0
+), dkeep AS (
+    SELECT tp.doc_id, tp.pos, tp.tok
+    FROM dtokpos tp
+    WHERE NOT EXISTS (
+        SELECT 1 FROM drem r
+        WHERE r.doc_id = tp.doc_id
+          AND tp.pos >= r.s AND tp.pos < r.s + r.l)
+), drebuilt AS (
+    SELECT doc_id, STRING_AGG(tok, ' ' ORDER BY pos) AS clean_text
+    FROM dkeep GROUP BY doc_id
+), sv2 AS (
+    SELECT s.doc_id, s.source, COALESCE(r.clean_text, '') AS text
+    FROM sv s LEFT JOIN drebuilt r USING (doc_id)
+), cw AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM sv2
+), csh AS (
+    SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id, UNNEST(LIST_TRANSFORM(
+            LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                        i -> i <= LEN(w) - 8 + 1),
+            i -> ARRAY_TO_STRING(w[i:i+7], ' '))) AS gram
+        FROM cw)
+), bw AS (
+    SELECT REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w FROM bench0
+), bsh AS (
+    SELECT DISTINCT gram FROM (
+        SELECT UNNEST(LIST_TRANSFORM(
+            LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                        i -> i <= LEN(w) - 8 + 1),
+            i -> ARRAY_TO_STRING(w[i:i+7], ' '))) AS gram
+        FROM bw)
+), clean AS (
+    SELECT * FROM sv2 WHERE doc_id NOT IN (
+        SELECT DISTINCT c.doc_id FROM csh c JOIN bsh b ON c.gram = b.gram)
+), capped AS (
+    SELECT doc_id FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+            PARTITION BY source
+            ORDER BY SHA256(CAST(doc_id AS VARCHAR)), doc_id) AS r
+        FROM clean) WHERE r <= 10
+), final AS (
+    SELECT c.* FROM clean c JOIN capped p ON c.doc_id = p.doc_id
+), per_class AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')))
+               AS BIGINT) AS sum_tokens
+    FROM final GROUP BY source
+)
+SELECT source, n_docs, sum_tokens FROM per_class
+UNION ALL
+SELECT '__total__', CAST(COALESCE(SUM(n_docs), 0) AS BIGINT),
+       CAST(COALESCE(SUM(sum_tokens), 0) AS BIGINT)
+FROM per_class
+"""
+
+
+Q190_SQL = _build_q190_sql()
+
+
 # --------------------------------------------------------------------
 # B79 — concat-and-chunk sequence packing (new r7)
 # --------------------------------------------------------------------
@@ -9409,6 +9635,9 @@ QUERIES: dict[str, tuple] = {
     "q187_kcenter_init": (q187_kcenter_init, _q187_oracle_sql),
     "q188_margin_bitext": (q188_margin_bitext, _q188_oracle_sql),
     "q189_stratified_exact": (q189_stratified_exact, Q189_SQL),
+    # --- B105, new r9: curation v3 with the exact-substring stage in
+    # --- the Lee et al. release-chain position.
+    "q190_curation_pipeline_v3": (q190_curation_pipeline_v3, Q190_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -9580,44 +9809,49 @@ QUERIES: dict[str, tuple] = {
     "q57_salted_agg": (q57_salted_agg, Q57_SQL),
 }
 
-# --- r8 driver window (the r7 verdict ask #7): the 49 queries whose
-# --- last driver check is FOUR rounds old (the r4-era q01-q39/q44-q56
-# --- block — verified against the CORRECTNESS_r{1..7} histograms:
-# --- exactly these 49 rows have last=r4) plus q53_ivf_recall_gate
-# --- (whose predecessor q53_ivf_topk carries the only r1-era row).
-# --- The dict above keeps its grouped layout; this reorder makes the
-# --- window the FIRST 50 entries without rewriting 180 literal lines.
-# --- Remaining entries keep their relative order (r7 window first —
-# --- freshest evidence, deepest below the line).
-_R8_WINDOW = [
-    # new-this-round first (standing policy priority 2): the B98/B99
-    # substring-dedup pair; q55/q56 rotate to r9 to keep the window 50
+# --- r9 driver window (the r8 verdict ask #2, standing rotation
+# --- policy): (1) new this round — q190 curation v3; (2) never
+# --- driver-checked — q185-q189 (implemented r8, judge-green only);
+# --- (3) code or oracle changed this round — q183/q184 (hashed
+# --- anchors + anchor-coverage removal), q170 (markov persist
+# --- lifetime), q171 (Arrow-partial centroids), q37/q69/q158/q163
+# --- (collapse_exact='auto' default path), q139/q116 (GC-finalizer
+# --- unpersist), q185 also (Column-function predicate); (4) the r8
+# --- verdict's explicit re-check list — q160-q162 (derived-cap
+# --- oracles), q147/q127/q165/q181/q152/q177 (r8 fixes the driver
+# --- has not rechecked); (5) q55/q56 (rotated out of the r8 window);
+# --- (6) oldest-row fill q106-q130. The dict above keeps its grouped
+# --- layout; this reorder makes the window the FIRST 50 entries.
+_R9_WINDOW = [
+    "q190_curation_pipeline_v3",
+    "q185_c4_line_clean", "q186_gopher_repetition", "q187_kcenter_init",
+    "q188_margin_bitext", "q189_stratified_exact",
     "q183_substring_spans", "q184_substring_dedup",
-    "q01_pricing_summary", "q02_revenue_by_nation",
-    "q03_top3_orders_per_priority", "q05_cube_count",
-    "q06_grouping_sets", "q07_distinct_stats",
-    "q08_orders_per_customer_hist", "q09_semi_anti", "q10_theta_acctbal",
-    "q11_cross_region_nation", "q12_asof_purchase_click",
-    "q13_latest2_events_per_user", "q14_segments_per_nation",
-    "q15_pivot_status", "q16_running_total", "q17_lag_delta",
-    "q18_moving_avg", "q19_setops", "q20_string_funcs", "q21_date_funcs",
-    "q23_array_funcs", "q24_json_extract", "q25_explode_words",
-    "q26_union_types", "q28_ngram_jaccard", "q29_cosine_topk",
-    "q30_embedding_pairs", "q31_text_stats", "q32_lang_detect",
-    "q33_quality_filter", "q34_tumbling_hourly", "q35_sessionize",
-    "q36_median_quantity", "q39_fingerprints", "q43_text_stats_full",
-    "q44_stream_tumbling_hourly", "q45_stream_sessionize",
-    "q46_stream_stateful_counts", "q47_stream_dedup",
-    "q48_grouped_map_zscore", "q49_udaf_weighted_avg",
-    "q50_udtf_split_words", "q51_cogroup_asof", "q54_map_funcs",
-    "q57_salted_agg",
-    "q74_pack_documents", "q97_filtered_cosine_topk",
-    "q53_ivf_recall_gate",
+    "q170_markov_sequence", "q171_source_purity",
+    "q37_minhash_pairs", "q69_minhash_recall_gate",
+    "q158_curation_pipeline", "q163_curation_pipeline_v2",
+    "q139_ks_drift", "q116_triangle_count",
+    "q160_knn_graph", "q161_knn_novelty", "q162_hard_negatives",
+    "q147_incremental_minhash", "q127_bm25", "q165_rrf_fusion",
+    "q181_token_budget", "q152_negative_sampling",
+    "q177_robust_outliers",
+    "q55_repetition_stats", "q56_nulls_ordering",
+    "q106_stream_incremental_dedup", "q107_domain_cap",
+    "q108_collapse_parity_gate", "q109_stream_left_outer_join",
+    "q110_merge_upsert", "q111_scd2_history", "q112_funnel",
+    "q113_cohort_retention", "q114_session_pattern",
+    "q115_winsorized_stats", "q117_bfs_distance",
+    "q118_boilerplate_removal", "q119_weighted_sample",
+    "q120_intra_doc_dedup", "q121_snapshot_diff", "q122_token_share",
+    "q123_rolling_anomaly", "q124_quality_classifier",
+    "q125_stream_session_pattern", "q126_interval_overlap",
+    "q128_equidepth_histogram", "q129_asof_forward",
+    "q130_bpe_merge_step",
 ]
-assert len(_R8_WINDOW) == 50 and len(set(_R8_WINDOW)) == 50
+assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R8_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R8_WINDOW)},
+    **{k: QUERIES[k] for k in _R9_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R9_WINDOW)},
 }
 
 

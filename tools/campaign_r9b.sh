@@ -1,0 +1,53 @@
+#!/bin/bash
+# Round-9 campaign, part B (post-rework + retries). Waits for
+# campaign_r9.sh to finish, then:
+#   1. re-runs the 100x bench (the r9a run died on a transient
+#      mid-edit import window — plans.unpersist_on_gc landed between
+#      two file writes; code is stable now),
+#   2. re-runs the sf0.1 bench (r9a's stage 0 measured the interim
+#      two-window markov variant; final code uses the GC-finalizer
+#      persist shape),
+#   3. co-runs the operators REWORKED this round: q171 (Arrow-partial
+#      centroids), q183/q184 (hashed anchors + anchor-coverage
+#      removal) at 10x AND 100x, and the new q190 curation v3
+#      (10x both engines; 100x spark + duckdb under timeout).
+set -u
+cd "$(dirname "$0")/.."
+LOG=${CAMPAIGN_LOG:-/tmp/campaign_r9.log}
+TMO=${CAMPAIGN_TIMEOUT:-2400}
+
+while ! grep -q "=== campaign r9 done" "$LOG" 2>/dev/null; do sleep 60; done
+echo "=== campaign r9b start $(date -u +%H:%M:%S) ===" >> "$LOG"
+
+corun() { # corun <sfdir> <engines> <queries>
+  local dir=$1 eng=$2 q=$3
+  echo "--- corun $q [$eng] @ $dir $(date -u +%H:%M:%S)" >> "$LOG"
+  CORUN_ONLY="$q" CORUN_ENGINES="$eng" timeout "$TMO" \
+    python tools/stress_coruns_r7.py "$dir" >> "$LOG" 2>&1 \
+    || echo "$q $eng TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+}
+
+echo "--- bench @ x100 retry $(date -u +%H:%M:%S)" >> "$LOG"
+SPARK_GRAFT_SF_DIR=/tmp/stress-x100 timeout 10800 python bench.py \
+  > /tmp/bench_x100_r9.json 2> /tmp/bench_x100_r9.err \
+  || echo "bench x100 TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+echo "bench x100 done $(date -u +%H:%M:%S)" >> "$LOG"
+
+echo "--- bench @ sf0.1 final-code $(date -u +%H:%M:%S)" >> "$LOG"
+timeout 3600 python bench.py \
+  > /tmp/bench_sf01_r9b.json 2> /tmp/bench_sf01_r9b.err \
+  || echo "bench sf0.1 TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+echo "bench sf0.1 done $(date -u +%H:%M:%S)" >> "$LOG"
+
+for q in q171_source_purity q183_substring_spans q184_substring_dedup; do
+  corun /tmp/stress-x10 spark "$q"
+  corun /tmp/stress-x10 duckdb "$q"
+  corun /tmp/stress-x100 spark "$q"
+  corun /tmp/stress-x100 duckdb "$q"
+done
+corun /tmp/stress-x10 spark q190_curation_pipeline_v3
+corun /tmp/stress-x10 duckdb q190_curation_pipeline_v3
+corun /tmp/stress-x100 spark q190_curation_pipeline_v3
+corun /tmp/stress-x100 duckdb q190_curation_pipeline_v3
+
+echo "=== campaign r9b done $(date -u +%H:%M:%S) ===" >> "$LOG"
