@@ -15,7 +15,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
@@ -1580,3 +1580,79 @@ def kcenter_init(
     finally:
         base.unpersist()
     return spark.createDataFrame(seeds, schema)
+
+
+def prototype_diversity_filter(
+    df: DataFrame,
+    centroids: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    drop_frac: float = 0.25,
+) -> DataFrame:
+    """D4-style prototypicality pruning (B107; Abbas et al. 2023 "D4:
+    Improving LLM Pretraining via Document De-Duplication and
+    Diversification", building on Sorscher et al. 2022 "Beyond neural
+    scaling laws"): within each embedding cluster, the points MOST
+    similar to their cluster centroid carry the least marginal
+    information — D4 drops that prototypical core after SemDeDup and
+    keeps the diverse tail. Per cluster of size n, the top
+    ``floor(drop_frac * n)`` rows by centroid cosine are marked
+    ``keep = false``.
+
+    Takes LITERAL centroids (train with `train_spherical_kmeans` on a
+    deterministic sample — the portable IVF precedent), so any engine
+    replays the identical assignment and ranking; this is the q76
+    oracle pattern applied to pruning. Returns (id_col, cluster_id,
+    cos_centroid, keep) for every input row.
+
+    Determinism: assignment is argmax over the C literal score
+    expressions with lowest-index ties (`assign_ivf_cells` struct-max
+    trick); the REPORTED cosine is rounded-6 + 0.0 BEFORE the ranking
+    window, so the rank order (cos desc, id asc) is identical across
+    engines; the drop count is pure integer math
+    ``(n * round(drop_frac * 1e6)) div 1e6`` — no FP in the cut.
+
+    Scale shape: C fused codegen score expressions per row (no Python,
+    no shuffle) + ONE window partitioned by cluster — a single
+    cluster-keyed exchange; clusters are corpus-count/C sized, so the
+    per-partition sort is bounded by cell size exactly like SemDeDup's
+    pair stage, without the pair join.
+    """
+    if not centroids:
+        raise ValueError("centroids must be non-empty")
+    frac_ppm = int(round(drop_frac * 1_000_000))
+    scores = [
+        cosine_similarity(F.col(vec_col), _as_vec_lit(c)).alias(f"__c{i}")
+        for i, c in enumerate(centroids)
+    ]
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(F.col(f"__c{i}").alias("s"), F.lit(-i).alias("ni"))
+                for i in range(len(centroids))
+            ]
+        )
+    )
+    assigned = (
+        df.select(F.col(id_col), *scores)
+        .withColumn("cluster_id", (-best["ni"]).cast("int"))
+        .withColumn(
+            "cos_centroid", F.round(best["s"], 6) + F.lit(0.0)
+        )
+        .drop(*[f"__c{i}" for i in range(len(centroids))])
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("cluster_id").orderBy(
+            F.desc("cos_centroid"), F.col(id_col).asc()
+        )
+    )
+    ndrop = F.expr(
+        f"(cast(count(*) over (partition by cluster_id) as bigint)"
+        f" * {frac_ppm}) div 1000000"
+    )
+    return assigned.select(
+        id_col,
+        "cluster_id",
+        "cos_centroid",
+        (rk > ndrop).alias("keep"),
+    )

@@ -2778,3 +2778,91 @@ def stratified_exact_sample(
         .filter(F.col("__rn") <= F.col("quota"))
         .drop("__rn", "quota")
     )
+
+
+def nfc_normalize_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode NFC normalization + normalization-diagnostics (B106) —
+    the canonicalization step a multilingual web corpus runs BEFORE
+    any hash-based dedup or shingling: byte-different but canonically
+    equivalent strings (decomposed accents, compatibility codepoints
+    like U+212B ANGSTROM SIGN) otherwise defeat exact dedup and split
+    n-gram statistics. Returns per document the NFC text, codepoint
+    counts before/after, a ``changed`` flag, and the non-ASCII
+    codepoint fraction of the normalized text (the cheap
+    script-mix/mojibake signal quality filters threshold on).
+
+    Engine notes: Spark has no NFC builtin, so normalization is an
+    Arrow-batched kernel over ``unicodedata.normalize`` — a mandated
+    Python hop, batched (never per-row UDF), map-only, no shuffle;
+    every derived stat is JVM-side on the returned column. Both
+    Python's unicodedata and DuckDB's ``nfc_normalize`` implement
+    UAX #15 NFC, so the oracle replays byte-identically (verified on
+    combining marks, ligatures, and compatibility singletons). Counts
+    are CODEPOINTS in all three runtimes (Python ``len``, Spark
+    ``length``, DuckDB ``LENGTH``) — no UTF-16 unit skew.
+
+    Scale: embarrassingly parallel map; at 100 TB this pass is scan-
+    bound and composes with column pruning (only (id, text) is read).
+    """
+    id_type = dict(df.select(id_col).dtypes)[id_col]
+
+    def kern(batches):
+        import unicodedata
+
+        import pyarrow as pa
+
+        for b in batches:
+            texts = b.column(text_col).to_pylist()
+            norm = [
+                None if t is None else unicodedata.normalize("NFC", t)
+                for t in texts
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(id_col),
+                    pa.array(norm, type=pa.string()),
+                    pa.array(
+                        [None if t is None else len(t) for t in texts],
+                        type=pa.int64(),
+                    ),
+                    pa.array(
+                        [
+                            None if t is None else (n != t)
+                            for t, n in zip(texts, norm)
+                        ],
+                        type=pa.bool_(),
+                    ),
+                ],
+                [id_col, "norm_text", "n_chars_raw", "changed"],
+            )
+
+    normed = df.select(id_col, text_col).mapInArrow(
+        kern,
+        f"{id_col} {id_type}, norm_text string, n_chars_raw bigint, "
+        "changed boolean",
+    )
+    n_nfc = F.length("norm_text").cast("bigint")
+    non_ascii = F.length(
+        F.regexp_replace(F.col("norm_text"), "[\\x00-\\x7F]", "")
+    )
+    return normed.select(
+        id_col,
+        "norm_text",
+        "n_chars_raw",
+        n_nfc.alias("n_chars_nfc"),
+        "changed",
+        (
+            F.round(
+                F.when(
+                    n_nfc > 0,
+                    non_ascii.cast("double") / n_nfc.cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("nonascii_frac"),
+    )

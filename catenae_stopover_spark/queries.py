@@ -9562,6 +9562,116 @@ FROM ranked WHERE rn <= quota
 
 
 # --------------------------------------------------------------------
+# B106 — unicode NFC normalization + diagnostics (new r9)
+# --------------------------------------------------------------------
+
+def q191_nfc_normalize(spark, sf_dir):
+    """B106 (new r9): unicode NFC canonicalization
+    (`text.nfc_normalize_stats`) — the pre-dedup normalization pass.
+    The synthetic corpus is pure ASCII (NFC would be a no-op), so the
+    query APPENDS deterministic non-NFC material per doc_id class —
+    a combining acute (U+0301, composes to a precomposed codepoint)
+    and the ANGSTROM SIGN compatibility singleton (U+212B -> U+00C5)
+    — making `changed`, the codepoint deltas, and `nonascii_frac`
+    genuinely discriminating. Both engines build the identical
+    augmented text from codepoint literals."""
+    from .operators.text import nfc_normalize_stats
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit(" cafe\u0301")
+            )
+            .when(F.col("doc_id") % 3 == 1, F.lit(" \u212bngstr\u00f6m"))
+            .otherwise(F.lit(" ascii tail")),
+        ).alias("text"),
+    )
+    return nfc_normalize_stats(aug)
+
+
+Q191_SQL = r"""
+WITH aug AS (
+    SELECT doc_id,
+           text || CASE
+               WHEN doc_id % 3 = 0 THEN ' cafe' || CHR(769)
+               WHEN doc_id % 3 = 1 THEN CHR(32) || CHR(8491) || 'ngstr'
+                   || CHR(246) || 'm'
+               ELSE ' ascii tail' END AS t
+    FROM documents
+), n AS (
+    SELECT doc_id, t, NFC_NORMALIZE(t) AS nt FROM aug
+)
+SELECT doc_id,
+       nt AS norm_text,
+       CAST(LENGTH(t) AS BIGINT) AS n_chars_raw,
+       CAST(LENGTH(nt) AS BIGINT) AS n_chars_nfc,
+       nt <> t AS changed,
+       ROUND(CASE WHEN LENGTH(nt) > 0
+             THEN LENGTH(REGEXP_REPLACE(nt, '[\x00-\x7f]', '', 'g'))::DOUBLE
+                  / LENGTH(nt)
+             ELSE 0.0 END, 6) + 0.0 AS nonascii_frac
+FROM n
+"""
+
+
+# --------------------------------------------------------------------
+# B107 — D4-style prototype diversity pruning (new r9)
+# --------------------------------------------------------------------
+
+def q192_prototype_diversity(spark, sf_dir):
+    """B107 (new r9): D4 prototypicality pruning
+    (`similarity.prototype_diversity_filter`, Abbas et al. 2023 /
+    Sorscher et al. 2022): portable sample-trained spherical k-means
+    centroids (the q76 literal-centroid precedent), per-cluster rank
+    by rounded centroid cosine, drop the top floor(0.25 * n) most
+    prototypical rows per cluster. Full oracle replay: assignment,
+    rounded cosine, rank, and the ppm integer cut."""
+    from .operators.similarity import prototype_diversity_filter
+
+    cents = _portable_ivf_centroids(sf_dir)
+    return prototype_diversity_filter(
+        _t(spark, sf_dir, "embeddings"), cents, drop_frac=0.25
+    )
+
+
+def _q192_oracle_sql():
+    """Built lazily (q76 pattern): literal centroids from the same
+    deterministic training, pure-SQL assignment + rank + integer cut."""
+    sf_dir = os.environ.get("CSSPARK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = _portable_ivf_centroids(sf_dir)
+    score = lambda i: (  # noqa: E731
+        "LIST_COSINE_SIMILARITY(embedding::DOUBLE[], ["
+        + ", ".join(repr(x) for x in cents[i])
+        + "]::DOUBLE[])"
+    )
+    scores = ", ".join(score(i) for i in range(len(cents)))
+    return f"""
+WITH scored AS (
+    SELECT vec_id, [{scores}] AS cs FROM embeddings
+), assigned AS (
+    SELECT vec_id,
+           CAST(LIST_POSITION(cs, LIST_MAX(cs)) - 1 AS INTEGER)
+               AS cluster_id,
+           ROUND(LIST_MAX(cs), 6) + 0.0 AS cos_centroid
+    FROM scored
+), ranked AS (
+    SELECT vec_id, cluster_id, cos_centroid,
+           ROW_NUMBER() OVER (
+               PARTITION BY cluster_id
+               ORDER BY cos_centroid DESC, vec_id) AS rk,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS nc
+    FROM assigned
+)
+SELECT vec_id, cluster_id, cos_centroid,
+       rk > (nc * 250000) // 1000000 AS keep
+FROM ranked
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -9638,6 +9748,9 @@ QUERIES: dict[str, tuple] = {
     # --- B105, new r9: curation v3 with the exact-substring stage in
     # --- the Lee et al. release-chain position.
     "q190_curation_pipeline_v3": (q190_curation_pipeline_v3, Q190_SQL),
+    # --- B106/B107, new r9: NFC canonicalization; D4 prototype pruning.
+    "q191_nfc_normalize": (q191_nfc_normalize, Q191_SQL),
+    "q192_prototype_diversity": (q192_prototype_diversity, _q192_oracle_sql),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -9845,8 +9958,8 @@ _R9_WINDOW = [
     "q120_intra_doc_dedup", "q121_snapshot_diff", "q122_token_share",
     "q123_rolling_anomaly", "q124_quality_classifier",
     "q125_stream_session_pattern", "q126_interval_overlap",
-    "q128_equidepth_histogram", "q129_asof_forward",
-    "q130_bpe_merge_step",
+    "q191_nfc_normalize", "q192_prototype_diversity",
+    "q128_equidepth_histogram",
 ]
 assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
 QUERIES = {

@@ -1,0 +1,89 @@
+"""B106 (NFC normalization stats) + B107 (D4 prototype diversity).
+
+Pins: NFC actually composes/decomposes (combining acute -> precomposed,
+ANGSTROM SIGN -> Å), codepoint counting (not UTF-16 units), the changed
+flag, nonascii_frac arithmetic; for B107 the per-cluster integer cut
+(floor via ppm div), rounded-cosine rank order with id tiebreak, and the
+1-row-cluster keep guarantee.
+"""
+
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.operators.similarity import (
+    prototype_diversity_filter,
+)
+from catenae_stopover_spark.operators.text import nfc_normalize_stats
+
+
+def test_nfc_composes_and_counts_codepoints(spark):
+    decomposed = "caf\u0065\u0301"          # cafe + combining acute (5 cp)
+    composed = "caf\u00e9"                   # café precomposed (4 cp)
+    angstrom_raw = "\u212bngstr\u00f6m"     # ANGSTROM SIGN + ngström (8 cp)
+    angstrom_nfc = "\u00c5ngstr\u00f6m"     # Å + ngström (8 cp)
+    df = spark.createDataFrame(
+        [
+            (1, decomposed),
+            (2, angstrom_raw),
+            (3, "plain ascii"),
+            (4, ""),
+            (5, "emoji \U0001f600 ok"),      # astral char: 1 codepoint
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in nfc_normalize_stats(df).collect()}
+    assert out[1].norm_text == composed
+    assert out[1].n_chars_raw == 5 and out[1].n_chars_nfc == 4
+    assert out[1].changed
+    assert out[2].norm_text == angstrom_nfc
+    assert out[2].changed and out[2].n_chars_nfc == 8
+    assert not out[3].changed and out[3].nonascii_frac == 0.0
+    assert out[4].n_chars_raw == 0 and out[4].nonascii_frac == 0.0
+    # astral emoji counts as ONE codepoint in raw and nfc
+    assert out[5].n_chars_raw == 10 and out[5].n_chars_nfc == 10
+    assert abs(out[5].nonascii_frac - round(1 / 10, 6)) < 1e-9
+
+
+def test_prototype_diversity_cut(spark):
+    # one cluster around +x, one around +y; 4 points each with
+    # decreasing centroid cosine; drop_frac=0.25 -> drop exactly the
+    # single most-prototypical point per cluster
+    rows = []
+    for i, eps in enumerate([0.0, 0.1, 0.2, 0.3]):
+        rows.append((i, [1.0, eps, 0.0]))          # cluster 0-ish
+        rows.append((10 + i, [eps, 1.0, 0.0]))     # cluster 1-ish
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+    out = {r.vec_id: r for r in
+           prototype_diversity_filter(df, cents, drop_frac=0.25).collect()}
+    assert len(out) == 8
+    # the eps=0 points are the prototypes: dropped
+    assert not out[0].keep and not out[10].keep
+    for v in (1, 2, 3, 11, 12, 13):
+        assert out[v].keep
+    # cluster assignment is the argmax side
+    assert out[0].cluster_id == 0 and out[10].cluster_id == 1
+
+
+def test_prototype_diversity_singleton_cluster_kept(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = prototype_diversity_filter(
+        df, [[1.0, 0.0], [0.0, 1.0]], drop_frac=0.25
+    ).collect()
+    # floor(0.25 * 1) = 0: singleton clusters never emptied
+    assert all(r.keep for r in out)
+
+
+def test_prototype_diversity_tie_breaks_to_low_id(spark):
+    # identical vectors: same rounded cosine, rank order must be by id
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r.vec_id: r for r in prototype_diversity_filter(
+        df, [[1.0, 0.0]], drop_frac=0.5).collect()}
+    # floor(0.5 * 4) = 2: ids 0,1 dropped (lowest ids rank first)
+    assert not out[0].keep and not out[1].keep
+    assert out[2].keep and out[3].keep
