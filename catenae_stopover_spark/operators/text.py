@@ -2866,3 +2866,99 @@ def nfc_normalize_stats(
             + F.lit(0.0)
         ).alias("nonascii_frac"),
     )
+
+
+_SCRIPT_BLOCKS = (
+    # explicit codepoint ranges, NOT \\p{Script=...} classes: Java and
+    # RE2 ship different Unicode versions (and different escape
+    # dialects), so named script classes are a cross-engine parity
+    # channel; the character classes are built from literal chr()
+    # characters, identical bytes in both engines' patterns.
+    ("latin", ((0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F))),
+    ("cyrillic", ((0x400, 0x4FF),)),
+    ("greek", ((0x370, 0x3FF),)),
+    ("arabic", ((0x600, 0x6FF),)),
+    ("devanagari", ((0x900, 0x97F),)),
+    ("cjk", ((0x4E00, 0x9FFF),)),
+    ("hangul", ((0xAC00, 0xD7AF),)),
+    ("digit", ((0x30, 0x39),)),
+)
+
+
+def script_char_class(name: str) -> str:
+    """Literal-character regex class for a script block — identical
+    bytes in any regex dialect (no \\u / \\x{} escapes)."""
+    blocks = dict(_SCRIPT_BLOCKS)[name]
+    return "[" + "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in blocks) + "]"
+
+
+def script_mix_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document Unicode-script mix (B108) — the multilingual
+    pipeline's routing/quality signal: fraction of codepoints in each
+    major script block, the dominant script, and a ``mixed`` flag
+    (>= 2 scripts above 10%) that catches mojibake, wrong-language
+    crawl buckets, and code-switched text that single-label langid
+    (B52's `detect_language`) silently mislabels.
+
+    One pure map pass, zero shuffle: per script, one
+    ``regexp_replace``-erase + length (count of codepoints in the
+    block), all JVM codegen; fractions over TOTAL codepoints,
+    rounded-6 + 0.0. Dominant script = struct-max over the fixed
+    script list (ties to the lexicographically LAST name — mirrored
+    in SQL by the same greatest-of-structs); empty docs report
+    dominant = 'none', docs matching no block report 'other'.
+
+    Scale: embarrassingly parallel; composes with column pruning. The
+    script table is a FIXED literal (`_SCRIPT_BLOCKS`) of explicit
+    codepoint ranges rendered as literal characters
+    (`script_char_class`), so any engine replays identical counts
+    regardless of its regex library's Unicode version or escape
+    dialect.
+    """
+    total = F.length(F.col(text_col))
+    counts = {
+        name: F.length(F.col(text_col))
+        - F.length(
+            F.regexp_replace(F.col(text_col), script_char_class(name), "")
+        )
+        for name, _ in _SCRIPT_BLOCKS
+    }
+    fracs = [
+        (
+            F.round(
+                F.when(
+                    total > 0,
+                    counts[n].cast("double") / total.cast("double"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias(f"{n}_frac")
+        for n, _ in _SCRIPT_BLOCKS
+    ]
+    out = df.select(
+        F.col(id_col), total.cast("bigint").alias("n_chars"), *fracs
+    )
+    best = F.greatest(
+        *[
+            F.struct(F.col(f"{n}_frac").alias("f"), F.lit(n).alias("s"))
+            for n, _ in _SCRIPT_BLOCKS
+        ]
+    )
+    n_big = sum(
+        (F.col(f"{n}_frac") >= 0.1).cast("int") for n, _ in _SCRIPT_BLOCKS
+    )
+    return out.select(
+        id_col,
+        "n_chars",
+        *[f"{n}_frac" for n, _ in _SCRIPT_BLOCKS],
+        F.when(F.col("n_chars") == 0, F.lit("none"))
+        .when(best["f"] == 0.0, F.lit("other"))
+        .otherwise(best["s"])
+        .alias("dominant_script"),
+        (n_big >= 2).alias("mixed"),
+    )

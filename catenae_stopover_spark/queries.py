@@ -9672,6 +9672,96 @@ FROM ranked
 
 
 # --------------------------------------------------------------------
+# B108 — unicode script-mix stats (new r9)
+# --------------------------------------------------------------------
+
+# deterministic script-bearing augmentation (the q191 pattern: the
+# synthetic corpus is pure ASCII, so script material is APPENDED per
+# doc_id class; literals built from codepoints so both engines see
+# identical bytes). Class 2's CJK run is repeated long enough to
+# dominate the doc and trip the mixed flag.
+_Q193_AUG = {
+    1: " " + "".join(chr(c) for c in (0x41F, 0x440, 0x438, 0x432, 0x435, 0x442)),
+    2: " " + "".join(chr(c) for c in (0x4F60, 0x597D, 0x4E16, 0x754C)) * 200,
+    3: " " + "".join(chr(c) for c in (0x645, 0x631, 0x62D, 0x628, 0x627)),
+}
+
+
+def q193_script_mix(spark, sf_dir):
+    """B108 (new r9): per-document Unicode-script mix
+    (`text.script_mix_stats`): per fixed script block the codepoint
+    fraction (literal-character classes — no regex-dialect or Unicode-
+    version channel), dominant script by struct-max, mixed flag at the
+    10% second-script threshold. doc_id%4 classes append cyrillic /
+    long-CJK / arabic material so every output column discriminates
+    (class 2 flips dominant_script to cjk and mixed to true)."""
+    from .operators.text import script_mix_stats
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 4 == 1, F.lit(_Q193_AUG[1]))
+            .when(F.col("doc_id") % 4 == 2, F.lit(_Q193_AUG[2]))
+            .when(F.col("doc_id") % 4 == 3, F.lit(_Q193_AUG[3]))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return script_mix_stats(aug)
+
+
+def _q193_oracle_sql():
+    from .operators.text import _SCRIPT_BLOCKS, script_char_class
+
+    cnt = {
+        n: f"LENGTH(t) - LENGTH(REGEXP_REPLACE(t, '{script_char_class(n)}', '', 'g'))"
+        for n, _ in _SCRIPT_BLOCKS
+    }
+    frac = {
+        n: (
+            f"ROUND(CASE WHEN LENGTH(t) > 0 THEN ({cnt[n]})::DOUBLE"
+            f" / LENGTH(t) ELSE 0.0 END, 6) + 0.0"
+        )
+        for n, _ in _SCRIPT_BLOCKS
+    }
+    frac_cols = ",\n           ".join(
+        f"{frac[n]} AS {n}_frac" for n, _ in _SCRIPT_BLOCKS
+    )
+    packs = ", ".join(
+        f"STRUCT_PACK(f := {n}_frac, s := '{n}')" for n, _ in _SCRIPT_BLOCKS
+    )
+    nbig = " + ".join(
+        f"CASE WHEN {n}_frac >= 0.1 THEN 1 ELSE 0 END"
+        for n, _ in _SCRIPT_BLOCKS
+    )
+    aug1, aug2, aug3 = _Q193_AUG[1], _Q193_AUG[2], _Q193_AUG[3]
+    return f"""
+WITH aug AS (
+    SELECT doc_id,
+           text || CASE
+               WHEN doc_id % 4 = 1 THEN '{aug1}'
+               WHEN doc_id % 4 = 2 THEN '{aug2}'
+               WHEN doc_id % 4 = 3 THEN '{aug3}'
+               ELSE '' END AS t
+    FROM documents
+), fr AS (
+    SELECT doc_id, CAST(LENGTH(t) AS BIGINT) AS n_chars,
+           {frac_cols}
+    FROM aug
+)
+SELECT doc_id, n_chars,
+       {", ".join(f"{n}_frac" for n, _ in _SCRIPT_BLOCKS)},
+       CASE WHEN n_chars = 0 THEN 'none'
+            WHEN STRUCT_EXTRACT(LIST_MAX([{packs}]), 'f') = 0.0 THEN 'other'
+            ELSE STRUCT_EXTRACT(LIST_MAX([{packs}]), 's') END
+           AS dominant_script,
+       ({nbig}) >= 2 AS mixed
+FROM fr
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -9748,9 +9838,11 @@ QUERIES: dict[str, tuple] = {
     # --- B105, new r9: curation v3 with the exact-substring stage in
     # --- the Lee et al. release-chain position.
     "q190_curation_pipeline_v3": (q190_curation_pipeline_v3, Q190_SQL),
-    # --- B106/B107, new r9: NFC canonicalization; D4 prototype pruning.
+    # --- B106-B108, new r9: NFC canonicalization; D4 prototype
+    # --- pruning; unicode script mix.
     "q191_nfc_normalize": (q191_nfc_normalize, Q191_SQL),
     "q192_prototype_diversity": (q192_prototype_diversity, _q192_oracle_sql),
+    "q193_script_mix": (q193_script_mix, _q193_oracle_sql),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -9959,7 +10051,7 @@ _R9_WINDOW = [
     "q123_rolling_anomaly", "q124_quality_classifier",
     "q125_stream_session_pattern", "q126_interval_overlap",
     "q191_nfc_normalize", "q192_prototype_diversity",
-    "q128_equidepth_histogram",
+    "q193_script_mix",
 ]
 assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
 QUERIES = {

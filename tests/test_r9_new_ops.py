@@ -87,3 +87,27 @@ def test_prototype_diversity_tie_breaks_to_low_id(spark):
     # floor(0.5 * 4) = 2: ids 0,1 dropped (lowest ids rank first)
     assert not out[0].keep and not out[1].keep
     assert out[2].keep and out[3].keep
+
+
+def test_script_mix_stats(spark):
+    from catenae_stopover_spark.operators.text import script_mix_stats
+
+    cyr = "".join(chr(c) for c in (0x41F, 0x440, 0x438, 0x432, 0x435, 0x442))
+    cjk = "".join(chr(c) for c in (0x4F60, 0x597D, 0x4E16, 0x754C))
+    df = spark.createDataFrame(
+        [
+            (1, "pure ascii words"),
+            (2, cyr),                        # all cyrillic
+            (3, "half " + cjk * 2),          # latin 4/13, cjk 8/13 -> mixed
+            (4, ""),
+            (5, "!!!???"),                   # no block matches -> other
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in script_mix_stats(df).collect()}
+    assert out[1].dominant_script == "latin" and not out[1].mixed
+    assert out[2].dominant_script == "cyrillic"
+    assert out[2].cyrillic_frac == 1.0 and not out[2].mixed
+    assert out[3].dominant_script == "cjk" and out[3].mixed
+    assert out[4].dominant_script == "none" and out[4].n_chars == 0
+    assert out[5].dominant_script == "other" and not out[5].mixed

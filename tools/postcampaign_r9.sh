@@ -1,0 +1,21 @@
+#!/bin/bash
+# After campaign_r9b finishes (box idle again), run the full local
+# gates: pytest, the full oracle sweep, and the plan audit — logged to
+# /tmp/postcampaign_r9.log for transcription.
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/postcampaign_r9.log
+while ! grep -q "=== campaign r9b done" /tmp/campaign_r9.log 2>/dev/null; do
+  sleep 60
+done
+echo "=== postcampaign r9 start $(date -u +%H:%M:%S) ===" >> "$LOG"
+echo "--- pytest $(date -u +%H:%M:%S)" >> "$LOG"
+timeout 3600 python -m pytest tests/ -q >> "$LOG" 2>&1 \
+  || echo "pytest FAIL rc=$?" >> "$LOG"
+echo "--- full oracle gate $(date -u +%H:%M:%S)" >> "$LOG"
+timeout 5400 python tools/check_oracle.py /root/testdata/sf0.01 >> "$LOG" 2>&1 \
+  || echo "oracle FAIL rc=$?" >> "$LOG"
+echo "--- plan audit $(date -u +%H:%M:%S)" >> "$LOG"
+timeout 3600 python tools/audit_plans.py >> "$LOG" 2>&1 \
+  || echo "audit FAIL rc=$?" >> "$LOG"
+echo "=== postcampaign r9 done $(date -u +%H:%M:%S) ===" >> "$LOG"
