@@ -157,3 +157,40 @@ def file_minmax_prune_count(
                 break
         could += hit
     return could, len(files)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    path: str,
+    bucket_cols: list[str],
+    num_buckets: int = 8,
+    sort_cols: list[str] | None = None,
+) -> DataFrame:
+    """Write ``df`` as a Hive-BUCKETED parquet table (B109) — the
+    co-located-join layout: two tables bucketed (and sorted) on the
+    same join key with the same bucket count join with NO exchange on
+    either side, the single biggest shuffle eliminator for a
+    fact-to-fact join that runs every day at 100 TB. The write pays
+    one clustering shuffle ONCE; every subsequent join reads
+    pre-partitioned buckets (and with ``sort_cols``, pre-sorted runs —
+    SortMergeJoin without the sort either).
+
+    ``bucketBy`` requires ``saveAsTable`` (bucket metadata lives in
+    the catalog, not the parquet footer); the data itself lands at
+    ``path`` so no warehouse directory accumulates in the repo.
+    Returns the catalog-backed DataFrame whose scan carries the
+    bucketing spec. Re-running overwrites both metadata and files.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
+    return spark.table(table)

@@ -9762,6 +9762,66 @@ FROM fr
 
 
 # --------------------------------------------------------------------
+# B109 — bucketed co-located fact join (new r9)
+# --------------------------------------------------------------------
+
+def q194_bucketed_join(spark, sf_dir):
+    """B109 (new r9): Hive-BUCKETED co-located join
+    (`plans.layout.write_bucketed`) — the shuffle-eliminating layout
+    the brief names for repeated fact-to-fact joins at 100 TB: both
+    lineitem and orders are written bucketed+sorted on the order key
+    (8 buckets, parquet at /tmp, metadata in the session catalog),
+    then joined WITHOUT an exchange on either side (pytest pins the
+    no-Exchange plan shape; this query checks the VALUES against the
+    plain unbucketed replay). The bucketing write itself pays one
+    clustering shuffle once — amortized across every later join."""
+    import hashlib
+
+    from .plans.layout import write_bucketed
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/csspark-bucketed-{tag}"
+    li = write_bucketed(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        ),
+        f"csspark_q194_li_{tag}",
+        f"{base}/li",
+        ["l_orderkey"],
+        num_buckets=8,
+        sort_cols=["l_orderkey"],
+    )
+    od = write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        f"csspark_q194_od_{tag}",
+        f"{base}/od",
+        ["o_orderkey"],
+        num_buckets=8,
+        sort_cols=["o_orderkey"],
+    )
+    return (
+        li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                4,
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+Q194_SQL = """
+SELECT o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
 
@@ -9843,6 +9903,8 @@ QUERIES: dict[str, tuple] = {
     "q191_nfc_normalize": (q191_nfc_normalize, Q191_SQL),
     "q192_prototype_diversity": (q192_prototype_diversity, _q192_oracle_sql),
     "q193_script_mix": (q193_script_mix, _q193_oracle_sql),
+    # --- B109, new r9: bucketed co-located join.
+    "q194_bucketed_join": (q194_bucketed_join, Q194_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -10049,9 +10111,9 @@ _R9_WINDOW = [
     "q118_boilerplate_removal", "q119_weighted_sample",
     "q120_intra_doc_dedup", "q121_snapshot_diff", "q122_token_share",
     "q123_rolling_anomaly", "q124_quality_classifier",
-    "q125_stream_session_pattern", "q126_interval_overlap",
+    "q125_stream_session_pattern",
     "q191_nfc_normalize", "q192_prototype_diversity",
-    "q193_script_mix",
+    "q193_script_mix", "q194_bucketed_join",
 ]
 assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
 QUERIES = {

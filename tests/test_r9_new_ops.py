@@ -111,3 +111,38 @@ def test_script_mix_stats(spark):
     assert out[3].dominant_script == "cjk" and out[3].mixed
     assert out[4].dominant_script == "none" and out[4].n_chars == 0
     assert out[5].dominant_script == "other" and not out[5].mixed
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """B109: two tables bucketed+sorted on the same key with the same
+    bucket count must SortMergeJoin with ZERO Exchange nodes (the
+    co-located-join guarantee). AQE off around the assertion (plan
+    string inspection, per the repo's plan-assert convention)."""
+    from catenae_stopover_spark.plans.layout import write_bucketed
+
+    a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+    b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+    ta = write_bucketed(
+        a, "csspark_test_bkt_a", "/tmp/csspark-test-bkt/a", ["k"],
+        num_buckets=4, sort_cols=["k"],
+    )
+    tb = write_bucketed(
+        b, "csspark_test_bkt_b", "/tmp/csspark-test-bkt/b", ["k"],
+        num_buckets=4, sort_cols=["k"],
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # tiny fixtures broadcast below the threshold and the planner then
+    # ignores bucketing entirely; force the SMJ path the layout exists
+    # for (at fact-to-fact scale neither side broadcasts anyway)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = ta.join(tb, "k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
