@@ -1172,15 +1172,26 @@ def source_centroid_purity(
                 )
             bd = flat.size // b.num_rows
             m = flat.reshape(b.num_rows, bd)
-            gvals = np.asarray(b.column(group_col).to_pylist(), dtype=object)
-            uniq, inv = np.unique(gvals, return_inverse=True)
+            gvals = b.column(group_col).to_pylist()
+            # dict factorize, not np.unique: object-dtype unique SORTS
+            # and throws on None (null group values must aggregate like
+            # any other group, matching the old posexplode+groupBy)
+            idx: dict = {}
+            uniq: list = []
+            inv = np.empty(b.num_rows, dtype=np.int64)
+            for r, g in enumerate(gvals):
+                j = idx.get(g)
+                if j is None:
+                    j = idx[g] = len(uniq)
+                    uniq.append(g)
+                inv[r] = j
             sums = np.zeros((len(uniq), bd), dtype=np.float64)
             np.add.at(sums, inv, m)
             counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(
-                        np.repeat(uniq, bd).tolist(),
+                        [g for g in uniq for _ in range(bd)],
                         type=b.column(group_col).type,
                     ),
                     pa.array(np.tile(np.arange(bd, dtype=np.int32), len(uniq))),
