@@ -1,0 +1,26 @@
+#!/bin/bash
+# Round-9 campaign, part C: scale co-runs for the operators NEW this
+# round (B106-B109 / q191-q194) at 100x, after part B finishes.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${CAMPAIGN_LOG:-/tmp/campaign_r9.log}
+TMO=${CAMPAIGN_TIMEOUT:-2400}
+
+while ! grep -q "=== campaign r9b done" "$LOG" 2>/dev/null; do sleep 60; done
+echo "=== campaign r9c start $(date -u +%H:%M:%S) ===" >> "$LOG"
+
+corun() {
+  local dir=$1 eng=$2 q=$3
+  echo "--- corun $q [$eng] @ $dir $(date -u +%H:%M:%S)" >> "$LOG"
+  CORUN_ONLY="$q" CORUN_ENGINES="$eng" timeout "$TMO" \
+    python tools/stress_coruns_r7.py "$dir" >> "$LOG" 2>&1 \
+    || echo "$q $eng TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+}
+
+for q in q191_nfc_normalize q192_prototype_diversity q193_script_mix \
+         q194_bucketed_join; do
+  corun /tmp/stress-x100 spark "$q"
+  corun /tmp/stress-x100 duckdb "$q"
+done
+
+echo "=== campaign r9c done $(date -u +%H:%M:%S) ===" >> "$LOG"
