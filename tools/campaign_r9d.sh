@@ -1,0 +1,17 @@
+#!/bin/bash
+# Round-9 campaign, part D (makeup): re-run co-runs whose measurement
+# window overlapped local test activity (q163 spark — builder's own
+# sf0.01 oracle checks ran concurrently at 13:34-13:41). Runs after
+# part C so the box is otherwise idle.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${CAMPAIGN_LOG:-/tmp/campaign_r9.log}
+TMO=${CAMPAIGN_TIMEOUT:-2400}
+
+while ! grep -q "=== campaign r9c done" "$LOG" 2>/dev/null; do sleep 60; done
+echo "=== campaign r9d start $(date -u +%H:%M:%S) ===" >> "$LOG"
+echo "--- corun q163_curation_pipeline_v2 [spark] RERUN-idle @ /tmp/stress-x100 $(date -u +%H:%M:%S)" >> "$LOG"
+CORUN_ONLY=q163_curation_pipeline_v2 CORUN_ENGINES=spark timeout "$TMO" \
+  python tools/stress_coruns_r7.py /tmp/stress-x100 >> "$LOG" 2>&1 \
+  || echo "q163 spark rerun TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+echo "=== campaign r9d done $(date -u +%H:%M:%S) ===" >> "$LOG"

@@ -5,7 +5,7 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=/tmp/postcampaign_r9.log
-while ! grep -q "=== campaign r9c done" /tmp/campaign_r9.log 2>/dev/null; do
+while ! grep -q "=== campaign r9d done" /tmp/campaign_r9.log 2>/dev/null; do
   sleep 60
 done
 echo "=== postcampaign r9 start $(date -u +%H:%M:%S) ===" >> "$LOG"
