@@ -229,7 +229,23 @@ def bench_duckdb() -> tuple[dict[str, float], dict[str, float]]:
             continue
         if callable(sql):
             sql = sql()
-        best, _, spread = best_of(lambda: con.execute(sql).fetchall())
+        # per-query isolation + progress (r9: the 100x duckdb column
+        # died silently on a single OutOfMemoryException 50 min in,
+        # taking every other query's timing with it — record a DNF row
+        # and keep going; stderr shows which query is running)
+        print(f"# duckdb {label}: running...", file=sys.stderr, flush=True)
+        try:
+            best, _, spread = best_of(lambda: con.execute(sql).fetchall())
+        except Exception as e:  # noqa: BLE001
+            print(
+                f"# duckdb {label}: DNF {type(e).__name__}: {e}",
+                file=sys.stderr,
+                flush=True,
+            )
+            continue  # absent row = DNF; the stderr line records why
+        print(
+            f"# duckdb {label}: {best:.3f}s", file=sys.stderr, flush=True
+        )
         out[label] = round(best, 4)
         spreads[label] = spread
     return out, spreads

@@ -1631,6 +1631,9 @@ def prototype_diversity_filter(
     """
     if not centroids:
         raise ValueError("centroids must be non-empty")
+    # C fused cosine expressions per row are CPU-heavy: a single-file
+    # parquet input is 1 split = 1 core without this (the q7 lesson)
+    df = ensure_min_parallelism(df)
     frac_ppm = int(round(drop_frac * 1_000_000))
     scores = [
         cosine_similarity(F.col(vec_col), _as_vec_lit(c)).alias(f"__c{i}")

@@ -2808,6 +2808,11 @@ def nfc_normalize_stats(
     Scale: embarrassingly parallel map; at 100 TB this pass is scan-
     bound and composes with column pruning (only (id, text) is read).
     """
+    from ..plans.partitioning import ensure_min_parallelism
+
+    # the unicodedata kernel is CPU-bound python: a single-file parquet
+    # input is 1 split = 1 worker without this (the q7 lesson)
+    df = ensure_min_parallelism(df)
     id_type = dict(df.select(id_col).dtypes)[id_col]
 
     def kern(batches):
@@ -2904,8 +2909,10 @@ def script_mix_stats(
     crawl buckets, and code-switched text that single-label langid
     (B52's `detect_language`) silently mislabels.
 
-    One pure map pass, zero shuffle: per script, one
-    ``regexp_replace``-erase + length (count of codepoints in the
+    One pure map pass (plus the ensure_min_parallelism round-robin on
+    under-split inputs — eight regex erases per row are CPU-heavy and
+    a single-file parquet is 1 split = 1 core otherwise): per script,
+    one ``regexp_replace``-erase + length (count of codepoints in the
     block), all JVM codegen; fractions over TOTAL codepoints,
     rounded-6 + 0.0. Dominant script = struct-max over the fixed
     script list (ties to the lexicographically LAST name — mirrored
@@ -2919,6 +2926,9 @@ def script_mix_stats(
     regardless of its regex library's Unicode version or escape
     dialect.
     """
+    from ..plans.partitioning import ensure_min_parallelism
+
+    df = ensure_min_parallelism(df)
     total = F.length(F.col(text_col))
     counts = {
         name: F.length(F.col(text_col))

@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-9 campaign, part E (contingency): the 100x bench's DuckDB side
+# ran past its subprocess timeout (one query monopolized 3 h with no
+# per-query bound — bench.py has none on the duckdb loop). Recover the
+# per-query DuckDB comparators for the bench table via the standalone
+# co-run tool, each under its OWN 2400 s timeout, so a single grinder
+# yields a TIMEOUT row instead of eating the column. Spark-side bench
+# values are already on record (stderr of the timed-out run).
+# q158/q160/q170 already have r9 stage-2 duckdb rows — skipped here.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${CAMPAIGN_LOG:-/tmp/campaign_r9.log}
+TMO=${CAMPAIGN_TIMEOUT:-2400}
+
+while ! grep -q "=== campaign r9d done" "$LOG" 2>/dev/null; do sleep 60; done
+echo "=== campaign r9e start $(date -u +%H:%M:%S) ===" >> "$LOG"
+
+corun() {
+  local q=$1
+  echo "--- corun $q [duckdb] @ /tmp/stress-x100 $(date -u +%H:%M:%S)" >> "$LOG"
+  CORUN_ONLY="$q" CORUN_ENGINES=duckdb CORUN_REPS=1 timeout "$TMO" \
+    python tools/stress_coruns_r7.py /tmp/stress-x100 >> "$LOG" 2>&1 \
+    || echo "$q duckdb TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+}
+
+for q in q118_boilerplate_removal q37_minhash_pairs \
+         q01_pricing_summary q02_revenue_by_nation \
+         q03_top3_orders_per_priority q04_rollup_qty \
+         q34_tumbling_hourly q27_exact_dedup q29_cosine_topk \
+         q76_ivf_topk_serve q88_range_join_sessions q129_asof_forward \
+         q159_pmi_pairs q164_sequence_packing; do
+  corun "$q"
+done
+
+echo "=== campaign r9e done $(date -u +%H:%M:%S) ===" >> "$LOG"
