@@ -338,12 +338,30 @@ def quality_filter(
 ) -> DataFrame:
     """Corpus-scale map-or-drop (≙ reference transform semantics at
     scale, SURVEY A38 → B53): keep documents passing the cheap
-    heuristics. Pure filter — length predicates push down to the scan."""
-    return df.filter(
+    heuristics. Pure filter — the predicates push down to the scan on
+    well-split inputs.
+
+    Under-split local inputs (a 2-file parquet = 2 scan tasks) get the
+    ensure_min_parallelism widening — and because Catalyst pushes
+    deterministic filters THROUGH a repartition back to the scan
+    (defeating the widening exactly where it matters: quality_score's
+    regexp battery is the expensive part), the predicate is pinned
+    ABOVE the repartition with an always-true nondeterministic guard
+    when (and only when) the widening fired. Output rows are identical
+    either way; on well-split tables the operator stays a pure
+    pushdown filter with no guard and no shuffle. (Found via the q158
+    100x co-run: the whole chain scanned on 2 cores.)"""
+    from ..plans.partitioning import ensure_min_parallelism
+
+    wide = ensure_min_parallelism(df)
+    pred = (
         (F.length(F.col(text_col)) >= min_chars)
         & (token_count(text_col) >= min_tokens)
         & (quality_score(text_col) >= min_quality)
     )
+    if wide is not df:
+        pred = pred & (F.rand(0) >= F.lit(-1.0))
+    return wide.filter(pred)
 
 
 def stratified_hash_sample(
@@ -1172,14 +1190,30 @@ def remove_boilerplate_segments(
     Returns (id_col, clean_text, n_segments, n_boiler) for every input
     document.
 
-    Scale shape: segmentation is a zero-shuffle HOF+posexplode map;
-    document frequency is one groupBy on the segment (map-side
-    distinct-combine on (seg, id)); the segment-frequency table joins
-    back by segment key (same partitioning, AQE broadcasts it when the
-    boilerplate vocabulary is small — the common case); reassembly is
-    one groupBy on the doc id. Three shuffles of compressed text,
-    linear in corpus size, no driver state.
+    Scale shape (reworked r9 — the q9 bench adjudication measured the
+    old shape 19.9x behind the single-node replay at 100x):
+    segmentation is a zero-shuffle HOF+posexplode map; each segment
+    rides as a 128-bit xxhash64 PAIR (the B98 anchor-hash diet — the
+    old plan shuffled full segment TEXT three times and inner-joined
+    the corpus against the ALL-distinct-segments table); document
+    frequency is one groupBy on the hash pair (map-side
+    distinct-combine of (hash, id) — 20 bytes per row, not text); the
+    filter is a LEFT ANTI join against only the >= min_docs
+    BOILERPLATE keys — a small table by definition, AQE broadcasts it,
+    so the corpus is never shuffled for the filter at all (the old
+    inner-join-then-keep-small shape shuffled everything to keep
+    almost everything); reassembly is the one inherent corpus-text
+    shuffle (groupBy doc). Hash collisions need two distinct segments
+    agreeing on both 64-bit hashes (~N²/2^129) — never at corpus
+    scale.
     """
+    from ..plans.partitioning import ensure_min_parallelism
+
+    # the segmentation explode + hashing is CPU-heavy: a 2-file local
+    # parquet is 2 splits = 2 cores without this (measured: the ENTIRE
+    # q9 bench cost — 95 s of a 10 s pipeline — was this one line
+    # missing; the q7 lesson yet again)
+    df = ensure_min_parallelism(df)
     words = f"split({text_col}, '{sep}')"
     segs = F.expr(
         f"transform(sequence(0, cast(ceil(size({words}) / {window_words}.0) "
@@ -1188,15 +1222,16 @@ def remove_boilerplate_segments(
     )
     exploded = df.select(
         F.col(id_col), F.posexplode(segs).alias("__i", "__seg")
+    ).withColumn("__h1", F.xxhash64("__seg")).withColumn(
+        "__h2", F.xxhash64(F.lit(1), F.col("__seg"))
     )
-    seg_df = exploded.groupBy("__seg").agg(
-        F.countDistinct(id_col).alias("__df")
+    boiler = (
+        exploded.groupBy("__h1", "__h2")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("__h1", "__h2")
     )
-    kept = (
-        exploded.join(seg_df, "__seg")
-        .filter(F.col("__df") < min_docs)
-        .drop("__df")
-    )
+    kept = exploded.join(boiler, ["__h1", "__h2"], "left_anti")
     rebuilt = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(
