@@ -345,23 +345,28 @@ def quality_filter(
     ensure_min_parallelism widening — and because Catalyst pushes
     deterministic filters THROUGH a repartition back to the scan
     (defeating the widening exactly where it matters: quality_score's
-    regexp battery is the expensive part), the predicate is pinned
-    ABOVE the repartition with an always-true nondeterministic guard
-    when (and only when) the widening fired. Output rows are identical
-    either way; on well-split tables the operator stays a pure
-    pushdown filter with no guard and no shuffle. (Found via the q158
-    100x co-run: the whole chain scanned on 2 cores.)"""
-    from ..plans.partitioning import ensure_min_parallelism
+    regexp battery is the expensive part), the EXPENSIVE predicate is
+    pinned ABOVE the repartition via plans.partitioning.pin_predicate
+    when (and only when) the widening fired. The r9 guard
+    (`rand(0) >= -1.0` ANDed on) was a no-op — the optimizer folds the
+    rand bound AND conjunct-splitting pushes the deterministic parts
+    regardless (r9 advice, medium; plan shape now regression-tested in
+    tests/test_plan_shapes.py). The CHEAP predicates (length, token
+    count) still push to the scan on purpose: they shrink the
+    repartition shuffle. Output rows are identical either way; on
+    well-split tables the operator stays a pure pushdown filter with
+    no guard and no shuffle. (Found via the q158 100x co-run: the
+    whole chain scanned on 2 cores.)"""
+    from ..plans.partitioning import ensure_min_parallelism, pin_predicate
 
     wide = ensure_min_parallelism(df)
-    pred = (
-        (F.length(F.col(text_col)) >= min_chars)
-        & (token_count(text_col) >= min_tokens)
-        & (quality_score(text_col) >= min_quality)
+    cheap = (F.length(F.col(text_col)) >= min_chars) & (
+        token_count(text_col) >= min_tokens
     )
+    costly = quality_score(text_col) >= min_quality
     if wide is not df:
-        pred = pred & (F.rand(0) >= F.lit(-1.0))
-    return wide.filter(pred)
+        costly = pin_predicate(costly)
+    return wide.filter(cheap & costly)
 
 
 def stratified_hash_sample(

@@ -27,6 +27,18 @@ def unpersist_on_gc(out: DataFrame, *cached: DataFrame) -> DataFrame:
     worst case (result held forever) degrades to the plain leak, never
     worse. Best-effort by design: unpersist after session shutdown is
     swallowed.
+
+    LIFETIME CAVEAT (r9 advice): the finalizer binds to the returned
+    PYTHON handle, not to the logical plan. A caller that derives a
+    downstream DataFrame (``unpersist_on_gc(x, c).filter(...)``) and
+    then drops the returned handle loses the persist for the derived
+    plan — evaluation falls back to a recompute of the cached subtree
+    (correct results, persist benefit gone; GC timing under reference
+    cycles makes the exact release point nondeterministic). Multi-step
+    callers must HOLD the returned handle until their final action, or
+    manage an explicit ``.persist()``/``.unpersist()`` scope
+    themselves. Operators in this repo return the finalizer-bearing
+    handle directly to the user for exactly this reason.
     """
     refs = [c._jdf for c in cached]
 
@@ -55,6 +67,35 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def pin_predicate(pred):
+    """Wrap a deterministic predicate so Catalyst CANNOT push it below
+    a ``Repartition`` (or reorder it past one): returns
+    ``CASE WHEN (SPARK_PARTITION_ID() >= -1) THEN pred END``.
+
+    Why this exact shape (r9 advice, medium): the r9 attempt ANDed an
+    always-true ``rand(0) >= -1.0`` guard onto the predicate — on
+    pyspark 4.1.2 the optimizer folds the rand-bound comparison to
+    TRUE and, independently, conjunct-splitting pushes every remaining
+    DETERMINISTIC conjunct below the repartition anyway, so the
+    expensive predicate ran on the under-split scan after all
+    (verified against the optimized plan; regression-tested in
+    tests/test_plan_shapes.py). ``spark_partition_id()`` is
+    nondeterministic with no range-folding rule, and burying the
+    predicate INSIDE the CASE arm (rather than AND-ing a guard beside
+    it) makes the whole expression nondeterministic — un-splittable
+    and un-pushable. Output is identical: the guard is always true,
+    so the CASE yields exactly ``pred`` (a false/NULL arm is
+    unreachable).
+
+    Use sparingly: pushdown is normally the optimization. This exists
+    for the one inverted case — a CPU-heavy predicate ABOVE a
+    parallelism-widening repartition of an under-split input.
+    """
+    from pyspark.sql import functions as F
+
+    return F.when(F.spark_partition_id() >= F.lit(-1), pred)
 
 
 def salted_agg(
