@@ -9846,6 +9846,68 @@ GROUP BY o_orderpriority
 """
 
 
+def q195_zorder_layout(spark, sf_dir):
+    """B110 (registered r11 — the layout was built and pytest-pinned
+    in r9, `plans/layout.py:32-119`, but had no registry row): Z-order
+    (Morton) clustering for multi-dimensional min/max file skipping —
+    the OPTIMIZE ZORDER layout trick, from public Spark primitives
+    (bit-interleave in Catalyst + repartitionByRange + sorted write).
+
+    events is rewritten z-ordered by (user_id, event_id) ONCE per
+    (session, sf_dir) (the q194 amortized-layout precedent), then the
+    query (a) runs a rectangle predicate over BOTH clustered dimensions
+    against the REWRITTEN files — content must equal the original
+    table, which is what the DuckDB oracle replays — and (b) gates
+    that the layout actually skips: parquet-footer min/max pruning
+    (`file_minmax_prune_count`, footers only) must rule out at least
+    half the files for this rectangle (~14% of the user_id range). A
+    time-sorted table prunes nothing on user_id; the Morton layout
+    prunes on every participating dimension.
+    """
+    import hashlib
+
+    from .plans.layout import file_minmax_prune_count, write_zordered
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    zpath = f"/tmp/csspark-zorder-{tag}"
+    if not spark.conf.get(f"csspark.q195.{tag}", None):
+        write_zordered(
+            _t(spark, sf_dir, "events").select(
+                "event_id", "user_id", "event_type", "value"
+            ),
+            zpath,
+            by=["user_id", "event_id"],
+            num_files=16,
+        )
+        spark.conf.set(f"csspark.q195.{tag}", "1")
+    could, total = file_minmax_prune_count(
+        zpath, {"user_id": (20.0, 40.0)}
+    )
+    prune_effective = bool(total >= 8 and could * 2 <= total)
+    return (
+        spark.read.parquet(zpath)
+        .filter(F.col("user_id").between(20, 40))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+            F.sum(F.col("event_id") * F.col("user_id")).alias("id_checksum"),
+        )
+        .withColumn("prune_effective", F.lit(prune_effective))
+    )
+
+
+Q195_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 3) AS sum_value,
+       CAST(SUM(event_id * user_id) AS BIGINT) AS id_checksum,
+       TRUE AS prune_effective
+FROM events
+WHERE user_id BETWEEN 20 AND 40
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -9930,6 +9992,7 @@ QUERIES: dict[str, tuple] = {
     "q193_script_mix": (q193_script_mix, _q193_oracle_sql),
     # --- B109, new r9: bucketed co-located join.
     "q194_bucketed_join": (q194_bucketed_join, Q194_SQL),
+    "q195_zorder_layout": (q195_zorder_layout, Q195_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -10101,49 +10164,49 @@ QUERIES: dict[str, tuple] = {
     "q57_salted_agg": (q57_salted_agg, Q57_SQL),
 }
 
-# --- r9 driver window (the r8 verdict ask #2, standing rotation
-# --- policy): (1) new this round — q190 curation v3; (2) never
-# --- driver-checked — q185-q189 (implemented r8, judge-green only);
-# --- (3) code or oracle changed this round — q183/q184 (hashed
-# --- anchors + anchor-coverage removal), q170 (markov persist
-# --- lifetime), q171 (Arrow-partial centroids), q37/q69/q158/q163
-# --- (collapse_exact='auto' default path), q139/q116 (GC-finalizer
-# --- unpersist), q185 also (Column-function predicate); (4) the r8
-# --- verdict's explicit re-check list — q160-q162 (derived-cap
-# --- oracles), q147/q127/q165/q181/q152/q177 (r8 fixes the driver
-# --- has not rechecked); (5) q55/q56 (rotated out of the r8 window);
-# --- (6) oldest-row fill q106-q130. The dict above keeps its grouped
+# --- r11 driver window (standing rotation policy; the r10 verdict's
+# --- ask #3 — the window did not rotate in r10, aging the r5-era rows
+# --- to five rounds): (1) the 17 rows whose latest driver evidence is
+# --- r5 — the q126-q138 family plus q38/q42/q76/q77/q83 (the judge's
+# --- r10 spot-checks covered 8 of these, all green; this makes it a
+# --- driver record); (2) new this round — q195 Z-order layout
+# --- (registered r11, r9 ask #6); (3) code changed this round —
+# --- q183/q184/q190 (exact-replica anchor pre-collapse),
+# --- q37/q69/q108/q158/q163 (LIMIT-bounded collapse probe), q171
+# --- (purity persist release + per-row ragged guard), q29/q63
+# --- (offsets-based guard in the brute-force numpy kernel); (4) the
+# --- oldest r6-era rows to fill 50. The dict above keeps its grouped
 # --- layout; this reorder makes the window the FIRST 50 entries.
-_R9_WINDOW = [
-    "q190_curation_pipeline_v3",
-    "q185_c4_line_clean", "q186_gopher_repetition", "q187_kcenter_init",
-    "q188_margin_bitext", "q189_stratified_exact",
+_R11_WINDOW = [
+    "q126_interval_overlap", "q128_equidepth_histogram",
+    "q129_asof_forward", "q130_bpe_merge_step", "q131_stream_funnel",
+    "q132_cluster_split_gate", "q133_rfm_segments", "q134_skew_report",
+    "q135_validation_report", "q136_bpe_train", "q137_phash_dedup_gate",
+    "q138_psi_drift",
+    "q38_simhash_pairs", "q42_lsh_topk", "q76_ivf_topk_serve",
+    "q77_pq_recall_gate", "q83_ivfpq_recall_gate",
+    "q195_zorder_layout",
     "q183_substring_spans", "q184_substring_dedup",
-    "q170_markov_sequence", "q171_source_purity",
+    "q190_curation_pipeline_v3",
     "q37_minhash_pairs", "q69_minhash_recall_gate",
+    "q108_collapse_parity_gate",
     "q158_curation_pipeline", "q163_curation_pipeline_v2",
-    "q139_ks_drift", "q116_triangle_count",
-    "q160_knn_graph", "q161_knn_novelty", "q162_hard_negatives",
-    "q147_incremental_minhash", "q127_bm25", "q165_rrf_fusion",
-    "q181_token_budget", "q152_negative_sampling",
-    "q177_robust_outliers",
-    "q55_repetition_stats", "q56_nulls_ordering",
-    "q106_stream_incremental_dedup", "q107_domain_cap",
-    "q108_collapse_parity_gate", "q109_stream_left_outer_join",
-    "q110_merge_upsert", "q111_scd2_history", "q112_funnel",
-    "q113_cohort_retention", "q114_session_pattern",
-    "q115_winsorized_stats", "q117_bfs_distance",
-    "q118_boilerplate_removal", "q119_weighted_sample",
-    "q120_intra_doc_dedup", "q121_snapshot_diff", "q122_token_share",
-    "q123_rolling_anomaly", "q124_quality_classifier",
-    "q125_stream_session_pattern",
-    "q191_nfc_normalize", "q192_prototype_diversity",
-    "q193_script_mix", "q194_bucketed_join",
+    "q171_source_purity",
+    "q29_cosine_topk", "q63_cosine_topk_numpy",
+    "q04_rollup_qty", "q140_retrieval_eval", "q142_touch_attribution",
+    "q144_temperature_mixture", "q145_contamination_score",
+    "q146_truncated_prefilter_topk", "q148_incremental_embedding",
+    "q149_deletion_neighborhood", "q151_containment_pairs",
+    "q154_length_buckets", "q156_importance_weights",
+    "q157_repeated_spans", "q159_pmi_pairs",
+    "q22_math_funcs", "q27_exact_dedup", "q52_multimodal_features",
+    "q58_salted_join", "q59_pii_redaction", "q60_hash_split",
+    "q61_stream_stream_join", "q62_stream_static_join",
 ]
-assert len(_R9_WINDOW) == 50 and len(set(_R9_WINDOW)) == 50
+assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R9_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R9_WINDOW)},
+    **{k: QUERIES[k] for k in _R11_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)},
 }
 
 
