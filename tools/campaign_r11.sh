@@ -1,0 +1,22 @@
+#!/bin/bash
+# r11 measurement campaign (idle box, sequential):
+#   1. q192 prototype-diversity 1000x adjudication (r10 verdict ask #5)
+#      — 2M vectors, where DuckDB does real work.
+#   2. q118 boilerplate removal 100x co-run (ask #6 — plan-time
+#      broadcast valve landed this round).
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/campaign_r11.log
+echo "=== campaign r11 start $(date -u +%H:%M:%S) ===" >> "$LOG"
+corun() { # corun <sfdir> <engines> <query> <timeout>
+  local dir=$1 eng=$2 q=$3 tmo=$4
+  echo "--- corun $q [$eng] @ $dir $(date -u +%H:%M:%S)" >> "$LOG"
+  CORUN_ONLY="$q" CORUN_ENGINES="$eng" timeout "$tmo" \
+    python tools/stress_coruns_r7.py "$dir" >> "$LOG" 2>&1 \
+    || echo "$q $eng TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+}
+corun /tmp/stress-x1000 spark  q192_prototype_diversity 3600
+corun /tmp/stress-x1000 duckdb q192_prototype_diversity 3600
+corun /tmp/stress-x100  spark  q118_boilerplate_removal 3600
+corun /tmp/stress-x100  duckdb q118_boilerplate_removal 3600
+echo "=== campaign r11 done $(date -u +%H:%M:%S) ===" >> "$LOG"
