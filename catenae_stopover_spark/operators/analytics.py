@@ -610,3 +610,58 @@ def decayed_engagement(
             (F.round(F.sum("__wv"), 6) + F.lit(0.0)).alias("score"),
         )
     )
+
+
+def wilson_quality_rank(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    threshold: float = 0.5,
+    z: float = 1.959964,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Per-source quality ranking by Wilson lower bound (B113, new
+    r11) — the statistically honest way to rank sources by "fraction
+    of good documents": a source with 3/3 good docs must NOT outrank
+    one with 970/1000, which is exactly what the raw proportion does.
+    The Wilson score interval's lower bound (z=1.96 ~ 95%) shrinks
+    toward 0 for small n, so mixture decisions ("upweight this crawl
+    bucket?") read sample size and quality together. Standard public
+    formula (Wilson 1927; the Reddit/Evan Miller ranking bound).
+
+    "Good" = the corpus quality heuristic (`text.quality_score`) >=
+    ``threshold``. Returns (group, n_docs, n_good, p_good, wilson_lb)
+    ranked by wilson_lb descending (ties: group asc).
+
+    Scale shape: one zero-shuffle map (the quality battery) + ONE
+    groupBy(group) with integer map-side partials; the bound is
+    per-group scalar math on (k, n) — deterministic across engines
+    (inputs are integers, one rounded division chain).
+    """
+    from .text import quality_score
+
+    good = (quality_score(text_col) >= F.lit(threshold)).cast("long")
+    agg = (
+        df.select(F.col(group_col), good.alias("__g"))
+        .groupBy(group_col)
+        .agg(F.count("*").alias("n_docs"), F.sum("__g").alias("n_good"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    n = F.col("n_docs").cast("double")
+    p = F.col("n_good") / n
+    z2 = z * z
+    lb = (
+        p
+        + F.lit(z2) / (2 * n)
+        - F.lit(z) * F.sqrt((p * (1 - p) + F.lit(z2) / (4 * n)) / n)
+    ) / (1 + F.lit(z2) / n)
+    return (
+        agg.select(
+            group_col,
+            "n_docs",
+            "n_good",
+            F.round(p, 6).alias("p_good"),
+            F.round(lb, 6).alias("wilson_lb"),
+        )
+        .orderBy(F.desc("wilson_lb"), F.col(group_col).asc())
+    )

@@ -3038,3 +3038,125 @@ def script_mix_stats(
         .alias("dominant_script"),
         (n_big >= 2).alias("mixed"),
     )
+
+
+def vocabulary_scaling_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_rank: int = 10_000,
+) -> DataFrame:
+    """Zipf/Heaps vocabulary diagnostics (B112, new r11) — the two
+    corpus-health power laws a training-data pipeline checks before
+    committing tokenizer/mixture decisions: a Zipf rank-frequency
+    slope far from -1 flags boilerplate flooding or template spam
+    (too steep) and OCR/mojibake vocabularies (too flat); the Heaps
+    exponent says how fast NEW vocabulary keeps arriving as the
+    corpus grows — the signal for "is more of this source still
+    adding diversity".
+
+    One row: n_tokens, n_types, ttr, zipf_slope (OLS of ln freq on
+    ln rank over the top ``max_rank`` types; ties broken by token so
+    the ranking is engine-identical), heaps_beta (OLS of ln types on
+    ln tokens over four NESTED hash-stable sub-corpora — docs with
+    sha2-bucket < 12.5% / 25% / 50% / 100%, the `split_by_hash`
+    bucket, so membership is rerun- and engine-stable).
+
+    Scale shape: tokenize+band is a zero-shuffle map; ONE
+    (token, band) groupBy (map-side combine; band has 4 values so
+    this is ~vocab-sized), ONE token-level re-aggregation. The nested
+    subsets make Heaps countDistinct-free: a type exists in subset i
+    iff its MINIMUM band <= i, and subset token counts are running
+    sums over band counts — no expand, no 4x token-stream replay.
+    The Zipf ranking is a global top-k window: Spark 4 plans
+    rank <= max_rank as a WindowGroupLimit below the exchange, so
+    each partition ships at most max_rank candidate types. All sums
+    feeding the OLS are integer counts; only the final two-scalar
+    OLS divisions are FP, rounded 6 — cross-engine identical.
+    """
+    ws = r"[ \t\n\x0B\f\r]+"
+    bucket = _hash_bucket(id_col, 10_000)
+    band = (
+        F.when(bucket < 1_250, 0)
+        .when(bucket < 2_500, 1)
+        .when(bucket < 5_000, 2)
+        .otherwise(3)
+    )
+    tok = (
+        df.select(band.alias("__band"), F.col(text_col))
+        .select(
+            "__band",
+            F.explode(F.split(F.lower(F.col(text_col)), ws)).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+    )
+    tb = tok.groupBy("__t", "__band").agg(F.count("*").alias("__c"))
+    per_tok = tb.groupBy("__t").agg(
+        F.sum("__c").alias("__freq"),
+        F.min("__band").alias("__mb"),
+        *[
+            F.sum(F.when(F.col("__band") <= i, F.col("__c")).otherwise(0)).alias(
+                f"__c{i}"
+            )
+            for i in range(3)
+        ],
+    )
+
+    heaps_pts = per_tok.agg(
+        *[
+            F.sum(f"__c{i}" if i < 3 else "__freq").alias(f"__tok{i}")
+            for i in range(4)
+        ],
+        *[
+            F.count(F.when(F.col("__mb") <= i, 1)).alias(f"__typ{i}")
+            for i in range(4)
+        ],
+    )
+
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("__freq"), F.col("__t").asc())
+    )
+    ranked = (
+        per_tok.select("__t", "__freq")
+        .withColumn("__r", rk)
+        .filter(F.col("__r") <= max_rank)
+        .select(
+            F.log(F.col("__r").cast("double")).alias("__x"),
+            F.log(F.col("__freq").cast("double")).alias("__y"),
+        )
+    )
+    zipf = ranked.agg(
+        F.count("*").alias("__n"),
+        F.sum("__x").alias("__sx"),
+        F.sum("__y").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__y")).alias("__sxy"),
+        F.sum(F.col("__x") * F.col("__x")).alias("__sxx"),
+    )
+
+    def _ols(n, sx, sy, sxy, sxx):
+        return (n * sxy - sx * sy) / (n * sxx - sx * sx)
+
+    hx = [F.log(F.col(f"__tok{i}").cast("double")) for i in range(4)]
+    hy = [F.log(F.col(f"__typ{i}").cast("double")) for i in range(4)]
+    hn = F.lit(4.0)
+    hsx = sum(hx[1:], hx[0])
+    hsy = sum(hy[1:], hy[0])
+    hsxy = sum([a * b for a, b in zip(hx[1:], hy[1:])], hx[0] * hy[0])
+    hsxx = sum([a * a for a in hx[1:]], hx[0] * hx[0])
+
+    return zipf.crossJoin(heaps_pts).select(
+        F.col("__tok3").cast("bigint").alias("n_tokens"),
+        F.col("__typ3").cast("bigint").alias("n_types"),
+        F.round(F.col("__typ3") / F.col("__tok3"), 6).alias("ttr"),
+        F.round(
+            _ols(
+                F.col("__n").cast("double"),
+                F.col("__sx"),
+                F.col("__sy"),
+                F.col("__sxy"),
+                F.col("__sxx"),
+            ),
+            6,
+        ).alias("zipf_slope"),
+        F.round(_ols(hn, hsx, hsy, hsxy, hsxx), 6).alias("heaps_beta"),
+    )

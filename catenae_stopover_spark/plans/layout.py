@@ -194,3 +194,54 @@ def write_bucketed(
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
     return spark.table(table)
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_mb: int = 512,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> int:
+    """Small-file compaction (B111) — the OPTIMIZE / bin-packing half
+    of a table-maintenance pass: rewrite a parquet directory so every
+    output file is ~``target_mb``. Small files are the silent scan
+    killer at 100 TB: a 10 TB table in 2 MiB files is five million
+    scan tasks and five million footer reads, and streaming sinks +
+    over-parallel writers produce exactly that shape. (Delta's
+    OPTIMIZE and Iceberg's rewrite_data_files are this operation; this
+    is the same bin-pack from public Spark primitives.)
+
+    The file count is derived from the SOURCE's on-disk bytes (footer-
+    free directory listing — a driver-side planning scalar, never a
+    data read), so the repartition width tracks the data, not a
+    hard-coded knob. With ``sort_by`` the rewrite also range-clusters
+    (repartitionByRange + sortWithinPartitions), folding min/max
+    locality into the same single shuffle the compaction already pays;
+    without it, coalesce() is used when the file count SHRINKS —
+    a narrow dependency, no shuffle at all: pure read+rewrite.
+
+    Returns the number of files written.
+    """
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(src_path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, -(-total // (target_mb << 20)))  # ceil-div
+    df = spark.read.parquet(src_path)
+    if sort_by:
+        out = df.repartitionByRange(
+            n_files, *[F.col(c).asc_nulls_last() for c in sort_by]
+        ).sortWithinPartitions(*[F.col(c).asc_nulls_last() for c in sort_by])
+    elif df.rdd.getNumPartitions() > n_files:
+        out = df.coalesce(n_files)
+    else:
+        out = df.repartition(n_files)
+    out.write.mode(mode).parquet(dst_path)
+    return sum(
+        1 for f in os.listdir(dst_path) if f.endswith(".parquet")
+    )

@@ -9908,6 +9908,184 @@ WHERE user_id BETWEEN 20 AND 40
 """
 
 
+def q196_compact_files(spark, sf_dir):
+    """B111 (new r11): small-file compaction
+    (`plans.layout.compact_files`) — the OPTIMIZE/bin-pack half of
+    table maintenance. lineitem is first shattered into 64 tiny files
+    (the streaming-sink/over-parallel-writer shape that silently
+    multiplies scan tasks and footer reads at 100 TB), then compacted
+    to ~64 MiB targets; the query aggregates the COMPACTED copy so the
+    oracle (same aggregate on the original table) proves the rewrite
+    lost/duplicated nothing, and the compaction gate (file count
+    strictly shrank to the byte-derived target) rides the row as a
+    value-checked boolean. Both rewrites happen ONCE per (session,
+    sf_dir) — the q194/q195 amortized-layout precedent."""
+    import hashlib
+
+    from .plans.layout import compact_files
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    frag = f"/tmp/csspark-frag-{tag}"
+    compacted = f"/tmp/csspark-compact-{tag}"
+    key = f"csspark.q196.{tag}"
+    if not spark.conf.get(key, None):
+        (
+            _t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity", "l_extendedprice")
+            .repartition(64)
+            .write.mode("overwrite")
+            .parquet(frag)
+        )
+        n_after = compact_files(spark, frag, compacted, target_mb=64)
+        spark.conf.set(key, str(n_after))
+    n_after = int(spark.conf.get(key))
+    import os
+
+    n_before = sum(
+        1 for f in os.listdir(frag) if f.endswith(".parquet")
+    )
+    compacted_ok = bool(n_after < n_before)
+    return (
+        spark.read.parquet(compacted)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.sum(F.col("l_orderkey") % 1_000_003).alias("key_checksum"),
+        )
+        .withColumn("compacted_ok", F.lit(compacted_ok))
+    )
+
+
+Q196_SQL = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price,
+       CAST(SUM(l_orderkey % 1000003) AS BIGINT) AS key_checksum,
+       TRUE AS compacted_ok
+FROM lineitem
+"""
+
+
+def q197_vocab_scaling(spark, sf_dir):
+    """B112 (new r11): Zipf/Heaps vocabulary diagnostics
+    (`text.vocabulary_scaling_stats`) — rank-frequency slope over the
+    top-10k types and the Heaps exponent from four nested hash-stable
+    sub-corpora. One (token, band) groupBy + one token-level
+    re-aggregation; countDistinct-free (a type is in subset i iff its
+    MIN band <= i). Oracle replays the identical integer-count sums
+    and the same two OLS fits."""
+    from .operators.text import vocabulary_scaling_stats
+
+    return vocabulary_scaling_stats(_t(spark, sf_dir, "documents"))
+
+
+Q197_SQL = r"""
+WITH tok AS (
+    SELECT CASE WHEN b < 1250 THEN 0 WHEN b < 2500 THEN 1
+                WHEN b < 5000 THEN 2 ELSE 3 END AS band,
+           UNNEST(toks) AS t
+    FROM (
+        SELECT ('0x' || SUBSTR(SHA256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   % 10000 AS b,
+               REGEXP_EXTRACT_ALL(LOWER(text), '[^ \t\n\x0B\f\r]+') AS toks
+        FROM documents)
+), tb AS (
+    SELECT t, band, COUNT(*) AS c FROM tok WHERE t <> '' GROUP BY 1, 2
+), per_tok AS (
+    SELECT t, SUM(c) AS freq, MIN(band) AS mb,
+           SUM(CASE WHEN band <= 0 THEN c ELSE 0 END) AS c0,
+           SUM(CASE WHEN band <= 1 THEN c ELSE 0 END) AS c1,
+           SUM(CASE WHEN band <= 2 THEN c ELSE 0 END) AS c2
+    FROM tb GROUP BY 1
+), heaps AS (
+    SELECT CAST(SUM(c0) AS DOUBLE) AS tok0, CAST(SUM(c1) AS DOUBLE) AS tok1,
+           CAST(SUM(c2) AS DOUBLE) AS tok2, CAST(SUM(freq) AS DOUBLE) AS tok3,
+           CAST(COUNT(CASE WHEN mb <= 0 THEN 1 END) AS DOUBLE) AS typ0,
+           CAST(COUNT(CASE WHEN mb <= 1 THEN 1 END) AS DOUBLE) AS typ1,
+           CAST(COUNT(CASE WHEN mb <= 2 THEN 1 END) AS DOUBLE) AS typ2,
+           CAST(COUNT(*) AS DOUBLE) AS typ3
+    FROM per_tok
+), ranked AS (
+    SELECT LN(CAST(r AS DOUBLE)) AS x, LN(CAST(freq AS DOUBLE)) AS y
+    FROM (SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, t ASC) AS r, freq
+          FROM per_tok)
+    WHERE r <= 10000
+), zipf AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM ranked
+)
+SELECT CAST(tok3 AS BIGINT) AS n_tokens,
+       CAST(typ3 AS BIGINT) AS n_types,
+       ROUND(typ3 / tok3, 6) AS ttr,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+       ROUND(
+         (4.0 * (LN(tok0)*LN(typ0) + LN(tok1)*LN(typ1)
+                 + LN(tok2)*LN(typ2) + LN(tok3)*LN(typ3))
+          - (LN(tok0)+LN(tok1)+LN(tok2)+LN(tok3))
+            * (LN(typ0)+LN(typ1)+LN(typ2)+LN(typ3)))
+         / (4.0 * (LN(tok0)*LN(tok0) + LN(tok1)*LN(tok1)
+                   + LN(tok2)*LN(tok2) + LN(tok3)*LN(tok3))
+            - (LN(tok0)+LN(tok1)+LN(tok2)+LN(tok3))
+              * (LN(tok0)+LN(tok1)+LN(tok2)+LN(tok3))), 6) AS heaps_beta
+FROM zipf, heaps
+"""
+
+
+def q198_wilson_quality_rank(spark, sf_dir):
+    """B113 (new r11): per-source quality ranking by Wilson lower
+    bound (`analytics.wilson_quality_rank`) — n/k per source from the
+    corpus quality heuristic, ranked by the 95% lower bound so small
+    perfect samples cannot outrank large good ones."""
+    from .operators.analytics import wilson_quality_rank
+
+    return wilson_quality_rank(_t(spark, sf_dir, "documents"))
+
+
+Q198_SQL = r"""
+WITH stats AS (
+    SELECT source,
+           LENGTH(text) AS n_chars,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^ \t\n\x0B\f\r]+')) AS n_words,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]')) AS n_alpha,
+           LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\b(the|and|of|to|is)\b'))
+               AS stop_hits
+    FROM documents
+), scored AS (
+    SELECT source,
+           CASE WHEN ROUND(
+             0.35 * (CASE WHEN n_chars > 0
+                          THEN n_alpha / n_chars ELSE 0.0 END)
+           + 0.25 * (CASE WHEN stop_hits > 0 THEN 1.0 ELSE 0.0 END)
+           + 0.4 * (CASE WHEN n_words > 0
+                          AND n_chars / n_words >= 3
+                          AND n_chars / n_words <= 12
+                     THEN 1.0 ELSE 0.0 END), 6) >= 0.5
+           THEN 1 ELSE 0 END AS good
+    FROM stats
+), agg AS (
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(good) AS BIGINT) AS n_good
+    FROM scored GROUP BY source
+)
+SELECT source, n_docs, n_good,
+       ROUND(n_good / CAST(n_docs AS DOUBLE), 6) AS p_good,
+       ROUND(
+         (n_good / CAST(n_docs AS DOUBLE)
+          + 3.841458881296 / (2 * CAST(n_docs AS DOUBLE))
+          - 1.959964 * SQRT((n_good / CAST(n_docs AS DOUBLE)
+                             * (1 - n_good / CAST(n_docs AS DOUBLE))
+                             + 3.841458881296
+                               / (4 * CAST(n_docs AS DOUBLE)))
+                            / CAST(n_docs AS DOUBLE)))
+         / (1 + 3.841458881296 / CAST(n_docs AS DOUBLE)), 6)
+         AS wilson_lb
+FROM agg
+ORDER BY wilson_lb DESC, source ASC
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -9993,6 +10171,9 @@ QUERIES: dict[str, tuple] = {
     # --- B109, new r9: bucketed co-located join.
     "q194_bucketed_join": (q194_bucketed_join, Q194_SQL),
     "q195_zorder_layout": (q195_zorder_layout, Q195_SQL),
+    "q196_compact_files": (q196_compact_files, Q196_SQL),
+    "q197_vocab_scaling": (q197_vocab_scaling, Q197_SQL),
+    "q198_wilson_quality_rank": (q198_wilson_quality_rank, Q198_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -10174,9 +10355,11 @@ QUERIES: dict[str, tuple] = {
 # --- q183/q184/q190 (exact-replica anchor pre-collapse),
 # --- q37/q69/q108/q158/q163 (LIMIT-bounded collapse probe), q171
 # --- (purity persist release + per-row ragged guard), q29/q63
-# --- (offsets-based guard in the brute-force numpy kernel); (4) the
-# --- oldest r6-era rows to fill 50. The dict above keeps its grouped
-# --- layout; this reorder makes the window the FIRST 50 entries.
+# --- (offsets-based guard in the brute-force numpy kernel), and the
+# --- three operators NEW this round — q196 compaction, q197
+# --- Zipf/Heaps, q198 Wilson ranking; (4) the oldest r6-era rows to
+# --- fill 50 (q60/q61/q62 head the r12 fill). The dict above keeps
+# --- its grouped layout; this reorder makes the window the FIRST 50.
 _R11_WINDOW = [
     "q126_interval_overlap", "q128_equidepth_histogram",
     "q129_asof_forward", "q130_bpe_merge_step", "q131_stream_funnel",
@@ -10200,8 +10383,9 @@ _R11_WINDOW = [
     "q154_length_buckets", "q156_importance_weights",
     "q157_repeated_spans", "q159_pmi_pairs",
     "q22_math_funcs", "q27_exact_dedup", "q52_multimodal_features",
-    "q58_salted_join", "q59_pii_redaction", "q60_hash_split",
-    "q61_stream_stream_join", "q62_stream_static_join",
+    "q58_salted_join", "q59_pii_redaction",
+    "q196_compact_files", "q197_vocab_scaling",
+    "q198_wilson_quality_rank",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
