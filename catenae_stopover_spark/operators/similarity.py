@@ -1659,26 +1659,92 @@ def prototype_diversity_filter(
     # parquet input is 1 split = 1 core without this (the q7 lesson)
     df = ensure_min_parallelism(df)
     frac_ppm = int(round(drop_frac * 1_000_000))
-    scores = [
-        cosine_similarity(F.col(vec_col), _as_vec_lit(c)).alias(f"__c{i}")
-        for i, c in enumerate(centroids)
-    ]
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(F.col(f"__c{i}").alias("s"), F.lit(-i).alias("ni"))
-                for i in range(len(centroids))
-            ]
+    # Kernel selection (r11 — the q192 1000x adjudication read 2.25x
+    # with C fused expression-tree cosines: 14.38 vs DuckDB 6.40 s on
+    # 2M vectors; the same crossover brute_force_topk and knn_graph
+    # already encode): above the 2 MiB file-size threshold the C
+    # per-row codegen cosines lose to ONE BLAS n x d @ d x C matmul
+    # per Arrow batch. Small inputs — every oracle gate — keep the
+    # expression path, whose arithmetic the DuckDB oracle replays
+    # bit-identically (argmax near-ties under a different summation
+    # order are the only divergence channel, and only the kernel path
+    # is exposed to them).
+    cmat_list = [[float(x) for x in c] for c in centroids]
+    if _estimated_bytes(df) >= 2 * 2**20:
+        id_type = dict(df.dtypes)[id_col]
+
+        def assign(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            c = np.asarray(cmat_list, dtype=np.float64)  # C x d
+            cn = np.sqrt(np.einsum("ij,ij->i", c, c))
+            d = c.shape[1]
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                vcol = b.column("__v")
+                lens = np.diff(np.asarray(vcol.offsets, dtype=np.int64))
+                if vcol.null_count or (lens.size and (lens != d).any()):
+                    raise ValueError(
+                        "ragged or null vectors: prototype_diversity_"
+                        f"filter needs fixed dim {d} non-null input"
+                    )
+                m = np.asarray(vcol.flatten(), dtype=np.float64).reshape(
+                    b.num_rows, d
+                )
+                mn = np.sqrt(np.einsum("ij,ij->i", m, m))
+                dots = m @ c.T  # n x C
+                denom = mn[:, None] * cn[None, :]
+                valid = denom > 0.0
+                cos = np.zeros_like(dots)
+                np.divide(dots, denom, out=cos, where=valid)
+                # argmax takes the FIRST max — the lowest-index tie
+                # rule of the expression path's struct-max
+                idx = np.argmax(cos, axis=1)
+                best_s = cos[np.arange(b.num_rows), idx]
+                row_ok = valid.all(axis=1)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        b.column(id_col),
+                        pa.array(idx.astype(np.int32)),
+                        pa.array(best_s, mask=~row_ok),
+                    ],
+                    [id_col, "cluster_id", "__s"],
+                )
+
+        assigned = (
+            df.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            )
+            .mapInArrow(
+                assign, f"{id_col} {id_type}, cluster_id int, __s double"
+            )
+            .withColumn("cos_centroid", F.round(F.col("__s"), 6) + F.lit(0.0))
+            .drop("__s")
         )
-    )
-    assigned = (
-        df.select(F.col(id_col), *scores)
-        .withColumn("cluster_id", (-best["ni"]).cast("int"))
-        .withColumn(
-            "cos_centroid", F.round(best["s"], 6) + F.lit(0.0)
+    else:
+        scores = [
+            cosine_similarity(F.col(vec_col), _as_vec_lit(c)).alias(f"__c{i}")
+            for i, c in enumerate(centroids)
+        ]
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(F.col(f"__c{i}").alias("s"), F.lit(-i).alias("ni"))
+                    for i in range(len(centroids))
+                ]
+            )
         )
-        .drop(*[f"__c{i}" for i in range(len(centroids))])
-    )
+        assigned = (
+            df.select(F.col(id_col), *scores)
+            .withColumn("cluster_id", (-best["ni"]).cast("int"))
+            .withColumn(
+                "cos_centroid", F.round(best["s"], 6) + F.lit(0.0)
+            )
+            .drop(*[f"__c{i}" for i in range(len(centroids))])
+        )
     rk = F.row_number().over(
         Window.partitionBy("cluster_id").orderBy(
             F.desc("cos_centroid"), F.col(id_col).asc()

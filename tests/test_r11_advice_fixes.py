@@ -136,3 +136,52 @@ def test_purity_still_correct_on_clean_input(spark):
     }
     assert rows[1].cos_centroid > 0 and not rows[1].is_outlier
     assert rows[3].cos_centroid < 0 and rows[3].is_outlier
+
+
+def test_d4_kernel_parity_with_expression_path(spark, monkeypatch):
+    """r11 q192 fix (1000x adjudication read 2.25x on the expression
+    path): the BLAS mapInArrow assignment must emit EXACTLY the rows
+    of the fused-expression path — same cluster, same rounded cosine,
+    same keep flag — on a corpus with near-tie structure (replicated
+    vectors)."""
+    import catenae_stopover_spark.operators.similarity as sim
+
+    vecs = [
+        [1.0, 0.0, 0.0],
+        [0.9, 0.1, 0.0],
+        [0.0, 1.0, 0.0],
+        [0.1, 0.9, 0.1],
+        [0.0, 0.0, 1.0],
+        [0.5, 0.5, 0.0],
+    ]
+    rows = [(i * 10 + j, v) for j, v in enumerate(vecs) for i in range(4)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]]
+
+    monkeypatch.setattr(sim, "_estimated_bytes", lambda d: 0)
+    expr_rows = sorted(
+        map(tuple, sim.prototype_diversity_filter(df, cents).collect())
+    )
+    monkeypatch.setattr(sim, "_estimated_bytes", lambda d: 1 << 30)
+    kern_rows = sorted(
+        map(tuple, sim.prototype_diversity_filter(df, cents).collect())
+    )
+    assert kern_rows == expr_rows
+
+
+def test_d4_kernel_ragged_raises(spark, monkeypatch):
+    import catenae_stopover_spark.operators.similarity as sim
+
+    n = spark.sparkContext.defaultParallelism
+    rows = [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0, 4.0])] + [
+        (i, [1.0, 0.0, 0.0]) for i in range(3, 2 * n + 1)
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, n),
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(sim, "_estimated_bytes", lambda d: 1 << 30)
+    with pytest.raises(Exception, match="ragged or null"):
+        sim.prototype_diversity_filter(
+            df, [[1.0, 0.0, 0.0]]
+        ).collect()
