@@ -665,3 +665,68 @@ def wilson_quality_rank(
         )
         .orderBy(F.desc("wilson_lb"), F.col(group_col).asc())
     )
+
+
+def source_unigram_kl(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    top_v: int = 5_000,
+    smooth: float = 0.5,
+) -> DataFrame:
+    """Per-source unigram KL divergence from the corpus (B115, new
+    r11) — the mixture diagnostic DSIR-style reweighting assumes:
+    KL(P_source || P_corpus) over the corpus's top ``top_v`` types
+    says how far each source's token distribution sits from the
+    blend, i.e. which sources a mixture change moves the most. Both
+    distributions are restricted to the top-V vocabulary (rank by
+    corpus frequency, ties by token — engine-identical) and
+    Jeffreys-smoothed ((c + smooth) / (n + smooth * V)), so
+    zero-count types stay finite and the whole computation replays
+    in any engine from integer counts.
+
+    Returns (group, n_tokens, kl_nats) ordered by kl_nats desc
+    (ties: group asc).
+
+    Scale shape: ONE (source, token) groupBy over the token stream
+    (map-side combine), a top-V rank on the corpus margin (the
+    WindowGroupLimit top-k shape), one broadcast-sized join of
+    per-source counts against the V-row vocabulary, one final
+    groupBy(source). The V x |sources| grid is built with a cross
+    join against the tiny vocab table so zero-count (source, type)
+    pairs contribute their smoothed mass — no dense pivot.
+    """
+    ws = r"[ \t\n\x0B\f\r]+"
+    tok = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(F.split(F.lower(F.col(text_col)), ws)).alias("__t"),
+    ).filter(F.col("__t") != "")
+    st = tok.groupBy("__g", "__t").agg(F.count("*").alias("__c"))
+    corpus = st.groupBy("__t").agg(F.sum("__c").alias("__cc"))
+    rk = F.row_number().over(
+        Window.orderBy(F.desc("__cc"), F.col("__t").asc())
+    )
+    vocab = (
+        corpus.withColumn("__r", rk).filter(F.col("__r") <= top_v).drop("__r")
+    )
+    totals = st.groupBy("__g").agg(F.sum("__c").alias("__n"))
+    # V x sources grid: every (source, top-V type) pair, zero-filled
+    grid = totals.crossJoin(F.broadcast(vocab)).join(
+        st, ["__g", "__t"], "left"
+    )
+    corpus_n = corpus.agg(F.sum("__cc").alias("__cn"))
+    v = F.lit(float(top_v))
+    s = F.lit(float(smooth))
+    p = (F.coalesce(F.col("__c"), F.lit(0)) + s) / (F.col("__n") + s * v)
+    q = (F.col("__cc") + s) / (F.col("__cn") + s * v)
+    return (
+        grid.crossJoin(F.broadcast(corpus_n))
+        .groupBy("__g", "__n")
+        .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"))
+        .select(
+            F.col("__g").alias(group_col),
+            F.col("__n").cast("bigint").alias("n_tokens"),
+            "kl_nats",
+        )
+        .orderBy(F.desc("kl_nats"), F.col(group_col).asc())
+    )

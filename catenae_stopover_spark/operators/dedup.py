@@ -2391,3 +2391,124 @@ def exact_substring_dedup(
             F.array_join(kept, " ").alias("clean_text"),
         )
     )
+
+
+def cdc_chunk_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram: int = 8,
+    avg_chunk: int = 64,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Content-defined-chunking dedup report (B114, new r11) — the
+    CDC/rsync/LBFS idea applied to corpus text: chunk boundaries are
+    declared wherever a rolling content hash hits a bucket condition,
+    so boundaries RE-SYNCHRONIZE after insertions/deletions (a fixed
+    window offsets every later segment; a content-defined one doesn't
+    — the property that makes chunk-hash dedup robust to shifted
+    boilerplate). Variant built for distributed + cross-engine
+    replay: the boundary predicate is position-independent
+    (60-bit sha2 of the ``gram``-token window, bucketed mod
+    ``avg_chunk``; expected chunk length = ``avg_chunk`` tokens) and
+    carries NO min/max-chunk constraint — the sequential dependency
+    classic CDC adds — so every boundary is decidable in parallel and
+    the whole operator is windows + groupBys any engine can replay.
+
+    Returns per doc: (id_col, n_tokens, n_chunks, n_dup_chunks,
+    dup_token_frac) where a chunk is DUP iff its exact token content
+    appears (as a chunk) in >= ``min_docs`` distinct docs.
+
+    Scale shape: tokenize+boundary-hash is a zero-shuffle map over
+    (doc, pos) rows; chunk ids are ONE running sum per doc; chunk
+    reassembly is ONE (doc, chunk) groupBy; cross-doc frequency is
+    ONE groupBy on the 60-bit chunk hash (16-byte shuffle rows, the
+    B98 diet); the report is a doc-keyed re-join. sha2 per (doc,
+    position) is the portable-hash cost the q37 portable mode already
+    pays — the price of a DuckDB-replayable boundary rule.
+    """
+    ws = r"[ \t\n\x0B\f\r]+"
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), ws), lambda t: t != ""
+            )
+        ).alias("__p", "__t"),
+    )
+    # window hash at __p covers tokens [__p, __p+gram): declare a
+    # boundary BEFORE position __p+gram when the bucket fires — i.e.
+    # token __p+gram starts a new chunk. Computed via lead() so every
+    # row knows whether IT starts a chunk.
+    wdoc = Window.partitionBy(id_col).orderBy("__p")
+    parts = [F.col("__t")] + [
+        F.lead("__t", j).over(wdoc) for j in range(1, gram)
+    ]
+    gram_txt = F.concat_ws(" ", *parts)
+    win_full = F.lead("__t", gram - 1).over(wdoc).isNotNull()
+    h60 = F.conv(
+        F.substring(F.sha2(F.encode(gram_txt, "UTF-8"), 256), 1, 15), 16, 10
+    ).cast("bigint")
+    fires = win_full & (F.pmod(h60, F.lit(avg_chunk)) == 0)
+    # two projections: a window expression cannot be the argument of
+    # another window function in the same select
+    marked = toks.withColumn("__fire", fires.cast("int")).withColumn(
+        "__start",
+        F.when(F.col("__p") == 0, F.lit(1))
+        .when(F.lag("__fire", gram).over(wdoc) == 1, F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    chunked = marked.withColumn(
+        "__chunk", F.sum("__start").over(wdoc)
+    )
+    chunks = chunked.groupBy(id_col, "__chunk").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__p", "__t"))),
+                lambda s: s["__t"],
+            ),
+            " ",
+        ).alias("__ctext"),
+        F.count("*").alias("__clen"),
+    )
+    chash = F.conv(
+        F.substring(F.sha2(F.encode(F.col("__ctext"), "UTF-8"), 256), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    hashed = chunks.select(
+        id_col, "__chunk", "__clen", chash.alias("__ch")
+    )
+    dup = (
+        hashed.groupBy("__ch")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__ch")
+    )
+    flagged = hashed.join(
+        F.broadcast(dup.withColumn("__isdup", F.lit(1))), "__ch", "left"
+    )
+    report = flagged.groupBy(id_col).agg(
+        F.sum("__clen").cast("bigint").alias("n_tokens"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.sum(F.coalesce("__isdup", F.lit(0))).cast("bigint").alias(
+            "n_dup_chunks"
+        ),
+        F.round(
+            F.sum(F.col("__clen") * F.coalesce("__isdup", F.lit(0)))
+            / F.sum("__clen"),
+            6,
+        ).alias("dup_token_frac"),
+    )
+    empty = df.select(F.col(id_col)).join(
+        report.select(id_col), id_col, "left_anti"
+    )
+    return report.unionByName(
+        empty.select(
+            id_col,
+            F.lit(0).cast("bigint").alias("n_tokens"),
+            F.lit(0).cast("bigint").alias("n_chunks"),
+            F.lit(0).cast("bigint").alias("n_dup_chunks"),
+            F.lit(None).cast("double").alias("dup_token_frac"),
+        )
+    )

@@ -10086,6 +10086,131 @@ ORDER BY wilson_lb DESC, source ASC
 """
 
 
+def q199_cdc_chunk_dedup(spark, sf_dir):
+    """B114 (new r11): content-defined-chunking dedup report
+    (`dedup.cdc_chunk_dedup_stats`) — CDC boundaries from a 60-bit
+    sha2 of each 8-token window (bucket mod 64 -> ~64-token chunks),
+    chunk-content hash frequency across docs, per-doc dup-token
+    fraction. The boundary rule is position-independent and
+    constraint-free, so the oracle replays every boundary, chunk,
+    and flag exactly."""
+    from .operators.dedup import cdc_chunk_dedup_stats
+
+    return cdc_chunk_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+Q199_SQL = r"""
+WITH base AS (
+    SELECT doc_id,
+           LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text),
+                                             '[ \t\n\x0B\f\r]+'),
+                       x -> x <> '') AS w
+    FROM documents
+), toks AS (
+    SELECT doc_id, i - 1 AS p, w[i] AS t
+    FROM base, UNNEST(GENERATE_SERIES(1, LEN(w))) AS u(i)
+), g AS (
+    SELECT doc_id, p, t,
+           CASE WHEN LEAD(t, 7) OVER win IS NOT NULL
+                 AND ('0x' || SUBSTR(SHA256(
+                        t || ' ' || LEAD(t, 1) OVER win || ' '
+                          || LEAD(t, 2) OVER win || ' '
+                          || LEAD(t, 3) OVER win || ' '
+                          || LEAD(t, 4) OVER win || ' '
+                          || LEAD(t, 5) OVER win || ' '
+                          || LEAD(t, 6) OVER win || ' '
+                          || LEAD(t, 7) OVER win), 1, 15))::BIGINT
+                     % 64 = 0
+                THEN 1 ELSE 0 END AS fire
+    FROM toks
+    WINDOW win AS (PARTITION BY doc_id ORDER BY p)
+), marked AS (
+    SELECT doc_id, p, t,
+           CASE WHEN p = 0 THEN 1
+                WHEN LAG(fire, 8) OVER (PARTITION BY doc_id ORDER BY p) = 1
+                THEN 1 ELSE 0 END AS start
+    FROM g
+), chunked AS (
+    SELECT doc_id, p, t,
+           SUM(start) OVER (PARTITION BY doc_id ORDER BY p) AS chunk
+    FROM marked
+), chunks AS (
+    SELECT doc_id, chunk, STRING_AGG(t, ' ' ORDER BY p) AS ctext,
+           COUNT(*) AS clen
+    FROM chunked GROUP BY 1, 2
+), hashed AS (
+    SELECT doc_id, clen,
+           ('0x' || SUBSTR(SHA256(ctext), 1, 15))::BIGINT AS ch
+    FROM chunks
+), dup AS (
+    SELECT ch FROM hashed GROUP BY ch
+    HAVING COUNT(DISTINCT doc_id) >= 2
+), flagged AS (
+    SELECT h.doc_id, h.clen,
+           CASE WHEN d.ch IS NULL THEN 0 ELSE 1 END AS isdup
+    FROM hashed h LEFT JOIN dup d USING (ch)
+), rep AS (
+    SELECT doc_id, CAST(SUM(clen) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(isdup) AS BIGINT) AS n_dup_chunks,
+           ROUND(SUM(clen * isdup) / CAST(SUM(clen) AS DOUBLE), 6)
+               AS dup_token_frac
+    FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.n_tokens, 0) AS n_tokens,
+       COALESCE(r.n_chunks, 0) AS n_chunks,
+       COALESCE(r.n_dup_chunks, 0) AS n_dup_chunks,
+       r.dup_token_frac
+FROM documents d LEFT JOIN rep r USING (doc_id)
+"""
+
+
+def q200_source_unigram_kl(spark, sf_dir):
+    """B115 (new r11): per-source unigram KL divergence from the
+    corpus blend (`analytics.source_unigram_kl`) — top-5000
+    corpus-rank vocabulary, Jeffreys smoothing, integer counts in,
+    one rounded KL out per source."""
+    from .operators.analytics import source_unigram_kl
+
+    return source_unigram_kl(_t(spark, sf_dir, "documents"))
+
+
+Q200_SQL = r"""
+WITH tok AS (
+    SELECT source AS g,
+           UNNEST(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(LOWER(text),
+                                  '[ \t\n\x0B\f\r]+'),
+                              x -> x <> '')) AS t
+    FROM documents
+), st AS (
+    SELECT g, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+), corpus AS (
+    SELECT t, SUM(c) AS cc FROM st GROUP BY 1
+), vocab AS (
+    SELECT t, cc FROM (
+        SELECT t, cc, ROW_NUMBER() OVER (ORDER BY cc DESC, t ASC) AS r
+        FROM corpus)
+    WHERE r <= 5000
+), totals AS (
+    SELECT g, SUM(c) AS n FROM st GROUP BY 1
+), corpus_n AS (
+    SELECT SUM(cc) AS cn FROM corpus
+), grid AS (
+    SELECT tt.g, tt.n, v.t, v.cc, st.c
+    FROM totals tt CROSS JOIN vocab v
+    LEFT JOIN st ON st.g = tt.g AND st.t = v.t
+)
+SELECT g AS source, CAST(n AS BIGINT) AS n_tokens,
+       ROUND(SUM(((COALESCE(c, 0) + 0.5) / (n + 0.5 * 5000))
+                 * LN(((COALESCE(c, 0) + 0.5) / (n + 0.5 * 5000))
+                      / ((cc + 0.5) / (cn + 0.5 * 5000)))), 6) AS kl_nats
+FROM grid, corpus_n
+GROUP BY g, n
+ORDER BY kl_nats DESC, source ASC
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -10174,6 +10299,8 @@ QUERIES: dict[str, tuple] = {
     "q196_compact_files": (q196_compact_files, Q196_SQL),
     "q197_vocab_scaling": (q197_vocab_scaling, Q197_SQL),
     "q198_wilson_quality_rank": (q198_wilson_quality_rank, Q198_SQL),
+    "q199_cdc_chunk_dedup": (q199_cdc_chunk_dedup, Q199_SQL),
+    "q200_source_unigram_kl": (q200_source_unigram_kl, Q200_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -10358,7 +10485,8 @@ QUERIES: dict[str, tuple] = {
 # --- (offsets-based guard in the brute-force numpy kernel), and the
 # --- three operators NEW this round — q196 compaction, q197
 # --- Zipf/Heaps, q198 Wilson ranking; (4) the oldest r6-era rows to
-# --- fill 50 (q60/q61/q62 head the r12 fill). The dict above keeps
+# --- fill 50 (q58/q59/q60/q61/q62 head the r12 fill — they ceded
+# --- their slots to the five NEW r11 queries q196-q200). The dict
 # --- its grouped layout; this reorder makes the window the FIRST 50.
 _R11_WINDOW = [
     "q126_interval_overlap", "q128_equidepth_histogram",
@@ -10383,9 +10511,9 @@ _R11_WINDOW = [
     "q154_length_buckets", "q156_importance_weights",
     "q157_repeated_spans", "q159_pmi_pairs",
     "q22_math_funcs", "q27_exact_dedup", "q52_multimodal_features",
-    "q58_salted_join", "q59_pii_redaction",
     "q196_compact_files", "q197_vocab_scaling",
-    "q198_wilson_quality_rank",
+    "q198_wilson_quality_rank", "q199_cdc_chunk_dedup",
+    "q200_source_unigram_kl",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
