@@ -135,6 +135,18 @@ ACCEPTED = {
     "q143_quality_ensemble":
         "1-row corpus-moments broadcast cross (replaces a global-sort "
         "percent_rank)",
+    # two 1-row aggregates (zipf OLS sums x heaps points) crossed to
+    # assemble the single report row; the data-sized work is the
+    # (token, band) groupBy and the top-k window upstream
+    "q197_vocab_scaling":
+        "cross of two 1-row aggregates (zipf sums x heaps points)",
+    # the |sources| x 5000-row vocab grid is a broadcast cross against
+    # the tiny top-V table by design (zero-count smoothing mass), plus
+    # a 1-row corpus-total cross; the token stream itself is one
+    # equi-keyed groupBy
+    "q200_source_unigram_kl":
+        "broadcast top-V vocab grid (|sources| x 5000) + 1-row "
+        "corpus-total cross",
 }
 
 
