@@ -9860,9 +9860,16 @@ def q195_zorder_layout(spark, sf_dir):
     table, which is what the DuckDB oracle replays — and (b) gates
     that the layout actually skips: parquet-footer min/max pruning
     (`file_minmax_prune_count`, footers only) must rule out at least
-    half the files for this rectangle (~14% of the user_id range). A
-    time-sorted table prunes nothing on user_id; the Morton layout
-    prunes on every participating dimension.
+    half the files. The rectangle is derived as FRACTIONS of each
+    dimension's span (`_q195_rect` — interior of one Morton quarter
+    per dim, identical integer-scalar arithmetic in the lazy oracle),
+    because (r11 full-sweep flake) a single-dim slice straddling a
+    top-2-bit quarter boundary intersects ~half the files and
+    repartitionByRange's sampled boundaries jitter the count across
+    rewrites; a BOTH-dims interior rectangle hits ~1 of 16 Morton
+    cells plus straddler files — the property the layout exists for,
+    with real margin. A time-sorted table prunes nothing on user_id;
+    the Morton layout prunes on every participating dimension.
     """
     import hashlib
 
@@ -9880,13 +9887,17 @@ def q195_zorder_layout(spark, sf_dir):
             num_files=16,
         )
         spark.conf.set(f"csspark.q195.{tag}", "1")
+    (ulo, uhi), (elo, ehi) = _q195_rect(sf_dir)
     could, total = file_minmax_prune_count(
-        zpath, {"user_id": (20.0, 40.0)}
+        zpath, {"user_id": (ulo, uhi), "event_id": (elo, ehi)}
     )
     prune_effective = bool(total >= 8 and could * 2 <= total)
     return (
         spark.read.parquet(zpath)
-        .filter(F.col("user_id").between(20, 40))
+        .filter(
+            F.col("user_id").between(ulo, uhi)
+            & F.col("event_id").between(elo, ehi)
+        )
         .agg(
             F.count("*").alias("n_rows"),
             F.count_distinct("user_id").alias("n_users"),
@@ -9897,14 +9908,54 @@ def q195_zorder_layout(spark, sf_dir):
     )
 
 
-Q195_SQL = """
+def _q195_rect(sf_dir):
+    """Rectangle bounds as span fractions — user in the interior of
+    Morton quarter 2 (54-62% of span), event_id in the interior of
+    quarter 1 (30-42%). Integer min/max via parquet footers + plain
+    float arithmetic, so the Spark query and the DuckDB oracle derive
+    BIT-IDENTICAL literals at any scale factor."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "events.parquet")
+    files = (
+        [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+        if os.path.isdir(path)
+        else [path]
+    )
+    stats = {"user_id": [None, None], "event_id": [None, None]}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for col, acc in stats.items():
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[col]).statistics
+                acc[0] = st.min if acc[0] is None else min(acc[0], st.min)
+                acc[1] = st.max if acc[1] is None else max(acc[1], st.max)
+    (umin, umax), (emin, emax) = stats["user_id"], stats["event_id"]
+    uspan, espan = float(umax - umin), float(emax - emin)
+    return (
+        (umin + 0.54 * uspan, umin + 0.62 * uspan),
+        (emin + 0.30 * espan, emin + 0.42 * espan),
+    )
+
+
+def _q195_oracle_sql():
+    """Built lazily (q76/q192 pattern): the rectangle literals come
+    from the same footer min/max + fraction arithmetic as the Spark
+    side, so both engines filter the identical rows."""
+    sf_dir = os.environ.get("CSSPARK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    (ulo, uhi), (elo, ehi) = _q195_rect(sf_dir)
+    return f"""
 SELECT COUNT(*) AS n_rows,
        COUNT(DISTINCT user_id) AS n_users,
        ROUND(SUM(value), 3) AS sum_value,
        CAST(SUM(event_id * user_id) AS BIGINT) AS id_checksum,
        TRUE AS prune_effective
 FROM events
-WHERE user_id BETWEEN 20 AND 40
+WHERE user_id BETWEEN {ulo!r} AND {uhi!r}
+  AND event_id BETWEEN {elo!r} AND {ehi!r}
 """
 
 
@@ -10295,7 +10346,7 @@ QUERIES: dict[str, tuple] = {
     "q193_script_mix": (q193_script_mix, _q193_oracle_sql),
     # --- B109, new r9: bucketed co-located join.
     "q194_bucketed_join": (q194_bucketed_join, Q194_SQL),
-    "q195_zorder_layout": (q195_zorder_layout, Q195_SQL),
+    "q195_zorder_layout": (q195_zorder_layout, _q195_oracle_sql),
     "q196_compact_files": (q196_compact_files, Q196_SQL),
     "q197_vocab_scaling": (q197_vocab_scaling, Q197_SQL),
     "q198_wilson_quality_rank": (q198_wilson_quality_rank, Q198_SQL),
