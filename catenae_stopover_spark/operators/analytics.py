@@ -689,8 +689,8 @@ def source_unigram_kl(
     (ties: group asc).
 
     Scale shape: ONE (source, token) groupBy over the token stream
-    (map-side combine), a top-V rank on the corpus margin (the
-    WindowGroupLimit top-k shape), one broadcast-sized join of
+    (map-side combine), a DISTRIBUTED top-V on the corpus margin
+    (orderBy+limit = TakeOrderedAndProject), one broadcast-sized join of
     per-source counts against the V-row vocabulary, one final
     groupBy(source). The V x |sources| grid is built with a cross
     join against the tiny vocab table so zero-count (source, type)
@@ -703,11 +703,13 @@ def source_unigram_kl(
     ).filter(F.col("__t") != "")
     st = tok.groupBy("__g", "__t").agg(F.count("*").alias("__c"))
     corpus = st.groupBy("__t").agg(F.sum("__c").alias("__cc"))
-    rk = F.row_number().over(
-        Window.orderBy(F.desc("__cc"), F.col("__t").asc())
-    )
+    # distributed top-V: orderBy+limit plans as TakeOrderedAndProject
+    # (per-partition candidates, no global sort) — a global row_number
+    # window here would single-partition the whole vocabulary (the
+    # q197 plan check); the (freq desc, token asc) order is total, so
+    # limit-then-use equals the oracle's rank-then-filter exactly
     vocab = (
-        corpus.withColumn("__r", rk).filter(F.col("__r") <= top_v).drop("__r")
+        corpus.orderBy(F.desc("__cc"), F.col("__t").asc()).limit(top_v)
     )
     totals = st.groupBy("__g").agg(F.sum("__c").alias("__n"))
     # V x sources grid: every (source, top-V type) pair, zero-filled

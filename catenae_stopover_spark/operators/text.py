@@ -3068,11 +3068,17 @@ def vocabulary_scaling_stats(
     subsets make Heaps countDistinct-free: a type exists in subset i
     iff its MINIMUM band <= i, and subset token counts are running
     sums over band counts — no expand, no 4x token-stream replay.
-    The Zipf ranking is a global top-k window: Spark 4 plans
-    rank <= max_rank as a WindowGroupLimit below the exchange, so
-    each partition ships at most max_rank candidate types. All sums
-    feeding the OLS are integer counts; only the final two-scalar
-    OLS divisions are FP, rounded 6 — cross-engine identical.
+    The Zipf ranking is a DISTRIBUTED top-k (orderBy + limit plans as
+    TakeOrderedAndProject — each partition keeps max_rank candidates,
+    no global sort; the naive global row_number window was checked
+    against the executed plan and single-partitions the entire
+    vocabulary, exactly the 100 TB bottleneck) followed by row_number
+    over the <= max_rank survivors, a bounded single-partition sort
+    by construction. The (freq desc, token asc) order is TOTAL (token
+    unique), so limit-then-rank is value-identical to the oracle's
+    rank-then-filter. All sums feeding the OLS are integer counts;
+    only the final two-scalar OLS divisions are FP, rounded 6 —
+    cross-engine identical.
     """
     ws = r"[ \t\n\x0B\f\r]+"
     bucket = _hash_bucket(id_col, 10_000)
@@ -3113,17 +3119,17 @@ def vocabulary_scaling_stats(
         ],
     )
 
+    topk = (
+        per_tok.select("__t", "__freq")
+        .orderBy(F.desc("__freq"), F.col("__t").asc())
+        .limit(max_rank)
+    )
     rk = F.row_number().over(
         Window.orderBy(F.desc("__freq"), F.col("__t").asc())
     )
-    ranked = (
-        per_tok.select("__t", "__freq")
-        .withColumn("__r", rk)
-        .filter(F.col("__r") <= max_rank)
-        .select(
-            F.log(F.col("__r").cast("double")).alias("__x"),
-            F.log(F.col("__freq").cast("double")).alias("__y"),
-        )
+    ranked = topk.withColumn("__r", rk).select(
+        F.log(F.col("__r").cast("double")).alias("__x"),
+        F.log(F.col("__freq").cast("double")).alias("__y"),
     )
     zipf = ranked.agg(
         F.count("*").alias("__n"),

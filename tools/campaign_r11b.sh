@@ -1,0 +1,21 @@
+#!/bin/bash
+# r11b: 100x co-runs for the six queries new this round (q195-q200).
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/campaign_r11b.log
+echo "=== campaign r11b start $(date -u +%H:%M:%S) ===" >> "$LOG"
+corun() {
+  local dir=$1 eng=$2 q=$3 tmo=$4
+  echo "--- corun $q [$eng] @ $dir $(date -u +%H:%M:%S)" >> "$LOG"
+  CORUN_ONLY="$q" CORUN_ENGINES="$eng" timeout "$tmo" \
+    python tools/stress_coruns_r7.py "$dir" >> "$LOG" 2>&1 \
+    || echo "$q $eng TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+}
+for q in q195_zorder_layout q196_compact_files q197_vocab_scaling \
+         q198_wilson_quality_rank q200_source_unigram_kl; do
+  corun /tmp/stress-x100 spark  "$q" 3600
+  corun /tmp/stress-x100 duckdb "$q" 3600
+done
+corun /tmp/stress-x100 spark  q199_cdc_chunk_dedup 5400
+corun /tmp/stress-x100 duckdb q199_cdc_chunk_dedup 5400
+echo "=== campaign r11b done $(date -u +%H:%M:%S) ===" >> "$LOG"
