@@ -680,13 +680,18 @@ def source_unigram_kl(
     says how far each source's token distribution sits from the
     blend, i.e. which sources a mixture change moves the most. Both
     distributions are restricted to the top-V vocabulary (rank by
-    corpus frequency, ties by token — engine-identical) and
-    Jeffreys-smoothed ((c + smooth) / (n + smooth * V)), so
-    zero-count types stay finite and the whole computation replays
-    in any engine from integer counts.
+    corpus frequency, ties by token — engine-identical), NORMALIZED
+    BY THE VOCAB-RESTRICTED totals (restricting the support but
+    normalizing by full totals makes the measures sub-stochastic and
+    the "KL" can go negative — caught by the r11 property test), and
+    Jeffreys-smoothed ((c + smooth) / (n_vocab + smooth * V)), so
+    both sides are proper distributions over the same V-type support
+    and KL >= 0 holds by Gibbs' inequality; zero-count types stay
+    finite and everything replays in any engine from integer counts.
 
     Returns (group, n_tokens, kl_nats) ordered by kl_nats desc
-    (ties: group asc).
+    (ties: group asc) — n_tokens is the source's FULL token count
+    (reporting), while the distribution uses its in-vocab count.
 
     Scale shape: ONE (source, token) groupBy over the token stream
     (map-side combine), a DISTRIBUTED top-V on the corpus margin
@@ -711,19 +716,36 @@ def source_unigram_kl(
     vocab = (
         corpus.orderBy(F.desc("__cc"), F.col("__t").asc()).limit(top_v)
     )
-    totals = st.groupBy("__g").agg(F.sum("__c").alias("__n"))
+    st_v = st.join(F.broadcast(vocab.select("__t")), "__t")
+    totals = (
+        st.groupBy("__g")
+        .agg(F.sum("__c").alias("__n"))
+        .join(
+            st_v.groupBy("__g").agg(F.sum("__c").alias("__nv")),
+            "__g",
+            "left",
+        )
+        .fillna(0, ["__nv"])
+    )
     # V x sources grid: every (source, top-V type) pair, zero-filled
     grid = totals.crossJoin(F.broadcast(vocab)).join(
-        st, ["__g", "__t"], "left"
+        st_v, ["__g", "__t"], "left"
     )
-    corpus_n = corpus.agg(F.sum("__cc").alias("__cn"))
-    v = F.lit(float(top_v))
+    # BOTH scalars in one lazy agg: the corpus in-vocab total AND the
+    # ACTUAL vocab size — smoothing with the nominal top_v when the
+    # corpus has fewer types leaves mass on nonexistent types, the
+    # measures go sub-stochastic, and "KL" can be negative (r11
+    # property-test finding, second instance)
+    corpus_n = vocab.agg(
+        F.sum("__cc").alias("__cn"), F.count("*").alias("__vn")
+    )
     s = F.lit(float(smooth))
-    p = (F.coalesce(F.col("__c"), F.lit(0)) + s) / (F.col("__n") + s * v)
+    v = F.col("__vn").cast("double")
+    p = (F.coalesce(F.col("__c"), F.lit(0)) + s) / (F.col("__nv") + s * v)
     q = (F.col("__cc") + s) / (F.col("__cn") + s * v)
     return (
         grid.crossJoin(F.broadcast(corpus_n))
-        .groupBy("__g", "__n")
+        .groupBy("__g", "__n", "__nv", "__vn")
         .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"))
         .select(
             F.col("__g").alias(group_col),

@@ -10243,21 +10243,26 @@ WITH tok AS (
         SELECT t, cc, ROW_NUMBER() OVER (ORDER BY cc DESC, t ASC) AS r
         FROM corpus)
     WHERE r <= 5000
+), st_v AS (
+    SELECT st.g, st.t, st.c FROM st JOIN vocab v ON st.t = v.t
 ), totals AS (
-    SELECT g, SUM(c) AS n FROM st GROUP BY 1
+    SELECT ta.g, ta.n, COALESCE(tv.nv, 0) AS nv
+    FROM (SELECT g, SUM(c) AS n FROM st GROUP BY 1) ta
+    LEFT JOIN (SELECT g, SUM(c) AS nv FROM st_v GROUP BY 1) tv
+           ON ta.g = tv.g
 ), corpus_n AS (
-    SELECT SUM(cc) AS cn FROM corpus
+    SELECT SUM(cc) AS cn, CAST(COUNT(*) AS DOUBLE) AS vn FROM vocab
 ), grid AS (
-    SELECT tt.g, tt.n, v.t, v.cc, st.c
+    SELECT tt.g, tt.n, tt.nv, v.t, v.cc, sv.c
     FROM totals tt CROSS JOIN vocab v
-    LEFT JOIN st ON st.g = tt.g AND st.t = v.t
+    LEFT JOIN st_v sv ON sv.g = tt.g AND sv.t = v.t
 )
 SELECT g AS source, CAST(n AS BIGINT) AS n_tokens,
-       ROUND(SUM(((COALESCE(c, 0) + 0.5) / (n + 0.5 * 5000))
-                 * LN(((COALESCE(c, 0) + 0.5) / (n + 0.5 * 5000))
-                      / ((cc + 0.5) / (cn + 0.5 * 5000)))), 6) AS kl_nats
+       ROUND(SUM(((COALESCE(c, 0) + 0.5) / (nv + 0.5 * vn))
+                 * LN(((COALESCE(c, 0) + 0.5) / (nv + 0.5 * vn))
+                      / ((cc + 0.5) / (cn + 0.5 * vn)))), 6) AS kl_nats
 FROM grid, corpus_n
-GROUP BY g, n
+GROUP BY g, n, nv, vn
 ORDER BY kl_nats DESC, source ASC
 """
 

@@ -1,0 +1,153 @@
+"""B111–B115 (r11) operator invariants: compaction content identity,
+Zipf/Heaps scalar identities, Wilson bound properties, CDC chunk
+accounting + the resynchronization property that motivates
+content-defined over fixed-window chunking."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.operators.analytics import (
+    source_unigram_kl,
+    wilson_quality_rank,
+)
+from catenae_stopover_spark.operators.dedup import cdc_chunk_dedup_stats
+from catenae_stopover_spark.operators.text import vocabulary_scaling_stats
+
+
+# ------------------------------------------------------------------ CDC
+
+def _cdc(spark, rows, **kw):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {r.doc_id: r for r in cdc_chunk_dedup_stats(df, **kw).collect()}
+
+
+def test_cdc_chunk_accounting(spark):
+    """Chunk lengths partition the token stream: sum(clen) == n_tokens,
+    dup chunks <= chunks, every doc present in the report."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 20),
+        (2, "completely different words " * 30),
+        (3, ""),
+        (4, "   "),
+    ]
+    out = _cdc(spark, rows)
+    assert set(out) == {1, 2, 3, 4}
+    import re
+
+    for did, text in rows:
+        n_tok = len([t for t in re.split(r"[ \t\n\x0b\f\r]+", text.lower()) if t])
+        assert out[did].n_tokens == n_tok, did
+        assert out[did].n_dup_chunks <= out[did].n_chunks
+    assert out[3].n_chunks == 0 and out[3].dup_token_frac is None
+
+
+def test_cdc_identical_docs_fully_dup(spark):
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 25
+    out = _cdc(spark, [(1, text), (2, text), (3, "unrelated material here")])
+    assert out[1].n_chunks == out[2].n_chunks
+    assert out[1].n_dup_chunks == out[1].n_chunks > 0
+    assert out[1].dup_token_frac == 1.0
+    assert out[3].n_dup_chunks == 0
+
+
+def test_cdc_resynchronizes_after_prefix_insertion(spark):
+    """THE content-defined property: prepending tokens to a document
+    must not destroy chunk-level dedup of the shared suffix — the
+    boundary hash depends on content, not position, so chunking
+    re-aligns at the first fired boundary inside the suffix. (A
+    fixed-window chunker shares zero chunks under a 1-token shift
+    unless the prefix length is a multiple of the window.)"""
+    suffix = " ".join(f"w{i % 97}x{(i * 7) % 89}" for i in range(600))
+    out = _cdc(
+        spark,
+        [(1, suffix), (2, "one extra leading token " + suffix)],
+    )
+    assert out[1].n_dup_chunks > 0
+    assert out[2].n_dup_chunks > 0
+    # most of doc 1 (the pure suffix) should be recognized as dup
+    assert out[1].dup_token_frac > 0.5
+
+
+# ----------------------------------------------------------- Zipf/Heaps
+
+def test_vocab_scaling_scalar_identities(spark):
+    rows = [(i, "a b c a b a " + f"u{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    row = vocabulary_scaling_stats(df).collect()[0]
+    n_tokens = 40 * 7
+    n_types = 3 + 40  # a, b, c + 40 unique u{i}
+    assert row.n_tokens == n_tokens
+    assert row.n_types == n_types
+    assert row.ttr == round(n_types / n_tokens, 6)
+    # 'a' (120) > 'b' (80) > 'c' (40) > singletons: slope must be negative
+    assert row.zipf_slope < 0
+    # growing corpus keeps adding u{i} types: positive Heaps exponent
+    assert row.heaps_beta is None or row.heaps_beta > 0
+
+
+def test_vocab_scaling_uniform_corpus_zero_slope(spark):
+    # every type appears exactly once -> rank-frequency line is flat
+    df = spark.createDataFrame(
+        [(i, f"t{i}a t{i}b t{i}c") for i in range(50)], ["doc_id", "text"]
+    )
+    row = vocabulary_scaling_stats(df).collect()[0]
+    assert row.zipf_slope == 0.0
+    assert row.n_types == row.n_tokens == 150
+
+
+# --------------------------------------------------------------- Wilson
+
+def test_wilson_small_perfect_does_not_beat_large_good(spark):
+    good = "the cat and the dog sat of the mat to see is it good words here"
+    # genuinely below the 0.5 quality bar: zero alpha ratio, zero
+    # stopwords -> score 0.4 ("zzzz qqqq" style text scores 0.70 —
+    # alpha ratio + word length alone clear the bar, r11 test finding)
+    bad = "!!!! ???? 1234 @@@@"
+    rows = (
+        [(i, good, "big") for i in range(970)]
+        + [(i + 1000, bad, "big") for i in range(30)]
+        + [(i + 2000, good, "tiny") for i in range(3)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r for r in wilson_quality_rank(df).collect()}
+    assert out["tiny"].p_good == 1.0 and out["big"].p_good < 1.0
+    # the raw proportion ranks tiny first; the Wilson bound must not
+    assert out["big"].wilson_lb > out["tiny"].wilson_lb
+    for r in out.values():
+        assert 0.0 <= r.wilson_lb <= r.p_good <= 1.0
+
+
+def test_wilson_formula_value(spark):
+    # n=1, k=1, z=1.959964: lb = (1 + z^2/2 - z*sqrt(1/4*z^2 + ... ))
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog sat of the mat to see is it fine", "s")],
+        ["doc_id", "text", "source"],
+    )
+    row = wilson_quality_rank(df).collect()[0]
+    z = 1.959964
+    p, n = 1.0, 1.0
+    lb = (
+        p + z * z / (2 * n) - z * ((p * (1 - p) + z * z / (4 * n)) / n) ** 0.5
+    ) / (1 + z * z / n)
+    assert row.n_docs == 1 and row.n_good == 1
+    assert row.wilson_lb == round(lb, 6)
+
+
+# ------------------------------------------------------------------- KL
+
+def test_kl_identical_sources_zero_and_divergent_positive(spark):
+    same = "alpha beta gamma delta " * 10
+    rows = (
+        [(i, same, "a") for i in range(20)]
+        + [(i + 100, same, "b") for i in range(20)]
+        + [(i + 200, "totally different vocabulary entirely " * 10, "c")
+           for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.source: r.kl_nats for r in source_unigram_kl(df).collect()}
+    # a and b have identical distributions -> identical (small) KL;
+    # c's distribution is far from the blend -> strictly larger
+    assert out["a"] == out["b"]
+    assert out["c"] > out["a"] >= 0.0
