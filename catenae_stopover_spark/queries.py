@@ -10267,6 +10267,71 @@ ORDER BY kl_nats DESC, source ASC
 """
 
 
+def q201_schema_evolution_scan(spark, sf_dir):
+    """B116 (new r11): schema-evolution-tolerant scan — a 100 TB table
+    is written over months and its schema DRIFTS (columns added);
+    Spark's parquet `mergeSchema` reconciles per-file schemas at scan
+    time, old files surfacing NULL for columns they predate. The
+    fixture writes events twice: an "old" epoch WITHOUT event_type
+    (even event_ids) and a "new" epoch with it (odd event_ids), both
+    under one table root, written ONCE per (session, sf_dir). The
+    merged scan's aggregate must equal the oracle's replay of the same
+    drift (UNION ALL with a NULL column for the old epoch) — proving
+    no rows are lost, duplicated, or mis-aligned across the two
+    physical schemas.
+
+    Scale note: mergeSchema's footer reconciliation is a driver-side
+    planning cost per file — the production pattern is a table-level
+    schema registry or a bounded file sample; the SCAN semantics this
+    checks are the same either way.
+    """
+    import hashlib
+
+    from .io.sources import load_table
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/csspark-evolve-{tag}"
+    key = f"csspark.q201.{tag}"
+    if not spark.conf.get(key, None):
+        ev = load_table(spark, sf_dir, "events")
+        old = ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "user_id", "value"
+        )
+        new = ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        old.write.mode("overwrite").parquet(f"{root}/epoch=old")
+        new.write.mode("overwrite").parquet(f"{root}/epoch=new")
+        spark.conf.set(key, "1")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{root}/epoch=old", f"{root}/epoch=new"
+    )
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.count("event_type").alias("n_typed"),
+        F.count_distinct("event_type").alias("n_types"),
+        F.round(F.sum("value"), 3).alias("sum_value"),
+        F.sum(F.col("event_id") * F.col("user_id")).alias("id_checksum"),
+    )
+
+
+Q201_SQL = """
+WITH drifted AS (
+    SELECT event_id, user_id, value, NULL AS event_type
+    FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, user_id, value, event_type
+    FROM events WHERE event_id % 2 = 1
+)
+SELECT COUNT(*) AS n_rows,
+       COUNT(event_type) AS n_typed,
+       COUNT(DISTINCT event_type) AS n_types,
+       ROUND(SUM(value), 3) AS sum_value,
+       CAST(SUM(event_id * user_id) AS BIGINT) AS id_checksum
+FROM drifted
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -10357,6 +10422,7 @@ QUERIES: dict[str, tuple] = {
     "q198_wilson_quality_rank": (q198_wilson_quality_rank, Q198_SQL),
     "q199_cdc_chunk_dedup": (q199_cdc_chunk_dedup, Q199_SQL),
     "q200_source_unigram_kl": (q200_source_unigram_kl, Q200_SQL),
+    "q201_schema_evolution_scan": (q201_schema_evolution_scan, Q201_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -10541,7 +10607,7 @@ QUERIES: dict[str, tuple] = {
 # --- (offsets-based guard in the brute-force numpy kernel), and the
 # --- three operators NEW this round — q196 compaction, q197
 # --- Zipf/Heaps, q198 Wilson ranking; (4) the oldest r6-era rows to
-# --- fill 50 (q58/q59/q60/q61/q62 head the r12 fill — they ceded
+# --- fill 50 (q22/q58/q59/q60/q61/q62 head the r12 fill — they ceded
 # --- their slots to the five NEW r11 queries q196-q200). The dict
 # --- its grouped layout; this reorder makes the window the FIRST 50.
 _R11_WINDOW = [
@@ -10566,10 +10632,10 @@ _R11_WINDOW = [
     "q149_deletion_neighborhood", "q151_containment_pairs",
     "q154_length_buckets", "q156_importance_weights",
     "q157_repeated_spans", "q159_pmi_pairs",
-    "q22_math_funcs", "q27_exact_dedup", "q52_multimodal_features",
+    "q27_exact_dedup", "q52_multimodal_features",
     "q196_compact_files", "q197_vocab_scaling",
     "q198_wilson_quality_rank", "q199_cdc_chunk_dedup",
-    "q200_source_unigram_kl",
+    "q200_source_unigram_kl", "q201_schema_evolution_scan",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 QUERIES = {
