@@ -151,3 +151,59 @@ def test_kl_identical_sources_zero_and_divergent_positive(spark):
     # c's distribution is far from the blend -> strictly larger
     assert out["a"] == out["b"]
     assert out["c"] > out["a"] >= 0.0
+
+
+# ---------------------------------------------------------- compaction
+
+def test_compact_files_coalesce_and_content(spark, tmp_path):
+    from catenae_stopover_spark.plans.layout import compact_files
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    spark.range(10_000).selectExpr(
+        "id", "id * 2 as v"
+    ).repartition(16).write.parquet(src)
+    n = compact_files(spark, src, dst, target_mb=512)
+    assert n == 1  # tiny data bin-packs to the byte-derived single file
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert b.count() == 10_000
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_compact_files_sort_clusters_ranges(spark, tmp_path):
+    """The sort_by variant must range-cluster: file-level [min, max] of
+    the sort key must not overlap across output files."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from catenae_stopover_spark.plans.layout import compact_files
+
+    src = str(tmp_path / "frag2")
+    dst = str(tmp_path / "clustered")
+    # ~3 MiB of incompressible-ish payload so target_mb=1 yields >1 file
+    spark.range(60_000).selectExpr(
+        "id", "sha2(cast(id as string), 256) as pad"
+    ).repartition(8).write.parquet(src)
+    n = compact_files(spark, src, dst, target_mb=1, sort_by=["id"])
+    assert n > 1
+    ranges = []
+    for f in sorted(os.listdir(dst)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(dst, f)).metadata
+        names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(names["id"]).statistics
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+        assert h1 < l2, f"overlapping clustered files: {ranges}"
+    # content identity too
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
