@@ -2512,3 +2512,58 @@ def cdc_chunk_dedup_stats(
             F.lit(None).cast("double").alias("dup_token_frac"),
         )
     )
+
+
+def cross_source_dedup_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source dedup ATTRIBUTION matrix (B119): for every
+    duplicate-content group (exact sha2 of the UTF-8 bytes, the
+    `exact_dedup` key), keep-first by smallest id, then count the
+    dropped docs by (their own source, the surviving doc's source).
+    The output matrix answers the curation question doc-level dedup
+    counters can't: "when I dedup the blend, WHICH source's docs die
+    to WHICH other source's copies?" — the deciding diagnostic for
+    dedup ORDER and source precedence in a multi-source 100 TB blend
+    (a crawl source losing most of its mass to a curated source is a
+    mirror; two crawls eating each other is snapshot overlap).
+
+    Returns (loser_source, winner_source, n_docs_lost, n_groups):
+    docs dropped whose duplicate group survives in winner_source, and
+    the number of distinct content groups involved. Diagonal rows
+    (loser == winner) are intra-source duplication.
+
+    Scale shape: one map computing the 32-byte digest, ONE window
+    over the digest (fixed-width shuffle key; skew concentrates only
+    on truly-identical text, self-capped by the dedup itself exactly
+    as in `dedup_segments`), then a tiny |sources|^2-bounded groupBy.
+    No joins, no text shuffled twice — the text column is dropped
+    before the exchange.
+    """
+    from pyspark.sql import Window
+
+    h = df.select(
+        F.sha2(F.encode(F.col(text_col), "UTF-8"), 256).alias("__h"),
+        F.col(id_col).alias("__id"),
+        F.col(source_col).alias("__src"),
+    )
+    w = Window.partitionBy("__h").orderBy("__id")
+    ranked = h.select(
+        "__src",
+        "__h",
+        F.row_number().over(w).alias("__rn"),
+        F.first("__src").over(w).alias("winner_source"),
+    )
+    return (
+        ranked.filter(F.col("__rn") > 1)
+        .groupBy(
+            F.col("__src").alias("loser_source"), F.col("winner_source")
+        )
+        .agg(
+            F.count("*").alias("n_docs_lost"),
+            F.count_distinct("__h").alias("n_groups"),
+        )
+    )

@@ -1760,3 +1760,130 @@ def prototype_diversity_filter(
         "cos_centroid",
         (rk > ndrop).alias("keep"),
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    centroids: list,
+    total_rows: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cluster-BALANCED exact-size subsample (B118): assign every
+    vector to its nearest literal centroid (`assign_ivf_cells` — the
+    q76/q192 portable-assignment precedent), then draw EXACTLY
+    ``min(total_rows, |df|)`` rows spread AS EQUALLY AS POSSIBLE
+    across the clusters present, subject to cluster sizes — exact
+    integer WATER-FILLING: the smallest clusters saturate (keep
+    everything), the rest share the remaining budget at a common
+    integer level with the modulo distributed one-per-cluster in
+    cluster-id order. (A largest-remainder + one-cap-round scheme —
+    `stratified_exact_sample`'s shape — is NOT sufficient here:
+    under EQUAL shares a tiny cluster's overflow can exceed one unit
+    per receiving cluster, which the single +1 round cannot absorb;
+    proportional shares never overflow by more than one, which is why
+    q189 gets away with it.) Each cluster's quota is filled in
+    deterministic ``(sha2(id), id)`` order, so membership is
+    value-checkable by any engine.
+
+    Why equal, not proportional: proportional sampling reproduces the
+    corpus density — the majority clusters dominate and the tails
+    vanish. Equal shares per SEMANTIC cluster is the diversity-
+    preserving subsample the D4 / DataComp-style curation pipelines
+    draw after dedup (cluster-uniform coverage of the embedding
+    space), and the pool construction for balanced eval sets.
+
+    Determinism: assignment is argmax over C literal cosine
+    expressions with lowest-index ties (struct-max); the allocation
+    is PURE integer arithmetic (sizes, budget, div, mod — no FP
+    anywhere, so any engine replays it bit-identically); fill order
+    is hash-total. No RNG state anywhere.
+
+    Water-filling in two k-row window passes over the sorted-by-size
+    allocation frame: cluster j (1-based, (size, id) order) SATURATES
+    iff ``prefix_j + s_j * (k - j + 1) <= T`` (even a level of s_j
+    fits the budget — the saturated set is prefix-closed in this
+    order); the unsaturated share ``T - sum(saturated sizes)`` as
+    ``div`` each plus one extra for the first ``mod`` of them by
+    cluster id. Every unsaturated cluster has size > level, so the
+    +1 grants never exceed capacity and the total is exact.
+
+    Scale shape: C fused codegen cosines per row (no Python, no
+    shuffle), one k-group count, k-row window math on the driver-size
+    allocation frame, then a broadcast quota join + ONE cluster-keyed
+    window for the hash-order fill — the same single-exchange shape
+    as `stratified_exact_sample`, with clusters (corpus/C sized)
+    bounding every per-partition sort.
+    """
+    if total_rows < 0:
+        raise ValueError("total_rows must be >= 0")
+    assigned = assign_ivf_cells(
+        ensure_min_parallelism(df), centroids, vec_col=vec_col, id_col=id_col
+    ).select(id_col, F.col("centroid_id").alias("cluster_id"))
+    sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("__sz"))
+    w = Window.partitionBy()
+    by_size = Window.orderBy(F.col("__sz").asc(), F.col("cluster_id").asc())
+    t = F.lit(int(total_rows))
+    unsat = F.col("__k") - F.col("__m")
+    alloc = (
+        sizes.withColumn("__j", F.row_number().over(by_size))
+        .withColumn(
+            "__prefix",
+            F.coalesce(
+                F.sum("__sz").over(
+                    by_size.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn("__k", F.count("*").over(w))
+        .withColumn(
+            "__sat",
+            (
+                F.col("__prefix")
+                + F.col("__sz") * (F.col("__k") - F.col("__j") + 1)
+                <= t
+            ).cast("int"),
+        )
+        .withColumn("__m", F.sum("__sat").over(w))
+        .withColumn("__p", F.sum(F.col("__sz") * F.col("__sat")).over(w))
+        .withColumn(
+            "__lev",
+            F.when(
+                unsat > 0,
+                F.expr(
+                    f"(cast({int(total_rows)} as bigint) - __p)"
+                    " div (__k - __m)"
+                ),
+            ).otherwise(F.lit(0).cast("bigint")),
+        )
+        .withColumn(
+            "__rem",
+            F.when(unsat > 0, (t - F.col("__p")) % unsat).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "__ru",
+            F.row_number().over(
+                Window.partitionBy("__sat").orderBy(F.col("cluster_id").asc())
+            ),
+        )
+        .withColumn(
+            "quota",
+            F.when(F.col("__sat") == 1, F.col("__sz")).otherwise(
+                F.col("__lev")
+                + F.when(F.col("__ru") <= F.col("__rem"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ),
+        )
+        .select("cluster_id", "quota")
+    )
+    order = Window.partitionBy("cluster_id").orderBy(
+        F.sha2(F.col(id_col).cast("string"), 256).asc(), F.col(id_col).asc()
+    )
+    return (
+        assigned.join(F.broadcast(alloc), "cluster_id")
+        .withColumn("__rn", F.row_number().over(order))
+        .filter(F.col("__rn") <= F.col("quota"))
+        .select(id_col, "cluster_id")
+    )

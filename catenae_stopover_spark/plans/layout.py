@@ -196,6 +196,63 @@ def write_bucketed(
     return spark.table(table)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style DIRECTORY partitioning (B117) — `partitionBy` writes
+    one `col=value/` subdirectory per distinct partition value, and a
+    filtered scan then prunes whole directories at PLANNING time
+    (`PartitionFilters` in the scan node, zero footer reads for pruned
+    partitions). This is the first-line layout of every 100 TB table
+    (date/source/tenant partitioning): unlike min/max skipping
+    (`write_zordered`), directory pruning is exact, free, and survives
+    any row order inside the partition.
+
+    The input is repartitioned ON the partition columns first — the
+    standard fix for the small-file explosion `partitionBy` otherwise
+    causes (every task holds an open writer PER partition value, so
+    T tasks x P values = T*P files; after the repartition each
+    partition value lands in one task). Skewed partition values
+    arrive as one task each — callers with a giant hot partition
+    should split it with a second repartition key; the AQE rebalance
+    of the single shuffle this write pays handles moderate skew.
+
+    Choose LOW-cardinality columns: directories are planning metadata
+    (a million tiny partitions is the anti-pattern — that is what
+    bucketing/Z-order are for).
+    """
+    (
+        df.repartition(*[F.col(c) for c in partition_by])
+        .write.mode(mode)
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def partition_file_counts(path: str, col: str, values: list) -> tuple[int, int]:
+    """(files_under_matching_partitions, total_files) by DIRECTORY
+    LISTING alone — the pruning a partition-aware scan planner gets
+    without opening a single footer. Matching = any `col=value/` level
+    in the file's relative path for one of ``values``. Test/inspection
+    helper (driver-side, zero data reads)."""
+    import os
+
+    wanted = {f"{col}={v}" for v in values}
+    matching = total = 0
+    for root, _dirs, files in os.walk(path):
+        parts = set(os.path.relpath(root, path).split(os.sep))
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            total += 1
+            if parts & wanted:
+                matching += 1
+    return matching, total
+
+
 def compact_files(
     spark,
     src_path: str,

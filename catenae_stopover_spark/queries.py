@@ -10332,6 +10332,187 @@ FROM drifted
 """
 
 
+def q202_partitioned_scan(spark, sf_dir):
+    """B117 (new r11): Hive-style DIRECTORY partitioning
+    (`plans.layout.write_partitioned`) — the first-line 100 TB table
+    layout (date/source/tenant): `partitionBy` writes one
+    `event_type=value/` directory per value and a filtered scan prunes
+    whole directories at planning time (exact, zero footer reads —
+    pytest pins the `PartitionFilters` plan shape on the scan node).
+    events is rewritten partitioned by event_type ONCE per
+    (session, sf_dir) (the q194/q195/q196 amortized-layout
+    precedent), then the query scans ONE partition — the lowest
+    event_type, a planning scalar both engines derive with MIN() —
+    and value-checks its content against the oracle's filtered replay
+    of the original table, with the prune gate (at most half the
+    files live under matching directories, by directory listing
+    alone) riding the row as a boolean."""
+    import hashlib
+
+    from .plans.layout import partition_file_counts, write_partitioned
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/csspark-hivepart-{tag}"
+    key = f"csspark.q202.{tag}"
+    if not spark.conf.get(key, None):
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        write_partitioned(ev, root, ["event_type"])
+        spark.conf.set(key, ev.agg(F.min("event_type")).first()[0])
+    etype = spark.conf.get(key)
+    matching, total = partition_file_counts(root, "event_type", [etype])
+    prune_effective = bool(total >= 2 and matching * 2 <= total)
+    return (
+        spark.read.parquet(root)
+        .filter(F.col("event_type") == etype)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+            F.sum(F.col("event_id") * F.col("user_id")).alias("id_checksum"),
+        )
+        .withColumn("prune_effective", F.lit(prune_effective))
+    )
+
+
+Q202_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT user_id) AS n_users,
+       ROUND(SUM(value), 3) AS sum_value,
+       CAST(SUM(event_id * user_id) AS BIGINT) AS id_checksum,
+       TRUE AS prune_effective
+FROM events
+WHERE event_type = (SELECT MIN(event_type) FROM events)
+"""
+
+
+def q203_cluster_balanced_sample(spark, sf_dir):
+    """B118 (new r11): cluster-balanced exact-size subsample
+    (`similarity.cluster_balanced_sample`) — the diversity-preserving
+    draw: EXACTLY 64 vectors spread EQUALLY across the 8 portable
+    k-means clusters (assignment is the q76/q192 literal-centroid
+    argmax), quotas by exact integer water-filling (small clusters
+    saturate, the rest share at a common level — all-integer math),
+    filled in deterministic sha2(vec_id) order. Membership is
+    value-checked — the oracle replays assignment, allocation, and
+    fill row-identically."""
+    from .operators.similarity import cluster_balanced_sample
+
+    cents = _portable_ivf_centroids(sf_dir)
+    return cluster_balanced_sample(
+        _t(spark, sf_dir, "embeddings"), cents, total_rows=64
+    )
+
+
+def _q203_oracle_sql():
+    """Built lazily (q76/q192 pattern): literal centroids from the
+    same deterministic training; assignment + the integer
+    WATER-FILLING allocation (small clusters saturate, the rest share
+    the remainder at a common level — all-integer div/mod, no FP) +
+    hash-order fill in pure SQL."""
+    sf_dir = os.environ.get("CSSPARK_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    cents = _portable_ivf_centroids(sf_dir)
+    score = lambda i: (  # noqa: E731
+        "LIST_COSINE_SIMILARITY(embedding::DOUBLE[], ["
+        + ", ".join(repr(x) for x in cents[i])
+        + "]::DOUBLE[])"
+    )
+    scores = ", ".join(score(i) for i in range(len(cents)))
+    return f"""
+WITH scored AS (
+    SELECT vec_id, [{scores}] AS cs FROM embeddings
+), assigned AS (
+    SELECT vec_id,
+           CAST(LIST_POSITION(cs, LIST_MAX(cs)) - 1 AS INTEGER)
+               AS cluster_id
+    FROM scored
+), sz AS (
+    SELECT cluster_id, COUNT(*) AS s FROM assigned GROUP BY 1
+), ordd AS (
+    SELECT cluster_id, s,
+           ROW_NUMBER() OVER (ORDER BY s, cluster_id) AS j,
+           COALESCE(SUM(s) OVER (ORDER BY s, cluster_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix,
+           COUNT(*) OVER () AS k
+    FROM sz
+), sat AS (
+    SELECT *, CASE WHEN prefix + s * (k - j + 1) <= 64
+                   THEN 1 ELSE 0 END AS is_sat
+    FROM ordd
+), lvl AS (
+    SELECT *, SUM(is_sat) OVER () AS m,
+           SUM(s * is_sat) OVER () AS p
+    FROM sat
+), q AS (
+    SELECT cluster_id, s, is_sat,
+           CASE WHEN k - m > 0 THEN (64 - p) // (k - m) ELSE 0 END AS lev,
+           CASE WHEN k - m > 0 THEN (64 - p) % (k - m) ELSE 0 END AS rem,
+           ROW_NUMBER() OVER (PARTITION BY is_sat ORDER BY cluster_id)
+               AS ru
+    FROM lvl
+), quota AS (
+    SELECT cluster_id,
+           CASE WHEN is_sat = 1 THEN s
+                ELSE lev + CASE WHEN ru <= rem THEN 1 ELSE 0 END
+           END AS quota
+    FROM q
+), ranked AS (
+    SELECT a.vec_id, a.cluster_id, q.quota,
+           ROW_NUMBER() OVER (
+               PARTITION BY a.cluster_id
+               ORDER BY SHA256(CAST(a.vec_id AS VARCHAR)), a.vec_id
+           ) AS rn
+    FROM assigned a JOIN quota q USING (cluster_id)
+)
+SELECT vec_id, cluster_id FROM ranked WHERE rn <= quota
+"""
+
+
+def q204_cross_source_dedup(spark, sf_dir):
+    """B119 (new r11): cross-source dedup attribution matrix
+    (`dedup.cross_source_dedup_matrix`) — when doc-level dedup drops
+    a document, WHICH source loses it to WHICH other source's copy.
+    The base corpus has zero exact duplicates (verified), so the
+    query APPENDS a deterministic mirror (the q191/q193 augmentation
+    precedent): every doc_id % 3 == 0 document is duplicated under
+    `source || '-mirror'` with a +10M id, so every mirror loses its
+    group to the original and the matrix carries real cross-source
+    mass. The oracle replays the augmentation, the keep-first window,
+    and the (loser, winner) aggregate."""
+    from .operators.dedup import cross_source_dedup_matrix
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    copies = d.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+        "text",
+        F.concat(F.col("source"), F.lit("-mirror")).alias("source"),
+    )
+    return cross_source_dedup_matrix(d.unionByName(copies))
+
+
+Q204_SQL = """
+WITH aug AS (
+    SELECT doc_id, text, source FROM documents
+    UNION ALL
+    SELECT doc_id + 10000000, text, source || '-mirror'
+    FROM documents WHERE doc_id % 3 = 0
+), r AS (
+    SELECT source, text,
+           ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn,
+           FIRST_VALUE(source) OVER (PARTITION BY text ORDER BY doc_id)
+               AS winner_source
+    FROM aug
+)
+SELECT source AS loser_source, winner_source,
+       COUNT(*) AS n_docs_lost,
+       COUNT(DISTINCT text) AS n_groups
+FROM r WHERE rn > 1
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -10423,6 +10604,12 @@ QUERIES: dict[str, tuple] = {
     "q199_cdc_chunk_dedup": (q199_cdc_chunk_dedup, Q199_SQL),
     "q200_source_unigram_kl": (q200_source_unigram_kl, Q200_SQL),
     "q201_schema_evolution_scan": (q201_schema_evolution_scan, Q201_SQL),
+    "q202_partitioned_scan": (q202_partitioned_scan, Q202_SQL),
+    "q203_cluster_balanced_sample": (
+        q203_cluster_balanced_sample,
+        _q203_oracle_sql,
+    ),
+    "q204_cross_source_dedup": (q204_cross_source_dedup, Q204_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -10625,14 +10812,23 @@ _R11_WINDOW = [
     "q108_collapse_parity_gate",
     "q158_curation_pipeline", "q163_curation_pipeline_v2",
     "q171_source_purity",
-    "q29_cosine_topk", "q63_cosine_topk_numpy",
+    "q63_cosine_topk_numpy",
     "q04_rollup_qty", "q140_retrieval_eval", "q142_touch_attribution",
     "q144_temperature_mixture", "q145_contamination_score",
     "q146_truncated_prefilter_topk", "q148_incremental_embedding",
     "q149_deletion_neighborhood", "q151_containment_pairs",
     "q154_length_buckets", "q156_importance_weights",
     "q157_repeated_spans", "q159_pmi_pairs",
-    "q27_exact_dedup", "q52_multimodal_features",
+    # --- (2e) NEW in the r11 continuation — B117 partitioned layout,
+    # --- B118 cluster-balanced sample, B119 dedup attribution matrix.
+    # --- Per standing policy (2)-over-(3) they displace the freshest
+    # --- window rows: q29 (r8 evidence; its r11 kernel-guard change is
+    # --- the numpy path, which q63 — kept — actually exercises) and
+    # --- q27/q52 (r6, both families otherwise covered in-window by
+    # --- q204's exact-hash keep-first and q137's phash gate; they head
+    # --- the r12 fill with q58-q62).
+    "q202_partitioned_scan", "q203_cluster_balanced_sample",
+    "q204_cross_source_dedup",
     "q196_compact_files", "q197_vocab_scaling",
     "q198_wilson_quality_rank", "q199_cdc_chunk_dedup",
     "q200_source_unigram_kl", "q201_schema_evolution_scan",

@@ -1,0 +1,184 @@
+"""B117–B119 (r11 continuation) operator invariants: Hive-partitioned
+layout (content identity, directory pruning, PartitionFilters plan
+shape, small-file guard), cluster-balanced exact sampling (exact
+total, equal spread, cap redistribution, determinism), and the
+cross-source dedup attribution matrix (keep-first winners, empty on
+a dup-free corpus, NUL-byte non-collision)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.operators.dedup import cross_source_dedup_matrix
+from catenae_stopover_spark.operators.similarity import (
+    cluster_balanced_sample,
+)
+from catenae_stopover_spark.plans import explain_str
+from catenae_stopover_spark.plans.layout import (
+    partition_file_counts,
+    write_partitioned,
+)
+
+# ---------------------------------------------------- write_partitioned
+
+
+def _events(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 37).alias("user_id"),
+        F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias(
+            "event_type"
+        ),
+        (F.col("id") * 1.5).alias("value"),
+    )
+
+
+def test_write_partitioned_content_identity(spark, tmp_path):
+    src = _events(spark)
+    root = str(tmp_path / "part")
+    write_partitioned(src, root, ["event_type"])
+    back = spark.read.parquet(root).select(*src.columns)
+    assert back.exceptAll(src).count() == 0
+    assert src.exceptAll(back).count() == 0
+
+
+def test_write_partitioned_prunes_directories(spark, tmp_path):
+    root = str(tmp_path / "part")
+    write_partitioned(_events(spark), root, ["event_type"])
+    matching, total = partition_file_counts(root, "event_type", ["t0"])
+    assert 0 < matching < total
+    # 5 partition values: one value's files are at most a fifth-ish
+    assert matching * 2 <= total
+    # the scan node itself must carry the partition predicate —
+    # directory pruning happens at planning, not as a data filter
+    plan = explain_str(
+        spark.read.parquet(root).filter(F.col("event_type") == "t0"),
+        "formatted",
+    )
+    assert "PartitionFilters" in plan
+    assert "event_type" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_write_partitioned_one_file_per_partition(spark, tmp_path):
+    """The pre-write repartition ON the partition columns is the
+    small-file guard: without it every task writes every value (T*P
+    files); with it each value lands in one task -> one file."""
+    root = str(tmp_path / "part")
+    write_partitioned(_events(spark).repartition(8), root, ["event_type"])
+    for d in os.listdir(root):
+        if not d.startswith("event_type="):
+            continue
+        n = sum(
+            1
+            for f in os.listdir(os.path.join(root, d))
+            if f.endswith(".parquet")
+        )
+        assert n == 1, f"{d} has {n} files"
+
+
+# ---------------------------------------------- cluster_balanced_sample
+
+_CENTS = [[1.0, 0.0], [0.0, 1.0]]
+
+
+def _vecs(spark, n_a, n_b):
+    rows = [(i, [1.0, 0.01 * (i % 7)]) for i in range(n_a)] + [
+        (1000 + i, [0.01 * (i % 5), 1.0]) for i in range(n_b)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_balanced_sample_equal_spread(spark):
+    got = cluster_balanced_sample(
+        _vecs(spark, 10, 6), _CENTS, total_rows=8
+    ).collect()
+    assert len(got) == 8
+    per = {}
+    for r in got:
+        per[r.cluster_id] = per.get(r.cluster_id, 0) + 1
+    assert per == {0: 4, 1: 4}
+
+
+def test_balanced_sample_cap_redistributes(spark):
+    """Equal share 4/4 but cluster 1 only has 2 rows: its shortfall
+    must flow to cluster 0 so the total stays exact."""
+    got = cluster_balanced_sample(
+        _vecs(spark, 10, 2), _CENTS, total_rows=8
+    ).collect()
+    per = {}
+    for r in got:
+        per[r.cluster_id] = per.get(r.cluster_id, 0) + 1
+    assert per == {0: 6, 1: 2}
+
+
+def test_balanced_sample_deterministic_and_total_capped(spark):
+    df = _vecs(spark, 9, 7)
+    a = {r.vec_id for r in cluster_balanced_sample(df, _CENTS, 10).collect()}
+    b = {r.vec_id for r in cluster_balanced_sample(df, _CENTS, 10).collect()}
+    assert a == b and len(a) == 10
+    # asking for more than |df| returns everything, exactly once
+    allr = cluster_balanced_sample(df, _CENTS, 100).collect()
+    assert len(allr) == 16
+    assert len({r.vec_id for r in allr}) == 16
+
+
+def test_balanced_sample_water_filling_level(spark):
+    """Sizes [10, 5, 2, 3], budget 16: the 2- and 3-clusters saturate,
+    the remaining 11 water-fill to level 5 with the +1 going to the
+    lower cluster id -> [6, 5, 2, 3] (a one-round largest-remainder
+    cap scheme would strand part of the overflow)."""
+    cents = [
+        [1.0, 0.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0, 0.0],
+        [0.0, 0.0, 0.0, 1.0],
+    ]
+    rows = []
+    for cid, n in enumerate([10, 5, 2, 3]):
+        for i in range(n):
+            v = [0.01 * (i % 3)] * 4
+            v[cid] = 1.0
+            rows.append((100 * cid + i, v))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = cluster_balanced_sample(df, cents, total_rows=16).collect()
+    per = {}
+    for r in got:
+        per[r.cluster_id] = per.get(r.cluster_id, 0) + 1
+    assert per == {0: 6, 1: 5, 2: 2, 3: 3}
+
+
+# ------------------------------------------- cross_source_dedup_matrix
+
+
+def _matrix(spark, rows):
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    return {
+        (r.loser_source, r.winner_source): (r.n_docs_lost, r.n_groups)
+        for r in cross_source_dedup_matrix(df).collect()
+    }
+
+
+def test_cross_source_matrix_keep_first(spark):
+    rows = [
+        (1, "t1", "A"),
+        (2, "t1", "B"),  # loses t1 to A
+        (3, "t2", "B"),
+        (4, "t2", "B"),  # intra-source B loss
+        (5, "t3", "C"),  # unique, no row
+    ]
+    assert _matrix(spark, rows) == {("B", "A"): (1, 1), ("B", "B"): (1, 1)}
+
+
+def test_cross_source_matrix_empty_without_dups(spark):
+    rows = [(1, "a", "A"), (2, "b", "B"), (3, "c", "C")]
+    assert _matrix(spark, rows) == {}
+
+
+def test_cross_source_matrix_nul_byte_no_collision(spark):
+    """sha2 over a StringType truncates at NUL JVM-side, colliding ''
+    with '\\x00' — the operator hashes UTF-8 BYTES (exact_dedup's
+    rationale), so these two must NOT form a duplicate group."""
+    rows = [(1, "", "A"), (2, "\x00", "B")]
+    assert _matrix(spark, rows) == {}
