@@ -340,3 +340,97 @@ def margin_bitext_mine(
             "margin",
         )
     )
+
+
+# Cumulative Poisson(1) CDF quantized to 32-bit integer thresholds:
+# T_j = floor(P(X <= j) * 2^32) for j = 0..7. A row's bootstrap weight
+# under replicate b is #{j : hash32(id, b) >= T_j} — a Poisson(1)
+# draw (truncated at 8; P(X > 8) < 1.1e-6) derived from PURE INTEGER
+# comparisons against these literals, so any engine replays it
+# bit-identically (the weight derivation has zero floating point).
+import math as _math
+
+POISSON1_CDF_T32 = tuple(
+    int(
+        _math.floor(
+            sum(_math.exp(-1) / _math.factorial(i) for i in range(j + 1))
+            * 2**32
+        )
+    )
+    for j in range(8)
+)
+
+
+def poisson_bootstrap_means(
+    df: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    replicates: int = 64,
+) -> DataFrame:
+    """Poisson bootstrap (B120) — the bootstrap that scales: instead
+    of materializing B resampled copies of the corpus (the classic
+    bootstrap, B full shuffles of 100 TB), every row independently
+    receives a Poisson(1) multiplicity per replicate (Chamandy et al.
+    2012, "Estimating Uncertainty for Massive Data Streams" — the
+    n->inf limit of multinomial resampling), so B replicate means come
+    out of ONE pass: a map-side explode of B replicate ids and a
+    B-group aggregate whose shuffle is partitions x B partial rows.
+    Percentiles of the returned B-row frame are the confidence
+    interval of the mean — the uncertainty attached to every corpus
+    metric (mean quality, dup rate, tokens/doc) that a 100 TB point
+    estimate otherwise lacks.
+
+    Determinism / portability: the multiplicity is derived from the
+    first 8 hex chars of sha2-256(id ':' replicate) compared against
+    the 8 integer literals of `POISSON1_CDF_T32` (floor of the
+    Poisson(1) CDF x 2^32) — all-integer, no RNG state, no FP until
+    the final mean, which is rounded-6 on both engines. Truncation at
+    weight 8 loses P(X > 8) < 1.1e-6 of draws, quantization moves
+    each threshold by < 2^-32 — both far below bootstrap noise and
+    identical on every engine.
+
+    Returns (replicate, n_eff, rep_mean): the effective resample
+    size and the weighted mean per replicate, NULL mean if a
+    replicate drew nothing (possible only on toy inputs).
+    """
+    if replicates <= 0:
+        raise ValueError("replicates must be > 0")
+    h = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("replicate").cast("string"),
+                ),
+                256,
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = None
+    for t in POISSON1_CDF_T32:
+        ind = (h >= F.lit(t)).cast("int")
+        w = ind if w is None else w + ind
+    exploded = df.select(
+        F.col(id_col),
+        F.col(value_col).cast("double").alias("__x"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(replicates) - 1))
+        ).alias("replicate"),
+    ).withColumn("__w", w)
+    agg = exploded.groupBy("replicate").agg(
+        F.sum("__w").cast("bigint").alias("n_eff"),
+        F.sum(F.col("__w") * F.col("__x")).alias("__s"),
+    )
+    return agg.select(
+        "replicate",
+        "n_eff",
+        F.when(
+            F.col("n_eff") > 0,
+            F.round(F.col("__s") / F.col("n_eff"), 6) + F.lit(0.0),
+        ).alias("rep_mean"),
+    )

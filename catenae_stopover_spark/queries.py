@@ -10513,6 +10513,50 @@ GROUP BY 1, 2
 """
 
 
+def q205_bootstrap_ci(spark, sf_dir):
+    """B120 (new r11): Poisson bootstrap replicate means
+    (`evaluation.poisson_bootstrap_means`) — 64 bootstrap replicates
+    of mean document length in ONE pass (per-row Poisson(1)
+    multiplicities from integer hash-threshold comparisons; no
+    resample materialization, no RNG state). Percentiles of the
+    64-row frame are the CI of the mean — the uncertainty a 100 TB
+    point estimate otherwise lacks. Every replicate mean is
+    value-checked; n_chars is integer-valued so every weighted sum is
+    exactly representable and the means carry no FP-order channel."""
+    from .operators.evaluation import poisson_bootstrap_means
+
+    return poisson_bootstrap_means(
+        _t(spark, sf_dir, "documents"), "n_chars", replicates=64
+    )
+
+
+def _q205_oracle_sql():
+    """Static replay: the Poisson(1) CDF thresholds are module
+    constants (floor(cdf * 2^32)), the hash is the q197 '0x'||substr
+    idiom, the weight is the same 8 integer comparisons."""
+    from .operators.evaluation import POISSON1_CDF_T32
+
+    wsum = " + ".join(
+        f"CASE WHEN h >= {t} THEN 1 ELSE 0 END" for t in POISSON1_CDF_T32
+    )
+    return f"""
+WITH reps AS (
+    SELECT CAST(b AS INTEGER) AS replicate FROM RANGE(64) t(b)
+), ex AS (
+    SELECT r.replicate, CAST(d.n_chars AS DOUBLE) AS x,
+           ('0x' || SUBSTR(SHA256(CAST(d.doc_id AS VARCHAR) || ':' ||
+               CAST(r.replicate AS VARCHAR)), 1, 8))::BIGINT AS h
+    FROM documents d CROSS JOIN reps r
+), wt AS (
+    SELECT replicate, x, ({wsum}) AS w FROM ex
+)
+SELECT replicate, CAST(SUM(w) AS BIGINT) AS n_eff,
+       CASE WHEN SUM(w) > 0
+            THEN ROUND(SUM(w * x) / SUM(w), 6) + 0.0 END AS rep_mean
+FROM wt GROUP BY replicate
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -10610,6 +10654,10 @@ QUERIES: dict[str, tuple] = {
         _q203_oracle_sql,
     ),
     "q204_cross_source_dedup": (q204_cross_source_dedup, Q204_SQL),
+    # --- B120 (r11 continuation, below the 50-line — the r8
+    # --- q185-q189 precedent: check_oracle-verified locally this
+    # --- round, heads the r12 rotation under standing policy (2)).
+    "q205_bootstrap_ci": (q205_bootstrap_ci, _q205_oracle_sql),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),

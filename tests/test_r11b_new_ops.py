@@ -182,3 +182,53 @@ def test_cross_source_matrix_nul_byte_no_collision(spark):
     rationale), so these two must NOT form a duplicate group."""
     rows = [(1, "", "A"), (2, "\x00", "B")]
     assert _matrix(spark, rows) == {}
+
+
+# ---------------------------------------------- poisson_bootstrap_means
+
+
+def test_poisson_bootstrap_shape_and_mass(spark):
+    """B replicates out; each replicate's effective size concentrates
+    around N (Poisson(1) per row: E[n_eff] = N, sd = sqrt(N))."""
+    import pytest as _pytest
+
+    from catenae_stopover_spark.operators.evaluation import (
+        poisson_bootstrap_means,
+    )
+
+    n = 400
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("n_chars")
+    )
+    rows = poisson_bootstrap_means(df, "n_chars", replicates=32).collect()
+    assert len(rows) == 32
+    assert len({r.replicate for r in rows}) == 32
+    for r in rows:  # 8-sigma band around N
+        assert abs(r.n_eff - n) < 8 * n**0.5
+    means = {r.rep_mean for r in rows}
+    assert len(means) > 1  # resampling actually varies the mean
+    with _pytest.raises(ValueError):
+        poisson_bootstrap_means(df, "n_chars", replicates=0)
+
+
+def test_poisson_bootstrap_deterministic(spark):
+    from catenae_stopover_spark.operators.evaluation import (
+        poisson_bootstrap_means,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") * 3 % 53).alias("v")
+    )
+    a = sorted(
+        (r.replicate, r.n_eff, r.rep_mean)
+        for r in poisson_bootstrap_means(
+            df, "v", id_col="doc_id", replicates=16
+        ).collect()
+    )
+    b = sorted(
+        (r.replicate, r.n_eff, r.rep_mean)
+        for r in poisson_bootstrap_means(
+            df, "v", id_col="doc_id", replicates=16
+        ).collect()
+    )
+    assert a == b

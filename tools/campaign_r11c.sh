@@ -1,0 +1,22 @@
+#!/bin/bash
+# r11c: 100x co-runs for the operators added in the r11 continuation
+# (q202-q204) plus q201, whose B116 row landed too late for the r11b
+# batch and has no SCALING entry yet.
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/campaign_r11c.log
+echo "=== campaign r11c start $(date -u +%H:%M:%S) ===" >> "$LOG"
+corun() {
+  local dir=$1 eng=$2 q=$3 tmo=$4
+  echo "--- corun $q [$eng] @ $dir $(date -u +%H:%M:%S)" >> "$LOG"
+  CORUN_ONLY="$q" CORUN_ENGINES="$eng" timeout "$tmo" \
+    python tools/stress_coruns_r7.py "$dir" >> "$LOG" 2>&1 \
+    || echo "$q $eng TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+}
+for q in q201_schema_evolution_scan q202_partitioned_scan \
+         q205_bootstrap_ci \
+         q203_cluster_balanced_sample q204_cross_source_dedup; do
+  corun /tmp/stress-x100 spark  "$q" 3600
+  corun /tmp/stress-x100 duckdb "$q" 3600
+done
+echo "=== campaign r11c done $(date -u +%H:%M:%S) ===" >> "$LOG"
