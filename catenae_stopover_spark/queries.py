@@ -10557,6 +10557,76 @@ FROM wt GROUP BY replicate
 """
 
 
+def q206_stream_partitioned_ingest(spark, sf_dir):
+    """B121 (new r11): streaming ingest into a Hive-partitioned table
+    + small-file compaction — the PRODUCTION sink-maintenance loop at
+    100 TB: a streaming parquet sink (`io.sinks.parquet_sink`,
+    exactly-once via the checkpoint + file-manifest commit protocol)
+    appends each micro-batch partitioned by event_type, which is
+    precisely the writer shape that shatters a table into small files
+    (files ~ batches x partitions x tasks); `compact_files` (B111)
+    then bin-packs the sink directory. The query aggregates the
+    COMPACTED table per event_type, so the oracle (same aggregate
+    over the original events) proves the stream->sink->maintenance
+    chain lost/duplicated nothing, with the maintenance gate (file
+    count strictly shrank) riding the rows. Ingest + compaction run
+    ONCE per (session, sf_dir) — the amortized-layout precedent."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from .io.sinks import parquet_sink
+    from .plans.layout import compact_files
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    raw = f"/tmp/csspark-streamsink-{tag}"
+    dst = f"/tmp/csspark-streamsink-c-{tag}"
+    key = f"csspark.q206.{tag}"
+    if not spark.conf.get(key, None):
+        shutil.rmtree(raw, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        stream = _replay_events(spark, sf_dir).select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        q = parquet_sink(
+            stream,
+            raw,
+            tempfile.mkdtemp(prefix="csspark-q206-ckpt-"),
+            available_now=True,
+            partition_by=["event_type"],
+        )
+        q.awaitTermination(600)
+        spark.conf.set(key, str(compact_files(spark, raw, dst, target_mb=64)))
+    n_after = int(spark.conf.get(key))
+    n_raw = sum(
+        1
+        for _r, _d, fs in os.walk(raw)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    maintained = bool(n_after < n_raw)
+    return (
+        spark.read.parquet(dst)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+            F.sum(F.col("event_id") * F.col("user_id")).alias("id_checksum"),
+        )
+        .withColumn("maintained", F.lit(maintained))
+    )
+
+
+Q206_SQL = """
+SELECT event_type, COUNT(*) AS n_rows,
+       ROUND(SUM(value), 3) AS sum_value,
+       CAST(SUM(event_id * user_id) AS BIGINT) AS id_checksum,
+       TRUE AS maintained
+FROM events GROUP BY event_type
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -10658,6 +10728,10 @@ QUERIES: dict[str, tuple] = {
     # --- q185-q189 precedent: check_oracle-verified locally this
     # --- round, heads the r12 rotation under standing policy (2)).
     "q205_bootstrap_ci": (q205_bootstrap_ci, _q205_oracle_sql),
+    "q206_stream_partitioned_ingest": (
+        q206_stream_partitioned_ingest,
+        Q206_SQL,
+    ),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
