@@ -1762,12 +1762,79 @@ def prototype_diversity_filter(
     )
 
 
+def _assign_cells_auto(
+    df: DataFrame,
+    centroids: list,
+    vec_col: str = "vec",
+    id_col: str = "vec_id",
+    _force_kernel: bool | None = None,
+) -> DataFrame:
+    """(id, cluster_id) nearest-centroid assignment with the SAME
+    kernel crossover `prototype_diversity_filter` adjudicated at
+    1000x: C fused codegen cosine expressions for small inputs (the
+    oracle-replayable path), ONE BLAS n x d @ d x C matmul per Arrow
+    batch above the 2 MiB file-size threshold (the q203 100x co-run
+    read 14x behind DuckDB on the expression path at 50k x 64d —
+    exactly the q192 2.25x failure mode, same fix). numpy argmax
+    takes the FIRST max, matching the expression path's struct-max
+    lowest-index tie rule, so both paths assign identically."""
+    use_kernel = (
+        _force_kernel
+        if _force_kernel is not None
+        else _estimated_bytes(df) >= 2 * 2**20
+    )
+    if not use_kernel:
+        return assign_ivf_cells(
+            df, centroids, vec_col=vec_col, id_col=id_col
+        ).select(id_col, F.col("centroid_id").alias("cluster_id"))
+
+    cmat_list = [[float(x) for x in c] for c in centroids]
+    id_type = dict(df.dtypes)[id_col]
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        c = np.asarray(cmat_list, dtype=np.float64)  # C x d
+        cn = np.sqrt(np.einsum("ij,ij->i", c, c))
+        d = c.shape[1]
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            vcol = b.column("__v")
+            lens = np.diff(np.asarray(vcol.offsets, dtype=np.int64))
+            if vcol.null_count or (lens.size and (lens != d).any()):
+                raise ValueError(
+                    "ragged or null vectors: cell assignment needs "
+                    f"fixed dim {d} non-null input"
+                )
+            m = np.asarray(vcol.flatten(), dtype=np.float64).reshape(
+                b.num_rows, d
+            )
+            mn = np.sqrt(np.einsum("ij,ij->i", m, m))
+            dots = m @ c.T  # n x C
+            denom = mn[:, None] * cn[None, :]
+            valid = denom > 0.0
+            cos = np.zeros_like(dots)
+            np.divide(dots, denom, out=cos, where=valid)
+            idx = np.argmax(cos, axis=1)  # first max = lowest index
+            yield pa.RecordBatch.from_arrays(
+                [b.column(id_col), pa.array(idx.astype(np.int32))],
+                [id_col, "cluster_id"],
+            )
+
+    return df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    ).mapInArrow(assign, f"{id_col} {id_type}, cluster_id int")
+
+
 def cluster_balanced_sample(
     df: DataFrame,
     centroids: list,
     total_rows: int,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    _force_kernel: bool | None = None,
 ) -> DataFrame:
     """Cluster-BALANCED exact-size subsample (B118): assign every
     vector to its nearest literal centroid (`assign_ivf_cells` — the
@@ -1808,18 +1875,24 @@ def cluster_balanced_sample(
     cluster id. Every unsaturated cluster has size > level, so the
     +1 grants never exceed capacity and the total is exact.
 
-    Scale shape: C fused codegen cosines per row (no Python, no
-    shuffle), one k-group count, k-row window math on the driver-size
-    allocation frame, then a broadcast quota join + ONE cluster-keyed
-    window for the hash-order fill — the same single-exchange shape
-    as `stratified_exact_sample`, with clusters (corpus/C sized)
-    bounding every per-partition sort.
+    Scale shape: assignment via `_assign_cells_auto` (C fused codegen
+    cosines small, ONE BLAS matmul per Arrow batch above 2 MiB — the
+    q192/q203 crossover; both paths assign identically, parity
+    pytest-pinned), one k-group count, k-row window math on the
+    driver-size allocation frame, then a broadcast quota join + ONE
+    cluster-keyed window for the hash-order fill — the same
+    single-exchange shape as `stratified_exact_sample`, with clusters
+    (corpus/C sized) bounding every per-partition sort.
     """
     if total_rows < 0:
         raise ValueError("total_rows must be >= 0")
-    assigned = assign_ivf_cells(
-        ensure_min_parallelism(df), centroids, vec_col=vec_col, id_col=id_col
-    ).select(id_col, F.col("centroid_id").alias("cluster_id"))
+    assigned = _assign_cells_auto(
+        ensure_min_parallelism(df),
+        centroids,
+        vec_col=vec_col,
+        id_col=id_col,
+        _force_kernel=_force_kernel,
+    )
     sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("__sz"))
     w = Window.partitionBy()
     by_size = Window.orderBy(F.col("__sz").asc(), F.col("cluster_id").asc())

@@ -232,3 +232,31 @@ def test_poisson_bootstrap_deterministic(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_balanced_sample_kernel_expression_parity(spark):
+    """The BLAS mapInArrow assignment (the >=2 MiB path — the q203
+    100x co-run read 14x on the expression path) must select the
+    IDENTICAL sample as the codegen expression path: numpy argmax's
+    first-max tie rule == the struct-max lowest-index rule."""
+    import random
+
+    rng = random.Random(7)
+    cents = [[1.0, 0.2, 0.0], [0.1, 1.0, 0.3], [0.0, 0.4, 1.0]]
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(3)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    expr_path = sorted(
+        (r.vec_id, r.cluster_id)
+        for r in cluster_balanced_sample(
+            df, cents, 50, _force_kernel=False
+        ).collect()
+    )
+    kern_path = sorted(
+        (r.vec_id, r.cluster_id)
+        for r in cluster_balanced_sample(
+            df, cents, 50, _force_kernel=True
+        ).collect()
+    )
+    assert expr_path == kern_path and len(expr_path) == 50
