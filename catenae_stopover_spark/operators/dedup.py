@@ -2536,24 +2536,33 @@ def cross_source_dedup_matrix(
     the number of distinct content groups involved. Diagonal rows
     (loser == winner) are intra-source duplication.
 
-    Scale shape: one map computing the 32-byte digest, ONE window
-    over the digest (fixed-width shuffle key; skew concentrates only
-    on truly-identical text, self-capped by the dedup itself exactly
-    as in `dedup_segments`), then a tiny |sources|^2-bounded groupBy.
-    No joins, no text shuffled twice — the text column is dropped
-    before the exchange.
+    Scale shape: one map computing a 128-bit xxhash64 PAIR of the
+    UTF-8 bytes (the B98 anchor precedent: a 16-byte JVM-intrinsic
+    shuffle key — the sha2 hex-string key this started with is 64
+    CHARS on the wire and an order of magnitude slower to compute;
+    the 1000x co-run read 2.3x on it, 1.5x on this), ONE window over
+    the digest pair (skew concentrates only on truly-identical text,
+    self-capped by the dedup itself exactly as in `dedup_segments`),
+    then a tiny |sources|^2-bounded groupBy. No joins, no text
+    shuffled twice — the text column is dropped before the exchange.
+    128-bit collisions are the accepted B98/B99 regime (~1e-21 at a
+    billion docs); the exact_dedup sha2 key remains the archival
+    form.
     """
     from pyspark.sql import Window
 
+    b = F.encode(F.col(text_col), "UTF-8")
     h = df.select(
-        F.sha2(F.encode(F.col(text_col), "UTF-8"), 256).alias("__h"),
+        F.xxhash64(b).alias("__h1"),
+        F.xxhash64(b, F.lit(1)).alias("__h2"),
         F.col(id_col).alias("__id"),
         F.col(source_col).alias("__src"),
     )
-    w = Window.partitionBy("__h").orderBy("__id")
+    w = Window.partitionBy("__h1", "__h2").orderBy("__id")
     ranked = h.select(
         "__src",
-        "__h",
+        "__h1",
+        "__h2",
         F.row_number().over(w).alias("__rn"),
         F.first("__src").over(w).alias("winner_source"),
     )
@@ -2564,6 +2573,6 @@ def cross_source_dedup_matrix(
         )
         .agg(
             F.count("*").alias("n_docs_lost"),
-            F.count_distinct("__h").alias("n_groups"),
+            F.count_distinct("__h1", "__h2").alias("n_groups"),
         )
     )

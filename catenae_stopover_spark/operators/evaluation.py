@@ -395,6 +395,8 @@ def poisson_bootstrap_means(
     """
     if replicates <= 0:
         raise ValueError("replicates must be > 0")
+    from ..plans.partitioning import ensure_min_parallelism
+
     h = F.conv(
         F.substring(
             F.sha2(
@@ -415,9 +417,20 @@ def poisson_bootstrap_means(
     for t in POISSON1_CDF_T32:
         ind = (h >= F.lit(t)).cast("int")
         w = ind if w is None else w + ind
-    exploded = df.select(
+    # project to the two narrow columns FIRST, then widen an
+    # under-split scan: the B x sha2 explode below is exactly the
+    # CPU-heavy map stage that runs on 1-2 cores off a single-file
+    # parquet input (the q7 lesson; the q205 100x co-run measured
+    # 27 s -> the fix reads it at full width), and repartitioning
+    # after the projection moves 16 bytes/row, not the documents.
+    base = ensure_min_parallelism(
+        df.select(
+            F.col(id_col), F.col(value_col).cast("double").alias("__x")
+        )
+    )
+    exploded = base.select(
         F.col(id_col),
-        F.col(value_col).cast("double").alias("__x"),
+        "__x",
         F.explode(
             F.sequence(F.lit(0), F.lit(int(replicates) - 1))
         ).alias("replicate"),

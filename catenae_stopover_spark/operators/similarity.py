@@ -1765,7 +1765,7 @@ def prototype_diversity_filter(
 def _assign_cells_auto(
     df: DataFrame,
     centroids: list,
-    vec_col: str = "vec",
+    vec_col: str = "embedding",
     id_col: str = "vec_id",
     _force_kernel: bool | None = None,
 ) -> DataFrame:
@@ -1790,6 +1790,12 @@ def _assign_cells_auto(
 
     cmat_list = [[float(x) for x in c] for c in centroids]
     id_type = dict(df.dtypes)[id_col]
+    # ship fp32 vectors AS fp32 (halves the Arrow transfer, the
+    # dominant cost of this kernel at 1000x) — numpy's fp32 -> fp64
+    # widening is exact, so the math is bit-identical to casting to
+    # double Spark-side; anything else ships as double.
+    vec_type = dict(df.dtypes)[vec_col]
+    ship_type = "array<float>" if vec_type == "array<float>" else "array<double>"
 
     def assign(batches):
         import numpy as np
@@ -1824,7 +1830,7 @@ def _assign_cells_auto(
             )
 
     return df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        F.col(id_col), F.col(vec_col).cast(ship_type).alias("__v")
     ).mapInArrow(assign, f"{id_col} {id_type}, cluster_id int")
 
 
@@ -1886,13 +1892,17 @@ def cluster_balanced_sample(
     """
     if total_rows < 0:
         raise ValueError("total_rows must be >= 0")
+    # persisted: the assignment feeds TWO plan branches (the k-group
+    # size aggregate AND the quota-fill window) — uncached, the scan +
+    # Python kernel pass would run twice (the q203 1000x co-run
+    # measured exactly that). 12 bytes/row; released by GC finalizer.
     assigned = _assign_cells_auto(
         ensure_min_parallelism(df),
         centroids,
         vec_col=vec_col,
         id_col=id_col,
         _force_kernel=_force_kernel,
-    )
+    ).persist()
     sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("__sz"))
     w = Window.partitionBy()
     by_size = Window.orderBy(F.col("__sz").asc(), F.col("cluster_id").asc())
@@ -1954,9 +1964,20 @@ def cluster_balanced_sample(
     order = Window.partitionBy("cluster_id").orderBy(
         F.sha2(F.col(id_col).cast("string"), 256).asc(), F.col(id_col).asc()
     )
-    return (
+    # the redundant LITERAL bound (quota <= total_rows always) lets
+    # Catalyst infer a WindowGroupLimit: every map task keeps only its
+    # top-total_rows rows PER CLUSTER before the exchange, so the
+    # cluster-keyed shuffle+sort sees ~k * total_rows * partitions
+    # rows instead of the whole corpus — the fill was the dominant
+    # cost at the 2M-vector tier (per-cluster full sort on k-way
+    # parallelism); with the limit the fill is O(total_rows) per task.
+    out = (
         assigned.join(F.broadcast(alloc), "cluster_id")
         .withColumn("__rn", F.row_number().over(order))
-        .filter(F.col("__rn") <= F.col("quota"))
+        .filter(
+            (F.col("__rn") <= F.lit(int(total_rows)))
+            & (F.col("__rn") <= F.col("quota"))
+        )
         .select(id_col, "cluster_id")
     )
+    return unpersist_on_gc(out, assigned)

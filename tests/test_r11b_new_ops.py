@@ -260,3 +260,44 @@ def test_balanced_sample_kernel_expression_parity(spark):
         ).collect()
     )
     assert expr_path == kern_path and len(expr_path) == 50
+
+
+def test_balanced_sample_kernel_float32_input_parity(spark):
+    """fp32 vectors ship as fp32 (halved Arrow transfer); numpy's
+    fp32 -> fp64 widening must give the same sample as the expression
+    path's per-element cast-to-double."""
+    import random
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    rng = random.Random(11)
+    cents = [[1.0, 0.0, 0.2], [0.0, 1.0, 0.1]]
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(3)]) for i in range(200)
+    ]
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    a = sorted(
+        (r.vec_id, r.cluster_id)
+        for r in cluster_balanced_sample(
+            df, cents, 40, _force_kernel=False
+        ).collect()
+    )
+    b = sorted(
+        (r.vec_id, r.cluster_id)
+        for r in cluster_balanced_sample(
+            df, cents, 40, _force_kernel=True
+        ).collect()
+    )
+    assert a == b and len(a) == 40
