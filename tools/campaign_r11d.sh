@@ -1,0 +1,25 @@
+#!/bin/bash
+# r11d: (a) q206 ingest+maintenance at x100; (b) third-decade
+# adjudication of the new corpus operators on the documents/embeddings
+# x1000 tier (tools/make_docs_stress_data.py — 500k docs / 500k
+# vectors), where DuckDB does >1s of real work and the x100 ratios'
+# scheduling-floor component washes out.
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/campaign_r11d.log
+echo "=== campaign r11d start $(date -u +%H:%M:%S) ===" >> "$LOG"
+corun() {
+  local dir=$1 eng=$2 q=$3 tmo=$4
+  echo "--- corun $q [$eng] @ $dir $(date -u +%H:%M:%S)" >> "$LOG"
+  CORUN_ONLY="$q" CORUN_ENGINES="$eng" timeout "$tmo" \
+    python tools/stress_coruns_r7.py "$dir" >> "$LOG" 2>&1 \
+    || echo "$q $eng TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+}
+corun /tmp/stress-x100 spark  q206_stream_partitioned_ingest 3600
+corun /tmp/stress-x100 duckdb q206_stream_partitioned_ingest 3600
+for q in q203_cluster_balanced_sample q204_cross_source_dedup \
+         q205_bootstrap_ci; do
+  corun /tmp/stress-docs-x1000 spark  "$q" 3600
+  corun /tmp/stress-docs-x1000 duckdb "$q" 3600
+done
+echo "=== campaign r11d done $(date -u +%H:%M:%S) ===" >> "$LOG"

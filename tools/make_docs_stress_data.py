@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Documents/embeddings-only stress tier: replicate ONLY the corpus
+tables REPLICAS times (id-shifted, the make_stress_data.py scheme) and
+symlink every other table from the source dir. A full x1000 tier pays
+600M lineitem rows nobody reads when the query under adjudication only
+touches documents/embeddings — this builds the 500k-doc/500k-vector
+third-decade corpus in seconds.
+
+Usage:
+    python tools/make_docs_stress_data.py [replicas] [src_sf_dir] [out_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.io.sources import load_table
+from catenae_stopover_spark.session import get_spark
+
+REPLICAS = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+SRC = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+OUT = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/stress-docs-x{REPLICAS}"
+
+REPL = {"documents": "doc_id", "embeddings": "vec_id"}
+LINKED = (
+    "region nation customer supplier part orders lineitem events"
+).split()
+
+
+def main() -> None:
+    spark = get_spark("docs-stress-data")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(OUT, exist_ok=True)
+
+    for name in LINKED:
+        dst = os.path.join(OUT, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{name}.parquet"), dst)
+
+    replicas = spark.range(REPLICAS).withColumnRenamed("id", "__r")
+    for name, key in REPL.items():
+        df = load_table(spark, SRC, name)
+        unit = df.agg(F.max(key)).head()[0] + 1
+        (
+            df.crossJoin(F.broadcast(replicas))
+            .withColumn(key, F.col(key) + F.col("__r") * F.lit(unit))
+            .drop("__r")
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(os.path.join(OUT, f"{name}.parquet"))
+        )
+        print(f"replicated {name} x{REPLICAS}")
+    print(f"docs stress tier at {OUT}")
+
+
+if __name__ == "__main__":
+    main()
