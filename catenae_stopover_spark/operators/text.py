@@ -3166,3 +3166,140 @@ def vocabulary_scaling_stats(
         ).alias("zipf_slope"),
         F.round(_ols(hn, hsx, hsy, hsxy, hsxx), 6).alias("heaps_beta"),
     )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """SPAN-level benchmark decontamination (B122) — mask the
+    contaminated n-gram spans instead of dropping the document (the
+    Llama-family release scrub): `decontaminate` (q67) flags whole
+    docs, which at 100 TB throws away a full document for one leaked
+    test sentence; this removes exactly the tokens covered by any
+    benchmark n-gram match and keeps the rest.
+
+    Per corpus doc: positional n-token shingles (the q67 tokenization
+    convention, positions kept) equi-join the DISTINCT benchmark
+    shingles (inverted index, never all-pairs; benchmark sides are
+    tiny so AQE broadcasts); every match covers token positions
+    [i, i+n-1]; the DISTINCT covered positions union overlapping
+    matches (the B99 anchor-coverage idea on positions instead of
+    intervals), islands are counted with one lag window, and removal
+    is a MAP-ONLY indexed-lambda array filter over the doc's own
+    token array — no corpus-wide explode/regroup to rebuild text.
+
+    ``max_df`` (optional) drops shingles matching more than that many
+    corpus positions before the join — the q67/q151 boilerplate
+    valve; OFF by default because a benchmark match list is already
+    bounded by the benchmark's size.
+
+    Returns every corpus doc: (id_col, clean_text, n_tokens,
+    n_removed, n_spans); uncontaminated docs pass through unchanged
+    with zeros.
+
+    Scale shape: one guarded positional-shingle explode (~tokens
+    rows), one string equi-join against the distinct benchmark
+    shingles, covered-position volume bounded by matches x n, one
+    doc-keyed lag window over covered positions only, one broadcast-
+    sized groupBy per contaminated doc, and a left join back to the
+    corpus whose removal pass is pure map. Clean docs never shuffle
+    anything but their shingles.
+    """
+    from pyspark.sql import Window
+
+    from ..plans.partitioning import ensure_min_parallelism
+
+    toks = F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
+    # widen an under-split scan BEFORE tokenizing: the positional
+    # shingle explode below is the CPU-heavy stage (the q7 lesson;
+    # the x100 co-run read 3.8x on a 1-file 500k-doc input), and
+    # repartitioning the raw (id, text) projection moves the corpus
+    # once instead of running the explode on 1-2 cores.
+    base = ensure_min_parallelism(
+        corpus.select(F.col(id_col), F.col(text_col))
+    ).select(F.col(id_col), toks.alias("__w"))
+    pos_sh = base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                f"transform(filter(sequence(0, size(__w) - 1),"
+                f" i -> i + {n} <= size(__w)),"
+                f" i -> struct(i as pos,"
+                f" array_join(slice(__w, i + 1, {n}), ' ') as shingle))"
+            )
+        ).alias("__s"),
+    ).select(id_col, F.col("__s.pos").alias("__pos"), F.col("__s.shingle"))
+    if max_df is not None:
+        hot = (
+            pos_sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") > max_df)
+            .select("shingle")
+        )
+        pos_sh = pos_sh.join(hot, "shingle", "left_anti")
+    bench_toks = F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
+    bench_sh = (
+        benchmark.select(bench_toks.alias("__bw"))
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(filter(sequence(0, size(__bw) - 1),"
+                    f" i -> i + {n} <= size(__bw)),"
+                    f" i -> array_join(slice(__bw, i + 1, {n}), ' '))"
+                )
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    covered = (
+        pos_sh.join(bench_sh, "shingle")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("__pos"), F.col("__pos") + F.lit(n - 1))
+            ).alias("__cpos"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy(id_col).orderBy("__cpos")
+    per_doc = (
+        covered.withColumn(
+            "__st",
+            F.when(
+                F.lag("__cpos").over(w) == F.col("__cpos") - 1, F.lit(0)
+            ).otherwise(F.lit(1)),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("__cpos")).alias("__cov"),
+            F.sum("__st").alias("n_spans"),
+        )
+    )
+    return (
+        base.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.array_join(
+                F.when(
+                    F.col("__cov").isNull(), F.col("__w")
+                ).otherwise(
+                    F.expr(
+                        "filter(__w, (t, i) -> not array_contains(__cov, i))"
+                    )
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.size("__w").cast("long").alias("n_tokens"),
+            F.coalesce(F.size("__cov"), F.lit(0))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("n_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_spans"),
+        )
+    )

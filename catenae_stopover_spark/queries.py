@@ -10627,6 +10627,71 @@ FROM events GROUP BY event_type
 """
 
 
+def q207_decontaminate_spans(spark, sf_dir):
+    """B122 (new r11): SPAN-level decontamination
+    (`text.decontaminate_spans`) — q67 flags whole contaminated docs;
+    this masks exactly the tokens covered by any benchmark 8-gram
+    match and keeps the rest (the release-scrub form that does not
+    throw a full document away for one leaked test sentence). Same
+    corpus/benchmark convention as q67 (doc_id >= 100 vs < 100);
+    every corpus doc comes back with its clean_text, token count,
+    removed-token count and island count, all value-checked."""
+    from .operators.text import decontaminate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return decontaminate_spans(
+        d.filter(F.col("doc_id") >= 100),
+        d.filter(F.col("doc_id") < 100),
+        n=8,
+    )
+
+
+Q207_SQL = r"""
+WITH words AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w
+    FROM documents
+), pos_grams AS (
+    SELECT doc_id, i - 1 AS pos, ARRAY_TO_STRING(w[i:i+7], ' ') AS shingle
+    FROM words,
+         UNNEST(LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                            i -> i <= LEN(w) - 8 + 1)) AS t(i)
+    WHERE doc_id >= 100
+), bench AS (
+    SELECT DISTINCT ARRAY_TO_STRING(w[i:i+7], ' ') AS shingle
+    FROM words,
+         UNNEST(LIST_FILTER(GENERATE_SERIES(1, GREATEST(LEN(w), 1)),
+                            i -> i <= LEN(w) - 8 + 1)) AS t(i)
+    WHERE doc_id < 100
+), matched AS (
+    SELECT DISTINCT g.doc_id, g.pos
+    FROM pos_grams g JOIN bench USING (shingle)
+), covered AS (
+    SELECT DISTINCT doc_id, pos + off AS cpos
+    FROM matched, UNNEST(GENERATE_SERIES(0, 7)) AS o(off)
+), isl AS (
+    SELECT doc_id, cpos,
+           CASE WHEN LAG(cpos) OVER (PARTITION BY doc_id ORDER BY cpos)
+                     = cpos - 1 THEN 0 ELSE 1 END AS st
+    FROM covered
+), per_doc AS (
+    SELECT doc_id, LIST_SORT(LIST(cpos)) AS cov, SUM(st) AS n_spans
+    FROM isl GROUP BY doc_id
+)
+SELECT w.doc_id,
+       -- ARRAY_TO_STRING of an EMPTY list is NULL in DuckDB (Spark's
+       -- array_join gives '') — fully-scrubbed docs need the COALESCE
+       COALESCE(ARRAY_TO_STRING(
+           CASE WHEN p.cov IS NULL THEN w.w
+                ELSE LIST_FILTER(w.w, (x, i) -> NOT LIST_CONTAINS(p.cov, i - 1))
+           END, ' '), '') AS clean_text,
+       CAST(LEN(w.w) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(LEN(p.cov), 0) AS BIGINT) AS n_removed,
+       CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans
+FROM words w LEFT JOIN per_doc p USING (doc_id)
+WHERE w.doc_id >= 100
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -10732,6 +10797,7 @@ QUERIES: dict[str, tuple] = {
         q206_stream_partitioned_ingest,
         Q206_SQL,
     ),
+    "q207_decontaminate_spans": (q207_decontaminate_spans, Q207_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),

@@ -301,3 +301,45 @@ def test_balanced_sample_kernel_float32_input_parity(spark):
         ).collect()
     )
     assert a == b and len(a) == 40
+
+
+# ------------------------------------------------- decontaminate_spans
+
+
+def test_decontaminate_spans_known_span(spark):
+    from catenae_stopover_spark.operators.text import decontaminate_spans
+
+    leak = "q w e r t y u i"  # 8 tokens, the benchmark 8-gram
+    corpus = spark.createDataFrame(
+        [
+            (1, "a b c d " + leak + " z1 z2 z3"),  # one 8-token island
+            (2, "clean doc with no overlap at all here ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(0, "pre " + leak + " post")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r
+        for r in decontaminate_spans(corpus, bench, n=8).collect()
+    }
+    r1 = got[1]
+    assert (r1.n_tokens, r1.n_removed, r1.n_spans) == (15, 8, 1)
+    assert r1.clean_text == "a b c d z1 z2 z3"
+    r2 = got[2]
+    assert (r2.n_removed, r2.n_spans) == (0, 0)
+    assert r2.clean_text == "clean doc with no overlap at all here ok"
+
+
+def test_decontaminate_spans_overlap_union(spark):
+    """Two overlapping matches union into ONE island; a fully-covered
+    doc comes back with empty clean_text, not NULL."""
+    from catenae_stopover_spark.operators.text import decontaminate_spans
+
+    nine = "t1 t2 t3 t4 t5 t6 t7 t8 t9"  # 9 tokens -> two 8-gram matches
+    corpus = spark.createDataFrame([(1, nine)], ["doc_id", "text"])
+    bench = spark.createDataFrame([(0, nine)], ["doc_id", "text"])
+    r = decontaminate_spans(corpus, bench, n=8).collect()[0]
+    assert (r.n_tokens, r.n_removed, r.n_spans) == (9, 9, 1)
+    assert r.clean_text == ""
