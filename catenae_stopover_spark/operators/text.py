@@ -3303,3 +3303,81 @@ def decontaminate_spans(
             .alias("n_spans"),
         )
     )
+
+
+def fim_span_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    middle_frac_ppm: int = 300_000,
+    min_tokens: int = 4,
+) -> DataFrame:
+    """Fill-in-the-middle span split (B123) — the FIM training
+    transform (Bavarian et al. 2022, "Efficient Training of Language
+    Models to Fill in the Middle"): each document is split into
+    (prefix, middle, suffix) so the training pipeline can emit
+    PSM/SPM reorderings; applied at corpus scale this is a pure MAP
+    over the token stream, zero shuffle.
+
+    Deterministic and engine-replayable by construction: the middle
+    length is ``max(1, n * middle_frac_ppm div 1e6)`` tokens and its
+    start is ``hash32(id) mod (n - m + 1)`` — the q197 sha2-prefix
+    integer idiom, no RNG state, no FP anywhere, so the exact same
+    spans come out of any engine and any cluster size, and a resumed
+    job re-derives identical splits (the property epoch_shuffle
+    already relies on). Docs under ``min_tokens`` tokens pass through
+    unsplit (``fim_applied = false``, everything in prefix).
+
+    Returns (id_col, prefix, middle, suffix, n_tokens, fim_applied).
+    """
+    toks = F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
+    h = F.conv(
+        F.substring(F.sha2(F.col(id_col).cast("string"), 256), 1, 8), 16, 10
+    ).cast("bigint")
+    staged = (
+        df.select(F.col(id_col), toks.alias("__w"), h.alias("__h"))
+        .withColumn("__n", F.size("__w"))
+        .withColumn(
+            "__m",
+            F.greatest(
+                F.lit(1),
+                F.expr(f"(size(__w) * {int(middle_frac_ppm)}) div 1000000"),
+            ).cast("int"),
+        )
+    )
+    start = (F.col("__h") % (F.col("__n") - F.col("__m") + F.lit(1))).cast(
+        "int"
+    )
+    applied = F.col("__n") >= F.lit(int(min_tokens))
+    return staged.withColumn("__s", start).select(
+        F.col(id_col),
+        F.array_join(
+            F.when(applied, F.slice("__w", F.lit(1), F.col("__s"))).otherwise(
+                F.col("__w")
+            ),
+            " ",
+        ).alias("prefix"),
+        F.when(
+            applied,
+            F.array_join(
+                F.slice("__w", F.col("__s") + F.lit(1), F.col("__m")), " "
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias("middle"),
+        F.when(
+            applied,
+            F.array_join(
+                F.slice(
+                    "__w",
+                    F.col("__s") + F.col("__m") + F.lit(1),
+                    F.col("__n"),
+                ),
+                " ",
+            ),
+        )
+        .otherwise(F.lit(""))
+        .alias("suffix"),
+        F.col("__n").cast("long").alias("n_tokens"),
+        applied.alias("fim_applied"),
+    )

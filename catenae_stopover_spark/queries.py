@@ -10692,6 +10692,47 @@ WHERE w.doc_id >= 100
 """
 
 
+def q208_fim_span_split(spark, sf_dir):
+    """B123 (new r11): fill-in-the-middle span split
+    (`text.fim_span_split`, Bavarian et al. 2022) — every doc split
+    into (prefix, middle, suffix) for PSM/SPM FIM training, middle
+    start hash-derived and all-integer (the q197 sha2-prefix idiom),
+    zero shuffle, zero FP, zero RNG state. All three span strings of
+    every doc are value-checked against the SQL replay."""
+    from .operators.text import fim_span_split
+
+    return fim_span_split(_t(spark, sf_dir, "documents"))
+
+
+Q208_SQL = r"""
+WITH words AS (
+    SELECT doc_id, REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+') AS w,
+           ('0x' || SUBSTR(SHA256(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+    FROM documents
+), staged AS (
+    SELECT doc_id, w, LEN(w) AS n,
+           GREATEST(1, (LEN(w) * 300000) // 1000000) AS m,
+           h % (LEN(w) - GREATEST(1, (LEN(w) * 300000) // 1000000) + 1) AS s,
+           LEN(w) >= 4 AS applied
+    FROM words
+)
+SELECT doc_id,
+       CASE WHEN applied
+            THEN COALESCE(ARRAY_TO_STRING(w[1:s], ' '), '')
+            ELSE ARRAY_TO_STRING(w, ' ') END AS prefix,
+       CASE WHEN applied
+            THEN COALESCE(ARRAY_TO_STRING(w[s+1:s+m], ' '), '')
+            ELSE '' END AS middle,
+       CASE WHEN applied
+            THEN COALESCE(ARRAY_TO_STRING(w[s+m+1:n], ' '), '')
+            ELSE '' END AS suffix,
+       CAST(n AS BIGINT) AS n_tokens,
+       applied AS fim_applied
+FROM staged
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -10798,6 +10839,7 @@ QUERIES: dict[str, tuple] = {
         Q206_SQL,
     ),
     "q207_decontaminate_spans": (q207_decontaminate_spans, Q207_SQL),
+    "q208_fim_span_split": (q208_fim_span_split, Q208_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),

@@ -343,3 +343,46 @@ def test_decontaminate_spans_overlap_union(spark):
     r = decontaminate_spans(corpus, bench, n=8).collect()[0]
     assert (r.n_tokens, r.n_removed, r.n_spans) == (9, 9, 1)
     assert r.clean_text == ""
+
+
+# ------------------------------------------------------- fim_span_split
+
+
+def test_fim_split_reconstructs_and_sizes(spark):
+    """prefix+middle+suffix re-concatenate to the normalized token
+    stream; middle is exactly max(1, 30% of n) tokens; short docs
+    pass through unsplit."""
+    from catenae_stopover_spark.operators.text import fim_span_split
+
+    rows = [
+        (1, "The quick Brown fox JUMPS over the lazy dog today ok"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "too short"),  # n=2 < min_tokens
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in fim_span_split(df).collect()}
+    for i, text in rows:
+        r = got[i]
+        norm = " ".join(text.lower().split())
+        joined = " ".join(s for s in (r.prefix, r.middle, r.suffix) if s)
+        assert joined == norm, (i, joined)
+        n = len(norm.split())
+        assert r.n_tokens == n
+        if n >= 4:
+            assert r.fim_applied
+            assert len(r.middle.split()) == max(1, n * 300000 // 1000000)
+        else:
+            assert not r.fim_applied
+            assert (r.prefix, r.middle, r.suffix) == (norm, "", "")
+
+
+def test_fim_split_deterministic(spark):
+    from catenae_stopover_spark.operators.text import fim_span_split
+
+    df = spark.createDataFrame(
+        [(i, f"w{j} " * 20) for i, j in enumerate(range(30))],
+        ["doc_id", "text"],
+    )
+    a = sorted(map(tuple, fim_span_split(df).collect()))
+    b = sorted(map(tuple, fim_span_split(df).collect()))
+    assert a == b
