@@ -754,3 +754,88 @@ def source_unigram_kl(
         )
         .orderBy(F.desc("kl_nats"), F.col(group_col).asc())
     )
+
+
+def chi2_source_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    top_k: int = 5,
+    min_count: int = 5,
+) -> DataFrame:
+    """Top-k chi-square-associated tokens per source (B124) — the
+    source-fingerprinting / feature-selection diagnostic: for every
+    (source, token) 2x2 contingency table against the rest of the
+    corpus, the chi-square statistic ranks which tokens are most
+    OVER-represented in that source (positive association only:
+    a*d > b*c). This is what tells a blend owner "source X is mostly
+    boilerplate markers" or "these crawl snapshots leak navigation
+    tokens" before any of it reaches training.
+
+    All counts are exact integers from ONE (source, token) groupBy;
+    the marginals come from two windows over that vocabulary-bounded
+    aggregate frame (never a second corpus scan); top-k per source is
+    a rank <= literal filter, so Catalyst runs it as WindowGroupLimit
+    (partial top-k before the exchange). The chi-square itself is
+    computed in double with an identical expression shape on both
+    engines (a,b,c,d cast first; (a*d - b*c) in double), rounded-6.
+
+    Returns (source, token, n_in_source, chi2, rank), rank 1..top_k
+    by (chi2 desc, token asc).
+
+    Scale shape: corpus-size map explode -> one (source, token)
+    groupBy with map-side partials; everything after runs on the
+    |sources| x |vocab|-bounded frame. At 100 TB the aggregate frame
+    is millions of rows, not billions — the windows are cheap by
+    construction.
+    """
+    from pyspark.sql import Window
+
+    toks = F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
+    st = (
+        df.select(F.col(source_col).alias("source"), toks.alias("__w"))
+        .select("source", F.explode("__w").alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("__a"))
+    )
+    w_tok = Window.partitionBy("token")
+    w_src = Window.partitionBy("source")
+    w_all = Window.partitionBy()
+    a = F.col("__a").cast("double")
+    nt = F.sum("__a").over(w_tok).cast("double")
+    ns = F.sum("__a").over(w_src).cast("double")
+    n = F.sum("__a").over(w_all).cast("double")
+    b = nt - a
+    c = ns - a
+    d = n - nt - ns + a
+    chi2 = (
+        n * (a * d - b * c) * (a * d - b * c)
+        / (nt * (n - nt) * ns * (n - ns))
+    )
+    # marginals FIRST (over the full vocabulary frame), THEN the
+    # min_count/positive filters — filtering before the windows would
+    # corrupt every n_t/n_s/N
+    scored = (
+        st.withColumn("__chi2", F.round(chi2, 6) + F.lit(0.0))
+        .withColumn("__pos", a * d > b * c)
+        .filter(
+            (F.col("__a") >= F.lit(int(min_count))) & F.col("__pos")
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("__chi2").desc(), F.col("token").asc()
+        )
+    )
+    return (
+        scored.withColumn("rank", rk)
+        .filter(F.col("rank") <= F.lit(int(top_k)))
+        .select(
+            "source",
+            "token",
+            F.col("__a").alias("n_in_source"),
+            F.col("__chi2").alias("chi2"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -10733,6 +10733,58 @@ FROM staged
 """
 
 
+def q209_chi2_source_tokens(spark, sf_dir):
+    """B124 (new r11): top-5 chi-square over-represented tokens per
+    source (`analytics.chi2_source_tokens`) — the source-
+    fingerprinting diagnostic: exact integer 2x2 contingency counts
+    from one (source, token) groupBy, marginals via windows over the
+    vocab-bounded frame, WindowGroupLimit top-k. Every (token, count,
+    rounded chi2, rank) value-checked."""
+    from .operators.analytics import chi2_source_tokens
+
+    return chi2_source_tokens(_t(spark, sf_dir, "documents"))
+
+
+Q209_SQL = r"""
+WITH tok AS (
+    SELECT source, t AS token
+    FROM (SELECT source,
+                 UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\s+')) AS t
+          FROM documents)
+    WHERE t <> ''
+), st AS (
+    SELECT source, token, COUNT(*) AS a FROM tok GROUP BY 1, 2
+), m AS (
+    SELECT source, token, a,
+           SUM(a) OVER (PARTITION BY token) AS nt,
+           SUM(a) OVER (PARTITION BY source) AS ns,
+           SUM(a) OVER () AS n
+    FROM st
+), casted AS (
+    SELECT source, token, a,
+           CAST(a AS DOUBLE) AS ad_, CAST(nt - a AS DOUBLE) AS bd_,
+           CAST(ns - a AS DOUBLE) AS cd_,
+           CAST(n - nt - ns + a AS DOUBLE) AS dd_,
+           CAST(nt AS DOUBLE) AS ntd, CAST(ns AS DOUBLE) AS nsd,
+           CAST(n AS DOUBLE) AS nd
+    FROM m
+), sc AS (
+    SELECT source, token, a,
+           ROUND(nd * (ad_ * dd_ - bd_ * cd_) * (ad_ * dd_ - bd_ * cd_)
+                 / (ntd * (nd - ntd) * nsd * (nd - nsd)), 6) + 0.0 AS chi2,
+           ad_ * dd_ > bd_ * cd_ AS pos
+    FROM casted
+), ranked AS (
+    SELECT source, token, a, chi2,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY chi2 DESC, token) AS rank
+    FROM sc WHERE a >= 5 AND pos
+)
+SELECT source, token, a AS n_in_source, chi2, CAST(rank AS INTEGER) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -10840,6 +10892,7 @@ QUERIES: dict[str, tuple] = {
     ),
     "q207_decontaminate_spans": (q207_decontaminate_spans, Q207_SQL),
     "q208_fim_span_split": (q208_fim_span_split, Q208_SQL),
+    "q209_chi2_source_tokens": (q209_chi2_source_tokens, Q209_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),

@@ -386,3 +386,54 @@ def test_fim_split_deterministic(spark):
     a = sorted(map(tuple, fim_span_split(df).collect()))
     b = sorted(map(tuple, fim_span_split(df).collect()))
     assert a == b
+
+
+# ----------------------------------------------------- chi2_source_tokens
+
+
+def test_chi2_source_tokens_hand_computed(spark):
+    """A: 'x'x5 + 'y'; B: 'y'x6. For (A,'x'): a=5,b=0,c=1,d=6 ->
+    chi2 = 12*(5*6-0*1)^2/(5*7*6*6) = 8.571429; (B,'y') mirrors it.
+    (A,'y') dies to min_count, and with min_count=1 it dies to the
+    positive-association filter (a*d = 0 < b*c = 30)."""
+    from catenae_stopover_spark.operators.analytics import (
+        chi2_source_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [("A", "x x x x x y"), ("B", "y y y y y y")], ["source", "text"]
+    )
+    got = {
+        (r.source, r.token): (r.n_in_source, r.chi2, r.rank)
+        for r in chi2_source_tokens(df, min_count=5).collect()
+    }
+    assert got == {
+        ("A", "x"): (5, 8.571429, 1),
+        ("B", "y"): (6, 8.571429, 1),
+    }
+    low = {
+        (r.source, r.token)
+        for r in chi2_source_tokens(df, min_count=1).collect()
+    }
+    assert low == {("A", "x"), ("B", "y")}  # (A,'y') negative-assoc
+
+
+def test_chi2_marginals_use_full_vocab(spark):
+    """Rare tokens (below min_count) must still contribute to N and
+    the source marginals — filtering before the windows would inflate
+    every chi2. 'x'x5 + 10 distinct rare tokens in A: N=21, ns(A)=15,
+    for (A,'x'): a=5,b=0,c=10,d=6 -> 21*900/(5*16*15*6) = 2.625."""
+    from catenae_stopover_spark.operators.analytics import (
+        chi2_source_tokens,
+    )
+
+    rare = " ".join(f"r{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [("A", "x x x x x " + rare), ("B", "y y y y y y")],
+        ["source", "text"],
+    )
+    got = {
+        (r.source, r.token): r.chi2
+        for r in chi2_source_tokens(df, min_count=5).collect()
+    }
+    assert got[("A", "x")] == 2.625
