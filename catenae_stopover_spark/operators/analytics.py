@@ -839,3 +839,51 @@ def chi2_source_tokens(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def merge_aggregate_states(
+    base: DataFrame,
+    delta: DataFrame,
+    keys: list,
+    measures: dict,
+) -> DataFrame:
+    """Mergeable aggregate-state maintenance (B125) — the incremental
+    materialized-view pattern: a 100 TB fact table's per-key rollup is
+    maintained by AGGREGATING ONLY THE DELTA and merging its state
+    into the stored aggregate, never rescanning the base. Works for
+    every algebraic aggregate whose state is mergeable: sum/count add,
+    min/max take the extreme (avg = merged sum / merged count;
+    distinct needs a sketch — `functions.sketches`, q81's HLL path).
+
+    ``measures`` maps column name -> 'sum' | 'count' | 'min' | 'max'.
+    Both inputs must carry ``keys + measures.keys()`` with identical
+    meaning (i.e. each is the SAME aggregation over its own slice of
+    rows). Keys present in only one side pass through (full outer
+    join; Spark coalesces list-form join keys); sum/count treat the
+    missing side as 0, min/max as absent (`least`/`greatest` skip
+    NULLs).
+
+    Scale shape: the delta-side aggregation is the only work
+    proportional to new data; the merge is ONE key-partitioned full
+    outer join between two aggregate frames — and when the stored
+    aggregate is written bucketed on the keys (B109), the join is
+    exchange-free on the base side, making the maintenance cost
+    O(delta) end to end.
+    """
+    a = base.alias("__a")
+    b = delta.alias("__b")
+    joined = a.join(b, keys, "full_outer")
+    merged = []
+    for col, kind in measures.items():
+        if kind in ("sum", "count"):
+            expr = F.coalesce(F.col(f"__a.{col}"), F.lit(0)) + F.coalesce(
+                F.col(f"__b.{col}"), F.lit(0)
+            )
+        elif kind == "min":
+            expr = F.least(F.col(f"__a.{col}"), F.col(f"__b.{col}"))
+        elif kind == "max":
+            expr = F.greatest(F.col(f"__a.{col}"), F.col(f"__b.{col}"))
+        else:
+            raise ValueError(f"unmergeable measure kind: {kind}")
+        merged.append(expr.alias(col))
+    return joined.select(*keys, *merged)

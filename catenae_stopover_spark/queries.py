@@ -10785,6 +10785,46 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q210_incremental_agg_maintenance(spark, sf_dir):
+    """B125 (new r11): mergeable aggregate-state maintenance
+    (`analytics.merge_aggregate_states`) — the incremental
+    materialized-view pattern: the per-user rollup of the "base"
+    events slice (event_id % 5 != 0) is updated by aggregating ONLY
+    the "delta" slice (% 5 == 0) and merging states, never rescanning
+    the base. The oracle is the FULL recompute over all events —
+    value-equality IS the maintenance-correctness proof. Measures are
+    integer-only (count / sum / min / max of event_id) so the merged
+    partial sums are exactly associative; avg at read time is merged
+    sum / merged count."""
+    from .operators.analytics import merge_aggregate_states
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    aggs = lambda d: d.groupBy("user_id").agg(  # noqa: E731
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_eid"),
+        F.min("event_id").alias("min_eid"),
+        F.max("event_id").alias("max_eid"),
+    )
+    base = aggs(ev.filter(F.col("event_id") % 5 != 0))
+    delta = aggs(ev.filter(F.col("event_id") % 5 == 0))
+    return merge_aggregate_states(
+        base,
+        delta,
+        keys=["user_id"],
+        measures={"n": "count", "sum_eid": "sum", "min_eid": "min",
+                  "max_eid": "max"},
+    )
+
+
+Q210_SQL = """
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(event_id) AS BIGINT) AS sum_eid,
+       MIN(event_id) AS min_eid,
+       MAX(event_id) AS max_eid
+FROM events GROUP BY user_id
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -10893,6 +10933,10 @@ QUERIES: dict[str, tuple] = {
     "q207_decontaminate_spans": (q207_decontaminate_spans, Q207_SQL),
     "q208_fim_span_split": (q208_fim_span_split, Q208_SQL),
     "q209_chi2_source_tokens": (q209_chi2_source_tokens, Q209_SQL),
+    "q210_incremental_agg_maintenance": (
+        q210_incremental_agg_maintenance,
+        Q210_SQL,
+    ),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),

@@ -437,3 +437,65 @@ def test_chi2_marginals_use_full_vocab(spark):
         for r in chi2_source_tokens(df, min_count=5).collect()
     }
     assert got[("A", "x")] == 2.625
+
+
+# ------------------------------------------------ merge_aggregate_states
+
+
+def test_merge_aggregate_states_semantics(spark):
+    import pytest as _pytest
+
+    from catenae_stopover_spark.operators.analytics import (
+        merge_aggregate_states,
+    )
+
+    cols = ["k", "n", "s", "lo", "hi"]
+    base = spark.createDataFrame(
+        [("a", 2, 10, 1, 9), ("b", 1, 5, 5, 5)], cols
+    )
+    delta = spark.createDataFrame(
+        [("a", 3, 7, 0, 4), ("c", 4, 8, 2, 6)], cols
+    )
+    got = {
+        r.k: (r.n, r.s, r.lo, r.hi)
+        for r in merge_aggregate_states(
+            base,
+            delta,
+            keys=["k"],
+            measures={"n": "count", "s": "sum", "lo": "min", "hi": "max"},
+        ).collect()
+    }
+    assert got == {
+        "a": (5, 17, 0, 9),  # both sides merge
+        "b": (1, 5, 5, 5),  # base-only passes through
+        "c": (4, 8, 2, 6),  # delta-only (new key) passes through
+    }
+    with _pytest.raises(ValueError):
+        merge_aggregate_states(base, delta, ["k"], {"s": "avg"})
+
+
+def test_merge_aggregate_states_equals_full_recompute(spark):
+    """The operator's whole claim: agg(base) merge agg(delta) ==
+    agg(base union delta), for any split."""
+    from catenae_stopover_spark.operators.analytics import (
+        merge_aggregate_states,
+    )
+
+    rows = spark.range(1000).select(
+        (F.col("id") % 13).alias("k"), F.col("id").alias("v")
+    )
+    agg = lambda d: d.groupBy("k").agg(  # noqa: E731
+        F.count("*").alias("n"),
+        F.sum("v").alias("s"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )
+    merged = merge_aggregate_states(
+        agg(rows.filter(F.col("v") % 3 == 0)),
+        agg(rows.filter(F.col("v") % 3 != 0)),
+        keys=["k"],
+        measures={"n": "count", "s": "sum", "lo": "min", "hi": "max"},
+    )
+    full = agg(rows)
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
