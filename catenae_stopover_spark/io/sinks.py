@@ -124,3 +124,34 @@ def export_dataset(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def epoch_idempotent_sink(path: str):
+    """foreachBatch writer with RETRY-IDEMPOTENT epoch writes (B126):
+    each micro-batch overwrites its own `epoch=<id>/` directory, so a
+    redelivered (batch, epoch) — Spark re-runs the last epoch after
+    any failure between the foreachBatch call and the checkpoint
+    commit — rewrites the SAME directory instead of appending
+    duplicates. This turns Structured Streaming's at-least-once
+    foreachBatch contract into effectively-exactly-once on a plain
+    parquet sink with no ledger table and no transactional format:
+    the epoch id IS the transaction id and the directory overwrite IS
+    the commit. (The same pattern underlies `foreachBatch` +
+    `replaceWhere` on Delta and Iceberg's overwrite-by-filter.)
+
+    Readers scan the sink root; the `epoch` partition column is
+    metadata and prunes like any directory partition (B117).
+
+    Usage::
+
+        q = (df.writeStream
+               .foreachBatch(epoch_idempotent_sink("/data/out"))
+               .option("checkpointLocation", ckpt).start())
+    """
+
+    def write(batch_df, epoch_id) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{path}/epoch={int(epoch_id)}"
+        )
+
+    return write

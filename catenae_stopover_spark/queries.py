@@ -10825,6 +10825,71 @@ FROM events GROUP BY user_id
 """
 
 
+def q211_idempotent_stream_sink(spark, sf_dir):
+    """B126 (new r11): retry-idempotent streaming sink
+    (`io.sinks.epoch_idempotent_sink`) — each micro-batch overwrites
+    its own `epoch=<id>/` directory, so a REDELIVERED epoch (Spark
+    re-runs the last uncommitted epoch after any failure) rewrites
+    the same directory instead of appending duplicates: exactly-once
+    on plain parquet from an at-least-once contract. The query
+    streams events through the sink AND THEN SIMULATES THE RETRY —
+    it re-invokes the batch writer a second time for every epoch with
+    the same data — and aggregates the sink; the oracle is the plain
+    events replay, so the hash match proves the duplicate deliveries
+    left no duplicate rows. Ingest runs ONCE per (session, sf_dir)."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    from .io.sinks import epoch_idempotent_sink
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:8]
+    root = f"/tmp/csspark-idemsink-{tag}"
+    key = f"csspark.q211.{tag}"
+    if not spark.conf.get(key, None):
+        shutil.rmtree(root, ignore_errors=True)
+        stream = _replay_events(spark, sf_dir).select(
+            "event_id", "user_id", "value", "event_type"
+        )
+        writer = epoch_idempotent_sink(root)
+        seen = []
+
+        def duplicating(batch_df, epoch_id):
+            writer(batch_df, epoch_id)
+            seen.append((batch_df.sparkSession, int(epoch_id)))
+            writer(batch_df, epoch_id)  # the simulated redelivery
+
+        q = (
+            stream.writeStream.foreachBatch(duplicating)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="csspark-q211-ckpt-"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        spark.conf.set(key, str(len(seen)))
+    return (
+        spark.read.parquet(root)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("event_id").alias("n_distinct"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+            F.sum(F.col("event_id") * F.col("user_id")).alias("id_checksum"),
+        )
+    )
+
+
+Q211_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT event_id) AS n_distinct,
+       ROUND(SUM(value), 3) AS sum_value,
+       CAST(SUM(event_id * user_id) AS BIGINT) AS id_checksum
+FROM events
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -10936,6 +11001,10 @@ QUERIES: dict[str, tuple] = {
     "q210_incremental_agg_maintenance": (
         q210_incremental_agg_maintenance,
         Q210_SQL,
+    ),
+    "q211_idempotent_stream_sink": (
+        q211_idempotent_stream_sink,
+        Q211_SQL,
     ),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.

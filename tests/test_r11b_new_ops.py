@@ -499,3 +499,25 @@ def test_merge_aggregate_states_equals_full_recompute(spark):
     full = agg(rows)
     assert merged.exceptAll(full).count() == 0
     assert full.exceptAll(merged).count() == 0
+
+
+# ------------------------------------------------ epoch_idempotent_sink
+
+
+def test_epoch_idempotent_sink_retry_and_append(spark, tmp_path):
+    """Same-epoch redelivery rewrites in place (no duplicates);
+    a new epoch appends its own directory."""
+    from catenae_stopover_spark.io.sinks import epoch_idempotent_sink
+
+    root = str(tmp_path / "sink")
+    write = epoch_idempotent_sink(root)
+    b0 = spark.range(10).select(F.col("id").alias("v"))
+    write(b0, 0)
+    write(b0, 0)  # redelivery of the SAME epoch
+    got = spark.read.parquet(root)
+    assert got.count() == 10
+    write(spark.range(5).select(F.col("id").alias("v")), 1)
+    got = spark.read.parquet(root)
+    assert got.count() == 15
+    # epoch is a readable partition column (prunes like B117)
+    assert got.filter(F.col("epoch") == 1).count() == 5
