@@ -10890,6 +10890,64 @@ FROM events
 """
 
 
+def q212_langid_rank_profiles(spark, sf_dir):
+    """B127 (new r11): trained Cavnar-Trenkle char-3-gram language ID
+    (`text.langid_rank_profiles`) — top-30 rank profiles per labeled
+    language, out-of-place distance classification, all-integer.
+    Trains on the labeled corpus and classifies the same docs (the
+    operator takes any train/classify pair); every (prediction,
+    distance, correct) row value-checked."""
+    from .operators.text import langid_rank_profiles
+
+    d = _t(spark, sf_dir, "documents")
+    return langid_rank_profiles(d, d)
+
+
+Q212_SQL = r"""
+WITH norm AS (
+    SELECT doc_id, lang, TRIM(LOWER(text)) AS t FROM documents
+), lang_g AS (
+    SELECT lang, SUBSTR(t, i, 3) AS g
+    FROM norm, UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(t) - 2, 0)))
+         AS u(i)
+), lang_prof AS (
+    SELECT lang, g, lr FROM (
+        SELECT lang, g, ROW_NUMBER() OVER (
+            PARTITION BY lang ORDER BY COUNT(*) DESC, g) AS lr
+        FROM lang_g GROUP BY lang, g)
+    WHERE lr <= 30
+), doc_g AS (
+    SELECT doc_id, SUBSTR(t, i, 3) AS g
+    FROM norm, UNNEST(GENERATE_SERIES(1, GREATEST(LENGTH(t) - 2, 0)))
+         AS u(i)
+), doc_prof AS (
+    SELECT doc_id, g, dr FROM (
+        SELECT doc_id, g, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY COUNT(*) DESC, g) AS dr
+        FROM doc_g GROUP BY doc_id, g)
+    WHERE dr <= 30
+), langs AS (
+    SELECT DISTINCT lang FROM lang_prof
+), dist AS (
+    SELECT d.doc_id, l.lang,
+           SUM(COALESCE(ABS(d.dr - p.lr), 30)) AS dist
+    FROM doc_prof d CROSS JOIN langs l
+    LEFT JOIN lang_prof p ON p.lang = l.lang AND p.g = d.g
+    GROUP BY d.doc_id, l.lang
+), best AS (
+    SELECT doc_id, lang AS predicted_lang, dist,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY dist, lang) AS rk
+    FROM dist
+)
+SELECT b.doc_id, b.predicted_lang, n.lang AS true_lang,
+       CAST(b.dist AS BIGINT) AS distance,
+       b.predicted_lang = n.lang AS correct
+FROM best b JOIN norm n USING (doc_id)
+WHERE b.rk = 1
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -11005,6 +11063,10 @@ QUERIES: dict[str, tuple] = {
     "q211_idempotent_stream_sink": (
         q211_idempotent_stream_sink,
         Q211_SQL,
+    ),
+    "q212_langid_rank_profiles": (
+        q212_langid_rank_profiles,
+        Q212_SQL,
     ),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.

@@ -521,3 +521,46 @@ def test_epoch_idempotent_sink_retry_and_append(spark, tmp_path):
     assert got.count() == 15
     # epoch is a readable partition column (prunes like B117)
     assert got.filter(F.col("epoch") == 1).count() == 5
+
+
+# ----------------------------------------------- langid_rank_profiles
+
+
+def test_langid_rank_profiles_separable(spark):
+    """Two languages with disjoint character stock: classification
+    must be perfect, deterministic, and carry integer distances."""
+    from catenae_stopover_spark.operators.text import langid_rank_profiles
+
+    train = spark.createDataFrame(
+        [
+            (1, "aba bab aab abb baa " * 5, "aa"),
+            (2, "xyz zyx yxz xzy zxy " * 5, "xx"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    classify = spark.createDataFrame(
+        [
+            (10, "aba aab bab", "aa"),
+            (11, "xyz xzy", "xx"),
+            (12, "zyx aab xyz zxy yxz", "xx"),  # mostly x-stock
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    got = {
+        r.doc_id: (r.predicted_lang, r.true_lang, r.correct)
+        for r in langid_rank_profiles(train, classify).collect()
+    }
+    assert got == {
+        10: ("aa", "aa", True),
+        11: ("xx", "xx", True),
+        12: ("xx", "xx", True),
+    }
+    again = {
+        r.doc_id: r.distance
+        for r in langid_rank_profiles(train, classify).collect()
+    }
+    assert all(isinstance(v, int) for v in again.values())
+    assert again == {
+        r.doc_id: r.distance
+        for r in langid_rank_profiles(train, classify).collect()
+    }

@@ -64,6 +64,11 @@ ACCEPTED = {
         "trainer pattern applied at inference)",
     # N/avgdl attached as a broadcast 1-row scalar (q90's pattern)
     "q127_bm25": "broadcast of the 1-row corpus-stats scalar",
+    # the doc-profile frame (<= 30 rows/doc) crossed with the 5-row
+    # language list, scored against the broadcast 150-row profile
+    # table (the q200 vocab-grid pattern)
+    "q212_langid_rank_profiles":
+        "doc-profile x |langs| grid cross; both small sides broadcast",
     # the bm25 ranker's 1-row stats cross (q127) feeding the fusion;
     # the fusion joins themselves are over <=top_n candidate lists
     "q165_rrf_fusion":
