@@ -3418,24 +3418,62 @@ def langid_rank_profiles(
     """
     from pyspark.sql import Window
 
+    from ..plans.partitioning import ensure_min_parallelism
+
     p = int(profile_size)
-    # split-to-chars ONCE, then O(1) array slices per gram — a
-    # per-position substring(t, i, n) is O(i) on UTF8String (the
-    # codepoint offset scan), making gram generation QUADRATIC per
-    # document: the x100 co-run read 347 s on the substring form vs
-    # linear on this one. split('') is codepoint-aware (astral chars
-    # stay whole) and yields no trailing empty.
-    grams = F.expr(
-        f"transform(sequence(1, greatest(size(__cs) - {n} + 1, 0)),"
-        f" i -> array_join(slice(__cs, i, {n}), ''))"
-    )
-    norm = F.expr(f"split(trim(lower({text_col})), '')")
+    # Gram generation is PYTHON-side in both profile builders below —
+    # the x100 adjudication ladder forced it there: the JVM per-gram
+    # string explode costs ~1 µs/gram (per-gram allocation; 347 s at
+    # 125M grams on the tier's 1-file layout, 119.6 s widened), while
+    # a per-batch collections.Counter is ~100 ns/gram AND acts as a
+    # map-side combine (the lang side ships ~batches x vocab partial
+    # rows instead of 125M gram instances). Exactness is preserved:
+    # the text is normalized Spark-side (trim(lower())), Python
+    # slicing is per-CODEPOINT, Python string order == Spark's UTF-8
+    # binary order (UTF-8 preserves codepoint order), and integer
+    # partial counts sum exactly regardless of batching.
+
+    def _batch_lang_counts(batches):
+        from collections import Counter
+
+        import pyarrow as pa
+
+        for b in batches:
+            agg: dict = {}
+            for lang, t in zip(
+                b.column("__lang").to_pylist(), b.column("__t").to_pylist()
+            ):
+                if t is None or lang is None:
+                    continue
+                c = agg.setdefault(lang, Counter())
+                c.update(t[j : j + n] for j in range(len(t) - n + 1))
+            out_l, out_g, out_c = [], [], []
+            for lang, c in agg.items():
+                for g, cnt in c.items():
+                    out_l.append(lang)
+                    out_g.append(g)
+                    out_c.append(cnt)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_l, type=pa.string()),
+                    pa.array(out_g, type=pa.string()),
+                    pa.array(out_c, type=pa.int64()),
+                ],
+                ["__lang", "__g", "__pc"],
+            )
 
     lang_counts = (
-        train_df.select(F.col(lang_col).alias("__lang"), norm.alias("__cs"))
-        .select("__lang", F.explode(grams).alias("__g"))
+        ensure_min_parallelism(
+            train_df.select(F.col(lang_col).alias("__lang"), F.col(text_col))
+        )
+        .select(
+            F.col("__lang"), F.expr(f"trim(lower({text_col}))").alias("__t")
+        )
+        .mapInArrow(
+            _batch_lang_counts, "__lang string, __g string, __pc bigint"
+        )
         .groupBy("__lang", "__g")
-        .agg(F.count("*").alias("__c"))
+        .agg(F.sum("__pc").alias("__c"))
     )
     w_lang = Window.partitionBy("__lang").orderBy(
         F.col("__c").desc(), F.col("__g").asc()
@@ -3445,19 +3483,58 @@ def langid_rank_profiles(
         .filter(F.col("__lr") <= F.lit(p))
         .select("__lang", "__g", "__lr")
     )
-    doc_counts = (
-        classify_df.select(F.col(id_col), norm.alias("__cs"))
-        .select(id_col, F.explode(grams).alias("__g"))
-        .groupBy(id_col, "__g")
-        .agg(F.count("*").alias("__c"))
-    )
-    w_doc = Window.partitionBy(id_col).orderBy(
-        F.col("__c").desc(), F.col("__g").asc()
-    )
+    # the DOC-side profile is per-row local state — no cross-row
+    # aggregation exists, so the relational form (125M-row explode ->
+    # (doc, gram) shuffle -> per-doc window) pays two corpus-sized
+    # exchanges for nothing. One Arrow kernel computes each doc's
+    # top-p profile map-only (<= p rows out per doc, ZERO shuffle) —
+    # the x100 co-run read 119.6 s on the relational doc side and
+    # this removes its entire cost. Exactness is preserved: Python
+    # slicing is per-codepoint (== split('')), Python string
+    # comparison is codepoint order == Spark's UTF-8 binary order
+    # (UTF-8 preserves codepoint order), and the tie rule
+    # (count desc, gram asc) is the same total order.
+    id_type = dict(classify_df.dtypes)[id_col]
+
+    def _doc_profiles(batches):
+        from collections import Counter
+
+        import pyarrow as pa
+
+        for b in batches:
+            out_id, out_g, out_r = [], [], []
+            for i, t in zip(
+                b.column(id_col).to_pylist(), b.column("__t").to_pylist()
+            ):
+                if t is None:
+                    continue
+                c = Counter(
+                    t[j : j + n] for j in range(len(t) - n + 1)
+                )
+                top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:p]
+                for r, (g, _cnt) in enumerate(top, 1):
+                    out_id.append(i)
+                    out_g.append(g)
+                    out_r.append(r)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_id, type=b.column(id_col).type),
+                    pa.array(out_g, type=pa.string()),
+                    pa.array(out_r, type=pa.int32()),
+                ],
+                [id_col, "__g", "__dr"],
+            )
+
     doc_prof = (
-        doc_counts.withColumn("__dr", F.row_number().over(w_doc))
-        .filter(F.col("__dr") <= F.lit(p))
-        .select(id_col, "__g", "__dr")
+        ensure_min_parallelism(
+            classify_df.select(F.col(id_col), F.col(text_col))
+        )
+        .select(
+            F.col(id_col), F.expr(f"trim(lower({text_col}))").alias("__t")
+        )
+        .mapInArrow(
+            _doc_profiles, f"{id_col} {id_type}, __g string, __dr int"
+        )
     )
     langs = lang_prof.select("__lang").distinct()
     dist = (
