@@ -773,8 +773,10 @@ def chi2_source_tokens(
     tokens" before any of it reaches training.
 
     All counts are exact integers from ONE (source, token) groupBy;
-    the marginals come from two windows over that vocabulary-bounded
-    aggregate frame (never a second corpus scan); top-k per source is
+    the marginals come from that vocabulary-bounded aggregate frame
+    (per-token via a token-partitioned window; per-source and global
+    via broadcast-joined tiny aggregates — never an unpartitioned
+    window, never a second corpus scan); top-k per source is
     a rank <= literal filter, so Catalyst runs it as WindowGroupLimit
     (partial top-k before the exchange). The chi-square itself is
     computed in double with an identical expression shape on both
@@ -792,20 +794,40 @@ def chi2_source_tokens(
     from pyspark.sql import Window
 
     toks = F.expr(f"split(trim(lower({text_col})), '\\\\s+')")
+    # source IS NOT NULL upfront (a NULL source has no association to
+    # attribute, and the totals join is inner on source anyway) — and
+    # load-bearing for the plan: the join infers IsNotNull(source) on
+    # its build side, and only when the main branch carries the SAME
+    # filter are the three st subtrees identical, letting Catalyst's
+    # exchange reuse serve totals_src/totals_all from the one corpus
+    # explode + (source, token) shuffle instead of re-scanning.
     st = (
-        df.select(F.col(source_col).alias("source"), toks.alias("__w"))
+        df.filter(F.col(source_col).isNotNull())
+        .select(F.col(source_col).alias("source"), toks.alias("__w"))
         .select("source", F.explode("__w").alias("token"))
         .filter(F.col("token") != "")
         .groupBy("source", "token")
         .agg(F.count("*").alias("__a"))
     )
+    # per-token totals keep the window (vocab-many partitions — no
+    # skew); the per-source and GLOBAL totals do NOT: an unpartitioned
+    # window (and a |sources|-partition one) funnels the whole vocab
+    # frame into single partitions. The scale-safe idiom is the
+    # q143/q175 one — tiny aggregate frames broadcast-joined back.
+    # Catalyst's exchange reuse means st's corpus explode + groupBy
+    # still runs ONCE: both totals read the reused shuffle.
     w_tok = Window.partitionBy("token")
-    w_src = Window.partitionBy("source")
-    w_all = Window.partitionBy()
+    totals_src = st.groupBy("source").agg(F.sum("__a").alias("__ns"))
+    totals_all = st.agg(F.sum("__a").alias("__n"))
+    st = (
+        st.withColumn("__nt", F.sum("__a").over(w_tok))
+        .join(F.broadcast(totals_src), "source")
+        .crossJoin(F.broadcast(totals_all))
+    )
     a = F.col("__a").cast("double")
-    nt = F.sum("__a").over(w_tok).cast("double")
-    ns = F.sum("__a").over(w_src).cast("double")
-    n = F.sum("__a").over(w_all).cast("double")
+    nt = F.col("__nt").cast("double")
+    ns = F.col("__ns").cast("double")
+    n = F.col("__n").cast("double")
     b = nt - a
     c = ns - a
     d = n - nt - ns + a
@@ -814,8 +836,8 @@ def chi2_source_tokens(
         / (nt * (n - nt) * ns * (n - ns))
     )
     # marginals FIRST (over the full vocabulary frame), THEN the
-    # min_count/positive filters — filtering before the windows would
-    # corrupt every n_t/n_s/N
+    # min_count/positive filters — filtering before the marginals
+    # would corrupt every n_t/n_s/N
     scored = (
         st.withColumn("__chi2", F.round(chi2, 6) + F.lit(0.0))
         .withColumn("__pos", a * d > b * c)
@@ -876,9 +898,14 @@ def merge_aggregate_states(
     merged = []
     for col, kind in measures.items():
         if kind in ("sum", "count"):
-            expr = F.coalesce(F.col(f"__a.{col}"), F.lit(0)) + F.coalesce(
-                F.col(f"__b.{col}"), F.lit(0)
-            )
+            # NULL+NULL must stay NULL (SUM over all-NULL values is
+            # NULL in a full recompute; unconditional coalesce would
+            # turn it into 0 and break merge == recompute). Only
+            # treat the missing side as 0 when the other side is set.
+            av, bv = F.col(f"__a.{col}"), F.col(f"__b.{col}")
+            expr = F.when(
+                av.isNull() & bv.isNull(), F.lit(None)
+            ).otherwise(F.coalesce(av, F.lit(0)) + F.coalesce(bv, F.lit(0)))
         elif kind == "min":
             expr = F.least(F.col(f"__a.{col}"), F.col(f"__b.{col}"))
         elif kind == "max":

@@ -2554,7 +2554,13 @@ def cross_source_dedup_matrix(
     b = F.encode(F.col(text_col), "UTF-8")
     h = df.select(
         F.xxhash64(b).alias("__h1"),
-        F.xxhash64(b, F.lit(1)).alias("__h2"),
+        # constant FIRST: multi-arg xxhash64 folds left-to-right with
+        # the running hash as seed, so xxhash64(b, lit(1)) is a pure
+        # function of xxhash64(b) (an __h1 collision would force an
+        # __h2 collision — the pair would carry only 64 bits). Seeding
+        # with the constant first makes the two 64-bit halves
+        # independent (the B98 precedent, text.py gram anchors).
+        F.xxhash64(F.lit(1), b).alias("__h2"),
         F.col(id_col).alias("__id"),
         F.col(source_col).alias("__src"),
     )

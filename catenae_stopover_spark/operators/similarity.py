@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine_similarity
+from ..functions.vectors import cosine_similarity, dot_product, l2_norm
 from ..plans.partitioning import ensure_min_parallelism, unpersist_on_gc
 
 
@@ -683,10 +683,23 @@ def assign_ivf_cells(
     row, no Python, no shuffle) — and, because the centroids are plain
     literals, any engine can recompute the identical assignment (the
     q76 oracle recomputes it in SQL)."""
-    scores = [
-        cosine_similarity(F.col(vec_col), _as_vec_lit(c)).alias(f"__c{i}")
-        for i, c in enumerate(centroids)
-    ]
+    # zero-norm guard: cosine's 0/0 denominator is a hard error under
+    # ANSI (Spark 4 default) and NaN — which sorts GREATEST, assigning
+    # the degenerate centroid — with ANSI off. Guarding the zero
+    # denominator to score 0.0 matches the BLAS kernel in
+    # _assign_cells_auto (np.divide where=denom>0 leaves 0.0), so both
+    # paths pick the best real centroid identically. CaseWhen
+    # evaluates only the matched branch, so the division never runs
+    # on a zero denominator.
+    v = F.col(vec_col)
+
+    def _safe_cos(c):
+        den = l2_norm(v) * l2_norm(_as_vec_lit(c))
+        return F.when(den == 0.0, F.lit(0.0)).otherwise(
+            dot_product(v, _as_vec_lit(c)) / den
+        )
+
+    scores = [_safe_cos(c).alias(f"__c{i}") for i, c in enumerate(centroids)]
     # max of (score, -index) structs == argmax with lowest-index ties
     best = F.array_max(
         F.array(

@@ -3414,7 +3414,11 @@ def langid_rank_profiles(
     table — per-doc work is profile_size x |langs| integer rows, and
     the corpus-sized text never shuffles at all.
 
-    Returns (id_col, predicted_lang, true_lang, distance, correct).
+    Returns (id_col, predicted_lang, true_lang, distance, correct) —
+    one row PER classify doc: a doc whose normalized text is shorter
+    than ``n`` codepoints (or NULL) has no n-grams to score, so it is
+    returned with NULL predicted_lang/distance/correct rather than
+    silently dropped (the oracle replays the same left-join rule).
     """
     from pyspark.sql import Window
 
@@ -3555,8 +3559,10 @@ def langid_rank_profiles(
     truth = classify_df.select(
         F.col(id_col), F.col(lang_col).alias("true_lang")
     )
+    # left join FROM the classify side: no-gram docs keep their row
+    # (NULL struct -> NULL prediction fields), per the contract above.
     return (
-        best.join(truth, id_col)
+        truth.join(best, id_col, "left")
         .select(
             id_col,
             F.col("__b.__lang").alias("predicted_lang"),

@@ -239,11 +239,18 @@ def partition_file_counts(path: str, col: str, values: list) -> tuple[int, int]:
     in the file's relative path for one of ``values``. Test/inspection
     helper (driver-side, zero data reads)."""
     import os
+    from urllib.parse import unquote
 
+    # Spark %XX-escapes special characters (space, '/', ':', '=', ...)
+    # in partition directory names (Hive's escapePathName); compare on
+    # the UNESCAPED value so e.g. source='a b' matches 'source=a%20b'.
     wanted = {f"{col}={v}" for v in values}
     matching = total = 0
     for root, _dirs, files in os.walk(path):
-        parts = set(os.path.relpath(root, path).split(os.sep))
+        parts = {
+            unquote(seg)
+            for seg in os.path.relpath(root, path).split(os.sep)
+        }
         for f in files:
             if not f.endswith(".parquet"):
                 continue

@@ -10940,11 +10940,10 @@ WITH norm AS (
                               ORDER BY dist, lang) AS rk
     FROM dist
 )
-SELECT b.doc_id, b.predicted_lang, n.lang AS true_lang,
+SELECT n.doc_id, b.predicted_lang, n.lang AS true_lang,
        CAST(b.dist AS BIGINT) AS distance,
        b.predicted_lang = n.lang AS correct
-FROM best b JOIN norm n USING (doc_id)
-WHERE b.rk = 1
+FROM norm n LEFT JOIN best b ON b.doc_id = n.doc_id AND b.rk = 1
 """
 
 

@@ -60,3 +60,57 @@ def test_bucketed_aggregation_has_no_exchange(spark, bucketed_tables):
     )
     plan = explain_str(agg, "simple")
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_bucketed_state_merge_has_no_exchange(spark, tmp_path):
+    """B125's docstring claim, pinned (r11 verdict ask #3): when the
+    stored aggregate state is written bucketed on the keys (B109), the
+    `merge_aggregate_states` full-outer join plans with ZERO Exchange —
+    the maintenance pass is O(delta) end to end, never reshuffling the
+    stored state. Both state tables here are bucketed(8) on the key, so
+    the plan must carry no hashpartitioning exchange at all (a delta
+    arriving un-bucketed would pay exactly one, on its own side only)."""
+    from catenae_stopover_spark.operators.analytics import (
+        merge_aggregate_states,
+    )
+
+    ev = load_table(spark, SF, "events")
+    # integer sum: double addition is order-dependent, and the point
+    # here is exact merge == recompute, not FP tolerance
+    agg = lambda d: d.groupBy("user_id").agg(  # noqa: E731
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("s"),
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+    )
+    write_bucketed(
+        agg(ev.filter(F.col("event_id") % 2 == 0)),
+        "t_state_base_b",
+        ["user_id"],
+        8,
+        sort_cols=["user_id"],
+    )
+    write_bucketed(
+        agg(ev.filter(F.col("event_id") % 2 == 1)),
+        "t_state_delta_b",
+        ["user_id"],
+        8,
+        sort_cols=["user_id"],
+    )
+    try:
+        merged = merge_aggregate_states(
+            read_table(spark, "t_state_base_b"),
+            read_table(spark, "t_state_delta_b"),
+            keys=["user_id"],
+            measures={"n": "count", "s": "sum", "lo": "min", "hi": "max"},
+        )
+        plan = explain_str(merged, "simple")
+        assert "SortMergeJoin" in plan and "FullOuter" in plan
+        assert "Exchange hashpartitioning" not in plan  # the B125 claim
+        # and the merge still equals the full recompute
+        full = agg(ev)
+        assert merged.exceptAll(full).count() == 0
+        assert full.exceptAll(merged).count() == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_state_base_b")
+        spark.sql("DROP TABLE IF EXISTS t_state_delta_b")

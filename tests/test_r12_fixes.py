@@ -1,0 +1,161 @@
+"""Regression pins for the r11 ADVICE findings (r12 fixes):
+
+1. cross_source_dedup's 128-bit pair hash: the second half must be
+   seeded with the constant FIRST (`xxhash64(lit(1), b)`) — hashing
+   the text first makes __h2 a pure function of __h1 (multi-arg
+   xxhash64 chains the running hash as seed), collapsing the pair to
+   64 bits.
+2. `_assign_cells_auto` kernel/expression parity on zero-norm inputs:
+   Spark-side cosine is 0/0 = NaN and NaN sorts GREATEST, so without
+   nanvl the expression path assigns the degenerate centroid while
+   the numpy kernel (np.divide where=denom>0) picks the best real one.
+3. `merge_aggregate_states` NULL+NULL: a sum that is NULL on both
+   sides must stay NULL (SUM over all-NULL values), not become 0.
+4. `partition_file_counts` must match Spark's %XX-escaped partition
+   directory names (space, ':', '/').
+5. `langid_rank_profiles` returns a row per classify doc — docs too
+   short to produce an n-gram come back with NULL prediction instead
+   of being dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_pair_hash_second_half_is_independent(spark):
+    """xxhash64(lit(1), b) != xxhash64(xxhash64(b), const-chain): with
+    the constant first, equal __h1 prefixes (same leading bytes) do
+    not force related __h2 values. Pin the exact expression shape by
+    checking against independently computed values."""
+    df = spark.createDataFrame([("abc",), ("abd",)], ["t"])
+    b = F.encode(F.col("t"), "UTF-8")
+    got = df.select(
+        F.xxhash64(b).alias("h1"),
+        F.xxhash64(F.lit(1), b).alias("h2"),
+        # the BROKEN form the advice flagged: a pure function of h1
+        F.xxhash64(b, F.lit(1)).alias("h2_chained"),
+        F.xxhash64(F.xxhash64(b), F.lit(1)).alias("h1_then_1"),
+    ).collect()
+    for r in got:
+        # the broken form literally equals hash(seed=h1-chain, 1):
+        # xxhash64(b, lit(1)) folds b first, then 1 — so it is fully
+        # determined by xxhash64(b). The fixed form is not.
+        assert r.h2 != r.h2_chained
+    # and the fixed pair differs across near-identical texts
+    assert got[0].h2 != got[1].h2
+
+
+def test_assign_cells_zero_norm_parity(spark):
+    from catenae_stopover_spark.operators.similarity import (
+        _assign_cells_auto,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 1.0]),
+        (3, [0.0, 0.0]),  # zero-norm vector
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # centroid 0 is DEGENERATE (zero norm); 1 and 2 are real
+    cents = [[0.0, 0.0], [1.0, 0.0], [0.0, 1.0]]
+    expr = {
+        r.vec_id: r.cluster_id
+        for r in _assign_cells_auto(
+            df, cents, _force_kernel=False
+        ).collect()
+    }
+    kern = {
+        r.vec_id: r.cluster_id
+        for r in _assign_cells_auto(
+            df, cents, _force_kernel=True
+        ).collect()
+    }
+    assert expr == kern
+    # and neither path assigns the zero-norm centroid to a real vector
+    assert expr[1] == 1 and expr[2] == 2
+
+
+def test_merge_states_null_plus_null_stays_null(spark):
+    from catenae_stopover_spark.operators.analytics import (
+        merge_aggregate_states,
+    )
+
+    # k='a': sum NULL on both sides (SUM over all-NULL values) must
+    # merge to NULL; k='b': NULL + 5 = 5 (missing side treated as 0)
+    base = spark.createDataFrame(
+        [("a", None), ("b", None)], "k string, s bigint"
+    )
+    delta = spark.createDataFrame(
+        [("a", None), ("b", 5)], "k string, s bigint"
+    )
+    got = {
+        r.k: r.s
+        for r in merge_aggregate_states(
+            base, delta, keys=["k"], measures={"s": "sum"}
+        ).collect()
+    }
+    assert got == {"a": None, "b": 5}
+    # full-recompute agreement: SUM over the unioned raw rows
+    raw = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", None), ("b", 5)],
+        "k string, v bigint",
+    )
+    full = {
+        r.k: r.s
+        for r in raw.groupBy("k").agg(F.sum("v").alias("s")).collect()
+    }
+    assert got == full
+
+
+def test_partition_file_counts_unescapes_spark_dirs(spark, tmp_path):
+    from catenae_stopover_spark.plans.layout import (
+        partition_file_counts,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "esc")
+    df = spark.createDataFrame(
+        [("a b", 1), ("a b", 2), ("c:d", 3), ("plain", 4)],
+        ["src", "v"],
+    )
+    write_partitioned(df, path, ["src"])
+    # 'a b' lands on disk as 'src=a%20b'; matching must still see it
+    m, t = partition_file_counts(path, "src", ["a b"])
+    assert m >= 1
+    m2, _ = partition_file_counts(path, "src", ["c:d"])
+    assert m2 >= 1
+    m3, _ = partition_file_counts(path, "src", ["a b", "plain"])
+    assert m3 > m
+    assert t == m + m2 + (m3 - m)
+
+
+def test_langid_keeps_short_docs_with_null_prediction(spark):
+    from catenae_stopover_spark.operators.text import langid_rank_profiles
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "der schnelle braune fuchs springt ueber den hund", "de"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    classify = spark.createDataFrame(
+        [
+            (10, "the dog jumps over the fox", "en"),
+            (11, "ab", "en"),  # shorter than n=3: no grams
+            (12, None, "de"),  # NULL text
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {
+        r.doc_id: r
+        for r in langid_rank_profiles(train, classify).collect()
+    }
+    assert set(out) == {10, 11, 12}  # nothing dropped
+    assert out[10].predicted_lang == "en" and out[10].correct
+    for short_id in (11, 12):
+        r = out[short_id]
+        assert r.predicted_lang is None
+        assert r.distance is None
+        assert r.correct is None

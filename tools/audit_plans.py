@@ -9,6 +9,7 @@ Usage: python tools/audit_plans.py [sf_dir]
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -32,6 +33,33 @@ SKIP = {"q44_stream_tumbling_hourly", "q45_stream_sessionize",
         "q46_stream_stateful_counts", "q47_stream_dedup"}
 
 SMELLS = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+def _single_partition_window(plan: str) -> bool:
+    """True when an Exchange SinglePartition feeds a Window/Sort — the
+    unpartitioned-window smell (the whole frame funnels into ONE task;
+    the r11 chi2 global-N finding). A SinglePartition exchange whose
+    nearest shallower ancestor is a HashAggregate is the legitimate
+    1-row scalar-aggregate reduce and is NOT flagged."""
+    lines = plan.splitlines()
+
+    def indent(s: str) -> int:
+        # tree-drawing prefix only, so codegen markers (*(N)) of
+        # different widths don't skew the depth comparison
+        return len(re.match(r"^[\s:+|-]*", s).group(0))
+
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        d = indent(line)
+        for j in range(i - 1, -1, -1):
+            up = lines[j]
+            if not up.strip() or indent(up) >= d:
+                continue
+            if "Window" in up or re.search(r"\bSort\b", up):
+                return True
+            break  # nearest shallower ancestor decides
+    return False
 
 # Reviewed exceptions: the non-equi plan is the declared semantics, with
 # a bounded or intentionally-small input.
@@ -152,6 +180,9 @@ ACCEPTED = {
     "q200_source_unigram_kl":
         "broadcast top-V vocab grid (|sources| x 5000) + 1-row "
         "corpus-total cross",
+    # global N as a broadcast 1-row scalar cross (replaced the r11
+    # unpartitioned window per the r11 verdict; q143/q175's idiom)
+    "q209_chi2_source_tokens": "broadcast of the 1-row corpus-total N",
 }
 
 
@@ -170,6 +201,8 @@ def main() -> int:
             bad += 1
             continue
         hits = [s for s in SMELLS if s in plan]
+        if _single_partition_window(plan):
+            hits.append("SinglePartitionWindow")
         if hits and name in ACCEPTED:
             print(f"ok    {name} (accepted non-equi: {ACCEPTED[name]})")
         elif hits:
