@@ -285,6 +285,37 @@ def _warm_page_cache(sf_dir: str) -> dict:
     }
 
 
+def tag_load_state(cache_state: dict, prior_detail_path: str) -> dict:
+    """Bench self-defense, part 2 (r11 verdict ask #6): BENCH_r11 was
+    measured on a loaded box (cache probe 166 MB/s vs 1513 idle) and
+    read as a +20% regression until a manual idle re-run. The probe
+    throughput IS the tell, so compare it against the last recorded
+    run's and TAG the JSON when this box is reading at <50% of that —
+    a loaded-window artifact can then never masquerade as a
+    regression. Tags, never refuses: the driver must still get its
+    line. Mutates and returns ``cache_state``."""
+    try:
+        with open(prior_detail_path) as fh:
+            prior = json.load(fh).get("cache_state", {})
+        ref = prior.get("ref_mb_per_sec") or prior.get("mb_per_sec")
+    except (OSError, ValueError):
+        ref = None
+    cur = cache_state.get("mb_per_sec")
+    if ref and cur:
+        # carry the best throughput ever seen as the idle reference
+        # (a loaded run must not lower the bar for the next one)
+        cache_state["ref_mb_per_sec"] = round(max(ref, cur), 1)
+        if cur < 0.5 * ref:
+            cache_state["loaded_box"] = True
+            cache_state["load_note"] = (
+                f"cache probe {cur} MB/s < 50% of recorded idle "
+                f"{ref} MB/s - timings unreliable, re-run idle"
+            )
+    elif cur:
+        cache_state["ref_mb_per_sec"] = cur
+    return cache_state
+
+
 def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -307,7 +338,10 @@ def main() -> None:
     # PRIOR state: >~1 GB/s means the files were already cached,
     # disk-speed means this run would otherwise have billed cold reads
     # to the first query that touched each table.
-    cache_state = _warm_page_cache(SF_DIR)
+    cache_state = tag_load_state(
+        _warm_page_cache(SF_DIR),
+        os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"),
+    )
 
     # Offline index build (cached across runs) — q7b times the SERVING
     # path; building an index before benchmarking reads is the same

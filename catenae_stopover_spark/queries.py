@@ -11254,46 +11254,48 @@ QUERIES: dict[str, tuple] = {
 # --- fill 50 (q22/q58/q59/q60/q61/q62 head the r12 fill — they ceded
 # --- their slots to the five NEW r11 queries q196-q200). The dict
 # --- its grouped layout; this reorder makes the window the FIRST 50.
-_R11_WINDOW = [
-    "q126_interval_overlap", "q128_equidepth_histogram",
-    "q129_asof_forward", "q130_bpe_merge_step", "q131_stream_funnel",
-    "q132_cluster_split_gate", "q133_rfm_segments", "q134_skew_report",
-    "q135_validation_report", "q136_bpe_train", "q137_phash_dedup_gate",
-    "q138_psi_drift",
-    "q38_simhash_pairs", "q42_lsh_topk", "q76_ivf_topk_serve",
-    "q77_pq_recall_gate", "q83_ivfpq_recall_gate",
-    "q195_zorder_layout",
-    "q183_substring_spans", "q184_substring_dedup",
-    "q190_curation_pipeline_v3",
-    "q37_minhash_pairs", "q69_minhash_recall_gate",
-    "q108_collapse_parity_gate",
-    "q158_curation_pipeline", "q163_curation_pipeline_v2",
-    "q171_source_purity",
-    "q63_cosine_topk_numpy",
-    "q04_rollup_qty", "q140_retrieval_eval", "q142_touch_attribution",
-    "q144_temperature_mixture", "q145_contamination_score",
-    "q146_truncated_prefilter_topk", "q148_incremental_embedding",
-    "q149_deletion_neighborhood", "q151_containment_pairs",
-    "q154_length_buckets", "q156_importance_weights",
-    "q157_repeated_spans", "q159_pmi_pairs",
-    # --- (2e) NEW in the r11 continuation — B117 partitioned layout,
-    # --- B118 cluster-balanced sample, B119 dedup attribution matrix.
-    # --- Per standing policy (2)-over-(3) they displace the freshest
-    # --- window rows: q29 (r8 evidence; its r11 kernel-guard change is
-    # --- the numpy path, which q63 — kept — actually exercises) and
-    # --- q27/q52 (r6, both families otherwise covered in-window by
-    # --- q204's exact-hash keep-first and q137's phash gate; they head
-    # --- the r12 fill with q58-q62).
-    "q202_partitioned_scan", "q203_cluster_balanced_sample",
-    "q204_cross_source_dedup",
-    "q196_compact_files", "q197_vocab_scaling",
-    "q198_wilson_quality_rank", "q199_cdc_chunk_dedup",
-    "q200_source_unigram_kl", "q201_schema_evolution_scan",
+_R12_WINDOW = [
+    # --- (2) the 8 operators that have NEVER had a driver row (landed
+    # --- in the r11 continuation below the 50-line; judge-verified
+    # --- green but driver-unchecked — the r11 verdict's ask #2).
+    # --- q209/q210/q212 additionally carry r12 code changes (chi2
+    # --- broadcast-N rework, NULL+NULL merge fix, langid left-join).
+    "q205_bootstrap_ci", "q206_stream_partitioned_ingest",
+    "q207_decontaminate_spans", "q208_fim_span_split",
+    "q209_chi2_source_tokens", "q210_incremental_agg_maintenance",
+    "q211_idempotent_stream_sink", "q212_langid_rank_profiles",
+    # --- (3) ALL 23 remaining r6-era rows (the q22-q82 block) — after
+    # --- this round no registry row's driver evidence predates r7.
+    "q70_lsh_probe_gate", "q22_math_funcs", "q27_exact_dedup",
+    "q52_multimodal_features", "q58_salted_join", "q59_pii_redaction",
+    "q60_hash_split", "q61_stream_stream_join",
+    "q62_stream_static_join", "q64_stream_stream_join_tight",
+    "q65_stream_late_drop", "q66_stratified_sample",
+    "q67_decontaminate", "q68_dedup_clusters", "q71_audio_features",
+    "q72_stream_session_strict", "q73_chunk_documents",
+    "q75_stream_sliding_2h", "q78_char_entropy", "q79_segment_dedup",
+    "q80_csv_orc_roundtrip", "q81_hll_rollup_gate",
+    "q82_kll_quantile_gate",
+    # --- (2b) code changed in r12 (the ADVICE fixes): zero-norm
+    # --- cosine guard in assign_ivf_cells (q53/q76/q140/q203),
+    # --- partition-dir unescaping in the q202 prune gate, and the
+    # --- independent second pair-hash in q204.
+    "q202_partitioned_scan", "q204_cross_source_dedup",
+    "q76_ivf_topk_serve", "q53_ivf_recall_gate",
+    "q140_retrieval_eval", "q203_cluster_balanced_sample",
+    # --- (3b) fill: the 13 OLDEST r7-era rows, in age order; the
+    # --- remaining r7 rows (q84-q105 block + q174-q182) head r13.
+    "q155_whitened_stats", "q141_entity_linkage",
+    "q143_quality_ensemble", "q150_bpe_encode",
+    "q153_dimension_stats", "q96_embedding_lsh_neardup_gate",
+    "q164_sequence_packing", "q166_kmeans_step",
+    "q167_heldout_lm_score", "q168_curriculum_order",
+    "q169_cluster_best_rep", "q172_skew_report", "q173_shard_manifest",
 ]
-assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R11_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R11_WINDOW)},
+    **{k: QUERIES[k] for k in _R12_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R12_WINDOW)},
 }
 
 

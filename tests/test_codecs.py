@@ -1,0 +1,225 @@
+"""B54 stdlib codecs (r12): real PNG/PPM/WAV decode, no external libs.
+
+The r11 verdict asked for a final adjudication of the env-blocked
+codec surface. Probes (r12): Pillow/PyAV/cv2 absent, no ffmpeg/ffprobe
+binary, no network (Maven/PyPI unreachable) — so JPEG and video remain
+permanently blocked. But PNG (stdlib zlib), NetPBM, and PCM WAV
+(stdlib wave) need no third-party code: `operators.codecs` decodes
+them for real, and multimodal's decode='stdlib' mode runs actual
+pixels/samples through the same Spark plumbing the fake mode tests.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+
+import numpy as np
+import pytest
+
+from catenae_stopover_spark.operators.codecs import (
+    decode_image,
+    decode_netpbm,
+    decode_png,
+    decode_wav,
+    encode_png,
+    resize_nearest,
+    sniff_format,
+)
+
+
+def _img(h, w, c, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+def _wav_bytes(sr=16000, n=4000, nch=1, seed=0):
+    rng = np.random.RandomState(seed)
+    samples = (rng.randn(n * nch) * 3000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(nch)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue(), samples.reshape(-1, nch)
+
+
+@pytest.mark.parametrize("c", [1, 2, 3, 4])
+def test_png_roundtrip_exact(c):
+    img = _img(13, 7, c, seed=c)
+    payload = encode_png(img)
+    assert sniff_format(payload) == "png"
+    w, h, ch, out = decode_png(payload)
+    assert (w, h, ch) == (7, 13, c)
+    assert np.array_equal(out, img)
+
+
+def test_png_all_filters_via_zlib_reference():
+    """Decode a PNG whose scanlines use every filter type (1-4), built
+    by hand-filtering a known image — pins the unfilter math itself,
+    not just the filter-0 writer's inverse."""
+    img = _img(5, 4, 3, seed=9)
+    stride = 4 * 3
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(5):
+        line = img[y].reshape(-1).astype(np.int32)
+        filt = [0, 1, 2, 3, 4][y]
+        raw.append(filt)
+        for x in range(stride):
+            a = int(line[x - 3]) if x >= 3 else 0
+            b = int(prev[x])
+            cdiag = int(prev[x - 3]) if x >= 3 else 0
+            if filt == 0:
+                enc = line[x]
+            elif filt == 1:
+                enc = line[x] - a
+            elif filt == 2:
+                enc = line[x] - b
+            elif filt == 3:
+                enc = line[x] - ((a + b) >> 1)
+            else:
+                p = a + b - cdiag
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cdiag)
+                pred = (
+                    a if pa <= pb and pa <= pc else (b if pb <= pc else cdiag)
+                )
+                enc = line[x] - pred
+            raw.append(enc & 0xFF)
+        prev = line
+    import zlib
+
+    def chunk(tag, data):
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 5, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    w, h, ch, out = decode_png(payload)
+    assert (w, h, ch) == (4, 5, 3)
+    assert np.array_equal(out, img)
+
+
+def test_netpbm_p6_and_p5():
+    img = _img(6, 9, 3, seed=2)
+    p6 = b"P6\n# comment\n9 6\n255\n" + img.tobytes()
+    w, h, c, out = decode_netpbm(p6)
+    assert (w, h, c) == (9, 6, 3) and np.array_equal(out, img)
+    gray = _img(3, 5, 1, seed=3)
+    p5 = b"P5 5 3 255 " + gray.tobytes()
+    w, h, c, out = decode_netpbm(p5)
+    assert (w, h, c) == (5, 3, 1) and np.array_equal(out, gray)
+
+
+def test_decode_image_dispatch_and_jpeg_blocked():
+    img = _img(4, 4, 3)
+    assert decode_image(encode_png(img))[0] == 4
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(b"\xff\xd8\xff\xe0fakejpeg")
+
+
+def test_wav_roundtrip():
+    payload, ref = _wav_bytes(sr=22050, n=1000, nch=2, seed=5)
+    assert sniff_format(payload) == "wav"
+    sr, nch, out = decode_wav(payload)
+    assert sr == 22050 and nch == 2
+    assert np.array_equal(out, ref)
+
+
+def test_resize_nearest_shapes_and_identity():
+    img = _img(8, 8, 3, seed=7)
+    assert np.array_equal(resize_nearest(img, 8, 8), img)
+    small = resize_nearest(img, 4, 2)
+    assert small.shape == (2, 4, 3)
+    # nearest-neighbor picks exact source pixels
+    assert small[0, 0].tolist() == img[0, 0].tolist()
+
+
+# ----------------------------------------------- Spark plumbing e2e
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = []
+    for i in range(6):
+        img = _img(10 + i, 8, 3, seed=i)
+        rows.append((i, "image", bytearray(encode_png(img)), "image/png", "{}"))
+    for i in range(6, 9):
+        payload, _ = _wav_bytes(sr=16000, n=2000 + 100 * i, seed=i)
+        rows.append((i, "audio", bytearray(payload), "audio/wav", "{}"))
+    from catenae_stopover_spark.operators.multimodal import MEDIA_SCHEMA
+
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_features_stdlib_real_dims(spark, media_df):
+    from catenae_stopover_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    out = {
+        r.media_id: r
+        for r in extract_image_features(
+            media_df, feat_dim=16, decode="stdlib"
+        ).collect()
+    }
+    assert set(out) == set(range(6))
+    for i, r in out.items():
+        assert (r.width, r.height, r.n_channels) == (8, 10 + i, 3)
+        assert len(r.features) == 16
+        assert all(-1.0 <= v <= 1.0 for v in r.features)
+
+
+def test_audio_features_stdlib_real_rates(spark, media_df):
+    from catenae_stopover_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    out = {
+        r.media_id: r
+        for r in extract_audio_features(
+            media_df, feat_dim=8, decode="stdlib"
+        ).collect()
+    }
+    assert set(out) == {6, 7, 8}
+    for i, r in out.items():
+        assert r.sample_rate == 16000
+        assert r.n_samples == 2000 + 100 * i
+        assert abs(r.duration_sec - r.n_samples / 16000) < 1e-5
+
+
+def test_resize_images_stdlib_roundtrips(spark, media_df):
+    from catenae_stopover_spark.operators.multimodal import resize_images
+
+    out = resize_images(media_df, target=(5, 4), decode="stdlib").collect()
+    assert len(out) == 6
+    for r in out:
+        w, h, c, img = decode_png(bytes(r.payload))
+        assert (w, h, c) == (5, 4, 3)
+        assert (r.width, r.height) == (5, 4)
+
+
+def test_video_decode_remains_blocked(spark):
+    from catenae_stopover_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "video", bytearray(b"notavideo"), "video/mp4", "{}")],
+        MEDIA_SCHEMA,
+    )
+    from pyspark.errors import PythonException
+
+    with pytest.raises(PythonException, match="PyAV"):
+        sample_video_frames(df, decode="stdlib").collect()

@@ -159,3 +159,29 @@ def test_langid_keeps_short_docs_with_null_prediction(spark):
         assert r.predicted_lang is None
         assert r.distance is None
         assert r.correct is None
+
+
+def test_bench_load_guard_tags_slow_probe(tmp_path):
+    """bench self-defense (r11 verdict ask #6): a cache probe reading
+    <50% of the recorded idle throughput tags the run as loaded_box;
+    a fast probe raises the carried reference instead."""
+    import json
+
+    from bench import tag_load_state
+
+    prior = tmp_path / "BENCH_DETAIL.json"
+    prior.write_text(
+        json.dumps({"cache_state": {"mb_per_sec": 1500.0}})
+    )
+    slow = tag_load_state({"mb_per_sec": 166.0}, str(prior))
+    assert slow["loaded_box"] is True
+    assert slow["ref_mb_per_sec"] == 1500.0  # loaded run keeps the bar
+    ok = tag_load_state({"mb_per_sec": 1400.0}, str(prior))
+    assert "loaded_box" not in ok
+    faster = tag_load_state({"mb_per_sec": 1600.0}, str(prior))
+    assert faster["ref_mb_per_sec"] == 1600.0  # best-ever carried
+    # no prior file: never tags, seeds the reference
+    fresh = tag_load_state(
+        {"mb_per_sec": 200.0}, str(tmp_path / "missing.json")
+    )
+    assert "loaded_box" not in fresh and fresh["ref_mb_per_sec"] == 200.0
