@@ -1,0 +1,28 @@
+#!/bin/bash
+# r12 campaign: (a) q212 langid re-measure at x100 (the r11 verdict's
+# headline — the Arrow-Counter rework was judge-verified correct but
+# never measured at tier) and its 1000x Spark tier; (b) the 1000x
+# DuckDB replays the r11 verdict asked for (q158/q190 pipelines —
+# Spark-only numbers exist, the ratio doesn't; q198 Wilson) or
+# recorded DNF/OOM; (c) q6b minhash idle re-profile happens separately
+# in-session (needs the bench harness, not the corun one).
+set -u
+cd "$(dirname "$0")/.."
+LOG=/tmp/campaign_r12.log
+echo "=== campaign r12 start $(date -u +%H:%M:%S) ===" >> "$LOG"
+corun() {
+  local dir=$1 eng=$2 q=$3 tmo=$4
+  echo "--- corun $q [$eng] @ $dir $(date -u +%H:%M:%S)" >> "$LOG"
+  CORUN_ONLY="$q" CORUN_ENGINES="$eng" CORUN_REPS="${CORUN_REPS:-1}" \
+    timeout "$tmo" python tools/stress_coruns_r7.py "$dir" >> "$LOG" 2>&1 \
+    || echo "$q $eng TIMEOUT-OR-FAIL rc=$?" >> "$LOG"
+}
+# (a2) q212 at the 1000x docs tier, Spark side (DuckDB replay too —
+# the x100 DuckDB side took 35 s, so 1000x may DNF; timeout records it)
+corun /tmp/stress-docs-x1000 spark  q212_langid_rank_profiles 3600
+corun /tmp/stress-docs-x1000 duckdb q212_langid_rank_profiles 3600
+# (b) 1000x DuckDB replays for the two curation pipelines + Wilson
+corun /tmp/stress-docs-x1000 duckdb q158_curation_pipeline 5400
+corun /tmp/stress-docs-x1000 duckdb q190_curation_pipeline_v3 5400
+corun /tmp/stress-docs-x1000 duckdb q198_wilson_quality_rank 3600
+echo "=== campaign r12 done $(date -u +%H:%M:%S) ===" >> "$LOG"
