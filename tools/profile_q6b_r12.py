@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""q6b creep triage (r11 verdict #5): split q37_minhash_pairs' idle
+sf0.1 wall into (probe job) + (mining job), and compare the auto form
+against a forced collapse_exact=False run (identical mining, no probe
+pre-pass). Driver-window ratios crept 2.01→2.42 across r9–r11 while
+the idle number stayed ~2.0×; this isolates whether the residual is
+the probe's extra Spark job or the mining itself.
+
+Usage: python tools/profile_q6b_r12.py [sf_dir] [reps]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.io.sources import load_table
+from catenae_stopover_spark.operators.dedup import (
+    _replica_ratio_probe,
+    minhash_lsh_near_dups,
+)
+from catenae_stopover_spark.session import get_spark
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def best(fn, reps=REPS):
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times), times
+
+
+def main() -> None:
+    spark = get_spark("profile-q6b")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = load_table(spark, SF, "documents")
+    d.limit(10).count()  # warm the session
+
+    digest = F.sha2(F.encode(F.col("text"), "UTF-8"), 256)
+    probe_best, probe_all = best(lambda: _replica_ratio_probe(d, digest))
+
+    auto_best, auto_all = best(
+        lambda: noop(
+            minhash_lsh_near_dups(
+                d, "text", "doc_id", num_hashes=64, bands=16,
+                portable_hash=True, collapse_exact="auto",
+            )
+        )
+    )
+    off_best, off_all = best(
+        lambda: noop(
+            minhash_lsh_near_dups(
+                d, "text", "doc_id", num_hashes=64, bands=16,
+                portable_hash=True, collapse_exact=False,
+            )
+        )
+    )
+    xx_best, _ = best(
+        lambda: noop(
+            minhash_lsh_near_dups(
+                d, "text", "doc_id", num_hashes=64, bands=16,
+                portable_hash=False, collapse_exact=False,
+            )
+        )
+    )
+
+    import duckdb
+
+    from __spark_entry__ import oracle_sql
+
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF}/{t}.parquet/**/*.parquet') "
+        ) if os.path.isdir(f"{SF}/{t}.parquet") and any(
+            x.endswith(".parquet")
+            for root, _, fs in os.walk(f"{SF}/{t}.parquet")
+            for x in fs
+        ) else con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'"
+        )
+    sql = oracle_sql()["q37_minhash_pairs"]
+    duck_best, _ = best(lambda: con.execute(sql).fetchall())
+
+    print(f"probe alone       best={probe_best:.3f}s  all={[round(t,3) for t in probe_all]}")
+    print(f"auto (probe+mine) best={auto_best:.3f}s  all={[round(t,3) for t in auto_all]}")
+    print(f"collapse off      best={off_best:.3f}s  all={[round(t,3) for t in off_all]}")
+    print(f"xxhash64, no probe best={xx_best:.3f}s")
+    print(f"duckdb oracle     best={duck_best:.3f}s")
+    print(f"probe share of auto: {100*(auto_best-off_best)/auto_best:.1f}% (auto-off delta {auto_best-off_best:.3f}s)")
+    print(f"ratio auto/duck = {auto_best/duck_best:.2f}x ; off/duck = {off_best/duck_best:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
