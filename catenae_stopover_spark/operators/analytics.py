@@ -914,3 +914,91 @@ def merge_aggregate_states(
             raise ValueError(f"unmergeable measure kind: {kind}")
         merged.append(expr.alias(col))
     return joined.select(*keys, *merged)
+
+
+def exact_ntile_desc(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    n_tiles: int = 4,
+    num_buckets: int = 32,
+    out_col: str = "tile",
+) -> DataFrame:
+    """Exact ``NTILE(n_tiles) OVER (ORDER BY value DESC, tiebreak ASC)``
+    without a data-scale single-partition window (r12; the audit's
+    SinglePartitionWindow smell over q133's global ntiles).
+
+    A bare ``Window.orderBy`` funnels the ENTIRE frame through one
+    task — fine at sf0.1, a straggler over the ~|users| frame a 100 TB
+    events table produces. This reproduces NTILE's exact bucket sizes
+    (first ``n % t`` buckets get ``n//t + 1`` rows) from a GLOBAL RANK
+    assembled distributively, the ``ks_statistic`` bucket-offsets
+    idiom:
+
+      1. bucket rows by planning-time ``percentile_approx`` cut points
+         on ``value_col`` (``num_buckets - 1`` driver scalars; the
+         bucket id is a pure function of the value, so equal values —
+         including window ties — can never straddle buckets);
+      2. within-bucket ``row_number`` over (value DESC, tiebreak ASC)
+         is an ordinary partitioned window;
+      3. per-bucket counts (``<= num_buckets`` rows) get one TINY
+         cumulative window in descending-bucket order and broadcast
+         back as offsets; global rank = offset + local row_number;
+      4. the tile is a closed-form integer function of (rank, n):
+         ``ceil(rank / (q+1))`` inside the first ``r`` oversized
+         buckets, else ``r + ceil((rank - (q+1)r) / q)`` with
+         ``q = n div t``, ``r = n mod t`` — integer `div` arithmetic,
+         no FP boundary risk.
+
+    Cut skew cannot affect correctness (ranks are exact wherever the
+    cuts fall); it only shifts per-bucket row counts. Parity with the
+    single-window ``F.ntile`` form is pytest-pinned.
+    """
+    # bucket on a DOUBLE surrogate (timestamps cast to epoch seconds —
+    # percentile_approx is numeric-only); a lossy cast can only merge
+    # near-equal values into one bucket, never reorder them, and the
+    # within-bucket sort uses the ORIGINAL column
+    vnum = F.col(value_col).cast("double")
+    ps = [i / num_buckets for i in range(1, num_buckets)]
+    row = df.agg(
+        F.percentile_approx(
+            vnum, F.array(*[F.lit(p) for p in ps]), 10_000
+        ).alias("__c")
+    ).first()
+    cuts = sorted(set(row["__c"] or []))
+    # NULL values sort last under desc (Spark's desc_nulls_last
+    # default): pin them to the lowest bucket id so the descending
+    # offsets walk places them after every non-null row
+    pid = F.lit(0)
+    for c in cuts:
+        pid = pid + (vnum > F.lit(float(c))).cast("int")
+    pid = F.when(vnum.isNull(), F.lit(-1)).otherwise(pid)
+    tagged = df.withColumn("__pid", pid)
+    w_in = Window.partitionBy("__pid").orderBy(
+        F.col(value_col).desc(), F.col(tiebreak_col).asc()
+    )
+    part_tot = tagged.groupBy("__pid").agg(F.count("*").alias("__pc"))
+    w_p = Window.orderBy(F.col("__pid").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = part_tot.select(
+        "__pid", F.coalesce(F.sum("__pc").over(w_p), F.lit(0)).alias("__off")
+    )
+    tot = df.agg(F.count("*").alias("__nt"))
+    return (
+        tagged.join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__rk", F.row_number().over(w_in) + F.col("__off"))
+        .withColumn("__q", (F.col("__nt") - F.col("__nt") % n_tiles) / n_tiles)
+        .withColumn(
+            out_col,
+            F.expr(
+                f"CAST(CASE WHEN __rk <= (CAST(__q AS BIGINT) + 1) * (__nt % {n_tiles}) "
+                f"THEN (__rk + CAST(__q AS BIGINT)) DIV (CAST(__q AS BIGINT) + 1) "
+                f"ELSE (__nt % {n_tiles}) + (__rk - (CAST(__q AS BIGINT) + 1) * (__nt % {n_tiles}) "
+                f"+ GREATEST(CAST(__q AS BIGINT), 1) - 1) DIV GREATEST(CAST(__q AS BIGINT), 1) "
+                f"END AS INT)"
+            ),
+        )
+        .drop("__pid", "__off", "__nt", "__rk", "__q")
+    )

@@ -583,19 +583,18 @@ def unigram_logprob(
         .agg(F.count("*").alias("__tf"))
         .persist()
     )
-    # N folds into the vocab table via a global window over the
-    # aggregate (vocab-sized, not corpus-sized), so each word carries
-    # its final log-prob into the join — one aggregate scan, no
-    # 1-row-total nested-loop cross join in the plan.
+    # N attaches as a broadcast 1-row scalar (the q143/q175/chi2
+    # idiom, r12): the r11 form folded N in via an UNPARTITIONED
+    # window over the vocab aggregate, which funnels the whole vocab
+    # frame (millions of rows at web scale) through ONE task — the
+    # exact straggler the r11 chi2 finding named. The 1-row cross
+    # keeps the vocab distributed; Catalyst serves both aggregates
+    # from the persisted tf table.
+    wc = tf.groupBy("__w").agg(F.sum("__tf").alias("__wc"))
+    n_total = wc.agg(F.sum("__wc").alias("__n"))
     vocab = (
-        tf.groupBy("__w")
-        .agg(F.sum("__tf").alias("__wc"))
-        .withColumn(
-            "__lp",
-            F.log(
-                F.col("__wc") / F.sum("__wc").over(Window.partitionBy())
-            ),
-        )
+        wc.crossJoin(F.broadcast(n_total))
+        .withColumn("__lp", F.log(F.col("__wc") / F.col("__n")))
         .select("__w", "__lp")
     )
     return (

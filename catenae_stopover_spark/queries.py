@@ -3736,9 +3736,11 @@ def q93_cms_bound_gate(spark, sf_dir):
     items = li.select("l_partkey").distinct()
     est = cms_point_estimates(sketch, items, "l_partkey", width=W, depth=D)
     exact = li.groupBy("l_partkey").agg(F.count("*").alias("__exact"))
-    joined = est.join(exact, "l_partkey").withColumn(
-        "__n", F.sum("__exact").over(Window.partitionBy())
-    )
+    # N as a broadcast 1-row scalar (r12; was an unpartitioned window
+    # that funneled the |keys|-row frame through one task — the chi2
+    # straggler class; keys scale with data)
+    n_tot = exact.agg(F.sum("__exact").alias("__n"))
+    joined = est.join(exact, "l_partkey").crossJoin(F.broadcast(n_tot))
     slack = F.ceil(F.lit(math.e / W) * F.col("__n"))
     return joined.agg(
         F.count("*").alias("n_items"),
@@ -5864,9 +5866,16 @@ def q133_rfm_segments(spark, sf_dir):
     """RFM segmentation — the standard customer-value grid: per user,
     recency (latest purchase ts), frequency (purchase count), monetary
     (value sum); each dimension NTILE(4)-scored with deterministic
-    tiebreaks, segments = the count per (r, f, m) cell. One aggregate
-    + three windows sharing a single global sort each (user-count
-    scale, not event scale)."""
+    tiebreaks, segments = the count per (r, f, m) cell. r12: the three
+    bare global-ntile windows (each a single-task sort over the
+    |users| frame — the audit's SinglePartitionWindow smell; users
+    scale with the events table) are replaced by
+    `analytics.exact_ntile_desc` — distributed exact NTILE via
+    planning-time percentile cuts + bucket offsets (value-identical
+    to `F.ntile`, pytest-pinned)."""
+    from .operators.analytics import exact_ntile_desc
+    from .plans import unpersist_on_gc
+
     ev = _t(spark, sf_dir, "events")
     per_user = (
         ev.filter(F.col("event_type") == "purchase")
@@ -5876,18 +5885,17 @@ def q133_rfm_segments(spark, sf_dir):
             F.count("*").alias("freq"),
             F.sum("value").alias("monetary"),
         )
+        .persist()  # feeds three rank pipelines + their cut probes
     )
-    r = F.ntile(4).over(Window.orderBy(F.col("last_ts").desc(), "user_id"))
-    f = F.ntile(4).over(Window.orderBy(F.col("freq").desc(), "user_id"))
-    m = F.ntile(4).over(
-        Window.orderBy(F.col("monetary").desc(), "user_id")
-    )
-    scored = per_user.select(
-        "user_id", r.alias("r"), f.alias("f"), m.alias("m")
-    )
-    return scored.groupBy("r", "f", "m").agg(
+    scored = per_user
+    for dim, out in (("last_ts", "r"), ("freq", "f"), ("monetary", "m")):
+        scored = exact_ntile_desc(
+            scored, dim, "user_id", n_tiles=4, out_col=out
+        )
+    out_df = scored.groupBy("r", "f", "m").agg(
         F.count("*").alias("n_users")
     )
+    return unpersist_on_gc(out_df, per_user)
 
 
 Q133_SQL = """
@@ -11283,14 +11291,18 @@ _R12_WINDOW = [
     "q202_partitioned_scan", "q204_cross_source_dedup",
     "q76_ivf_topk_serve", "q53_ivf_recall_gate",
     "q140_retrieval_eval", "q203_cluster_balanced_sample",
-    # --- (3b) fill: the 13 OLDEST r7-era rows, in age order; the
-    # --- remaining r7 rows (q84-q105 block + q174-q182) head r13.
+    # --- (2c) code changed in r12, late batch (the audit's new
+    # --- SinglePartitionWindow rule): q85 vocab-N broadcast rework,
+    # --- q93 total-N broadcast rework, q133 exact_ntile_desc rework.
+    "q85_unigram_logprob", "q93_cms_bound_gate", "q133_rfm_segments",
+    # --- (3b) fill: the 10 OLDEST r7-era rows, in age order; the
+    # --- remaining r7 rows (q84-q105 block + q169/q172/q173 +
+    # --- q174-q182) head r13.
     "q155_whitened_stats", "q141_entity_linkage",
     "q143_quality_ensemble", "q150_bpe_encode",
     "q153_dimension_stats", "q96_embedding_lsh_neardup_gate",
     "q164_sequence_packing", "q166_kmeans_step",
     "q167_heldout_lm_score", "q168_curriculum_order",
-    "q169_cluster_best_rep", "q172_skew_report", "q173_shard_manifest",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 QUERIES = {

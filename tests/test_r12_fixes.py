@@ -185,3 +185,48 @@ def test_bench_load_guard_tags_slow_probe(tmp_path):
         {"mb_per_sec": 200.0}, str(tmp_path / "missing.json")
     )
     assert "loaded_box" not in fresh and fresh["ref_mb_per_sec"] == 200.0
+
+
+def test_exact_ntile_desc_matches_window_ntile(spark):
+    """r12 SinglePartitionWindow triage: the distributed exact-NTILE
+    (bucket offsets + closed-form tile) must be value-identical to
+    `F.ntile` over a bare global window — including ties (broken by
+    the tiebreak col), n % t != 0 remainders, n < t, and a skewed
+    value distribution that leaves percentile buckets empty."""
+    from pyspark.sql import Window
+
+    from catenae_stopover_spark.operators.analytics import exact_ntile_desc
+
+    rows = []
+    # skewed: 70 rows of value 1.0 (one giant tie group), the rest spread
+    for i in range(70):
+        rows.append((i, 1.0))
+    for i in range(70, 101):  # n=101 -> 101 % 4 = 1 remainder bucket
+        rows.append((i, float(i)))
+    df = spark.createDataFrame(rows, ["uid", "v"])
+
+    for t in (4, 7):
+        got = {
+            r.uid: r.tile
+            for r in exact_ntile_desc(
+                df, "v", "uid", n_tiles=t, num_buckets=8
+            ).collect()
+        }
+        want = {
+            r.uid: r.tile
+            for r in df.select(
+                "uid",
+                F.ntile(t)
+                .over(Window.orderBy(F.col("v").desc(), F.col("uid")))
+                .alias("tile"),
+            ).collect()
+        }
+        assert got == want, f"t={t}"
+
+    # n < t: every row its own tile
+    tiny = spark.createDataFrame([(1, 5.0), (2, 3.0)], ["uid", "v"])
+    got = {
+        r.uid: r.tile
+        for r in exact_ntile_desc(tiny, "v", "uid", n_tiles=4).collect()
+    }
+    assert got == {1: 1, 2: 2}

@@ -183,6 +183,43 @@ ACCEPTED = {
     # global N as a broadcast 1-row scalar cross (replaced the r11
     # unpartitioned window per the r11 verdict; q143/q175's idiom)
     "q209_chi2_source_tokens": "broadcast of the 1-row corpus-total N",
+    # ------------------------------------------------------------------
+    # SinglePartitionWindow triage (r12 — the smell rule landed this
+    # round and flagged 10 pre-existing plans; 3 were real data-scale
+    # funnels and were FIXED — q85 vocab-frame N → 1-row broadcast,
+    # q93 |keys|-frame N → 1-row broadcast, q133 global ntiles →
+    # exact_ntile_desc bucket offsets. The rest are windows over
+    # frames bounded by construction, documented here):
+    "q84_heavy_hitters":
+        "global-total window over the <=k*partitions-row Misra-Gries "
+        "candidate recount (sketches.heavy_hitters: bounded by k, "
+        "never vocab-sized)",
+    "q85_unigram_logprob":
+        "broadcast of the 1-row corpus-total N (r12 fix: replaced the "
+        "vocab-frame unpartitioned window)",
+    "q93_cms_bound_gate":
+        "broadcast of the 1-row total-N scalar (r12 fix: replaced the "
+        "|keys|-frame unpartitioned window)",
+    "q105_corpus_mixture":
+        "share windows over the |sources|-row mixture table",
+    "q122_token_share":
+        "share/cum-share windows over the |sources|-row composition "
+        "table",
+    "q133_rfm_segments":
+        "exact_ntile_desc offset windows over <=32 bucket-count rows "
+        "+ 1-row total broadcast (r12 fix: replaced three |users|-"
+        "frame global ntile sorts)",
+    "q144_temperature_mixture":
+        "temperature-share windows over the |sources|-row (5) table",
+    "q181_token_budget":
+        "largest-remainder integer-rounding windows over the "
+        "|langs|-row allocation table",
+    "q189_stratified_exact":
+        "quota windows (largest-remainder + cap correction) over the "
+        "|sources|-row strata table",
+    "q203_cluster_balanced_sample":
+        "water-filling allocation windows over the |clusters|-row "
+        "size table",
 }
 
 
