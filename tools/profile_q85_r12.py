@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""q85 unigram tier triage: decompose the current form's cost and try
+two candidate rewrites at the x100 docs tier.
+
+A. current text.unigram_logprob (tf = (doc,word) groupBy, persisted)
+B. hash-keyed token stream: explode once -> (doc_id, xxhash64(w)),
+   persist the 16B/row stream, vocab agg (map-side combine on long
+   keys), broadcast lp join, direct per-doc AVG
+C. A but with xxhash64(word) keys inside the tf groupBy
+
+Usage: python tools/profile_q85_r12.py [sf_dir] [reps]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/stress-docs-x100"
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+from pyspark.sql import functions as F
+
+from catenae_stopover_spark.io.sources import load_table
+from catenae_stopover_spark.operators.text import unigram_logprob
+from catenae_stopover_spark.session import get_spark
+
+
+def noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def best(fn, reps=REPS):
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def form_b(df):
+    wh = (
+        df.select(
+            F.col("doc_id"),
+            F.explode(
+                F.expr("split(lower(trim(text)), '\\\\s+')")
+            ).alias("__w"),
+        )
+        .select("doc_id", F.xxhash64("__w").alias("__h"))
+        .persist()
+    )
+    vocab = wh.groupBy("__h").agg(F.count("*").alias("__wc"))
+    n_total = vocab.agg(F.sum("__wc").alias("__n"))
+    lp = (
+        vocab.crossJoin(F.broadcast(n_total))
+        .select("__h", F.log(F.col("__wc") / F.col("__n")).alias("__lp"))
+    )
+    out = (
+        wh.join(lp, "__h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("__lp"), 6).alias("avg_logprob"),
+        )
+    )
+    return out, wh
+
+
+def form_c(df):
+    wh = df.select(
+        F.col("doc_id"),
+        F.explode(
+            F.expr("split(lower(trim(text)), '\\\\s+')")
+        ).alias("__w"),
+    ).select("doc_id", F.xxhash64("__w").alias("__h"))
+    tf = wh.groupBy("doc_id", "__h").agg(F.count("*").alias("__tf")).persist()
+    wc = tf.groupBy("__h").agg(F.sum("__tf").alias("__wc"))
+    n_total = wc.agg(F.sum("__wc").alias("__n"))
+    lp = (
+        wc.crossJoin(F.broadcast(n_total))
+        .select("__h", F.log(F.col("__wc") / F.col("__n")).alias("__lp"))
+    )
+    out = (
+        tf.join(lp, "__h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__tf").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("__tf") * F.col("__lp")) / F.sum("__tf"), 6
+            ).alias("avg_logprob"),
+        )
+    )
+    return out, tf
+
+
+def main() -> None:
+    spark = get_spark("profile-q85")
+    spark.sparkContext.setLogLevel("ERROR")
+    d = load_table(spark, SF, "documents")
+    d.limit(10).count()
+
+    ta = best(lambda: noop(unigram_logprob(d)))
+    print(f"A current           best={ta:.2f}s", flush=True)
+
+    def run_b():
+        out, cache = form_b(d)
+        noop(out)
+        cache.unpersist()
+
+    tb = best(run_b)
+    print(f"B hash token stream best={tb:.2f}s", flush=True)
+
+    def run_c():
+        out, cache = form_c(d)
+        noop(out)
+        cache.unpersist()
+
+    tc = best(run_c)
+    print(f"C hash tf pairs     best={tc:.2f}s", flush=True)
+
+    # value parity A vs B (rounded to 6; hash collisions would break it)
+    a = unigram_logprob(d).orderBy("doc_id").limit(2000).collect()
+    b = form_b(d)[0].orderBy("doc_id").limit(2000).collect()
+    mism = sum(
+        1
+        for x, y in zip(a, b)
+        if (x.n_tokens, x.avg_logprob) != (y.n_tokens, y.avg_logprob)
+    )
+    print(f"A/B value mismatches over 2000 docs: {mism}")
+
+
+if __name__ == "__main__":
+    main()
