@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -527,3 +528,199 @@ def phash_near_dups(
         .distinct()
     )
     return cand
+
+
+# ---------------------------------------------------------------------
+# Oracle-checkable REAL-codec round-trips (r12). The synthetic pixel /
+# sample payloads are pure integer functions of the id, so a SQL
+# oracle can recompute every statistic CLOSED-FORM while the Spark
+# side must earn the same numbers through the actual PNG (zlib
+# inflate + unfilter) and PCM-WAV byte paths — a value-hashed test of
+# the codec itself, not of a shared stub.
+# ---------------------------------------------------------------------
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("mean_pixel", DoubleType()),
+        StructField("first_pixel", IntegerType()),
+        StructField("last_pixel", IntegerType()),
+    ]
+)
+
+SAMPLE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("mean_sample", DoubleType()),
+        StructField("rms", DoubleType()),
+    ]
+)
+
+
+def synthesize_png_media(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 24,
+    height: int = 16,
+) -> DataFrame:
+    """One RGB PNG per input id: pixel (y, x, c) holds
+    ``(id*7919 + (y*width + x)*3 + c) % 256``. Encoded with the
+    stdlib PNG writer (`codecs.encode_png`) inside mapInPandas —
+    payload construction is distributed, nothing passes the driver.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import encode_png
+
+        base = np.arange(height * width * 3, dtype=np.int64).reshape(
+            height, width, 3
+        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for i in pdf[id_col].values:
+                img = ((int(i) * 7919 + base) % 256).astype("uint8")
+                rows.append((int(i), "image", encode_png(img), "image/png", None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "mime", "meta_json"],
+            )
+
+    return ids.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def image_pixel_stats(media: DataFrame) -> DataFrame:
+    """REAL-decode pixel statistics per image payload: width, height,
+    channels, mean over every (y, x, c) value, and the first/last
+    pixel bytes in raster order. Runs `codecs.decode_image` (PNG /
+    NetPBM) — `decode='fake'` has no place here; a wrong inflate,
+    unfilter, or channel order changes the values and fails the
+    oracle hash."""
+    src = media.filter(F.col("kind") == "image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import decode_image
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for mid, p in zip(pdf["media_id"].values, pdf["payload"].values):
+                w, h, c, img = decode_image(bytes(p))
+                flat = img.reshape(-1).astype("float64")
+                out.append(
+                    (
+                        int(mid),
+                        int(w),
+                        int(h),
+                        int(c),
+                        float(flat.mean()),
+                        int(flat[0]),
+                        int(flat[-1]),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_channels",
+                    "mean_pixel",
+                    "first_pixel",
+                    "last_pixel",
+                ],
+            )
+
+    return src.mapInPandas(run, schema=PIXEL_STATS_SCHEMA).withColumn(
+        "mean_pixel", F.round("mean_pixel", 6) + F.lit(0.0)
+    )
+
+
+def synthesize_wav_media(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    n_samples: int = 2048,
+    sample_rate: int = 16_000,
+) -> DataFrame:
+    """One mono 16-bit PCM WAV per input id: sample i holds
+    ``((id*31 + i*17) % 65536) - 32768``. Written with the stdlib
+    `wave` module inside mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        import numpy as np
+
+        idx = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for i in pdf[id_col].values:
+                s = (((int(i) * 31 + idx * 17) % 65536) - 32768).astype(
+                    "<i2"
+                )
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(sample_rate)
+                    wf.writeframes(s.tobytes())
+                rows.append(
+                    (int(i), "audio", buf.getvalue(), "audio/wav", None)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "mime", "meta_json"],
+            )
+
+    return ids.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def audio_sample_stats(media: DataFrame) -> DataFrame:
+    """REAL-decode sample statistics per WAV payload: sample count,
+    mean amplitude, RMS — from `codecs.decode_wav`'s actual PCM
+    samples (header parse + int16 LE decode under oracle check)."""
+    src = media.filter(F.col("kind") == "audio")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import decode_wav
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for mid, p in zip(pdf["media_id"].values, pdf["payload"].values):
+                _rate, _ch, s = decode_wav(bytes(p))
+                x = s.reshape(-1).astype("float64")
+                out.append(
+                    (
+                        int(mid),
+                        int(x.size),
+                        float(x.mean()),
+                        float(np.sqrt((x * x).mean())),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "n_samples", "mean_sample", "rms"],
+            )
+
+    return (
+        src.mapInPandas(run, schema=SAMPLE_STATS_SCHEMA)
+        .withColumn("mean_sample", F.round("mean_sample", 6) + F.lit(0.0))
+        .withColumn("rms", F.round("rms", 6) + F.lit(0.0))
+    )

@@ -10955,6 +10955,79 @@ FROM norm n LEFT JOIN best b ON b.doc_id = n.doc_id AND b.rk = 1
 """
 
 
+def q213_png_roundtrip_stats(spark, sf_dir):
+    """B54 depth, r12: ORACLE-CHECKED real PNG codec round-trip. One
+    RGB PNG per doc_id < 200 is synthesized distributively — pixel
+    (y, x, c) = (doc_id*7919 + (y*24 + x)*3 + c) % 256, written by
+    `codecs.encode_png` (zlib deflate, filter 0) — then
+    `multimodal.image_pixel_stats` re-reads the BYTES through
+    `codecs.decode_png` (inflate + unfilter) and reports per-image
+    width/height/channels, mean pixel, and the first/last raster
+    bytes. The DuckDB oracle recomputes every value CLOSED-FORM from
+    the integer formula, so a wrong inflate, unfilter, channel order,
+    or raster order fails the value hash — the codec itself is under
+    oracle check, not a shared stub. (All five PNG filter types are
+    additionally pinned against a hand-filtered reference in
+    t:test_codecs; the writer emits filter 0.)"""
+    from .operators.multimodal import (
+        image_pixel_stats,
+        synthesize_png_media,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return image_pixel_stats(synthesize_png_media(d))
+
+
+Q213_SQL = r"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+px AS (
+    SELECT doc_id, i, (doc_id * 7919 + i) % 256 AS v
+    FROM ids, (SELECT UNNEST(GENERATE_SERIES(0, 24*16*3 - 1)) AS i)
+)
+SELECT doc_id AS media_id,
+       24 AS width, 16 AS height, 3 AS n_channels,
+       ROUND(AVG(v), 6) + 0.0 AS mean_pixel,
+       CAST(MIN(CASE WHEN i = 0 THEN v END) AS INT) AS first_pixel,
+       CAST(MIN(CASE WHEN i = 24*16*3 - 1 THEN v END) AS INT)
+           AS last_pixel
+FROM px GROUP BY doc_id
+"""
+
+
+def q214_wav_roundtrip_stats(spark, sf_dir):
+    """B54 depth, r12: ORACLE-CHECKED real PCM-WAV round-trip. One
+    mono 16-bit WAV per doc_id < 200 — sample i =
+    ((doc_id*31 + i*17) % 65536) - 32768, written by the stdlib
+    `wave` module — then `multimodal.audio_sample_stats` re-reads the
+    BYTES through `codecs.decode_wav` (RIFF parse + int16 LE) and
+    reports count/mean/RMS per clip; the oracle recomputes them from
+    the sample formula. Sums are exact in double (2048 * 2^30 < 2^53)
+    so the only FP steps are the final divisions and IEEE sqrt —
+    engine-identical."""
+    from .operators.multimodal import (
+        audio_sample_stats,
+        synthesize_wav_media,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return audio_sample_stats(synthesize_wav_media(d))
+
+
+Q214_SQL = r"""
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+s AS (
+    SELECT doc_id, ((doc_id * 31 + i * 17) % 65536) - 32768 AS v
+    FROM ids, (SELECT UNNEST(GENERATE_SERIES(0, 2047)) AS i)
+)
+SELECT doc_id AS media_id,
+       CAST(COUNT(*) AS INT) AS n_samples,
+       ROUND(AVG(v), 6) + 0.0 AS mean_sample,
+       ROUND(SQRT(AVG(CAST(v AS DOUBLE) * v)), 6) + 0.0 AS rms
+FROM s GROUP BY doc_id
+"""
+
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -11075,6 +11148,12 @@ QUERIES: dict[str, tuple] = {
         q212_langid_rank_profiles,
         Q212_SQL,
     ),
+    # --- B54 depth, NEW r12 (below the 50-line — the r8 q185-q189
+    # --- precedent: check_oracle-verified locally this round, heads
+    # --- the r13 rotation): real-codec round-trips whose stats the
+    # --- oracle recomputes closed-form from the payload formulas.
+    "q213_png_roundtrip_stats": (q213_png_roundtrip_stats, Q213_SQL),
+    "q214_wav_roundtrip_stats": (q214_wav_roundtrip_stats, Q214_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),

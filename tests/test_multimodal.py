@@ -232,3 +232,42 @@ def test_phash_strict_raises(spark):
 
     with pytest.raises(Exception):
         phash_images(media, decode="strict").collect()
+
+
+def test_codec_roundtrip_stats_hand_computed(spark):
+    """r12 B54 oracle queries' ground truth, verified independently of
+    BOTH engines: for id=3 the PNG mean/first/last and WAV mean/rms
+    are recomputed here with plain Python ints over the payload
+    formulas, and the Spark values (earned through real encode ->
+    decode byte paths) must match."""
+    from catenae_stopover_spark.operators.multimodal import (
+        audio_sample_stats,
+        image_pixel_stats,
+        synthesize_png_media,
+        synthesize_wav_media,
+    )
+
+    ids = spark.createDataFrame([(3,), (7,)], ["doc_id"])
+
+    img = {
+        r.media_id: r
+        for r in image_pixel_stats(synthesize_png_media(ids)).collect()
+    }
+    n = 24 * 16 * 3
+    vals = [(3 * 7919 + i) % 256 for i in range(n)]
+    assert img[3].width == 24 and img[3].height == 16
+    assert img[3].n_channels == 3
+    assert img[3].first_pixel == vals[0]
+    assert img[3].last_pixel == vals[-1]
+    assert img[3].mean_pixel == round(sum(vals) / n, 6)
+
+    wav = {
+        r.media_id: r
+        for r in audio_sample_stats(synthesize_wav_media(ids)).collect()
+    }
+    s = [((7 * 31 + i * 17) % 65536) - 32768 for i in range(2048)]
+    assert wav[7].n_samples == 2048
+    assert wav[7].mean_sample == round(sum(s) / 2048, 6)
+    import math
+
+    assert wav[7].rms == round(math.sqrt(sum(v * v for v in s) / 2048), 6)
