@@ -3570,3 +3570,72 @@ def langid_rank_profiles(
             (F.col("__b.__lang") == F.col("true_lang")).alias("correct"),
         )
     )
+
+
+def weighted_stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    weight_col: str,
+    k: int,
+) -> DataFrame:
+    """Weighted without-replacement top-k per stratum — B128, the
+    Efraimidis–Spirakis A-ES sampler made deterministic: each row
+    gets an exponential clock ``e = -ln(u) / w`` with ``u`` the sha2
+    hash-uniform of the key (the q37/q189 portable idiom — (int of
+    first 15 hex digits + 1) / (2^60 + 1), never 0) and ``w`` its
+    weight; the k SMALLEST clocks per stratum are the sample.
+    P(row in sample) increases with weight exactly as weighted
+    sampling without replacement prescribes, yet the draw is
+    reproducible across runs, engines, and cluster sizes — no RNG
+    state, so an eval-set draw can be re-audited years later from
+    the formula alone. Quality-weighted corpus subsetting is the
+    canonical use ("sample 100k docs per source, favoring high
+    quality").
+
+    Rows with NULL or non-positive weight are EXCLUDED (a zero
+    weight has infinite clock; a negative one is a caller bug —
+    documented contract, same rule as q181's shares).
+
+    Scale shape: one shuffle keyed on the stratum; the rank filter is
+    a per-stratum top-k window, which Spark 4 executes as
+    WindowGroupLimit (map-side partial top-k before the shuffle), so
+    a billion-row stratum ships only ~k rows per input partition.
+    Returns (strata, key, weight, rank), rank 1..k by (clock, key).
+    """
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    u = (
+        F.conv(
+            F.substring(
+                F.sha2(
+                    F.coalesce(
+                        F.col(key_col).cast("string"), F.lit("\x00null\x00")
+                    ),
+                    256,
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + F.lit(1)
+    ) / F.lit(float(2**60 + 1))
+    wcol = F.col(weight_col).cast("double")
+    clocked = df.filter(wcol.isNotNull() & (wcol > 0)).withColumn(
+        "__e", -F.log(u) / wcol
+    )
+    w_rank = Window.partitionBy(strata_col).orderBy(
+        F.col("__e").asc(), F.col(key_col).asc()
+    )
+    return (
+        clocked.withColumn("__rk", F.row_number().over(w_rank))
+        .filter(F.col("__rk") <= F.lit(int(k)))
+        .select(
+            F.col(strata_col),
+            F.col(key_col),
+            wcol.alias("weight"),
+            F.col("__rk").cast("int").alias("rank"),
+        )
+    )

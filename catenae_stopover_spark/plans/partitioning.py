@@ -168,3 +168,60 @@ def explain_str(df: DataFrame, mode: str = "formatted") -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
         df._jdf.queryExecution(), mode
     )
+
+
+def rendezvous_route(
+    df: DataFrame,
+    key_col: str,
+    shards: list[str],
+    weights: dict[str, float] | None = None,
+    out_col: str = "shard",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard routing — B129.
+
+    Key k routes to the shard minimizing the exponential clock
+    ``e(k, s) = -ln(u(k, s)) / w_s`` where ``u`` is the deterministic
+    sha2 hash-uniform of ``key<US>shard`` and ``w_s`` the shard's
+    capacity weight: inclusion is proportional to weight, and the
+    defining CONSISTENCY property holds — removing a shard remaps
+    ONLY that shard's keys (every other key keeps its argmin;
+    pytest-pinned), which is what makes this the standard router for
+    resharding 100 TB datasets without a full reshuffle (vs mod-N
+    hashing, which remaps ~all keys).
+
+    Scale shape: the clock battery is a LITERAL |shards|-wide
+    struct-array expression folded with ``array_min`` — map-only,
+    zero shuffle, no |keys| x |shards| explode on the Spark side (the
+    oracle replays the explode + window form; both orders are total:
+    (e, shard) with e's distinct with probability 1 - 2^-40ish).
+    Engine-portable: sha2 -> first 15 hex digits -> (int + 1) /
+    (2^60 + 1) in (0, 1], the q37/q189 hash-uniform idiom.
+    """
+    from pyspark.sql import functions as F
+
+    if not shards:
+        raise ValueError("shards must be non-empty")
+    if len(set(shards)) != len(shards):
+        raise ValueError("duplicate shard names")
+    w = {s: float((weights or {}).get(s, 1.0)) for s in shards}
+    if any(v <= 0 for v in w.values()):
+        raise ValueError("shard weights must be > 0")
+    key_s = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00null\x00"))
+
+    def clock(s: str):
+        u = (
+            F.conv(
+                F.substring(
+                    F.sha2(F.concat(key_s, F.lit("\x1f" + s)), 256), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            + F.lit(1)
+        ) / F.lit(float(2**60 + 1))
+        return F.struct(
+            (-F.log(u) / F.lit(w[s])).alias("e"), F.lit(s).alias("s")
+        )
+
+    best = F.array_min(F.array(*[clock(s) for s in shards]))
+    return df.withColumn(out_col, best["s"])

@@ -11027,6 +11027,86 @@ FROM s GROUP BY doc_id
 """
 
 
+def q215_weighted_sample(spark, sf_dir):
+    """B128 (new r12): deterministic weighted without-replacement
+    sampling (`text.weighted_stratified_sample`) — Efraimidis-
+    Spirakis exponential clocks from the portable sha2 hash-uniform,
+    k=10 per source, weight = a deterministic quality proxy
+    (length(text) % 97 + 1) so both engines derive identical weights
+    from the data. Membership, not just counts, is value-checked:
+    the clock formula (-LN((h+1)/(2^60+1)) / w) must replay
+    bit-compatibly through Spark's conv/log and DuckDB's ::BIGINT/LN
+    for the ranked sample to hash-match."""
+    from .operators.text import weighted_stratified_sample
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "__w", (F.length("text") % 97 + 1).cast("double")
+    )
+    return weighted_stratified_sample(
+        d, strata_col="source", key_col="doc_id", weight_col="__w", k=10
+    )
+
+
+Q215_SQL = r"""
+WITH clocked AS (
+    SELECT source, doc_id,
+           CAST(LENGTH(text) % 97 + 1 AS DOUBLE) AS weight,
+           -LN((('0x' || SUBSTR(SHA256(CAST(doc_id AS VARCHAR)), 1, 15))
+                    ::BIGINT + 1) / 1152921504606846977.0)
+               / (LENGTH(text) % 97 + 1) AS e
+    FROM documents
+), ranked AS (
+    SELECT source, doc_id, weight,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY e ASC, doc_id ASC
+           ) AS INT) AS rank
+    FROM clocked
+)
+SELECT source, doc_id, weight, rank FROM ranked WHERE rank <= 10
+"""
+
+
+def q216_rendezvous_route(spark, sf_dir):
+    """B129 (new r12): rendezvous (highest-random-weight) shard
+    routing (`plans.partitioning.rendezvous_route`) over 6 shards
+    with capacity weights 1/1/1/2/2/4 — per-key assignments value-
+    checked (the Spark side is a map-only literal struct-array
+    argmin, zero shuffle and no |keys| x |shards| explode; the
+    oracle replays the explode + per-key window form — both are the
+    same total order (e, shard)). The consistency property (removing
+    a shard remaps only its own keys) is pytest-pinned."""
+    from .plans.partitioning import rendezvous_route
+
+    d = _t(spark, sf_dir, "documents")
+    shards = ["s0", "s1", "s2", "s3", "s4", "s5"]
+    weights = {"s3": 2.0, "s4": 2.0, "s5": 4.0}
+    return rendezvous_route(d, "doc_id", shards, weights).select(
+        "doc_id", "shard"
+    )
+
+
+Q216_SQL = r"""
+WITH shards(s, w) AS (
+    VALUES ('s0', 1.0), ('s1', 1.0), ('s2', 1.0),
+           ('s3', 2.0), ('s4', 2.0), ('s5', 4.0)
+), clocked AS (
+    SELECT doc_id, s,
+           -LN((('0x' || SUBSTR(SHA256(
+                    CAST(doc_id AS VARCHAR) || CHR(31) || s), 1, 15))
+                    ::BIGINT + 1) / 1152921504606846977.0) / w AS e
+    FROM documents, shards
+), ranked AS (
+    SELECT doc_id, s,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY e ASC, s ASC
+           ) AS rk
+    FROM clocked
+)
+SELECT doc_id, s AS shard FROM ranked WHERE rk = 1
+"""
+
+
+
 
 # --------------------------------------------------------------------
 # Registry
@@ -11154,6 +11234,10 @@ QUERIES: dict[str, tuple] = {
     # --- oracle recomputes closed-form from the payload formulas.
     "q213_png_roundtrip_stats": (q213_png_roundtrip_stats, Q213_SQL),
     "q214_wav_roundtrip_stats": (q214_wav_roundtrip_stats, Q214_SQL),
+    # --- B128/B129, NEW r12 (below the 50-line, same precedent):
+    # --- weighted A-ES sampling + rendezvous shard routing.
+    "q215_weighted_sample": (q215_weighted_sample, Q215_SQL),
+    "q216_rendezvous_route": (q216_rendezvous_route, Q216_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),

@@ -1,0 +1,90 @@
+"""B128 weighted A-ES sampling + B129 rendezvous routing (new r12)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_weighted_sample_weight_monotone_and_deterministic(spark):
+    """A giant weight must always be sampled; tiny weights rarely;
+    the draw replays identically; NULL / non-positive weights are
+    excluded per contract."""
+    from catenae_stopover_spark.operators.text import (
+        weighted_stratified_sample,
+    )
+
+    rows = [("a", i, 1.0) for i in range(200)]
+    rows.append(("a", 999, 1e9))          # effectively certain
+    rows.append(("a", 1000, None))        # excluded
+    rows.append(("a", 1001, 0.0))         # excluded
+    rows.append(("a", 1002, -3.0))        # excluded
+    df = spark.createDataFrame(rows, "src string, doc_id long, w double")
+
+    got = weighted_stratified_sample(df, "src", "doc_id", "w", k=5)
+    keys = {r.doc_id for r in got.collect()}
+    assert 999 in keys                    # the 1e9-weight row is in
+    assert keys.isdisjoint({1000, 1001, 1002})
+    assert len(keys) == 5
+    # deterministic replay
+    again = {
+        r.doc_id
+        for r in weighted_stratified_sample(
+            df, "src", "doc_id", "w", k=5
+        ).collect()
+    }
+    assert again == keys
+    # uniform weights degrade to the pure hash order of the keys: the
+    # clock -ln(u)/1 DECREASES in u, so top-5 smallest clocks == the
+    # 5 LARGEST hash-uniforms
+    uni = weighted_stratified_sample(
+        df.withColumn("w", F.lit(1.0)), "src", "doc_id", "w", k=5
+    )
+    by_u = (
+        df.withColumn(
+            "u",
+            F.conv(
+                F.substring(F.sha2(F.col("doc_id").cast("string"), 256), 1, 15),
+                16,
+                10,
+            ).cast("bigint"),
+        )
+        .orderBy(F.col("u").desc(), "doc_id")
+        .limit(5)
+    )
+    assert {r.doc_id for r in uni.collect()} == {
+        r.doc_id for r in by_u.collect()
+    }
+
+
+def test_rendezvous_remove_shard_remaps_only_its_keys(spark):
+    """The defining consistency property: dropping s2 must leave
+    every key that was NOT on s2 exactly where it was; s2's keys all
+    move. Weighted capacity must skew assignment counts."""
+    from catenae_stopover_spark.plans.partitioning import rendezvous_route
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    full = ["s0", "s1", "s2", "s3"]
+    a = {
+        r.k: r.shard
+        for r in rendezvous_route(df, "k", full).collect()
+    }
+    b = {
+        r.k: r.shard
+        for r in rendezvous_route(df, "k", ["s0", "s1", "s3"]).collect()
+    }
+    moved = {k for k in a if a[k] != b[k]}
+    assert moved == {k for k, s in a.items() if s == "s2"}
+    assert all(s != "s2" for s in b.values())
+    # every shard got a sensible share of 2000 keys under equal weights
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == set(full) and min(c.values()) > 300
+    # capacity weights skew the split ~proportionally
+    cw = Counter(
+        r.shard
+        for r in rendezvous_route(
+            df, "k", ["x", "y"], weights={"y": 3.0}
+        ).collect()
+    )
+    assert 0.6 < cw["y"] / 2000 < 0.9    # expected 0.75
