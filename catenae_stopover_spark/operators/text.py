@@ -3639,3 +3639,62 @@ def weighted_stratified_sample(
             F.col("__rk").cast("int").alias("rank"),
         )
     )
+
+
+def manifest_snapshot_diff(
+    old_manifest: DataFrame, new_manifest: DataFrame
+) -> DataFrame:
+    """Release-to-release manifest diff — B130. Given two
+    :func:`shard_manifest` frames (old and new snapshots of a
+    dataset), report per shard: status in
+    ``added | removed | changed | unchanged`` plus doc/char/token
+    deltas and both checksums.
+
+    This is the verb that makes the manifest family pay off at
+    100 TB: because the per-shard checksum is an order-insensitive
+    XOR of content digests, two RELEASES diff in
+    O(|manifest|) = num_shards rows — no re-read of either dataset —
+    and "changed" is trustworthy (any single doc edit toggles the
+    XOR). Full-outer join on the shard id, |shards|-row frame;
+    every expression NULL-safe so an empty side classifies as
+    added/removed rather than poisoning the deltas.
+    """
+    o = old_manifest.select(
+        F.col("shard"),
+        F.col("n_docs").alias("__od"),
+        F.col("n_chars").alias("__oc"),
+        F.col("n_tokens").alias("__ot"),
+        F.col("checksum").alias("old_checksum"),
+    )
+    n = new_manifest.select(
+        F.col("shard"),
+        F.col("n_docs").alias("__nd"),
+        F.col("n_chars").alias("__nc"),
+        F.col("n_tokens").alias("__nt"),
+        F.col("checksum").alias("new_checksum"),
+    )
+    j = o.join(n, "shard", "full_outer")
+    status = (
+        F.when(F.col("old_checksum").isNull(), F.lit("added"))
+        .when(F.col("new_checksum").isNull(), F.lit("removed"))
+        .when(
+            (F.col("old_checksum") == F.col("new_checksum"))
+            & (F.col("__od") == F.col("__nd"))
+            & (F.col("__oc") == F.col("__nc"))
+            & (F.col("__ot") == F.col("__nt")),
+            F.lit("unchanged"),
+        )
+        .otherwise(F.lit("changed"))
+    )
+    z = F.lit(0).cast("bigint")
+    return j.select(
+        "shard",
+        status.alias("status"),
+        (F.coalesce("__nd", z) - F.coalesce("__od", z)).alias("docs_delta"),
+        (F.coalesce("__nc", z) - F.coalesce("__oc", z)).alias("chars_delta"),
+        (F.coalesce("__nt", z) - F.coalesce("__ot", z)).alias(
+            "tokens_delta"
+        ),
+        "old_checksum",
+        "new_checksum",
+    )

@@ -11106,6 +11106,88 @@ SELECT doc_id, s AS shard FROM ranked WHERE rk = 1
 """
 
 
+def q217_manifest_diff(spark, sf_dir):
+    """B130 (new r12): release-to-release manifest diff
+    (`text.manifest_snapshot_diff`) — old snapshot = the full corpus,
+    new snapshot = a deterministic next release (docs with
+    doc_id % 31 == 0 dropped, docs with doc_id % 29 == 0 rewritten
+    with an 'v2 ' prefix). Both engines rebuild both 32-shard
+    manifests from the mutation formulas and must agree on every
+    shard's status (changed vs unchanged — the XOR checksum is the
+    decider) and exact doc/char/token deltas. The O(|manifest|)
+    diff property is the point: no row of either release is re-read
+    to classify a shard."""
+    from .operators.text import manifest_snapshot_diff, shard_manifest
+
+    d = _t(spark, sf_dir, "documents")
+    new_rel = d.filter(F.col("doc_id") % 31 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 29 == 0, F.concat(F.lit("v2 "), F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    return manifest_snapshot_diff(
+        shard_manifest(d), shard_manifest(new_rel)
+    )
+
+
+Q217_SQL = r"""
+WITH old_h AS (
+    SELECT ('0x' || SUBSTR(SHA256(doc_id::VARCHAR), 1, 8))::BIGINT % 32
+               AS shard,
+           LENGTH(text) AS nc,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^ 	
+]+')) AS nt,
+           ('0x' || SUBSTR(SHA256('7:' || doc_id::VARCHAR || ':' ||
+                COALESCE(text, CHR(0) || 'null' || CHR(0))), 1, 15))::BIGINT
+               AS h60
+    FROM documents
+), old_m AS (
+    SELECT CAST(shard AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           BIT_XOR(h60) AS checksum
+    FROM old_h GROUP BY shard
+), new_rel AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 29 = 0 THEN 'v2 ' || text ELSE text END
+               AS text
+    FROM documents WHERE doc_id % 31 <> 0
+), new_h AS (
+    SELECT ('0x' || SUBSTR(SHA256(doc_id::VARCHAR), 1, 8))::BIGINT % 32
+               AS shard,
+           LENGTH(text) AS nc,
+           LEN(REGEXP_EXTRACT_ALL(text, '[^ 	
+]+')) AS nt,
+           ('0x' || SUBSTR(SHA256('7:' || doc_id::VARCHAR || ':' ||
+                COALESCE(text, CHR(0) || 'null' || CHR(0))), 1, 15))::BIGINT
+               AS h60
+    FROM new_rel
+), new_m AS (
+    SELECT CAST(shard AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(nc) AS BIGINT) AS n_chars,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           BIT_XOR(h60) AS checksum
+    FROM new_h GROUP BY shard
+)
+SELECT COALESCE(o.shard, n.shard) AS shard,
+       CASE WHEN o.checksum IS NULL THEN 'added'
+            WHEN n.checksum IS NULL THEN 'removed'
+            WHEN o.checksum = n.checksum AND o.n_docs = n.n_docs
+                 AND o.n_chars = n.n_chars AND o.n_tokens = n.n_tokens
+                THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       COALESCE(n.n_docs, 0) - COALESCE(o.n_docs, 0) AS docs_delta,
+       COALESCE(n.n_chars, 0) - COALESCE(o.n_chars, 0) AS chars_delta,
+       COALESCE(n.n_tokens, 0) - COALESCE(o.n_tokens, 0) AS tokens_delta,
+       o.checksum AS old_checksum,
+       n.checksum AS new_checksum
+FROM old_m o FULL OUTER JOIN new_m n USING (shard)
+"""
+
+
 
 
 # --------------------------------------------------------------------
@@ -11238,6 +11320,7 @@ QUERIES: dict[str, tuple] = {
     # --- weighted A-ES sampling + rendezvous shard routing.
     "q215_weighted_sample": (q215_weighted_sample, Q215_SQL),
     "q216_rendezvous_route": (q216_rendezvous_route, Q216_SQL),
+    "q217_manifest_diff": (q217_manifest_diff, Q217_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),

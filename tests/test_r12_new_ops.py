@@ -88,3 +88,43 @@ def test_rendezvous_remove_shard_remaps_only_its_keys(spark):
         ).collect()
     )
     assert 0.6 < cw["y"] / 2000 < 0.9    # expected 0.75
+
+
+def test_manifest_diff_all_four_statuses(spark):
+    """B130: constructed manifests exercising every status — q217's
+    corpus mutation only yields changed/unchanged, so added/removed
+    and the NULL-safe delta math are pinned here."""
+    from catenae_stopover_spark.operators.text import manifest_snapshot_diff
+
+    cols = "shard int, n_docs long, n_chars long, n_tokens long, checksum long"
+    old = spark.createDataFrame(
+        [
+            (0, 10, 1000, 200, 111),   # unchanged
+            (1, 10, 1000, 200, 222),   # changed (checksum moves)
+            (2, 5, 500, 100, 333),     # removed
+            (3, 7, 700, 140, 444),     # changed (same checksum is NOT
+                                       # enough when counts move)
+        ],
+        cols,
+    )
+    new = spark.createDataFrame(
+        [
+            (0, 10, 1000, 200, 111),
+            (1, 10, 1001, 200, 999),
+            (3, 8, 700, 140, 444),
+            (4, 3, 300, 60, 555),      # added
+        ],
+        cols,
+    )
+    got = {
+        r.shard: r
+        for r in manifest_snapshot_diff(old, new).collect()
+    }
+    assert {s: r.status for s, r in got.items()} == {
+        0: "unchanged", 1: "changed", 2: "removed",
+        3: "changed", 4: "added",
+    }
+    assert (got[2].docs_delta, got[2].chars_delta) == (-5, -500)
+    assert (got[4].docs_delta, got[4].tokens_delta) == (3, 60)
+    assert got[1].chars_delta == 1 and got[3].docs_delta == 1
+    assert got[4].old_checksum is None and got[2].new_checksum is None
