@@ -1994,3 +1994,30 @@ def cluster_balanced_sample(
         .select(id_col, "cluster_id")
     )
     return unpersist_on_gc(out, assigned)
+
+
+def ivf_index_add(
+    assigned: DataFrame,
+    centroids: list,
+    delta: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """O(delta) IVF index maintenance — B131. New vectors are
+    assigned against the FROZEN centroid literals
+    (:func:`assign_ivf_cells`) and appended to the existing
+    assignment; the base index is never re-read or re-assigned. This
+    is how a serving index absorbs a daily ingest at 100 TB: the
+    incremental form costs |delta| scored rows instead of
+    |corpus| + |delta|, and — because assignment is a pure function
+    of (vector, centroids) — the maintained index is ROW-IDENTICAL
+    to a full rebuild under the same centroids (pytest-pinned; q218
+    serves the q76 oracle's exact top-k through an incrementally
+    maintained index). Centroid drift (enough adds that the frozen
+    quantizer goes stale) is a retrain decision, not a maintenance
+    one — the recall gates (q53/q69/q83) are the drift monitors.
+    """
+    add = assign_ivf_cells(delta, centroids, vec_col=vec_col, id_col=id_col)
+    return assigned.select(id_col, vec_col, "centroid_id").unionByName(
+        add.select(id_col, vec_col, "centroid_id")
+    )

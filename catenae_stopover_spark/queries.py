@@ -11137,7 +11137,8 @@ WITH old_h AS (
                AS shard,
            LENGTH(text) AS nc,
            LEN(REGEXP_EXTRACT_ALL(text, '[^ 	
-]+')) AS nt,
+
+]+')) AS nt,
            ('0x' || SUBSTR(SHA256('7:' || doc_id::VARCHAR || ':' ||
                 COALESCE(text, CHR(0) || 'null' || CHR(0))), 1, 15))::BIGINT
                AS h60
@@ -11159,7 +11160,8 @@ WITH old_h AS (
                AS shard,
            LENGTH(text) AS nc,
            LEN(REGEXP_EXTRACT_ALL(text, '[^ 	
-]+')) AS nt,
+
+]+')) AS nt,
            ('0x' || SUBSTR(SHA256('7:' || doc_id::VARCHAR || ':' ||
                 COALESCE(text, CHR(0) || 'null' || CHR(0))), 1, 15))::BIGINT
                AS h60
@@ -11186,6 +11188,31 @@ SELECT COALESCE(o.shard, n.shard) AS shard,
        n.checksum AS new_checksum
 FROM old_m o FULL OUTER JOIN new_m n USING (shard)
 """
+
+
+def q218_ivf_incremental_add(spark, sf_dir):
+    """B131 (new r12): O(delta) IVF index maintenance
+    (`similarity.ivf_index_add`) — the corpus splits into a base
+    (vec_id % 5 != 1) assigned up front and a delta (vec_id % 5 == 1)
+    absorbed INCREMENTALLY against the frozen portable centroids; the
+    q76 serve (k=10, n_probe=4) then runs over the maintained index.
+    The oracle is q76's own full-rebuild replay: the serve result
+    hash-matches iff incremental maintenance is row-identical to
+    re-assigning the whole corpus under the same quantizer — the
+    correctness contract that makes O(delta) ingest sound. (Oracle
+    reuse precedent: q86/Q67_SQL, q95/Q88_SQL.)"""
+    from .operators.similarity import assign_ivf_cells, ivf_index_add, ivf_topk
+
+    centroids = _portable_ivf_centroids(sf_dir, 8)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") != 0)
+    base = emb.filter(F.col("vec_id") % 5 != 1)
+    delta = emb.filter(F.col("vec_id") % 5 == 1)
+    maintained = ivf_index_add(
+        assign_ivf_cells(base, centroids), centroids, delta
+    )
+    return ivf_topk(
+        maintained, centroids, _query_vec(sf_dir), k=10, n_probe=4
+    )
 
 
 
@@ -11321,6 +11348,7 @@ QUERIES: dict[str, tuple] = {
     "q215_weighted_sample": (q215_weighted_sample, Q215_SQL),
     "q216_rendezvous_route": (q216_rendezvous_route, Q216_SQL),
     "q217_manifest_diff": (q217_manifest_diff, Q217_SQL),
+    "q218_ivf_incremental_add": (q218_ivf_incremental_add, _q76_oracle_sql),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),

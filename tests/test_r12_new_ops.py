@@ -128,3 +128,35 @@ def test_manifest_diff_all_four_statuses(spark):
     assert (got[4].docs_delta, got[4].tokens_delta) == (3, 60)
     assert got[1].chars_delta == 1 and got[3].docs_delta == 1
     assert got[4].old_checksum is None and got[2].new_checksum is None
+
+
+def test_ivf_index_add_equals_full_rebuild(spark):
+    """B131: the maintained index (base assigned once + delta added
+    incrementally against frozen centroids) must be ROW-IDENTICAL to
+    assigning the whole corpus in one pass."""
+    from catenae_stopover_spark.operators.similarity import (
+        assign_ivf_cells,
+        ivf_index_add,
+    )
+
+    rows = [
+        (i, [float((i * 13 + d * 7) % 11 - 5) for d in range(4)])
+        for i in range(1, 201)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0],
+             [0.0, 0.0, 1.0, 0.0], [-1.0, -1.0, 0.0, 0.0]]
+    base = df.filter(F.col("vec_id") % 3 != 0)
+    delta = df.filter(F.col("vec_id") % 3 == 0)
+
+    maintained = {
+        r.vec_id: r.centroid_id
+        for r in ivf_index_add(
+            assign_ivf_cells(base, cents), cents, delta
+        ).collect()
+    }
+    full = {
+        r.vec_id: r.centroid_id
+        for r in assign_ivf_cells(df, cents).collect()
+    }
+    assert maintained == full and len(maintained) == 200
