@@ -447,3 +447,110 @@ def poisson_bootstrap_means(
             F.round(F.col("__s") / F.col("n_eff"), 6) + F.lit(0.0),
         ).alias("rep_mean"),
     )
+
+
+def krippendorff_alpha_nominal(
+    df: DataFrame,
+    item_col: str = "item_id",
+    annotator_col: str = "annotator",
+    label_col: str = "label",
+) -> DataFrame:
+    """Krippendorff's alpha for nominal labels — B132, the
+    inter-annotator agreement gate a labeling/preference-data
+    pipeline runs before training on human labels (alpha >= 0.8 is
+    the conventional "rely on it" bar; chance agreement scores 0,
+    perfect agreement 1, and alpha handles MISSING ratings — items
+    rated by any subset of annotators — which plain percent-agreement
+    and fixed-rater kappas do not).
+
+    Coincidence-matrix formulation (Krippendorff 2011), nominal
+    distance:
+
+      D_o ∝ Σ_i Σ_c o_ic (m_i − o_ic) / (m_i − 1)   (within-item
+          disagreeing pairs, m_i ≥ 2 pairable ratings per item)
+      D_e ∝ Σ_c n_c (n − n_c) / (n − 1)
+      alpha = 1 − D_o / D_e  (after the common 1/n folds out)
+
+    FP determinism: every numerator is an exact INTEGER aggregate;
+    the only divisions are one per DISTINCT m_i value (the
+    per-(m−1) terms are grouped and summed as integers FIRST, so at
+    most |distinct rater counts| double divisions exist, not one per
+    item — no FP-accumulation-order channel) and the final ratio.
+    Duplicate (item, annotator) ratings: last-writer-unknowable, so
+    ALL ratings count (Krippendorff treats values, not raters);
+    NULL labels are dropped as missing.
+
+    Scale shape: one (item, label) groupBy (map-side combined), a
+    per-item window over the ≤|labels| rows of each item, then two
+    tiny grouped aggregates (by m_i, by label) broadcast-crossed
+    into the single report row. Nothing data-scale crosses a single
+    partition. Returns (n_items, n_values, d_o, d_e, alpha),
+    d_o/d_e as the n-normalized disagreements, rounded to 6.
+    """
+    oc = (
+        df.filter(F.col(label_col).isNotNull())
+        .groupBy(item_col, label_col)
+        .agg(F.count("*").alias("__o"))
+    )
+    w_i = Window.partitionBy(item_col)
+    oc = oc.withColumn("__m", F.sum("__o").over(w_i)).filter(
+        F.col("__m") >= 2
+    )
+    # observed: integer numerators grouped by m BEFORE the division
+    by_m = (
+        oc.groupBy("__m")
+        .agg(F.sum(F.col("__o") * (F.col("__m") - F.col("__o"))).alias("__num"))
+        .agg(
+            F.sum(
+                F.col("__num").cast("double") / (F.col("__m") - 1)
+            ).alias("__do_sum")
+        )
+    )
+    items_row = oc.agg(F.countDistinct(item_col).alias("n_items"))
+    totals = oc.groupBy(label_col).agg(F.sum("__o").alias("__nc"))
+    n_row = totals.agg(F.sum("__nc").alias("__n"))
+    de = (
+        totals.crossJoin(F.broadcast(n_row))
+        .agg(
+            F.sum(F.col("__nc") * (F.col("__n") - F.col("__nc"))).alias(
+                "__de_num"
+            ),
+            F.first("__n").alias("__n"),
+        )
+    )
+    out = (
+        by_m.crossJoin(F.broadcast(de))
+        .crossJoin(F.broadcast(items_row))
+        .select(
+            F.col("n_items").cast("long").alias("n_items"),
+            F.col("__n").cast("long").alias("n_values"),
+            (F.col("__do_sum") / F.col("__n")).alias("__do"),
+            (
+                F.col("__de_num").cast("double")
+                / (F.col("__n") * (F.col("__n") - 1))
+            ).alias("__de"),
+        )
+        .select(
+            "n_items",
+            "n_values",
+            (F.round(F.col("__do"), 6) + F.lit(0.0)).alias("d_o"),
+            (F.round(F.col("__de"), 6) + F.lit(0.0)).alias("d_e"),
+            # D_e = 0 (a single category across all pairable ratings)
+            # leaves alpha undefined; Krippendorff's convention is 1.0
+            # when observed disagreement is also 0 (all agree on the
+            # one thing there is to say), NULL otherwise (unreachable:
+            # D_o <= D_e by construction)
+            (
+                F.when(
+                    F.col("__de") == 0,
+                    F.when(F.col("__do") == 0, F.lit(1.0)),
+                ).otherwise(
+                    F.round(
+                        F.lit(1.0) - F.col("__do") / F.col("__de"), 6
+                    )
+                    + F.lit(0.0)
+                )
+            ).alias("alpha"),
+        )
+    )
+    return out

@@ -11215,6 +11215,84 @@ def q218_ivf_incremental_add(spark, sf_dir):
     )
 
 
+def q219_annotator_agreement(spark, sf_dir):
+    """B132 (new r12): Krippendorff's alpha (nominal) —
+    (`evaluation.krippendorff_alpha_nominal`), the inter-annotator
+    agreement gate run on label/preference data before training on
+    it. Annotations are synthesized deterministically from the corpus
+    (3 annotators per doc; base label doc_id % 4; annotator j flips
+    to (base+1) % 4 when (doc_id*31 + j*17) % 10 == 0 — ~10% noise),
+    so both engines rebuild the identical rating table and every
+    aggregate is exact-integer: with a FIXED 3 ratings/item the only
+    divisions are by the constant (m-1)=2 and the final n-normalized
+    ratio — no FP-accumulation-order channel anywhere. Variable-m
+    items and the literature example are pytest-pinned."""
+    from .operators.evaluation import krippendorff_alpha_nominal
+
+    d = _t(spark, sf_dir, "documents")
+    ann = (
+        d.select("doc_id")
+        .crossJoin(
+            F.broadcast(
+                spark.range(3).select(F.col("id").alias("__j"))
+            )
+        )
+        .select(
+            F.col("doc_id").alias("item_id"),
+            F.concat(F.lit("a"), F.col("__j")).alias("annotator"),
+            F.when(
+                (F.col("doc_id") * 31 + F.col("__j") * 17) % 10 == 0,
+                (F.col("doc_id") % 4 + 1) % 4,
+            )
+            .otherwise(F.col("doc_id") % 4)
+            .cast("int")
+            .alias("label"),
+        )
+    )
+    return krippendorff_alpha_nominal(ann)
+
+
+Q219_SQL = r"""
+WITH ann AS (
+    SELECT doc_id AS item_id, j,
+           CAST(CASE WHEN (doc_id * 31 + j * 17) % 10 = 0
+                     THEN (doc_id % 4 + 1) % 4
+                     ELSE doc_id % 4 END AS INT) AS label
+    FROM documents, (SELECT UNNEST(GENERATE_SERIES(0, 2)) AS j)
+), oc AS (
+    SELECT item_id, label, COUNT(*) AS o
+    FROM ann GROUP BY item_id, label
+), ocm AS (
+    SELECT item_id, label, o,
+           SUM(o) OVER (PARTITION BY item_id) AS m
+    FROM oc
+), pairable AS (SELECT * FROM ocm WHERE m >= 2),
+do_sum AS (
+    SELECT SUM(num / (m - 1)) AS do_sum FROM (
+        SELECT m, CAST(SUM(o * (m - o)) AS DOUBLE) AS num
+        FROM pairable GROUP BY m
+    )
+), items AS (
+    SELECT COUNT(DISTINCT item_id) AS n_items FROM pairable
+), totals AS (
+    SELECT label, SUM(o) AS nc FROM pairable GROUP BY label
+), nrow AS (SELECT SUM(nc) AS n FROM totals),
+de AS (
+    SELECT SUM(nc * (n - nc)) AS de_num, ANY_VALUE(n) AS n
+    FROM totals, nrow
+)
+SELECT CAST(items.n_items AS BIGINT) AS n_items,
+       CAST(de.n AS BIGINT) AS n_values,
+       ROUND(do_sum.do_sum / de.n, 6) + 0.0 AS d_o,
+       ROUND(CAST(de.de_num AS DOUBLE) / (de.n * (de.n - 1)), 6) + 0.0
+           AS d_e,
+       ROUND(1.0 - (do_sum.do_sum / de.n)
+                 / (CAST(de.de_num AS DOUBLE) / (de.n * (de.n - 1))), 6)
+           + 0.0 AS alpha
+FROM do_sum, items, de
+"""
+
+
 
 
 # --------------------------------------------------------------------
@@ -11349,6 +11427,7 @@ QUERIES: dict[str, tuple] = {
     "q216_rendezvous_route": (q216_rendezvous_route, Q216_SQL),
     "q217_manifest_diff": (q217_manifest_diff, Q217_SQL),
     "q218_ivf_incremental_add": (q218_ivf_incremental_add, _q76_oracle_sql),
+    "q219_annotator_agreement": (q219_annotator_agreement, Q219_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),

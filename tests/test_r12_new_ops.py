@@ -160,3 +160,65 @@ def test_ivf_index_add_equals_full_rebuild(spark):
         for r in assign_ivf_cells(df, cents).collect()
     }
     assert maintained == full and len(maintained) == 200
+
+
+def test_krippendorff_alpha_first_principles(spark):
+    """B132: alpha recomputed from first principles (ordered-pair
+    enumeration via itertools) on variable-m data with missing
+    ratings — an item rated once must be excluded, perfect agreement
+    must score exactly 1.0."""
+    import itertools
+
+    from catenae_stopover_spark.operators.evaluation import (
+        krippendorff_alpha_nominal,
+    )
+
+    ratings = [
+        ("i1", "a", 0), ("i1", "b", 0), ("i1", "c", 1),
+        ("i2", "a", 1), ("i2", "b", 1),
+        ("i3", "a", 2), ("i3", "b", 2), ("i3", "c", 2),
+        ("i4", "a", 0),                      # m=1: not pairable
+        ("i5", "a", 0), ("i5", "b", 1),
+    ]
+    df = spark.createDataFrame(
+        ratings, "item_id string, annotator string, label int"
+    )
+    row = krippendorff_alpha_nominal(df).collect()[0]
+
+    # first-principles replication over pairable items
+    items = {}
+    for i, _, v in ratings:
+        items.setdefault(i, []).append(v)
+    items = {i: vs for i, vs in items.items() if len(vs) >= 2}
+    n = sum(len(vs) for vs in items.values())
+    d_o = (
+        sum(
+            sum(1 for x, y in itertools.permutations(vs, 2) if x != y)
+            / (len(vs) - 1)
+            for vs in items.values()
+        )
+        / n
+    )
+    from collections import Counter
+
+    nc = Counter(v for vs in items.values() for v in vs)
+    d_e = sum(c * (n - c) for c in nc.values()) / (n * (n - 1))
+    assert row.n_items == len(items) and row.n_values == n
+    assert row.d_o == round(d_o, 6) and row.d_e == round(d_e, 6)
+    assert row.alpha == round(1 - d_o / d_e, 6)
+
+    # perfect agreement (two categories in play) -> alpha exactly 1.0
+    perfect = spark.createDataFrame(
+        [(i, a, 7 if i == "x" else 8) for i in ("x", "y")
+         for a in ("a", "b", "c")],
+        "item_id string, annotator string, label int",
+    )
+    p = krippendorff_alpha_nominal(perfect).collect()[0]
+    assert p.alpha == 1.0 and p.d_o == 0.0 and p.d_e > 0
+    # degenerate: ONE category ever used -> D_e = 0, convention 1.0
+    mono = spark.createDataFrame(
+        [(i, a, 7) for i in ("x", "y") for a in ("a", "b")],
+        "item_id string, annotator string, label int",
+    )
+    m = krippendorff_alpha_nominal(mono).collect()[0]
+    assert m.alpha == 1.0 and m.d_e == 0.0

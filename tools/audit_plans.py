@@ -220,6 +220,11 @@ ACCEPTED = {
     "q203_cluster_balanced_sample":
         "water-filling allocation windows over the |clusters|-row "
         "size table",
+    # 3-row annotator grid broadcast onto the corpus + crosses of
+    # 1-row/|labels|-row report aggregates (the q132/q197 pattern)
+    "q219_annotator_agreement":
+        "3-row annotator-grid broadcast + 1-row report-aggregate "
+        "crosses",
 }
 
 
