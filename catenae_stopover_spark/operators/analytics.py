@@ -923,6 +923,8 @@ def exact_ntile_desc(
     n_tiles: int = 4,
     num_buckets: int = 32,
     out_col: str = "tile",
+    cuts: list[float] | None = None,
+    total: int | None = None,
 ) -> DataFrame:
     """Exact ``NTILE(n_tiles) OVER (ORDER BY value DESC, tiebreak ASC)``
     without a data-scale single-partition window (r12; the audit's
@@ -953,19 +955,30 @@ def exact_ntile_desc(
     Cut skew cannot affect correctness (ranks are exact wherever the
     cuts fall); it only shifts per-bucket row counts. Parity with the
     single-window ``F.ntile`` form is pytest-pinned.
+
+    ``cuts``/``total`` (r13, the r12 ADVICE item): when chained — q133
+    scores three dimensions back-to-back — each call's eager
+    ``percentile_approx`` probe and lazy COUNT subtree would re-execute
+    every PRECEDING call's join+window pipeline just to read scalars
+    that depend only on the original upstream columns. Callers that
+    hold a cheap persisted frame with the same rows can probe all
+    dimensions there in ONE job and pass the cut points (and the row
+    count) in; values must come from the same rows or ranks are wrong.
     """
     # bucket on a DOUBLE surrogate (timestamps cast to epoch seconds —
     # percentile_approx is numeric-only); a lossy cast can only merge
     # near-equal values into one bucket, never reorder them, and the
     # within-bucket sort uses the ORIGINAL column
     vnum = F.col(value_col).cast("double")
-    ps = [i / num_buckets for i in range(1, num_buckets)]
-    row = df.agg(
-        F.percentile_approx(
-            vnum, F.array(*[F.lit(p) for p in ps]), 10_000
-        ).alias("__c")
-    ).first()
-    cuts = sorted(set(row["__c"] or []))
+    if cuts is None:
+        ps = [i / num_buckets for i in range(1, num_buckets)]
+        row = df.agg(
+            F.percentile_approx(
+                vnum, F.array(*[F.lit(p) for p in ps]), 10_000
+            ).alias("__c")
+        ).first()
+        cuts = row["__c"] or []
+    cuts = sorted({float(c) for c in cuts})
     # NULL values sort last under desc (Spark's desc_nulls_last
     # default): pin them to the lowest bucket id so the descending
     # offsets walk places them after every non-null row
@@ -984,11 +997,16 @@ def exact_ntile_desc(
     offsets = part_tot.select(
         "__pid", F.coalesce(F.sum("__pc").over(w_p), F.lit(0)).alias("__off")
     )
-    tot = df.agg(F.count("*").alias("__nt"))
+    ranked = tagged.join(F.broadcast(offsets), "__pid")
+    if total is None:
+        tot = df.agg(F.count("*").alias("__nt"))
+        ranked = ranked.crossJoin(F.broadcast(tot))
+    else:
+        ranked = ranked.withColumn(
+            "__nt", F.lit(int(total)).cast("bigint")
+        )
     return (
-        tagged.join(F.broadcast(offsets), "__pid")
-        .crossJoin(F.broadcast(tot))
-        .withColumn("__rk", F.row_number().over(w_in) + F.col("__off"))
+        ranked.withColumn("__rk", F.row_number().over(w_in) + F.col("__off"))
         .withColumn("__q", (F.col("__nt") - F.col("__nt") % n_tiles) / n_tiles)
         .withColumn(
             out_col,

@@ -230,3 +230,21 @@ def test_exact_ntile_desc_matches_window_ntile(spark):
         for r in exact_ntile_desc(tiny, "v", "uid", n_tiles=4).collect()
     }
     assert got == {1: 1, 2: 2}
+
+    # r13 (ADVICE): precomputed cuts + total — the chained-probe
+    # bypass — must be value-identical to the self-probing path,
+    # including deliberately skewed/degenerate cut points
+    want = {
+        r.uid: r.tile
+        for r in exact_ntile_desc(
+            df, "v", "uid", n_tiles=4, num_buckets=8
+        ).collect()
+    }
+    for pre_cuts in ([1.0, 80.0, 95.0], [0.5], []):
+        got = {
+            r.uid: r.tile
+            for r in exact_ntile_desc(
+                df, "v", "uid", n_tiles=4, cuts=pre_cuts, total=101
+            ).collect()
+        }
+        assert got == want, f"cuts={pre_cuts}"
