@@ -228,10 +228,27 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 
 
 def q05_cube_count(spark, sf_dir):
+    """CUBE(status, priority) over orders. r13 (the other >2x tier
+    row): a bare ``df.cube`` plans Expand BEFORE the partial
+    aggregate, so every input row is replicated once per grouping set
+    (4x here) and the 1000x tier pushes 600M expanded rows through
+    the hash agg — that 4x row blowup WAS the 2.15x gap. COUNT and
+    SUM are decomposable, so compute the finest grouping set first
+    (a near-scan-speed 2-low-cardinality-key aggregate, ~15 rows) and
+    cube THAT, re-aggregating the partials; Expand now runs over ~15
+    rows. Grouping-set NULL semantics are preserved exactly: a
+    data-NULL key row in the base frame participates in each coarser
+    set's re-aggregation just as the raw rows did, and the duplicate
+    (NULL, prio)-keyed output rows from different sets arise
+    identically in both forms."""
     o = _t(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count("*").alias("n"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    base = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("__n"),
+        F.sum("o_totalprice").alias("__t"),
+    )
+    return base.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum("__n").alias("n"),
+        F.round(F.sum("__t"), 4).alias("total"),
     )
 
 
@@ -293,12 +310,31 @@ GROUP BY l_returnflag
 # --------------------------------------------------------------------
 
 def q08_orders_per_customer_hist(spark, sf_dir):
+    """Orders-per-customer histogram. r13 (the last >2x tier row):
+    shuffled-hash join with an 8-byte orders side. Profile at the
+    1000x tier (150M orders / 15M customers): the bare key-shuffle
+    round trip is the floor for ANY shuffle-based plan (8.8 s on-disk
+    local dirs, 4.9 s tmpfs — hence the session's spark.local.dir
+    default), so the only levers are (a) never SORT 150M rows — the
+    old sort-merge join was 11.6 s, SHUFFLE_HASH with build side =
+    customer is supported for LEFT OUTER since 3.1; (b) shuffle the
+    MINIMUM bytes — project orders to the bare key, prefiltered on
+    o_orderkey IS NOT NULL so COUNT(o_custkey) post-join reproduces
+    COUNT(o_orderkey) exactly (a miss row's o_custkey is NULL -> 0;
+    an all-NULL-orderkey customer loses its rows pre-join -> miss ->
+    0, identical to COUNT over non-nulls). Pre-aggregating orders by
+    key first is the WRONG plan here and is pinned against: 15M
+    map-side-distinct keys give ~2x reduction for a giant hash map
+    (measured 16-20 s). 1000x: 8.8 s vs DuckDB 4.7 s = 1.9x."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    ok = o.filter(F.col("o_orderkey").isNotNull()).select("o_custkey")
     per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
+        c.select("c_custkey")
+        .hint("shuffle_hash")
+        .join(ok, F.col("c_custkey") == F.col("o_custkey"), "left")
         .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
+        .agg(F.count("o_custkey").alias("n_orders"))
     )
     return per_cust.groupBy("n_orders").agg(
         F.count("*").alias("n_customers")

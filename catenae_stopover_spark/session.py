@@ -37,6 +37,24 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Shuffle/spill local dirs on RAM-backed tmpfs when the box has one
+    # (this harness: 126 GiB /dev/shm). Measured r13: the bare 150M-row
+    # key shuffle round trip drops 8.8 s -> 4.9 s; q08 8% end-to-end.
+    # On a real cluster the equivalent is local NVMe per executor —
+    # spark.local.dir is THE knob either way; override or disable via
+    # SPARK_GRAFT_LOCAL_DIR (set to "" to keep Spark's default).
+    **(
+        {"spark.local.dir": _shm}
+        if (
+            _shm := os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark-graft-local"
+                if os.path.isdir("/dev/shm")
+                else "",
+            )
+        )
+        else {}
+    ),
     "spark.ui.enabled": "false",
     "spark.sql.warehouse.dir": "/tmp/csspark-warehouse",
     # events.parquet is TIMESTAMP(NANOS), which Spark's reader rejects;
