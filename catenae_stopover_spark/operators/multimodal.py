@@ -566,12 +566,20 @@ def synthesize_png_media(
     id_col: str = "doc_id",
     width: int = 24,
     height: int = 16,
+    seed_col: str | None = None,
 ) -> DataFrame:
     """One RGB PNG per input id: pixel (y, x, c) holds
-    ``(id*7919 + (y*width + x)*3 + c) % 256``. Encoded with the
+    ``(seed*7919 + (y*width + x)*3 + c) % 256``. Encoded with the
     stdlib PNG writer (`codecs.encode_png`) inside mapInPandas —
     payload construction is distributed, nothing passes the driver.
+
+    ``seed_col`` (r13) decouples the pixel formula from the identity:
+    by default the id seeds its own pixels (every image distinct);
+    passing e.g. ``doc_id % 257`` as the seed plants exact duplicate
+    rasters under distinct media_ids — the fixture shape the
+    pixel-level dedup verb (q220) needs.
     """
+    seed_col = seed_col or id_col
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -585,15 +593,24 @@ def synthesize_png_media(
             if pdf.empty:
                 continue
             rows = []
-            for i in pdf[id_col].values:
-                img = ((int(i) * 7919 + base) % 256).astype("uint8")
+            for i, s in zip(pdf[id_col].values, pdf[seed_col].values):
+                img = ((int(s) * 7919 + base) % 256).astype("uint8")
                 rows.append((int(i), "image", encode_png(img), "image/png", None))
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "kind", "payload", "mime", "meta_json"],
             )
 
-    return ids.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+    cols = [id_col] if seed_col == id_col else [id_col, seed_col]
+    # CPU-heavy narrow stage (one zlib deflate per row): a single-file
+    # local parquet arrives as ONE split and serializes the whole
+    # corpus onto one worker (r13 finding: 500k images, 23 s 1-core vs
+    # 2.9 s after the guard). No-op on well-split inputs.
+    from ..plans.partitioning import ensure_min_parallelism
+
+    return ensure_min_parallelism(ids.select(*cols)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
 
 
 def image_pixel_stats(media: DataFrame) -> DataFrame:
@@ -646,6 +663,92 @@ def image_pixel_stats(media: DataFrame) -> DataFrame:
     )
 
 
+def pixel_neardup_clusters(
+    media: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """B133 (r13): exact near-duplicate clustering over DECODED
+    pixels — the dedup verb applied to the multimodal column, closing
+    the family's "codec feeds nothing downstream" gap. Each image
+    payload is decoded with the REAL stdlib codec
+    (`codecs.decode_image`: inflate + unfilter for PNG, NetPBM), the
+    raw raster bytes are fingerprinted (BLAKE2b-64 over
+    dims+channel-order-sensitive raster), and images are clustered by
+    (width, height, n_channels, fingerprint). One row per cluster:
+    ``rep_id`` (min member id), ``n_members``, dims, and the cluster's
+    decoded ``mean_pixel`` — the mean makes a wrong-but-deterministic
+    decode fail the oracle even though it would cluster identically.
+
+    Scale shape: decode + fingerprint run in mapInPandas (Arrow
+    batches, ~1 KB payloads, CPU-parallel, nothing at the driver);
+    the cluster step is ONE map-side-combinable groupBy on the 8-byte
+    fingerprint — identical rasters collapse per-partition first, so
+    the shuffle carries ~|distinct images| rows, not |images|. No
+    pairwise comparison anywhere; 64-bit fingerprint collisions are
+    ~2^-32 at 100M images and would fail the oracle count if they
+    ever occurred.
+    """
+    src = media.filter(F.col("kind") == "image")
+
+    fp_schema = (
+        f"{id_col} long, width int, height int, n_channels int, "
+        "fp long, mean_raw double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from .codecs import decode_image
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for mid, p in zip(pdf[id_col].values, pdf["payload"].values):
+                w, h, c, img = decode_image(bytes(p))
+                raster = img.tobytes()
+                d = hashlib.blake2b(
+                    f"{w}x{h}x{c}:".encode() + raster, digest_size=8
+                ).digest()
+                fp = int.from_bytes(d, "big", signed=True)
+                out.append(
+                    (
+                        int(mid),
+                        int(w),
+                        int(h),
+                        int(c),
+                        fp,
+                        float(img.reshape(-1).astype("float64").mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "width", "height", "n_channels", "fp",
+                    "mean_raw",
+                ],
+            )
+
+    from ..plans.partitioning import ensure_min_parallelism
+
+    fps = ensure_min_parallelism(src).mapInPandas(run, schema=fp_schema)
+    return (
+        fps.groupBy("width", "height", "n_channels", "fp")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").alias("n_members"),
+            # all members share the raster, hence the mean; MIN is the
+            # mergeable way to pick it
+            (F.round(F.min("mean_raw"), 6) + F.lit(0.0)).alias(
+                "mean_pixel"
+            ),
+        )
+        .select(
+            "rep_id", "n_members", "width", "height", "n_channels",
+            "mean_pixel",
+        )
+    )
+
+
 def synthesize_wav_media(
     ids: DataFrame,
     id_col: str = "doc_id",
@@ -685,7 +788,12 @@ def synthesize_wav_media(
                 columns=["media_id", "kind", "payload", "mime", "meta_json"],
             )
 
-    return ids.select(id_col).mapInPandas(run, schema=MEDIA_SCHEMA)
+    from ..plans.partitioning import ensure_min_parallelism
+
+    # same 1-split guard as the PNG synthesizer (CPU-heavy narrow stage)
+    return ensure_min_parallelism(ids.select(id_col)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
 
 
 def audio_sample_stats(media: DataFrame) -> DataFrame:

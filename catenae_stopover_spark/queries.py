@@ -11342,6 +11342,57 @@ FROM do_sum, items, de
 """
 
 
+def q220_pixel_neardup(spark, sf_dir):
+    """B133 (new r13): the dedup verb over DECODED pixels — the r12
+    verdict's one named family gap (multimodal codecs fed nothing
+    downstream). PNGs are synthesized for EVERY document with pixel
+    seed ``doc_id % 251`` (so exact duplicate rasters exist under
+    distinct ids), round-tripped through the REAL stdlib codec
+    (`codecs.encode_png` -> `decode_png`), fingerprinted on the raw
+    raster bytes, and clustered; one row per cluster with the min-id
+    representative, member count, dims, and the decoded mean pixel.
+    The DuckDB oracle replays the clusters closed-form from the seed
+    formula — it has no PNG codec, so its "decode" is the integer
+    synthesis formula itself; a wrong inflate/unfilter/channel order
+    on the Spark side shifts mean_pixel (or splits a cluster) and
+    fails the hash. Uncapped (unlike q213's 200-image probe): this is
+    the registry's codec-at-scale row — |docs| real encodes + decodes
+    + one fingerprint groupBy."""
+    from .operators.multimodal import (
+        pixel_neardup_clusters,
+        synthesize_png_media,
+    )
+
+    # modulus 251 (not 257): the raster depends on seed % 256 only
+    # ((seed*7919 + i) % 256), so the seed domain must stay inside one
+    # byte for seed -> raster to be injective — with 257 the seed-0 and
+    # seed-256 images are bit-identical, Spark honestly merges the two
+    # clusters, and the seed-grouped oracle can't follow.
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "__seed", F.col("doc_id") % 251
+    )
+    media = synthesize_png_media(d, seed_col="__seed")
+    return pixel_neardup_clusters(media)
+
+
+Q220_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, doc_id % 251 AS seed FROM documents
+), cl AS (
+    SELECT seed, MIN(doc_id) AS rep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM ids GROUP BY seed
+), px AS (
+    SELECT seed, AVG((seed * 7919 + i) % 256) AS mean_raw
+    FROM (SELECT DISTINCT seed FROM ids),
+         (SELECT UNNEST(GENERATE_SERIES(0, 24*16*3 - 1)) AS i)
+    GROUP BY seed
+)
+SELECT cl.rep_id, cl.n_members,
+       24 AS width, 16 AS height, 3 AS n_channels,
+       ROUND(px.mean_raw, 6) + 0.0 AS mean_pixel
+FROM cl JOIN px USING (seed)
+"""
 
 
 # --------------------------------------------------------------------
@@ -11477,6 +11528,9 @@ QUERIES: dict[str, tuple] = {
     "q217_manifest_diff": (q217_manifest_diff, Q217_SQL),
     "q218_ivf_incremental_add": (q218_ivf_incremental_add, _q76_oracle_sql),
     "q219_annotator_agreement": (q219_annotator_agreement, Q219_SQL),
+    # --- B133, NEW r13 (below the 50-line, heads the r14 window):
+    # --- pixel-level near-dup clustering over the real codec path.
+    "q220_pixel_neardup": (q220_pixel_neardup, Q220_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),

@@ -271,3 +271,38 @@ def test_codec_roundtrip_stats_hand_computed(spark):
     import math
 
     assert wav[7].rms == round(math.sqrt(sum(v * v for v in s) / 2048), 6)
+
+
+def test_pixel_neardup_clusters(spark):
+    """B133: planted duplicate rasters (seed = doc_id % 3) must come
+    back as exactly 3 clusters with min-id representatives, exhaustive
+    membership, and the closed-form per-cluster decoded mean."""
+    from pyspark.sql import functions as F
+
+    from catenae_stopover_spark.operators.multimodal import (
+        pixel_neardup_clusters,
+        synthesize_png_media,
+    )
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(10)], ["doc_id"]
+    ).withColumn("__seed", F.col("doc_id") % 3)
+    media = synthesize_png_media(ids, seed_col="__seed")
+    rows = {
+        r.rep_id: r for r in pixel_neardup_clusters(media).collect()
+    }
+
+    assert set(rows) == {0, 1, 2}
+    # doc_ids 0..9 mod 3 -> sizes 4, 3, 3
+    assert rows[0].n_members == 4
+    assert rows[1].n_members == 3 and rows[2].n_members == 3
+    assert sum(r.n_members for r in rows.values()) == 10
+    n = 24 * 16 * 3
+    for seed in range(3):
+        vals = [(seed * 7919 + i) % 256 for i in range(n)]
+        assert rows[seed].mean_pixel == round(sum(vals) / n, 6)
+        assert (rows[seed].width, rows[seed].height) == (24, 16)
+
+    # distinct rasters must NOT merge: default seeding (seed = id)
+    solo = pixel_neardup_clusters(synthesize_png_media(ids))
+    assert solo.count() == 10
