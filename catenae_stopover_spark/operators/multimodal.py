@@ -749,6 +749,82 @@ def pixel_neardup_clusters(
     )
 
 
+def ahash_images(
+    media: DataFrame,
+    grid: int = 8,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """B134 (r13): average hash over REAL decoded pixels — the classic
+    blockhash/aHash perceptual fingerprint (grid x grid tile means vs
+    the global mean), chosen over DCT-pHash for the oracle-checked
+    path because every bit decision here is an EXACT INTEGER
+    comparison: bit(t) = tile_sum * n_pixels > total_sum * tile_npx
+    (cross-multiplied, no division, no FP) on integer channel sums, so
+    any engine that can count replays the hash bit-for-bit — a DCT
+    hash rides cos() ulps across libms and can flip bits near the
+    median threshold (measured: 16 of 251 synthetic seeds collide
+    under pHash — perceptually-similar shifted ramps — and the
+    boundary bits differ per libm; aHash collisions are engine-stable).
+
+    Returns (id_col, width, height, ahash string of grid*grid '0'/'1'
+    chars, raster-msb-first) — the string IS the group key for the
+    dedup gate; near-dup banding reuses :func:`phash_near_dups`-style
+    band joins on substrings. Tiles follow integer floor boundaries
+    (tile (by,bx) covers rows [by*H//grid, (by+1)*H//grid)), so any
+    H, W >= grid works without resampling.
+
+    Scale: one narrow mapInPandas stage (decode + integer sums per
+    Arrow batch), then whatever the caller groups/joins on the
+    ~64-char key — identical shape to pixel_neardup_clusters.
+    """
+    src = media.filter(F.col("kind") == "image")
+    out_schema = f"{id_col} long, width int, height int, ahash string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import decode_image
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for mid, p in zip(pdf[id_col].values, pdf["payload"].values):
+                w, h, c, img = decode_image(bytes(p))
+                # integer channel-sum plane (0..255*c), exact
+                plane = img.astype(np.int64).sum(axis=2)
+                total = int(plane.sum())
+                npx = h * w
+                ys = np.arange(h) * grid // h
+                xs = np.arange(w) * grid // w
+                tidx = (ys[:, None] * grid + xs[None, :]).reshape(-1)
+                # float64 bincount is exact here: per-tile sums are
+                # bounded by 255*channels*npx << 2^53
+                tile_sum = np.bincount(
+                    tidx, weights=plane.reshape(-1).astype(np.float64),
+                    minlength=grid * grid,
+                ).astype(np.int64)
+                tile_npx = np.bincount(
+                    tidx, minlength=grid * grid
+                ).astype(np.int64)
+                bits = tile_sum * npx > total * tile_npx
+                out.append(
+                    (
+                        int(mid),
+                        int(w),
+                        int(h),
+                        "".join("1" if b else "0" for b in bits),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=[id_col, "width", "height", "ahash"]
+            )
+
+    from ..plans.partitioning import ensure_min_parallelism
+
+    return ensure_min_parallelism(src).mapInPandas(run, schema=out_schema)
+
+
 def synthesize_wav_media(
     ids: DataFrame,
     id_col: str = "doc_id",

@@ -11395,6 +11395,73 @@ FROM cl JOIN px USING (seed)
 """
 
 
+def q221_ahash_pixel_gate(spark, sf_dir):
+    """B134 (new r13): the q137 perceptual-dedup gate re-run over REAL
+    decoded pixels (q137's pHash kernel is real numpy DCT but its
+    bytes->pixels step is the fake digest grid; the r12 verdict named
+    the real-pixel variant). Average-hash instead of DCT-pHash for the
+    oracle path: every aHash bit is an exact integer cross-multiply
+    (tile_sum * n_pixels > total_sum * tile_npx), so DuckDB replays
+    the 64-bit hash STRING bit-for-bit from the closed-form pixel
+    formula — a DCT hash's median-threshold bits ride libm cos() ulps
+    and cannot be cross-engine-pinned (measured while designing this:
+    pHash merges 16 of the 251 synthetic seeds; which 16 is
+    FP-fragile). Output: one row per hash group (ahash, rep_id,
+    n_members) — the grouping itself is the dedup verb, and the hash
+    string in the output makes the check bit-exact, not just
+    structural."""
+    from .operators.multimodal import ahash_images, synthesize_png_media
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "__seed", F.col("doc_id") % 251
+    )
+    h = ahash_images(synthesize_png_media(d, seed_col="__seed"))
+    return (
+        h.groupBy("ahash")
+        .agg(
+            F.min("media_id").alias("rep_id"),
+            F.count("*").alias("n_members"),
+        )
+        .select("ahash", "rep_id", "n_members")
+    )
+
+
+# the aHash bit inequality, cross-multiplied channel-value-side:
+# Spark compares tile_sum*384 > total*(tile_values/3); multiplying by 3
+# gives the all-integer ts*1152 > total*tn used here (tn counts channel
+# VALUES per tile = 3 * pixels).
+Q221_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, doc_id % 251 AS seed FROM documents
+), seeds AS (
+    SELECT DISTINCT seed FROM ids
+), vals AS (
+    SELECT seed,
+           ((((i // 3) // 24) * 8 // 16) * 8
+             + (((i // 3) % 24) * 8 // 24)) AS t,
+           (seed * 7919 + i) % 256 AS v
+    FROM seeds, (SELECT UNNEST(GENERATE_SERIES(0, 24*16*3 - 1)) AS i)
+), tiles AS (
+    SELECT seed, t, SUM(v) AS ts, COUNT(*) AS tn
+    FROM vals GROUP BY seed, t
+), tot AS (
+    SELECT seed, SUM(ts) AS total FROM tiles GROUP BY seed
+), h AS (
+    SELECT tiles.seed,
+           STRING_AGG(
+               CASE WHEN tiles.ts * 1152 > tot.total * tiles.tn
+                    THEN '1' ELSE '0' END, '' ORDER BY tiles.t
+           ) AS ahash
+    FROM tiles JOIN tot USING (seed)
+    GROUP BY tiles.seed
+)
+SELECT h.ahash, MIN(ids.doc_id) AS rep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members
+FROM ids JOIN h USING (seed)
+GROUP BY h.ahash
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -11528,9 +11595,11 @@ QUERIES: dict[str, tuple] = {
     "q217_manifest_diff": (q217_manifest_diff, Q217_SQL),
     "q218_ivf_incremental_add": (q218_ivf_incremental_add, _q76_oracle_sql),
     "q219_annotator_agreement": (q219_annotator_agreement, Q219_SQL),
-    # --- B133, NEW r13 (below the 50-line, heads the r14 window):
-    # --- pixel-level near-dup clustering over the real codec path.
+    # --- B133/B134, NEW r13 (below the 50-line, head the r14 window):
+    # --- pixel-level near-dup clustering + integer-aHash gate over the
+    # --- real codec path.
     "q220_pixel_neardup": (q220_pixel_neardup, Q220_SQL),
+    "q221_ahash_pixel_gate": (q221_ahash_pixel_gate, Q221_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),

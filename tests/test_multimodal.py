@@ -306,3 +306,40 @@ def test_pixel_neardup_clusters(spark):
     # distinct rasters must NOT merge: default seeding (seed = id)
     solo = pixel_neardup_clusters(synthesize_png_media(ids))
     assert solo.count() == 10
+
+
+def test_ahash_images_integer_bits_and_invariance(spark):
+    """B134: aHash must be (a) equal for identical rasters, (b)
+    INVARIANT under a uniform brightness shift (the defining
+    perceptual property: +b per channel cancels in the cross-
+    multiplied tile-vs-global comparison), (c) different for a
+    structurally different image, (d) pure '0'/'1' strings of grid^2
+    chars."""
+    import numpy as np
+
+    from catenae_stopover_spark.operators.codecs import encode_png
+    from catenae_stopover_spark.operators.multimodal import ahash_images
+
+    h, w = 16, 24
+    base = np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3)
+    img = ((7 * 7919 + base) % 200).astype("uint8")  # headroom for +40
+    bright = (img.astype(np.int64) + 40).astype("uint8")
+    grad = (base % 200 // 2).astype("uint8")  # structurally different
+    rows = [
+        (1, "image", encode_png(img), "image/png", None),
+        (2, "image", encode_png(img), "image/png", None),
+        (3, "image", encode_png(bright), "image/png", None),
+        (4, "image", encode_png(grad), "image/png", None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "meta_json string",
+    )
+    got = {r.media_id: r.ahash for r in ahash_images(media).collect()}
+
+    assert got[1] == got[2], "identical rasters must hash equal"
+    assert got[1] == got[3], "uniform brightness shift must not move bits"
+    assert got[1] != got[4], "different structure must differ"
+    for v in got.values():
+        assert len(v) == 64 and set(v) <= {"0", "1"}
