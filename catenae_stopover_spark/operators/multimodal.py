@@ -830,10 +830,15 @@ def synthesize_wav_media(
     id_col: str = "doc_id",
     n_samples: int = 2048,
     sample_rate: int = 16_000,
+    seed_col: str | None = None,
 ) -> DataFrame:
     """One mono 16-bit PCM WAV per input id: sample i holds
-    ``((id*31 + i*17) % 65536) - 32768``. Written with the stdlib
-    `wave` module inside mapInPandas."""
+    ``((seed*31 + i*17) % 65536) - 32768``. Written with the stdlib
+    `wave` module inside mapInPandas. ``seed_col`` (r13) decouples the
+    sample formula from the identity, mirroring the PNG synthesizer:
+    a modular seed plants exact duplicate clips under distinct
+    media_ids for the audio dedup verb (q222)."""
+    seed_col = seed_col or id_col
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -846,8 +851,8 @@ def synthesize_wav_media(
             if pdf.empty:
                 continue
             rows = []
-            for i in pdf[id_col].values:
-                s = (((int(i) * 31 + idx * 17) % 65536) - 32768).astype(
+            for i, sd in zip(pdf[id_col].values, pdf[seed_col].values):
+                s = (((int(sd) * 31 + idx * 17) % 65536) - 32768).astype(
                     "<i2"
                 )
                 buf = io.BytesIO()
@@ -866,9 +871,83 @@ def synthesize_wav_media(
 
     from ..plans.partitioning import ensure_min_parallelism
 
+    cols = [id_col] if seed_col == id_col else [id_col, seed_col]
     # same 1-split guard as the PNG synthesizer (CPU-heavy narrow stage)
-    return ensure_min_parallelism(ids.select(id_col)).mapInPandas(
+    return ensure_min_parallelism(ids.select(*cols)).mapInPandas(
         run, schema=MEDIA_SCHEMA
+    )
+
+
+def audio_neardup_clusters(
+    media: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """B135 (r13): exact near-duplicate clustering over DECODED audio
+    samples — the audio counterpart of :func:`pixel_neardup_clusters`:
+    each WAV payload is decoded with the stdlib PCM codec
+    (`codecs.decode_wav`), the raw int16 sample bytes fingerprinted
+    (BLAKE2b-64 over rate+channels+samples), and clips clustered by
+    (sample_rate, n_channels, n_samples, fingerprint). One row per
+    cluster: rep_id (min member id), n_members, stream shape, and the
+    decoded mean sample — the mean catches a wrong-but-deterministic
+    decode that would cluster identically. Same scale shape as the
+    pixel verb: narrow mapInPandas + ONE map-side-combinable groupBy
+    on the 8-byte fingerprint.
+    """
+    src = media.filter(F.col("kind") == "audio")
+
+    fp_schema = (
+        f"{id_col} long, sample_rate int, n_channels int, "
+        "n_samples long, fp long, mean_raw double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from .codecs import decode_wav
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for mid, p in zip(pdf[id_col].values, pdf["payload"].values):
+                sr, nch, arr = decode_wav(bytes(p))
+                d = hashlib.blake2b(
+                    f"{sr}:{nch}:".encode() + arr.tobytes(), digest_size=8
+                ).digest()
+                out.append(
+                    (
+                        int(mid),
+                        int(sr),
+                        int(nch),
+                        int(arr.shape[0]),
+                        int.from_bytes(d, "big", signed=True),
+                        float(arr.astype("float64").mean()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "sample_rate", "n_channels", "n_samples",
+                    "fp", "mean_raw",
+                ],
+            )
+
+    from ..plans.partitioning import ensure_min_parallelism
+
+    fps = ensure_min_parallelism(src).mapInPandas(run, schema=fp_schema)
+    return (
+        fps.groupBy("sample_rate", "n_channels", "n_samples", "fp")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").alias("n_members"),
+            (F.round(F.min("mean_raw"), 6) + F.lit(0.0)).alias(
+                "mean_sample"
+            ),
+        )
+        .select(
+            "rep_id", "n_members", "sample_rate", "n_channels",
+            "n_samples", "mean_sample",
+        )
     )
 
 

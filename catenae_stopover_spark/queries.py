@@ -11426,6 +11426,51 @@ def q221_ahash_pixel_gate(spark, sf_dir):
     )
 
 
+def q222_audio_neardup(spark, sf_dir):
+    """B135 (new r13): the dedup verb over DECODED audio samples —
+    completes the modality pair with q220. WAV clips are synthesized
+    for every document with sample seed ``doc_id % 199`` (planting
+    exact duplicate clips under distinct ids; 31 is odd so
+    seed -> sample stream is injective over any sub-65536 seed
+    domain), round-tripped through the stdlib PCM codec, sample-
+    fingerprinted, and clustered; the oracle replays clusters and the
+    decoded mean sample closed-form from the integer formula — a
+    wrong chunk parse, sign convention, or width handling shifts
+    mean_sample and fails the hash."""
+    from .operators.multimodal import (
+        audio_neardup_clusters,
+        synthesize_wav_media,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "__seed", F.col("doc_id") % 199
+    )
+    media = synthesize_wav_media(d, seed_col="__seed")
+    return audio_neardup_clusters(media)
+
+
+Q222_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, doc_id % 199 AS seed FROM documents
+), cl AS (
+    SELECT seed, MIN(doc_id) AS rep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM ids GROUP BY seed
+), sm AS (
+    SELECT seed,
+           AVG(((seed * 31 + i * 17) % 65536) - 32768) AS mean_raw
+    FROM (SELECT DISTINCT seed FROM ids),
+         (SELECT UNNEST(GENERATE_SERIES(0, 2047)) AS i)
+    GROUP BY seed
+)
+SELECT cl.rep_id, cl.n_members,
+       16000 AS sample_rate, 1 AS n_channels,
+       CAST(2048 AS BIGINT) AS n_samples,
+       ROUND(sm.mean_raw, 6) + 0.0 AS mean_sample
+FROM cl JOIN sm USING (seed)
+"""
+
+
 # the aHash bit inequality, cross-multiplied channel-value-side:
 # Spark compares tile_sum*384 > total*(tile_values/3); multiplying by 3
 # gives the all-integer ts*1152 > total*tn used here (tn counts channel
@@ -11600,6 +11645,7 @@ QUERIES: dict[str, tuple] = {
     # --- real codec path.
     "q220_pixel_neardup": (q220_pixel_neardup, Q220_SQL),
     "q221_ahash_pixel_gate": (q221_ahash_pixel_gate, Q221_SQL),
+    "q222_audio_neardup": (q222_audio_neardup, Q222_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),

@@ -343,3 +343,35 @@ def test_ahash_images_integer_bits_and_invariance(spark):
     assert got[1] != got[4], "different structure must differ"
     for v in got.values():
         assert len(v) == 64 and set(v) <= {"0", "1"}
+
+
+def test_audio_neardup_clusters(spark):
+    """B135: planted duplicate clips (seed = doc_id % 3) must come
+    back as 3 clusters with min-id reps, exhaustive membership, and
+    the closed-form decoded mean sample."""
+    from pyspark.sql import functions as F
+
+    from catenae_stopover_spark.operators.multimodal import (
+        audio_neardup_clusters,
+        synthesize_wav_media,
+    )
+
+    ids = spark.createDataFrame(
+        [(i,) for i in range(10)], ["doc_id"]
+    ).withColumn("__seed", F.col("doc_id") % 3)
+    media = synthesize_wav_media(ids, seed_col="__seed")
+    rows = {
+        r.rep_id: r for r in audio_neardup_clusters(media).collect()
+    }
+
+    assert set(rows) == {0, 1, 2}
+    assert rows[0].n_members == 4
+    assert rows[1].n_members == 3 and rows[2].n_members == 3
+    for seed in range(3):
+        s = [((seed * 31 + i * 17) % 65536) - 32768 for i in range(2048)]
+        assert rows[seed].mean_sample == round(sum(s) / 2048, 6)
+        assert rows[seed].sample_rate == 16000
+        assert rows[seed].n_samples == 2048
+
+    # distinct streams must not merge
+    assert audio_neardup_clusters(synthesize_wav_media(ids)).count() == 10
