@@ -1,7 +1,9 @@
 """Multimodal column plumbing (SURVEY B54): binary payloads + typed
-metadata through Arrow-batched mapInPandas. Decode kernels are stubbed
-(no codec libs in this container) but schema, batching, determinism and
-the strict-mode NotImplementedError gate are real."""
+metadata through Arrow-batched mapInPandas. Since r12 the stdlib
+formats decode for REAL (PNG/PPM/WAV via operators.codecs — see
+test_codecs.py and the round-trip/dedup tests below); the 'fake'
+digest-grid mode remains for formats with no stdlib codec (JPEG/video)
+plus the strict-mode NotImplementedError gate."""
 
 import pytest
 from pyspark.sql import functions as F
