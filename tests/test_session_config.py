@@ -1,0 +1,39 @@
+"""Session factory config pins (r13): the tmpfs shuffle-dir default.
+
+The spark.local.dir lever is worth a pin because it is silent: a
+regression (env leakage, a refactor dropping the walrus default) would
+not fail any query — shuffles would just quietly go back to disk and
+every wide query at tier would regress 10-45% (measured: the bare
+150M-key shuffle round trip is 8.8 s disk vs 4.9 s tmpfs).
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def test_session_local_dir_defaults_to_shm(spark):
+    # this harness has /dev/shm; the shared test session must carry it
+    if not os.path.isdir("/dev/shm"):
+        return
+    assert (
+        spark.conf.get("spark.local.dir", None)
+        == "/dev/shm/spark-graft-local"
+    )
+
+
+def test_local_dir_env_override_and_disable(monkeypatch):
+    import importlib
+
+    import catenae_stopover_spark.session as sess
+
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", "/custom/dir")
+    mod = importlib.reload(sess)
+    assert mod._DEFAULTS.get("spark.local.dir") == "/custom/dir"
+
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", "")
+    mod = importlib.reload(sess)
+    assert "spark.local.dir" not in mod._DEFAULTS
+
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_DIR")
+    importlib.reload(sess)
