@@ -377,3 +377,72 @@ def test_audio_neardup_clusters(spark):
 
     # distinct streams must not merge
     assert audio_neardup_clusters(synthesize_wav_media(ids)).count() == 10
+
+
+def test_neardup_verbs_cover_other_codec_paths(spark):
+    """The dedup verbs must work on every format the stdlib codecs
+    decode, not just the synthesizers' output: PPM (binary P6) through
+    pixel_neardup_clusters, stereo WAV through audio_neardup_clusters,
+    and mixed dims/shapes must never merge across (shape, fingerprint)
+    keys."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from catenae_stopover_spark.operators.multimodal import (
+        audio_neardup_clusters,
+        pixel_neardup_clusters,
+    )
+
+    def encode_ppm(img):
+        h, w, _ = img.shape
+        return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+    rng = np.random.RandomState(11)
+    img_a = rng.randint(0, 256, (6, 9, 3), dtype=np.uint8)
+    img_b = rng.randint(0, 256, (4, 4, 3), dtype=np.uint8)
+    rows = [
+        (1, "image", encode_ppm(img_a), "image/x-portable-pixmap", None),
+        (2, "image", encode_ppm(img_a), "image/x-portable-pixmap", None),
+        (3, "image", encode_ppm(img_b), "image/x-portable-pixmap", None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, payload binary, mime string, "
+        "meta_json string",
+    )
+    cl = {r.rep_id: r for r in pixel_neardup_clusters(media).collect()}
+    assert set(cl) == {1, 3}
+    assert cl[1].n_members == 2 and cl[3].n_members == 1
+    assert (cl[1].width, cl[1].height) == (9, 6)
+    assert cl[1].mean_pixel == round(
+        float(img_a.astype("float64").mean()), 6
+    )
+
+    def wav(samples, nch):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(samples.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    s = (rng.randn(600) * 1000).astype("<i2")
+    arows = [
+        (1, "audio", wav(s, 2), "audio/wav", None),          # stereo
+        (2, "audio", wav(s, 2), "audio/wav", None),          # dup
+        (3, "audio", wav(s[:600], 1), "audio/wav", None),    # same bytes, mono
+    ]
+    amedia = spark.createDataFrame(
+        arows,
+        "media_id long, kind string, payload binary, mime string, "
+        "meta_json string",
+    )
+    acl = {r.rep_id: r for r in audio_neardup_clusters(amedia).collect()}
+    assert set(acl) == {1, 3}
+    assert acl[1].n_members == 2 and acl[1].n_channels == 2
+    assert acl[1].n_samples == 300  # 600 values / 2 channels = frames
+    assert acl[3].n_channels == 1 and acl[3].n_samples == 600
+    assert acl[1].mean_sample == round(float(s.astype("float64").mean()), 6)
