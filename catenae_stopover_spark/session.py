@@ -37,20 +37,28 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
-    # Shuffle/spill local dirs on RAM-backed tmpfs when the box has one
-    # (this harness: 126 GiB /dev/shm). Measured r13: the bare 150M-row
-    # key shuffle round trip drops 8.8 s -> 4.9 s; q08 8% end-to-end.
-    # On a real cluster the equivalent is local NVMe per executor —
-    # spark.local.dir is THE knob either way; override or disable via
+    # Shuffle/spill local dirs on RAM-backed tmpfs when the box has a
+    # GENEROUS one (this harness: 126 GiB /dev/shm; measured r13: the
+    # bare 150M-row key shuffle round trip drops 8.8 s -> 4.9 s, q37's
+    # 2.75B-pair listing 6x, the whole test suite -42%). Guarded on
+    # >= 16 GiB free because Docker defaults /dev/shm to 64 MB — a tiny
+    # tmpfs would turn every wide shuffle into ENOSPC. On a real
+    # cluster the equivalent is local NVMe per executor;
+    # spark.local.dir is THE knob either way. Override or disable via
     # SPARK_GRAFT_LOCAL_DIR (set to "" to keep Spark's default).
     **(
         {"spark.local.dir": _shm}
         if (
-            _shm := os.environ.get(
-                "SPARK_GRAFT_LOCAL_DIR",
+            _shm := os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+            if os.environ.get("SPARK_GRAFT_LOCAL_DIR") is not None
+            else (
                 "/dev/shm/spark-graft-local"
                 if os.path.isdir("/dev/shm")
-                else "",
+                and (lambda st: st.f_bavail * st.f_frsize)(
+                    os.statvfs("/dev/shm")
+                )
+                >= 16 * 1024**3
+                else ""
             )
         )
         else {}
