@@ -311,27 +311,30 @@ GROUP BY l_returnflag
 
 def q08_orders_per_customer_hist(spark, sf_dir):
     """Orders-per-customer histogram. r13 (the last >2x tier row):
-    shuffled-hash join with an 8-byte orders side. Profile at the
-    1000x tier (150M orders / 15M customers): the bare key-shuffle
-    round trip is the floor for ANY shuffle-based plan (8.8 s on-disk
-    local dirs, 4.9 s tmpfs — hence the session's spark.local.dir
-    default), so the only levers are (a) never SORT 150M rows — the
-    old sort-merge join was 11.6 s, SHUFFLE_HASH with build side =
-    customer is supported for LEFT OUTER since 3.1; (b) shuffle the
+    narrow join with an 8-byte orders side, join STRATEGY left to AQE.
+    Profile at the 1000x tier (150M orders / 15M customers): the bare
+    key-shuffle round trip is the floor for ANY shuffle-based plan
+    (8.8 s on-disk local dirs, 4.9 s tmpfs — hence the session's
+    spark.local.dir default), so the levers are (a) shuffle the
     MINIMUM bytes — project orders to the bare key, prefiltered on
     o_orderkey IS NOT NULL so COUNT(o_custkey) post-join reproduces
     COUNT(o_orderkey) exactly (a miss row's o_custkey is NULL -> 0;
     an all-NULL-orderkey customer loses its rows pre-join -> miss ->
-    0, identical to COUNT over non-nulls). Pre-aggregating orders by
-    key first is the WRONG plan here and is pinned against: 15M
-    map-side-distinct keys give ~2x reduction for a giant hash map
-    (measured 16-20 s). 1000x: 8.8 s vs DuckDB 4.7 s = 1.9x."""
+    0, identical to COUNT over non-nulls); (b) let AQE pick
+    shuffled-hash vs sort-merge from RUNTIME partition sizes (the
+    session's shuffledHashJoinLocalMapThreshold) — a forced
+    shuffle_hash hint was 7% faster at 1000x (8.8 s vs 9.5 s) but
+    OOM'd unrecoverably at the x5000 probe (75M build keys, SHJ can't
+    spill), while this form degrades to SMJ and completes (67 s, 750M
+    orders, 8 GiB heap). Pre-aggregating orders by key first is the
+    WRONG plan at every tier and is pinned against: ~|customers|
+    map-side-distinct keys give ~2x reduction for a giant spilling
+    hash map (measured 16-20 s). 1000x: 9.5 s vs DuckDB 4.7 s ~ 2x."""
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     ok = o.filter(F.col("o_orderkey").isNotNull()).select("o_custkey")
     per_cust = (
         c.select("c_custkey")
-        .hint("shuffle_hash")
         .join(ok, F.col("c_custkey") == F.col("o_custkey"), "left")
         .groupBy("c_custkey")
         .agg(F.count("o_custkey").alias("n_orders"))

@@ -22,6 +22,16 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE choose shuffled-hash over sort-merge AT RUNTIME when the
+    # build side's per-partition map actually fits (r13): a FORCED
+    # shuffle_hash hint is a scale cliff — SHJ cannot spill its build
+    # side, and q08's hinted form OOM'd hard at the x5000 probe (75M
+    # build keys / 32 partitions) while this threshold form degrades
+    # to SMJ and completes. 128 MB ~ the per-task build budget a
+    # 8g/32-core executor affords.
+    "spark.sql.adaptive.shuffledHashJoinLocalMapThreshold": str(
+        128 * 1024 * 1024
+    ),
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.session.timeZone": "UTC",
