@@ -22,13 +22,18 @@ _DEFAULTS = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Let AQE choose shuffled-hash over sort-merge AT RUNTIME when the
-    # build side's per-partition map actually fits (r13): a FORCED
-    # shuffle_hash hint is a scale cliff — SHJ cannot spill its build
-    # side, and q08's hinted form OOM'd hard at the x5000 probe (75M
-    # build keys / 32 partitions) while this threshold form degrades
-    # to SMJ and completes. 128 MB ~ the per-task build budget a
-    # 8g/32-core executor affords.
+    # Allow AQE to convert SMJ -> shuffled-hash at runtime for SMALL
+    # build sides (r13). Context: a FORCED shuffle_hash hint is a
+    # sizing decision, not a free win — SHJ cannot spill its build
+    # side, and q08's hinted form OOM'd at a x5000 probe (75M build
+    # keys / 32 fixed local partitions / 8g heap). Measured on this
+    # data the threshold does NOT convert the big builds (q02/q08 —
+    # their build sides exceed any safe bound at 32 partitions), so
+    # the per-query decisions are: q08 un-hinted (SMJ, 7% slower,
+    # never cliffs); q02 keeps its hint because it is 4.5x (18 s vs
+    # 82 s at 1000x) and the deployment contract — shuffle.partitions
+    # scaling with data — bounds its per-task build (measured: the
+    # hinted x5000 build completes in 54 s at partitions=160).
     "spark.sql.adaptive.shuffledHashJoinLocalMapThreshold": str(
         128 * 1024 * 1024
     ),
