@@ -152,6 +152,11 @@ def sample_negatives(
     c = candidates.select(
         F.col(id_col).alias("neg_id"), F.col(label_col).alias("neg_label")
     ).withColumn("__b", _bucket(F.col("neg_id")))
+    # the hint is a sizing decision (r13 study, SCALING.md): SHJ build
+    # sides cannot spill, so this is safe only because the build is
+    # the ANCHOR set — the small eval-side table — and per-task build
+    # = |anchors|/shuffle.partitions stays bounded under the
+    # partitions-scale-with-data deployment contract
     pool = (
         a.hint("shuffle_hash")
         .join(c, "__b")
