@@ -305,14 +305,32 @@ def tag_load_state(cache_state: dict, prior_detail_path: str) -> dict:
         # carry the best throughput ever seen as the idle reference
         # (a loaded run must not lower the bar for the next one)
         cache_state["ref_mb_per_sec"] = round(max(ref, cur), 1)
+        # probe_ratio rides every JSON line so a bench row can never
+        # read as a regression without its load context in-band
+        # (r13 verdict ask #2: BENCH_r13 ran at 78.5% probe speed,
+        # walls inflated ~25-45%, and shipped untagged because only
+        # the hard <50% gate existed).
+        cache_state["probe_ratio"] = round(cur / ref, 3)
         if cur < 0.5 * ref:
             cache_state["loaded_box"] = True
             cache_state["load_note"] = (
                 f"cache probe {cur} MB/s < 50% of recorded idle "
                 f"{ref} MB/s - timings unreliable, re-run idle"
             )
+        elif cur < 0.9 * ref:
+            # soft tag: the box reads measurably slower than its
+            # recorded idle self; walls are comparable only to runs
+            # at a similar probe_ratio, not to idle-box history.
+            cache_state["degraded_box"] = True
+            cache_state["load_note"] = (
+                f"cache probe {cur} MB/s is {round(100 * cur / ref)}% "
+                f"of recorded idle {ref} MB/s - expect wall times "
+                f"inflated roughly in proportion; compare same-ratio "
+                f"runs only"
+            )
     elif cur:
         cache_state["ref_mb_per_sec"] = cur
+        cache_state["probe_ratio"] = 1.0
     return cache_state
 
 

@@ -575,9 +575,12 @@ def synthesize_png_media(
 
     ``seed_col`` (r13) decouples the pixel formula from the identity:
     by default the id seeds its own pixels (every image distinct);
-    passing e.g. ``doc_id % 257`` as the seed plants exact duplicate
+    passing e.g. ``doc_id % 251`` as the seed plants exact duplicate
     rasters under distinct media_ids — the fixture shape the
-    pixel-level dedup verb (q220) needs.
+    pixel-level dedup verb (q220) needs. Keep the modulus <= 256: the
+    raster depends on ``seed % 256`` only, so a larger modulus (257)
+    makes seeds 0 and 256 bit-identical, merging clusters a
+    seed-grouped oracle cannot follow (q220's inline rationale).
     """
     seed_col = seed_col or id_col
 

@@ -61,6 +61,19 @@ _DEFAULTS = {
     # cluster the equivalent is local NVMe per executor;
     # spark.local.dir is THE knob either way. Override or disable via
     # SPARK_GRAFT_LOCAL_DIR (set to "" to keep Spark's default).
+    #
+    # SIZING CONTRACT (r14): the guard runs ONCE at import — it does
+    # not bound shuffle footprint. The invariant the operator owns is
+    # that the largest CONCURRENT shuffle+spill byte footprint stays
+    # under free /dev/shm; a job that outgrows it mid-run dies with
+    # ENOSPC where disk dirs would have completed (and tmpfs pages
+    # count against a container's cgroup memory limit, so an oversized
+    # shuffle can also OOM-kill the JVM rather than spill). Measured
+    # datum: the heaviest registry row, q190 at 1000x (25M docs),
+    # peaks at ~40 GiB of shuffle files vs this harness's 126 GiB
+    # /dev/shm — ~3x headroom. If your tier's shuffle exceeds ~half of
+    # free tmpfs, set SPARK_GRAFT_LOCAL_DIR to a disk path (or "" for
+    # Spark's default /tmp) before building the session.
     **(
         {"spark.local.dir": _shm}
         if (

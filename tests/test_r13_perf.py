@@ -6,9 +6,12 @@ scan — a bare ``df.cube`` plans Expand below the partial agg, so every
 input row is replicated once per grouping set (the 4x row blowup that
 was the whole 2.15x gap at 1000x).
 
-q08: orders must be aggregated BY KEY before the customer join — the
-old join-then-count form sort-merge-joined the full orders table and
-the 1000x cost was sorting |orders| rows.
+q08: the orders side must be projected down to the bare 8-byte join
+key with NO pre-join aggregate — pre-aggregating ~|customers|
+map-side-distinct keys was measured at 16-20 s vs 8.8-9.5 s for the
+narrow join (no map-side reduction, just a giant spilling hash map),
+and shuffling wide rows is the other pinned-against mistake. Join
+STRATEGY is left to AQE (see test_q08_narrow_join_no_preagg).
 
 Both pins are on the optimized logical plan SHAPE, not timings, so a
 regression (someone "simplifying" back to the direct form) fails fast

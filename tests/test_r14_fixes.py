@@ -1,0 +1,47 @@
+"""r14 verdict-ask pins.
+
+Bench load guard (VERDICT r13 "What's wrong" #1): BENCH_r13 ran at a
+78.5%-speed cache probe — wall times inflated ~25-45% — and shipped
+UNTAGGED because only the hard <50% loaded_box gate existed. The fix
+is (a) `probe_ratio` as a first-class field on every tagged
+cache_state, and (b) a soft `degraded_box` tag whenever the probe
+reads below 90% of the recorded idle reference, so a driver bench row
+can never again masquerade as a regression without its tell riding
+the same JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+
+
+def test_bench_degraded_box_soft_tag(tmp_path):
+    from bench import tag_load_state
+
+    prior = tmp_path / "BENCH_DETAIL.json"
+    prior.write_text(json.dumps({"cache_state": {"mb_per_sec": 1512.6}}))
+
+    # the exact BENCH_r13 scenario: 1187/1512.6 = 78.5% — must tag soft
+    r13 = tag_load_state({"mb_per_sec": 1187.0}, str(prior))
+    assert r13.get("degraded_box") is True
+    assert "loaded_box" not in r13
+    assert r13["probe_ratio"] == 0.785
+    assert "78%" in r13["load_note"] or "79%" in r13["load_note"]
+
+    # healthy probe (>=90%): no tags, but probe_ratio still present
+    ok = tag_load_state({"mb_per_sec": 1450.0}, str(prior))
+    assert "degraded_box" not in ok and "loaded_box" not in ok
+    assert ok["probe_ratio"] == round(1450.0 / 1512.6, 3)
+
+    # hard gate unchanged: <50% is loaded_box, not merely degraded
+    slow = tag_load_state({"mb_per_sec": 166.0}, str(prior))
+    assert slow.get("loaded_box") is True
+    assert "degraded_box" not in slow
+    assert slow["probe_ratio"] == round(166.0 / 1512.6, 3)
+
+    # fresh box (no prior): seeds reference, ratio = 1.0, no tags
+    fresh = tag_load_state(
+        {"mb_per_sec": 900.0}, str(tmp_path / "missing.json")
+    )
+    assert fresh["probe_ratio"] == 1.0
+    assert "degraded_box" not in fresh and "loaded_box" not in fresh

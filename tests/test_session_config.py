@@ -13,9 +13,17 @@ import os
 
 
 def test_session_local_dir_defaults_to_shm(spark):
-    # this harness has /dev/shm; the shared test session must carry it
+    # Mirror session.py's guard exactly: the default only engages when
+    # /dev/shm exists AND has >= 16 GiB free (Docker's default is a
+    # 64 MB tmpfs — there session.py leaves spark.local.dir unset and
+    # this assertion would be wrong, so skip rather than fail).
+    import pytest
+
     if not os.path.isdir("/dev/shm"):
-        return
+        pytest.skip("no /dev/shm on this box")
+    st = os.statvfs("/dev/shm")
+    if st.f_bavail * st.f_frsize < 16 * 1024**3:
+        pytest.skip("/dev/shm under 16GiB free; session guard leaves default")
     assert (
         spark.conf.get("spark.local.dir", None)
         == "/dev/shm/spark-graft-local"
