@@ -221,3 +221,19 @@ def encode_png(img: np.ndarray) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_netpbm(img: np.ndarray) -> bytes:
+    """Minimal binary NetPBM writer (P6 for RGB, P5 for gray,
+    maxval 255) — the inverse of `decode_netpbm` for the supported
+    shapes, so the PPM/PGM dispatch arm of `decode_image` can be
+    exercised end-to-end (r14: the q223 mixed-container corpus)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, c = img.shape
+    if c == 3:
+        magic = b"P6"
+    elif c == 1:
+        magic = b"P5"
+    else:
+        raise ValueError(f"NetPBM supports 1 or 3 channels, got {c}")
+    return magic + f"\n{w} {h}\n255\n".encode() + img.tobytes()

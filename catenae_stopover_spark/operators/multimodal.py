@@ -616,6 +616,74 @@ def synthesize_png_media(
     )
 
 
+def synthesize_mixed_image_media(
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    width: int = 24,
+    height: int = 16,
+    seed_col: str | None = None,
+    fmt_col: str | None = None,
+) -> DataFrame:
+    """`synthesize_png_media`'s pixel formula emitted through BOTH
+    stdlib image containers (r14): per row, ``fmt_col`` ('png' |
+    'ppm') picks the writer — `codecs.encode_png` or
+    `codecs.encode_netpbm` — over the SAME raster
+    ``(seed*7919 + (y*width + x)*3 + c) % 256``. With no ``fmt_col``
+    every row is PNG (degenerates to the q220 fixture). The point of
+    the mix is that a pixel-level dedup downstream must merge a PNG
+    and a PPM of the same seed into ONE cluster: that exercises both
+    decode dispatch arms inside one plan and pins that decode
+    normalizes across containers. Same modulus rule as
+    `synthesize_png_media`: keep the seed domain <= 256 for
+    seed -> raster injectivity."""
+    seed_col = seed_col or id_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from .codecs import encode_netpbm, encode_png
+
+        base = np.arange(height * width * 3, dtype=np.int64).reshape(
+            height, width, 3
+        )
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            fmts = (
+                pdf[fmt_col].values
+                if fmt_col
+                else ["png"] * len(pdf)
+            )
+            rows = []
+            for i, s, f in zip(
+                pdf[id_col].values, pdf[seed_col].values, fmts
+            ):
+                img = ((int(s) * 7919 + base) % 256).astype("uint8")
+                if f == "png":
+                    payload, mime = encode_png(img), "image/png"
+                elif f == "ppm":
+                    payload, mime = (
+                        encode_netpbm(img),
+                        "image/x-portable-pixmap",
+                    )
+                else:
+                    raise ValueError(f"unknown image format {f!r}")
+                rows.append((int(i), "image", payload, mime, None))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "kind", "payload", "mime", "meta_json"],
+            )
+
+    cols = list(dict.fromkeys(
+        c for c in (id_col, seed_col, fmt_col) if c is not None
+    ))
+    from ..plans.partitioning import ensure_min_parallelism
+
+    return ensure_min_parallelism(ids.select(*cols)).mapInPandas(
+        run, schema=MEDIA_SCHEMA
+    )
+
+
 def image_pixel_stats(media: DataFrame) -> DataFrame:
     """REAL-decode pixel statistics per image payload: width, height,
     channels, mean over every (y, x, c) value, and the first/last
@@ -748,6 +816,89 @@ def pixel_neardup_clusters(
         .select(
             "rep_id", "n_members", "width", "height", "n_channels",
             "mean_pixel",
+        )
+    )
+
+
+def crossformat_neardup_clusters(
+    media: DataFrame, id_col: str = "media_id"
+) -> DataFrame:
+    """B136 (r14): `pixel_neardup_clusters` across CONTAINER formats —
+    the real-corpus shape where the same image circulates as a PNG
+    here and a PPM (or BMP/TIFF with richer codecs) there, and byte-
+    level dedup can never merge them. Decode dispatches per payload
+    (`codecs.decode_image` sniffs the container), the fingerprint is
+    over the DECODED raster + dims only — deliberately container-
+    blind — and the output carries per-container member counts
+    (``n_png`` / ``n_ppm``) so a dispatch arm silently failing (or
+    decoders disagreeing on pixel order) breaks the oracle hash
+    rather than hiding inside a merged count.
+
+    Scale shape: identical to `pixel_neardup_clusters` — Arrow-batched
+    decode, ONE map-side-combinable groupBy on the 8-byte raster
+    fingerprint, shuffle ~|distinct rasters| rows, no pairwise stage.
+    """
+    src = media.filter(F.col("kind") == "image")
+
+    fp_schema = (
+        f"{id_col} long, width int, height int, n_channels int, "
+        "fp long, mean_raw double, fmt string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from .codecs import decode_image, sniff_format
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = []
+            for mid, p in zip(pdf[id_col].values, pdf["payload"].values):
+                raw = bytes(p)
+                w, h, c, img = decode_image(raw)
+                d = hashlib.blake2b(
+                    f"{w}x{h}x{c}:".encode() + img.tobytes(),
+                    digest_size=8,
+                ).digest()
+                out.append(
+                    (
+                        int(mid),
+                        int(w),
+                        int(h),
+                        int(c),
+                        int.from_bytes(d, "big", signed=True),
+                        float(img.reshape(-1).astype("float64").mean()),
+                        sniff_format(raw),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    id_col, "width", "height", "n_channels", "fp",
+                    "mean_raw", "fmt",
+                ],
+            )
+
+    from ..plans.partitioning import ensure_min_parallelism
+
+    fps = ensure_min_parallelism(src).mapInPandas(run, schema=fp_schema)
+    return (
+        fps.groupBy("width", "height", "n_channels", "fp")
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count("*").alias("n_members"),
+            F.sum((F.col("fmt") == "png").cast("long")).alias("n_png"),
+            F.sum(
+                F.col("fmt").isin("ppm", "pgm").cast("long")
+            ).alias("n_ppm"),
+            (F.round(F.min("mean_raw"), 6) + F.lit(0.0)).alias(
+                "mean_pixel"
+            ),
+        )
+        .select(
+            "rep_id", "n_members", "n_png", "n_ppm",
+            "width", "height", "n_channels", "mean_pixel",
         )
     )
 

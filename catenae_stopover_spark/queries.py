@@ -11510,6 +11510,67 @@ GROUP BY h.ahash
 """
 
 
+def q223_crossformat_neardup(spark, sf_dir):
+    """B136 (new r14, verdict ask #5): the mixed-CONTAINER media
+    corpus — the last untested dispatch edge of the codec path. Every
+    even doc_id's raster is written as a PNG, every odd one as a
+    binary PPM (`codecs.encode_netpbm`, new r14), with the same pixel
+    seed formula as q220 (``doc_id % 251``); the cluster verb
+    fingerprints DECODED rasters only, so a PNG and a PPM of the same
+    seed must land in one cluster, and the per-container counts
+    (n_png/n_ppm) pin that BOTH decoders actually ran and agreed on
+    pixel order. A wrong NetPBM header parse, a PNG unfilter bug, or
+    the dispatch silently routing everything down one arm each breaks
+    the hash differently. Same scale shape as q220: |docs| real
+    encodes + decodes, ONE combinable groupBy, shuffle ~|distinct
+    rasters|."""
+    from .operators.multimodal import (
+        crossformat_neardup_clusters,
+        synthesize_mixed_image_media,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("__seed", F.col("doc_id") % 251)
+        .withColumn(
+            "__fmt",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("png")).otherwise(
+                F.lit("ppm")
+            ),
+        )
+    )
+    media = synthesize_mixed_image_media(
+        d, seed_col="__seed", fmt_col="__fmt"
+    )
+    return crossformat_neardup_clusters(media)
+
+
+Q223_SQL = r"""
+WITH ids AS (
+    SELECT doc_id, doc_id % 251 AS seed,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'ppm' END AS fmt
+    FROM documents
+), cl AS (
+    SELECT seed, MIN(doc_id) AS rep_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN fmt = 'png' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_png,
+           CAST(SUM(CASE WHEN fmt = 'ppm' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_ppm
+    FROM ids GROUP BY seed
+), px AS (
+    SELECT seed, AVG((seed * 7919 + i) % 256) AS mean_raw
+    FROM (SELECT DISTINCT seed FROM ids),
+         (SELECT UNNEST(GENERATE_SERIES(0, 24*16*3 - 1)) AS i)
+    GROUP BY seed
+)
+SELECT cl.rep_id, cl.n_members, cl.n_png, cl.n_ppm,
+       24 AS width, 16 AS height, 3 AS n_channels,
+       ROUND(px.mean_raw, 6) + 0.0 AS mean_pixel
+FROM cl JOIN px USING (seed)
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -11649,6 +11710,7 @@ QUERIES: dict[str, tuple] = {
     "q220_pixel_neardup": (q220_pixel_neardup, Q220_SQL),
     "q221_ahash_pixel_gate": (q221_ahash_pixel_gate, Q221_SQL),
     "q222_audio_neardup": (q222_audio_neardup, Q222_SQL),
+    "q223_crossformat_neardup": (q223_crossformat_neardup, Q223_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -11820,52 +11882,49 @@ QUERIES: dict[str, tuple] = {
     "q57_salted_agg": (q57_salted_agg, Q57_SQL),
 }
 
-# --- r13 driver window (standing rotation policy, r12 verdict ask #1):
-# --- (1) the 7 operators registered in the r12 continuation that have
-# --- NEVER produced a driver CORRECTNESS row (judge-green in the r12
-# --- full sweep; q215/q217 additionally carry r13 oracle fixes from
-# --- ADVICE — NULL-text filter, escaped token regex); (2) code changed
-# --- this round: q133 (exact_ntile_desc single-probe rework);
-# --- (3) ALL 30 remaining r7-era rows — after this round the driver
-# --- freshness floor rises from r7 to r8; (4) fill to 50 with r8-era
-# --- rows, q05/q08 first (this round's perf-weak targets — any code
-# --- change there must be driver-checked), then the oldest of the r8
-# --- block. Remaining r8 rows (q01-q04, q06..q36 battery, q44-q57)
-# --- head the r14 fill.
-_R13_WINDOW = [
+# --- r14 driver window (standing rotation policy, r13 verdict ask #1):
+# --- (1) the 4 rows with NO driver CORRECTNESS row ever — q220-q222
+# --- (registered in the r13 continuation, judge-green in the r13 full
+# --- sweep) and q223 (new this round, the mixed-container codec row);
+# --- (2) ALL 35 remaining r8-era rows (authoritative ledger: computed
+# --- from CORRECTNESS_r01..r13 query lists, not from window snapshots
+# --- — q22/q27/q29/q37/q38/q52/q53/q55/q56 left this block in
+# --- r11/r12 re-checks) — after this round the driver freshness floor
+# --- rises from r8 to r10; (3) fill to 50 with the 11 oldest r10-era
+# --- rows in registry order. Remaining r10 rows (q106-q125 battery,
+# --- q127/q139/q152/q160-q162/q165/q170/q177/q181/q185-q194 tail)
+# --- head the r15 fill.
+_R14_WINDOW = [
     # (1) never driver-checked
-    "q213_png_roundtrip_stats", "q214_wav_roundtrip_stats",
-    "q215_weighted_sample", "q216_rendezvous_route",
-    "q217_manifest_diff", "q218_ivf_incremental_add",
-    "q219_annotator_agreement",
-    # (2) code changed r13
-    "q133_rfm_segments",
-    # (3) the 30 r7-era rows
-    "q169_cluster_best_rep", "q172_skew_report", "q173_shard_manifest",
-    "q174_quality_percentile", "q175_decayed_engagement",
-    "q176_random_projection", "q178_soft_dedup_weights",
-    "q179_stream_shard_manifest", "q180_tokenizer_fertility",
-    "q182_source_overlap", "q84_heavy_hitters",
-    "q86_decontaminate_bloom", "q87_zorder_rectangle",
-    "q88_range_join_sessions", "q89_resample_ffill",
-    "q90_tfidf_keywords", "q91_cdc_compaction", "q92_analytic_battery",
-    "q94_pagerank_dedup_graph", "q95_stream_range_join",
-    "q40_approx_distinct", "q41_crypto_hashes", "q98_epoch_shuffle",
-    "q99_video_frame_sample", "q100_bpe_pair_stats",
-    "q101_bigram_logprob", "q102_semdedup_gate",
-    "q103_multiprobe_lsh_gate", "q104_incremental_dedup",
-    "q105_corpus_mixture",
-    # (4) r8-era fill: perf targets first, then oldest
-    "q05_cube_count", "q08_orders_per_customer_hist",
-    "q74_pack_documents", "q39_fingerprints", "q43_text_stats_full",
-    "q97_filtered_cosine_topk", "q01_pricing_summary",
-    "q02_revenue_by_nation", "q03_top3_orders_per_priority",
-    "q06_grouping_sets", "q07_distinct_stats", "q09_semi_anti",
+    "q220_pixel_neardup", "q221_ahash_pixel_gate",
+    "q222_audio_neardup", "q223_crossformat_neardup",
+    # (2) the 35 r8-era rows (last driver evidence: CORRECTNESS_r08)
+    "q10_theta_acctbal", "q11_cross_region_nation",
+    "q12_asof_purchase_click", "q13_latest2_events_per_user",
+    "q14_segments_per_nation", "q15_pivot_status", "q16_running_total",
+    "q17_lag_delta", "q18_moving_avg", "q19_setops", "q20_string_funcs",
+    "q21_date_funcs", "q23_array_funcs", "q24_json_extract",
+    "q25_explode_words", "q26_union_types", "q28_ngram_jaccard",
+    "q29_cosine_topk", "q30_embedding_pairs", "q31_text_stats",
+    "q32_lang_detect", "q33_quality_filter", "q34_tumbling_hourly",
+    "q35_sessionize", "q36_median_quantity",
+    "q44_stream_tumbling_hourly", "q45_stream_sessionize",
+    "q46_stream_stateful_counts", "q47_stream_dedup",
+    "q48_grouped_map_zscore", "q49_udaf_weighted_avg",
+    "q50_udtf_split_words", "q51_cogroup_asof", "q54_map_funcs",
+    "q57_salted_agg",
+    # (3) r10-era fill, oldest-first in registry order
+    "q147_incremental_minhash", "q165_rrf_fusion",
+    "q170_markov_sequence", "q177_robust_outliers",
+    "q181_token_budget", "q185_c4_line_clean",
+    "q186_gopher_repetition", "q187_kcenter_init",
+    "q188_margin_bitext", "q189_stratified_exact",
+    "q191_nfc_normalize",
 ]
-assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
+assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R13_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R13_WINDOW)},
+    **{k: QUERIES[k] for k in _R14_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R14_WINDOW)},
 }
 
 

@@ -446,3 +446,82 @@ def test_neardup_verbs_cover_other_codec_paths(spark):
     assert acl[1].n_samples == 300  # 600 values / 2 channels = frames
     assert acl[3].n_channels == 1 and acl[3].n_samples == 600
     assert acl[1].mean_sample == round(float(s.astype("float64").mean()), 6)
+
+
+def test_encode_netpbm_roundtrip_and_rejects():
+    """r14: encode_netpbm must be the exact inverse of decode_netpbm
+    for P6/P5 shapes, and reject channel counts NetPBM can't carry."""
+    import numpy as np
+    import pytest
+
+    from catenae_stopover_spark.operators.codecs import (
+        decode_netpbm,
+        encode_netpbm,
+        sniff_format,
+    )
+
+    rgb = (np.arange(5 * 4 * 3) % 256).astype("uint8").reshape(4, 5, 3)
+    w, h, c, back = decode_netpbm(encode_netpbm(rgb))
+    assert (w, h, c) == (5, 4, 3) and np.array_equal(back, rgb)
+    assert sniff_format(encode_netpbm(rgb)) == "ppm"
+
+    gray = (np.arange(6 * 7) % 256).astype("uint8").reshape(7, 6, 1)
+    w, h, c, back = decode_netpbm(encode_netpbm(gray))
+    assert (w, h, c) == (6, 7, 1) and np.array_equal(back, gray)
+    assert sniff_format(encode_netpbm(gray)) == "pgm"
+
+    with pytest.raises(ValueError):
+        encode_netpbm(np.zeros((2, 2, 4), dtype="uint8"))
+
+
+def test_crossformat_neardup_merges_containers(spark):
+    """B136: a PNG and a PPM of the SAME raster must land in ONE
+    cluster (the fingerprint is container-blind), with per-container
+    counts proving both decode dispatch arms ran; different rasters
+    must stay apart regardless of container."""
+    from pyspark.sql import functions as F
+
+    from catenae_stopover_spark.operators.multimodal import (
+        crossformat_neardup_clusters,
+        synthesize_mixed_image_media,
+    )
+
+    # 12 docs, 3 seeds, even ids PNG / odd ids PPM: each seed cluster
+    # gets members from BOTH containers (ids i and i+3 share a seed
+    # but differ in parity).
+    ids = (
+        spark.createDataFrame([(i,) for i in range(12)], ["doc_id"])
+        .withColumn("__seed", F.col("doc_id") % 3)
+        .withColumn(
+            "__fmt",
+            F.when(F.col("doc_id") % 2 == 0, F.lit("png")).otherwise(
+                F.lit("ppm")
+            ),
+        )
+    )
+    media = synthesize_mixed_image_media(
+        ids, seed_col="__seed", fmt_col="__fmt"
+    )
+    # mime must reflect the writer that ran, not a constant
+    mimes = {r.mime for r in media.select("mime").distinct().collect()}
+    assert mimes == {"image/png", "image/x-portable-pixmap"}
+
+    rows = {
+        r.rep_id: r
+        for r in crossformat_neardup_clusters(media).collect()
+    }
+    assert set(rows) == {0, 1, 2}
+    for seed in range(3):
+        r = rows[seed]
+        assert r.n_members == 4
+        assert r.n_png == 2 and r.n_ppm == 2
+        assert (r.width, r.height, r.n_channels) == (24, 16, 3)
+        n = 24 * 16 * 3
+        vals = [(seed * 7919 + i) % 256 for i in range(n)]
+        assert r.mean_pixel == round(sum(vals) / n, 6)
+
+    # default (no fmt_col) degenerates to the PNG-only q220 fixture
+    solo = crossformat_neardup_clusters(
+        synthesize_mixed_image_media(ids)
+    ).collect()
+    assert len(solo) == 12 and all(r.n_ppm == 0 for r in solo)
