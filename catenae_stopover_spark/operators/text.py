@@ -3698,3 +3698,323 @@ def manifest_snapshot_diff(
         "old_checksum",
         "new_checksum",
     )
+
+
+# --- B137: PII detection + redaction (r14) --------------------------
+# The anonymization pass every released web corpus runs before
+# training (C4 strips bad lines; FineWeb/RefinedWeb anonymize emails
+# and IPs; the BigCode/StarCoder pipeline scrubs emails, keys and
+# addresses from code). Patterns are deliberately restricted to the
+# regex dialect intersection of java.util.regex (Spark) and RE2
+# (DuckDB/the oracle): character classes, counted quantifiers,
+# non-capturing groups and \b only — NO lookaround (RE2 has none), so
+# the exact same pattern strings replay bit-for-bit in both engines.
+DEFAULT_PII_PATTERNS = (
+    # order matters: each category is counted on the text AFTER the
+    # previous categories were redacted, and replacement tokens are
+    # digit-free so redaction can never mint a new match downstream.
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("key", r"\bAKIA[A-Z0-9]{16}\b", "<APIKEY>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+# 49 chars, uppercase alphanumerics only — substring windows of 16
+# always match [A-Z0-9]{16} (used by synthesize_pii_text's AKIA plant).
+_KEY_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789ABCDEFGHIJKLM"
+
+
+def synthesize_pii_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "pii_text",
+) -> DataFrame:
+    """Deterministically lace a corpus with synthetic PII so the scrub
+    operator has ground truth the oracle can replay closed-form (the
+    q220-q223 synthesis pattern, applied to text): by id residue, a
+    document gains an email (id%7==0), an internal IPv4 (id%11==0), an
+    SSN-shaped number (id%13==0), a US-phone-shaped number (id%17==0)
+    and/or an AWS-style access-key id (id%19==0) — id 0 gets all five
+    (the multi-PII document case). All planted values are integer
+    formulas of the id, so an ANSI-SQL oracle reproduces the exact
+    byte sequence with `||` concatenation; the base text rides along
+    untouched, so real (non-planted) matches are exercised too."""
+    i = F.col(id_col)
+
+    def s(c: Column) -> Column:
+        return c.cast("string")
+
+    email = F.when(
+        i % 7 == 0,
+        F.concat(
+            F.lit(" contact user"), s(i), F.lit("@mail"), s(i % 5),
+            F.lit(".example.com now"),
+        ),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        i % 11 == 0,
+        F.concat(
+            F.lit(" host 10."), s(i % 256), F.lit("."),
+            s((i * 3) % 256), F.lit("."), s(i % 200), F.lit(" up"),
+        ),
+    ).otherwise(F.lit(""))
+    ssn = F.when(
+        i % 13 == 0,
+        F.concat(
+            F.lit(" ssn "), s(i % 900 + 100), F.lit("-"),
+            s(i % 90 + 10), F.lit("-"), s(i % 9000 + 1000),
+            F.lit(" filed"),
+        ),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        i % 17 == 0,
+        F.concat(
+            F.lit(" call "), s(i % 800 + 200), F.lit("-"),
+            s(i % 900 + 100), F.lit("-"), s(i % 9000 + 1000),
+            F.lit(" now"),
+        ),
+    ).otherwise(F.lit(""))
+    key = F.when(
+        i % 19 == 0,
+        F.concat(
+            F.lit(" key AKIA"),
+            F.substring(
+                F.lit(_KEY_ALPHABET), (i % 34 + 1).cast("int"), F.lit(16)
+            ),
+            F.lit(" leaked"),
+        ),
+    ).otherwise(F.lit(""))
+    return df.withColumn(
+        out_col, F.concat(F.col(text_col), email, ip, ssn, phone, key)
+    )
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: tuple = DEFAULT_PII_PATTERNS,
+) -> DataFrame:
+    """PII detection + redaction over a document corpus: sequentially
+    for each (name, pattern, token) in ``patterns``, count matches on
+    the CURRENT text state, then replace every match with the
+    digit-free token. Returns per document the per-category counts, a
+    total, and the fully redacted text — the artifact a release
+    pipeline actually ships.
+
+    Scale shape: a PURE map stage, exactly like `c4_line_clean` — one
+    column-pruned scan, a chain of regexp_count/regexp_replace
+    expressions inside WholeStageCodegen, no shuffle, no Python. At
+    100 TB this is embarrassingly parallel and composes with partition
+    pruning; the regex chain is the whole cost, and it is JVM-side.
+
+    Determinism: counting-before-redacting in a FIXED category order
+    makes overlap resolution explicit (an email's digits can never be
+    re-counted as a phone, because `<EMAIL>` has no digits); the same
+    order replayed in SQL gives the identical redacted byte string,
+    which q224 hash-pins cross-engine."""
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in patterns:
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    out = df.select(id_col, *counts, cur.alias("redacted"))
+    total_expr = None
+    for name, _pat, _tok in patterns:
+        t = F.col(f"n_{name}")
+        total_expr = t if total_expr is None else (total_expr + t)
+    return out.select(
+        id_col,
+        *[f"n_{name}" for name, _p, _t in patterns],
+        total_expr.cast("bigint").alias("pii_total"),
+        "redacted",
+    )
+
+
+# --- B138: URL normalization + registrable-domain curation (r14) ----
+def synthesize_urls(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "url"
+) -> DataFrame:
+    """Deterministic per-document URL synthesis (the fixture has no
+    URL column; same closed-form-plant pattern as q220-q224): scheme
+    case, WWW prefix, host case, default/explicit ports, empty paths,
+    tracking params and fragments all vary by id residue so every
+    normalization rule in `url_domain_curation` is exercised, and an
+    ANSI-SQL oracle rebuilds the exact byte string with CASE + ``||``.
+    Domains draw from a 97-way pool with four public-suffix shapes
+    (.com/.org/.co.uk/.com.au), so registrable-domain extraction sees
+    both 2-label and 3-label suffixes."""
+    i = F.col(id_col)
+
+    def s(c: Column) -> Column:
+        return c.cast("string")
+
+    dom = i % 97
+    suffix = (
+        F.when(dom % 5 == 0, F.lit(".co.uk"))
+        .when(dom % 5 == 1, F.lit(".com.au"))
+        .when(dom % 5 == 2, F.lit(".org"))
+        .otherwise(F.lit(".com"))
+    )
+    core = F.concat(F.lit("site"), s(dom), suffix)
+    host = F.when(i % 3 == 0, F.concat(F.lit("WWW."), core)).otherwise(core)
+    host = F.when(i % 9 == 0, F.upper(host)).otherwise(host)
+    scheme = F.when(i % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP"))
+    port = (
+        F.when(i % 8 == 0, F.lit(":443"))
+        .when(i % 8 == 1, F.lit(":80"))
+        .when(i % 8 == 5, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.when(i % 10 == 3, F.lit("")).otherwise(
+        F.concat(F.lit("/p/"), s(i % 13))
+    )
+    query = (
+        F.when(
+            i % 6 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&id="), s(i % 7),
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(i % 6 == 2, F.lit("?utm_medium=email"))
+        .when(
+            i % 6 == 4,
+            F.concat(F.lit("?id="), s(i % 7), F.lit("&ref="), s(i % 3)),
+        )
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(i % 5 == 1, F.concat(F.lit("#sec"), s(i % 4))).otherwise(
+        F.lit("")
+    )
+    return df.withColumn(
+        out_col,
+        F.concat(scheme, F.lit("://"), host, port, path, query, frag),
+    )
+
+
+DEFAULT_MULTI_SUFFIXES = ("co.uk", "com.au", "co.jp", "org.uk")
+
+
+def url_domain_curation(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+    cap: int = 3,
+    blocklist: tuple = (),
+    multi_suffixes: tuple = DEFAULT_MULTI_SUFFIXES,
+    tracking_prefix: str = "utm_",
+) -> DataFrame:
+    """The RefinedWeb/FineWeb URL-curation stage (Penedo et al. 2023
+    §3: URL filtering + dedup happens BEFORE any content processing
+    because it needs no document bytes): normalize each URL
+    (lowercase scheme+host, strip default ports 80/443, strip
+    ``tracking_prefix*`` query params, drop fragments, empty path ->
+    '/'), extract the REGISTRABLE domain (strip leading ``www.``;
+    last-3 labels when the host ends in a multi-part public suffix
+    from ``multi_suffixes``, else last-2 — the simplified
+    public-suffix-list rule), drop blocklisted domains, then cap each
+    domain at ``cap`` documents by (quality desc, id asc) — the
+    anti-spam skew bound (q107's `cap_per_class` caps the SOURCE tag;
+    this caps the domain a real crawl pipeline actually keys on).
+    Output: one row per surviving registrable domain with pre-cap doc
+    count, kept count, the representative normalized URL (min among
+    kept) and kept quality mass.
+
+    Scale shape: parsing + normalization is a PURE map stage (regex +
+    array HOFs in WholeStageCodegen — Spark's `parse_url` is
+    deliberately avoided: it has no DuckDB counterpart, so the oracle
+    could not replay it). The cap is a rank<=cap FILTER directly over
+    the window, so it plans as WindowGroupLimit below the exchange —
+    each map task ships at most ``cap`` rows per domain, and a hot
+    domain (the wordpress.com of a real crawl) ships ~cap*n_maps rows
+    instead of its full 100M-doc partition into one sort. The pre-cap
+    census (n_docs) is a SEPARATE map-side-combinable groupBy whose
+    shuffle carries ~|domains| per map task; the two per-domain
+    aggregates join at |domains| cardinality, which AQE broadcasts.
+    Deliberately NOT one window-over-everything with a kept flag:
+    that shape cannot group-limit and would sort every doc of the
+    hottest domain in one task — the q197/q200 lesson."""
+    u = F.col(url_col)
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+    )
+    hostport = F.regexp_extract(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+    )
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    rest = F.regexp_replace(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""
+    )
+    raw_path = F.regexp_extract(rest, r"^([^?#]*)", 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    qs = F.regexp_extract(rest, r"^[^?#]*\?([^#]*)", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "") & ~p.startswith(tracking_prefix),
+    )
+    keep_qs = F.array_join(params, "&")
+    norm_port = (
+        F.when((scheme == "http") & (port == "80"), F.lit(""))
+        .when((scheme == "https") & (port == "443"), F.lit(""))
+        .when(port == "", F.lit(""))
+        .otherwise(F.concat(F.lit(":"), port))
+    )
+    norm_url = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        norm_port,
+        path,
+        F.when(keep_qs == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), keep_qs)
+        ),
+    )
+    host_nw = F.regexp_replace(host, r"^www\.", "")
+    multi_alt = "|".join(s.replace(".", r"\.") for s in multi_suffixes)
+    multi = F.regexp_extract(
+        host_nw, r"([A-Za-z0-9-]+\.(?:" + multi_alt + r"))$", 1
+    )
+    two = F.regexp_extract(host_nw, r"([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$", 1)
+    reg_domain = (
+        F.when(multi != "", multi)
+        .when(two != "", two)
+        .otherwise(host_nw)
+    )
+
+    parsed = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(quality_col).alias("__q"),
+        norm_url.alias("norm_url"),
+        reg_domain.alias("reg_domain"),
+    )
+    if blocklist:
+        parsed = parsed.filter(~F.col("reg_domain").isin(*blocklist))
+    w = Window.partitionBy("reg_domain").orderBy(
+        F.col("__q").desc(), F.col("__id").asc()
+    )
+    kept = (
+        parsed.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= int(cap))
+        .groupBy("reg_domain")
+        .agg(
+            F.count("*").cast("bigint").alias("n_kept"),
+            F.min("norm_url").alias("rep_url"),
+            F.sum("__q").cast("bigint").alias("kept_chars"),
+        )
+    )
+    census = parsed.groupBy("reg_domain").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    z = F.lit(0).cast("bigint")
+    return census.join(kept, "reg_domain", "left").select(
+        "reg_domain",
+        "n_docs",
+        F.coalesce("n_kept", z).alias("n_kept"),
+        "rep_url",
+        F.coalesce("kept_chars", z).alias("kept_chars"),
+    )

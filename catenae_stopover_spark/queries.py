@@ -11571,6 +11571,228 @@ FROM cl JOIN px USING (seed)
 """
 
 
+def q224_pii_scrub(spark, sf_dir):
+    """B137 (new r14): the anonymization pass every released corpus
+    runs before training (FineWeb/RefinedWeb anonymize emails + IPs;
+    BigCode scrubs emails/keys from code) — absent from the registry
+    until now. The corpus is deterministically laced with synthetic
+    PII by id residue (email/IP/SSN/phone/AWS-key; id 0 carries all
+    five), then `text.pii_scrub` counts and redacts each category
+    SEQUENTIALLY with patterns drawn from the java.regex ∩ RE2
+    dialect intersection (no lookaround), so the oracle replays the
+    exact redacted byte string — the hash pins counts AND the full
+    redaction output cross-engine. Pure map stage: regexp chain in
+    WholeStageCodegen, no shuffle, no Python."""
+    from .operators.text import pii_scrub, synthesize_pii_text
+
+    d = _t(spark, sf_dir, "documents")
+    return pii_scrub(synthesize_pii_text(d), text_col="pii_text")
+
+
+Q224_SQL = r"""
+WITH planted AS (
+    SELECT doc_id,
+           text
+           || CASE WHEN doc_id % 7 = 0
+                THEN ' contact user' || doc_id || '@mail' || (doc_id % 5)
+                     || '.example.com now' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                THEN ' host 10.' || (doc_id % 256) || '.'
+                     || ((doc_id * 3) % 256) || '.' || (doc_id % 200)
+                     || ' up' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                THEN ' ssn ' || (doc_id % 900 + 100) || '-'
+                     || (doc_id % 90 + 10) || '-' || (doc_id % 9000 + 1000)
+                     || ' filed' ELSE '' END
+           || CASE WHEN doc_id % 17 = 0
+                THEN ' call ' || (doc_id % 800 + 200) || '-'
+                     || (doc_id % 900 + 100) || '-'
+                     || (doc_id % 9000 + 1000) || ' now' ELSE '' END
+           || CASE WHEN doc_id % 19 = 0
+                THEN ' key AKIA'
+                     || substr('ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789ABCDEFGHIJKLM',
+                               CAST(doc_id % 34 + 1 AS INT), 16)
+                     || ' leaked' ELSE '' END
+           AS t0
+    FROM documents
+), s1 AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_email,
+           regexp_replace(t0,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g') AS t1
+    FROM planted
+), s2 AS (
+    SELECT doc_id, n_email,
+           CAST(len(regexp_extract_all(t1, '\bAKIA[A-Z0-9]{16}\b'))
+               AS BIGINT) AS n_key,
+           regexp_replace(t1, '\bAKIA[A-Z0-9]{16}\b', '<APIKEY>', 'g') AS t2
+    FROM s1
+), s3 AS (
+    SELECT doc_id, n_email, n_key,
+           CAST(len(regexp_extract_all(t2, '\b\d{3}-\d{2}-\d{4}\b'))
+               AS BIGINT) AS n_ssn,
+           regexp_replace(t2, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g') AS t3
+    FROM s2
+), s4 AS (
+    SELECT doc_id, n_email, n_key, n_ssn,
+           CAST(len(regexp_extract_all(t3, '\b\d{3}-\d{3}-\d{4}\b'))
+               AS BIGINT) AS n_phone,
+           regexp_replace(t3, '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS t4
+    FROM s3
+), s5 AS (
+    SELECT doc_id, n_email, n_key, n_ssn, n_phone,
+           CAST(len(regexp_extract_all(t4,
+               '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_ip,
+           regexp_replace(t4, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g')
+               AS t5
+    FROM s4
+)
+SELECT doc_id, n_email, n_key, n_ssn, n_phone, n_ip,
+       n_email + n_key + n_ssn + n_phone + n_ip AS pii_total,
+       t5 AS redacted
+FROM s5
+"""
+
+
+def q225_url_domain_curation(spark, sf_dir):
+    """B138 (new r14): the RefinedWeb/FineWeb URL-curation stage —
+    normalize (case, default ports, utm_* params, fragments, empty
+    path), extract the registrable domain under a simplified
+    public-suffix rule (co.uk/com.au/co.jp/org.uk are 2-label
+    suffixes), blocklist, and cap each domain at 3 docs by quality.
+    URLs are synthesized deterministically per doc (every rule
+    exercised by id residue; 97-domain pool with four suffix shapes)
+    so the oracle rebuilds and re-curates the identical byte strings.
+    The cap plans as WindowGroupLimit (rank<=cap FILTER over the
+    window); the pre-cap census is a separate map-side-combinable
+    groupBy; the two per-domain aggregates join at |domains|
+    cardinality (AQE broadcast). q107 caps the `source` TAG; this
+    caps the registrable domain a crawl pipeline actually keys on."""
+    from .operators.text import synthesize_urls, url_domain_curation
+
+    d = _t(spark, sf_dir, "documents")
+    return url_domain_curation(
+        synthesize_urls(d),
+        cap=3,
+        blocklist=("site7.org", "site11.com.au", "site24.com"),
+    )
+
+
+Q225_SQL = r"""
+WITH base AS (
+    SELECT doc_id, n_chars, doc_id % 97 AS dom FROM documents
+), hosts AS (
+    SELECT doc_id, n_chars,
+           'site' || dom ||
+           CASE WHEN dom % 5 = 0 THEN '.co.uk'
+                WHEN dom % 5 = 1 THEN '.com.au'
+                WHEN dom % 5 = 2 THEN '.org'
+                ELSE '.com' END AS core
+    FROM base
+), urls AS (
+    SELECT doc_id, n_chars,
+           (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)
+           || '://' ||
+           (CASE WHEN doc_id % 9 = 0
+                 THEN UPPER(CASE WHEN doc_id % 3 = 0
+                                 THEN 'WWW.' || core ELSE core END)
+                 ELSE (CASE WHEN doc_id % 3 = 0
+                            THEN 'WWW.' || core ELSE core END) END)
+           ||
+           (CASE WHEN doc_id % 8 = 0 THEN ':443'
+                 WHEN doc_id % 8 = 1 THEN ':80'
+                 WHEN doc_id % 8 = 5 THEN ':8080'
+                 ELSE '' END)
+           ||
+           (CASE WHEN doc_id % 10 = 3 THEN ''
+                 ELSE '/p/' || (doc_id % 13) END)
+           ||
+           (CASE WHEN doc_id % 6 = 0
+                 THEN '?utm_source=feed&id=' || (doc_id % 7)
+                      || '&utm_campaign=x'
+                 WHEN doc_id % 6 = 2 THEN '?utm_medium=email'
+                 WHEN doc_id % 6 = 4
+                 THEN '?id=' || (doc_id % 7) || '&ref=' || (doc_id % 3)
+                 ELSE '' END)
+           ||
+           (CASE WHEN doc_id % 5 = 1 THEN '#sec' || (doc_id % 4)
+                 ELSE '' END) AS url
+    FROM hosts
+), parsed AS (
+    SELECT doc_id, n_chars,
+           LOWER(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               AS scheme,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)
+               AS hostport,
+           regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '')
+               AS rest
+    FROM urls
+), parts AS (
+    SELECT doc_id, n_chars, scheme,
+           LOWER(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+           regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+           regexp_extract(rest, '^([^?#]*)', 1) AS raw_path,
+           regexp_extract(rest, '^[^?#]*\?([^#]*)', 1) AS qs
+    FROM parsed
+), norm AS (
+    SELECT doc_id, n_chars, host,
+           scheme || '://' || host ||
+           (CASE WHEN scheme = 'http' AND port = '80' THEN ''
+                 WHEN scheme = 'https' AND port = '443' THEN ''
+                 WHEN port = '' THEN ''
+                 ELSE ':' || port END) ||
+           (CASE WHEN raw_path = '' THEN '/' ELSE raw_path END) ||
+           (CASE WHEN kq = '' THEN '' ELSE '?' || kq END) AS norm_url
+    FROM (SELECT *,
+                 -- COALESCE: DuckDB array_to_string on an EMPTY list
+                 -- is NULL (Spark array_join is ''), and NULL would
+                 -- swallow the whole norm_url concat
+                 COALESCE(array_to_string(list_filter(str_split(qs, '&'),
+                     p -> p <> '' AND NOT starts_with(p, 'utm_')),
+                     '&'), '') AS kq
+          FROM parts) AS q
+), rd AS (
+    SELECT doc_id, n_chars, norm_url,
+           CASE WHEN m <> '' THEN m
+                WHEN two <> '' THEN two
+                ELSE host_nw END AS reg_domain
+    FROM (SELECT *,
+                 regexp_extract(host_nw,
+                     '([A-Za-z0-9-]+\.(?:co\.uk|com\.au|co\.jp|org\.uk))$',
+                     1) AS m,
+                 regexp_extract(host_nw,
+                     '([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$', 1) AS two
+          FROM (SELECT *, regexp_replace(host, '^www\.', '') AS host_nw
+                FROM norm) AS q1) AS q2
+), flt AS (
+    SELECT * FROM rd
+    WHERE reg_domain NOT IN ('site7.org', 'site11.com.au', 'site24.com')
+), ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY reg_domain
+               ORDER BY n_chars DESC, doc_id ASC) AS rk
+    FROM flt
+), kept AS (
+    SELECT reg_domain,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           MIN(norm_url) AS rep_url,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+    FROM ranked WHERE rk <= 3 GROUP BY reg_domain
+), census AS (
+    SELECT reg_domain, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM flt GROUP BY reg_domain
+)
+SELECT census.reg_domain, census.n_docs,
+       COALESCE(kept.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+       kept.rep_url,
+       COALESCE(kept.kept_chars, CAST(0 AS BIGINT)) AS kept_chars
+FROM census LEFT JOIN kept USING (reg_domain)
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -11711,6 +11933,11 @@ QUERIES: dict[str, tuple] = {
     "q221_ahash_pixel_gate": (q221_ahash_pixel_gate, Q221_SQL),
     "q222_audio_neardup": (q222_audio_neardup, Q222_SQL),
     "q223_crossformat_neardup": (q223_crossformat_neardup, Q223_SQL),
+    # --- B137/B138, NEW r14 (second batch): PII scrub + URL/domain
+    # --- curation — the two curation verbs every released web corpus
+    # --- runs that the registry lacked.
+    "q224_pii_scrub": (q224_pii_scrub, Q224_SQL),
+    "q225_url_domain_curation": (q225_url_domain_curation, Q225_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -11890,14 +12117,18 @@ QUERIES: dict[str, tuple] = {
 # --- from CORRECTNESS_r01..r13 query lists, not from window snapshots
 # --- — q22/q27/q29/q37/q38/q52/q53/q55/q56 left this block in
 # --- r11/r12 re-checks) — after this round the driver freshness floor
-# --- rises from r8 to r10; (3) fill to 50 with the 11 oldest r10-era
-# --- rows in registry order. Remaining r10 rows (q106-q125 battery,
-# --- q127/q139/q152/q160-q162/q165/q170/q177/q181/q185-q194 tail)
-# --- head the r15 fill.
+# --- rises from r8 to r10; (3) fill to 50 with the 9 oldest r10-era
+# --- rows in registry order (11 before q224/q225 landed — q189/q191
+# --- ceded their slots to the new rows and head the r15 fill with the
+# --- q106-q125 battery, q127/q139/q152/q160-q162 and the q185-q194
+# --- tail).
 _R14_WINDOW = [
-    # (1) never driver-checked
+    # (1) never driver-checked (q224/q225 are the round's second new
+    # batch — policy (2); their two window slots come from the r10-era
+    # fill tail, q189/q191, which move to the r15 fill head)
     "q220_pixel_neardup", "q221_ahash_pixel_gate",
     "q222_audio_neardup", "q223_crossformat_neardup",
+    "q224_pii_scrub", "q225_url_domain_curation",
     # (2) the 35 r8-era rows (last driver evidence: CORRECTNESS_r08)
     "q10_theta_acctbal", "q11_cross_region_nation",
     "q12_asof_purchase_click", "q13_latest2_events_per_user",
@@ -11918,8 +12149,7 @@ _R14_WINDOW = [
     "q170_markov_sequence", "q177_robust_outliers",
     "q181_token_budget", "q185_c4_line_clean",
     "q186_gopher_repetition", "q187_kcenter_init",
-    "q188_margin_bitext", "q189_stratified_exact",
-    "q191_nfc_normalize",
+    "q188_margin_bitext",
 ]
 assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 QUERIES = {
