@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 # Tiny stopword profiles for a stopword-ratio language heuristic.
 # Deliberately small and deterministic — language ID at corpus scale is
@@ -3927,8 +3928,12 @@ def url_domain_curation(
     Scale shape: parsing + normalization is a PURE map stage (regex +
     array HOFs in WholeStageCodegen — Spark's `parse_url` is
     deliberately avoided: it has no DuckDB counterpart, so the oracle
-    could not replay it). The cap is a rank<=cap FILTER directly over
-    the window, so it plans as WindowGroupLimit below the exchange —
+    could not replay it), and the EXPENSIVE part of it (query-param
+    filtering + reassembly) is deferred until after the cap, so only
+    ~cap*|domains| surviving rows pay it — the pre-window rows carry
+    just the raw url and the host-derived domain. The cap is a
+    rank<=cap FILTER directly over the window, so it plans as
+    WindowGroupLimit below the exchange —
     each map task ships at most ``cap`` rows per domain, and a hot
     domain (the wordpress.com of a real crawl) ships ~cap*n_maps rows
     instead of its full 100M-doc partition into one sort. The pre-cap
@@ -3939,16 +3944,69 @@ def url_domain_curation(
     that shape cannot group-limit and would sort every doc of the
     hottest domain in one task — the q197/q200 lesson."""
     u = F.col(url_col)
+    host = F.lower(
+        F.regexp_extract(
+            F.regexp_extract(
+                u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+            ),
+            r"^([^:]*)",
+            1,
+        )
+    )
+    host_nw = F.regexp_replace(host, r"^www\.", "")
+    multi_alt = "|".join(s.replace(".", r"\.") for s in multi_suffixes)
+    multi = F.regexp_extract(
+        host_nw, r"([A-Za-z0-9-]+\.(?:" + multi_alt + r"))$", 1
+    )
+    two = F.regexp_extract(host_nw, r"([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$", 1)
+    # coalesce(nullif(...)) instead of when(x != '', x): the CASE form
+    # evaluates each regexp_extract twice (condition + value), and
+    # after ProjectCollapse inlines the url expression into every
+    # occurrence the whole parse chain multiplies — measured 4x+ on
+    # this expression alone at 5M rows.
+    reg_domain = F.coalesce(
+        F.nullif(multi, F.lit("")), F.nullif(two, F.lit("")), host_nw
+    )
+
+    # Pre-window rows carry the RAW url, not its normalization: only
+    # rank<=cap survivors (~cap*|domains|, not |docs|) pay the full
+    # normalize chain below.
+    parsed = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(quality_col).alias("__q"),
+        u.alias("__url"),
+        reg_domain.alias("reg_domain"),
+    )
+    if blocklist:
+        # Blocklist as a broadcast LEFT ANTI join, NOT an isin filter:
+        # a ~reg_domain.isin(...) predicate gets pushed below the
+        # parse projection and rewritten into a second full copy of
+        # the regex chain per row (measured: doubles the whole query
+        # at 5M docs), while the anti join consumes the already-
+        # computed attribute. It is also the production shape — real
+        # domain blocklists are tables of thousands of entries, not
+        # expression literals.
+        bl = broadcast(
+            df.sparkSession.createDataFrame(
+                [(d,) for d in blocklist], ["reg_domain"]
+            )
+        )
+        parsed = parsed.join(bl, "reg_domain", "left_anti")
+    w = Window.partitionBy("reg_domain").orderBy(
+        F.col("__q").desc(), F.col("__id").asc()
+    )
+
+    ku = F.col("__url")
     scheme = F.lower(
-        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
+        F.regexp_extract(ku, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)
     )
     hostport = F.regexp_extract(
-        u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+        ku, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
     )
-    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    khost = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     rest = F.regexp_replace(
-        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""
+        ku, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""
     )
     raw_path = F.regexp_extract(rest, r"^([^?#]*)", 1)
     path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
@@ -3967,39 +4025,18 @@ def url_domain_curation(
     norm_url = F.concat(
         scheme,
         F.lit("://"),
-        host,
+        khost,
         norm_port,
         path,
         F.when(keep_qs == "", F.lit("")).otherwise(
             F.concat(F.lit("?"), keep_qs)
         ),
     )
-    host_nw = F.regexp_replace(host, r"^www\.", "")
-    multi_alt = "|".join(s.replace(".", r"\.") for s in multi_suffixes)
-    multi = F.regexp_extract(
-        host_nw, r"([A-Za-z0-9-]+\.(?:" + multi_alt + r"))$", 1
-    )
-    two = F.regexp_extract(host_nw, r"([A-Za-z0-9-]+\.[A-Za-z0-9-]+)$", 1)
-    reg_domain = (
-        F.when(multi != "", multi)
-        .when(two != "", two)
-        .otherwise(host_nw)
-    )
 
-    parsed = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(quality_col).alias("__q"),
-        norm_url.alias("norm_url"),
-        reg_domain.alias("reg_domain"),
-    )
-    if blocklist:
-        parsed = parsed.filter(~F.col("reg_domain").isin(*blocklist))
-    w = Window.partitionBy("reg_domain").orderBy(
-        F.col("__q").desc(), F.col("__id").asc()
-    )
     kept = (
         parsed.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= int(cap))
+        .withColumn("norm_url", norm_url)
         .groupBy("reg_domain")
         .agg(
             F.count("*").cast("bigint").alias("n_kept"),
@@ -4010,11 +4047,29 @@ def url_domain_curation(
     census = parsed.groupBy("reg_domain").agg(
         F.count("*").cast("bigint").alias("n_docs")
     )
+    # Combine the two per-domain aggregates by UNION + re-aggregate
+    # (~2*|domains| rows), not by join: a LEFT join emits an
+    # isnotnull(reg_domain) constraint on the kept side that predicate
+    # pushdown rewrites into a FULL extra copy of the parse chain in
+    # the scan filter (measured at 5M docs). The union imposes no
+    # constraint, and AQE coalesces the tiny re-aggregate.
+    nb = F.lit(None).cast("bigint")
     z = F.lit(0).cast("bigint")
-    return census.join(kept, "reg_domain", "left").select(
+    combined = census.select(
         "reg_domain",
         "n_docs",
-        F.coalesce("n_kept", z).alias("n_kept"),
-        "rep_url",
-        F.coalesce("kept_chars", z).alias("kept_chars"),
+        nb.alias("n_kept"),
+        F.lit(None).cast("string").alias("rep_url"),
+        nb.alias("kept_chars"),
+    ).unionByName(
+        kept.select(
+            "reg_domain", nb.alias("n_docs"), "n_kept", "rep_url",
+            "kept_chars",
+        )
+    )
+    return combined.groupBy("reg_domain").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.coalesce(F.max("n_kept"), z).alias("n_kept"),
+        F.max("rep_url").alias("rep_url"),
+        F.coalesce(F.max("kept_chars"), z).alias("kept_chars"),
     )
