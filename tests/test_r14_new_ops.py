@@ -190,3 +190,55 @@ def test_synthesize_urls_deterministic_and_parseable(spark):
     assert a[0].startswith("https://WWW.SITE0.CO.UK:443")
     # doc 3: odd -> HTTP, %3==0 -> WWW., %10==3 -> empty path
     assert a[3] == "HTTP://WWW.site3.com"
+
+
+def test_pii_scrub_idempotent(spark):
+    # scrubbing already-scrubbed text finds nothing: replacement
+    # tokens are digit-free and contain no @/dots, so no pattern can
+    # match across or inside them
+    from catenae_stopover_spark.operators.text import (
+        pii_scrub,
+        synthesize_pii_text,
+    )
+
+    d = spark.range(0, 200).select(
+        F.col("id").alias("doc_id"), F.lit("base words").alias("text")
+    )
+    first = pii_scrub(synthesize_pii_text(d), text_col="pii_text")
+    second = pii_scrub(
+        first.select("doc_id", F.col("redacted").alias("text"))
+    )
+    assert second.agg(F.sum("pii_total")).collect()[0][0] == 0
+
+
+def test_url_curation_invariants(spark):
+    # every surviving domain reports 1 <= n_kept <= min(cap, n_docs),
+    # a non-null rep_url, and positive kept mass
+    from catenae_stopover_spark.operators.text import (
+        synthesize_urls,
+        url_domain_curation,
+    )
+
+    df = synthesize_urls(
+        spark.range(0, 3000)
+        .select(F.col("id").alias("doc_id"))
+        .withColumn("n_chars", (F.col("doc_id") * 13) % 509 + 1)
+    )
+    rep = url_domain_curation(
+        df, cap=4, blocklist=("site5.co.uk", "site13.com")
+    )
+    rows = rep.collect()
+    assert rows and all(
+        1 <= r.n_kept <= min(4, r.n_docs)
+        and r.rep_url is not None
+        and r.kept_chars > 0
+        for r in rows
+    )
+    assert not any(
+        r.reg_domain in ("site5.co.uk", "site13.com") for r in rows
+    )
+    # census counts the full corpus minus blocked domains
+    blocked_docs = df.filter(
+        (F.col("doc_id") % 97).isin(5, 13)
+    ).count()
+    assert sum(r.n_docs for r in rows) == 3000 - blocked_docs
