@@ -4073,3 +4073,126 @@ def url_domain_curation(
         F.max("rep_url").alias("rep_url"),
         F.coalesce(F.max("kept_chars"), z).alias("kept_chars"),
     )
+
+
+# --- B139: HTML main-text extraction (r14) --------------------------
+def synthesize_html_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out_col: str = "html",
+) -> DataFrame:
+    """Deterministic per-document HTML synthesis (the fixture has no
+    markup column): every page gets a fully-linked nav block, 1-3
+    content paragraphs whose bodies are substrings of the document's
+    own text (so the extractor's output ties back to real fixture
+    bytes), link spans planted by id residue, and a fully-linked
+    footer. Well-formed, non-nested markup by construction — the
+    extraction regexes are exact on it, and an ANSI-SQL oracle
+    rebuilds the byte-identical page with CASE + ``||``."""
+    i = F.col(id_col)
+
+    def s(c: Column) -> Column:
+        return c.cast("string")
+
+    def para(k: int) -> Column:
+        body = F.substring(F.col(text_col), 1 + 7 * k, 40)
+        link = F.when(
+            (i + k) % 4 == 0,
+            F.concat(
+                F.lit('<a href="/x'), s(F.lit(k)), F.lit('">more info</a>')
+            ),
+        ).otherwise(F.lit(""))
+        return F.when(
+            i % 3 >= k,
+            F.concat(F.lit("<p>"), body, link, F.lit("</p>")),
+        ).otherwise(F.lit(""))
+
+    nav = F.lit(
+        '<div class="nav"><a href="/h">Home</a><a href="/a">About</a></div>'
+    )
+    footer = F.lit('<div><a href="/t">Terms</a></div>')
+    return df.withColumn(
+        out_col,
+        F.concat(
+            F.lit("<html><body>"),
+            nav,
+            para(0),
+            para(1),
+            para(2),
+            footer,
+            F.lit("</body></html>"),
+        ),
+    )
+
+
+def html_main_text(
+    df: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_chars: int = 10,
+) -> DataFrame:
+    """HTML -> main-text extraction with link-density boilerplate
+    filtering — the WARC-to-text stage every web pipeline runs BEFORE
+    the C4 line rules (`c4_line_clean` assumes plain text; this
+    produces it). The heuristic is the jusText/trafilatura core: a
+    block whose visible characters are mostly anchor text is
+    navigation/boilerplate, not content. Blocks are ``<p>``/``<div>``
+    elements; per block the visible text (tags stripped) and the
+    anchor-text length are computed, and a block survives iff
+    ``2 * link_chars < text_chars`` (integer cross-multiply — the
+    50% link-density rule with no division and no FP, so the oracle
+    replays it exactly) and ``text_chars >= min_chars``. Output per
+    document: the kept blocks joined with newlines (in document
+    order), block counts, and the char/link-char totals a curation
+    report monitors.
+
+    Scale shape: a PURE map stage — regexp_extract_all + array HOFs
+    (transform/filter/aggregate) inside one projection, no explode,
+    no shuffle; at 100 TB this composes with partition pruning
+    exactly like `c4_line_clean`. The explode-and-regroup alternative
+    computes each block once but shuffles the entire corpus — a HOF
+    re-evaluation is cheaper than a corpus-wide exchange.
+
+    Determinism: block order is array order (document order);
+    lengths and counts are integers; the only strings are substrings
+    of the input. No FP anywhere."""
+    block_pat = (
+        r"<(?:p|div[^>]*)>([^<]*(?:<a[^>]*>[^<]*</a>[^<]*)*)"
+        r"</(?:p|div)>"
+    )
+    anchor_pat = r"<a[^>]*>([^<]*)</a>"
+    blocks = F.regexp_extract_all(F.col(html_col), F.lit(block_pat), F.lit(1))
+    stats = F.transform(
+        blocks,
+        lambda b: F.struct(
+            F.regexp_replace(b, "<[^>]*>", "").alias("txt"),
+            F.aggregate(
+                F.transform(
+                    F.regexp_extract_all(b, F.lit(anchor_pat), F.lit(1)),
+                    F.length,
+                ),
+                F.lit(0),
+                lambda a, x: a + x,
+            ).alias("lc"),
+        ),
+    )
+    kept = F.filter(
+        stats,
+        lambda s2: (s2["lc"] * 2 < F.length(s2["txt"]))
+        & (F.length(s2["txt"]) >= int(min_chars)),
+    )
+    total_chars = F.aggregate(
+        stats, F.lit(0), lambda a, s2: a + F.length(s2["txt"])
+    )
+    link_chars = F.aggregate(stats, F.lit(0), lambda a, s2: a + s2["lc"])
+    return df.select(
+        id_col,
+        F.array_join(
+            F.transform(kept, lambda s2: s2["txt"]), "\n"
+        ).alias("main_text"),
+        F.size(blocks).cast("bigint").alias("n_blocks"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        total_chars.cast("bigint").alias("total_chars"),
+        link_chars.cast("bigint").alias("link_chars"),
+    )

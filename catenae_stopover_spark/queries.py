@@ -11793,6 +11793,86 @@ FROM census LEFT JOIN kept USING (reg_domain)
 """
 
 
+def q226_html_main_text(spark, sf_dir):
+    """B139 (new r14): HTML -> main-text extraction with the
+    jusText/trafilatura link-density heuristic — the WARC-to-text
+    stage that PRECEDES every text filter in the registry (C4 line
+    rules, Gopher, langid all assume plain text; this produces it).
+    Pages are synthesized deterministically (fully-linked nav/footer,
+    1-3 content paragraphs built from substrings of the document's
+    own text, links planted by id residue), blocks are scored by the
+    integer cross-multiply density rule (2*link_chars < text_chars —
+    no division, no FP), and the oracle rebuilds the byte-identical
+    page and replays the extraction with DuckDB list lambdas. Pure
+    map stage: regexp_extract_all + transform/filter/aggregate HOFs
+    in one projection, no shuffle."""
+    from .operators.text import html_main_text, synthesize_html_docs
+
+    d = _t(spark, sf_dir, "documents")
+    return html_main_text(synthesize_html_docs(d))
+
+
+Q226_SQL = r"""
+WITH pages AS (
+    SELECT doc_id,
+           '<html><body>'
+           || '<div class="nav"><a href="/h">Home</a><a href="/a">About</a></div>'
+           || CASE WHEN doc_id % 3 >= 0 THEN
+                '<p>' || substr(text, 1, 40) ||
+                CASE WHEN (doc_id + 0) % 4 = 0
+                     THEN '<a href="/x0">more info</a>' ELSE '' END
+                || '</p>' ELSE '' END
+           || CASE WHEN doc_id % 3 >= 1 THEN
+                '<p>' || substr(text, 8, 40) ||
+                CASE WHEN (doc_id + 1) % 4 = 0
+                     THEN '<a href="/x1">more info</a>' ELSE '' END
+                || '</p>' ELSE '' END
+           || CASE WHEN doc_id % 3 >= 2 THEN
+                '<p>' || substr(text, 15, 40) ||
+                CASE WHEN (doc_id + 2) % 4 = 0
+                     THEN '<a href="/x2">more info</a>' ELSE '' END
+                || '</p>' ELSE '' END
+           || '<div><a href="/t">Terms</a></div>'
+           || '</body></html>' AS html
+    FROM documents
+), blk AS (
+    SELECT doc_id,
+           regexp_extract_all(html,
+               '<(?:p|div[^>]*)>([^<]*(?:<a[^>]*>[^<]*</a>[^<]*)*)</(?:p|div)>',
+               1) AS blocks
+    FROM pages
+), st AS (
+    SELECT doc_id, blocks,
+           list_transform(blocks, b -> struct_pack(
+               txt := regexp_replace(b, '<[^>]*>', '', 'g'),
+               lc := CAST(coalesce(list_aggregate(
+                   list_transform(
+                       regexp_extract_all(b, '<a[^>]*>([^<]*)</a>', 1),
+                       x -> length(x)), 'sum'), 0) AS BIGINT)
+           )) AS stats
+    FROM blk
+), kp AS (
+    SELECT doc_id, blocks, stats,
+           list_filter(stats,
+               s -> s.lc * 2 < length(s.txt)
+                    AND length(s.txt) >= 10) AS kept
+    FROM st
+)
+SELECT doc_id,
+       COALESCE(array_to_string(
+           list_transform(kept, s -> s.txt), chr(10)), '') AS main_text,
+       CAST(len(blocks) AS BIGINT) AS n_blocks,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       CAST(COALESCE(list_aggregate(
+           list_transform(stats, s -> length(s.txt)), 'sum'), 0)
+           AS BIGINT) AS total_chars,
+       CAST(COALESCE(list_aggregate(
+           list_transform(stats, s -> s.lc), 'sum'), 0)
+           AS BIGINT) AS link_chars
+FROM kp
+"""
+
+
 # --------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------
@@ -11938,6 +12018,7 @@ QUERIES: dict[str, tuple] = {
     # --- runs that the registry lacked.
     "q224_pii_scrub": (q224_pii_scrub, Q224_SQL),
     "q225_url_domain_curation": (q225_url_domain_curation, Q225_SQL),
+    "q226_html_main_text": (q226_html_main_text, Q226_SQL),
     # --- part (3): the staged r3-era remainder (oldest surviving
     # --- driver rows), exactly the r6 verdict ask #9 order.
     "q84_heavy_hitters": (q84_heavy_hitters, Q84_SQL),
@@ -12129,6 +12210,7 @@ _R14_WINDOW = [
     "q220_pixel_neardup", "q221_ahash_pixel_gate",
     "q222_audio_neardup", "q223_crossformat_neardup",
     "q224_pii_scrub", "q225_url_domain_curation",
+    "q226_html_main_text",
     # (2) the 35 r8-era rows (last driver evidence: CORRECTNESS_r08)
     "q10_theta_acctbal", "q11_cross_region_nation",
     "q12_asof_purchase_click", "q13_latest2_events_per_user",
@@ -12149,7 +12231,6 @@ _R14_WINDOW = [
     "q170_markov_sequence", "q177_robust_outliers",
     "q181_token_budget", "q185_c4_line_clean",
     "q186_gopher_repetition", "q187_kcenter_init",
-    "q188_margin_bitext",
 ]
 assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 QUERIES = {

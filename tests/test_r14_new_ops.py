@@ -242,3 +242,78 @@ def test_url_curation_invariants(spark):
         (F.col("doc_id") % 97).isin(5, 13)
     ).count()
     assert sum(r.n_docs for r in rows) == 3000 - blocked_docs
+
+
+def _extract_one(spark, html):
+    from catenae_stopover_spark.operators.text import html_main_text
+
+    df = spark.createDataFrame([(1, html)], ["doc_id", "html"])
+    return html_main_text(df).collect()[0]
+
+
+def test_html_extract_drops_linked_boilerplate(spark):
+    r = _extract_one(
+        spark,
+        '<html><body><div class="nav"><a href="/h">Home</a></div>'
+        "<p>this paragraph is real page content here</p>"
+        '<div><a href="/t">Terms</a></div></body></html>',
+    )
+    assert r.main_text == "this paragraph is real page content here"
+    assert (r.n_blocks, r.n_kept) == (3, 1)
+    assert r.link_chars == len("Home") + len("Terms")
+
+
+def test_html_extract_density_boundary_strict(spark):
+    # exactly 50% anchor text: 2*lc == tc -> dropped (strict <)
+    half = '<p>abcdefghij<a href="/x">abcdefghij</a></p>'
+    r = _extract_one(spark, "<html><body>" + half + "</body></html>")
+    assert r.n_kept == 0 and r.main_text == ""
+    # one char more of body text -> kept
+    over = '<p>abcdefghijK<a href="/x">abcdefghij</a></p>'
+    r2 = _extract_one(spark, "<html><body>" + over + "</body></html>")
+    assert r2.n_kept == 1
+
+
+def test_html_extract_min_chars(spark):
+    r = _extract_one(
+        spark, "<html><body><p>tiny</p><p>long enough to keep</p></body></html>"
+    )
+    assert r.n_kept == 1 and r.main_text == "long enough to keep"
+
+
+def test_html_extract_preserves_document_order(spark):
+    r = _extract_one(
+        spark,
+        "<html><body><p>first paragraph of content</p>"
+        "<p>second paragraph of content</p></body></html>",
+    )
+    assert r.main_text == (
+        "first paragraph of content\nsecond paragraph of content"
+    )
+
+
+def test_html_extract_no_blocks(spark):
+    r = _extract_one(spark, "<html><body>bare text</body></html>")
+    assert (r.n_blocks, r.n_kept, r.total_chars, r.link_chars) == (0, 0, 0, 0)
+    assert r.main_text == ""
+
+
+def test_synthesize_html_ties_to_fixture_text(spark):
+    from catenae_stopover_spark.operators.text import (
+        html_main_text,
+        synthesize_html_docs,
+    )
+
+    d = spark.createDataFrame(
+        [(4, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    out = html_main_text(synthesize_html_docs(d)).collect()[0]
+    # doc 4: %3 == 1 -> paras 0 and 1; (4+0)%4==0 plants a link in
+    # para 0; bodies are substr(text,1,40) and substr(text,8,40)
+    assert out.n_blocks == 4 and out.n_kept == 2
+    assert out.main_text.split("\n")[0].startswith("alpha beta")
+    assert out.main_text.split("\n")[1].startswith("eta gamma")
+    assert out.link_chars == len("Home") + len("About") + len(
+        "more info"
+    ) + len("Terms")
