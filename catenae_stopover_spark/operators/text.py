@@ -3816,10 +3816,18 @@ def pii_scrub(
     re-counted as a phone, because `<EMAIL>` has no digits); the same
     order replayed in SQL gives the identical redacted byte string,
     which q224 hash-pins cross-engine."""
+    # NULL contract (the q215 precedent): a NULL document yields zero
+    # counts and a NULL redacted text (passthrough) — regexp_count on
+    # NULL is NULL, so every count is coalesced; without it pii_total
+    # would go NULL and a downstream SUM would silently drop the doc.
     cur = F.col(text_col)
     counts = []
     for name, pat, token in patterns:
-        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{name}"))
+        counts.append(
+            F.coalesce(
+                F.regexp_count(cur, F.lit(pat)), F.lit(0)
+            ).alias(f"n_{name}")
+        )
         cur = F.regexp_replace(cur, pat, token)
     out = df.select(id_col, *counts, cur.alias("redacted"))
     total_expr = None
@@ -3971,7 +3979,11 @@ def url_domain_curation(
     # Pre-window rows carry the RAW url, not its normalization: only
     # rank<=cap survivors (~cap*|domains|, not |docs|) pay the full
     # normalize chain below.
-    parsed = df.select(
+    # NULL contract: docs without a URL are excluded up front (they
+    # would otherwise pool into a NULL reg_domain group and rank
+    # against each other). The predicate is on the RAW column, so its
+    # scan pushdown is free — no parse-chain re-evaluation.
+    parsed = df.filter(F.col(url_col).isNotNull()).select(
         F.col(id_col).alias("__id"),
         F.col(quality_col).alias("__q"),
         u.alias("__url"),
@@ -4191,8 +4203,17 @@ def html_main_text(
         F.array_join(
             F.transform(kept, lambda s2: s2["txt"]), "\n"
         ).alias("main_text"),
-        F.size(blocks).cast("bigint").alias("n_blocks"),
-        F.size(kept).cast("bigint").alias("n_kept"),
-        total_chars.cast("bigint").alias("total_chars"),
-        link_chars.cast("bigint").alias("link_chars"),
+        # NULL contract: a NULL page yields NULL main_text (array_join
+        # of NULL) with zero counts — coalesced so downstream sums
+        # never silently drop the doc
+        F.coalesce(F.size(blocks).cast("bigint"), F.lit(0)).alias(
+            "n_blocks"
+        ),
+        F.coalesce(F.size(kept).cast("bigint"), F.lit(0)).alias("n_kept"),
+        F.coalesce(total_chars.cast("bigint"), F.lit(0)).alias(
+            "total_chars"
+        ),
+        F.coalesce(link_chars.cast("bigint"), F.lit(0)).alias(
+            "link_chars"
+        ),
     )

@@ -317,3 +317,43 @@ def test_synthesize_html_ties_to_fixture_text(spark):
     assert out.link_chars == len("Home") + len("About") + len(
         "more info"
     ) + len("Terms")
+
+
+def test_null_contracts(spark):
+    # NULL document/url/page: zero counts, passthrough-NULL strings,
+    # and url-less docs excluded from the domain report
+    from catenae_stopover_spark.operators.text import (
+        html_main_text,
+        pii_scrub,
+        url_domain_curation,
+    )
+
+    p = pii_scrub(
+        spark.createDataFrame(
+            [(1, None), (2, "a@b.co")],
+            "doc_id long, text string",
+        )
+    ).collect()
+    byid = {r.doc_id: r for r in p}
+    assert byid[1].pii_total == 0 and byid[1].redacted is None
+    assert byid[2].pii_total == 1
+
+    h = html_main_text(
+        spark.createDataFrame(
+            [(1, None), (2, "<html><body><p>kept paragraph here</p></body></html>")],
+            "doc_id long, html string",
+        )
+    ).collect()
+    byid = {r.doc_id: r for r in h}
+    assert byid[1].n_blocks == 0 and byid[1].main_text is None
+    assert byid[2].n_kept == 1
+
+    u = url_domain_curation(
+        spark.createDataFrame(
+            [(1, 10, None), (2, 20, "https://example.com/x")],
+            "doc_id long, n_chars long, url string",
+        ),
+        cap=3,
+    ).collect()
+    assert len(u) == 1 and u[0].reg_domain == "example.com"
+    assert u[0].n_docs == 1
