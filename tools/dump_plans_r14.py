@@ -1,0 +1,70 @@
+#!/usr/bin/env python
+"""Dump .explain("formatted") for every bench workload (and q6c/q7c
+extras) into plans/r14/<label>_<tag>.txt — the optimization round's
+plan evidence (guide §1: capture the plan shape before/after).
+
+Usage: python tools/dump_plans_r14.py <tag> [label ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+os.environ["CSSPARK_ORACLE_SF_DIR"] = SF_DIR
+TAG = sys.argv[1] if len(sys.argv) > 1 else "before"
+ONLY = set(sys.argv[2:])
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    "r14",
+)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from bench import BENCH, Q7C_QUERIES
+    from catenae_stopover_spark.operators.dedup import minhash_lsh_near_dups
+    from catenae_stopover_spark.operators.similarity import ivf_topk_batch
+    from catenae_stopover_spark.queries import QUERIES, _t, ensure_ivf_index
+    from catenae_stopover_spark.session import get_spark
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    spark = get_spark("plan-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dfs = {}
+    for label, qname in BENCH.items():
+        if ONLY and label not in ONLY:
+            continue
+        dfs[label] = QUERIES[qname][0](spark, SF_DIR)
+    if not ONLY or "q7c_ivf_topk_batch" in ONLY:
+        assigned, centroids = ensure_ivf_index(spark, SF_DIR)
+        qset = (
+            _t(spark, SF_DIR, "embeddings")
+            .filter(F.col("vec_id") < Q7C_QUERIES)
+            .select(F.col("vec_id").alias("query_id"), "embedding")
+        )
+        dfs["q7c_ivf_topk_batch"] = ivf_topk_batch(
+            assigned, centroids, qset, k=10, n_probe=4
+        )
+    if not ONLY or "q6c_minhash_collapse" in ONLY:
+        docs = _t(spark, SF_DIR, "documents").select("doc_id", "text")
+        dfs["q6c_minhash_collapse"] = minhash_lsh_near_dups(
+            docs, collapse_exact=True
+        ).select("id_a", "id_b", "est_jaccard")
+
+    for label, df in dfs.items():
+        path = os.path.join(OUT_DIR, f"{label}_{TAG}.txt")
+        with open(path, "w") as fh:
+            fh.write(df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            ))
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
