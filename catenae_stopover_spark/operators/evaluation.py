@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..plans import keep_alive
+
 
 def retrieval_metrics(
     ranked: DataFrame,
@@ -290,17 +292,23 @@ def margin_bitext_mine(
     """
     from .similarity import knn_graph
 
-    g = knn_graph(
+    g0 = knn_graph(
         df,
         k=k,
         vec_col=vec_col,
         id_col=id_col,
         diff_col=label_col,
         **knn_kwargs,
-    ).select(
-        F.col(id_col).alias("__a"),
-        F.col("nn_id").alias("__b"),
-        F.round("cosine", 6).cast("decimal(16,6)").alias("__rc"),
+    )
+    # keep_alive: g0 carries knn_graph's tag-cache finalizer; deriving
+    # and dropping it would unpersist before any action runs (r14).
+    g = keep_alive(
+        g0.select(
+            F.col(id_col).alias("__a"),
+            F.col("nn_id").alias("__b"),
+            F.round("cosine", 6).cast("decimal(16,6)").alias("__rc"),
+        ),
+        g0,
     )
     per = g.groupBy("__a").agg(
         F.sum("__rc").alias("__s"), F.count("*").alias("__k")
@@ -331,7 +339,7 @@ def margin_bitext_mine(
     w = Window.partitionBy("__a").orderBy(
         F.col("margin").desc(), F.col("__b").asc()
     )
-    return (
+    return keep_alive(
         g.join(sa, F.col("__a") == F.col("__ja"))
         .join(sb, F.col("__b") == F.col("__jb"))
         .withColumn("margin", margin)
@@ -343,7 +351,8 @@ def margin_bitext_mine(
             F.col("__b").alias("nn_id"),
             F.col("__rc").cast("double").alias("cosine"),
             "margin",
-        )
+        ),
+        g,
     )
 
 

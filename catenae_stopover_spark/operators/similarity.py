@@ -872,9 +872,17 @@ def knn_graph(
     from pyspark.sql import Window
 
     if bits is None:
-        n = df.count()
+        # ONE planning job for both scalars (r14: count() + first() were
+        # two separate jobs — each pays the full scan/schedule floor;
+        # the fused aggregate reads the same rows once).
+        row = df.agg(
+            F.count("*").alias("__n"), F.first(vec_col).alias("__v")
+        ).first()
+        n = int(row["__n"])
         bits = max(6, math.ceil(math.log2(max(n, 1) / target_bucket)))
-    dim = len(df.select(vec_col).first()[0])  # O(1) planning scalar
+        dim = len(row["__v"])  # O(1) planning scalar
+    else:
+        dim = len(df.select(vec_col).first()[0])  # O(1) planning scalar
     all_planes = portable_hyperplanes(bits * tables, dim)
     base = ensure_min_parallelism(df).select(id_col, vec_col)
     use_numpy = _estimated_bytes(df) >= 2 * 2**20
@@ -904,11 +912,22 @@ def knn_graph(
         tagged = base.select(
             id_col, F.explode(F.array(*structs)).alias("__ts")
         )
+    # Persist the (id, table, signature) tags (r14, measured ~10% on
+    # the q13 bench row and interleave-confirmed): the signature pass
+    # — the full vector scan + BLAS/codegen plane projections — feeds
+    # THREE consumers (the derive_block_cap histogram job below and
+    # both sides of the candidate equi-join), and the AQE final plan
+    # showed it re-executing per consumer (only the repartition BELOW
+    # it was stage-reused; plans/r14/q13_knn_graph_final.txt). The
+    # tags are ~20 bytes x tables x N — far smaller than the vectors
+    # they summarize — so caching them (MEMORY_AND_DISK, spills, never
+    # OOMs) replaces two extra full-corpus signature passes at any
+    # scale. Released via the unpersist_on_gc finalizer on the result.
     tagged = tagged.select(
         id_col,
         F.col("__ts.t").alias("__t"),
         F.col("__ts.s").alias("__s"),
-    )
+    ).persist()
     if max_bucket is None:
         # Planning-scalar histogram job (|distinct bucket sizes| rows,
         # the q141 pattern — the signature pass runs once extra at
@@ -996,7 +1015,7 @@ def knn_graph(
     w = Window.partitionBy("__ia").orderBy(
         F.desc("cosine"), F.col("nn_id").asc()
     )
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -1006,6 +1025,7 @@ def knn_graph(
             "cosine",
         )
     )
+    return unpersist_on_gc(out, tagged)
 
 
 def kmeans_step(

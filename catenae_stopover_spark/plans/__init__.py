@@ -1,6 +1,7 @@
 from .partitioning import (
     ensure_min_parallelism,
     explain_str,
+    keep_alive,
     salted_agg,
     salted_join,
     unpersist_on_gc,
@@ -9,6 +10,7 @@ from .partitioning import (
 __all__ = [
     "ensure_min_parallelism",
     "explain_str",
+    "keep_alive",
     "salted_agg",
     "salted_join",
     "unpersist_on_gc",

@@ -53,6 +53,25 @@ def unpersist_on_gc(out: DataFrame, *cached: DataFrame) -> DataFrame:
     return out
 
 
+def keep_alive(child: DataFrame, *parents: DataFrame) -> DataFrame:
+    """Extend ``parents``' Python lifetime to ``child``'s.
+
+    Companion to :func:`unpersist_on_gc`'s LIFETIME CAVEAT: a caller
+    that derives ``child = out.select(...)`` and drops ``out`` loses
+    ``out``'s finalizer-scoped persists before the action ever runs —
+    CPython refcounting collects ``out`` the moment the deriving frame
+    returns, the finalizer unpersists, and the derived plan silently
+    recomputes the cached subtree (measured on q160 r14: the knn tag
+    cache was built by the eager histogram job and then dropped before
+    the main action — paying the cache build for nothing). Pinning the
+    parent handle onto the child keeps the finalizer — and therefore
+    the cache — alive exactly as long as any derived handle lives.
+    """
+    existing = getattr(child, "_lifetime_parents", ())
+    child._lifetime_parents = (*existing, *parents)  # noqa: SLF001
+    return child
+
+
 def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition iff the current plan has fewer partitions
     than ``min_partitions`` (default: the cluster's defaultParallelism).

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .io.sources import load_table, load_tables
+from .plans import keep_alive
 from .operators.relational import asof_join, latest_n, topk_per_group
 from .operators.dedup import (
     exact_dedup,
@@ -5035,8 +5036,10 @@ def q116_triangle_count(spark, sf_dir):
     from .operators.graph import triangle_count
 
     edges = _jaccard_edges(spark, sf_dir)
-    return triangle_count(edges, "id_a", "id_b").select(
-        F.col("node").alias("doc_id"), "triangles"
+    tri = triangle_count(edges, "id_a", "id_b")
+    # keep_alive: tri carries the oriented-edge cache finalizer (r14).
+    return keep_alive(
+        tri.select(F.col("node").alias("doc_id"), "triangles"), tri
     )
 
 
@@ -7567,11 +7570,16 @@ def q160_knn_graph(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     out = knn_graph(e, k=5, tables=4)
-    return out.select(
-        "vec_id",
-        "nn_id",
-        F.col("rank").cast("long").alias("rank"),
-        F.round("cosine", 6).alias("cosine"),
+    # keep_alive: out carries the knn tag-cache finalizer; deriving
+    # and dropping it would unpersist before the action runs (r14).
+    return keep_alive(
+        out.select(
+            "vec_id",
+            "nn_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cosine", 6).alias("cosine"),
+        ),
+        out,
     )
 
 
@@ -7686,11 +7694,14 @@ def q161_knn_novelty(spark, sf_dir):
     # novelty derives from the ROUNDED cosine on both sides — rounding
     # 1-x vs 1-round(x) can disagree at half-ulp boundaries
     kc = F.round("cosine", 6)
-    return last.select(
-        "vec_id",
-        F.col("rank").cast("long").alias("k_effective"),
-        kc.alias("kth_cosine"),
-        F.round(1.0 - kc, 6).alias("novelty"),
+    return keep_alive(
+        last.select(
+            "vec_id",
+            F.col("rank").cast("long").alias("k_effective"),
+            kc.alias("kth_cosine"),
+            F.round(1.0 - kc, 6).alias("novelty"),
+        ),
+        g,
     )
 
 
@@ -7721,11 +7732,14 @@ def q162_hard_negatives(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     out = knn_graph(e, k=3, tables=4, diff_col="label")
-    return out.select(
-        "vec_id",
-        "nn_id",
-        F.col("rank").cast("long").alias("rank"),
-        F.round("cosine", 6).alias("cosine"),
+    return keep_alive(
+        out.select(
+            "vec_id",
+            "nn_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cosine", 6).alias("cosine"),
+        ),
+        out,
     )
 
 

@@ -1,0 +1,110 @@
+"""r14 optimization-round pins.
+
+1. knn_graph persists its (id, table, signature) tag table so the
+   derive_block_cap histogram job and both candidate-join sides share
+   ONE signature pass (the AQE final plan showed the pass re-executing
+   per consumer — plans/r14/q13_knn_graph_final.txt), and releases it
+   via the unpersist_on_gc finalizer.
+2. plans.keep_alive extends the finalizer's life to DERIVED handles:
+   without it, a caller shaped like q160 (``knn_graph(...).select``)
+   drops the only reference and CPython unpersists the cache before
+   the action runs — paying the cache build (the eager histogram job
+   materializes it) for nothing.
+"""
+from __future__ import annotations
+
+import gc
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from catenae_stopover_spark.session import get_spark
+
+    s = get_spark("test-r14-perf", master="local[4]")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _embeddings(spark, n=64, dim=4):
+    rows = [
+        (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(dim)])
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _cached_ids(spark):
+    return {
+        r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
+
+
+def test_knn_graph_tag_cache_lives_across_derivation(spark):
+    from catenae_stopover_spark.operators.similarity import knn_graph
+    from catenae_stopover_spark.plans import keep_alive
+
+    e = _embeddings(spark)
+    before = _cached_ids(spark)
+    out = knn_graph(e, k=3, tables=2)
+    # the q160 shape: derive, keep_alive, drop the operator handle
+    derived = keep_alive(out.select("vec_id", "nn_id", "rank"), out)
+    del out
+    gc.collect()
+    # cache must still be registered (the histogram job materialized it)
+    during = _cached_ids(spark)
+    assert len(during) > len(before), "tag cache released too early"
+    assert derived.count() > 0
+    del derived
+    gc.collect()
+    after = _cached_ids(spark)
+    assert after <= before, "tag cache leaked after result dropped"
+
+
+def test_knn_graph_unpersists_without_keep_alive_but_stays_correct(spark):
+    """Deriving WITHOUT keep_alive loses the cache (documented caveat)
+    but the result is still value-correct — recompute, never wrong."""
+    from catenae_stopover_spark.operators.similarity import knn_graph
+
+    e = _embeddings(spark)
+    held = knn_graph(e, k=3, tables=2)
+    expected = sorted(
+        map(tuple, held.select("vec_id", "nn_id", "rank").collect())
+    )
+
+    def derive_and_drop():
+        out = knn_graph(e, k=3, tables=2)
+        return out.select("vec_id", "nn_id", "rank")
+
+    derived = derive_and_drop()
+    gc.collect()
+    got = sorted(map(tuple, derived.collect()))
+    assert got == expected
+
+
+def test_q160_registry_output_unchanged(spark):
+    """The registry wrapper (cast + round + keep_alive) returns the
+    operator rows unchanged."""
+    from catenae_stopover_spark.operators.similarity import knn_graph
+    from catenae_stopover_spark.queries import QUERIES
+    import catenae_stopover_spark.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["q160_knn_graph"][0](spark, sf)
+    e = Q._t(spark, sf, "embeddings")
+    raw = knn_graph(e, k=5, tables=4)
+    exp = sorted(
+        map(
+            tuple,
+            raw.select(
+                "vec_id",
+                "nn_id",
+                F.col("rank").cast("long"),
+                F.round("cosine", 6),
+            ).collect(),
+        )
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == exp

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Capture the AQE FINAL executed plan (isFinalPlan=true, with
+ReusedExchange nodes visible) for selected bench workloads, by
+triggering execution through the DataFrame's own QueryExecution
+(collect) and re-explaining. Answers the question initial plans can't:
+which duplicated subtrees does AQE stage-reuse already dedupe at
+runtime?
+
+Usage: python tools/final_plans_r14.py [label ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+os.environ["CSSPARK_ORACLE_SF_DIR"] = SF_DIR
+ONLY = set(sys.argv[1:])
+OUT_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "plans",
+    "r14",
+)
+
+# workloads whose output is small enough to collect
+DEFAULT = [
+    "q6b_minhash_dedup",
+    "q9_boilerplate",
+    "q11_curation_pipeline",
+    "q12_pmi",
+    "q13_knn_graph",
+    "q2_fk_join_agg",
+    "q15_markov",
+]
+
+
+def main() -> None:
+    from bench import BENCH
+    from catenae_stopover_spark.plans import explain_str
+    from catenae_stopover_spark.queries import QUERIES
+    from catenae_stopover_spark.session import get_spark
+
+    labels = sorted(ONLY) if ONLY else DEFAULT
+    spark = get_spark("final-plan-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(OUT_DIR, exist_ok=True)
+    for label in labels:
+        qname = BENCH[label]
+        df = QUERIES[qname][0](spark, SF_DIR)
+        t0 = time.time()
+        n = len(df.collect())
+        dt = time.time() - t0
+        plan = explain_str(df)
+        path = os.path.join(OUT_DIR, f"{label}_final.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        reused = plan.count("ReusedExchange")
+        exch = plan.count("Exchange (")
+        print(
+            f"{label}: rows={n} collect={dt:.2f}s exchanges~{exch} "
+            f"reused={reused} -> {path}"
+        )
+
+
+if __name__ == "__main__":
+    main()

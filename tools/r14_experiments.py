@@ -1,0 +1,365 @@
+#!/usr/bin/env python
+"""Interleaved A/B experiments for the r14 optimization round.
+
+Each experiment builds the BASELINE query (exactly as the registry
+computes it today) and one or more VARIANTS, asserts row-level parity
+(collected, sorted), then times baseline/variant INTERLEAVED
+(B V B V ...) with noop-sink evaluation so host-load drift hits both
+arms equally (this round's box shows bursty CPU steal — see
+OPTIMIZATION_r14.md "Round baseline").
+
+Usage: python tools/r14_experiments.py <exp> [reps]
+  exps: q11, q12, q13
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+os.environ["CSSPARK_ORACLE_SF_DIR"] = SF_DIR
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def interleave(spark, arms: dict, reps: int = 5):
+    """Time each arm's builder (fresh DataFrame per rep, like bench.py)
+    interleaved; report best + all times."""
+    times = {k: [] for k in arms}
+    for _ in range(reps):
+        for k, build in arms.items():
+            t0 = time.perf_counter()
+            _noop(build())
+            times[k].append(time.perf_counter() - t0)
+    for k, ts in times.items():
+        print(
+            f"  {k}: best={min(ts):.3f}s all=[{', '.join(f'{t:.2f}' for t in ts)}]"
+        )
+    return times
+
+
+def parity(name, a, b):
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb, f"{name}: parity FAILED ({len(ra)} vs {len(rb)} rows)"
+    print(f"  {name}: parity OK ({len(ra)} rows)")
+
+
+# ------------------------------------------------------------------ q11
+def exp_q11(spark, reps):
+    from catenae_stopover_spark.operators.text import (
+        cap_per_class,
+        decontaminate,
+        quality_filter,
+        release_report,
+    )
+    from catenae_stopover_spark.queries import _t
+
+    def baseline():
+        d = _t(spark, SF_DIR, "documents")
+        bench = d.filter(F.col("doc_id") % 97 == 0)
+        corpus = d.filter(F.col("doc_id") % 97 != 0)
+        kept = quality_filter(
+            corpus, min_chars=100, min_tokens=20, min_quality=0.5
+        )
+        reps_ = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        deduped = kept.join(reps_.select("doc_id"), "doc_id")
+        contaminated = decontaminate(
+            deduped, bench, n=8, max_df=None
+        ).select("doc_id")
+        clean = deduped.join(contaminated, "doc_id", "left_anti")
+        capped = cap_per_class(clean, by="source", cap=10).select("doc_id")
+        final = clean.join(capped, "doc_id")
+        return release_report(final, by="source")
+
+    def variant():
+        d = _t(spark, SF_DIR, "documents")
+        bench = d.filter(F.col("doc_id") % 97 == 0)
+        corpus = d.filter(F.col("doc_id") % 97 != 0)
+        kept = quality_filter(
+            corpus, min_chars=100, min_tokens=20, min_quality=0.5
+        )
+        # window-dedup: same rows as groupBy(text).min(doc_id) + join
+        w = Window.partitionBy("text").orderBy("doc_id")
+        deduped = (
+            kept.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        contaminated = decontaminate(
+            deduped, bench, n=8, max_df=None
+        ).select("doc_id")
+        clean = deduped.join(contaminated, "doc_id", "left_anti")
+        # direct cap: same ordering expression as cap_per_class
+        order_key = F.sha2(
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("\x00null\x00")),
+            256,
+        )
+        wc = Window.partitionBy("source").orderBy(order_key, F.col("doc_id"))
+        final = (
+            clean.withColumn("__pr", F.row_number().over(wc))
+            .filter(F.col("__pr") <= 10)
+            .drop("__pr")
+        )
+        return release_report(final, by="source")
+
+    parity("q11", baseline(), variant())
+    interleave(spark, {"baseline": baseline, "variant": variant}, reps)
+
+
+# ------------------------------------------------------------------ q12
+def exp_q12(spark, reps):
+    from catenae_stopover_spark.plans.partitioning import (
+        ensure_min_parallelism,
+        unpersist_on_gc,
+    )
+    from catenae_stopover_spark.queries import _t
+
+    def build(persist_inv):
+        d = _t(spark, SF_DIR, "documents")
+        w = "split(lower(trim(text)), '\\\\s+')"
+        toks = F.expr(f"array_distinct(filter({w}, t -> t != ''))")
+        inv = ensure_min_parallelism(d).select(
+            F.col("doc_id"), F.explode(toks).alias("tok")
+        )
+        if persist_inv:
+            inv = inv.persist()
+        vocab = (
+            inv.groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .orderBy(F.desc("df"), "tok")
+            .limit(1000)
+        )
+        vinv = inv.join(F.broadcast(vocab.select("tok")), "tok")
+        n_docs = vinv.agg(
+            F.countDistinct("doc_id").cast("double").alias("__n")
+        )
+        a = vinv.select(F.col("doc_id"), F.col("tok").alias("tok_a"))
+        b = vinv.select(F.col("doc_id"), F.col("tok").alias("tok_b"))
+        pairs = (
+            a.join(b, "doc_id")
+            .filter(F.col("tok_a") < F.col("tok_b"))
+            .groupBy("tok_a", "tok_b")
+            .agg(F.count("*").alias("n_pair"))
+            .filter(F.col("n_pair") >= 5)
+        )
+        da = vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("n_a"))
+        db = vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("n_b"))
+        out = (
+            pairs.join(F.broadcast(da), "tok_a")
+            .join(F.broadcast(db), "tok_b")
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "tok_a",
+                "tok_b",
+                F.col("n_pair").cast("long").alias("n_pair"),
+                F.round(
+                    F.log(
+                        F.col("n_pair")
+                        * F.col("__n")
+                        / (F.col("n_a") * F.col("n_b"))
+                    ),
+                    6,
+                ).alias("pmi"),
+            )
+        )
+        if persist_inv:
+            out = unpersist_on_gc(out, inv)
+        return out
+
+    parity("q12", build(False), build(True))
+    interleave(
+        spark,
+        {"baseline": lambda: build(False), "persist_inv": lambda: build(True)},
+        reps,
+    )
+
+
+# ------------------------------------------------------------------ q13
+def exp_q13(spark, reps):
+    import math
+
+    from catenae_stopover_spark.operators.similarity import knn_graph
+    from catenae_stopover_spark.plans.partitioning import (
+        ensure_min_parallelism,
+        unpersist_on_gc,
+    )
+    from catenae_stopover_spark.operators.similarity import (
+        _estimated_bytes,
+        portable_hyperplanes,
+        portable_signature_expr,
+        portable_table_signatures_numpy,
+    )
+    from catenae_stopover_spark.queries import _t
+
+    def baseline():
+        # the REGISTRY path (whatever knn_graph currently implements)
+        from catenae_stopover_spark.queries import QUERIES
+
+        return QUERIES["q160_knn_graph"][0](spark, SF_DIR)
+
+    def variant():
+        # INLINE replica of the r13-era knn_graph shape (two planning
+        # jobs, unpersisted tagged) — the OLD code, kept here as the
+        # fixed comparison arm after the operator was changed.
+        df = _t(spark, SF_DIR, "embeddings")
+        k, tables, target_bucket, pair_budget_per_row = 5, 4, 8, 64
+        vec_col, id_col = "embedding", "vec_id"
+        n = df.count()
+        dim = len(df.select(vec_col).first()[0])
+        bits = max(6, math.ceil(math.log2(max(n, 1) / target_bucket)))
+        all_planes = portable_hyperplanes(bits * tables, dim)
+        base = ensure_min_parallelism(df).select(id_col, vec_col)
+        use_numpy = _estimated_bytes(df) >= 2 * 2**20
+        if use_numpy:
+            sigged = portable_table_signatures_numpy(
+                base, all_planes, bits, tables, vec_col, id_col
+            )
+            tagged = sigged.select(
+                id_col, F.posexplode("__sigs").alias("__pt", "__ps")
+            ).select(
+                id_col,
+                F.struct(
+                    F.col("__pt").alias("t"), F.col("__ps").alias("s")
+                ).alias("__ts"),
+            )
+        else:
+            structs = []
+            for t in range(tables):
+                planes_t = all_planes[t * bits : (t + 1) * bits]
+                structs.append(
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        portable_signature_expr(vec_col, planes_t).alias("s"),
+                    )
+                )
+            tagged = base.select(
+                id_col, F.explode(F.array(*structs)).alias("__ts")
+            )
+        tagged = tagged.select(
+            id_col,
+            F.col("__ts.t").alias("__t"),
+            F.col("__ts.s").alias("__s"),
+        )
+        from catenae_stopover_spark.operators.linkage import (
+            block_cap_report,
+            derive_block_cap,
+        )
+
+        hist_rows = (
+            tagged.groupBy("__t", "__s")
+            .count()
+            .groupBy("count")
+            .agg(F.count("*").alias("nb"))
+            .collect()
+        )
+        hist = sorted((int(r["count"]), int(r["nb"])) for r in hist_rows)
+        n_tagged = sum(s * nb for s, nb in hist)
+        max_bucket = (
+            derive_block_cap(hist, n_tagged, pair_budget_per_row)
+            if hist
+            else 0
+        )
+        if hist and max_bucket >= hist[-1][0]:
+            max_bucket = None
+        if max_bucket is not None:
+            tagged2 = (
+                tagged.withColumn(
+                    "__bs",
+                    F.count("*").over(Window.partitionBy("__t", "__s")),
+                )
+                .filter(F.col("__bs") <= max_bucket)
+                .drop("__bs")
+            )
+        else:
+            tagged2 = tagged
+        a = tagged2.select(F.col(id_col).alias("__ia"), "__t", "__s")
+        b = tagged2.select(F.col(id_col).alias("nn_id"), "__t", "__s")
+        cand = (
+            a.join(b, ["__t", "__s"])
+            .filter(F.col("__ia") != F.col("nn_id"))
+            .select("__ia", "nn_id")
+            .distinct()
+        )
+        va = df.select(
+            F.col(id_col).alias("__ia"), F.col(vec_col).alias("__va")
+        )
+        vb = df.select(
+            F.col(id_col).alias("nn_id"), F.col(vec_col).alias("__vb")
+        )
+        with_vecs = cand.join(va, "__ia").join(vb, "nn_id")
+        if use_numpy:
+            from catenae_stopover_spark.operators.dedup import (
+                _pairwise_cosine_arrow,
+            )
+
+            scored = _pairwise_cosine_arrow(
+                with_vecs.select(
+                    F.col("__ia").alias("id_a"),
+                    F.col("nn_id").alias("id_b"),
+                    "__va",
+                    "__vb",
+                ),
+                threshold=-2.0,
+            ).select(
+                F.col("id_a").alias("__ia"),
+                F.col("id_b").alias("nn_id"),
+                "cosine",
+            )
+        else:
+            from catenae_stopover_spark.operators.similarity import (
+                cosine_similarity,
+            )
+
+            scored = with_vecs.select(
+                "__ia",
+                "nn_id",
+                cosine_similarity(F.col("__va"), F.col("__vb")).alias(
+                    "cosine"
+                ),
+            )
+        w = Window.partitionBy("__ia").orderBy(
+            F.desc("cosine"), F.col("nn_id").asc()
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                F.col("__ia").alias(id_col),
+                "nn_id",
+                F.col("rank").cast("long").alias("rank"),
+                F.round("cosine", 6).alias("cosine"),
+            )
+        )
+
+    parity("q13", baseline(), variant())
+    interleave(
+        spark, {"registry_new": baseline, "inline_old": variant}, reps
+    )
+
+
+def main():
+    from catenae_stopover_spark.session import get_spark
+
+    exp = sys.argv[1]
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    spark = get_spark("r14-experiments")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm: worker pool + footer cache (same contract as bench.py)
+    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+    spark.range(64, numPartitions=32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+    {"q11": exp_q11, "q12": exp_q12, "q13": exp_q13}[exp](spark, reps)
+
+
+if __name__ == "__main__":
+    main()
