@@ -7432,14 +7432,28 @@ def q158_curation_pipeline(spark, sf_dir):
     corpus = d.filter(F.col("doc_id") % 97 != 0)
     kept = quality_filter(corpus, min_chars=100, min_tokens=20, min_quality=0.5)
     reps = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    deduped = kept.join(reps.select("doc_id"), "doc_id")
+    # Persist the two multi-consumer stages (r14, interleaved A/B:
+    # 3.70 -> 3.11 s best / ~17% median on the q11 bench row, parity
+    # exact): `deduped` feeds the decontamination shingle branch AND
+    # the anti-join probe side; `clean` feeds the cap window AND the
+    # final join — each subtree otherwise re-executes its join per
+    # consumer (AQE reuses only the exchanges BELOW them). Lifetime is
+    # bounded by construction: release_report materializes the report
+    # through its eager localCheckpoint, so both caches are dropped
+    # before this function returns — no finalizer needed. At scale the
+    # persist (MEMORY_AND_DISK, spills) replaces a second full run of
+    # the quality-regex + dedup-join chain per consumer.
+    deduped = kept.join(reps.select("doc_id"), "doc_id").persist()
     contaminated = decontaminate(deduped, bench, n=8, max_df=None).select(
         "doc_id"
     )
-    clean = deduped.join(contaminated, "doc_id", "left_anti")
+    clean = deduped.join(contaminated, "doc_id", "left_anti").persist()
     capped = cap_per_class(clean, by="source", cap=10).select("doc_id")
     final = clean.join(capped, "doc_id")
-    return release_report(final, by="source")
+    out = release_report(final, by="source")  # eager checkpoint inside
+    deduped.unpersist(False)
+    clean.unpersist(False)
+    return out
 
 
 Q158_SQL = r"""
@@ -7788,21 +7802,28 @@ def q163_curation_pipeline_v2(spark, sf_dir):
         corpus, min_chars=100, min_tokens=20, min_quality=0.5
     )
     reps = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    deduped = kept.join(reps.select("doc_id"), "doc_id")
+    # Multi-consumer stages persisted, released after the eager report
+    # checkpoint (r14 — the q158 pattern: each stage otherwise
+    # re-executes its join chain per consumer; measured ~17% on q158's
+    # bench row, same shape here with one more stage).
+    deduped = kept.join(reps.select("doc_id"), "doc_id").persist()
     pairs = minhash_lsh_near_dups(deduped, portable_hash=True)
     nd_drop = (
         pairs.filter(F.col("est_jaccard") >= 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    survivors = deduped.join(nd_drop, "doc_id", "left_anti")
+    survivors = deduped.join(nd_drop, "doc_id", "left_anti").persist()
     contaminated = decontaminate(survivors, bench, n=8, max_df=None).select(
         "doc_id"
     )
-    clean = survivors.join(contaminated, "doc_id", "left_anti")
+    clean = survivors.join(contaminated, "doc_id", "left_anti").persist()
     capped = cap_per_class(clean, by="source", cap=10).select("doc_id")
     final = clean.join(capped, "doc_id")
-    return release_report(final, by="source")
+    out = release_report(final, by="source")  # eager checkpoint inside
+    for c in (deduped, survivors, clean):
+        c.unpersist(False)
+    return out
 
 
 def _build_q163_sql(
@@ -7958,28 +7979,33 @@ def q190_curation_pipeline_v3(spark, sf_dir):
         corpus, min_chars=100, min_tokens=20, min_quality=0.5
     )
     reps = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-    deduped = kept.join(reps.select("doc_id"), "doc_id")
+    # Multi-consumer stages persisted, released after the eager report
+    # checkpoint (r14 — the q158 pattern; v3 has FOUR such stages).
+    deduped = kept.join(reps.select("doc_id"), "doc_id").persist()
     pairs = minhash_lsh_near_dups(deduped, portable_hash=True)
     nd_drop = (
         pairs.filter(F.col("est_jaccard") >= 0.8)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
     )
-    survivors = deduped.join(nd_drop, "doc_id", "left_anti")
+    survivors = deduped.join(nd_drop, "doc_id", "left_anti").persist()
     # NEW v3 stage: cross-document exact-substring scrub — text from
     # here on is the normalized token stream minus duplicated windows
     scrubbed = exact_substring_dedup(survivors, min_len=8, min_docs=2)
     sv2 = survivors.select("doc_id", "source").join(
         scrubbed.select("doc_id", F.col("clean_text").alias("text")),
         "doc_id",
-    )
+    ).persist()
     contaminated = decontaminate(sv2, bench, n=8, max_df=None).select(
         "doc_id"
     )
-    clean = sv2.join(contaminated, "doc_id", "left_anti")
+    clean = sv2.join(contaminated, "doc_id", "left_anti").persist()
     capped = cap_per_class(clean, by="source", cap=10).select("doc_id")
     final = clean.join(capped, "doc_id")
-    return release_report(final, by="source")
+    out = release_report(final, by="source")  # eager checkpoint inside
+    for c in (deduped, survivors, sv2, clean):
+        c.unpersist(False)
+    return out
 
 
 def _build_q190_sql(

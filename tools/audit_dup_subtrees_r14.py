@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""r14 sweep: explain EVERY registry query and report, per query, how
+many times each parquet table is scanned in the initial plan plus the
+Exchange count — the duplicated-heavy-subtree smell that produced the
+q190 3x win (multi-consumer stages re-executing their chain per
+consumer). High scan multiplicity is only a SMELL (AQE stage reuse
+dedupes identical exchanges at runtime); flagged queries get manual
+review + an interleaved A/B before any change.
+
+Usage: python tools/audit_dup_subtrees_r14.py [sf_dir] [min_scans]
+"""
+from __future__ import annotations
+
+import os
+import re
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+MIN_SCANS = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+os.environ["CSSPARK_ORACLE_SF_DIR"] = SF_DIR
+
+SKIP = {
+    "q44_stream_tumbling_hourly",
+    "q45_stream_sessionize",
+    "q46_stream_stateful_counts",
+    "q47_stream_dedup",
+}
+
+
+def main() -> int:
+    from catenae_stopover_spark.plans import explain_str
+    from catenae_stopover_spark.queries import QUERIES
+    from catenae_stopover_spark.session import get_spark
+
+    spark = get_spark("dup-subtree-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    flagged = []
+    for name, (fn, _sql) in sorted(QUERIES.items()):
+        if name in SKIP:
+            continue
+        try:
+            plan = explain_str(fn(spark, SF_DIR), "simple")
+        except Exception as e:  # noqa: BLE001
+            print(f"ERR   {name}: {type(e).__name__}: {e}")
+            continue
+        tables = Counter(
+            re.findall(r"file:[^\]\s]*/(\w+)\.parquet", plan)
+        )
+        n_exch = len(re.findall(r"\bExchange\b", plan))
+        worst = tables.most_common(1)
+        if worst and worst[0][1] >= MIN_SCANS:
+            flagged.append((name, dict(tables), n_exch))
+            print(f"FLAG  {name}: scans={dict(tables)} exchanges={n_exch}")
+    print(f"\n{len(flagged)} flagged (>= {MIN_SCANS} scans of one table)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
