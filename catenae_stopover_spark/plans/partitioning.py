@@ -53,6 +53,22 @@ def unpersist_on_gc(out: DataFrame, *cached: DataFrame) -> DataFrame:
     return out
 
 
+def estimated_input_bytes(df: DataFrame) -> int:
+    """Sum of the backing files' sizes — a FREE (metadata-only) size
+    signal for adaptive plan choices; 0 when the frame isn't
+    file-backed (callers must treat unknown conservatively). The same
+    estimate similarity's kernel crossover uses."""
+    import os
+
+    try:
+        return sum(
+            os.path.getsize(f[7:] if f.startswith("file://") else f)
+            for f in df.inputFiles()
+        )
+    except Exception:  # noqa: BLE001 — non-file-backed plans
+        return 0
+
+
 def keep_alive(child: DataFrame, *parents: DataFrame) -> DataFrame:
     """Extend ``parents``' Python lifetime to ``child``'s.
 

@@ -84,6 +84,28 @@ def test_knn_graph_unpersists_without_keep_alive_but_stays_correct(spark):
     assert got == expected
 
 
+def test_q02_build_side_valve(spark, monkeypatch):
+    """q02's fact-join build side is size-adaptive (r14): broadcast at
+    plan time when orders' file bytes are under the bound, the
+    tier-measured shuffle_hash plan above it."""
+    from catenae_stopover_spark.plans import explain_str
+    from catenae_stopover_spark.queries import QUERIES
+    import catenae_stopover_spark.plans.partitioning as P
+
+    sf = "/root/testdata/sf0.001"
+    fn = QUERIES["q02_revenue_by_nation"][0]
+    # small regime: the o_asia build side broadcasts into the fact join
+    plan_small = explain_str(fn(spark, sf), "simple")
+    assert plan_small.count("BroadcastHashJoin") >= 2  # dims AND fact
+    assert "ShuffledHashJoin" not in plan_small
+    # large regime (forced): the shuffle_hash hint stands
+    monkeypatch.setattr(
+        P, "estimated_input_bytes", lambda df: 10 * 1024**3
+    )
+    plan_large = explain_str(fn(spark, sf), "simple")
+    assert "ShuffledHashJoin" in plan_large
+
+
 def test_q160_registry_output_unchanged(spark):
     """The registry wrapper (cast + round + keep_alive) returns the
     operator rows unchanged."""
