@@ -1437,9 +1437,17 @@ def dedup_segments(
         ).alias("dedup_text"),
         F.count("*").alias("n_kept"),
     )
-    totals = df.select(
-        F.col(id_col), F.size(segs).alias("n_segments")
-    )
+    if mode == "words":
+        # arithmetic count — size(segs) would evaluate the whole
+        # segment-string transform just to count it (the
+        # remove_boilerplate_segments r14 finding); paragraph mode
+        # keeps size(segs): its filter() count is content-dependent
+        n_seg = F.expr(
+            f"cast(ceil(size({words}) / {window_words}.0) as int)"
+        )
+    else:
+        n_seg = F.size(segs)
+    totals = df.select(F.col(id_col), n_seg.alias("n_segments"))
     return (
         totals.join(rebuilt, id_col, "left")
         .select(

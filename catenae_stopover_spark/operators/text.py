@@ -1270,7 +1270,18 @@ def remove_boilerplate_segments(
         ).alias("clean_text"),
         F.count("*").alias("__n_kept"),
     )
-    totals = df.select(F.col(id_col), F.size(segs).alias("n_segments"))
+    # n_segments arithmetically — size(segs) would otherwise evaluate
+    # the whole segment-string transform (slice + array_join per
+    # window) just to COUNT it: sequence(0, n-1) has exactly
+    # n = ceil(|words| / window_words) elements, so the count needs
+    # only the split. Measured at sf0.1: best 1.27 -> 1.19 s (r14);
+    # at scale this deletes one full corpus segmentation pass.
+    totals = df.select(
+        F.col(id_col),
+        F.expr(
+            f"cast(ceil(size({words}) / {window_words}.0) as int)"
+        ).alias("n_segments"),
+    )
     from ..plans.partitioning import unpersist_on_gc
 
     result = totals.join(rebuilt, id_col, "left").select(

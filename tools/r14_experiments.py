@@ -183,6 +183,187 @@ def exp_q12(spark, reps):
     )
 
 
+# ----------------------------------------------------------------- q150
+def exp_q150(spark, reps):
+    """BPE trainer job-count: old 2-eager-jobs-per-round loop
+    (localCheckpoint argmax + localCheckpoint merged vocab) vs the
+    r14 form (collect the 1-row argmax, lazy-persist the vocab so the
+    argmax job materializes it)."""
+    from catenae_stopover_spark.operators.text import (
+        bpe_encode_counts,
+        bpe_train,
+    )
+    from catenae_stopover_spark.plans.partitioning import (
+        ensure_min_parallelism,
+    )
+    from catenae_stopover_spark.queries import _t
+
+    def old_train(df, num_merges=8):
+        vocab = (
+            ensure_min_parallelism(df)
+            .select(
+                F.explode(
+                    F.expr("split(lower(trim(text)), '\\\\s+')")
+                ).alias("tok")
+            )
+            .filter(F.col("tok") != "")
+            .groupBy("tok")
+            .agg(F.count("*").alias("wc"))
+            .localCheckpoint()
+        )
+        merge_rows = []
+        for k in range(num_merges):
+            pairs = vocab.filter(F.length("tok") >= 2).select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, length(tok) - 1), "
+                        "i -> substring(tok, i, 2))"
+                    )
+                ).alias("pair"),
+                "wc",
+            )
+            best = (
+                pairs.groupBy("pair")
+                .agg(F.sum("wc").cast("long").alias("pair_count"))
+                .orderBy(F.col("pair_count").desc(), "pair")
+                .limit(1)
+                .localCheckpoint()
+            )
+            merge_rows.append(
+                best.select(F.lit(k).alias("rank"), "pair", "pair_count")
+            )
+            marker = chr(k + 1)
+            vocab = (
+                vocab.join(F.broadcast(best.select("pair")))
+                .select(
+                    F.regexp_replace(
+                        F.col("tok"),
+                        F.concat(
+                            F.lit(r"\Q"), F.col("pair"), F.lit(r"\E")
+                        ),
+                        marker,
+                    ).alias("tok"),
+                    "wc",
+                )
+                .groupBy("tok")
+                .agg(F.sum("wc").alias("wc"))
+                .localCheckpoint()
+            )
+        out = merge_rows[0]
+        for r in merge_rows[1:]:
+            out = out.unionByName(r)
+        return out.select("rank", "pair", "pair_count")
+
+    def baseline():
+        d = _t(spark, SF_DIR, "documents")
+        return bpe_encode_counts(d, old_train(d), num_merges=8)
+
+    def variant():
+        d = _t(spark, SF_DIR, "documents")
+        return bpe_encode_counts(
+            d, bpe_train(d, num_merges=8, render=False), num_merges=8
+        )
+
+    # train-side parity matters too (q136): compare merge tables
+    d = _t(spark, SF_DIR, "documents")
+    parity("q150_train", old_train(d), bpe_train(d, num_merges=8, render=False))
+    parity("q150_encode", baseline(), variant())
+    interleave(
+        spark, {"old_2jobs": baseline, "new_1job": variant}, reps
+    )
+
+
+# ------------------------------------------------------------------ q9
+def exp_q9(spark, reps):
+    """Boilerplate removal: (a) does the `totals` branch really
+    evaluate the full segment-string transform just to COUNT segments
+    (size(transform(...))), and does the arithmetic form
+    ceil(size(words)/ww) buy anything; (b) is a persisted `exploded`
+    worth it at this scale."""
+    from catenae_stopover_spark.operators.text import (
+        remove_boilerplate_segments,
+    )
+    from catenae_stopover_spark.plans.partitioning import (
+        ensure_min_parallelism,
+        unpersist_on_gc,
+    )
+    from catenae_stopover_spark.queries import _t
+
+    def build(arith_totals, persist_exploded):
+        df = ensure_min_parallelism(_t(spark, SF_DIR, "documents"))
+        ww, sep, min_docs = 5, " ", 3
+        words = f"split(text, '{sep}')"
+        segs = F.expr(
+            f"transform(sequence(0, cast(ceil(size({words}) / {ww}.0) "
+            f"as int) - 1), i -> array_join(slice({words}, "
+            f"i * {ww} + 1, {ww}), '{sep}'))"
+        )
+        exploded = df.select(
+            F.col("doc_id"), F.posexplode(segs).alias("__i", "__seg")
+        ).withColumn("__h1", F.xxhash64("__seg")).withColumn(
+            "__h2", F.xxhash64(F.lit(1), F.col("__seg"))
+        )
+        caches = []
+        if persist_exploded:
+            exploded = exploded.persist()
+            caches.append(exploded)
+        boiler = (
+            exploded.groupBy("__h1", "__h2")
+            .agg(F.countDistinct("doc_id").alias("__df"))
+            .filter(F.col("__df") >= min_docs)
+            .select("__h1", "__h2")
+        ).persist()
+        caches.append(boiler)
+        boiler.count()
+        kept = exploded.join(
+            F.broadcast(boiler), ["__h1", "__h2"], "left_anti"
+        )
+        rebuilt = kept.groupBy("doc_id").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__i", "__seg"))),
+                    lambda s: s["__seg"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.count("*").alias("__n_kept"),
+        )
+        if arith_totals:
+            ns = F.expr(
+                f"cast(ceil(size({words}) / {ww}.0) as int)"
+            ).alias("n_segments")
+        else:
+            ns = F.size(segs).alias("n_segments")
+        totals = df.select(F.col("doc_id"), ns)
+        result = totals.join(rebuilt, "doc_id", "left").select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_segments",
+            (
+                F.col("n_segments") - F.coalesce("__n_kept", F.lit(0))
+            ).cast("long").alias("n_boiler"),
+        )
+        return unpersist_on_gc(result, *caches)
+
+    def registry():
+        return remove_boilerplate_segments(
+            _t(spark, SF_DIR, "documents"), "text", "doc_id",
+            window_words=5, min_docs=3,
+        )
+
+    parity("q9_arith", build(False, False), build(True, False))
+    parity("q9_persist", build(False, False), build(True, True))
+    interleave(
+        spark,
+        {
+            "registry": registry,
+            "arith_totals": lambda: build(True, False),
+            "arith+persist": lambda: build(True, True),
+        },
+        reps,
+    )
+
+
 # ------------------------------------------------------------------ q13
 def exp_q13(spark, reps):
     import math
@@ -358,7 +539,13 @@ def main():
     spark.range(64, numPartitions=32).mapInPandas(
         lambda it: it, "id long"
     ).count()
-    {"q11": exp_q11, "q12": exp_q12, "q13": exp_q13}[exp](spark, reps)
+    {
+        "q9": exp_q9,
+        "q11": exp_q11,
+        "q12": exp_q12,
+        "q13": exp_q13,
+        "q150": exp_q150,
+    }[exp](spark, reps)
 
 
 if __name__ == "__main__":
