@@ -292,10 +292,14 @@ def minhash_lsh_near_dups(
     """
     if collapse_exact == "auto":
         # LIMIT-bounded HLL distinct-ratio probe (see
-        # _replica_ratio_probe for the cost/bias contract).
-        collapse_exact = _replica_ratio_probe(
-            df, F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)
-        )
+        # _replica_ratio_probe for the cost/bias contract). The raw
+        # text column is the digest: approx_count_distinct hashes its
+        # input internally (HLL++), so a sha2 pre-digest only added a
+        # second full hash pass over the probe prefix — measured 0.76
+        # -> 0.36 s at sf0.1 with identical decisions both regimes
+        # (r14; the probe gates plan CHOICE only, both plans are
+        # value-exact).
+        collapse_exact = _replica_ratio_probe(df, F.col(text_col))
     if collapse_exact:
         # Pre-collapse byte-identical documents (the replica-heavy web
         # shape): mine over one representative per distinct text, then
@@ -2185,9 +2189,9 @@ def _dup_anchor_occurrences(
         f"xxhash64(1, slice(__w, i + 1, {min_len})) as h2))"
     )
     if collapse_exact == "auto":
-        collapse_exact = _replica_ratio_probe(
-            df, F.sha2(F.encode(F.col(text_col), "UTF-8"), 256)
-        )
+        # raw text as the probe digest — approx_count_distinct hashes
+        # internally; see the minhash_lsh_near_dups auto gate (r14)
+        collapse_exact = _replica_ratio_probe(df, F.col(text_col))
     if collapse_exact:
         keyed = toks.select(
             F.col(id_col),

@@ -364,6 +364,93 @@ def exp_q9(spark, reps):
     )
 
 
+# ----------------------------------------------------------------- q6c
+def exp_q6c(spark, reps):
+    """MinHash collapse path on the 40x replica corpus (the bench q6c
+    workload): the digest/membership stages feed multiple consumers —
+    does persisting the text-free (id, digest) table and the
+    membership table (16 B/row each) beat recompute?"""
+    from catenae_stopover_spark.operators.dedup import (
+        minhash_lsh_near_dups,
+    )
+    from catenae_stopover_spark.plans.partitioning import (
+        ensure_min_parallelism,
+        unpersist_on_gc,
+    )
+    from catenae_stopover_spark.queries import _t
+
+    docs = _t(spark, SF_DIR, "documents").select("doc_id", "text")
+    replicated = docs
+    for r in range(1, 40):
+        replicated = replicated.unionByName(
+            docs.select(
+                (F.col("doc_id") + 1_000_000 * r).alias("doc_id"), "text"
+            )
+        )
+    replicated = replicated.localCheckpoint()
+
+    def baseline():
+        return minhash_lsh_near_dups(
+            replicated, collapse_exact=True
+        ).select("id_a", "id_b", "est_jaccard")
+
+    def variant():
+        df = ensure_min_parallelism(replicated)
+        digest = F.sha2(F.encode(F.col("text"), "UTF-8"), 256)
+        hashed_small = df.select(
+            F.col("doc_id"), digest.alias("__d")
+        ).persist()
+        reps_tbl = hashed_small.groupBy("__d").agg(
+            F.min("doc_id").alias("__rep")
+        )
+        members = (
+            hashed_small.join(reps_tbl, "__d")
+            .select(F.col("__rep"), F.col("doc_id").alias("__m"))
+            .persist()
+        )
+        reps = df.join(
+            reps_tbl.select(F.col("__rep").alias("doc_id")), "doc_id"
+        )
+        rep_pairs = minhash_lsh_near_dups(
+            reps, collapse_exact=False
+        )
+        ma = members.select(
+            F.col("__rep").alias("id_a"), F.col("__m").alias("__ma")
+        )
+        mb = members.select(
+            F.col("__rep").alias("id_b"), F.col("__m").alias("__mb")
+        )
+        cross = (
+            rep_pairs.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("__ma", "__mb").alias("id_a"),
+                F.greatest("__ma", "__mb").alias("id_b"),
+                F.col("est_jaccard"),
+            )
+        )
+        intra = (
+            members.alias("x")
+            .join(
+                members.alias("y"),
+                (F.col("x.__rep") == F.col("y.__rep"))
+                & (F.col("x.__m") < F.col("y.__m")),
+            )
+            .select(
+                F.col("x.__m").alias("id_a"),
+                F.col("y.__m").alias("id_b"),
+                (F.lit(1.0)).alias("est_jaccard"),
+            )
+        )
+        out = cross.unionByName(intra).select(
+            "id_a", "id_b", "est_jaccard"
+        )
+        return unpersist_on_gc(out, hashed_small, members)
+
+    parity("q6c", baseline(), variant())
+    interleave(spark, {"baseline": baseline, "persist_small": variant}, reps)
+
+
 # ------------------------------------------------------------------ q13
 def exp_q13(spark, reps):
     import math
@@ -540,6 +627,7 @@ def main():
         lambda it: it, "id long"
     ).count()
     {
+        "q6c": exp_q6c,
         "q9": exp_q9,
         "q11": exp_q11,
         "q12": exp_q12,
