@@ -343,7 +343,8 @@ def main() -> None:
     # ~5-7 s of fork/exec on 32 workers — a per-session cost, not a
     # per-query cost, so it is excluded like JVM startup).
     spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
-    spark.range(64, numPartitions=32).mapInPandas(
+    n_cores = spark.sparkContext.defaultParallelism
+    spark.range(2 * n_cores, numPartitions=n_cores).mapInPandas(
         lambda it: it, "id long"
     ).count()
 

@@ -50,7 +50,12 @@ _DEFAULTS = {
     # splits free; a real cluster with thousands of files would set
     # this back up to amortize task overhead.
     "spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024),
-    "spark.sql.shuffle.partitions": "32",
+    # spark.sql.shuffle.partitions is NOT set here: get_spark derives
+    # it from the session's core count (r14 — the driver benches the
+    # same code at lower core counts, and a constant tuned for
+    # local[32] poisons that scaling measurement; a cluster deployment
+    # sets SPARK_GRAFT_SHUFFLE_PARTITIONS to ~2-3x total cores or
+    # leaves AQE coalescing to shrink a high initial value).
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     # Shuffle/spill local dirs on RAM-backed tmpfs when the box has a
     # GENEROUS one (this harness: 126 GiB /dev/shm; measured r13: the
@@ -121,6 +126,12 @@ def get_spark(
         master or f"local[{cpus}]"
     )
     conf = dict(_DEFAULTS)
+    # one shuffle wave on the local harness at ANY core count (the
+    # driver re-benches at lower counts); env-overridable for cluster
+    # deployments where ~2-3x total cores is the right starting point
+    conf["spark.sql.shuffle.partitions"] = os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus if cpus.isdigit() else "32"
+    )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

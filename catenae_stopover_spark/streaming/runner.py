@@ -68,7 +68,13 @@ def run_available_now(
     # into the fresh checkpoint at first run, so scope it down here and
     # restore after. Real deployments size this to the cluster.
     old = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions", "32")
+    # core count, not a constant (r14): the state-store count is baked
+    # into the fresh checkpoint, and a fixed 32 at lower core counts
+    # would schedule 32 stateful tasks on fewer cores every microbatch
+    sess.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(sess.sparkContext.defaultParallelism),
+    )
     try:
         q = start_stream(
             df,
