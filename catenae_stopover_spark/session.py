@@ -107,6 +107,52 @@ _DEFAULTS = {
     "spark.sql.streaming.stateStore.providerClass": (
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
     ),
+    # Streaming checkpoint commit path (r14, measured on the q64
+    # stream-stream join: 32 partitions x 4 join state stores = 128
+    # store commits per micro-batch):
+    #
+    # 1. fileChecksum.enabled=false — Spark 4.1 wraps every checkpoint
+    #    file write in ChecksumCheckpointFileManager (a second .crc
+    #    file per write, extra create/rename round trips). With 128
+    #    concurrent commits in one JVM the summed commitTimeMs read
+    #    2017s vs 146s without it (interleaved A/B; wall 11.1 -> 7.4 s
+    #    in the calm pair). The checksums only guard checkpoint-file
+    #    corruption on restart-from-flaky-storage; this harness builds
+    #    a fresh checkpoint per bounded replay. Set
+    #    SPARK_GRAFT_STREAM_CKPT_CHECKSUM=true for long-lived
+    #    production checkpoints on object stores.
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": os.environ.get(
+        "SPARK_GRAFT_STREAM_CKPT_CHECKSUM", "false"
+    ),
+    # 2. FileSystem-based checkpoint manager — the default FileContext
+    #    path re-resolves the AbstractFileSystem under a process-global
+    #    lock on every open/create; 128 concurrent store commits convoy
+    #    on it (measured 12.8-14.6 s vs 6.5-10.1 s walls, same A/B).
+    #    The FileSystem API reuses the cached FS client. Local fs and
+    #    HDFS give atomic rename either way; for object-store
+    #    checkpoints set SPARK_GRAFT_STREAM_CKPT_FM to "" to restore
+    #    Spark's default manager.
+    **(
+        {"spark.sql.streaming.checkpointFileManagerClass": _fm}
+        if (
+            _fm := os.environ.get(
+                "SPARK_GRAFT_STREAM_CKPT_FM",
+                "org.apache.spark.sql.execution.streaming.checkpointing."
+                "FileSystemBasedCheckpointFileManager",
+            )
+        )
+        else {}
+    ),
+    # 3. RocksDB changelog checkpointing — upload the per-batch
+    #    changelog instead of a full snapshot at every commit (the
+    #    upstream feature built for exactly this: snapshots move to the
+    #    background maintenance thread). Summed commitTimeMs 304-412 s
+    #    -> 5-13 s per drain, wall 17.8 -> 9.0 s in the calm pair.
+    #    Value-identical (recovery replays changelogs); disable via
+    #    SPARK_GRAFT_STREAM_CHANGELOG=false to compare formats.
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+        os.environ.get("SPARK_GRAFT_STREAM_CHANGELOG", "true")
+    ),
 }
 
 

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Run registry queries with the noop sink and capture the AQE FINAL
+executed plan (ReusedExchange / InMemoryTableScan visible), plus the
+executed-scan census the initial-plan audit can't see.
+
+For each query: wall time (noop sink, best of N), then a summary line
+  <name>: wall=<s> scans_final=<n> reused_exch=<n> inmem=<n>
+and the full final plan written to /tmp/r14_final_plans/<name>.txt.
+
+Usage: python tools/final_plan_registry.py <sf_dir> <query> [query ...]
+       [--reps N]
+"""
+from __future__ import annotations
+
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+reps = 2
+for a in sys.argv[1:]:
+    if a.startswith("--reps"):
+        reps = int(a.split("=", 1)[1])
+SF_DIR = args[0]
+NAMES = args[1:]
+os.environ["CSSPARK_ORACLE_SF_DIR"] = SF_DIR
+OUT = "/tmp/r14_final_plans"
+os.makedirs(OUT, exist_ok=True)
+
+
+def main() -> None:
+    from catenae_stopover_spark.queries import QUERIES
+    from catenae_stopover_spark.session import get_spark
+
+    spark = get_spark("r14-final-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+    n_cores = spark.sparkContext.defaultParallelism
+    spark.range(2 * n_cores, numPartitions=n_cores).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+
+    for name in NAMES:
+        fn = QUERIES[name][0]
+        walls = []
+        df = None
+        for _ in range(reps):
+            # plan build INSIDE the timed region (eager operators —
+            # same contract as bench.py)
+            t0 = time.perf_counter()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            walls.append(time.perf_counter() - t0)
+        # final (executed) plan of the last run
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        final = plan.split("== Initial Plan ==")[0]
+        n_scan = len(re.findall(r"Scan parquet", final))
+        n_reuse = len(re.findall(r"ReusedExchange", final))
+        n_mem = len(re.findall(r"InMemoryTableScan", final))
+        with open(os.path.join(OUT, f"{name}.txt"), "w") as fh:
+            fh.write(plan)
+        print(
+            f"{name}: wall_best={min(walls):.2f}s walls="
+            f"[{', '.join(f'{w:.2f}' for w in walls)}] "
+            f"scans_final={n_scan} reused_exch={n_reuse} inmem={n_mem}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

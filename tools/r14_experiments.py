@@ -183,6 +183,165 @@ def exp_q12(spark, reps):
     )
 
 
+# ------------------------------------------------------------------ q68
+def exp_q68(spark, reps):
+    """connected_components edge materialization: the r14 operator
+    persists the symmetrized edge list for the loop's lifetime; the
+    OLD form (inline here as the fixed comparison arm) rebuilt it per
+    iteration — each round re-ran the ngram pair-mining chain's
+    reduce-side stages twice (once per union branch)."""
+    from catenae_stopover_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_near_dups,
+    )
+    from catenae_stopover_spark.queries import _t
+
+    def pairs():
+        d = _t(spark, SF_DIR, "documents")
+        return ngram_jaccard_near_dups(d, n=3, threshold=0.08).select(
+            "id_a", "id_b"
+        )
+
+    def old_cc(edges, max_iter=20):
+        sym = (
+            edges.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+            .union(
+                edges.select(
+                    F.col("id_b").alias("a"), F.col("id_a").alias("b")
+                )
+            )
+            .distinct()
+        )
+        labels = (
+            sym.select(F.col("a").alias("node"))
+            .distinct()
+            .withColumn("component", F.col("node"))
+        )
+        for _ in range(max_iter):
+            neighbor_min = (
+                sym.join(labels, sym["b"] == labels["node"])
+                .groupBy(sym["a"].alias("node"))
+                .agg(F.min("component").alias("nbr_min"))
+            )
+            new_labels = labels.join(neighbor_min, "node", "left").select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+
+    parity("q68", old_cc(pairs()), connected_components(pairs()))
+    interleave(
+        spark,
+        {
+            "old_unpersisted": lambda: old_cc(pairs()),
+            "persist_sym": lambda: connected_components(pairs()),
+        },
+        reps,
+    )
+
+
+# ----------------------------------------------------------------- q12b
+def exp_q12b(spark, reps):
+    """PMI restructure: the registry form evaluates the tokenize
+    Generate 4x at runtime (vocab pass, each pair-join side, n_docs
+    pass — persisting inv measured WORSE, exp_q12). Candidate: build
+    per-doc sorted vocab-token arrays once (one Exchange(doc_id),
+    reused by the pairs explode AND the n_docs count), expand pairs
+    with an array HOF instead of the self-join. Tokenize runs 2x
+    (vocab + docvecs), not 4x."""
+    from catenae_stopover_spark.operators.text import pmi_cooccurrence
+    from catenae_stopover_spark.plans.partitioning import (
+        ensure_min_parallelism,
+    )
+    from catenae_stopover_spark.queries import _t
+
+    def baseline():
+        d = _t(spark, SF_DIR, "documents")
+        out = pmi_cooccurrence(d, top_vocab=1000, min_pairs=5)
+        return out.select(
+            "tok_a",
+            "tok_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round("pmi", 6).alias("pmi"),
+        )
+
+    def variant():
+        d = _t(spark, SF_DIR, "documents")
+        top_vocab, min_pairs = 1000, 5
+        w = "split(lower(trim(text)), '\\\\s+')"
+        toks = F.expr(f"array_distinct(filter({w}, t -> t != ''))")
+        inv = ensure_min_parallelism(d).select(
+            F.col("doc_id"), F.explode(toks).alias("tok")
+        )
+        vocab = (
+            inv.groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .orderBy(F.desc("df"), "tok")
+            .limit(top_vocab)
+        )
+        vinv = inv.join(F.broadcast(vocab.select("tok")), "tok")
+        docvecs = vinv.groupBy("doc_id").agg(
+            F.array_sort(F.collect_set("tok")).alias("__ts")
+        )
+        n_docs = docvecs.agg(
+            F.count("*").cast("double").alias("__n")
+        )
+        pair_structs = F.expr(
+            "flatten(transform(__ts, (x, i) -> "
+            "transform(slice(__ts, i + 2, size(__ts)), "
+            "y -> struct(x AS tok_a, y AS tok_b))))"
+        )
+        pairs = (
+            docvecs.select(F.explode(pair_structs).alias("__p"))
+            .select(F.col("__p.tok_a"), F.col("__p.tok_b"))
+            .groupBy("tok_a", "tok_b")
+            .agg(F.count("*").alias("n_pair"))
+            .filter(F.col("n_pair") >= min_pairs)
+        )
+        da = vocab.select(
+            F.col("tok").alias("tok_a"), F.col("df").alias("n_a")
+        )
+        db = vocab.select(
+            F.col("tok").alias("tok_b"), F.col("df").alias("n_b")
+        )
+        return (
+            pairs.join(F.broadcast(da), "tok_a")
+            .join(F.broadcast(db), "tok_b")
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "tok_a",
+                "tok_b",
+                F.col("n_pair").cast("long").alias("n_pair"),
+                F.round(
+                    F.log(
+                        F.col("n_pair")
+                        * F.col("__n")
+                        / (F.col("n_a") * F.col("n_b"))
+                    ),
+                    6,
+                ).alias("pmi"),
+            )
+        )
+
+    parity("q12b", baseline(), variant())
+    interleave(
+        spark, {"baseline": baseline, "docvec_hof": variant}, reps
+    )
+
+
 # ----------------------------------------------------------------- q150
 def exp_q150(spark, reps):
     """BPE trainer job-count: old 2-eager-jobs-per-round loop
@@ -631,6 +790,7 @@ def main():
         "q9": exp_q9,
         "q11": exp_q11,
         "q12": exp_q12,
+        "q12b": exp_q12b,
         "q13": exp_q13,
         "q150": exp_q150,
     }[exp](spark, reps)

@@ -1,0 +1,103 @@
+#!/usr/bin/env python
+"""Interleaved A/B of the r14 streaming checkpoint levers over the
+whole streaming registry family, in ONE process (host steal bursts hit
+both arms): arm OLD = Spark defaults (checksum on, FileContext
+manager, RocksDB snapshot-per-commit), arm NEW = the r14 session
+defaults (checksum off, FileSystem manager, changelog checkpointing).
+All three confs are read at query start, so flipping them at runtime
+reproduces both session builds exactly.
+
+Usage: python tools/r14_stream_ab.py [sf_dir] [reps] [query ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+ONLY = sys.argv[3:]
+os.environ["CSSPARK_ORACLE_SF_DIR"] = SF_DIR
+
+FM_NEW = (
+    "org.apache.spark.sql.execution.streaming.checkpointing."
+    "FileSystemBasedCheckpointFileManager"
+)
+QUERIES_UNDER_TEST = ONLY or [
+    "q44_stream_tumbling_hourly",
+    "q45_stream_sessionize",
+    "q47_stream_dedup",
+    "q61_stream_stream_join",
+    "q62_stream_static_join",
+    "q64_stream_stream_join_tight",
+    "q109_stream_left_outer_join",
+    "q125_stream_session_pattern",
+    "q131_stream_funnel",
+    "q179_stream_shard_manifest",
+]
+
+
+def set_arm(spark, new: bool) -> None:
+    c = spark.conf
+    c.set(
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+        "false" if new else "true",
+    )
+    if new:
+        c.set("spark.sql.streaming.checkpointFileManagerClass", FM_NEW)
+    else:
+        try:
+            c.unset("spark.sql.streaming.checkpointFileManagerClass")
+        except Exception:  # noqa: BLE001
+            pass
+    c.set(
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled",
+        "true" if new else "false",
+    )
+
+
+def main() -> None:
+    from catenae_stopover_spark.queries import QUERIES
+    from catenae_stopover_spark.session import get_spark
+
+    spark = get_spark("r14-stream-ab")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+
+    results = {q: {"old": [], "new": []} for q in QUERIES_UNDER_TEST}
+    rows_seen = {}
+    for rep in range(REPS):
+        for qname in QUERIES_UNDER_TEST:
+            fn = QUERIES[qname][0]
+            for arm in ("old", "new"):
+                set_arm(spark, arm == "new")
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                wall = time.perf_counter() - t0
+                results[qname][arm].append(wall)
+                n = df.count()
+                prev = rows_seen.setdefault(qname, n)
+                assert prev == n, f"{qname}: row count drifted {prev} vs {n}"
+    set_arm(spark, True)
+    print(f"{'query':35s} {'old_best':>9s} {'new_best':>9s} ratio")
+    t_old = t_new = 0.0
+    for qname, r in results.items():
+        ob, nb = min(r["old"]), min(r["new"])
+        t_old += ob
+        t_new += nb
+        print(
+            f"{qname:35s} {ob:9.2f} {nb:9.2f} {nb / ob:5.2f}  "
+            f"old={['%.1f' % t for t in r['old']]} "
+            f"new={['%.1f' % t for t in r['new']]}"
+        )
+    print(f"{'TOTAL (best-of)':35s} {t_old:9.2f} {t_new:9.2f} "
+          f"{t_new / t_old:5.2f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Probe where streaming-replay wall time goes (r14): drain the q64
+stream-stream-join pipeline with the DEFAULT temporary checkpoint
+(java.io.tmpdir = /tmp, disk) vs an EXPLICIT checkpoint on tmpfs
+(/dev/shm), interleaved, and print each run's per-batch durationMs
+breakdown (addBatch / walCommit / commitOffsets / stateManagement).
+
+Usage: python tools/r14_stream_probe.py [sf_dir] [reps] [query]
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+QUERY = sys.argv[3] if len(sys.argv) > 3 else "q64"
+os.environ["CSSPARK_ORACLE_SF_DIR"] = SF_DIR
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def build_joined(spark, watermark="2 hours"):
+    from catenae_stopover_spark.io.sources import replay_as_stream
+    from catenae_stopover_spark.queries import _t
+
+    ev = _t(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("pts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("cts"),
+    )
+    p_stream = replay_as_stream(
+        spark, p, tempfile.mkdtemp(prefix="probe-ss-p-"), chunks=3,
+        order_col="pts",
+    ).withWatermark("pts", watermark)
+    c_stream = replay_as_stream(
+        spark, c, tempfile.mkdtemp(prefix="probe-ss-c-"), chunks=3,
+        order_col="cts",
+    ).withWatermark("cts", watermark)
+    cond = (
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("cts") <= F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+    )
+    return p_stream.join(c_stream, cond, "inner").select("p_id", "c_id")
+
+
+def drain(spark, df, ckpt=None):
+    from catenae_stopover_spark.streaming.runner import start_stream
+
+    name = f"probe_{uuid.uuid4().hex[:12]}"
+    sess = df.sparkSession
+    old = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(sess.sparkContext.defaultParallelism),
+    )
+    try:
+        kw = {"checkpoint": ckpt} if ckpt else {}
+        q = start_stream(
+            df, format="memory", output_mode="append",
+            query_name=name, available_now=True, **kw,
+        )
+        q.awaitTermination(600)
+        prog = [json.loads(p.json) for p in q.recentProgress]
+        if q.isActive:
+            q.stop()
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old)
+    n = sess.table(name).count()
+    return n, prog
+
+
+def main():
+    from catenae_stopover_spark.session import get_spark
+
+    spark = get_spark("r14-stream-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+
+    for rep in range(REPS):
+        for arm in ("tmpdir_default", "shm_ckpt"):
+            ckpt = None
+            if arm == "shm_ckpt":
+                ckpt = f"/dev/shm/probe-ckpt-{uuid.uuid4().hex[:8]}"
+            df = build_joined(spark)
+            t0 = time.perf_counter()
+            n, prog = drain(spark, df, ckpt)
+            wall = time.perf_counter() - t0
+            batches = [
+                (
+                    p.get("batchId"),
+                    p.get("numInputRows"),
+                    {
+                        k: v
+                        for k, v in (p.get("durationMs") or {}).items()
+                        if v
+                    },
+                )
+                for p in prog
+            ]
+            print(f"{arm} rep{rep}: wall={wall:.2f}s rows={n}")
+            for b in batches:
+                print(f"   batch {b[0]}: in={b[1]} durMs={b[2]}")
+            if ckpt:
+                shutil.rmtree(ckpt, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
