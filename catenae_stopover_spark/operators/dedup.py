@@ -1294,12 +1294,21 @@ def connected_components(
     the edge list; labels are localCheckpointed per round to truncate
     the growing lineage, the classic iterative-Spark failure mode).
 
+    The symmetrized edge list is persisted for the loop's lifetime
+    (r14): without it every iteration re-executes the caller's
+    pair-MINING chain's post-shuffle stages twice (once per union
+    branch) — cross-job stage reuse only skips map sides whose shuffle
+    files survive, not the reduce-side work above them. Released
+    before return (the returned labels are localCheckpoint-ed, so
+    nothing in their lineage needs the cache).
+
     Returns (node, component) with component = min node id reachable.
     """
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
+        .persist()
     )
     labels = (
         sym.select(F.col("a").alias("node"))
@@ -1333,6 +1342,7 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()
     return labels
 
 

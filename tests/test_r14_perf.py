@@ -130,3 +130,32 @@ def test_q160_registry_output_unchanged(spark):
     )
     got = sorted(map(tuple, out.collect()))
     assert got == exp
+
+
+def test_connected_components_releases_edge_cache(spark):
+    """connected_components persists the symmetrized edge list for the
+    label-propagation loop (r14 — without it every iteration re-ran
+    the caller's pair-mining chain's reduce stages twice) and must
+    unpersist it before returning: the returned labels are
+    localCheckpoint-ed, so nothing may stay cached for the session."""
+    from catenae_stopover_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        ["id_a", "id_b"],
+    )
+    labels = connected_components(edges)
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20
+    }
+    # DataFrame .persist() entries carry the plan string as the RDD
+    # name; the per-iteration localCheckpoint RDDs (bare
+    # "MapPartitionsRDD" names, pre-existing design, freed by the
+    # ContextCleaner) are tolerated. sym's cache must be gone.
+    df_caches = [
+        r.name()
+        for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if "MapPartitionsRDD" not in str(r.name())
+    ]
+    assert df_caches == []  # the sym persist was released on return

@@ -791,6 +791,7 @@ def main():
         "q11": exp_q11,
         "q12": exp_q12,
         "q12b": exp_q12b,
+        "q68": exp_q68,
         "q13": exp_q13,
         "q150": exp_q150,
     }[exp](spark, reps)
