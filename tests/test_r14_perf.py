@@ -144,6 +144,7 @@ def test_connected_components_releases_edge_cache(spark):
         [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
         ["id_a", "id_b"],
     )
+    before = _cached_ids(spark)
     labels = connected_components(edges)
     got = {r["node"]: r["component"] for r in labels.collect()}
     assert got == {
@@ -152,10 +153,14 @@ def test_connected_components_releases_edge_cache(spark):
     # DataFrame .persist() entries carry the plan string as the RDD
     # name; the per-iteration localCheckpoint RDDs (bare
     # "MapPartitionsRDD" names, pre-existing design, freed by the
-    # ContextCleaner) are tolerated. sym's cache must be gone.
+    # ContextCleaner) are tolerated. sym's cache must be gone. Compare
+    # against the pre-call census, NOT an empty list: in the full
+    # suite the shared session legitimately holds other tests' caches
+    # (e.g. the persisted IVF index), which this call must not touch.
     df_caches = [
         r.name()
         for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
-        if "MapPartitionsRDD" not in str(r.name())
+        if r.id() not in before
+        and "MapPartitionsRDD" not in str(r.name())
     ]
     assert df_caches == []  # the sym persist was released on return
