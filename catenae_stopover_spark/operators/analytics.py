@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..plans import unpersist_on_gc
+from ..plans import scoped_persist, unpersist_on_gc
 
 
 def scd2_from_changelog(
@@ -424,10 +424,9 @@ def ks_statistic(
             F.lit(1).alias("__b"),
         )
     )
-    counts = (
+    counts = scoped_persist(
         tagged.groupBy("__v")
         .agg(F.sum("__a").alias("__na"), F.sum("__b").alias("__nb"))
-        .persist()
     )
     ps = [i / num_partitions for i in range(1, num_partitions)]
     cuts_row = counts.agg(
@@ -521,10 +520,9 @@ def markov_sequence_score(
         )
         .filter(F.col("__to").isNotNull())
     )
-    tf = (
+    tf = scoped_persist(
         tr.groupBy(user_col, "__from", "__to")
         .agg(F.count("*").alias("__tf"))
-        .persist()
     )
     model = (
         tf.groupBy("__from", "__to")

@@ -143,13 +143,17 @@ def triangle_count(
     )
     ord_a = F.struct(F.col("deg_a").alias("d"), F.col("a").alias("n"))
     ord_b = F.struct(F.col("deg_b").alias("d"), F.col("b").alias("n"))
-    e = (
+    from ..plans.partitioning import scoped_persist
+
+    # scoped_persist, not bare persist(): q116 builds this exact plan
+    # on every invocation, and a prior build's release would clobber a
+    # shared canonical-plan cache entry (r14 — the tool's reps 2-3 ran
+    # the whole mining chain 6x uncached, 360 scans in the final plan)
+    e = scoped_persist(
         with_ord.select(
             F.when(ord_a < ord_b, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(ord_a < ord_b, ord_b).otherwise(ord_a).alias("v_ord"),
-        )
-        .select("u", F.col("v_ord.n").alias("v"), "v_ord")
-        .persist()
+        ).select("u", F.col("v_ord.n").alias("v"), "v_ord")
     )
     # wedges (u->v, u->w) with ord(v) < ord(w); closure edge is v->w
     wedges = (

@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity, dot_product, l2_norm
-from ..plans.partitioning import ensure_min_parallelism, unpersist_on_gc
+from ..plans.partitioning import (
+    ensure_min_parallelism,
+    scoped_persist,
+    unpersist_on_gc,
+)
 
 
 def _as_vec_lit(vec) -> "F.Column":
@@ -923,11 +927,13 @@ def knn_graph(
     # they summarize — so caching them (MEMORY_AND_DISK, spills, never
     # OOMs) replaces two extra full-corpus signature passes at any
     # scale. Released via the unpersist_on_gc finalizer on the result.
-    tagged = tagged.select(
-        id_col,
-        F.col("__ts.t").alias("__t"),
-        F.col("__ts.s").alias("__s"),
-    ).persist()
+    tagged = scoped_persist(
+        tagged.select(
+            id_col,
+            F.col("__ts.t").alias("__t"),
+            F.col("__ts.s").alias("__s"),
+        )
+    )
     if max_bucket is None:
         # Planning-scalar histogram job (|distinct bucket sizes| rows,
         # the q141 pattern — the signature pass runs once extra at
@@ -1191,7 +1197,8 @@ def source_centroid_purity(
         id_col,
     ).select(
         id_col, group_col, F.col(vec_col).cast("array<double>").alias("__v")
-    ).persist()
+    )
+    labeled = scoped_persist(labeled)
     grp_type_pre = dict(labeled.dtypes)[group_col]
 
     def cent_partials(batches):
@@ -1929,13 +1936,15 @@ def cluster_balanced_sample(
     # size aggregate AND the quota-fill window) — uncached, the scan +
     # Python kernel pass would run twice (the q203 1000x co-run
     # measured exactly that). 12 bytes/row; released by GC finalizer.
-    assigned = _assign_cells_auto(
-        ensure_min_parallelism(df),
-        centroids,
-        vec_col=vec_col,
-        id_col=id_col,
-        _force_kernel=_force_kernel,
-    ).persist()
+    assigned = scoped_persist(
+        _assign_cells_auto(
+            ensure_min_parallelism(df),
+            centroids,
+            vec_col=vec_col,
+            id_col=id_col,
+            _force_kernel=_force_kernel,
+        )
+    )
     sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("__sz"))
     w = Window.partitionBy()
     by_size = Window.orderBy(F.col("__sz").asc(), F.col("cluster_id").asc())

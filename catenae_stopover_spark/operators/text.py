@@ -1252,7 +1252,9 @@ def remove_boilerplate_segments(
     # pathological corpus that is mostly boilerplate keys) the plain
     # shuffled anti-join stands. The persist is released when the
     # caller drops the result (unpersist_on_gc; the purity precedent).
-    boiler = boiler.persist()
+    from ..plans.partitioning import scoped_persist
+
+    boiler = scoped_persist(boiler)
     n_boiler_keys = boiler.count()
     if n_boiler_keys <= 4_000_000:
         kept = exploded.join(

@@ -4,6 +4,7 @@ from .partitioning import (
     keep_alive,
     salted_agg,
     salted_join,
+    scoped_persist,
     unpersist_on_gc,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "keep_alive",
     "salted_agg",
     "salted_join",
+    "scoped_persist",
     "unpersist_on_gc",
 ]

@@ -10,9 +10,47 @@ stage runs on one core regardless of cluster size.
 
 from __future__ import annotations
 
+import itertools
 import weakref
 
 from pyspark.sql import DataFrame
+
+_SCOPE_IDS = itertools.count(1)
+
+
+def scoped_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` with a cache entry PRIVATE to this call.
+
+    Why (r14, measured on q116): Spark's CacheManager keys entries by
+    canonical plan, not by Dataset instance. Build the same operator
+    twice in one session (bench best-of reps, A/B tools, repeated
+    calls) and (a) the second ``persist()`` is a no-op against the
+    first entry, and (b) the first handle's release —
+    ``Dataset.unpersist`` matches by plan equality — clobbers the
+    entry the second build is counting on. The second run then
+    silently recomputes the whole cached subtree (q116's final plan:
+    360 parquet scans instead of 6 + one cache build; walls 4.5 s
+    cached vs 6.0 s clobbered at sf0.01).
+
+    Folding a per-call unique literal into the persisted plan gives
+    every call its own canonical plan, so no other handle's release
+    can match it. The literal column is dropped from the returned
+    VIEW (schema unchanged); RLE in the columnar cache makes its
+    storage negligible. The persisted handle rides on the view as
+    ``_scoped_handle`` — :func:`unpersist_on_gc` unwraps it, and
+    explicit scopes call ``view._scoped_handle.unpersist()``.
+    """
+    tag = f"__cache_scope_{next(_SCOPE_IDS)}"
+    handle = df.withColumn(tag, _lit_tag(tag)).persist()
+    view = handle.drop(tag)
+    view._scoped_handle = handle  # noqa: SLF001
+    return view
+
+
+def _lit_tag(tag: str):
+    from pyspark.sql import functions as F
+
+    return F.lit(tag)
 
 
 def unpersist_on_gc(out: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -40,7 +78,12 @@ def unpersist_on_gc(out: DataFrame, *cached: DataFrame) -> DataFrame:
     themselves. Operators in this repo return the finalizer-bearing
     handle directly to the user for exactly this reason.
     """
-    refs = [c._jdf for c in cached]
+    # unwrap scoped_persist views to their tagged handles: unpersist
+    # must match the PERSISTED plan (the tagged one), not the view
+    refs = [
+        getattr(c, "_scoped_handle", c)._jdf  # noqa: SLF001
+        for c in cached
+    ]
 
     def _release(jdfs=refs):
         for j in jdfs:

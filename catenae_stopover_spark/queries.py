@@ -5939,7 +5939,7 @@ def q133_rfm_segments(spark, sf_dir):
     persisted per_user frame and passed in, so chained calls no
     longer re-execute the preceding ntile pipelines per probe."""
     from .operators.analytics import exact_ntile_desc
-    from .plans import unpersist_on_gc
+    from .plans import scoped_persist, unpersist_on_gc
 
     ev = _t(spark, sf_dir, "events")
     per_user = (
@@ -5950,8 +5950,9 @@ def q133_rfm_segments(spark, sf_dir):
             F.count("*").alias("freq"),
             F.sum("value").alias("monetary"),
         )
-        .persist()  # feeds three rank pipelines + the single cut probe
     )
+    # scoped persist: feeds three rank pipelines + the single cut probe
+    per_user = scoped_persist(per_user)
     ps = F.array(*[F.lit(i / 32) for i in range(1, 32)])
     probe = per_user.agg(
         *[

@@ -164,3 +164,65 @@ def test_connected_components_releases_edge_cache(spark):
         and "MapPartitionsRDD" not in str(r.name())
     ]
     assert df_caches == []  # the sym persist was released on return
+
+
+def test_scoped_persist_survives_identical_plan_release(spark):
+    """CacheManager keys entries by canonical plan: a bare persist()
+    of a plan identical to an already-cached one is a no-op, and the
+    FIRST handle's unpersist then clobbers the entry the second build
+    is counting on (r14 — q116's reps 2-3 re-ran the whole pair-mining
+    chain uncached, 360 scans in the final plan). scoped_persist folds
+    a per-call unique literal into the cached plan so every call owns
+    a private entry."""
+    from pyspark.sql import functions as F
+
+    from catenae_stopover_spark.plans import scoped_persist
+
+    base = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+
+    def build():
+        return base.filter(F.col("k") != 3)
+
+    a = scoped_persist(build())
+    a.count()
+    b = scoped_persist(build())  # identical underlying plan
+    b.count()
+    # schema unchanged by the scope tag
+    assert a.columns == ["id", "k"] and b.columns == ["id", "k"]
+    # releasing a must NOT remove b's entry
+    a._scoped_handle.unpersist()
+    plan = b._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "InMemoryTableScan" in plan, "b's cache was clobbered"
+    b._scoped_handle.unpersist()
+
+
+def test_unpersist_on_gc_releases_scoped_handle(spark):
+    """unpersist_on_gc must unwrap a scoped_persist view to its tagged
+    handle: unpersisting the VIEW would match nothing (its plan is a
+    Project over the cached one) and leak the entry."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from catenae_stopover_spark.plans import scoped_persist, unpersist_on_gc
+
+    before = _cached_ids(spark)
+    c = scoped_persist(
+        spark.range(50).select((F.col("id") * 2).alias("x"))
+    )
+    out = unpersist_on_gc(c.groupBy().sum("x"), c)
+    assert out.collect()[0][0] == 2450
+    del out, c
+    gc.collect()
+    leaked = [
+        r.id()
+        for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if r.id() not in before
+    ]
+    assert leaked == []

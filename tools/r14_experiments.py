@@ -342,6 +342,102 @@ def exp_q12b(spark, reps):
     )
 
 
+# ----------------------------------------------------------------- q12c
+def exp_q12c(spark, reps):
+    """PMI with a COLLECTED vocab (bounded planning scalar, 1000 rows —
+    the knn_graph histogram precedent): one eager top-df job collects
+    (tok, df); the lazy plan then builds per-doc vocab-token arrays
+    with array_intersect against the vocab LITERAL and expands pairs
+    with a HOF — no inverted-index explode on the pair path, no doc_id
+    self-join, no doc-keyed exchange at all. Shuffled bytes: pair
+    partial counts only (map-side combined). Tokenize evaluates twice
+    lazily (pairs subtree + n_docs subtree) + once in the eager vocab
+    job, vs 4 lazy evaluations in the baseline."""
+    from catenae_stopover_spark.plans.partitioning import (
+        ensure_min_parallelism,
+    )
+    from catenae_stopover_spark.queries import _t
+
+    top_vocab, min_pairs = 1000, 5
+
+    def baseline():
+        from catenae_stopover_spark.operators.text import pmi_cooccurrence
+
+        d = _t(spark, SF_DIR, "documents")
+        out = pmi_cooccurrence(d, top_vocab=top_vocab, min_pairs=min_pairs)
+        return out.select(
+            "tok_a",
+            "tok_b",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.round("pmi", 6).alias("pmi"),
+        )
+
+    def variant():
+        d = _t(spark, SF_DIR, "documents")
+        w = "split(lower(trim(text)), '\\\\s+')"
+        toks = F.expr(f"array_distinct(filter({w}, t -> t != ''))")
+        base = ensure_min_parallelism(d)
+        # eager, bounded: top_vocab rows to the driver
+        vocab_rows = (
+            base.select(F.explode(toks).alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .orderBy(F.desc("df"), "tok")
+            .limit(top_vocab)
+            .collect()
+        )
+        vocab_list = [r["tok"] for r in vocab_rows]
+        vt = F.array_sort(
+            F.array_intersect(toks, F.lit(vocab_list))
+        )
+        docvt = base.select(F.col("doc_id"), vt.alias("__vt"))
+        n_docs = docvt.agg(
+            F.countDistinct(
+                F.when(F.size("__vt") > 0, F.col("doc_id"))
+            ).cast("double").alias("__n")
+        )
+        pair_structs = F.expr(
+            "flatten(transform(__vt, (x, i) -> "
+            "transform(slice(__vt, i + 2, size(__vt)), "
+            "y -> struct(x AS tok_a, y AS tok_b))))"
+        )
+        pairs = (
+            docvt.select(F.explode(pair_structs).alias("__p"))
+            .select(F.col("__p.tok_a"), F.col("__p.tok_b"))
+            .groupBy("tok_a", "tok_b")
+            .agg(F.count("*").alias("n_pair"))
+            .filter(F.col("n_pair") >= min_pairs)
+        )
+        vdf = spark.createDataFrame(
+            [(r["tok"], r["df"]) for r in vocab_rows], "tok string, df long"
+        )
+        da = vdf.select(F.col("tok").alias("tok_a"), F.col("df").alias("n_a"))
+        db = vdf.select(F.col("tok").alias("tok_b"), F.col("df").alias("n_b"))
+        return (
+            pairs.join(F.broadcast(da), "tok_a")
+            .join(F.broadcast(db), "tok_b")
+            .crossJoin(F.broadcast(n_docs))
+            .select(
+                "tok_a",
+                "tok_b",
+                F.col("n_pair").cast("long").alias("n_pair"),
+                F.round(
+                    F.log(
+                        F.col("n_pair")
+                        * F.col("__n")
+                        / (F.col("n_a") * F.col("n_b"))
+                    ),
+                    6,
+                ).alias("pmi"),
+            )
+        )
+
+    parity("q12c", baseline(), variant())
+    interleave(
+        spark, {"baseline": baseline, "literal_vocab": variant}, reps
+    )
+
+
 # ----------------------------------------------------------------- q150
 def exp_q150(spark, reps):
     """BPE trainer job-count: old 2-eager-jobs-per-round loop
@@ -791,6 +887,7 @@ def main():
         "q11": exp_q11,
         "q12": exp_q12,
         "q12b": exp_q12b,
+        "q12c": exp_q12c,
         "q68": exp_q68,
         "q13": exp_q13,
         "q150": exp_q150,
