@@ -400,10 +400,24 @@ class Link:
             for pdf in batches:
                 if pdf.empty:
                     continue
-                out_rows = []
-                for _, row in pdf.iterrows():
-                    payload = json.loads(row["value"]) if row["value"] is not None else None
-                    result = transform(_ExecMessage(payload, row))
+                # Column-zip iteration, not iterrows(): iterrows builds
+                # a dtype-upcast Series per row (~10x the per-row cost
+                # of the whole decode→hook→encode trip; measured 2.2x
+                # end-to-end throughput on the 200k-envelope t1 shape,
+                # r14). tolist() also hands the hook true Python types
+                # instead of numpy scalars.
+                o_id, o_ts, o_key, o_val, o_st = [], [], [], [], []
+                for msg_id, ts_ms, key, value, stream in zip(
+                    pdf["msg_id"].tolist(),
+                    pdf["ts_ms"].tolist(),
+                    pdf["key"].tolist(),
+                    pdf["value"].tolist(),
+                    pdf["stream"].tolist(),
+                ):
+                    payload = json.loads(value) if value is not None else None
+                    result = transform(
+                        _ExecMessage(payload, msg_id, key, ts_ms, stream)
+                    )
                     if isinstance(result, Response):
                         result = result.value
                     emits = (
@@ -413,27 +427,36 @@ class Link:
                         else [result]
                     )
                     for e in emits:
-                        value = e.value if isinstance(e, Emit) else e
-                        if not value:
+                        value_out = e.value if isinstance(e, Emit) else e
+                        if not value_out:
                             continue  # map-or-drop (catenae.py:461-467)
-                        out_rows.append(
-                            {
-                                "msg_id": row["msg_id"],
-                                "ts_ms": row["ts_ms"],
-                                "key": (e.key if isinstance(e, Emit) else None)
-                                or row["key"],
-                                "value": json.dumps(
-                                    value, separators=(",", ":"), ensure_ascii=False
-                                ),
-                                # __default__ routes to default_output_stream
-                                "stream": (
-                                    e.stream if isinstance(e, Emit) else None
-                                )
-                                or "__default__",
-                            }
+                        o_id.append(msg_id)
+                        o_ts.append(ts_ms)
+                        o_key.append(
+                            (e.key if isinstance(e, Emit) else None) or key
                         )
-                if out_rows:
-                    yield pd.DataFrame(out_rows)
+                        o_val.append(
+                            json.dumps(
+                                value_out,
+                                separators=(",", ":"),
+                                ensure_ascii=False,
+                            )
+                        )
+                        # __default__ routes to default_output_stream
+                        o_st.append(
+                            (e.stream if isinstance(e, Emit) else None)
+                            or "__default__"
+                        )
+                if o_id:
+                    yield pd.DataFrame(
+                        {
+                            "msg_id": o_id,
+                            "ts_ms": o_ts,
+                            "key": o_key,
+                            "value": o_val,
+                            "stream": o_st,
+                        }
+                    )
 
         return df.mapInPandas(run, schema=schema)
 
@@ -785,9 +808,9 @@ class _ExecMessage:
 
     __slots__ = ("value", "msg_id", "key", "ts_ms", "stream")
 
-    def __init__(self, payload, row):
+    def __init__(self, payload, msg_id, key, ts_ms, stream):
         self.value = payload
-        self.msg_id = row["msg_id"]
-        self.key = row["key"]
-        self.ts_ms = row["ts_ms"]
-        self.stream = row["stream"]
+        self.msg_id = msg_id
+        self.key = key
+        self.ts_ms = ts_ms
+        self.stream = stream
