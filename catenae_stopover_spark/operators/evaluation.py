@@ -292,6 +292,8 @@ def margin_bitext_mine(
     """
     from .similarity import knn_graph
 
+    from ..plans.partitioning import scoped_persist, unpersist_on_gc
+
     g0 = knn_graph(
         df,
         k=k,
@@ -300,15 +302,23 @@ def margin_bitext_mine(
         diff_col=label_col,
         **knn_kwargs,
     )
-    # keep_alive: g0 carries knn_graph's tag-cache finalizer; deriving
-    # and dropping it would unpersist before any action runs (r14).
-    g = keep_alive(
+    # Persist the rounded edge list (r14 session 3, found via
+    # tools/audit_dup_subtrees_r14.py): ``g`` is referenced THREE
+    # times in the result plan (the final join's left side, plus
+    # ``per`` twice via sa/sb), so without a cache the whole
+    # candidate-join + distinct + vector-attach + cosine + top-k
+    # pipeline downstream of knn_graph's tag cache re-executes per
+    # consumer — AQE stage reuse dedupes only the exchanges directly
+    # below the joins. The edge list is O(N*k) rows of ~30 bytes
+    # (ids + a DECIMAL(16,6)) — negligible next to the vectors it
+    # summarizes at any scale. Interleaved A/B at sf0.1: best
+    # 7.64 -> 4.43 s, identical 1831 rows (exp_q188).
+    g = scoped_persist(
         g0.select(
             F.col(id_col).alias("__a"),
             F.col("nn_id").alias("__b"),
             F.round("cosine", 6).cast("decimal(16,6)").alias("__rc"),
-        ),
-        g0,
+        )
     )
     per = g.groupBy("__a").agg(
         F.sum("__rc").alias("__s"), F.count("*").alias("__k")
@@ -339,7 +349,7 @@ def margin_bitext_mine(
     w = Window.partitionBy("__a").orderBy(
         F.col("margin").desc(), F.col("__b").asc()
     )
-    return keep_alive(
+    out = (
         g.join(sa, F.col("__a") == F.col("__ja"))
         .join(sb, F.col("__b") == F.col("__jb"))
         .withColumn("margin", margin)
@@ -351,9 +361,12 @@ def margin_bitext_mine(
             F.col("__b").alias("nn_id"),
             F.col("__rc").cast("double").alias("cosine"),
             "margin",
-        ),
-        g,
+        )
     )
+    # Release the edge cache when the caller drops the result; g0's
+    # keep_alive pins knn_graph's tag-cache finalizer until then (it
+    # feeds g's materialization — the r14 lifetime rule).
+    return keep_alive(unpersist_on_gc(out, g), g0)
 
 
 # Cumulative Poisson(1) CDF quantized to 32-bit integer thresholds:

@@ -226,3 +226,35 @@ def test_unpersist_on_gc_releases_scoped_handle(spark):
         if r.id() not in before
     ]
     assert leaked == []
+
+
+def test_margin_bitext_edge_cache_scoped_and_released(spark):
+    """margin_bitext_mine (session 3): the scored edge list ``g`` is
+    referenced three times in the result plan (final join + per via
+    sa/sb) — it must be scoped_persist-ed (one private entry, so
+    repeated builds can't clobber each other) and released when the
+    caller drops the result. Values must match a from-scratch replay."""
+    from catenae_stopover_spark.operators.evaluation import (
+        margin_bitext_mine,
+    )
+
+    e = _embeddings(spark).withColumn(
+        "label", (F.col("vec_id") % 3).cast("int")
+    )
+    before = _cached_ids(spark)
+    out = margin_bitext_mine(e, label_col="label", k=3, tables=2)
+    got = sorted(map(tuple, out.collect()))
+    assert len(got) > 0
+    # the edge cache (and knn's tag cache) are registered while the
+    # result handle lives. Compare against the pre-call census by SET
+    # DIFFERENCE, not count: other tests' finalizer-scoped caches may
+    # release during this test's jobs/gc (the session-2 lesson).
+    mine = _cached_ids(spark) - before
+    assert len(mine) >= 1, "edge cache not registered"
+    del out
+    gc.collect()
+    leaked = _cached_ids(spark) & mine
+    assert not leaked, f"edge/tag cache leaked after result dropped: {leaked}"
+    # independent rebuild reproduces the same rows (cache-free parity)
+    out2 = margin_bitext_mine(e, label_col="label", k=3, tables=2)
+    assert sorted(map(tuple, out2.collect())) == got

@@ -869,6 +869,99 @@ def exp_q13(spark, reps):
     )
 
 
+# ----------------------------------------------------------------- q188
+def exp_q188(spark, reps):
+    """margin_bitext_mine multi-consumer duplication (session 3, found
+    via tools/audit_dup_subtrees_r14.py: 24 initial-plan embeddings
+    scans): the scored+ranked kNN edge list ``g`` feeds THREE plan
+    references (the final join's left side + ``per`` twice via sa/sb),
+    so the whole candidate-join + distinct + vector-attach + cosine +
+    top-k pipeline downstream of the tag cache re-executes per
+    consumer. Variant: scoped_persist(g) (O(N*k) rounded edges,
+    ~30 B/row) + unpersist_on_gc on the result."""
+    from pyspark.sql import Window
+    from catenae_stopover_spark.operators.evaluation import (
+        margin_bitext_mine,
+    )
+    from catenae_stopover_spark.operators.similarity import knn_graph
+    from catenae_stopover_spark.plans import keep_alive
+    from catenae_stopover_spark.plans.partitioning import (
+        scoped_persist,
+        unpersist_on_gc,
+    )
+    from catenae_stopover_spark.queries import _t
+
+    def baseline():
+        return margin_bitext_mine(
+            _t(spark, SF_DIR, "embeddings"),
+            label_col="label",
+            k=4,
+            threshold=1.0,
+        )
+
+    def variant():
+        # identical math; the edge list is persisted across consumers
+        df = _t(spark, SF_DIR, "embeddings")
+        id_col, threshold = "vec_id", 1.0
+        g0 = knn_graph(df, k=4, diff_col="label")
+        g = scoped_persist(
+            g0.select(
+                F.col(id_col).alias("__a"),
+                F.col("nn_id").alias("__b"),
+                F.round("cosine", 6).cast("decimal(16,6)").alias("__rc"),
+            )
+        )
+        per = g.groupBy("__a").agg(
+            F.sum("__rc").alias("__s"), F.count("*").alias("__k")
+        )
+        sa = per.select(
+            F.col("__a").alias("__ja"),
+            F.col("__s").alias("__sa"),
+            F.col("__k").alias("__ka"),
+        )
+        sb = per.select(
+            F.col("__a").alias("__jb"),
+            F.col("__s").alias("__sb"),
+            F.col("__k").alias("__kb"),
+        )
+        margin = F.round(
+            (
+                F.lit(2.0)
+                * F.col("__rc").cast("double")
+                * F.col("__ka")
+                * F.col("__kb")
+            )
+            / (
+                F.col("__sa").cast("double") * F.col("__kb")
+                + F.col("__sb").cast("double") * F.col("__ka")
+            ),
+            6,
+        ) + F.lit(0.0)
+        w = Window.partitionBy("__a").orderBy(
+            F.col("margin").desc(), F.col("__b").asc()
+        )
+        out = (
+            g.join(sa, F.col("__a") == F.col("__ja"))
+            .join(sb, F.col("__b") == F.col("__jb"))
+            .withColumn("margin", margin)
+            .filter(F.col("margin") >= threshold)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                F.col("__a").alias(id_col),
+                F.col("__b").alias("nn_id"),
+                F.col("__rc").cast("double").alias("cosine"),
+                "margin",
+            )
+        )
+        return keep_alive(unpersist_on_gc(out, g), g0)
+
+    parity("q188", baseline(), variant())
+    interleave(
+        spark, {"baseline": baseline, "persist_g": variant}, reps
+    )
+
+
 def main():
     from catenae_stopover_spark.session import get_spark
 
@@ -891,6 +984,7 @@ def main():
         "q68": exp_q68,
         "q13": exp_q13,
         "q150": exp_q150,
+        "q188": exp_q188,
     }[exp](spark, reps)
 
 

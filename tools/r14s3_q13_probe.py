@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Session-3 probe: does q13/q160's tag cache actually SUBSTITUTE into
+the main query's executed plan at HEAD?
+
+The committed plans/r14/q13_knn_graph_final.txt (captured at commit
+aaaf877, before scoped_persist landed) shows 0 InMemoryTableScan /
+TableCacheQueryStage nodes — i.e. the persisted (id, table, signature)
+table was registered (pytest pins that) but the candidate join re-ran
+the signature pass from parquet. This probe answers, at HEAD:
+
+1. Does the final executed plan of the q160 output contain cache scan
+   nodes, and how many parquet scans remain?
+2. Job-level wall decomposition: planning agg / histogram+cache build /
+   main query — where do q13's ~2.5 s go at sf0.1?
+
+Usage: python tools/r14s3_q13_probe.py
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+os.environ["CSSPARK_ORACLE_SF_DIR"] = SF_DIR
+
+
+def main() -> None:
+    from catenae_stopover_spark.plans import explain_str
+    from catenae_stopover_spark.queries import QUERIES
+    from catenae_stopover_spark.session import get_spark
+
+    spark = get_spark("q13-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm workers like bench.py
+    spark.range(64, numPartitions=32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
+    spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet")).count()
+
+    for rep in range(3):
+        t0 = time.perf_counter()
+        df = QUERIES["q160_knn_graph"][0](spark, SF_DIR)
+        t_build = time.perf_counter() - t0  # includes planning+histogram jobs
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        t_main = time.perf_counter() - t0
+        plan = explain_str(df)
+        n_cache = plan.count("InMemoryTableScan")
+        n_scan = plan.count("Scan parquet")
+        # count scans in the FINAL section only (explain prints final +
+        # initial; split at '+- == Initial Plan ==')
+        final_sec = plan.split("+- == Initial Plan ==")[0]
+        print(
+            f"rep{rep}: build(jobs: planning+hist)={t_build:.3f}s "
+            f"main={t_main:.3f}s total={t_build + t_main:.3f}s | "
+            f"whole-plan: cache_scans={n_cache} parquet_scans={n_scan} | "
+            f"final-section: cache={final_sec.count('InMemoryTableScan')} "
+            f"parquet={final_sec.count('Scan parquet')}"
+        )
+        if rep == 0:
+            out = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                "plans",
+                "r14",
+                "q13_knn_graph_head_probe.txt",
+            )
+            with open(out, "w") as fh:
+                fh.write(plan)
+            print(f"  plan written to {out}")
+
+
+if __name__ == "__main__":
+    main()
