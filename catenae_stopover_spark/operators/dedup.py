@@ -1921,7 +1921,15 @@ def incremental_embedding_dedup(
                 F.lit("batch").alias("matched"),
             )
         )
-        return cross.unionByName(bpair).unionByName(intra)
+        # keep_alive: rep_pairs carries the recursive call's signature-
+        # cache finalizer; cross/bpair derive from it, so dropping the
+        # local on return would release the cache before the caller's
+        # action runs (the r14 lifetime rule).
+        from ..plans.partitioning import keep_alive
+
+        return keep_alive(
+            cross.unionByName(bpair).unionByName(intra), rep_pairs
+        )
     if kernel == "auto":
         kernel = "numpy" if _estimated_bytes(corpus) > 2 * 1024 * 1024 else "sql"
     if kernel == "numpy":
@@ -1933,7 +1941,16 @@ def incremental_embedding_dedup(
             F.col(id_col), F.col(vec_col),
             portable_signature_expr(vec_col, planes).alias("__sig"),
         )
-    sb = sig(batch).persist()
+    # Scoped + finalizer-released (r14 session 3): the batch signature
+    # table feeds three plan references (the corpus probe join and both
+    # sides of the batch self-join), so it stays persisted — but the
+    # old bare ``.persist()`` was never released (one leaked session-
+    # lifetime entry per call) and was clobber-exposed across repeated
+    # builds (the 95ebae4 CacheManager-keying bug class). Same cache,
+    # private entry, freed when the caller drops the result.
+    from ..plans.partitioning import scoped_persist, unpersist_on_gc
+
+    sb = scoped_persist(sig(batch))
     sc = sig(corpus)
     bc = (
         sb.alias("a")
@@ -1962,12 +1979,13 @@ def incremental_embedding_dedup(
         )
     )
     cos = cosine_similarity(F.col("__va"), F.col("__vb"))
-    return (
+    out = (
         bc.unionByName(bb)
         .withColumn("cosine", F.round(cos, 6))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine", "matched")
     )
+    return unpersist_on_gc(out, sb)
 
 
 def dedup_representatives_best(

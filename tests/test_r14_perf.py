@@ -258,3 +258,32 @@ def test_margin_bitext_edge_cache_scoped_and_released(spark):
     # independent rebuild reproduces the same rows (cache-free parity)
     out2 = margin_bitext_mine(e, label_col="label", k=3, tables=2)
     assert sorted(map(tuple, out2.collect())) == got
+
+
+def test_incremental_embedding_dedup_releases_signature_cache(spark):
+    """incremental_embedding_dedup (session 3): the batch signature
+    table's persist used to be a bare never-released ``.persist()`` —
+    one leaked session-lifetime entry per call. It is now scoped and
+    freed when the caller drops the result (collapse path included:
+    the recursive handle rides keep_alive so the cache survives until
+    the action)."""
+    from catenae_stopover_spark.operators.dedup import (
+        incremental_embedding_dedup,
+    )
+
+    e = _embeddings(spark)
+    batch = e.filter(F.col("vec_id") % 4 == 1)
+    corpus = e.filter(F.col("vec_id") % 4 != 1)
+    before = _cached_ids(spark)
+    for collapse in (False, True):
+        out = incremental_embedding_dedup(
+            batch, corpus, threshold=0.5, collapse_exact=collapse
+        )
+        rows = out.collect()
+        assert isinstance(rows, list)
+        mine = _cached_ids(spark) - before
+        assert len(mine) >= 1, "signature cache not registered"
+        del out
+        gc.collect()
+        leaked = _cached_ids(spark) & mine
+        assert not leaked, f"signature cache leaked (collapse={collapse}): {leaked}"

@@ -962,6 +962,130 @@ def exp_q188(spark, reps):
     )
 
 
+# ----------------------------------------------------------------- q148
+def exp_q148(spark, reps):
+    """incremental_embedding_dedup collapse path (session 3, dup-subtree
+    audit: 40 initial-plan embeddings scans): ``rep_pairs`` — the whole
+    representative-level mining pipeline (signatures + band joins +
+    cosine refine) — feeds TWO consumers (the 'corpus' and 'batch'
+    match filters), and the batch members table feeds four (ma, mb_b,
+    intra x2). Arms: baseline / scoped_persist(rep_pairs) /
+    + scoped_persist(members)."""
+    from catenae_stopover_spark.operators.dedup import (
+        incremental_embedding_dedup,
+    )
+    from catenae_stopover_spark.plans.partitioning import (
+        scoped_persist,
+        unpersist_on_gc,
+    )
+    from catenae_stopover_spark.queries import _query_vec, _t
+    from catenae_stopover_spark.operators.similarity import (
+        portable_hyperplanes,
+    )
+
+    def inputs():
+        e = _t(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+        seed = e.filter(F.col("vec_id") % 10 == 7)
+        batch = seed.unionByName(
+            e.filter(F.col("vec_id") % 20 == 7).select(
+                (F.col("vec_id") + 90000).alias("vec_id"), "embedding"
+            )
+        )
+        corpus = e.filter(F.col("vec_id") % 10 != 7).unionByName(
+            e.filter(F.col("vec_id") % 30 == 7).select(
+                (F.col("vec_id") + 70000).alias("vec_id"), "embedding"
+            )
+        )
+        planes = portable_hyperplanes(4, len(_query_vec(SF_DIR)))
+        return batch, corpus, planes
+
+    def baseline():
+        batch, corpus, planes = inputs()
+        return incremental_embedding_dedup(
+            batch, corpus, threshold=0.9, planes=planes, collapse_exact=True
+        )
+
+    def variant(persist_members):
+        batch, corpus, planes = inputs()
+        vec_col, id_col = "embedding", "vec_id"
+
+        def collapse(df):
+            reps_tbl = df.groupBy(vec_col).agg(F.min(id_col).alias("__rep"))
+            members = df.join(reps_tbl, vec_col).select(
+                F.col("__rep"), F.col(id_col).alias("__m")
+            )
+            reps = df.join(
+                reps_tbl.select(F.col("__rep").alias(id_col)), id_col
+            ).select(id_col, vec_col)
+            return reps, members
+
+        rb, mb = collapse(batch)
+        rc, mc = collapse(corpus)
+        cached = []
+        if persist_members:
+            mb = scoped_persist(mb)
+            cached.append(mb)
+        rep_pairs = scoped_persist(
+            incremental_embedding_dedup(
+                rb, rc, 0.9, planes, vec_col, id_col, "auto",
+                collapse_exact=False,
+            )
+        )
+        cached.append(rep_pairs)
+        ma = mb.select(F.col("__rep").alias("id_a"), F.col("__m").alias("__ma"))
+        mb_b = mb.select(F.col("__rep").alias("id_b"), F.col("__m").alias("__mb"))
+        mc_b = mc.select(F.col("__rep").alias("id_b"), F.col("__m").alias("__mb"))
+        cross = (
+            rep_pairs.filter(F.col("matched") == "corpus")
+            .join(ma, "id_a")
+            .join(mc_b, "id_b")
+            .select(
+                F.col("__ma").alias("id_a"),
+                F.col("__mb").alias("id_b"),
+                "cosine",
+                "matched",
+            )
+        )
+        bpair = (
+            rep_pairs.filter(F.col("matched") == "batch")
+            .join(ma, "id_a")
+            .join(mb_b, "id_b")
+            .select(
+                F.least("__ma", "__mb").alias("id_a"),
+                F.greatest("__ma", "__mb").alias("id_b"),
+                "cosine",
+                "matched",
+            )
+        )
+        intra = (
+            mb.alias("x")
+            .join(
+                mb.alias("y"),
+                (F.col("x.__rep") == F.col("y.__rep"))
+                & (F.col("x.__m") < F.col("y.__m")),
+            )
+            .select(
+                F.col("x.__m").alias("id_a"),
+                F.col("y.__m").alias("id_b"),
+                F.lit(1.0).alias("cosine"),
+                F.lit("batch").alias("matched"),
+            )
+        )
+        out = cross.unionByName(bpair).unionByName(intra)
+        return unpersist_on_gc(out, *cached)
+
+    parity("q148", baseline(), variant(False))
+    interleave(
+        spark,
+        {
+            "baseline": baseline,
+            "persist_pairs": lambda: variant(False),
+            "persist_pairs_members": lambda: variant(True),
+        },
+        reps,
+    )
+
+
 def main():
     from catenae_stopover_spark.session import get_spark
 
@@ -985,6 +1109,7 @@ def main():
         "q13": exp_q13,
         "q150": exp_q150,
         "q188": exp_q188,
+        "q148": exp_q148,
     }[exp](spark, reps)
 
 
