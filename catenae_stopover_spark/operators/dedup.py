@@ -29,7 +29,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..plans.partitioning import ensure_min_parallelism
+from ..plans.partitioning import (
+    ensure_min_parallelism,
+    scoped_persist,
+    unpersist_on_gc,
+)
 
 
 def exact_dedup(
@@ -510,13 +514,33 @@ def simhash_near_dups(
             for i in range(blocks)
         ]
     )
-    blocked = sim.select(
-        id_col,
-        "simhash",
-        F.posexplode(block_vals).alias("block_idx", "block_val"),
+    # Persist the (id, simhash, block) table (r14 session 3): it feeds
+    # BOTH sides of the candidate self-join, and the whole signature
+    # pipeline (explode + per-word sha2/xxhash + the 64 conditional-sum
+    # votes) otherwise executes once per side — AQE stage reuse did not
+    # dedupe the two subtrees (plans/r14/q38 census). The table is
+    # blocks x N rows of ~28 bytes, tiny next to the text it digests.
+    blocked = scoped_persist(
+        sim.select(
+            id_col,
+            "simhash",
+            F.posexplode(block_vals).alias("block_idx", "block_val"),
+        )
     )
     a, b = blocked.alias("a"), blocked.alias("b")
-    cand = (
+    # Hamming is a pure function of the pair's two signatures, so the
+    # threshold filter commutes with the pair dedup — apply it IN the
+    # join projection, before the dropDuplicates exchange (r14 session
+    # 3, guide "shuffle fewer bytes"): natural-language simhash blocks
+    # are heavily skewed (hot blocks held 2755 of 5000 sf0.1 docs), so
+    # the pigeonhole join emits ~21.8M raw candidates there — the old
+    # shape shuffled ALL of them (with both signatures) through the
+    # dedup; this one shuffles only the pairs that pass the radius.
+    # Value-exact: each surviving (id_a, id_b) keeps the identical
+    # hamming it always had. Interleaved A/B at sf0.1: 22.0 s ->
+    # 9.9 s (filter-first) -> 3.5 s (with the blocked persist),
+    # identical 1,827,170 rows (exp_q38).
+    out = (
         a.join(
             b,
             (F.col("a.block_idx") == F.col("b.block_idx"))
@@ -526,16 +550,12 @@ def simhash_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
+        .filter(F.col("hamming") <= hamming_max)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
-        "id_a",
-        "id_b",
-        F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"),
-    ).filter(F.col("hamming") <= hamming_max)
+    return unpersist_on_gc(out, blocked)
 
 
 def ngram_jaccard_near_dups(

@@ -287,3 +287,35 @@ def test_incremental_embedding_dedup_releases_signature_cache(spark):
         gc.collect()
         leaked = _cached_ids(spark) & mine
         assert not leaked, f"signature cache leaked (collapse={collapse}): {leaked}"
+
+
+def test_simhash_filters_before_dedup_and_releases_cache(spark):
+    """simhash_near_dups (session 3): the Hamming-radius filter must
+    sit BELOW the pair-dedup exchange (natural-language simhash blocks
+    are skewed, so the raw candidate volume dwarfs the survivors), and
+    the persisted (id, simhash, block) table must be released when the
+    caller drops the result."""
+    from catenae_stopover_spark.operators.dedup import simhash_near_dups
+    from catenae_stopover_spark.plans import explain_str
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta w{i % 7} z{i % 3}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    before = _cached_ids(spark)
+    out = simhash_near_dups(docs, "text", "doc_id", hamming_max=3)
+    plan = explain_str(out, "simple")
+    # the radius filter references the XOR popcount and must appear
+    # below the dedup aggregate's exchange, i.e. inside the join-side
+    # computation, not above it
+    assert "bit_count" in plan
+    join_part = plan.split("Exchange hashpartitioning(id_a", 1)[-1]
+    assert "bit_count" in join_part, "hamming filter shuffled the raw pairs"
+    rows = out.collect()
+    assert all(r["hamming"] <= 3 for r in rows)
+    mine = _cached_ids(spark) - before
+    assert len(mine) >= 1, "blocked table not persisted"
+    del out
+    gc.collect()
+    leaked = _cached_ids(spark) & mine
+    assert not leaked, f"blocked cache leaked: {leaked}"

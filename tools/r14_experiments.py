@@ -1086,6 +1086,125 @@ def exp_q148(spark, reps):
     )
 
 
+# ------------------------------------------------------------------ q38
+def exp_q38(spark, reps):
+    """simhash_near_dups (session 3, sf0.1 census: 28 s for 5000 docs).
+    Measured decomposition: signatures ~3 s, block join + dedup ~20 s —
+    natural-language simhash blocks are SKEWED (hot blocks hold 2500+
+    of 5000 docs), so the pigeonhole join yields 21.8M raw candidate
+    pairs, ALL shuffled through dropDuplicates before the Hamming
+    filter. Arms: baseline / filter-before-dedup (hamming is a pure
+    function of the pair — value-exact) / + scoped_persist(blocked)
+    (the signature pipeline otherwise executes once per join side)."""
+    from catenae_stopover_spark.operators.dedup import simhash_near_dups
+    from catenae_stopover_spark.plans.partitioning import (
+        ensure_min_parallelism,
+        scoped_persist,
+        unpersist_on_gc,
+    )
+    from catenae_stopover_spark.queries import _t
+
+    def baseline():
+        return simhash_near_dups(
+            _t(spark, SF_DIR, "documents"), "text", "doc_id",
+            hamming_max=8, portable_hash=True,
+        ).select("id_a", "id_b", F.col("hamming").cast("long"))
+
+    def variant(persist_blocked):
+        df = _t(spark, SF_DIR, "documents")
+        id_col, hamming_max, num_bits, blocks = "doc_id", 8, 64, 9
+        words = F.array_distinct(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        )
+        exploded = ensure_min_parallelism(df).select(
+            F.col(id_col), F.explode(words).alias("w")
+        )
+        hexd = F.sha2(F.encode(F.col("w"), "UTF-8"), 256)
+        word_hashes = exploded.select(
+            id_col,
+            F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long").alias("hh"),
+            F.conv(F.substring(hexd, 9, 8), 16, 10).cast("long").alias("hl"),
+        )
+        votes = word_hashes.groupBy(id_col).agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(
+                            F.col("hl" if i < 32 else "hh"), i % 32
+                        ).bitwiseAND(F.lit(1))
+                        == 1,
+                        1,
+                    ).otherwise(-1)
+                ).alias(f"v{i}")
+                for i in range(num_bits)
+            ]
+        )
+        bit_terms = [
+            F.when(
+                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(num_bits)
+        ]
+        acc = bit_terms[0]
+        for t in bit_terms[1:]:
+            acc = acc.bitwiseOR(t)
+        sim = votes.select(id_col, acc.alias("simhash"))
+        base, rem = divmod(num_bits, blocks)
+        widths = [base + (1 if i < rem else 0) for i in range(blocks)]
+        offsets, off = [], 0
+        for w in widths:
+            offsets.append(off)
+            off += w
+        block_vals = F.array(
+            *[
+                F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+                    F.lit((1 << widths[i]) - 1)
+                )
+                for i in range(blocks)
+            ]
+        )
+        blocked = sim.select(
+            id_col,
+            "simhash",
+            F.posexplode(block_vals).alias("block_idx", "block_val"),
+        )
+        cached = []
+        if persist_blocked:
+            blocked = scoped_persist(blocked)
+            cached.append(blocked)
+        a, b = blocked.alias("a"), blocked.alias("b")
+        out = (
+            a.join(
+                b,
+                (F.col("a.block_idx") == F.col("b.block_idx"))
+                & (F.col("a.block_val") == F.col("b.block_val"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.expr(
+                    "bit_count(a.simhash ^ b.simhash)"
+                ).alias("hamming"),
+            )
+            .filter(F.col("hamming") <= hamming_max)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        out = out.select("id_a", "id_b", F.col("hamming").cast("long"))
+        return unpersist_on_gc(out, *cached) if cached else out
+
+    parity("q38", baseline(), variant(False))
+    interleave(
+        spark,
+        {
+            "baseline": baseline,
+            "filter_first": lambda: variant(False),
+            "filter_first_persist": lambda: variant(True),
+        },
+        reps,
+    )
+
+
 def main():
     from catenae_stopover_spark.session import get_spark
 
@@ -1110,6 +1229,7 @@ def main():
         "q150": exp_q150,
         "q188": exp_q188,
         "q148": exp_q148,
+        "q38": exp_q38,
     }[exp](spark, reps)
 
 
