@@ -1,0 +1,33 @@
+"""SQL-expression helpers shared by the operator modules.
+
+``bind1`` exists for one measured reason (r14 session 3): a SQL
+expression textually inlined inside a higher-order-function lambda is
+RE-EVALUATED per lambda invocation — Catalyst does not hoist common
+subexpressions out of HOF lambda bodies. The n-gram builders inlined
+``split(lower(trim(text)), '\\s+')`` inside their per-position
+``slice`` lambdas, so every gram position re-tokenized the whole
+document: O(positions x length) work per row instead of O(length).
+Measured on the sf0.1 documents table (5000 docs, ~146 tokens each):
+the 2/3/4-gram explode+count stage fell from 26.0 s to 2.4 s when the
+split was evaluated once per row — the single largest per-row cliff
+found in the optimization rounds.
+
+The binding idiom is pure SQL, so helpers that must stay drop-in
+Column builders (no access to a DataFrame to add a projection) can
+use it: ``transform(array(<binding>), v -> <body using v>)[0]``
+evaluates ``<binding>`` exactly once and exposes it to ``<body>`` as
+the lambda variable ``v``. NULL semantics are unchanged: a NULL
+binding becomes the single element of the wrapping array, the lambda
+sees NULL exactly as the inlined form would, and ``[0]`` unwraps the
+result.
+"""
+
+from __future__ import annotations
+
+
+def bind1(binding: str, var: str, body: str) -> str:
+    """SQL that evaluates ``binding`` ONCE and makes it available to
+    ``body`` as the lambda variable ``var``. ``var`` should be chosen
+    not to collide with the expression's column names (lambda
+    variables shadow columns inside the body)."""
+    return f"transform(array({binding}), {var} -> {body})[0]"

@@ -62,14 +62,23 @@ def _shingles(text_col: str, n: int = 5):
     whitespace-tokenized). Pure Catalyst: split + transform + slice.
     The filter guard keeps `sequence` ascending (Spark's sequence
     auto-reverses when start > stop, which would corrupt short docs)."""
+    from ..functions.exprs import bind1
+
     w = f"split(lower(trim({text_col})), '\\\\s+')"
+    # token split bound ONCE per row (r14 session 3, exprs.bind1):
+    # inlined inside the slice lambda it re-tokenized the document per
+    # shingle position — the minhash/jaccard shingle stage's cliff.
     return F.expr(
-        f"""
+        bind1(
+            w,
+            "__sht",
+            f"""
         transform(
-            filter(sequence(1, greatest(size({w}), 1)), i -> i <= size({w}) - {n} + 1),
-            i -> array_join(slice({w}, i, {n}), ' ')
+            filter(sequence(1, greatest(size(__sht), 1)), i -> i <= size(__sht) - {n} + 1),
+            i -> array_join(slice(__sht, i, {n}), ' ')
         )
-        """
+        """,
+        )
     )
 
 
@@ -1431,11 +1440,19 @@ def dedup_segments(
             f"filter(split({text_col}, '\\\\n{{2,}}'), s -> length(trim(s)) > 0)"
         )
     elif mode == "words":
+        from ..functions.exprs import bind1
+
         words = f"split({text_col}, '{sep}')"
+        # token split bound ONCE per row (r14 session 3, exprs.bind1):
+        # inlined it re-tokenized the document per segment window.
         segs = F.expr(
-            f"transform(sequence(0, cast(ceil(size({words}) / {window_words}.0) "
-            f"as int) - 1), i -> array_join(slice({words}, "
-            f"i * {window_words} + 1, {window_words}), '{sep}'))"
+            bind1(
+                words,
+                "__dgt",
+                f"transform(sequence(0, cast(ceil(size(__dgt) / {window_words}.0) "
+                f"as int) - 1), i -> array_join(slice(__dgt, "
+                f"i * {window_words} + 1, {window_words}), '{sep}'))",
+            )
         )
     else:
         raise ValueError(f"unknown segment mode: {mode}")

@@ -102,21 +102,31 @@ def doc_fingerprint(text_col: str = "text", window: int = 8) -> Column:
     recompute them — and it makes the whole operator oracle-checkable
     (DuckDB recomputes identical values; q39/q43). Still pure Catalyst
     codegen, one map stage, no shuffle."""
+    from ..functions.exprs import bind1
+
     w = f"split(lower(trim({text_col})), '\\\\s+')"
 
     def _h60(s: str) -> str:
         return f"cast(conv(substr(sha2(encode({s}, 'utf-8'), 256), 1, 15), 16, 10) as bigint)"
 
+    # token split bound ONCE per row (r14 session 3, exprs.bind1):
+    # inlined it re-tokenized the document per shingle position on top
+    # of the per-shingle sha2 that is the real work.
+    shingle_hashes = bind1(
+        w,
+        "__fpt",
+        f"""
+                transform(
+                    filter(sequence(1, greatest(size(__fpt), 1)),
+                           i -> i <= size(__fpt) - {window} + 1),
+                    i -> {_h60(f"array_join(slice(__fpt, i, {window}), ' ')")}
+                )
+        """,
+    )
     return F.expr(
         f"""
         coalesce(
-            array_min(
-                transform(
-                    filter(sequence(1, greatest(size({w}), 1)),
-                           i -> i <= size({w}) - {window} + 1),
-                    i -> {_h60(f"array_join(slice({w}, i, {window}), ' ')")}
-                )
-            ),
+            array_min({shingle_hashes}),
             {_h60(f'lower(trim({text_col}))')}
         )
         """
@@ -157,32 +167,52 @@ def char_entropy(text_col: str = "text") -> Column:
     text), then one aggregate — at 100 TB this stays a free map stage,
     where the explode + groupBy formulation would shuffle one row per
     CHARACTER of the corpus."""
-    chars = f"split({text_col}, '')"
+    from ..functions.exprs import bind1
+
+    # the char split is bound ONCE per row (r14 session 3,
+    # exprs.bind1): inlined inside the per-distinct-char filter lambda
+    # it re-split the document once per alphabet symbol.
     probs = (
-        f"transform(array_distinct({chars}), "
-        f"ch -> size(filter({chars}, x -> x = ch)) "
-        f"/ cast(size({chars}) as double))"
+        "transform(array_distinct(__cec), "
+        "ch -> size(filter(__cec, x -> x = ch)) "
+        "/ cast(size(__cec) as double))"
+    )
+    entropy = bind1(
+        f"split({text_col}, '')",
+        "__cec",
+        f"-aggregate(transform({probs}, p -> p * log2(p)), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)",
     )
     return F.expr(
         # empty text: split('','') is [''] in Spark (one empty element),
         # which would read as a 1-symbol alphabet; define H('') = 0
         f"CASE WHEN length({text_col}) = 0 THEN cast(0.0 as double) "
-        f"ELSE -aggregate(transform({probs}, p -> p * log2(p)), "
-        f"cast(0.0 as double), (acc, x) -> acc + x) END"
+        f"ELSE {entropy} END"
     )
 
 
 def _ngrams(text_col: str, n: int) -> Column:
     """Word n-grams (with repeats — repetition measurement needs the
-    multiset, unlike dedup shingling which distincts them)."""
+    multiset, unlike dedup shingling which distincts them).
+
+    The token split is bound ONCE per row via `exprs.bind1` (r14
+    session 3): inlining it inside the per-position slice lambda
+    re-tokenized the document per gram position — measured 26.0 s ->
+    2.4 s on the sf0.1 2/3/4-gram explode stage, identical grams."""
+    from ..functions.exprs import bind1
+
     w = f"split(lower(trim({text_col})), '\\\\s+')"
     return F.expr(
-        f"""
+        bind1(
+            w,
+            "__ngt",
+            f"""
         transform(
-            filter(sequence(1, greatest(size({w}), 1)), i -> i <= size({w}) - {n} + 1),
-            i -> array_join(slice({w}, i, {n}), ' ')
+            filter(sequence(1, greatest(size(__ngt), 1)), i -> i <= size(__ngt) - {n} + 1),
+            i -> array_join(slice(__ngt, i, {n}), ' ')
         )
-        """
+        """,
+        )
     )
 
 
@@ -451,14 +481,21 @@ def _doc_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:
     """(id, shingle) pairs: distinct n-token shingles per document."""
+    from ..functions.exprs import bind1
+
     words = f"split(lower(trim({text_col})), '\\\\s+')"
+    # token split bound ONCE per row (r14 session 3, exprs.bind1)
     g = F.expr(
-        f"""
+        bind1(
+            words,
+            "__dst",
+            f"""
         array_distinct(transform(
-          filter(sequence(1, greatest(size({words}), 1)),
-                 i -> i <= size({words}) - {n} + 1),
-          i -> array_join(slice({words}, i, {n}), ' ')))
-        """
+          filter(sequence(1, greatest(size(__dst), 1)),
+                 i -> i <= size(__dst) - {n} + 1),
+          i -> array_join(slice(__dst, i, {n}), ' ')))
+        """,
+        )
     )
     return df.select(F.col(id_col), F.explode(g).alias("shingle"))
 
@@ -703,13 +740,21 @@ def chunk_documents(
     if overlap >= max_tokens:
         raise ValueError("overlap must be < max_tokens")
     stride = max_tokens - overlap
+    from ..functions.exprs import bind1
+
     w = f"split(trim({text_col}), '\\\\s+')"
-    n_chunks = f"greatest(cast(ceil((size({w}) - {overlap}) / {stride}.0) as int), 1)"
+    # token split bound ONCE per row (r14 session 3, exprs.bind1):
+    # inlined it re-tokenized the document per chunk.
+    n_chunks = f"greatest(cast(ceil((size(__cht) - {overlap}) / {stride}.0) as int), 1)"
     chunks = F.expr(
-        f"""
+        bind1(
+            w,
+            "__cht",
+            f"""
         transform(sequence(0, {n_chunks} - 1),
-                  i -> slice({w}, i * {stride} + 1, {max_tokens}))
-        """
+                  i -> slice(__cht, i * {stride} + 1, {max_tokens}))
+        """,
+        )
     )
     return (
         df.select(
@@ -1222,11 +1267,19 @@ def remove_boilerplate_segments(
     # q9 bench cost — 95 s of a 10 s pipeline — was this one line
     # missing; the q7 lesson yet again)
     df = ensure_min_parallelism(df)
+    from ..functions.exprs import bind1
+
     words = f"split({text_col}, '{sep}')"
+    # token split bound ONCE per row (r14 session 3, exprs.bind1):
+    # inlined it re-tokenized the document per segment window.
     segs = F.expr(
-        f"transform(sequence(0, cast(ceil(size({words}) / {window_words}.0) "
-        f"as int) - 1), i -> array_join(slice({words}, "
-        f"i * {window_words} + 1, {window_words}), '{sep}'))"
+        bind1(
+            words,
+            "__bst",
+            f"transform(sequence(0, cast(ceil(size(__bst) / {window_words}.0) "
+            f"as int) - 1), i -> array_join(slice(__bst, "
+            f"i * {window_words} + 1, {window_words}), '{sep}'))",
+        )
     )
     exploded = df.select(
         F.col(id_col), F.posexplode(segs).alias("__i", "__seg")

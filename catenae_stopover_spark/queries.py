@@ -2535,7 +2535,15 @@ def q38_simhash_pairs(spark, sf_dir):
         hamming_max=8,
         portable_hash=True,
     )
-    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+    # keep_alive: out carries the blocked-table cache finalizer (r14);
+    # deriving and dropping it would release the cache before the
+    # action runs (measured: 7.7 s recompute vs 2.8 s cached at sf0.1).
+    return keep_alive(
+        out.select(
+            "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+        ),
+        out,
+    )
 
 
 def _build_q38_sql(hamming_max: int = 8, num_bits: int = 64):

@@ -319,3 +319,57 @@ def test_simhash_filters_before_dedup_and_releases_cache(spark):
     gc.collect()
     leaked = _cached_ids(spark) & mine
     assert not leaked, f"blocked cache leaked: {leaked}"
+
+
+def test_bind1_helpers_edge_case_values(spark):
+    """The r14 session-3 bind1 rewrite (evaluate the token/char split
+    ONCE per row instead of per lambda invocation) must be value-exact
+    on the edge rows where HOF NULL semantics could diverge: NULL
+    text, empty text, whitespace-only, fewer tokens than n, exactly n
+    tokens."""
+    from catenae_stopover_spark.operators.dedup import _shingles
+    from catenae_stopover_spark.operators.text import (
+        _ngrams,
+        char_entropy,
+        doc_fingerprint,
+    )
+
+    rows = [
+        (0, None),
+        (1, ""),
+        (2, "   "),
+        (3, "one"),
+        (4, "one two"),
+        (5, "one two three"),
+        (6, "a a a a"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = df.select(
+        "doc_id",
+        _ngrams("text", 3).alias("ng"),
+        _shingles("text", 3).alias("sh"),
+        F.round(char_entropy("text"), 6).alias("ent"),
+        doc_fingerprint("text", window=3).alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in got}
+    # NULL text: empty gram arrays (the pre-rewrite behavior), NULL
+    # entropy/fingerprint (expressions over NULL input)
+    assert by_id[0]["ng"] == [] and by_id[0]["sh"] == []
+    assert by_id[0]["ent"] is None and by_id[0]["fp"] is None
+    # empty / whitespace-only: no 3-grams; entropy defined 0 for ''
+    assert by_id[1]["ng"] == [] and by_id[2]["ng"] == []
+    assert by_id[1]["ent"] == 0.0
+    # under n tokens: no grams, fingerprint falls back to whole text
+    assert by_id[4]["ng"] == [] and by_id[4]["fp"] is not None
+    # exactly n tokens: one gram
+    assert by_id[5]["ng"] == ["one two three"]
+    assert by_id[5]["sh"] == ["one two three"]
+    # repeats: both helpers keep the multiset (call sites distinct)
+    assert by_id[6]["ng"] == ["a a a", "a a a"]
+    assert by_id[6]["sh"] == ["a a a", "a a a"]
+    # entropy of 'a a a a' (two symbols: a=4/7, space=3/7)
+    import math
+
+    p1, p2 = 4 / 7, 3 / 7
+    exp = round(-(p1 * math.log2(p1) + p2 * math.log2(p2)), 6)
+    assert abs(by_id[6]["ent"] - exp) < 1e-6
