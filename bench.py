@@ -357,10 +357,50 @@ def main() -> None:
     # PRIOR state: >~1 GB/s means the files were already cached,
     # disk-speed means this run would otherwise have billed cold reads
     # to the first query that touched each table.
-    cache_state = tag_load_state(
-        _warm_page_cache(SF_DIR),
-        os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json"),
-    )
+    prior_detail = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
+    cache_state = tag_load_state(_warm_page_cache(SF_DIR), prior_detail)
+
+    # Wait for a probe-clean window (r14 verdict ask #2): BOTH r14
+    # driver bench runs self-tagged loaded_box (probe 13.5%/26.6% of
+    # idle — Firecracker host CPU-steal) and invalidated the round's
+    # ground truth. The builder's manual probe-every-4-min-then-bench
+    # discipline now lives here: when the probe reads below
+    # $SPARK_GRAFT_BENCH_MIN_PROBE (default 0.85) of the recorded idle
+    # reference, sleep $SPARK_GRAFT_BENCH_REPROBE_SEC (default 120 s)
+    # and reprobe, up to $SPARK_GRAFT_BENCH_MAX_WAIT_SEC (default
+    # 1200 s) of total waiting; bench on the best window seen, and keep
+    # the loaded/degraded tag in-band if the box never calmed down.
+    # Outside the timed region by construction (nothing has been timed
+    # yet); the driver contract (env vars, one JSON line) is unchanged.
+    min_probe = float(os.environ.get("SPARK_GRAFT_BENCH_MIN_PROBE", "0.85"))
+    reprobe_sec = float(os.environ.get("SPARK_GRAFT_BENCH_REPROBE_SEC", "120"))
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_SEC", "1200"))
+    waited = 0.0
+    while (
+        (cache_state.get("probe_ratio") or 1.0) < min_probe
+        and waited < max_wait
+    ):
+        print(
+            f"# loaded window: probe_ratio "
+            f"{cache_state.get('probe_ratio')} < {min_probe}; waited "
+            f"{waited:.0f}s of {max_wait:.0f}s max, reprobe in "
+            f"{reprobe_sec:.0f}s",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(reprobe_sec)
+        waited += reprobe_sec
+        # always adopt the LATEST probe: it describes the window the
+        # bench is about to run in (an older, better probe does not)
+        cache_state = tag_load_state(_warm_page_cache(SF_DIR), prior_detail)
+    if waited:
+        cache_state["probe_wait_sec"] = round(waited, 1)
+        print(
+            f"# proceeding at probe_ratio "
+            f"{cache_state.get('probe_ratio')} after {waited:.0f}s wait",
+            file=sys.stderr,
+            flush=True,
+        )
 
     # Offline index build (cached across runs) — q7b times the SERVING
     # path; building an index before benchmarking reads is the same

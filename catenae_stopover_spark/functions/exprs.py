@@ -30,4 +30,8 @@ def bind1(binding: str, var: str, body: str) -> str:
     ``body`` as the lambda variable ``var``. ``var`` should be chosen
     not to collide with the expression's column names (lambda
     variables shadow columns inside the body)."""
+    # lambda variables SHADOW real columns inside the body; a dunder
+    # prefix makes an accidental collision with a user column name a
+    # build-time failure instead of a silent mis-binding (r14 advice)
+    assert var.startswith("__"), f"bind1 var {var!r} must start with '__'"
     return f"transform(array({binding}), {var} -> {body})[0]"

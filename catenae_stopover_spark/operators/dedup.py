@@ -424,6 +424,8 @@ def simhash_near_dups(
     num_bits: int = 64,
     blocks: int | None = None,
     portable_hash: bool = False,
+    hot_block_docs: int = 2048,
+    salt_target: int = 1024,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit simhash over word hashes, then
     block-permuted candidate generation (pigeonhole: pairs within
@@ -536,24 +538,67 @@ def simhash_near_dups(
             F.posexplode(block_vals).alias("block_idx", "block_val"),
         )
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
+    # Hot-block sub-splitting (r15, guide §2.5 skew): natural-language
+    # simhash blocks are HEAVILY skewed — at sf0.1 the hot
+    # (block_idx, block_val) buckets held 2755/2594/2478 of 5000 docs,
+    # so one join task constructed ~O(hot^2) candidate pairs while the
+    # rest of the cluster idled; at 100 TB a hot block is a straggler
+    # AQE cannot split (skew-join splitting works per PARTITION, never
+    # inside a single key). Fix: sub-split buckets above
+    # ``hot_block_docs`` into ``nsub = ceil(count / salt_target)``
+    # deterministic sub-buckets (pmod(xxhash64(id), nsub) — guide
+    # §2.5's warning about rand()-derived keys) and join on the
+    # triangle scheme: each side exploded nsub ways with a partner-salt
+    # column, key = (block, own_salt == partner_salt'), so every
+    # co-bucket pair is generated EXACTLY once (a's copy with
+    # partner = salt(b) meets b's copy with partner = salt(a)) and the
+    # hot bucket's pair construction spreads over nsub^2 join keys.
+    # Cold buckets get nsub = 1 (salt columns constant 0) — same pairs
+    # as the unsalted join. Value-exact by construction: the candidate
+    # multiset per block is unchanged, and the Hamming filter +
+    # dropDuplicates below are untouched.
+    hot = (
+        blocked.groupBy("block_idx", "block_val")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > hot_block_docs)
+        .select(
+            "block_idx",
+            "block_val",
+            F.ceil(F.col("__cnt") / F.lit(salt_target))
+            .cast("int")
+            .alias("__nsub"),
+        )
+    )
+    salted = (
+        blocked.join(F.broadcast(hot), ["block_idx", "block_val"], "left")
+        .withColumn("__nsub", F.coalesce(F.col("__nsub"), F.lit(1)))
+        .withColumn(
+            "__g",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("__nsub")).cast("int"),
+        )
+        .withColumn(
+            "__j", F.explode(F.sequence(F.lit(0), F.col("__nsub") - 1))
+        )
+    )
+    a, b = salted.alias("a"), salted.alias("b")
     # Hamming is a pure function of the pair's two signatures, so the
     # threshold filter commutes with the pair dedup — apply it IN the
     # join projection, before the dropDuplicates exchange (r14 session
-    # 3, guide "shuffle fewer bytes"): natural-language simhash blocks
-    # are heavily skewed (hot blocks held 2755 of 5000 sf0.1 docs), so
-    # the pigeonhole join emits ~21.8M raw candidates there — the old
-    # shape shuffled ALL of them (with both signatures) through the
-    # dedup; this one shuffles only the pairs that pass the radius.
-    # Value-exact: each surviving (id_a, id_b) keeps the identical
-    # hamming it always had. Interleaved A/B at sf0.1: 22.0 s ->
-    # 9.9 s (filter-first) -> 3.5 s (with the blocked persist),
-    # identical 1,827,170 rows (exp_q38).
+    # 3, guide "shuffle fewer bytes"): the pigeonhole join emits ~21.8M
+    # raw candidates at sf0.1 — the old shape shuffled ALL of them
+    # (with both signatures) through the dedup; this one shuffles only
+    # the pairs that pass the radius. Value-exact: each surviving
+    # (id_a, id_b) keeps the identical hamming it always had.
+    # Interleaved A/B at sf0.1: 22.0 s -> 9.9 s (filter-first) ->
+    # 3.5 s (with the blocked persist), identical 1,827,170 rows
+    # (exp_q38).
     out = (
         a.join(
             b,
             (F.col("a.block_idx") == F.col("b.block_idx"))
             & (F.col("a.block_val") == F.col("b.block_val"))
+            & (F.col("a.__g") == F.col("b.__j"))
+            & (F.col("a.__j") == F.col("b.__g"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

@@ -12259,52 +12259,47 @@ QUERIES: dict[str, tuple] = {
     "q57_salted_agg": (q57_salted_agg, Q57_SQL),
 }
 
-# --- r14 driver window (standing rotation policy, r13 verdict ask #1):
-# --- (1) the 4 rows with NO driver CORRECTNESS row ever — q220-q222
-# --- (registered in the r13 continuation, judge-green in the r13 full
-# --- sweep) and q223 (new this round, the mixed-container codec row);
-# --- (2) ALL 35 remaining r8-era rows (authoritative ledger: computed
-# --- from CORRECTNESS_r01..r13 query lists, not from window snapshots
-# --- — q22/q27/q29/q37/q38/q52/q53/q55/q56 left this block in
-# --- r11/r12 re-checks) — after this round the driver freshness floor
-# --- rises from r8 to r10; (3) fill to 50 with the 9 oldest r10-era
-# --- rows in registry order (11 before q224/q225 landed — q189/q191
-# --- ceded their slots to the new rows and head the r15 fill with the
-# --- q106-q125 battery, q127/q139/q152/q160-q162 and the q185-q194
-# --- tail).
-_R14_WINDOW = [
-    # (1) never driver-checked (q224/q225 are the round's second new
-    # batch — policy (2); their two window slots come from the r10-era
-    # fill tail, q189/q191, which move to the r15 fill head)
-    "q220_pixel_neardup", "q221_ahash_pixel_gate",
-    "q222_audio_neardup", "q223_crossformat_neardup",
-    "q224_pii_scrub", "q225_url_domain_curation",
-    "q226_html_main_text",
-    # (2) the 35 r8-era rows (last driver evidence: CORRECTNESS_r08)
-    "q10_theta_acctbal", "q11_cross_region_nation",
-    "q12_asof_purchase_click", "q13_latest2_events_per_user",
-    "q14_segments_per_nation", "q15_pivot_status", "q16_running_total",
-    "q17_lag_delta", "q18_moving_avg", "q19_setops", "q20_string_funcs",
-    "q21_date_funcs", "q23_array_funcs", "q24_json_extract",
-    "q25_explode_words", "q26_union_types", "q28_ngram_jaccard",
-    "q29_cosine_topk", "q30_embedding_pairs", "q31_text_stats",
-    "q32_lang_detect", "q33_quality_filter", "q34_tumbling_hourly",
-    "q35_sessionize", "q36_median_quantity",
-    "q44_stream_tumbling_hourly", "q45_stream_sessionize",
-    "q46_stream_stateful_counts", "q47_stream_dedup",
-    "q48_grouped_map_zscore", "q49_udaf_weighted_avg",
-    "q50_udtf_split_words", "q51_cogroup_asof", "q54_map_funcs",
-    "q57_salted_agg",
-    # (3) r10-era fill, oldest-first in registry order
-    "q147_incremental_minhash", "q165_rrf_fusion",
-    "q170_markov_sequence", "q177_robust_outliers",
-    "q181_token_budget", "q185_c4_line_clean",
-    "q186_gopher_repetition", "q187_kcenter_init",
+# --- r15 driver window (standing rotation policy; r14 verdict ask
+# --- #8): (1) head with the 10 rows whose operators the r14
+# --- optimization round rewrote most aggressively (the bind1
+# --- HOF-rebinding family: q55/q67/q39/q86/q28/q186/q78; the q38
+# --- simhash filter-first+persist+salt; the q68 connected-components
+# --- edge persist; the q188 margin-bitext edge persist) so the
+# --- driver's oracle re-certifies exactly the code that changed;
+# --- (2) fill to 50 with the oldest-driver-evidence remainder
+# --- (authoritative ledger: last rows_match=true round per query,
+# --- computed from CORRECTNESS_r01..r14 — 31 r10-era + 9 r11-era
+# --- rows), ties broken by registry order. After this round the
+# --- freshness floor rises from r10 to r11.
+_R15_WINDOW = [
+    # (1) the r14-rewrite family, re-certification head
+    "q55_repetition_stats", "q67_decontaminate", "q39_fingerprints",
+    "q86_decontaminate_bloom", "q28_ngram_jaccard",
+    "q186_gopher_repetition", "q78_char_entropy", "q38_simhash_pairs",
+    "q68_dedup_clusters", "q188_margin_bitext",
+    # (2) oldest-evidence fill (r10-era first, then r11-era)
+    "q189_stratified_exact", "q191_nfc_normalize",
+    "q192_prototype_diversity", "q193_script_mix", "q194_bucketed_join",
+    "q106_stream_incremental_dedup", "q107_domain_cap",
+    "q109_stream_left_outer_join", "q110_merge_upsert",
+    "q111_scd2_history", "q112_funnel", "q113_cohort_retention",
+    "q114_session_pattern", "q115_winsorized_stats",
+    "q116_triangle_count", "q117_bfs_distance",
+    "q118_boilerplate_removal", "q119_weighted_sample",
+    "q120_intra_doc_dedup", "q121_snapshot_diff", "q122_token_share",
+    "q123_rolling_anomaly", "q124_quality_classifier",
+    "q152_negative_sampling", "q160_knn_graph", "q161_knn_novelty",
+    "q162_hard_negatives", "q125_stream_session_pattern", "q127_bm25",
+    "q139_ks_drift", "q56_nulls_ordering", "q158_curation_pipeline",
+    "q163_curation_pipeline_v2", "q171_source_purity",
+    "q183_substring_spans", "q184_substring_dedup",
+    "q190_curation_pipeline_v3", "q195_zorder_layout",
+    "q196_compact_files", "q197_vocab_scaling",
 ]
-assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
+assert len(_R15_WINDOW) == 50 and len(set(_R15_WINDOW)) == 50
 QUERIES = {
-    **{k: QUERIES[k] for k in _R14_WINDOW},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R14_WINDOW)},
+    **{k: QUERIES[k] for k in _R15_WINDOW},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R15_WINDOW)},
 }
 
 

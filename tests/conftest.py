@@ -36,7 +36,22 @@ def spark():
 
     # Small shuffle-partition count keeps tiny-data tests fast; the
     # production default (32 / AQE) is exercised by bench.py.
-    s = get_spark("tests", extra_conf={"spark.sql.shuffle.partitions": "4"})
+    #
+    # local[N,2]: allow ONE task retry in the test session (r15 — the
+    # r14 driver suite aborted on a single transient Python-worker
+    # EOFError in an untouched 4-row test while the host was stealing
+    # 70%+ of the vCPUs; local[N] hard-codes maxFailures=1, so any
+    # starved worker dying mid-handshake kills the whole -x run).
+    # Cluster deployments default to maxFailures=4 — one retry brings
+    # the test session CLOSER to production semantics, and tests that
+    # assert on task failure (strict-mode raises) still raise, they
+    # just fail the task twice first.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    s = get_spark(
+        "tests",
+        master=f"local[{cpus},2]",
+        extra_conf={"spark.sql.shuffle.partitions": "4"},
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 

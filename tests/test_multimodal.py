@@ -24,7 +24,12 @@ def media(spark):
         (3, "video", b"fake-mp4-bytes", "video/mp4", "{}"),
         (4, "audio", b"fake-wav-bytes", "audio/wav", "{}"),
     ]
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # coalesce: 4 rows parallelized over defaultParallelism otherwise
+    # spawn 32 Python workers per collect (28 of them for EMPTY
+    # partitions) — a pointless fork storm that r14's driver-side
+    # worker crash showed is also a reliability exposure under host
+    # CPU steal (a cold worker killed mid-handshake fails the task).
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
 def test_image_features_schema_and_determinism(spark, media):

@@ -309,6 +309,10 @@ def test_simhash_filters_before_dedup_and_releases_cache(spark):
     # below the dedup aggregate's exchange, i.e. inside the join-side
     # computation, not above it
     assert "bit_count" in plan
+    # the marker must exist before splitting on it — otherwise a
+    # formatting/plan change makes the check below pass vacuously
+    # (split on a missing marker returns the whole plan; r14 advice)
+    assert "Exchange hashpartitioning(id_a" in plan, "dedup exchange missing"
     join_part = plan.split("Exchange hashpartitioning(id_a", 1)[-1]
     assert "bit_count" in join_part, "hamming filter shuffled the raw pairs"
     rows = out.collect()

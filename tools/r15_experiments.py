@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Interleaved A/B experiments for the r15 optimization round.
+
+Same discipline as tools/r14_experiments.py: build the BASELINE query
+exactly as the registry computes it today plus one or more VARIANTS,
+assert row-level parity (collected, sorted), then time the arms
+INTERLEAVED (B V B V ...) with noop-sink evaluation so host-load
+drift hits both arms equally.
+
+Usage: python tools/r15_experiments.py <exp> [reps]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+os.environ["CSSPARK_ORACLE_SF_DIR"] = SF_DIR
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _noop(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def interleave(spark, arms: dict, reps: int = 5):
+    times = {k: [] for k in arms}
+    for _ in range(reps):
+        for k, build in arms.items():
+            t0 = time.perf_counter()
+            _noop(build())
+            times[k].append(time.perf_counter() - t0)
+    for k, ts in times.items():
+        print(
+            f"  {k}: best={min(ts):.3f}s "
+            f"all=[{', '.join(f'{t:.2f}' for t in ts)}]"
+        )
+    return times
+
+
+def parity(name, a, b):
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb, f"{name}: parity FAILED ({len(ra)} vs {len(rb)} rows)"
+    print(f"  {name}: parity OK ({len(ra)} rows)")
+
+
+# --------------------------------------------------------- q38 salting
+def exp_q38_salt(spark, reps):
+    """Hot-block sub-splitting in simhash_near_dups (r14 verdict ask
+    #3): the r14 filter-first fix stopped the ~21.8M hot-block
+    candidates from SHUFFLING, but they were still GENERATED inside a
+    handful of hot-bucket join tasks (2755/2594/2478 of 5000 docs in
+    the top buckets). Arms: unsalted (hot_block_docs above any bucket
+    size — byte-identical to the r14 shape) vs salted (default
+    thresholds)."""
+    from catenae_stopover_spark.operators.dedup import simhash_near_dups
+    from catenae_stopover_spark.queries import _t
+
+    def build(hot_docs):
+        return simhash_near_dups(
+            _t(spark, SF_DIR, "documents"),
+            "text",
+            "doc_id",
+            hamming_max=8,
+            portable_hash=True,
+            hot_block_docs=hot_docs,
+        ).select("id_a", "id_b", F.col("hamming").cast("long"))
+
+    print("parity check (unsalted vs salted)...")
+    parity("q38", build(1 << 40), build(2048))
+    interleave(
+        spark,
+        {
+            "unsalted": lambda: build(1 << 40),
+            "salted": lambda: build(2048),
+        },
+        reps,
+    )
+
+
+EXPS = {"q38_salt": exp_q38_salt}
+
+
+def main():
+    exp = sys.argv[1]
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    from catenae_stopover_spark.session import get_spark
+
+    spark = get_spark("r15-experiments")
+    spark.sparkContext.setLogLevel("ERROR")
+    EXPS[exp](spark, reps)
+
+
+if __name__ == "__main__":
+    main()
