@@ -70,10 +70,19 @@ def run_available_now(
     old = sess.conf.get("spark.sql.shuffle.partitions")
     # core count, not a constant (r14): the state-store count is baked
     # into the fresh checkpoint, and a fixed 32 at lower core counts
-    # would schedule 32 stateful tasks on fewer cores every microbatch
+    # would schedule 32 stateful tasks on fewer cores every microbatch.
+    # SPARK_GRAFT_STREAM_STATE_PARTITIONS overrides for deployments
+    # whose bounded replays carry real state volume (r15: the local
+    # floor measurement lever — every state-store instance pays a
+    # per-commit cost each micro-batch, so BOUNDED replays of small
+    # state want fewer instances; read at call time so harnesses can
+    # A/B it in-process).
+    import os as _os
+
     sess.conf.set(
         "spark.sql.shuffle.partitions",
-        str(sess.sparkContext.defaultParallelism),
+        _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+        or str(sess.sparkContext.defaultParallelism),
     )
     try:
         q = start_stream(

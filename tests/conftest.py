@@ -53,7 +53,21 @@ def spark():
         extra_conf={"spark.sql.shuffle.partitions": "4"},
     )
     s.sparkContext.setLogLevel("ERROR")
+    pre_census = {r.id() for r in s.sparkContext._jsc.sc().getRDDStorageInfo()}
     yield s
+    # Harness-boundary cache census (r14 verdict ask #6): every
+    # operator cache is call-scoped (scoped_persist + finalizer or
+    # explicit release), so the suite must END with the cache entries
+    # it STARTED with. A failure here means some test/operator leaked
+    # or clobbered an entry — the class of bug the r14 round fixed
+    # eight instances of; this pin keeps it from coming back silently.
+    import gc
+
+    gc.collect()
+    leaked = {
+        r.id() for r in s.sparkContext._jsc.sc().getRDDStorageInfo()
+    } - pre_census
+    assert not leaked, f"cache census: {len(leaked)} leaked entries {sorted(leaked)}"
 
 
 @pytest.fixture(scope="session")

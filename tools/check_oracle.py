@@ -76,6 +76,13 @@ def main() -> int:
     qs = ent.queries()
     oracles = ent.oracle_sql()
     failures = []
+    # Cache census (r14 verdict ask #6): every operator cache is
+    # scoped to its call (scoped_persist + finalizer / explicit
+    # release) — a sweep must END with exactly the cached entries it
+    # STARTED with, or some operator leaked (or clobbered) an entry.
+    pre_census = {
+        r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    }
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
@@ -134,6 +141,20 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(mism[:3])}")
         else:
             print(f"OK    {name}: {len(s)} rows ({time.time()-t0:.1f}s)")
+    # post-sweep census: finalizer-scoped caches release on GC, so
+    # collect first; anything still cached that the sweep created is a
+    # leak and FAILS the gate (r14 verdict ask #6)
+    import gc
+
+    gc.collect()
+    leaked = {
+        r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    } - pre_census
+    if leaked:
+        failures.append("__cache_census__")
+        print(f"FAIL  cache census: {len(leaked)} leaked entries {sorted(leaked)}")
+    else:
+        print("OK    cache census: no leaked entries")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 

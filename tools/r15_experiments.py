@@ -83,7 +83,95 @@ def exp_q38_salt(spark, reps):
     )
 
 
-EXPS = {"q38_salt": exp_q38_salt}
+# ------------------------------------------------------ q226 staging
+def exp_q226(spark, reps):
+    """html_main_text (B139) re-adjudication with the r14 bind1
+    lesson (verdict ask #5): the operator computes ``blocks`` (the
+    expensive block regex over the whole document) as a textually
+    inlined subexpression of up to 5 output columns and ``stats`` (the
+    per-block anchor regex work) of 4 — at PROJECTION level, not
+    inside lambda bodies, so whether Catalyst's codegen subexpression
+    elimination dedupes them is an empirical question. Variant:
+    stage ``__blocks``/``__stats``/``__kept`` as real intermediate
+    columns (CollapseProject keeps multi-referenced non-cheap
+    producers staged), final select consumes the columns."""
+    from catenae_stopover_spark.operators.text import (
+        html_main_text,
+        synthesize_html_docs,
+    )
+    from catenae_stopover_spark.queries import _t
+
+    def baseline():
+        return html_main_text(
+            synthesize_html_docs(_t(spark, SF_DIR, "documents"))
+        )
+
+    def staged():
+        df = synthesize_html_docs(_t(spark, SF_DIR, "documents"))
+        html_col, id_col, min_chars = "html", "doc_id", 10
+        block_pat = (
+            r"<(?:p|div[^>]*)>([^<]*(?:<a[^>]*>[^<]*</a>[^<]*)*)"
+            r"</(?:p|div)>"
+        )
+        anchor_pat = r"<a[^>]*>([^<]*)</a>"
+        blocks = F.regexp_extract_all(
+            F.col(html_col), F.lit(block_pat), F.lit(1)
+        )
+        d1 = df.withColumn("__blocks", blocks)
+        stats = F.transform(
+            F.col("__blocks"),
+            lambda b: F.struct(
+                F.regexp_replace(b, "<[^>]*>", "").alias("txt"),
+                F.aggregate(
+                    F.transform(
+                        F.regexp_extract_all(b, F.lit(anchor_pat), F.lit(1)),
+                        F.length,
+                    ),
+                    F.lit(0),
+                    lambda a, x: a + x,
+                ).alias("lc"),
+            ),
+        )
+        d2 = d1.withColumn("__stats", stats)
+        kept = F.filter(
+            F.col("__stats"),
+            lambda s2: (s2["lc"] * 2 < F.length(s2["txt"]))
+            & (F.length(s2["txt"]) >= int(min_chars)),
+        )
+        d3 = d2.withColumn("__kept", kept)
+        total_chars = F.aggregate(
+            F.col("__stats"), F.lit(0), lambda a, s2: a + F.length(s2["txt"])
+        )
+        link_chars = F.aggregate(
+            F.col("__stats"), F.lit(0), lambda a, s2: a + s2["lc"]
+        )
+        return d3.select(
+            id_col,
+            F.array_join(
+                F.transform(F.col("__kept"), lambda s2: s2["txt"]), "\n"
+            ).alias("main_text"),
+            F.coalesce(F.size(F.col("__blocks")).cast("bigint"), F.lit(0)).alias(
+                "n_blocks"
+            ),
+            F.coalesce(F.size(F.col("__kept")).cast("bigint"), F.lit(0)).alias(
+                "n_kept"
+            ),
+            F.coalesce(total_chars.cast("bigint"), F.lit(0)).alias(
+                "total_chars"
+            ),
+            F.coalesce(link_chars.cast("bigint"), F.lit(0)).alias(
+                "link_chars"
+            ),
+        )
+
+    print("parity check (baseline vs staged)...")
+    parity("q226", baseline(), staged())
+    interleave(
+        spark, {"baseline": baseline, "staged": staged}, reps
+    )
+
+
+EXPS = {"q38_salt": exp_q38_salt, "q226": exp_q226}
 
 
 def main():

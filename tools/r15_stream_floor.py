@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""r15 streaming residual-floor A/B (r14 verdict ask #7): after the
+r14 checkpoint-commit fixes the bounded-replay family still pays
+~0.4-0.7 s/micro-batch of planning + state round-trip. Candidate
+levers, measured interleaved in ONE process with row counts asserted
+per rep:
+
+  base    — current defaults (state partitions = defaultParallelism,
+            maintenanceInterval 60 s)
+  p8      — SPARK_GRAFT_STREAM_STATE_PARTITIONS=8 (fewer state-store
+            instances per micro-batch commit)
+  maint   — spark.sql.streaming.stateStore.maintenanceInterval=600s
+            (maintenance thread quiet during short drains)
+  p8maint — both
+
+Usage: python tools/r15_stream_floor.py [sf_dir] [reps] [query ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+ONLY = sys.argv[3:]
+os.environ["CSSPARK_ORACLE_SF_DIR"] = SF_DIR
+
+FAMILY = ONLY or [
+    "q44_stream_tumbling_hourly",
+    "q45_stream_sessionize",
+    "q47_stream_dedup",
+    "q61_stream_stream_join",
+    "q62_stream_static_join",
+    "q64_stream_stream_join_tight",
+    "q109_stream_left_outer_join",
+    "q125_stream_session_pattern",
+    "q131_stream_funnel",
+    "q179_stream_shard_manifest",
+]
+
+ARMS = {
+    "base": (None, None),
+    "p8": ("8", None),
+    "maint": (None, "600s"),
+    "p8maint": ("8", "600s"),
+}
+
+
+def set_arm(spark, parts, maint):
+    if parts is None:
+        os.environ.pop("SPARK_GRAFT_STREAM_STATE_PARTITIONS", None)
+    else:
+        os.environ["SPARK_GRAFT_STREAM_STATE_PARTITIONS"] = parts
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.maintenanceInterval",
+        maint or "60s",
+    )
+
+
+def main() -> None:
+    from catenae_stopover_spark.queries import QUERIES
+    from catenae_stopover_spark.session import get_spark
+
+    spark = get_spark("r15-stream-floor")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.read.parquet(os.path.join(SF_DIR, "nation.parquet")).count()
+
+    results = {q: {a: [] for a in ARMS} for q in FAMILY}
+    rows_seen = {}
+    for rep in range(REPS):
+        for qname in FAMILY:
+            fn = QUERIES[qname][0]
+            for arm, (parts, maint) in ARMS.items():
+                set_arm(spark, parts, maint)
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+                wall = time.perf_counter() - t0
+                results[qname][arm].append(wall)
+                n = df.count()
+                prev = rows_seen.setdefault(qname, n)
+                assert prev == n, f"{qname}: rows drifted {prev} vs {n}"
+    set_arm(spark, None, None)
+    hdr = f"{'query':35s}" + "".join(f" {a:>9s}" for a in ARMS)
+    print(hdr)
+    totals = {a: 0.0 for a in ARMS}
+    for qname, r in results.items():
+        bests = {a: min(ts) for a, ts in r.items()}
+        for a in ARMS:
+            totals[a] += bests[a]
+        print(
+            f"{qname:35s}"
+            + "".join(f" {bests[a]:9.2f}" for a in ARMS)
+        )
+    print(
+        f"{'TOTAL (best-of)':35s}"
+        + "".join(f" {totals[a]:9.2f}" for a in ARMS)
+    )
+
+
+if __name__ == "__main__":
+    main()
