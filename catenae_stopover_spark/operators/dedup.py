@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..plans.partitioning import (
     ensure_min_parallelism,
+    estimated_input_rows,
     scoped_persist,
     unpersist_on_gc,
 )
@@ -416,6 +417,25 @@ def minhash_lsh_near_dups(
     )
 
 
+def _broadcast_threshold_bytes(spark) -> int:
+    """The session's autoBroadcastJoinThreshold as bytes (-1 = never
+    broadcast). Accepts bare ints and b/k/m/g-suffixed strings."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    try:
+        mult = 1
+        for suf, m in (("kb", 1024), ("mb", 1024**2), ("gb", 1024**3),
+                       ("k", 1024), ("m", 1024**2), ("g", 1024**3),
+                       ("b", 1)):
+            if raw.endswith(suf):
+                raw, mult = raw[: -len(suf)], m
+                break
+        return int(raw) * mult
+    except ValueError:
+        return 10 * 1024**2
+
+
 def simhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -424,8 +444,8 @@ def simhash_near_dups(
     num_bits: int = 64,
     blocks: int | None = None,
     portable_hash: bool = False,
-    hot_block_docs: int = 2048,
-    salt_target: int = 1024,
+    hot_block_docs: int = 16384,
+    salt_target: int = 8192,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit simhash over word hashes, then
     block-permuted candidate generation (pigeonhole: pairs within
@@ -541,46 +561,104 @@ def simhash_near_dups(
     # Hot-block sub-splitting (r15, guide §2.5 skew): natural-language
     # simhash blocks are HEAVILY skewed — at sf0.1 the hot
     # (block_idx, block_val) buckets held 2755/2594/2478 of 5000 docs,
-    # so one join task constructed ~O(hot^2) candidate pairs while the
-    # rest of the cluster idled; at 100 TB a hot block is a straggler
+    # so one join task constructs ~O(hot^2) candidate pairs while the
+    # rest of the cluster idles; at 100 TB a hot block is a straggler
     # AQE cannot split (skew-join splitting works per PARTITION, never
-    # inside a single key). Fix: sub-split buckets above
-    # ``hot_block_docs`` into ``nsub = ceil(count / salt_target)``
-    # deterministic sub-buckets (pmod(xxhash64(id), nsub) — guide
-    # §2.5's warning about rand()-derived keys) and join on the
-    # triangle scheme: each side exploded nsub ways with a partner-salt
-    # column, key = (block, own_salt == partner_salt'), so every
+    # inside a single key). Engagement is decided by an eager bounded
+    # planning probe (the derive_block_cap / BPE-argmax precedent):
+    # count the buckets above ``hot_block_docs`` (top 64 by size — a
+    # bucket that hot is rare by construction; anything past the cap
+    # simply stays unsplit, still correct). The probe job doubles as
+    # the cache build for ``blocked``, which the main query needs
+    # anyway. When NOTHING is hot the join below is byte-identical to
+    # the r14 shape — zero overhead on unskewed data (measured: the
+    # always-on broadcast/explode form cost ~10% at sf0.1, and
+    # engaging on sf0.1's 2.7k-doc buckets cost ~19% — a 2.7k bucket
+    # is ~3.8M pair constructions, well under a second, NOT a
+    # straggler). Defaults engage at straggler scale: a 16384-doc
+    # bucket is ~134M single-task pair constructions (tens of
+    # seconds); salt_target 8192 bounds per-key work at ~67M.
+    #
+    # When hot buckets exist: sub-split each into
+    # ``nsub = ceil(count / salt_target)`` deterministic sub-buckets
+    # (pmod(xxhash64(id), nsub) — guide §2.5's warning about
+    # rand()-derived keys) and join on the triangle scheme: each side
+    # exploded nsub ways with a partner-salt column, so every
     # co-bucket pair is generated EXACTLY once (a's copy with
     # partner = salt(b) meets b's copy with partner = salt(a)) and the
     # hot bucket's pair construction spreads over nsub^2 join keys.
-    # Cold buckets get nsub = 1 (salt columns constant 0) — same pairs
-    # as the unsalted join. Value-exact by construction: the candidate
-    # multiset per block is unchanged, and the Hamming filter +
-    # dropDuplicates below are untouched.
-    hot = (
-        blocked.groupBy("block_idx", "block_val")
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .filter(F.col("__cnt") > hot_block_docs)
-        .select(
-            "block_idx",
-            "block_val",
-            F.ceil(F.col("__cnt") / F.lit(salt_target))
-            .cast("int")
-            .alias("__nsub"),
+    # Cold buckets keep nsub = 1. Value-exact by construction: the
+    # candidate multiset per block is unchanged, and the Hamming
+    # filter + dropDuplicates below are untouched.
+    # TWO free pre-gates for the probe itself (the q02 metadata-valve
+    # precedent), both metadata-only:
+    #
+    # 1. JOIN-STRATEGY gate: a hot bucket only STRAGGLES under a
+    #    SHUFFLED join (SMJ/SHJ hash-partition by key, so one key =
+    #    one task). Under a BroadcastHashJoin the hot bucket's PROBE
+    #    rows are spread by input partitioning and its pair
+    #    enumeration parallelizes by construction — measured r15: on a
+    #    32k-doc synthetic hot corpus the unsalted BHJ join stage ran
+    #    dead flat (task min/med/max 1.9/2.1/2.5 s) while salting it
+    #    cost 2.4x. So salting engages only when the blocked table's
+    #    estimated bytes EXCEED the session broadcast threshold —
+    #    exactly the 100 TB regime (~N x blocks x 32 B; at the local
+    #    tiers blocked always broadcasts and the plan stays
+    #    byte-identical to r14's).
+    # 2. BUCKET-SIZE gate: a bucket can never hold more docs than the
+    #    input has rows, so a parquet-footer row bound at or below
+    #    hot_block_docs skips the probe too.
+    #
+    # A frame the bounds can't see (0 = unknown rows) skips salting:
+    # the failure mode is the unsalted plan — correct, and broadcast
+    # in every regime a local fixture can reach.
+    n_bound = estimated_input_rows(df)
+    bcast_bytes = _broadcast_threshold_bytes(df.sparkSession)
+    est_blocked_bytes = n_bound * blocks * 32
+    if (
+        not n_bound
+        or n_bound <= hot_block_docs
+        or (bcast_bytes >= 0 and est_blocked_bytes <= bcast_bytes)
+    ):
+        hot_rows = []
+    else:
+        hot_rows = (
+            blocked.groupBy("block_idx", "block_val")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") > hot_block_docs)
+            .orderBy(F.desc("__cnt"))
+            .limit(64)
+            .collect()
         )
-    )
-    salted = (
-        blocked.join(F.broadcast(hot), ["block_idx", "block_val"], "left")
-        .withColumn("__nsub", F.coalesce(F.col("__nsub"), F.lit(1)))
-        .withColumn(
-            "__g",
-            F.pmod(F.xxhash64(F.col(id_col)), F.col("__nsub")).cast("int"),
+    if hot_rows:
+        # nsub as a literal CASE chain over the (few) hot buckets —
+        # no broadcast join, no per-row overhead beyond the CASE
+        nsub_expr = F.lit(1)
+        for r in hot_rows:
+            nsub_expr = F.when(
+                (F.col("block_idx") == r["block_idx"])
+                & (F.col("block_val") == r["block_val"]),
+                F.lit(-(-r["__cnt"] // salt_target)),
+            ).otherwise(nsub_expr)
+        salted = (
+            blocked.withColumn("__nsub", nsub_expr)
+            .withColumn(
+                "__g",
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("__nsub")).cast(
+                    "int"
+                ),
+            )
+            .withColumn(
+                "__j", F.explode(F.sequence(F.lit(0), F.col("__nsub") - 1))
+            )
         )
-        .withColumn(
-            "__j", F.explode(F.sequence(F.lit(0), F.col("__nsub") - 1))
+        a, b = salted.alias("a"), salted.alias("b")
+        salt_cond = (F.col("a.__g") == F.col("b.__j")) & (
+            F.col("a.__j") == F.col("b.__g")
         )
-    )
-    a, b = salted.alias("a"), salted.alias("b")
+    else:
+        a, b = blocked.alias("a"), blocked.alias("b")
+        salt_cond = F.lit(True)
     # Hamming is a pure function of the pair's two signatures, so the
     # threshold filter commutes with the pair dedup — apply it IN the
     # join projection, before the dropDuplicates exchange (r14 session
@@ -597,8 +675,7 @@ def simhash_near_dups(
             b,
             (F.col("a.block_idx") == F.col("b.block_idx"))
             & (F.col("a.block_val") == F.col("b.block_val"))
-            & (F.col("a.__g") == F.col("b.__j"))
-            & (F.col("a.__j") == F.col("b.__g"))
+            & salt_cond
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(

@@ -112,6 +112,32 @@ def estimated_input_bytes(df: DataFrame) -> int:
         return 0
 
 
+def estimated_input_rows(df: DataFrame) -> int:
+    """Free (parquet-footer metadata only) UPPER BOUND on the frame's
+    row count: the sum of the backing files' num_rows. 0 when unknown
+    (non-file-backed or non-parquet) — callers must treat 0 as
+    "no bound". NOTE it bounds the SCAN's rows; a frame that fans out
+    (explode/join) past its scan is not bounded by this — callers
+    using it to SKIP a safety mechanism must be safe under a missed
+    skip (e.g. skew salting: a wrong skip just keeps the unsalted
+    plan)."""
+    try:
+        import pyarrow.parquet as pq
+
+        files = df.inputFiles()
+        if not files:
+            return 0
+        n = 0
+        for f in files:
+            p = f[7:] if f.startswith("file://") else f
+            if not p.endswith(".parquet"):
+                return 0
+            n += pq.ParquetFile(p).metadata.num_rows
+        return n
+    except Exception:  # noqa: BLE001 — unknown, no bound
+        return 0
+
+
 def keep_alive(child: DataFrame, *parents: DataFrame) -> DataFrame:
     """Extend ``parents``' Python lifetime to ``child``'s.
 

@@ -59,25 +59,120 @@ def exp_q38_salt(spark, reps):
     size — byte-identical to the r14 shape) vs salted (default
     thresholds)."""
     from catenae_stopover_spark.operators.dedup import simhash_near_dups
+    from catenae_stopover_spark.plans.partitioning import (
+        scoped_persist,
+        unpersist_on_gc,
+    )
     from catenae_stopover_spark.queries import _t
 
-    def build(hot_docs):
+    def build(hot_docs=None):
+        kw = {} if hot_docs is None else {"hot_block_docs": hot_docs}
         return simhash_near_dups(
             _t(spark, SF_DIR, "documents"),
             "text",
             "doc_id",
             hamming_max=8,
             portable_hash=True,
-            hot_block_docs=hot_docs,
+            **kw,
         ).select("id_a", "id_b", F.col("hamming").cast("long"))
 
-    print("parity check (unsalted vs salted)...")
-    parity("q38", build(1 << 40), build(2048))
+    def r14_pure():
+        """The exact r14 shape: no probe job, no salt machinery —
+        isolates the cost of the new eager hot-bucket probe."""
+        from catenae_stopover_spark.operators import dedup as D
+
+        df = _t(spark, SF_DIR, "documents")
+        id_col, hamming_max, num_bits, blocks = "doc_id", 8, 64, 9
+        words = F.array_distinct(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        )
+        from catenae_stopover_spark.plans.partitioning import (
+            ensure_min_parallelism,
+        )
+
+        exploded = ensure_min_parallelism(df).select(
+            F.col(id_col), F.explode(words).alias("w")
+        )
+        hexd = F.sha2(F.encode(F.col("w"), "UTF-8"), 256)
+        word_hashes = exploded.select(
+            id_col,
+            F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long").alias("hh"),
+            F.conv(F.substring(hexd, 9, 8), 16, 10).cast("long").alias("hl"),
+        )
+        votes = word_hashes.groupBy(id_col).agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.shiftright(
+                            F.col("hl" if i < 32 else "hh"), i % 32
+                        ).bitwiseAND(F.lit(1))
+                        == 1,
+                        1,
+                    ).otherwise(-1)
+                ).alias(f"v{i}")
+                for i in range(num_bits)
+            ]
+        )
+        bit_terms = [
+            F.when(
+                F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+            for i in range(num_bits)
+        ]
+        acc = bit_terms[0]
+        for t in bit_terms[1:]:
+            acc = acc.bitwiseOR(t)
+        sim = votes.select(id_col, acc.alias("simhash"))
+        base, rem = divmod(num_bits, blocks)
+        widths = [base + (1 if i < rem else 0) for i in range(blocks)]
+        offsets, off = [], 0
+        for w in widths:
+            offsets.append(off)
+            off += w
+        block_vals = F.array(
+            *[
+                F.shiftright(F.col("simhash"), offsets[i]).bitwiseAND(
+                    F.lit((1 << widths[i]) - 1)
+                )
+                for i in range(blocks)
+            ]
+        )
+        blocked = scoped_persist(
+            sim.select(
+                id_col,
+                "simhash",
+                F.posexplode(block_vals).alias("block_idx", "block_val"),
+            )
+        )
+        a, b = blocked.alias("a"), blocked.alias("b")
+        out = (
+            a.join(
+                b,
+                (F.col("a.block_idx") == F.col("b.block_idx"))
+                & (F.col("a.block_val") == F.col("b.block_val"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            )
+            .filter(F.col("hamming") <= hamming_max)
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        return unpersist_on_gc(out, blocked).select(
+            "id_a", "id_b", F.col("hamming").cast("long")
+        )
+
+    print("parity check (r14_pure vs default vs engaged)...")
+    parity("q38 default", r14_pure(), build())
+    parity("q38 engaged", r14_pure(), build(2048))
     interleave(
         spark,
         {
-            "unsalted": lambda: build(1 << 40),
-            "salted": lambda: build(2048),
+            "r14_pure": r14_pure,
+            "new_default": build,
+            "engaged": lambda: build(2048),
         },
         reps,
     )

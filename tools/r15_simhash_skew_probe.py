@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Straggler demonstration for simhash_near_dups hot-block salting
+(r14 verdict ask #3 "straggler task-time spread collapsed").
+
+Corpus with a SURGICALLY hot block, built from the portable-hash
+simhash definition itself (sha2-derived word bits, replayable in
+Python): every doc carries the same 17 "anchor" words whose hash bits
+0-7 are ALL zero — 17 always-(-1) votes that 16 per-doc unique words
+can never overturn, so EVERY doc's block 0 (bits 0-7) is value 0 and
+the (0, 0) bucket holds the WHOLE corpus (20k docs = ~200M single-key
+pair constructions). The unique words leave the other 56 bits noisy
+enough that pairwise Hamming concentrates far above the radius — the
+candidate-generation-straggler regime, not the output-explosion one.
+
+The session pins autoBroadcastJoinThreshold=-1: at 100 TB the blocked
+table (N x blocks x ~32 B) is far past any broadcast threshold, so the
+candidate self-join is a SHUFFLED join where one bucket = one key =
+one task; at local fixture sizes it would broadcast (where hot buckets
+spread across probe tasks by construction — measured, and the reason
+the operator's salt gate keys off the broadcast threshold).
+
+Usage: python tools/r15_simhash_skew_probe.py [n_docs] [reps]
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+REPS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+# sha256(w)[8:16] & 0xFF == 0 for each (verified at generation):
+# 17 always-negative votes on bits 0-7 that 16 unique words can
+# never overturn -> block 0 pinned to value 0 for every doc.
+ANCHORS = (
+    "w104 w209 w475 w541 w700 w826 w926 w1279 w1305 w1739 w1855 "
+    "w1910 w2010 w2427 w2756 w2952 w3140"
+)
+UNIQ = 16
+
+
+def rest(spark, path):
+    port = spark.sparkContext.uiWebUrl.rsplit(":", 1)[1]
+    app = spark.sparkContext.applicationId
+    url = f"http://localhost:{port}/api/v1/applications/{app}{path}"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def heaviest_stage_since(spark, min_stage_id):
+    """The stage with the LONGEST single task in the window — the
+    straggler metric (picking by summed executorRunTime hides a
+    1-task straggler behind a wide flat stage)."""
+    out = []
+    for s in rest(spark, "/stages?status=complete"):
+        if s["stageId"] < min_stage_id:
+            continue
+        try:
+            q = rest(
+                spark,
+                f"/stages/{s['stageId']}/{s['attemptId']}/taskSummary"
+                "?quantiles=0.0,0.5,1.0",
+            )
+        except Exception:  # noqa: BLE001 — stage with no tasks
+            continue
+        dur = q.get("duration", [0, 0, 0])
+        out.append(
+            {
+                "stageId": s["stageId"],
+                "tasks": s["numCompleteTasks"],
+                "runTime_s": round(s["executorRunTime"] / 1000, 1),
+                "task_min_s": round(dur[0] / 1000, 2),
+                "task_med_s": round(dur[1] / 1000, 2),
+                "task_max_s": round(dur[2] / 1000, 2),
+            }
+        )
+    out.sort(key=lambda d: -d["task_max_s"])
+    return out[:2]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from catenae_stopover_spark.operators.dedup import simhash_near_dups
+    from catenae_stopover_spark.session import get_spark
+
+    spark = get_spark(
+        "r15-simhash-skew",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    path = f"/tmp/r15-simhash-skew-{N_DOCS}.parquet"
+    spark.range(N_DOCS).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit(ANCHORS + " "),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit(f"u{k}_"), F.col("id").cast("string"))
+                    for k in range(UNIQ)
+                ],
+            ),
+        ).alias("text"),
+    ).repartition(32).write.mode("overwrite").parquet(path)
+    # parquet-backed like real usage: the operator's metadata row bound
+    # (estimated_input_rows) must SEE the corpus for the salt to engage
+    docs = spark.read.parquet(path)
+
+    def build(hot_docs):
+        return simhash_near_dups(
+            docs,
+            "text",
+            "doc_id",
+            hamming_max=8,
+            portable_hash=True,
+            hot_block_docs=hot_docs,
+            salt_target=1024,
+        )
+
+    print(f"n_docs={N_DOCS} anchors=17 uniq={UNIQ}")
+    ra = sorted(map(tuple, build(1 << 40).collect()))
+    rb = sorted(map(tuple, build(2048).collect()))
+    assert ra == rb, f"parity FAILED ({len(ra)} vs {len(rb)} rows)"
+    print(f"parity OK ({len(ra)} pairs)")
+
+    for rep in range(REPS):
+        for name, hot in (("unsalted", 1 << 40), ("salted", 2048)):
+            before = max(
+                (s["stageId"] for s in rest(spark, "/stages")), default=-1
+            )
+            t0 = time.perf_counter()
+            build(hot).write.format("noop").mode("overwrite").save()
+            wall = time.perf_counter() - t0
+            info = heaviest_stage_since(spark, before + 1)
+            print(f"  rep{rep} {name:9s} wall={wall:6.2f}s heavy_stage={info}")
+
+
+if __name__ == "__main__":
+    main()
