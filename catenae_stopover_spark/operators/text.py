@@ -2611,18 +2611,32 @@ def c4_line_clean(
             )
         return cond
 
-    kept = F.filter(lines, _keep)
+    # STAGED intermediates (r15, the q226 staging class): the
+    # single-projection form embedded ``lines`` (split + non-empty
+    # filter) in 5 output columns and ``kept`` (the full keep
+    # predicate over lines) in 3 — codegen subexpression elimination
+    # does not dedupe lambda-bearing trees, so every doc re-split and
+    # re-filtered per column. Projected as real columns each runs
+    # ONCE per row. Interleaved A/B: exp_q185 / OPTIMIZATION_r15.
+    d1 = df.withColumn("__lines", lines)
+    d2 = d1.withColumn("__kept", F.filter(F.col("__lines"), _keep))
     all_chars = F.aggregate(
-        lines, F.lit(0).cast("bigint"), lambda a, x: a + F.length(F.trim(x))
+        F.col("__lines"),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + F.length(F.trim(x)),
     )
     kept_chars = F.aggregate(
-        kept, F.lit(0).cast("bigint"), lambda a, x: a + F.length(F.trim(x))
+        F.col("__kept"),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + F.length(F.trim(x)),
     )
-    return df.select(
+    return d2.select(
         id_col,
-        F.array_join(F.transform(kept, F.trim), "\n").alias("clean_text"),
-        F.size(lines).cast("bigint").alias("n_lines"),
-        F.size(kept).cast("bigint").alias("n_lines_kept"),
+        F.array_join(F.transform(F.col("__kept"), F.trim), "\n").alias(
+            "clean_text"
+        ),
+        F.size(F.col("__lines")).cast("bigint").alias("n_lines"),
+        F.size(F.col("__kept")).cast("bigint").alias("n_lines_kept"),
         (
             F.round(
                 F.when(all_chars > 0, kept_chars / all_chars).otherwise(
@@ -3886,6 +3900,14 @@ def pii_scrub(
     # counts and a NULL redacted text (passthrough) — regexp_count on
     # NULL is NULL, so every count is coalesced; without it pii_total
     # would go NULL and a downstream SUM would silently drop the doc.
+    #
+    # NOTE (r15, measured and kept as-is): the nested expression chain
+    # LOOKS like count k re-executes the k-1 replaces before it, but
+    # the chain is lambda-free, so codegen subexpression elimination
+    # dedupes the common replace prefixes — a staged-column variant
+    # measured cost-neutral (exp_q224: old best 1.47 s vs staged
+    # 1.55 s, parity exact) and was reverted. Staging only pays where
+    # CSE is blind: lambda-BEARING trees (q226/q185).
     cur = F.col(text_col)
     counts = []
     for name, pat, token in patterns:
@@ -4240,9 +4262,20 @@ def html_main_text(
         r"</(?:p|div)>"
     )
     anchor_pat = r"<a[^>]*>([^<]*)</a>"
+    # STAGED intermediates (r15, the bind1 lesson one level up): the
+    # single-projection form inlined ``blocks`` (the block regex over
+    # the whole page) into 5 output columns and ``stats`` (the
+    # per-block anchor regex work) into 4 — and codegen subexpression
+    # elimination does NOT dedupe lambda-bearing trees, so every page
+    # paid the block regex up to 5x. Projecting each as a real column
+    # makes CollapseProject keep them staged (multi-referenced
+    # non-cheap producers are not inlined) and each evaluates ONCE per
+    # row. Interleaved A/B at sf0.1: 0.689 -> 0.533 s best, faster
+    # every rep, parity exact (exp_q226).
     blocks = F.regexp_extract_all(F.col(html_col), F.lit(block_pat), F.lit(1))
+    d1 = df.withColumn("__blocks", blocks)
     stats = F.transform(
-        blocks,
+        F.col("__blocks"),
         lambda b: F.struct(
             F.regexp_replace(b, "<[^>]*>", "").alias("txt"),
             F.aggregate(
@@ -4255,27 +4288,33 @@ def html_main_text(
             ).alias("lc"),
         ),
     )
+    d2 = d1.withColumn("__stats", stats)
     kept = F.filter(
-        stats,
+        F.col("__stats"),
         lambda s2: (s2["lc"] * 2 < F.length(s2["txt"]))
         & (F.length(s2["txt"]) >= int(min_chars)),
     )
+    d3 = d2.withColumn("__kept", kept)
     total_chars = F.aggregate(
-        stats, F.lit(0), lambda a, s2: a + F.length(s2["txt"])
+        F.col("__stats"), F.lit(0), lambda a, s2: a + F.length(s2["txt"])
     )
-    link_chars = F.aggregate(stats, F.lit(0), lambda a, s2: a + s2["lc"])
-    return df.select(
+    link_chars = F.aggregate(
+        F.col("__stats"), F.lit(0), lambda a, s2: a + s2["lc"]
+    )
+    return d3.select(
         id_col,
         F.array_join(
-            F.transform(kept, lambda s2: s2["txt"]), "\n"
+            F.transform(F.col("__kept"), lambda s2: s2["txt"]), "\n"
         ).alias("main_text"),
         # NULL contract: a NULL page yields NULL main_text (array_join
         # of NULL) with zero counts — coalesced so downstream sums
         # never silently drop the doc
-        F.coalesce(F.size(blocks).cast("bigint"), F.lit(0)).alias(
+        F.coalesce(F.size(F.col("__blocks")).cast("bigint"), F.lit(0)).alias(
             "n_blocks"
         ),
-        F.coalesce(F.size(kept).cast("bigint"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.size(F.col("__kept")).cast("bigint"), F.lit(0)).alias(
+            "n_kept"
+        ),
         F.coalesce(total_chars.cast("bigint"), F.lit(0)).alias(
             "total_chars"
         ),

@@ -266,7 +266,124 @@ def exp_q226(spark, reps):
     )
 
 
-EXPS = {"q38_salt": exp_q38_salt, "q226": exp_q226}
+# ------------------------------------------------------ q185 staging
+def exp_q185(spark, reps):
+    """c4_line_clean staging A/B (the q226 class): baseline = the old
+    single-projection form (lines embedded 5x, kept 3x), staged = the
+    operator as shipped."""
+    from catenae_stopover_spark.operators.text import c4_line_clean
+    from catenae_stopover_spark.queries import _t
+
+    min_words, bad_phrases = 3, ("lorem ipsum", "javascript", "{")
+
+    def old():
+        df = _t(spark, SF_DIR, "documents")
+        text_col, id_col = "text", "doc_id"
+        lines = F.filter(
+            F.split(F.col(text_col), "\n"),
+            lambda x: F.length(F.trim(x)) > 0,
+        )
+
+        def _keep(x):
+            cond = F.size(F.split(F.trim(x), r"\s+")) >= int(min_words)
+            cond = cond & F.substring(F.trim(x), -1, 1).isin(
+                ".", "!", "?", '"', "'"
+            )
+            for p in bad_phrases:
+                cond = cond & ~F.contains(F.lower(x), F.lit(str(p).lower()))
+            return cond
+
+        kept = F.filter(lines, _keep)
+        all_chars = F.aggregate(
+            lines,
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + F.length(F.trim(x)),
+        )
+        kept_chars = F.aggregate(
+            kept,
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + F.length(F.trim(x)),
+        )
+        return df.select(
+            id_col,
+            F.array_join(F.transform(kept, F.trim), "\n").alias("clean_text"),
+            F.size(lines).cast("bigint").alias("n_lines"),
+            F.size(kept).cast("bigint").alias("n_lines_kept"),
+            (
+                F.round(
+                    F.when(all_chars > 0, kept_chars / all_chars).otherwise(
+                        F.lit(0.0)
+                    ),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("retained_char_frac"),
+        )
+
+    def staged():
+        return c4_line_clean(_t(spark, SF_DIR, "documents"))
+
+    print("parity check (old vs staged)...")
+    parity("q185", old(), staged())
+    interleave(spark, {"old": old, "staged": staged}, reps)
+
+
+# ------------------------------------------------------ q224 staging
+def exp_q224(spark, reps):
+    """pii_scrub staging A/B: baseline = the old nested-expression
+    chain (count k re-executes the k-1 replaces before it; 15
+    regexp_replace evaluations/row for 5 patterns), staged = the
+    operator as shipped (5 evaluations)."""
+    from catenae_stopover_spark.operators.text import (
+        DEFAULT_PII_PATTERNS,
+        pii_scrub,
+        synthesize_pii_text,
+    )
+    from catenae_stopover_spark.queries import _t
+
+    def src():
+        return synthesize_pii_text(_t(spark, SF_DIR, "documents")).select(
+            "doc_id", F.col("pii_text").alias("text")
+        )
+
+    def old():
+        df = src()
+        text_col, id_col = "text", "doc_id"
+        cur = F.col(text_col)
+        counts = []
+        for name, pat, token in DEFAULT_PII_PATTERNS:
+            counts.append(
+                F.coalesce(F.regexp_count(cur, F.lit(pat)), F.lit(0)).alias(
+                    f"n_{name}"
+                )
+            )
+            cur = F.regexp_replace(cur, pat, token)
+        out = df.select(id_col, *counts, cur.alias("redacted"))
+        total_expr = None
+        for name, _pat, _tok in DEFAULT_PII_PATTERNS:
+            t = F.col(f"n_{name}")
+            total_expr = t if total_expr is None else (total_expr + t)
+        return out.select(
+            id_col,
+            *[f"n_{name}" for name, _p, _t in DEFAULT_PII_PATTERNS],
+            total_expr.cast("bigint").alias("pii_total"),
+            "redacted",
+        )
+
+    def staged():
+        return pii_scrub(src())
+
+    print("parity check (old vs staged)...")
+    parity("q224", old(), staged())
+    interleave(spark, {"old": old, "staged": staged}, reps)
+
+
+EXPS = {
+    "q38_salt": exp_q38_salt,
+    "q226": exp_q226,
+    "q185": exp_q185,
+    "q224": exp_q224,
+}
 
 
 def main():
