@@ -158,7 +158,17 @@ def _minhash_sig_bands(
     # verification re-joins — without it the whole shingle+agg pipeline
     # runs 4x. One row per doc (64 longs ≈ 0.5 KB/doc), spills to disk
     # if it outgrows executor memory.
-    sig = (
+    #
+    # scoped_persist + caller-attached release (r15): the bare
+    # `.persist()` here was (a) a session-lifetime LEAK (one entry per
+    # call, flushed out by the r15 harness cache census) and (b) the
+    # one remaining CacheManager plan-keyed entry the r14 sweep
+    # missed — identical rebuilds (bench best-of reps!) silently
+    # REUSED the first rep's materialized signatures, which is
+    # cross-rep result caching inside the timed region. Every call now
+    # owns a private entry, released when the caller's result handle
+    # drops.
+    sig = scoped_persist(
         shingle_hashes.groupBy(id_col)
         .agg(*sig_cols)
         .select(
@@ -167,7 +177,6 @@ def _minhash_sig_bands(
                 "signature"
             ),
         )
-        .persist()
     )
 
     if portable_hash:
@@ -371,7 +380,12 @@ def minhash_lsh_near_dups(
                 (F.lit(1.0)).alias("est_jaccard"),
             )
         )
-        return cross.unionByName(intra)
+        # rep_pairs carries the signature-cache finalizer
+        # (unpersist_on_gc below) — pin its handle to the returned
+        # union so the cache lives as long as the result does
+        from ..plans.partitioning import keep_alive
+
+        return keep_alive(cross.unionByName(intra), rep_pairs)
     rows_per_band = num_hashes // bands
     sig, bands_df = _minhash_sig_bands(
         df,
@@ -401,7 +415,7 @@ def minhash_lsh_near_dups(
     )
     sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
     sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
-    return (
+    out = (
         cand.join(sig_a, "id_a")
         .join(sig_b, "id_b")
         .select(
@@ -415,6 +429,7 @@ def minhash_lsh_near_dups(
             ).alias("est_jaccard"),
         )
     )
+    return unpersist_on_gc(out, sig)
 
 
 def _broadcast_threshold_bytes(spark) -> int:
@@ -1709,7 +1724,11 @@ def semantic_dedup(
             kernel=kernel,
             collapse_exact=False,
         )
-        return (
+        from ..plans.partitioning import keep_alive
+
+        # rep_out carries semantic_dedup's scoped-cache finalizer —
+        # pin it to the derived result (r15 lifetime contract)
+        return keep_alive(
             members.join(
                 rep_out.select(
                     F.col(id_col).alias("__rep"),
@@ -1724,7 +1743,8 @@ def semantic_dedup(
                 (F.col("__rep_keep") & (F.col("__m") == F.col("__rep"))).alias(
                     "keep"
                 ),
-            )
+            ),
+            rep_out,
         )
     if kernel == "auto":
         kernel = "numpy" if _estimated_bytes(df) >= 2 * 2**20 else "sql"
@@ -1736,7 +1756,10 @@ def semantic_dedup(
         id_col=id_col,
         seed=seed,
     )
-    assigned = assigned.persist()
+    # call-scoped (r15 leak fix): the bare persist leaked one
+    # session-lifetime entry per call and exposed identical rebuilds
+    # to CacheManager plan-key clobbering/reuse
+    assigned = scoped_persist(assigned)
     if kernel == "numpy":
         pairs = _bucket_pairs_numpy(
             assigned.select(
@@ -1764,7 +1787,7 @@ def semantic_dedup(
             .filter(F.col("cosine") >= threshold)
         )
     comp = connected_components(pairs)
-    return (
+    out = (
         assigned.select(F.col(id_col), F.col("centroid_id").alias("cluster_id"))
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")
         .select(
@@ -1776,6 +1799,7 @@ def semantic_dedup(
             ).alias("keep"),
         )
     )
+    return unpersist_on_gc(out, assigned)
 
 
 def incremental_exact_dedup(
@@ -1952,7 +1976,7 @@ def incremental_minhash_dedup(
         F.lit("batch").alias("matched"),
     )
     sig_right = sig_c_r.unionByName(sig_b_r)
-    return (
+    out = (
         cand.join(sig_a, "id_a")
         .join(sig_right, ["id_b", "matched"])
         .select(
@@ -1967,6 +1991,8 @@ def incremental_minhash_dedup(
             "matched",
         )
     )
+    # both signature caches are scoped to this call (r15 leak fix)
+    return unpersist_on_gc(out, sig_b, sig_c)
 
 
 def incremental_embedding_dedup(
@@ -2583,11 +2609,19 @@ def exact_substring_dedup(
                 F.expr("cast(array() as array<struct<s:bigint,l:bigint>>)"),
             ),
         )
+        # STAGED (r15, the q226 class): `kept` is a lambda filter with
+        # a per-token exists() over the removal intervals — inlined it
+        # appeared twice (n_removed size + clean_text join) and codegen
+        # CSE does not dedupe lambda-bearing trees, so every doc paid
+        # the O(tokens x intervals) scan twice.
+        .withColumn("__kept", kept)
         .select(
             id_col,
             F.size("__w").cast("bigint").alias("n_tokens"),
-            (F.size("__w") - F.size(kept)).cast("bigint").alias("n_removed"),
-            F.array_join(kept, " ").alias("clean_text"),
+            (F.size("__w") - F.size(F.col("__kept")))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.array_join(F.col("__kept"), " ").alias("clean_text"),
         )
     )
 

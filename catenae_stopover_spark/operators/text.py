@@ -143,15 +143,31 @@ def repetition_stats(text_col: str = "text", gram_n: int = 3) -> dict[str, Colum
     n_words = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)).otherwise(
         F.size(words)
     )
+    # the repeated `words` subtrees are lambda-FREE, so codegen
+    # subexpression elimination dedupes them (measured on the q224
+    # class); no staging needed here
     uniq_ratio = F.when(
         n_words > 0, F.size(F.array_distinct(words)) / n_words
     ).otherwise(F.lit(0.0))
 
-    grams = _ngrams(text_col, gram_n)
-    n_grams = F.size(grams)
-    gram_ratio = F.when(
-        n_grams > 0, F.size(F.array_distinct(grams)) / n_grams
-    ).otherwise(F.lit(1.0))
+    # the gram build is lambda-BEARING (bind1 transform), which CSE
+    # does not dedupe — referenced 3x (two sizes + array_distinct) it
+    # evaluated 3x per row (r15). Bind it once per row; CASE/when,
+    # NULL (size(NULL)=NULL -> ELSE) and int/int `/` (double) are
+    # value-identical to the Column form it replaces. Interleaved A/B
+    # at sf0.1: 1.065 -> 0.660 s best, faster every rep, parity exact
+    # (exp_q55).
+    from ..functions.exprs import bind1
+
+    gram_ratio = F.expr(
+        bind1(
+            _ngrams_sql(text_col, gram_n),
+            "__rsg",
+            "CASE WHEN size(__rsg) > 0 THEN "
+            "size(array_distinct(__rsg)) / size(__rsg) "
+            "ELSE cast(1.0 as double) END",
+        )
+    )
     return {
         "unique_word_ratio": F.round(uniq_ratio, 6),
         f"distinct_{gram_n}gram_ratio": F.round(gram_ratio, 6),
@@ -191,6 +207,25 @@ def char_entropy(text_col: str = "text") -> Column:
     )
 
 
+def _ngrams_sql(text_col: str, n: int) -> str:
+    """SQL string form of :func:`_ngrams` — for callers that need to
+    re-bind the gram array itself (repetition_stats binds it once per
+    output column; the Column form can't be nested into bind1)."""
+    from ..functions.exprs import bind1
+
+    w = f"split(lower(trim({text_col})), '\\\\s+')"
+    return bind1(
+        w,
+        "__ngt",
+        f"""
+        transform(
+            filter(sequence(1, greatest(size(__ngt), 1)), i -> i <= size(__ngt) - {n} + 1),
+            i -> array_join(slice(__ngt, i, {n}), ' ')
+        )
+        """,
+    )
+
+
 def _ngrams(text_col: str, n: int) -> Column:
     """Word n-grams (with repeats — repetition measurement needs the
     multiset, unlike dedup shingling which distincts them).
@@ -199,21 +234,7 @@ def _ngrams(text_col: str, n: int) -> Column:
     session 3): inlining it inside the per-position slice lambda
     re-tokenized the document per gram position — measured 26.0 s ->
     2.4 s on the sf0.1 2/3/4-gram explode stage, identical grams."""
-    from ..functions.exprs import bind1
-
-    w = f"split(lower(trim({text_col})), '\\\\s+')"
-    return F.expr(
-        bind1(
-            w,
-            "__ngt",
-            f"""
-        transform(
-            filter(sequence(1, greatest(size(__ngt), 1)), i -> i <= size(__ngt) - {n} + 1),
-            i -> array_join(slice(__ngt, i, {n}), ' ')
-        )
-        """,
-        )
-    )
+    return F.expr(_ngrams_sql(text_col, n))
 
 
 # Portable (lowercase, no engine-specific flags) redaction patterns.
@@ -604,11 +625,10 @@ def unigram_logprob(
     Returns (id_col, n_tokens, avg_logprob) with avg_logprob rounded to
     ``round_to`` (engine-independent within a double ulp).
 
-    CACHE OWNERSHIP: the persisted tf table backs the RETURNED lazy
-    plan, so this operator cannot unpersist it (contrast pagerank,
-    which materializes eagerly and releases its caches). It stays until
-    LRU eviction; sessions running many queries should
-    ``spark.catalog.clearCache()`` between batches.
+    CACHE OWNERSHIP (r15): the persisted tf table backs the RETURNED
+    lazy plan; it is call-scoped (scoped_persist) and released by a
+    finalizer when the caller drops the result handle
+    (unpersist_on_gc) — recompute-never-wrong after release.
     """
     words = df.select(
         F.col(id_col),
@@ -616,10 +636,11 @@ def unigram_logprob(
             F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
         ).alias("__w"),
     )
-    tf = (
-        words.groupBy(id_col, "__w")
-        .agg(F.count("*").alias("__tf"))
-        .persist()
+    from ..plans.partitioning import scoped_persist, unpersist_on_gc
+
+    # call-scoped (r15 leak fix; harness cache census)
+    tf = scoped_persist(
+        words.groupBy(id_col, "__w").agg(F.count("*").alias("__tf"))
     )
     # N attaches as a broadcast 1-row scalar (the q143/q175/chi2
     # idiom, r12): the r11 form folded N in via an UNPARTITIONED
@@ -635,7 +656,7 @@ def unigram_logprob(
         .withColumn("__lp", F.log(F.col("__wc") / F.col("__n")))
         .select("__w", "__lp")
     )
-    return (
+    out = (
         tf.join(vocab, "__w")
         .groupBy(id_col)
         .agg(
@@ -646,6 +667,7 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+    return unpersist_on_gc(out, tf)
 
 
 def tfidf_top_terms(
@@ -685,9 +707,8 @@ def tfidf_top_terms(
     At 100 TB: ONE corpus scan; tf is token-count-sized (the dominant
     shuffle), df and the join back to tf are vocab-sized — the same
     broadcast-range shape as :func:`unigram_logprob`. Cache ownership:
-    same caveat as :func:`unigram_logprob` — the persisted tf backs the
-    returned plan and is released only by session cache eviction or an
-    explicit ``spark.catalog.clearCache()``.
+    same contract as :func:`unigram_logprob` (r15) — call-scoped,
+    finalizer-released when the result handle drops.
     """
     words = df.select(
         F.col(id_col),
@@ -695,7 +716,13 @@ def tfidf_top_terms(
             F.expr(f"split(lower(trim({text_col})), '\\\\s+')")
         ).alias("term"),
     )
-    tf = words.groupBy(id_col, "term").agg(F.count("*").alias("tf")).persist()
+    from ..plans.partitioning import scoped_persist, unpersist_on_gc
+
+    # call-scoped (r15 leak fix): the bare persist leaked one
+    # session-lifetime entry per call (harness cache census)
+    tf = scoped_persist(
+        words.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("__df"))
     ndocs = tf.agg(F.countDistinct(id_col).alias("__n"))
     scored = (
@@ -711,11 +738,12 @@ def tfidf_top_terms(
     w = Window.partitionBy(id_col).orderBy(
         F.col("score").desc(), F.col("term").asc()
     )
-    return (
+    out = (
         scored.withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= k)
         .select(id_col, "term", "tf", "score", "term_rank")
     )
+    return unpersist_on_gc(out, tf)
 
 
 def chunk_documents(
@@ -936,17 +964,18 @@ def bigram_logprob(
             F.col("__bg.w2").alias("__w2"),
         )
     )
-    tf = (
-        bg.groupBy(id_col, "__w1", "__w2")
-        .agg(F.count("*").alias("__tf"))
-        .persist()
+    from ..plans.partitioning import scoped_persist, unpersist_on_gc
+
+    # call-scoped (r15 leak fix; harness cache census)
+    tf = scoped_persist(
+        bg.groupBy(id_col, "__w1", "__w2").agg(F.count("*").alias("__tf"))
     )
     c2 = tf.groupBy("__w1", "__w2").agg(F.sum("__tf").alias("__c2"))
     c1 = tf.groupBy("__w1").agg(F.sum("__tf").alias("__c1"))
     model = c2.join(c1, "__w1").select(
         "__w1", "__w2", F.log(F.col("__c2") / F.col("__c1")).alias("__lp")
     )
-    return (
+    out = (
         tf.join(model, ["__w1", "__w2"])
         .groupBy(id_col)
         .agg(
@@ -957,6 +986,7 @@ def bigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+    return unpersist_on_gc(out, tf)
 
 
 def mix_corpus(
@@ -1849,11 +1879,10 @@ def importance_weights(
     aggregated raw feature table instead of re-exploding the subset,
     one full feature pass saved.
 
-    CACHE OWNERSHIP: the per-(doc, bucket) count table is persisted —
-    it backs both the raw distribution and the returned lazy scoring
-    plan (the q90/unigram_logprob tf-table pattern), so this operator
-    cannot unpersist it; without the persist each consumer re-runs
-    the corpus explode+hash, the dominant cost.
+    CACHE OWNERSHIP (r15): the per-(doc, bucket) count table is
+    persisted — it backs both the raw distribution and the returned
+    lazy scoring plan (the q90/unigram_logprob tf-table pattern);
+    call-scoped, finalizer-released when the result handle drops.
     """
     if (target is None) == (target_ids is None):
         raise ValueError("give exactly one of target / target_ids")
@@ -1881,11 +1910,13 @@ def importance_weights(
     # subset mode) the target distribution; persisted because Spark
     # would otherwise recompute the explode+hash per consumer (see
     # CACHE OWNERSHIP above)
-    doc_bucket = (
+    from ..plans.partitioning import scoped_persist, unpersist_on_gc
+
+    # call-scoped (r15 leak fix; harness cache census)
+    doc_bucket = scoped_persist(
         _feats(raw, with_id=True)
         .groupBy(id_col, "__b")
         .agg(F.count("*").alias("__c"))
-        .persist()
     )
     if target_ids is not None:
         tgt_counts = (
@@ -1949,12 +1980,13 @@ def importance_weights(
         + 0.5
     ) / F.lit(4294967296.0)
     gumbel = -F.log(-F.log(u))
-    return per_doc.select(
+    out = per_doc.select(
         id_col,
         "n_feats",
         "log_weight",
         (F.col("log_weight") + gumbel).alias("score"),
     )
+    return unpersist_on_gc(out, doc_bucket)
 
 
 def repeated_char_spans(
@@ -2620,17 +2652,22 @@ def c4_line_clean(
     # ONCE per row. Interleaved A/B: exp_q185 / OPTIMIZATION_r15.
     d1 = df.withColumn("__lines", lines)
     d2 = d1.withColumn("__kept", F.filter(F.col("__lines"), _keep))
-    all_chars = F.aggregate(
-        F.col("__lines"),
-        F.lit(0).cast("bigint"),
-        lambda a, x: a + F.length(F.trim(x)),
+    # __ac staged too: the aggregate is lambda-bearing and appears
+    # twice in the ratio (guard + denominator)
+    d3 = d2.withColumn(
+        "__ac",
+        F.aggregate(
+            F.col("__lines"),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + F.length(F.trim(x)),
+        ),
     )
     kept_chars = F.aggregate(
         F.col("__kept"),
         F.lit(0).cast("bigint"),
         lambda a, x: a + F.length(F.trim(x)),
     )
-    return d2.select(
+    return d3.select(
         id_col,
         F.array_join(F.transform(F.col("__kept"), F.trim), "\n").alias(
             "clean_text"
@@ -2639,9 +2676,9 @@ def c4_line_clean(
         F.size(F.col("__kept")).cast("bigint").alias("n_lines_kept"),
         (
             F.round(
-                F.when(all_chars > 0, kept_chars / all_chars).otherwise(
-                    F.lit(0.0)
-                ),
+                F.when(
+                    F.col("__ac") > 0, kept_chars / F.col("__ac")
+                ).otherwise(F.lit(0.0)),
                 6,
             )
             + F.lit(0.0)

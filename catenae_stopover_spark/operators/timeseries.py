@@ -47,10 +47,9 @@ def resample_ffill(
     Rows with NULL ``ts_col`` are dropped (no grid position). Output:
     key_cols + bucket_ts + aggregates (+ ``is_gap``).
 
-    Cache ownership: the persisted bucket table backs the returned lazy
-    plan, so it cannot be unpersisted here; it is bucket-level (small)
-    and lives until session cache eviction or an explicit
-    ``spark.catalog.clearCache()``.
+    Cache ownership (r15): the persisted bucket table backs the
+    returned lazy plan; call-scoped, finalizer-released when the
+    result handle drops.
     """
     if step_s <= 0:
         raise ValueError("step_s must be positive")
@@ -64,12 +63,14 @@ def resample_ffill(
     # without it the input is scanned and bucket-aggregated twice.
     # Bucket-level (one row per key x occupied step), far smaller than
     # the input; spills to disk if not.
-    bucketed = (
+    from ..plans.partitioning import scoped_persist, unpersist_on_gc
+
+    # call-scoped (r15 leak fix; harness cache census)
+    bucketed = scoped_persist(
         df.filter(F.col(ts_col).isNotNull())
         .withColumn("__bucket", bucket)
         .groupBy(*key_cols, "__bucket")
         .agg(*agg_exprs)
-        .persist()
     )
     agg_cols = [c for c in bucketed.columns if c not in (*key_cols, "__bucket")]
     fill = fill_cols if fill_cols is not None else agg_cols
@@ -95,12 +96,13 @@ def resample_ffill(
     )
     for c in fill:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out.select(
+    result = out.select(
         *key_cols,
         F.timestamp_micros(F.col("__bucket") * F.lit(step_us)).alias("bucket_ts"),
         *agg_cols,
         "is_gap",
     )
+    return unpersist_on_gc(result, bucketed)
 
 
 def rolling_zscore(

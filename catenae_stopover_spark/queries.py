@@ -1092,11 +1092,14 @@ def q69_minhash_recall_gate(spark, sf_dir):
     true_pairs = ngram_jaccard_near_dups(d, n=5, threshold=0.7).select(
         "id_a", "id_b"
     )
-    cand = minhash_lsh_near_dups(d).select("id_a", "id_b")
+    mh = minhash_lsh_near_dups(d)  # handle carries the sig-cache finalizer
+    cand = mh.select("id_a", "id_b")
     # single distributed plan, no driver-side sets/counts: left-join the
     # truth onto the candidates, aggregate recall, emit the gate row —
     # safe to point at inputs of any size
-    return (
+    from .plans.partitioning import keep_alive
+
+    return keep_alive(
         true_pairs.join(
             cand.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left"
         )
@@ -1112,7 +1115,8 @@ def q69_minhash_recall_gate(spark, sf_dir):
             F.col("__n_true").alias("n_true"),
             F.lit(64).alias("num_hashes"),
             F.lit(16).alias("bands"),
-        )
+        ),
+        mh,
     )
 
 
@@ -3082,12 +3086,17 @@ def q78_char_entropy(spark, sf_dir):
     from .operators.text import char_entropy
 
     d = _t(spark, sf_dir, "documents")
+    # STAGED (r15, the q226 class): `h` is the whole
+    # O(len x alphabet) lambda-bearing entropy battery — inlined it
+    # appeared 3x (value + two band thresholds) and codegen CSE does
+    # not dedupe lambda-bearing trees, so every document paid the
+    # battery three times. Projected once, the band reads the column.
     h = F.round(char_entropy("text"), 6) + F.lit(0.0)
-    return d.select(
+    return d.withColumn("__h", h).select(
         "doc_id",
-        h.alias("char_entropy"),
-        F.when(h < 3.5, "low")
-        .when(h < 4.5, "mid")
+        F.col("__h").alias("char_entropy"),
+        F.when(F.col("__h") < 3.5, "low")
+        .when(F.col("__h") < 4.5, "mid")
         .otherwise("high")
         .alias("entropy_band"),
     )
@@ -4336,7 +4345,10 @@ def q102_semdedup_gate(spark, sf_dir):
     )
     n_true = exact.agg(F.count("*").alias("__n_true"))
     # documented 1-row gate crossJoins (four single-row aggregates)
-    return (
+    from .plans.partitioning import keep_alive
+
+    # decisions carries semantic_dedup's scoped-cache finalizer (r15)
+    return keep_alive(
         totals.crossJoin(missing)
         .crossJoin(bad)
         .crossJoin(n_true)
@@ -4346,7 +4358,8 @@ def q102_semdedup_gate(spark, sf_dir):
             (F.col("__np") >= 1).alias("prune_fired"),
             F.col("__n_true").alias("n_true_pairs"),
             F.lit(8).alias("n_clusters"),
-        )
+        ),
+        decisions,
     )
 
 
@@ -4622,12 +4635,10 @@ def q108_collapse_parity_gate(spark, sf_dir):
             (F.col("doc_id") + 70000).alias("doc_id"), "text"
         )
     )
-    mh_plain = minhash_lsh_near_dups(docs, collapse_exact=False).select(
-        "id_a", "id_b", "est_jaccard"
-    )
-    mh_coll = minhash_lsh_near_dups(docs, collapse_exact=True).select(
-        "id_a", "id_b", "est_jaccard"
-    )
+    mh_plain_h = minhash_lsh_near_dups(docs, collapse_exact=False)
+    mh_coll_h = minhash_lsh_near_dups(docs, collapse_exact=True)
+    mh_plain = mh_plain_h.select("id_a", "id_b", "est_jaccard")
+    mh_coll = mh_coll_h.select("id_a", "id_b", "est_jaccard")
     mh_diff = mh_plain.exceptAll(mh_coll).unionByName(
         mh_coll.exceptAll(mh_plain)
     )
@@ -4661,7 +4672,10 @@ def q108_collapse_parity_gate(spark, sf_dir):
             .alias("n_dup_groups")
         )
     )
-    return (
+    from .plans.partitioning import keep_alive
+
+    # the minhash handles carry their sig-cache finalizers (r15)
+    return keep_alive(
         n.crossJoin(m)
         .crossJoin(b)
         .crossJoin(g)
@@ -4670,7 +4684,9 @@ def q108_collapse_parity_gate(spark, sf_dir):
             (F.col("__ediff") == 0).alias("embedding_parity_ok"),
             (F.col("__npairs") >= 40).alias("nonvacuous"),
             "n_dup_groups",
-        )
+        ),
+        mh_plain_h,
+        mh_coll_h,
     )
 
 
@@ -7348,11 +7364,18 @@ def q156_importance_weights(spark, sf_dir):
         target_ids=d.filter(F.col("lang") == "en").select("doc_id"),
         buckets=4096,
     )
-    return out.select(
-        "doc_id",
-        F.col("n_feats").cast("long").alias("n_feats"),
-        F.round("log_weight", 6).alias("log_weight"),
-        F.round("score", 6).alias("score"),
+    from .plans.partitioning import keep_alive
+
+    # out carries importance_weights' scoped-cache finalizer (r15) —
+    # pin it to the derived select
+    return keep_alive(
+        out.select(
+            "doc_id",
+            F.col("n_feats").cast("long").alias("n_feats"),
+            F.round("log_weight", 6).alias("log_weight"),
+            F.round("score", 6).alias("score"),
+        ),
+        out,
     )
 
 

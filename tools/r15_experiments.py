@@ -378,11 +378,180 @@ def exp_q224(spark, reps):
     interleave(spark, {"old": old, "staged": staged}, reps)
 
 
+# ------------------------------------------------- q55 gram rebind
+def exp_q55(spark, reps):
+    """repetition_stats gram-ratio rebind A/B: the old form referenced
+    the lambda-bearing gram build 3x (two sizes + array_distinct) in
+    one output column — CSE-blind, so 3 full gram builds per row. New
+    form binds the gram array once per row (bind1 at the output
+    level)."""
+    from catenae_stopover_spark.operators.text import (
+        _ngrams,
+        repetition_stats,
+    )
+    from catenae_stopover_spark.queries import QUERIES, _t
+
+    def old():
+        df = _t(spark, SF_DIR, "documents")
+        text_col, gram_n = "text", 3
+        words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        n_words = F.when(
+            F.length(F.trim(F.col(text_col))) == 0, F.lit(0)
+        ).otherwise(F.size(words))
+        uniq_ratio = F.when(
+            n_words > 0, F.size(F.array_distinct(words)) / n_words
+        ).otherwise(F.lit(0.0))
+        grams = _ngrams(text_col, gram_n)
+        n_grams = F.size(grams)
+        gram_ratio = F.when(
+            n_grams > 0, F.size(F.array_distinct(grams)) / n_grams
+        ).otherwise(F.lit(1.0))
+        stats = {
+            "unique_word_ratio": F.round(uniq_ratio, 6),
+            f"distinct_{gram_n}gram_ratio": F.round(gram_ratio, 6),
+        }
+        return df.withColumns(stats).select(
+            "doc_id", *stats.keys()
+        )
+
+    def new():
+        df = _t(spark, SF_DIR, "documents")
+        stats = repetition_stats("text")
+        return df.withColumns(stats).select("doc_id", *stats.keys())
+
+    print("parity check (old vs rebind)...")
+    parity("q55", old(), new())
+    interleave(spark, {"old": old, "rebind": new}, reps)
+
+
+# --------------------------------------------- q67/q86 shingle persist
+def exp_q67(spark, reps):
+    """decontaminate corpus-shingle persist A/B: the q67 final plan
+    showed the corpus shingle explode executing TWICE (max_df
+    histogram + anti-join probe; the anti join broadcasts `common`, so
+    no shared exchange exists for AQE to reuse)."""
+    from catenae_stopover_spark.operators.text import (
+        _doc_shingles,
+        decontaminate,
+    )
+    from catenae_stopover_spark.queries import _t
+
+    def old():
+        d = _t(spark, SF_DIR, "documents")
+        corpus = d.filter(F.col("doc_id") >= 100)
+        benchmark = d.filter(F.col("doc_id") < 100)
+        n, max_df, id_col = 8, 10_000, "doc_id"
+        corpus_sh = _doc_shingles(corpus, "text", id_col, n)
+        common = (
+            corpus_sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") > max_df)
+            .select("shingle")
+        )
+        corpus_sh = corpus_sh.join(common, "shingle", "left_anti")
+        bench_sh = (
+            _doc_shingles(benchmark, "text", id_col, n)
+            .select("shingle")
+            .distinct()
+        )
+        return (
+            corpus_sh.join(bench_sh, "shingle")
+            .groupBy(id_col)
+            .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
+        )
+
+    def new():
+        d = _t(spark, SF_DIR, "documents")
+        return decontaminate(
+            d.filter(F.col("doc_id") >= 100),
+            d.filter(F.col("doc_id") < 100),
+            n=8,
+        )
+
+    print("parity check (old vs persist)...")
+    parity("q67", old(), new())
+    interleave(spark, {"old": old, "persist": new}, reps)
+
+
+def exp_q86(spark, reps):
+    """decontaminate_bloom corpus+bench shingle persist A/B (q86: 8
+    final scans — corpus explode x2, bench explode x2)."""
+    from catenae_stopover_spark.operators.text import (
+        _doc_shingles,
+        decontaminate_bloom,
+    )
+    from catenae_stopover_spark.queries import _t
+
+    def old():
+        d = _t(spark, SF_DIR, "documents")
+        corpus = d.filter(F.col("doc_id") >= 100)
+        benchmark = d.filter(F.col("doc_id") < 100)
+        n, max_df, id_col = 8, 10_000, "doc_id"
+        m_bits, n_hashes = 1 << 20, 3
+        corpus_sh = _doc_shingles(corpus, "text", id_col, n)
+        common = (
+            corpus_sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") > max_df)
+            .select("shingle")
+        )
+        corpus_sh = corpus_sh.join(common, "shingle", "left_anti")
+        bench_sh = (
+            _doc_shingles(benchmark, "text", id_col, n)
+            .select("shingle")
+            .distinct()
+        )
+
+        def positions(col):
+            return F.array(
+                *[
+                    F.pmod(F.xxhash64(col, F.lit(j)), F.lit(m_bits))
+                    for j in range(n_hashes)
+                ]
+            )
+
+        set_bits = bench_sh.select(
+            F.explode(positions(F.col("shingle"))).alias("bit")
+        ).distinct()
+        probe = corpus_sh.select(
+            id_col,
+            "shingle",
+            F.explode(positions(F.col("shingle"))).alias("bit"),
+        )
+        survivors = (
+            probe.join(F.broadcast(set_bits), "bit")
+            .groupBy(id_col, "shingle")
+            .agg(F.count("*").alias("__hits"))
+            .filter(F.col("__hits") == n_hashes)
+            .select(id_col, "shingle")
+        )
+        return (
+            survivors.join(bench_sh, "shingle")
+            .groupBy(id_col)
+            .agg(F.countDistinct("shingle").alias("n_shared_shingles"))
+        )
+
+    def new():
+        d = _t(spark, SF_DIR, "documents")
+        return decontaminate_bloom(
+            d.filter(F.col("doc_id") >= 100),
+            d.filter(F.col("doc_id") < 100),
+            n=8,
+        )
+
+    print("parity check (old vs persist)...")
+    parity("q86", old(), new())
+    interleave(spark, {"old": old, "persist": new}, reps)
+
+
 EXPS = {
     "q38_salt": exp_q38_salt,
     "q226": exp_q226,
     "q185": exp_q185,
     "q224": exp_q224,
+    "q55": exp_q55,
+    "q67": exp_q67,
+    "q86": exp_q86,
 }
 
 
