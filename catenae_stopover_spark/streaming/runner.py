@@ -68,21 +68,28 @@ def run_available_now(
     # into the fresh checkpoint at first run, so scope it down here and
     # restore after. Real deployments size this to the cluster.
     old = sess.conf.get("spark.sql.shuffle.partitions")
-    # core count, not a constant (r14): the state-store count is baked
-    # into the fresh checkpoint, and a fixed 32 at lower core counts
-    # would schedule 32 stateful tasks on fewer cores every microbatch.
-    # SPARK_GRAFT_STREAM_STATE_PARTITIONS overrides for deployments
-    # whose bounded replays carry real state volume (r15: the local
-    # floor measurement lever — every state-store instance pays a
-    # per-commit cost each micro-batch, so BOUNDED replays of small
-    # state want fewer instances; read at call time so harnesses can
-    # A/B it in-process).
+    # State-store count for the BOUNDED replay (baked into the fresh
+    # checkpoint): cores // 4, floor 2 (r15, measured). Every state
+    # store instance pays a per-commit cost each micro-batch and the
+    # per-JVM commit path convoys SUPER-linearly with instance count
+    # (r14: 2 partitions ~90 ms/commit, 32: 700-2000 ms), so a
+    # drain-and-stop replay of bounded state wants FEW stores while
+    # still spreading across executors. Interleaved A/B over the
+    # 10-query family at sf0.01 (tools/r15_stream_floor.py): cores//4
+    # (=8 at 32 cores) took the family best-of total 53.9 -> 29.4 s
+    # (1.83x), better on every row; stateStore.maintenanceInterval
+    # measured no consistent effect and stays default. Derived from
+    # the core count, not a constant (the driver re-runs at lower
+    # core counts); SPARK_GRAFT_STREAM_STATE_PARTITIONS overrides for
+    # deployments whose bounded replays carry real state volume (size
+    # to state bytes / cores there); read at call time so harnesses
+    # can A/B it in-process.
     import os as _os
 
     sess.conf.set(
         "spark.sql.shuffle.partitions",
         _os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
-        or str(sess.sparkContext.defaultParallelism),
+        or str(max(2, sess.sparkContext.defaultParallelism // 4)),
     )
     try:
         q = start_stream(
