@@ -26,11 +26,13 @@ M, NBITS = 8, 4
 
 @pytest.fixture(scope="module")
 def emb(spark):
-    return (
+    df = (
         spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
         .filter(F.col("vec_id") != 0)
         .cache()
     )
+    yield df
+    df.unpersist()  # keep the suite-level cache census clean (r15)
 
 
 @pytest.fixture(scope="module")
@@ -99,18 +101,21 @@ def test_refine_monotonicity(emb, books):
     """More refine candidates can only improve recall vs exact top-k."""
     qvec = [1.0] * 64
     codes_df = pq_encode(emb, books).cache()
-    exact = {r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()}
-    recalls = []
-    for refine in (10, 50, 200):
-        got = {
-            r.vec_id
-            for r in pq_topk(
-                codes_df, books, qvec, k=10, refine=refine, source=emb
-            ).collect()
-        }
-        recalls.append(len(exact & got))
-    assert recalls == sorted(recalls)
-    assert recalls[-1] >= 7  # near-exhaustive refine ~ exact
+    try:
+        exact = {r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()}
+        recalls = []
+        for refine in (10, 50, 200):
+            got = {
+                r.vec_id
+                for r in pq_topk(
+                    codes_df, books, qvec, k=10, refine=refine, source=emb
+                ).collect()
+            }
+            recalls.append(len(exact & got))
+        assert recalls == sorted(recalls)
+        assert recalls[-1] >= 7  # near-exhaustive refine ~ exact
+    finally:
+        codes_df.unpersist()  # suite-level cache census (r15)
 
 
 def test_reconstruction_error_bounded(emb, books):
@@ -202,17 +207,20 @@ def test_ivfpq_probe_monotonicity(spark, emb):
     exact = {r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()}
     enc, cents, books = build_ivfpq_index(emb, num_centroids=4, m=M, nbits=NBITS)
     enc = enc.cache()
-    recalls = []
-    for n_probe in (1, 2, 4):
-        got = {
-            r.vec_id
-            for r in ivfpq_topk(
-                enc, cents, books, qvec, k=10, n_probe=n_probe, refine=60,
-                source=emb,
-            ).collect()
-        }
-        recalls.append(len(exact & got))
-    assert recalls == sorted(recalls)
+    try:
+        recalls = []
+        for n_probe in (1, 2, 4):
+            got = {
+                r.vec_id
+                for r in ivfpq_topk(
+                    enc, cents, books, qvec, k=10, n_probe=n_probe,
+                    refine=60, source=emb,
+                ).collect()
+            }
+            recalls.append(len(exact & got))
+        assert recalls == sorted(recalls)
+    finally:
+        enc.unpersist()  # suite-level cache census (r15)
 
 
 def test_ivfpq_codes_are_m_bytes(spark, emb):

@@ -17,7 +17,9 @@ from conftest import SF_SMOKE
 
 @pytest.fixture(scope="module")
 def cust(spark):
-    return spark.read.parquet(f"{SF_SMOKE}/customer.parquet").cache()
+    df = spark.read.parquet(f"{SF_SMOKE}/customer.parquet").cache()
+    yield df
+    df.unpersist()  # keep the suite-level cache census clean (r15)
 
 
 def test_hll_merge_equals_direct_sketch(spark, cust):
